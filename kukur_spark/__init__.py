@@ -1,0 +1,37 @@
+"""kukur_spark — a PySpark-native time-series analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference federated time-series gateway (timeseer-ai/kukur): the uniform
+4-verb API — ``search``, ``get_metadata``, ``get_data``, ``get_plot_data`` —
+over heterogeneous sources, re-expressed Spark-first: every scan is a
+``spark.read``, every filter is a Catalyst predicate (pushed down to the
+source), plot downsampling is a real bucketed aggregation, and large-scale
+data-pipeline operators (dedup, similarity search, text analysis, multimodal
+columns) run as distributed DataFrame plans.
+
+Reference semantics surveyed in SURVEY.md; citations in docstrings point at
+the reference tree (/root/reference) for parity checking only — no code is
+copied from it.
+"""
+
+from kukur_spark.base import (
+    DataType,
+    Dictionary,
+    InterpolationType,
+    SeriesSearch,
+    SeriesSelector,
+    SourceStructure,
+)
+from kukur_spark.metadata import Metadata
+
+__all__ = [
+    "DataType",
+    "Dictionary",
+    "InterpolationType",
+    "Metadata",
+    "SeriesSearch",
+    "SeriesSelector",
+    "SourceStructure",
+]
+
+__version__ = "0.1.0"

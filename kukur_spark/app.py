@@ -1,0 +1,82 @@
+"""Engine façade: the 4-verb API over configured sources.
+
+Parity target: reference ``kukur/app.py:21-88`` — resolve a source by name
+and dispatch the verb. The Spark engine adds: a shared SparkSession, cached
+source construction, and DataFrame-returning verbs (callers collect to Arrow
+at the API edge, e.g. the Flight server).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+from typing import Any, Dict, Iterator, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector, SourceStructure
+from kukur_spark.metadata import Metadata
+from kukur_spark.session import get_spark
+from kukur_spark.sources import SearchResult, SourceFactory
+
+
+class Engine:
+    """The uniform 4-verb API over all configured sources."""
+
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        spark: Optional[SparkSession] = None,
+    ):
+        self.spark = spark or get_spark()
+        self.config = config
+        self.factory = SourceFactory(self.spark, config)
+
+    # -- verbs -------------------------------------------------------------
+    def search(self, search: SeriesSearch) -> Iterator[SearchResult]:
+        return self.factory.get_source(search.source).search(search)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return self.factory.get_source(selector.source).get_metadata(selector)
+
+    def get_data(
+        self,
+        selector: SeriesSelector,
+        start: Optional[datetime] = None,
+        end: Optional[datetime] = None,
+    ) -> DataFrame:
+        start, end = _default_range(start, end)
+        return self.factory.get_source(selector.source).get_data(
+            selector, start, end
+        )
+
+    def get_plot_data(
+        self,
+        selector: SeriesSelector,
+        start: Optional[datetime] = None,
+        end: Optional[datetime] = None,
+        interval_count: int = 200,
+    ) -> DataFrame:
+        start, end = _default_range(start, end)
+        return self.factory.get_source(selector.source).get_plot_data(
+            selector, start, end, interval_count
+        )
+
+    # -- introspection -----------------------------------------------------
+    def list_sources(self) -> List[str]:
+        return self.factory.source_names()
+
+    def get_source_structure(
+        self, search: SeriesSearch
+    ) -> Optional[SourceStructure]:
+        return self.factory.get_source(search.source).get_source_structure(search)
+
+
+def _default_range(
+    start: Optional[datetime], end: Optional[datetime]
+) -> tuple[datetime, datetime]:
+    """Default query range: trailing 1 year (reference kukur/client.py:244-253)."""
+    if end is None:
+        end = datetime.now(timezone.utc)
+    if start is None:
+        start = end - timedelta(days=365)
+    return start, end

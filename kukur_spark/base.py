@@ -1,0 +1,144 @@
+"""Core data model: series identity, search patterns, enums, dictionaries.
+
+Parity target: reference ``kukur/base.py`` (SeriesSelector name syntax at
+kukur/base.py:106-121, Dictionary at :12-25, DataType at :152-166,
+InterpolationType at :145-149, SourceStructure at :169-186). Re-implemented
+from the documented semantics — tags are an ordered ``dict[str, str]``, the
+canonical string form is ``k=v,k2=v2::field``, a bare name becomes the tag
+``series name``, and the default field is ``value``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Dict, List, Optional
+
+SERIES_NAME_TAG = "series name"
+DEFAULT_FIELD = "value"
+
+
+class InterpolationType(Enum):
+    """How values between two data points are interpolated."""
+
+    LINEAR = "LINEAR"
+    STEPPED = "STEPPED"
+
+
+class DataType(Enum):
+    """Declared value type of a series (metadata, not physical storage).
+
+    Physical storage after schema unification is always float64, int64 or
+    string (see kukur_spark.schema).
+    """
+
+    FLOAT32 = "FLOAT32"
+    FLOAT64 = "FLOAT64"
+    STRING = "STRING"
+    DICTIONARY = "DICTIONARY"
+    CATEGORICAL = "CATEGORICAL"
+
+
+@dataclass(frozen=True)
+class Dictionary:
+    """Ordered mapping of integer keys to string labels for enum series."""
+
+    mapping: Dict[int, str]
+
+    def label(self, key: int) -> Optional[str]:
+        return self.mapping.get(key)
+
+    def to_items(self) -> List[List[object]]:
+        return [[k, v] for k, v in self.mapping.items()]
+
+
+def _parse_name(name: str) -> tuple[Dict[str, str], str]:
+    """Parse ``k=v,k2=v2::field`` into (tags, field).
+
+    A bare name (no ``=``) becomes ``{"series name": name}``. The ``::field``
+    suffix is optional and defaults to ``value``.
+    """
+    field = DEFAULT_FIELD
+    if "::" in name:
+        name, field = name.rsplit("::", 1)
+    if "=" not in name:
+        return {SERIES_NAME_TAG: name}, field
+    tags: Dict[str, str] = {}
+    for part in name.split(","):
+        key, _, value = part.partition("=")
+        tags[key] = value
+    return tags, field
+
+
+def _format_name(tags: Dict[str, str], field: str) -> str:
+    if list(tags.keys()) == [SERIES_NAME_TAG]:
+        base = tags[SERIES_NAME_TAG]
+    else:
+        base = ",".join(f"{k}={v}" for k, v in tags.items())
+    if field != DEFAULT_FIELD:
+        return f"{base}::{field}"
+    return base
+
+
+@dataclass(frozen=True)
+class SeriesSearch:
+    """A search pattern over a source: tags and field are both optional."""
+
+    source: str
+    tags: Optional[Dict[str, str]] = None
+    field: Optional[str] = None
+
+    @classmethod
+    def from_name(cls, source: str, name: str) -> "SeriesSearch":
+        tags, field = _parse_name(name)
+        return cls(source, tags, field)
+
+
+@dataclass(frozen=True)
+class SeriesSelector:
+    """Identifies one time series: source + tags + field.
+
+    ``SeriesSelector.from_name("src", "loc=A,plant=P1::temp")`` round-trips
+    through ``.name``.
+    """
+
+    source: str
+    tags: Dict[str, str] = dc_field(default_factory=dict)
+    field: str = DEFAULT_FIELD
+
+    def __post_init__(self) -> None:
+        if isinstance(self.tags, str):  # convenience: bare name
+            object.__setattr__(
+                self, "tags", {SERIES_NAME_TAG: self.tags}
+            )
+
+    @classmethod
+    def from_name(cls, source: str, name: str) -> "SeriesSelector":
+        tags, field = _parse_name(name)
+        return cls(source, tags, field)
+
+    @classmethod
+    def from_tags(
+        cls, source: str, tags: Dict[str, str], field: str = DEFAULT_FIELD
+    ) -> "SeriesSelector":
+        return cls(source, dict(tags), field)
+
+    @property
+    def name(self) -> str:
+        return _format_name(self.tags, self.field)
+
+    def to_search(self) -> SeriesSearch:
+        return SeriesSearch(self.source, dict(self.tags), self.field)
+
+    # frozen dataclass with a dict field: define hash/eq on the canonical form
+    def __hash__(self) -> int:  # pragma: no cover - trivial
+        return hash((self.source, tuple(sorted(self.tags.items())), self.field))
+
+
+@dataclass
+class SourceStructure:
+    """Tag keys, tag values and fields available in a source."""
+
+    fields: List[str]
+    tag_keys: List[str]
+    tag_values: List[Dict[str, object]]  # [{"key": k, "values": [...]}]

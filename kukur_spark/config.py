@@ -1,0 +1,36 @@
+"""TOML configuration loader with include-globs.
+
+Parity target: reference ``kukur/config.py:27-51`` — a root TOML file may
+contain ``[[include]]`` entries with a ``glob`` whose matched files are
+merged into the config (sources from included files are added to
+``[source]``; scalar keys from later files win).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import tomllib
+from typing import Any, Dict
+
+
+def _merge(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]:
+    for key, value in extra.items():
+        if key in base and isinstance(base[key], dict) and isinstance(value, dict):
+            _merge(base[key], value)
+        else:
+            base[key] = value
+    return base
+
+
+def from_toml(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as handle:
+        config = tomllib.load(handle)
+    for include in config.pop("include", []):
+        for match in sorted(globlib.glob(include["glob"])):
+            with open(match, "rb") as handle:
+                _merge(config, tomllib.load(handle))
+    return config
+
+
+def from_dict(config: Dict[str, Any]) -> Dict[str, Any]:
+    return dict(config)

@@ -1,0 +1,53 @@
+"""Table loading helpers for the driver-provided parquet test tables.
+
+The test tables (TESTDATA.md) store ``events.ts`` as parquet TIMESTAMP(NANOS),
+which Spark reads as a long when ``spark.sql.legacy.parquet.nanosAsLong`` is
+set (see kukur_spark.session). ``load_table`` converts any such
+nanosecond-long timestamp column back to timestamp[us] so downstream plans see
+canonical timestamps. Column pruning and predicate pushdown still reach the
+parquet scan: the conversion is a projection on top of the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns stored as TIMESTAMP(NANOS) in the driver parquet, per table.
+_NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table; normalize ns-long timestamps to timestamp."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for column in _NANOS_TS_COLUMNS.get(name, []):
+        if column in df.columns and str(df.schema[column].dataType) in (
+            "LongType()",
+            "LongType",
+            "bigint",
+        ):
+            df = df.withColumn(
+                column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (for spark.sql queries)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,118 @@
+"""Typed metadata field registry.
+
+Parity target: reference ``kukur/metadata/fields.py`` (MetadataField protocol
+:16-75; well-known fields :78-251; derived Accuracy :125-146). Fields carry a
+human name, a camelCase serialized name, a coercion function, and an optional
+``calculate`` hook for derived values. Coercion failures at source boundaries
+are ignored (reference kukur/source/sql.py:168-173).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+from kukur_spark.base import DataType, Dictionary, InterpolationType
+
+
+def _to_float(value: Any) -> Optional[float]:
+    if value is None or value == "":
+        return None
+    return float(value)
+
+
+def _to_str(value: Any) -> Optional[str]:
+    if value is None:
+        return None
+    return str(value)
+
+
+def _to_interpolation(value: Any) -> Optional[InterpolationType]:
+    if value is None or value == "":
+        return None
+    if isinstance(value, InterpolationType):
+        return value
+    return InterpolationType(str(value).upper())
+
+
+def _to_data_type(value: Any) -> Optional[DataType]:
+    if value is None or value == "":
+        return None
+    if isinstance(value, DataType):
+        return value
+    return DataType(str(value).upper())
+
+
+def _to_dictionary(value: Any) -> Optional[Dictionary]:
+    if value is None or value == "":
+        return None
+    if isinstance(value, Dictionary):
+        return value
+    if isinstance(value, dict):
+        return Dictionary({int(k): str(v) for k, v in value.items()})
+    if isinstance(value, (list, tuple)):
+        return Dictionary({int(k): str(v) for k, v in value})
+    raise ValueError(f"cannot coerce {value!r} to Dictionary")
+
+
+def _serialize_enum(value: Any) -> Any:
+    if value is None:
+        return None
+    if isinstance(value, (InterpolationType, DataType)):
+        return value.value
+    if isinstance(value, Dictionary):
+        return value.to_items()
+    return value
+
+
+@dataclass(frozen=True)
+class MetadataField:
+    """One typed metadata field."""
+
+    name: str  # human name, e.g. "physical lower limit"
+    serialized_name: str  # camelCase, e.g. "physicalLowerLimit"
+    default: Any = None
+    coerce: Callable[[Any], Any] = _to_str
+    serialize: Callable[[Any], Any] = _serialize_enum
+    # calculate(metadata) -> derived value when the stored value is missing
+    calculate: Optional[Callable[[Any], Any]] = None
+
+
+def _calculate_accuracy(metadata: Any) -> Optional[float]:
+    """Derived accuracy: pct/100 × (limit span), physical limits preferred.
+
+    Parity: reference kukur/metadata/fields.py:125-146 and tests
+    tests/test_metadata.py:218-283.
+    """
+    pct = metadata.get_field_by_name("accuracy percentage")
+    if pct is None:
+        return None
+    lo = metadata.get_field_by_name("physical lower limit")
+    hi = metadata.get_field_by_name("physical upper limit")
+    if lo is None or hi is None:
+        lo = metadata.get_field_by_name("functional lower limit")
+        hi = metadata.get_field_by_name("functional upper limit")
+    if lo is None or hi is None:
+        return None
+    return pct / 100.0 * (hi - lo)
+
+
+# Well-known fields, in canonical order.
+WELL_KNOWN_FIELDS: list[MetadataField] = [
+    MetadataField("description", "description", "", _to_str),
+    MetadataField("unit", "unit", "", _to_str),
+    MetadataField("functional lower limit", "functionalLowerLimit", None, _to_float),
+    MetadataField("functional upper limit", "functionalUpperLimit", None, _to_float),
+    MetadataField("physical lower limit", "physicalLowerLimit", None, _to_float),
+    MetadataField("physical upper limit", "physicalUpperLimit", None, _to_float),
+    MetadataField(
+        "accuracy", "accuracy", None, _to_float, calculate=_calculate_accuracy
+    ),
+    MetadataField("accuracy percentage", "accuracyPercentage", None, _to_float),
+    MetadataField(
+        "interpolation type", "interpolationType", None, _to_interpolation
+    ),
+    MetadataField("data type", "dataType", None, _to_data_type),
+    MetadataField("dictionary name", "dictionaryName", None, _to_str),
+    MetadataField("dictionary", "dictionary", None, _to_dictionary),
+]

@@ -1,0 +1,1 @@
+"""Distributed operators: plot downsampling, dedup, similarity, text, asof."""

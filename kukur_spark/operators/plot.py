@@ -1,0 +1,108 @@
+"""Plot downsampling: bucketed min/max/first/last aggregation.
+
+Parity-plus: the reference only *delegates* plot queries to sources that
+support them server-side (PI PlotData) and falls back to raw data otherwise
+(kukur/source/__init__.py:250-279, kukur/app.py:56-69). Here every source
+gets a real M4/W2 implementation: split ``[start, end)`` into
+``interval_count`` buckets and keep the significant points per bucket.
+
+The bucket id is integer arithmetic on ``unix_micros`` — a single map-side
+projection — and the aggregation is one hash aggregate (partial + final), so
+the plan is scan → project → partial agg → shuffle(bucket) → final agg. At
+100 TB the shuffle carries at most ``interval_count`` groups per series —
+negligible — and the scan keeps predicate pushdown on ts.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
+
+BUCKET_COLUMN = "bucket"
+
+
+def _bucket_expr(start: datetime, end: datetime, interval_count: int):
+    """Integer bucket id: floor((ts - start) * n / span), clamped to n-1."""
+    start_us = int(start.timestamp() * 1_000_000)
+    end_us = int(end.timestamp() * 1_000_000)
+    span = max(end_us - start_us, 1)
+    raw = (
+        (F.unix_micros(F.col(TS_COLUMN)) - F.lit(start_us))
+        * F.lit(int(interval_count))
+    ) / F.lit(span)
+    return F.least(
+        F.floor(raw).cast("long"), F.lit(int(interval_count) - 1)
+    ).alias(BUCKET_COLUMN)
+
+
+def plot_buckets(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    interval_count: int = 200,
+    group_columns: Optional[list[str]] = None,
+) -> DataFrame:
+    """Per-bucket stats: min/max/first/last value with their timestamps.
+
+    Returns ``[group…, bucket, bucket_start, min_value, max_value,
+    first_value, last_value, ts_min, ts_max, ts_first, ts_last, n_points]``.
+    """
+    group_columns = group_columns or []
+    start_us = int(start.timestamp() * 1_000_000)
+    end_us = int(end.timestamp() * 1_000_000)
+    span = max(end_us - start_us, 1)
+    bucketed = df.withColumn(BUCKET_COLUMN, _bucket_expr(start, end, interval_count))
+    value, ts = F.col(VALUE_COLUMN), F.col(TS_COLUMN)
+    agg = bucketed.groupBy(*group_columns, BUCKET_COLUMN).agg(
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+        F.min_by(value, ts).alias("first_value"),
+        F.max_by(value, ts).alias("last_value"),
+        F.min_by(ts, value).alias("ts_min"),
+        F.max_by(ts, value).alias("ts_max"),
+        F.min(ts).alias("ts_first"),
+        F.max(ts).alias("ts_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    bucket_start = F.timestamp_micros(
+        F.lit(start_us)
+        + (F.col(BUCKET_COLUMN) * F.lit(span) / F.lit(int(interval_count))).cast("long")
+    )
+    return agg.withColumn("bucket_start", bucket_start)
+
+
+def plot_downsample(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    interval_count: int = 200,
+    group_columns: Optional[list[str]] = None,
+) -> DataFrame:
+    """Reduced series with the canonical (…, ts, value) schema.
+
+    Keeps the first, min, max and last point of every bucket (the points a
+    line plot needs to render the envelope faithfully), deduplicated and
+    time-ordered — the shape the PI PlotData endpoint returns
+    (kukur/source/piwebapi_da/piwebapi_da.py:343-369).
+    """
+    group_columns = group_columns or []
+    stats = plot_buckets(df, start, end, interval_count, group_columns)
+    points = F.array_distinct(
+        F.array(
+            F.struct(F.col("ts_first").alias(TS_COLUMN), F.col("first_value").alias(VALUE_COLUMN)),
+            F.struct(F.col("ts_min").alias(TS_COLUMN), F.col("min_value").alias(VALUE_COLUMN)),
+            F.struct(F.col("ts_max").alias(TS_COLUMN), F.col("max_value").alias(VALUE_COLUMN)),
+            F.struct(F.col("ts_last").alias(TS_COLUMN), F.col("last_value").alias(VALUE_COLUMN)),
+        )
+    )
+    exploded = (
+        stats.select(*group_columns, F.explode(points).alias("p"))
+        .select(*group_columns, F.col(f"p.{TS_COLUMN}"), F.col(f"p.{VALUE_COLUMN}"))
+        .dropDuplicates(group_columns + [TS_COLUMN])
+    )
+    return exploded.orderBy(*group_columns, TS_COLUMN)

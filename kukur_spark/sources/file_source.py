@@ -1,0 +1,522 @@
+"""File-backed sources: CSV, Parquet, ORC, NDJSON, Feather, Arrow IPC, Delta.
+
+One engine, three physical layouts (parity: reference
+``kukur/source/csv/csv.py:1-7`` and ``kukur/source/arrow.py``):
+
+- **row**: long format ``tag…, ts, field…[, quality]`` — many series per file;
+- **pivot**: wide format — first column ts, one column per series;
+- **dir**: one file per series, filename built from the series name
+  (optionally base64-encoded, reference kukur/source/arrow.py:204-206).
+
+Everything is a Spark DataFrame plan: column mapping is a ``select`` with
+aliases (reference arrow.py:351-380), tag filters are conjunctive equality
+predicates (arrow.py:299-314) that Catalyst pushes into the scan, the time
+range filter is half-open ``[start, end)`` (arrow.py:383-390), and timestamp
+normalization is ``to_timestamp`` / ``to_utc_timestamp`` / ``cast``
+(arrow.py:254-282). The pivot layout is melted with ``stack`` so wide tables
+with thousands of series never flow wide through the engine.
+"""
+
+from __future__ import annotations
+
+import base64
+import glob as globlib
+import os
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kukur_spark.base import (
+    DEFAULT_FIELD,
+    SERIES_NAME_TAG,
+    SeriesSearch,
+    SeriesSelector,
+    SourceStructure,
+)
+from kukur_spark.metadata import Metadata
+from kukur_spark.operators.plot import plot_downsample
+from kukur_spark.schema import (
+    QUALITY_COLUMN,
+    TS_COLUMN,
+    VALUE_COLUMN,
+    conform,
+)
+from kukur_spark.sources.quality import QualityMapper
+
+
+@dataclass
+class FileSourceOptions:
+    """Configuration for a file-backed source (TOML ``[source.<name>]``)."""
+
+    path: str
+    format: str = "row"  # row | pivot | dir
+    file_format: str = "csv"  # csv | parquet | orc | ndjson | feather | arrows | delta
+    tag_columns: List[str] = dc_field(default_factory=lambda: [SERIES_NAME_TAG])
+    field_columns: List[str] = dc_field(default_factory=lambda: [DEFAULT_FIELD])
+    ts_column: str = TS_COLUMN
+    column_mapping: Dict[str, str] = dc_field(default_factory=dict)
+    header: bool = False
+    delimiter: str = ","
+    decimal_point: str = "."
+    data_datetime_format: Optional[str] = None
+    data_timezone: Optional[str] = None
+    quality_mapper: Optional[QualityMapper] = None
+    sort_by_timestamp: bool = False
+    path_encoding: Optional[str] = None  # None | "base64"
+    file_extension: Optional[str] = None
+    metadata_path: Optional[str] = None
+    metadata_field_column: Optional[str] = None
+    metadata_mapping: Dict[str, str] = dc_field(default_factory=dict)
+    metadata_value_mapping: Dict[str, Dict[str, str]] = dc_field(default_factory=dict)
+    dictionary_dir: Optional[str] = None
+    value_type: Optional[str] = None  # None=auto | double | bigint | string
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
+        return cls(
+            path=config["path"],
+            format=config.get("format", "row"),
+            file_format=config.get("type", config.get("file_format", "csv")),
+            tag_columns=list(config.get("tag_columns", [SERIES_NAME_TAG])),
+            field_columns=list(config.get("field_columns", [DEFAULT_FIELD])),
+            ts_column=config.get("ts_column", TS_COLUMN),
+            column_mapping=dict(config.get("column_mapping", {})),
+            header=bool(config.get("header_row", config.get("header", False))),
+            delimiter=config.get("csv_delimiter", config.get("delimiter", ",")),
+            decimal_point=config.get("csv_decimal_point", "."),
+            data_datetime_format=config.get("data_datetime_format"),
+            data_timezone=config.get("data_timezone"),
+            quality_mapper=QualityMapper.from_config(config),
+            sort_by_timestamp=bool(
+                config.get(
+                    "sort_by_timestamp",
+                    config.get("type", "csv") == "delta",  # delta default on
+                )
+            ),
+            path_encoding=config.get("path_encoding"),
+            file_extension=config.get("file_extension"),
+            metadata_path=config.get("metadata"),
+            metadata_field_column=config.get("metadata_field_column"),
+            metadata_mapping=dict(config.get("metadata_mapping", {})),
+            metadata_value_mapping=dict(config.get("metadata_value_mapping", {})),
+            dictionary_dir=config.get("dictionary_dir"),
+            value_type=config.get("value_type"),
+        )
+
+
+class FileSource:
+    """A file-backed time-series source speaking the 4-verb API."""
+
+    def __init__(self, spark: SparkSession, name: str, options: FileSourceOptions):
+        self.spark = spark
+        self.name = name
+        self.options = options
+
+    # ------------------------------------------------------------------
+    # raw reads
+    # ------------------------------------------------------------------
+    def _read_raw(self, path: Optional[str] = None) -> DataFrame:
+        opts = self.options
+        path = path or opts.path
+        fmt = opts.file_format
+        if fmt == "csv":
+            return self.spark.read.csv(
+                path,
+                header=opts.header,
+                sep=opts.delimiter,
+                inferSchema=False,  # config-driven, never inferred
+            )
+        if fmt == "parquet":
+            return self.spark.read.parquet(path)
+        if fmt == "orc":
+            return self.spark.read.orc(path)
+        if fmt == "ndjson":
+            return self.spark.read.json(path)
+        if fmt in ("feather", "arrows", "arrow"):
+            return self._read_arrow_ipc(path, fmt)
+        if fmt == "delta":
+            try:
+                return self.spark.read.format("delta").load(path)
+            except Exception as exc:  # delta-spark jar not on classpath
+                raise NotImplementedError(
+                    "Delta Lake reads need the delta-spark package on the "
+                    "Spark classpath"
+                ) from exc
+        raise ValueError(f"unknown file format: {fmt}")
+
+    def _read_arrow_ipc(self, path: str, fmt: str) -> DataFrame:
+        """Feather / Arrow IPC stream → DataFrame via Arrow interchange.
+
+        Spark has no native Feather reader (reference reads with
+        feather.read_table / ipc.open_stream, kukur/source/feather/feather.py
+        :32-40, arrows/arrows.py:17-41); files are read driver-side with
+        pyarrow and handed to Spark over the Arrow createDataFrame fast path.
+        Fine for the small per-series files this layout implies; large data
+        belongs in parquet/delta.
+        """
+        import pyarrow as pa
+        import pyarrow.feather
+        import pyarrow.ipc
+
+        paths = sorted(globlib.glob(path)) if any(c in path for c in "*?[") else [path]
+        tables = []
+        for one in paths:
+            if fmt == "feather":
+                tables.append(pyarrow.feather.read_table(one))
+            else:
+                with pa.OSFile(one, "rb") as handle:
+                    tables.append(pyarrow.ipc.open_stream(handle).read_all())
+        table = pa.concat_tables(tables)
+        return self.spark.createDataFrame(table.to_pandas())
+
+    # ------------------------------------------------------------------
+    # normalization
+    # ------------------------------------------------------------------
+    def _map_columns(self, df: DataFrame) -> DataFrame:
+        """Rename external columns to canonical names; keep the rest.
+
+        Parity: reference kukur/source/arrow.py:351-380.
+        """
+        mapping = self.options.column_mapping
+        if not mapping:
+            return df
+        # mapping is canonical -> external (reference orientation)
+        renames = {ext: canon for canon, ext in mapping.items()}
+        return df.select(
+            [F.col(c).alias(renames.get(c, c)) for c in df.columns]
+        )
+
+    def _positional_columns(self, df: DataFrame) -> DataFrame:
+        """Headerless CSV: assign names by position — tags, ts, fields[, quality]."""
+        opts = self.options
+        names = list(opts.tag_columns) + [TS_COLUMN] + list(opts.field_columns)
+        if opts.quality_mapper is not None or len(df.columns) == len(names) + 1:
+            if len(df.columns) == len(names) + 1:
+                names.append(QUALITY_COLUMN)
+        return df.toDF(*names[: len(df.columns)])
+
+    def _normalize_ts(self, df: DataFrame, column: str = TS_COLUMN) -> DataFrame:
+        """strptime → assume-timezone → cast to UTC timestamp.
+
+        Parity: reference kukur/source/arrow.py:254-282.
+        """
+        opts = self.options
+        col = F.col(column)
+        if opts.data_datetime_format is not None:
+            col = F.to_timestamp(col, opts.data_datetime_format)
+        elif not isinstance(df.schema[column].dataType, T.TimestampType):
+            col = F.to_timestamp(col)
+        if opts.data_timezone is not None:
+            # naive timestamps are wall-clock in data_timezone
+            col = F.to_utc_timestamp(col, opts.data_timezone)
+        return df.withColumn(column, col)
+
+    def _cast_value(self, df: DataFrame, column: str) -> Column:
+        """Value column typing: float64 unless the first value is a string.
+
+        Parity: reference kukur/source/arrow.py:235-241. An explicit
+        ``value_type`` config skips the sniff.
+        """
+        opts = self.options
+        declared = opts.value_type
+        dtype = df.schema[column].dataType
+        if declared is not None:
+            target = declared
+        elif isinstance(dtype, T.StringType):
+            first = df.select(column).filter(F.col(column).isNotNull()).first()
+            sample = first[0] if first is not None else None
+            target = "string" if sample is not None and not _is_number(sample) else "double"
+        elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            target = "bigint"
+        elif isinstance(dtype, T.DoubleType) or isinstance(dtype, T.FloatType):
+            target = "double"
+        else:
+            target = "double"
+        col = F.col(column)
+        if target == "double" and opts.decimal_point != ".":
+            col = F.regexp_replace(col.cast("string"), opts.decimal_point, ".")
+        return col.cast(target)
+
+    # ------------------------------------------------------------------
+    # canonical long frame (row layout); the engine's internal shape
+    # ------------------------------------------------------------------
+    def data_frame(self) -> DataFrame:
+        """The whole source as a canonical long DataFrame.
+
+        Row layout: ``tag…, ts, field…[, quality]``. Pivot and dir layouts
+        are converted on read (melt / path-partition extraction), so every
+        downstream operator sees the same shape.
+        """
+        opts = self.options
+        if opts.format == "row":
+            df = self._read_raw()
+            if opts.file_format == "csv" and not opts.header:
+                df = self._positional_columns(df)
+            df = self._map_columns(df)
+            return self._normalize_ts(df)
+        if opts.format == "pivot":
+            return self._melt_pivot()
+        if opts.format == "dir":
+            return self._read_dir_all()
+        raise ValueError(f"unknown layout: {opts.format}")
+
+    def _melt_pivot(self) -> DataFrame:
+        """Wide → long with ``stack`` (never operate wide)."""
+        df = self._read_raw()
+        ts_col = df.columns[0]
+        series_cols = df.columns[1:]
+        df = self._normalize_ts(df, ts_col)
+        pairs = ", ".join(
+            f"'{c}', cast(`{c}` as string)" for c in series_cols
+        )
+        melted = df.selectExpr(
+            f"`{ts_col}` as {TS_COLUMN}",
+            f"stack({len(series_cols)}, {pairs}) as (`{SERIES_NAME_TAG}`, {VALUE_COLUMN})",
+        )
+        return melted.select(f"`{SERIES_NAME_TAG}`", TS_COLUMN, VALUE_COLUMN)
+
+    # ------------------------------------------------------------------
+    # dir layout helpers
+    # ------------------------------------------------------------------
+    def _extension(self) -> str:
+        opts = self.options
+        if opts.file_extension:
+            return opts.file_extension
+        return {
+            "csv": ".csv",
+            "parquet": ".parquet",
+            "orc": ".orc",
+            "ndjson": ".ndjson",
+            "feather": ".feather",
+            "arrows": ".arrows",
+        }.get(opts.file_format, ".csv")
+
+    def _series_path(self, selector: SeriesSelector) -> str:
+        name = selector.tags.get(SERIES_NAME_TAG, selector.name)
+        if self.options.path_encoding == "base64":
+            name = base64.urlsafe_b64encode(name.encode()).decode()
+        return os.path.join(self.options.path, name + self._extension())
+
+    def _dir_series_names(self) -> List[str]:
+        ext = self._extension()
+        names = []
+        for path in sorted(globlib.glob(os.path.join(self.options.path, f"*{ext}"))):
+            stem = os.path.basename(path)[: -len(ext)]
+            if self.options.path_encoding == "base64":
+                stem = base64.urlsafe_b64decode(stem.encode()).decode()
+            names.append(stem)
+        return names
+
+    def _read_dir_file(self, selector: SeriesSelector) -> DataFrame:
+        path = self._series_path(selector)
+        df = self._read_raw(path)
+        if self.options.file_format == "csv" and not self.options.header:
+            names = [TS_COLUMN, VALUE_COLUMN]
+            if len(df.columns) == 3:
+                names.append(QUALITY_COLUMN)
+            df = df.toDF(*names[: len(df.columns)])
+        df = self._map_columns(df)
+        return self._normalize_ts(df)
+
+    def _read_dir_all(self) -> DataFrame:
+        frames = []
+        for name in self._dir_series_names():
+            selector = SeriesSelector.from_tags(self.name, {SERIES_NAME_TAG: name})
+            frames.append(
+                self._read_dir_file(selector).withColumn(
+                    SERIES_NAME_TAG, F.lit(name)
+                )
+            )
+        if not frames:
+            raise FileNotFoundError(self.options.path)
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out.select(
+            F.col(SERIES_NAME_TAG), TS_COLUMN,
+            *[c for c in out.columns if c not in (SERIES_NAME_TAG, TS_COLUMN)],
+        )
+
+    # ------------------------------------------------------------------
+    # 4-verb API
+    # ------------------------------------------------------------------
+    def search(
+        self, search: SeriesSearch
+    ) -> Iterator[Union[SeriesSelector, Metadata]]:
+        """Series discovery: distinct tag combos × field columns.
+
+        Parity: reference kukur/source/arrow.py:183-189 (group-by tags) and
+        tags×fields expansion kukur/source/sql.py:287-304. When a metadata
+        file is configured, full Metadata rows are yielded instead
+        (reference csv metadata, kukur/source/csv/csv.py).
+        """
+        opts = self.options
+        if opts.format == "dir":
+            combos = [{SERIES_NAME_TAG: n} for n in self._dir_series_names()]
+        elif opts.format == "pivot":
+            df = self._read_raw()
+            combos = [{SERIES_NAME_TAG: c} for c in df.columns[1:]]
+        else:
+            df = self.data_frame()
+            tag_cols = [c for c in opts.tag_columns if c in df.columns]
+            rows = df.select(tag_cols).distinct().orderBy(tag_cols).collect()
+            combos = [row.asDict() for row in rows]
+        fields = opts.field_columns if opts.format == "row" else [DEFAULT_FIELD]
+        metadata_by_key = self._metadata_index() if opts.metadata_path else {}
+        for tags in combos:
+            tags = {k: str(v) for k, v in tags.items()}
+            if search.tags and any(tags.get(k) != v for k, v in search.tags.items()):
+                continue
+            for fld in fields:
+                selector = SeriesSelector(self.name, tags, fld)
+                if metadata_by_key:
+                    yield self._lookup_metadata(selector, metadata_by_key)
+                else:
+                    yield selector
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        if self.options.metadata_path is None:
+            return Metadata(selector)
+        return self._lookup_metadata(selector, self._metadata_index())
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        """(ts, value[, quality]) for one series in half-open [start, end)."""
+        opts = self.options
+        if opts.format == "dir":
+            df = self._read_dir_file(selector)
+            value_col = VALUE_COLUMN
+        elif opts.format == "pivot":
+            df = self._read_raw()
+            ts_col = df.columns[0]
+            if selector.tags.get(SERIES_NAME_TAG) not in df.columns:
+                raise KeyError(
+                    f"series {selector.name!r} not a column of pivot source"
+                )
+            df = self._normalize_ts(df, ts_col).select(
+                F.col(ts_col).alias(TS_COLUMN),
+                F.col(selector.tags[SERIES_NAME_TAG]).alias(VALUE_COLUMN),
+            )
+            value_col = VALUE_COLUMN
+        else:
+            df = self.data_frame()
+            for key, value in selector.tags.items():
+                if key in df.columns:
+                    df = df.filter(F.col(key) == F.lit(value))
+            value_col = selector.field if selector.field in df.columns else VALUE_COLUMN
+
+        cols = [F.col(TS_COLUMN), self._cast_value(df, value_col).alias(VALUE_COLUMN)]
+        if QUALITY_COLUMN in df.columns:
+            mapper = opts.quality_mapper
+            qcol = (
+                mapper.expr(F.col(QUALITY_COLUMN))
+                if mapper is not None
+                else F.col(QUALITY_COLUMN).cast("byte")
+            )
+            cols.append(qcol.alias(QUALITY_COLUMN))
+        df = df.select(cols)
+        df = df.filter(
+            (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
+        )
+        if opts.sort_by_timestamp:
+            df = df.orderBy(TS_COLUMN)
+        return conform(df)
+
+    def get_plot_data(
+        self,
+        selector: SeriesSelector,
+        start: datetime,
+        end: datetime,
+        interval_count: int = 200,
+    ) -> DataFrame:
+        """Native bucketed downsampling for every source (SURVEY.md W2/M4)."""
+        return plot_downsample(
+            self.get_data(selector, start, end), start, end, interval_count
+        )
+
+    def get_source_structure(self, _: SeriesSearch) -> SourceStructure:
+        opts = self.options
+        if opts.format != "row":
+            names = (
+                self._dir_series_names()
+                if opts.format == "dir"
+                else list(self._read_raw().columns[1:])
+            )
+            return SourceStructure(
+                [DEFAULT_FIELD],
+                [SERIES_NAME_TAG],
+                [{"key": SERIES_NAME_TAG, "values": names}],
+            )
+        df = self.data_frame()
+        tag_values = []
+        for key in opts.tag_columns:
+            values = [
+                r[0] for r in df.select(key).distinct().orderBy(key).collect()
+            ]
+            tag_values.append({"key": key, "values": values})
+        return SourceStructure(
+            list(opts.field_columns), list(opts.tag_columns), tag_values
+        )
+
+    # ------------------------------------------------------------------
+    # metadata files
+    # ------------------------------------------------------------------
+    def _metadata_index(self) -> Dict[tuple, Dict[str, str]]:
+        """Read the metadata CSV once into {(series key): {field: value}}."""
+        opts = self.options
+        df = self.spark.read.csv(opts.metadata_path, header=True)
+        rows = df.collect()
+        index: Dict[tuple, Dict[str, str]] = {}
+        for row in rows:
+            data = {k: v for k, v in row.asDict().items() if v not in (None, "")}
+            key_cols = [c for c in opts.tag_columns if c in data] or [
+                SERIES_NAME_TAG
+            ]
+            key = tuple(data.get(c, "") for c in key_cols)
+            if opts.metadata_field_column and opts.metadata_field_column in data:
+                key = key + (data[opts.metadata_field_column],)
+            index[key] = data
+        return index
+
+    def _lookup_metadata(
+        self, selector: SeriesSelector, index: Dict[tuple, Dict[str, str]]
+    ) -> Metadata:
+        opts = self.options
+        key_cols = [c for c in opts.tag_columns] or [SERIES_NAME_TAG]
+        key = tuple(selector.tags.get(c, "") for c in key_cols)
+        data = index.get(key + (selector.field,)) if opts.metadata_field_column else None
+        if data is None:
+            data = index.get(key, {})
+        metadata = Metadata(selector)
+        for name, value in data.items():
+            if name in opts.tag_columns or name == opts.metadata_field_column:
+                continue
+            mapped = opts.metadata_mapping.get(name, name)
+            value_map = opts.metadata_value_mapping.get(mapped, {})
+            metadata.set_field_by_name(mapped, value_map.get(value, value))
+        dictionary_name = metadata.get_field_by_name("dictionary name")
+        if dictionary_name and opts.dictionary_dir:
+            metadata.set_field_by_name(
+                "dictionary", self._read_dictionary(dictionary_name)
+            )
+        return metadata
+
+    def _read_dictionary(self, name: str):
+        from kukur_spark.base import Dictionary
+
+        path = os.path.join(self.options.dictionary_dir, f"{name}.csv")
+        rows = self.spark.read.csv(path, header=False).collect()
+        return Dictionary({int(r[0]): r[1] for r in rows})
+
+
+def _is_number(value: str) -> bool:
+    try:
+        float(str(value).replace(",", "."))
+        return True
+    except (TypeError, ValueError):
+        return False

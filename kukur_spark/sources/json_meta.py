@@ -1,0 +1,59 @@
+"""JSON metadata source: per-series ``<name>.json`` files, no data.
+
+Parity target: reference ``kukur/source/json/json.py:17-65`` — including the
+path-traversal guard (json.py:35-39, F7 in SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import json
+import os
+from datetime import datetime
+from typing import Any, Dict, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+
+
+class JsonMetadataSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.path = config["path"]
+
+    def _series_file(self, selector: SeriesSelector) -> str:
+        name = selector.tags.get(SERIES_NAME_TAG, selector.name)
+        root = os.path.realpath(self.path)
+        child = os.path.realpath(os.path.join(root, f"{name}.json"))
+        # path traversal guard (reference kukur/source/json/json.py:35-39)
+        if os.path.commonpath([root, child]) != root:
+            raise ValueError(f"path traversal detected for series {name!r}")
+        return child
+
+    def search(self, search: SeriesSearch) -> Iterator[Metadata]:
+        for path in sorted(globlib.glob(os.path.join(self.path, "*.json"))):
+            name = os.path.basename(path)[: -len(".json")]
+            selector = SeriesSelector.from_tags(
+                self.name, {SERIES_NAME_TAG: name}
+            )
+            if search.tags and any(
+                selector.tags.get(k) != v for k, v in search.tags.items()
+            ):
+                continue
+            yield self.get_metadata(selector)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        path = self._series_file(selector)
+        if not os.path.exists(path):
+            return Metadata(selector)
+        with open(path, "r", encoding="utf-8") as handle:
+            data = json.load(handle)
+        return Metadata.from_data(data, selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        raise NotImplementedError("json source serves metadata only")

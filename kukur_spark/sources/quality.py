@@ -1,0 +1,64 @@
+"""Quality mapping: source-specific quality values → GOOD(1)/BAD(0).
+
+Parity target: reference ``kukur/source/quality.py:20-71``. Two mapping
+styles, configured per source:
+
+- value sets: a list of values considered GOOD (e.g. OPC "GoodQuality");
+- integer ranges: list of [lo, hi] pairs considered GOOD (OPC ranges).
+
+Implemented as a pure column expression (``when(isin(...)).otherwise``) so it
+stays inside whole-stage codegen — no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kukur_spark.schema import QUALITY_BAD, QUALITY_GOOD
+
+# Built-in named mappings (mirrors the reference's OPC presets,
+# kukur/source/quality.py:29-43).
+PRESET_MAPPINGS: Dict[str, Dict[str, Any]] = {
+    "opc_mapping_strings": {"GOOD_VALUES": ["GoodQuality", "Good"]},
+    "opc_mapping_ranges": {"GOOD_RANGES": [[192, 219]]},
+}
+
+
+class QualityMapper:
+    def __init__(
+        self,
+        good_values: Optional[Sequence[Any]] = None,
+        good_ranges: Optional[Sequence[Tuple[int, int]]] = None,
+    ):
+        self.good_values = list(good_values or [])
+        self.good_ranges = [tuple(r) for r in (good_ranges or [])]
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> Optional["QualityMapper"]:
+        name = config.get("quality_mapping")
+        if name is None:
+            return None
+        if isinstance(name, str):
+            preset = PRESET_MAPPINGS.get(name)
+            if preset is None:
+                raise ValueError(f"unknown quality mapping: {name}")
+            spec = preset
+        else:
+            spec = name
+        return cls(spec.get("GOOD_VALUES"), spec.get("GOOD_RANGES"))
+
+    def expr(self, col: Column) -> Column:
+        """1 when the source quality is GOOD, else 0, as int8."""
+        cond = F.lit(False)
+        if self.good_values:
+            cond = cond | col.isin(self.good_values)
+        for lo, hi in self.good_ranges:
+            cond = cond | ((col >= F.lit(lo)) & (col <= F.lit(hi)))
+        return (
+            F.when(cond, F.lit(QUALITY_GOOD))
+            .otherwise(F.lit(QUALITY_BAD))
+            .cast("byte")
+        )

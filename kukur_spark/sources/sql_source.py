@@ -1,0 +1,238 @@
+"""Config-templated SQL sources (DB-API + JDBC).
+
+Parity target: reference ``kukur/source/sql.py:114-401`` — the user
+configures ``list_query`` / ``metadata_query`` / ``data_query`` /
+``dictionary_query`` with positional parameters; the source family (SQLite,
+Postgres, ODBC, ADODB, CrateDB, Redshift, TDengine, Databricks) differs only
+in connection plumbing.
+
+Two execution paths:
+
+- **driver path** (default, used for SQLite here): run the query through the
+  Python DB-API driver, hand rows to Spark via Arrow ``createDataFrame``.
+  Right for the small metadata/list queries these sources serve.
+- **jdbc path** (``jdbc_url`` configured): ``spark.read.jdbc`` with the
+  user's query inlined — the scan then runs on executors with Spark's
+  predicate pushdown, and ``partition_column``/``num_partitions`` split the
+  read for scale. Needs the dialect's JDBC jar on the classpath (not in the
+  test image — exercised only when configured).
+
+Value-type unification for row-oriented sources follows the documented rules
+(reference sql.py:404-421): >90 % majority type wins; losing strings become
+null when numbers dominate; numbers are stringified when strings dominate;
+Decimal→float, datetime→ISO string.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kukur_spark.base import (
+    SERIES_NAME_TAG,
+    Dictionary,
+    SeriesSearch,
+    SeriesSelector,
+)
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN, data_schema
+
+TYPE_CHECKING_ROW_LIMIT = 300  # reference sql.py:60
+MAJORITY_THRESHOLD = 0.9  # reference sql.py:404-410
+
+
+def _connect(config: Dict[str, Any]):
+    """Open a DB-API connection for the configured dialect."""
+    dialect = config.get("type", "sqlite")
+    if dialect in ("sqlite", "sql"):
+        import sqlite3
+
+        return sqlite3.connect(config["connection_string"])
+    raise NotImplementedError(
+        f"DB-API dialect {dialect!r} needs its driver installed"
+    )
+
+
+def _normalize_ts(value: Any, timezone_name: Optional[str]) -> Optional[dt.datetime]:
+    """date→midnight UTC; str→parsed; naive→assume data_timezone → UTC.
+
+    Parity: reference sql.py:209-219.
+    """
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+    elif isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+        value = dt.datetime(value.year, value.month, value.day)
+    if value.tzinfo is None:
+        if timezone_name:
+            from zoneinfo import ZoneInfo
+
+            value = value.replace(tzinfo=ZoneInfo(timezone_name))
+        else:
+            value = value.replace(tzinfo=dt.timezone.utc)
+    return value.astimezone(dt.timezone.utc)
+
+
+def _unify_values(values: List[Any]) -> Tuple[List[Any], str]:
+    """Majority-type unification over the first 300 rows (reference rules)."""
+    sample = values[:TYPE_CHECKING_ROW_LIMIT]
+    n_str = sum(1 for v in sample if isinstance(v, str))
+    n_num = sum(
+        1 for v in sample if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+    )
+    total = max(len(sample), 1)
+    out: List[Any] = []
+    if n_str / total > MAJORITY_THRESHOLD:
+        target = "string"
+        for v in values:
+            if isinstance(v, bytes):
+                continue  # bytes rows dropped (reference sql.py:239-244)
+            if isinstance(v, (dt.date, dt.datetime)):
+                out.append(v.isoformat())
+            elif v is None:
+                out.append(None)
+            else:
+                out.append(str(v))
+    elif n_num / total > MAJORITY_THRESHOLD or n_num >= n_str:
+        target = "double"
+        for v in values:
+            if isinstance(v, bytes):
+                continue
+            if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool):
+                out.append(float(v))
+            else:
+                out.append(None)  # losing strings → null
+    else:
+        target = "string"
+        out = [str(v) if v is not None else None for v in values]
+    return out, target
+
+
+class SqlSource:
+    """A 4-verb source over user-configured SQL queries."""
+
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.config = config
+        self.tag_columns = list(config.get("tag_columns", [SERIES_NAME_TAG]))
+        self.field_columns = list(config.get("field_columns", [VALUE_COLUMN]))
+        self.list_columns = list(config.get("list_columns", []))
+        self.data_timezone = config.get("data_timezone")
+
+    def _execute(self, query: str, params: Tuple[Any, ...] = ()) -> List[tuple]:
+        connection = _connect(self.config)
+        try:
+            cursor = connection.cursor()
+            cursor.execute(query, params)
+            return cursor.fetchall()
+        finally:
+            connection.close()
+
+    # -- search ------------------------------------------------------------
+    def search(self, search: SeriesSearch) -> Iterator[Any]:
+        query = self.config.get("list_query")
+        if query is None:
+            return
+        rows = self._execute(query)
+        columns = self.list_columns or self.tag_columns
+        for row in rows:
+            data = dict(zip(columns, row))
+            tags = {
+                c: str(data[c]) for c in self.tag_columns if data.get(c) is not None
+            }
+            fields = data.get("field_columns") or self.field_columns
+            for field in fields if isinstance(fields, list) else [fields]:
+                selector = SeriesSelector(self.name, tags, field)
+                metadata_columns = [
+                    c for c in columns
+                    if c not in self.tag_columns and c != "field_columns"
+                ]
+                if metadata_columns:
+                    metadata = Metadata(selector)
+                    for c in metadata_columns:
+                        metadata.set_field_by_name(c, data.get(c))
+                    yield metadata
+                else:
+                    yield selector
+
+    # -- metadata ----------------------------------------------------------
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = Metadata(selector)
+        query = self.config.get("metadata_query")
+        if query is None:
+            return metadata
+        params = tuple(
+            selector.tags.get(c, "") for c in self.tag_columns
+        )
+        rows = self._execute(query, params)
+        columns = list(self.config.get("metadata_columns", []))
+        if rows and columns:
+            for column, value in zip(columns, rows[0]):
+                metadata.set_field_by_name(column, value)
+        dictionary_name = metadata.get_field_by_name("dictionary name")
+        dictionary_query = self.config.get("dictionary_query")
+        if dictionary_name and dictionary_query:
+            entries = self._execute(dictionary_query, (dictionary_name,))
+            metadata.set_field_by_name(
+                "dictionary", Dictionary({int(k): str(v) for k, v in entries})
+            )
+        return metadata
+
+    # -- data --------------------------------------------------------------
+    def get_data(
+        self, selector: SeriesSelector, start: dt.datetime, end: dt.datetime
+    ) -> DataFrame:
+        if self.config.get("jdbc_url"):
+            return self._get_data_jdbc(selector, start, end)
+        query = self.config["data_query"]
+        fmt = self.config.get("data_query_datetime_format")
+        start_param: Any = start.strftime(fmt) if fmt else start
+        end_param: Any = end.strftime(fmt) if fmt else end
+        params = tuple(selector.tags.get(c, "") for c in self.tag_columns) + (
+            start_param,
+            end_param,
+        )
+        rows = self._execute(query, params)
+        timestamps = [_normalize_ts(r[0], self.data_timezone) for r in rows]
+        values, value_type = _unify_values([r[1] for r in rows])
+        qualities = [r[2] for r in rows] if rows and len(rows[0]) > 2 else None
+        records = list(zip(timestamps, values, *([qualities] if qualities else [])))
+        schema = data_schema(
+            T.DoubleType() if value_type == "double" else T.StringType(),
+            with_quality=qualities is not None,
+        )
+        df = self.spark.createDataFrame(records, schema)
+        return df.orderBy(TS_COLUMN)
+
+    def _get_data_jdbc(
+        self, selector: SeriesSelector, start: dt.datetime, end: dt.datetime
+    ) -> DataFrame:
+        """Executor-side JDBC scan, partitioned on ts for scale."""
+        config = self.config
+        query = config["data_query_jdbc"]
+        for i, column in enumerate(self.tag_columns):
+            query = query.replace(f":tag{i}", f"'{selector.tags.get(column, '')}'")
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", config["jdbc_url"])
+            .option("query", query)
+        )
+        partitions = config.get("num_partitions")
+        if partitions:
+            reader = (
+                reader.option("partitionColumn", TS_COLUMN)
+                .option("lowerBound", start.isoformat())
+                .option("upperBound", end.isoformat())
+                .option("numPartitions", int(partitions))
+            )
+        df = reader.load()
+        return df.filter(
+            (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
+        ).orderBy(TS_COLUMN)

@@ -1,0 +1,25 @@
+"""Shared Spark session for all tests (one JVM per pytest run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kukur_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_spark(app_name="kukur_spark_tests", shuffle_partitions=4)
+    yield session
+
+
+@pytest.fixture()
+def make_csv(tmp_path):
+    """Write CSV content into a temp file and return its path."""
+
+    def _write(content: str, name: str = "data.csv") -> str:
+        path = tmp_path / name
+        path.write_text(content.strip() + "\n", encoding="utf-8")
+        return str(path)
+
+    return _write

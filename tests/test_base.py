@@ -1,0 +1,36 @@
+"""Selector name parsing round-trips (reference kukur/base.py:106-142)."""
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSelector
+
+
+def test_bare_name_becomes_series_name_tag():
+    selector = SeriesSelector.from_name("src", "test-tag-1")
+    assert selector.tags == {SERIES_NAME_TAG: "test-tag-1"}
+    assert selector.field == "value"
+    assert selector.name == "test-tag-1"
+
+
+def test_tagged_name_with_field():
+    selector = SeriesSelector.from_name("src", "location=Antwerp,plant=P1::product")
+    assert selector.tags == {"location": "Antwerp", "plant": "P1"}
+    assert selector.field == "product"
+    assert selector.name == "location=Antwerp,plant=P1::product"
+
+
+def test_bare_name_with_field():
+    selector = SeriesSelector.from_name("src", "test-tag-1::temperature")
+    assert selector.tags == {SERIES_NAME_TAG: "test-tag-1"}
+    assert selector.field == "temperature"
+    assert selector.name == "test-tag-1::temperature"
+
+
+def test_default_field_omitted_from_name():
+    selector = SeriesSelector.from_tags("src", {"a": "1", "b": "2"})
+    assert selector.name == "a=1,b=2"
+
+
+def test_selector_hashable():
+    a = SeriesSelector.from_name("src", "x=1::f")
+    b = SeriesSelector.from_name("src", "x=1::f")
+    assert a == b
+    assert hash(a) == hash(b)

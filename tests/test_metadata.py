@@ -1,0 +1,96 @@
+"""Metadata typing, serde and derived accuracy.
+
+Models the reference's tests/test_metadata.py:218-283 semantics.
+"""
+
+import pytest
+
+from kukur_spark.base import DataType, Dictionary, InterpolationType, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.metadata.fields import MetadataField
+
+
+def make(name: str = "test") -> Metadata:
+    return Metadata(SeriesSelector.from_name("src", name))
+
+
+def test_typed_coercion():
+    metadata = make()
+    metadata.set_field_by_name("physical lower limit", "0")
+    metadata.set_field_by_name("physical upper limit", "10")
+    assert metadata.get_field_by_name("physical lower limit") == 0.0
+    assert metadata.get_field_by_name("physical upper limit") == 10.0
+
+
+def test_interpolation_and_data_type_enums():
+    metadata = make()
+    metadata["interpolation type"] = "LINEAR"
+    metadata["data type"] = "DICTIONARY"
+    assert metadata["interpolation type"] is InterpolationType.LINEAR
+    assert metadata["data type"] is DataType.DICTIONARY
+
+
+def test_derived_accuracy_from_percentage_and_limits():
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    metadata["functional lower limit"] = 0
+    metadata["functional upper limit"] = 10
+    assert metadata["accuracy"] == pytest.approx(0.2)
+
+
+def test_derived_accuracy_prefers_physical_limits():
+    metadata = make()
+    metadata["accuracy percentage"] = 10
+    metadata["functional lower limit"] = 0
+    metadata["functional upper limit"] = 10
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 100
+    assert metadata["accuracy"] == pytest.approx(10.0)
+
+
+def test_explicit_accuracy_wins_over_derived():
+    metadata = make()
+    metadata["accuracy"] = 0.5
+    metadata["accuracy percentage"] = 2
+    metadata["functional lower limit"] = 0
+    metadata["functional upper limit"] = 10
+    assert metadata["accuracy"] == pytest.approx(0.5)
+
+
+def test_unknown_fields_stored_untyped():
+    metadata = make()
+    metadata["location"] = "Antwerp"
+    assert metadata["location"] == "Antwerp"
+    assert "location" in dict(metadata.iter_names())
+
+
+def test_coercion_failure_ignored():
+    metadata = make()
+    metadata["physical lower limit"] = "not-a-number"
+    assert metadata["physical lower limit"] is None
+
+
+def test_serde_round_trip():
+    metadata = make()
+    metadata["unit"] = "m"
+    metadata["interpolation type"] = "STEPPED"
+    metadata["dictionary"] = {0: "OFF", 1: "ON"}
+    data = metadata.to_data()
+    assert data["unit"] == "m"
+    assert data["interpolationType"] == "STEPPED"
+    assert data["dictionary"] == [[0, "OFF"], [1, "ON"]]
+    back = Metadata.from_data(data)
+    assert back["unit"] == "m"
+    assert back["interpolation type"] is InterpolationType.STEPPED
+    assert back["dictionary"] == Dictionary({0: "OFF", 1: "ON"})
+
+
+def test_register_custom_field():
+    Metadata.register_field(
+        MetadataField("process type", "processType"), after="unit"
+    )
+    metadata = make()
+    metadata["process type"] = "BATCH"
+    assert metadata["process type"] == "BATCH"
+    names = [f.name for f in Metadata.fields()]
+    assert names.index("process type") == names.index("unit") + 1
