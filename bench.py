@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice; the second (warm) run is reported — the first
+run pays JVM/codegen warm-up that a long-lived engine session never sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kukur_spark.session import get_spark  # noqa: E402
+from kukur_spark.workloads import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_customer_per_nation",
+    "ts_range_filter",
+    "ts_plot_buckets",
+    "ts_asof_join",
+    "events_daily_window",
+    "sessionize",
+    "dedup_exact",
+    "text_token_stats",
+    "text_langid",
+    "minhash_lsh_pairs",
+    "emb_topk_bruteforce",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    start = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    # count() materializes the whole plan without driver-side collection cost
+    df.count()
+    return time.time() - start
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown scale label; still run
+    spark = get_spark("kukur_spark_bench")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
+        timings[name] = round(run_query(spark, name, sf_dir), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

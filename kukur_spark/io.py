@@ -34,6 +34,10 @@ _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table; normalize ns-long timestamps to timestamp."""
+    if name in _NANOS_TS_COLUMNS:
+        # the caller's session may not have the flag (e.g. the driver's);
+        # it is a runtime SQLConf, safe to set before the read resolves
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for column in _NANOS_TS_COLUMNS.get(name, []):
         if column in df.columns and str(df.schema[column].dataType) in (

@@ -1,0 +1,82 @@
+"""As-of join: match each left row to the most recent right row.
+
+Not a reference operator (the reference has no joins, SURVEY.md §2.3) — this
+is the natural Spark extension for LINEAR/STEPPED interpolation semantics and
+a standard time-series primitive.
+
+Implementation is the scalable union+window form, not a UDF:
+
+    union(left tagged, right tagged)
+      → window over (keys) ordered by (ts, side)
+      → last(right value, ignoreNulls) as the as-of match
+      → keep left rows
+
+One shuffle on the key columns, sequential scan per partition — the same
+plan shape a native ASOF join executes (cf. DuckDB's ASOF JOIN and
+pandas.merge_asof semantics: right.ts <= left.ts, a "backward" search). Keys
+with heavy skew can be salted upstream; AQE skew-join does not apply (window,
+not join), but the window state is O(1) per row.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    ts_column: str = "ts",
+    value_columns: Optional[List[str]] = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every ``left`` row, the latest ``right`` row with
+    ``right.ts <= left.ts`` (or ``<`` when ``allow_exact_matches=False``),
+    matched within the ``on`` key columns. Left rows without a match are
+    dropped (inner as-of, like DuckDB's ASOF JOIN default).
+    """
+    value_columns = value_columns or [
+        c for c in right.columns if c not in on and c != ts_column
+    ]
+    # side ordering: on equal ts the right row sorts first when exact
+    # matches are allowed (so it is visible to the left row), after when not
+    right_side, left_side = (0, 1) if allow_exact_matches else (2, 1)
+
+    left_tagged = left.withColumn("__side", F.lit(left_side))
+    for c in value_columns:
+        left_tagged = left_tagged.withColumn(
+            f"__r_{c}", F.lit(None).cast(right.schema[c].dataType)
+        )
+    right_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(ts_column),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_columns],
+    )
+    combined = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+
+    window = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_column).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_columns:
+        combined = combined.withColumn(
+            f"__m_{c}", F.last(f"__r_{c}", ignorenulls=True).over(window)
+        )
+    matched = combined.filter(F.col("__side") == F.lit(left_side))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__m_{c}").alias(c if c not in left.columns else c + suffix)
+        for c in value_columns
+    ]
+    result = matched.select(out_cols)
+    # inner as-of: drop left rows with no preceding right row
+    first_value = value_columns[0]
+    alias = first_value if first_value not in left.columns else first_value + suffix
+    return result.filter(F.col(alias).isNotNull())

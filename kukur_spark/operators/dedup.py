@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All implemented with built-in column expressions (xxhash64, higher-order
+array functions) — no Python UDFs — so the hot path stays inside
+whole-stage codegen and scales to 100 TB document tables:
+
+- **exact**: one hash-aggregate on a content fingerprint;
+- **MinHash+LSH**: signature = per-doc array projection (map-side only),
+  banding → explode → equi-join on (band, band_hash) — the only shuffle is
+  the bucket join, whose keys are the LSH buckets themselves;
+- **SimHash**: 64-bit signature via one ``aggregate`` fold over tokens,
+  candidate pairs from 16-bit band buckets (hamming ≤ 3 within 4 bands is
+  guaranteed candidate recall), verified with ``bit_count(xor)``;
+- **n-gram Jaccard**: exact set similarity on blocked pairs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id"
+) -> DataFrame:
+    """Group byte-identical documents; keep the smallest id per group.
+
+    Returns ``fingerprint, keep_id, dup_count`` — one row per distinct
+    content. A single hash aggregate: partial map-side combine makes the
+    shuffle carry one row per distinct fingerprint per partition.
+    """
+    return (
+        df.select(F.md5(F.col(text_column)).alias("fingerprint"), F.col(id_column))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_column).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a whitespace-tokenized text."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hashes: min over shingles of
+    xxhash64(shingle, seed_j). Pure projection — computed map-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified exactly.
+
+    Plan: project (id, signature, shingles) → explode ``bands`` band-hashes
+    → self-equi-join on (band, band_hash) with id_a < id_b → distinct pairs
+    → exact Jaccard on the shingle sets → filter by threshold.
+
+    Returns ``id_a, id_b, jaccard``.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_column).alias("id"),
+        shingles(F.col(text_column), shingle_size).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            ),
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jaccard = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(text_column: str) -> Column:
+    """64-bit SimHash of the token multiset, as a long.
+
+    One fold over the tokens builds the 64 bit-counters; tokens vote
+    +1/-1 per bit of their xxhash64. All JVM-side array expressions
+    (written as a SQL expression because the Python ``shiftright`` wrapper
+    only accepts literal shift amounts).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              split({text_column}, ' '),
+              array_repeat(cast(0 as bigint), 64),
+              (acc, tok) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          bi -> shiftright(xxhash64(tok), bi) & 1),
+                (cc, bb) -> cc + bb * 2 - 1)),
+            sequence(0, 63),
+            (cnt, bi) -> if(cnt > 0,
+                            shiftleft(cast(1 as bigint), bi),
+                            cast(0 as bigint))),
+          cast(0 as bigint),
+          (acc2, x) -> acc2 | x)
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding.
+
+    The 64-bit signature is split into 4 × 16-bit bands; any pair within
+    hamming distance 3 shares at least one exact band (pigeonhole), so the
+    bucket join has full recall. Returns ``id_a, id_b, hamming``.
+    """
+    sig = df.select(
+        F.col(id_column).alias("id"), simhash(text_column).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.chunk")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on blocked pairs
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    block_columns: Optional[List[str]] = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard for every pair inside a blocking key.
+
+    ``block_columns`` bounds the quadratic blow-up (e.g. a source column or
+    an LSH bucket); within a block the pair join shuffles on the block key
+    only. Returns ``id_a, id_b, jaccard``.
+    """
+    block_columns = block_columns or []
+    base = df.select(
+        *[F.col(c) for c in block_columns],
+        F.col(id_column).alias("id"),
+        F.array_distinct(F.split(F.col(text_column), " ")).alias("toks"),
+    )
+    conditions = [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_columns
+    ] + [F.col("a.id") < F.col("b.id")]
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), on=conditions)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+    )
+    jaccard = (
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size(F.array_union("toks_a", "toks_b"))
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,241 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query
+  side across the corpus, rank per query. The corpus scan is
+  embarrassingly parallel; the only shuffle is the per-query top-k window
+  (k rows per query survive the partial sort thanks to AQE + the window
+  rank filter).
+- ``random_hyperplane_buckets`` / ``lsh_topk``: the scale path — a
+  deterministic signed-random-projection LSH; candidates come from an
+  equi-join on bucket signature, so the corpus is never crossed with the
+  query set.
+- ``ivf_assign`` / ``ivf_topk``: IVF-style partitioning — corpus vectors
+  assigned to their nearest of C seed centroids; a query probes the
+  ``nprobe`` nearest centroids only.
+
+All dot products are built-in higher-order functions (``zip_with`` +
+``aggregate``) over double-cast arrays — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns ``query_id, neighbor_id, cos_sim`` (rounded to 6), ties broken
+    by neighbor id for determinism. The query side is broadcast — never
+    shuffle the corpus.
+    """
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        _as_double(F.col(vector_column)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH: deterministic signed random projections
+# ---------------------------------------------------------------------------
+def _plane_component(plane: int, i: Column) -> Column:
+    """Pseudo-random hyperplane component in [-1, 1), deterministic from
+    (plane, dimension) via xxhash64 — no RNG state, so executors agree."""
+    h = F.xxhash64(F.lit(plane), i)
+    return (F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)) - F.lit(1.0)
+
+
+def hyperplane_signature(v: Column, num_planes: int = 16) -> Column:
+    """Bit signature: sign of the projection on each deterministic plane."""
+    v = _as_double(v)
+    idx = F.transform(v, lambda _, i: i)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, idx, lambda x, i: x * _plane_component(p, i)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(num_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query.
+
+    With ``num_planes`` = 8 the corpus splits into ≤256 buckets; the
+    candidate join is an equi-join on the signature, so cost scales with
+    bucket size, not corpus size. Recall is approximate by construction.
+    """
+    sig = lambda df, id_alias, v_alias: df.select(  # noqa: E731
+        F.col(id_column).alias(id_alias),
+        _as_double(F.col(vector_column)).alias(v_alias),
+        hyperplane_signature(F.col(vector_column), num_planes).alias("bucket"),
+    )
+    q = sig(queries, "query_id", "qv")
+    c = sig(corpus, "neighbor_id", "cv")
+    scored = (
+        c.join(F.broadcast(q), on=["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+def ivf_assign(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to its nearest seed centroid.
+
+    Seeds are the ``num_centroids`` lowest-id vectors (deterministic; a
+    k-means refinement can replace the seeds without changing the plan).
+    Returns (centroids, assignments) — the assignment join broadcasts the
+    centroid list, the arg-min is a per-row expression.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_column).asc())
+        .limit(num_centroids)
+        .select(
+            F.col(id_column).alias("centroid_id"),
+            _as_double(F.col(vector_column)).alias("centroid"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_column), _as_double(F.col(vector_column)).alias("v")
+    )
+    scored = c.join(F.broadcast(centroids)).withColumn(
+        "sim", dot("v", "centroid") / (norm(F.col("v")) * norm(F.col("centroid")))
+    )
+    window = Window.partitionBy(id_column).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(window))
+        .filter(F.col("rn") == 1)
+        .select(id_column, "centroid_id", "v")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k probing only the ``nprobe`` nearest inverted lists."""
+    centroids, assignments = ivf_assign(corpus, num_centroids, id_column, vector_column)
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("qv"),
+    )
+    probe_window = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "centroid_sim",
+            dot("qv", "centroid") / (norm(F.col("qv")) * norm(F.col("centroid"))),
+        )
+        .withColumn("rn", F.row_number().over(probe_window))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        assignments.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("query_id") != F.col(id_column))
+        .withColumn("cos_sim", dot("qv", "v") / (norm(F.col("qv")) * norm(F.col("v"))))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_column).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_column).alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

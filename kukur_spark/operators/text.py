@@ -1,0 +1,116 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no UDFs:
+
+- token statistics (whitespace tokenization + distinct counts);
+- quality scoring (length / repetition ratios);
+- language identification (marker-token frequencies, deterministic argmax);
+- document fingerprinting (md5 content hash + sorted-token shape hash).
+
+Every operator is a narrow projection or a single aggregation — they scale
+linearly and partition-local over a 100 TB documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SPLIT)
+
+
+def token_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """n_tokens, n_unique_tokens, avg_token_chars per document."""
+    text = F.col(text_column)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    total_chars = F.length(text) - (n_tokens - F.lit(1))  # spaces removed
+    return df.select(
+        *[c for c in df.columns if c != text_column],
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.round(total_chars.cast("double") / n_tokens, 6).alias("avg_token_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Deterministic quality score in [0, 1]:
+
+    score = min(1, n_tokens/100) × (n_unique_tokens / n_tokens)
+
+    Length factor rewards documents with enough content; the distinct ratio
+    penalizes repetition — the standard shape of heuristic quality filters
+    for LLM training data.
+    """
+    toks = tokens(F.col(text_column))
+    n_tokens = F.size(toks).cast("double")
+    n_unique = F.size(F.array_distinct(toks)).cast("double")
+    score = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (n_unique / n_tokens)
+    return df.select(
+        *[c for c in df.columns if c != text_column],
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# marker tokens per language — counted with the replace-length trick so the
+# exact same integer arithmetic is expressible in any SQL oracle
+LANG_MARKERS = {
+    "en": " the ",
+    "de": " der ",
+    "fr": " le ",
+    "es": " el ",
+    "zh": "的",
+}
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def language_id(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Marker-frequency language ID with a deterministic arg-max.
+
+    Ties break in the fixed order en > de > fr > es > zh; documents with no
+    marker hits are labeled 'und'.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_column), F.lit(" "))
+    counts = {
+        lang: _occurrences(padded, marker) for lang, marker in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_count = F.lit(0).cast("long")
+    for lang in reversed(order):  # earlier languages win ties → apply last
+        cond = counts[lang] >= best_count
+        best = F.when(counts[lang] > 0, F.when(cond, F.lit(lang)).otherwise(best)).otherwise(best)
+        best_count = F.greatest(best_count, counts[lang])
+    out = [c for c in df.columns if c != text_column]
+    return df.select(
+        *out,
+        *[counts[lang].alias(f"c_{lang}") for lang in order],
+        best.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Content + shape fingerprints.
+
+    - ``content_fp``: md5 of the exact text (byte-identical duplicates);
+    - ``shape_fp``: md5 of the sorted distinct token list (bag-of-words
+      duplicates — robust to token order).
+    """
+    text = F.col(text_column)
+    sorted_tokens = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return df.select(
+        *[c for c in df.columns if c != text_column],
+        F.md5(text).alias("content_fp"),
+        F.md5(sorted_tokens).alias("shape_fp"),
+    )

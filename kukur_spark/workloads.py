@@ -1,0 +1,781 @@
+"""Headline workload registry: Spark queries + DuckDB oracle SQL pairs.
+
+Every entry exercises one operator family from SURVEY.md §2 (or a
+beyond-reference pipeline operator) against the driver's synthetic tables
+(TESTDATA.md). The oracle SQL is the same computation in ANSI/DuckDB SQL.
+
+Determinism rules used throughout so Spark and DuckDB agree bit-for-bit:
+
+- timestamps are returned as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) — avoids tz-naive vs tz-aware schema mismatches;
+- large floating-point sums go through an exact **decimal bridge**:
+  ``cast(sum(cast(x as decimal(30,10))) as double)`` — identical regardless
+  of summation order; divisions happen after the bridge on identical
+  doubles;
+- ratio metrics are returned in **scaled integer micro-units**
+  (``(a * 1_000_000) div b``) — integer arithmetic, no float rounding mode
+  ambiguity;
+- tie-breaks in every top-k are explicit and total.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Callable, Dict
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.asof import asof_join
+from kukur_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kukur_spark.operators.plot import plot_buckets
+from kukur_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from kukur_spark.operators.text import language_id, fingerprint, token_stats
+from kukur_spark.schema import union_conform
+
+# events table time range (driver synthetic data, TESTDATA.md)
+EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+EVENTS_END = datetime(2024, 2, 1, tzinfo=timezone.utc)
+EVENTS_START_US = int(EVENTS_START.timestamp() * 1_000_000)
+EVENTS_END_US = int(EVENTS_END.timestamp() * 1_000_000)
+
+
+def dsum(col) -> Column:
+    """Exact decimal-bridged float sum in micro-units, as bigint.
+
+    ``floor(sum(cast(x as decimal(30,10))) * 1e6)`` is exact integer
+    arithmetic — the cast-to-double 1-ulp divergence between engines never
+    appears. Column convention: name it ``*_e6``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(F.sum(col.cast("decimal(30,10)")) * 1_000_000).cast("long")
+
+
+def us(col) -> Column:
+    """Epoch microseconds; casts TIMESTAMP_NTZ (parquet ms columns) first."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (scan/filter/join/agg/sort/limit coverage)
+# ---------------------------------------------------------------------------
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty_e6"),
+        dsum("l_extendedprice").alias("sum_base_price_e6"),
+        dsum(disc_price).alias("sum_disc_price_e6"),
+        dsum(charge).alias("sum_charge_e6"),
+        dsum("l_discount").alias("sum_disc_e6"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_e6",
+        "sum_base_price_e6",
+        "sum_disc_price_e6",
+        "sum_charge_e6",
+        F.expr("sum_qty_e6 div count_order").alias("avg_qty_e6"),
+        F.expr("sum_base_price_e6 div count_order").alias("avg_price_e6"),
+        F.expr("sum_disc_e6 div count_order").alias("avg_disc_e6"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+TPCH_Q1_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_qty_e6,
+    CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_base_price_e6,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_disc_price_e6,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_charge_e6,
+    CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_disc_e6,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty_e6, sum_base_price_e6,
+  sum_disc_price_e6, sum_charge_e6,
+  sum_qty_e6 // count_order AS avg_qty_e6,
+  sum_base_price_e6 // count_order AS avg_price_e6,
+  sum_disc_e6 // count_order AS avg_disc_e6,
+  count_order
+FROM agg
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 open orders by revenue for one market segment."""
+    customer = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_e6"
+            ),
+            us(F.first("o_orderdate")).alias("orderdate_us"),
+        )
+        .orderBy(F.col("revenue_e6").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS revenue_e6,
+  epoch_us(ANY_VALUE(o_orderdate)) AS orderdate_us
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue_e6 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue by nation for one region: 6-way join, dims broadcast."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    lineitem = load_table(spark, sf, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(
+            customer,
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_e6"
+            )
+        )
+        .orderBy(F.col("revenue_e6").desc(), F.col("n_name").asc())
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS revenue_e6
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue_e6 DESC, n_name ASC
+"""
+
+
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    filtered = l.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_e6"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT
+  CAST(FLOOR(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS revenue_e6,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def top_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group: highest-balance customer of every nation (W-ranking)."""
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    window = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    ranked = (
+        customer.withColumn("rn", F.row_number().over(window))
+        .filter(F.col("rn") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return ranked.select(
+        "n_name", F.col("rn").cast("long").alias("rank"), "c_custkey", "c_acctbal"
+    ).orderBy("n_name", "rank")
+
+
+TOP_CUSTOMER_SQL = """
+SELECT n_name, CAST(rn AS BIGINT) AS rank, c_custkey, c_acctbal
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 3
+ORDER BY n_name, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series verbs on the events table (F2/F3/A1/A2/W2/M3/J-asof coverage)
+# ---------------------------------------------------------------------------
+def ts_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 tag filter + F3 half-open range filter, canonical projection."""
+    events = load_table(spark, sf, "events")
+    start = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .select(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("user_id"),
+            F.col("value"),
+        )
+    )
+
+
+TS_RANGE_FILTER_SQL = """
+SELECT epoch_us(ts) AS ts_us, user_id, value
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+
+def ts_series_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: distinct tag combinations = the source's series list."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.select(F.col("event_type").alias("series_name"))
+        .distinct()
+        .orderBy("series_name")
+    )
+
+
+TS_SERIES_DISCOVERY_SQL = """
+SELECT DISTINCT event_type AS series_name FROM events ORDER BY series_name
+"""
+
+
+def ts_latest_value(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: arg_max — metadata from the most recent point per series."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_LATEST_VALUE_SQL = """
+SELECT event_type, epoch_us(MAX(ts)) AS last_ts_us,
+       arg_max(value, ts) AS last_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ts_plot_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """W2/M4: native plot downsampling — 48 buckets over January per series."""
+    events = load_table(spark, sf, "events").select("event_type", "ts", "value")
+    stats = plot_buckets(
+        events, EVENTS_START, EVENTS_END, 48, group_columns=["event_type"]
+    )
+    return stats.select(
+        "event_type",
+        "bucket",
+        "min_value",
+        "max_value",
+        "first_value",
+        "last_value",
+        "n_points",
+    ).orderBy("event_type", "bucket")
+
+
+TS_PLOT_BUCKETS_SQL = f"""
+SELECT event_type,
+  LEAST(CAST(FLOOR((epoch_us(ts) - {EVENTS_START_US}) * 48.0
+        / {EVENTS_END_US - EVENTS_START_US}) AS BIGINT), 47) AS bucket,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  arg_min(value, ts) AS first_value,
+  arg_max(value, ts) AS last_value,
+  COUNT(*) AS n_points
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each error event matched to the user's latest purchase."""
+    events = load_table(spark, sf, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    matched = asof_join(errors, purchases, on=["user_id"], value_columns=["value"])
+    return matched.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+TS_ASOF_JOIN_SQL = """
+SELECT a.event_id, epoch_us(a.ts) AS ts_us, b.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id
+"""
+
+
+def ts_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """M3/U1: chunked reads united under schema promotion, then aggregated."""
+    events = load_table(spark, sf, "events")
+    mid = datetime(2024, 1, 15, tzinfo=timezone.utc)
+    chunk1 = events.filter(F.col("ts") < F.lit(mid)).select(
+        "event_type", "ts", "value"
+    )
+    chunk2 = events.filter(F.col("ts") >= F.lit(mid)).select(
+        "event_type", "ts", "value"
+    )
+    union = union_conform([chunk1, chunk2])
+    return (
+        union.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value_e6"))
+        .orderBy("event_type")
+    )
+
+
+TS_INTERVAL_UNION_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS total_value_e6
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_daily_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling daily window aggregation per series (streaming-equivalent)."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value_e6"))
+        .orderBy("day_us", "event_type")
+    )
+
+
+EVENTS_DAILY_WINDOW_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+  COUNT(*) AS n,
+  CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS total_value_e6
+FROM events GROUP BY day_us, event_type ORDER BY day_us, event_type
+"""
+
+
+def events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup hierarchy: (event_type, day) → event_type → grand total."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.rollup(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("day_us").asc_nulls_first()
+        )
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS n
+FROM events
+GROUP BY ROLLUP (event_type, day_us)
+ORDER BY event_type ASC NULLS FIRST, day_us ASC NULLS FIRST
+"""
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits a user's sessions."""
+    events = load_table(spark, sf, "events")
+    window = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(window))
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0),
+    )
+    return (
+        with_gap.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators on documents / embeddings
+# ---------------------------------------------------------------------------
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup(docs).orderBy("fingerprint")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY fingerprint ORDER BY fingerprint
+"""
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token statistics in exact scaled-integer micro-units."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    total_chars = (F.length("text") - (n_tokens - 1)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.expr(
+            "(cast(length(text) - (size(split(text, ' ')) - 1) as bigint)"
+            " * 1000000) div size(split(text, ' '))"
+        ).alias("avg_token_chars_e6"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+  (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) * 1000000)
+    // len(string_split(text, ' ')) AS avg_token_chars_e6
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """score_e6 = min(100, n_tokens) × n_unique × 10000 div n_tokens."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    score = F.expr(
+        "least(cast(100 as bigint), cast(size(split(text, ' ')) as bigint))"
+        " * cast(size(array_distinct(split(text, ' '))) as bigint)"
+        " * 10000 div cast(size(split(text, ' ')) as bigint)"
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        score.alias("quality_score_e6"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SCORE_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+  (LEAST(CAST(100 AS BIGINT), CAST(len(string_split(text, ' ')) AS BIGINT))
+   * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 10000)
+   // CAST(len(string_split(text, ' ')) AS BIGINT) AS quality_score_e6
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return language_id(docs).orderBy("doc_id")
+
+
+TEXT_LANGID_SQL = """
+WITH counts AS (
+  SELECT doc_id,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS c_en,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5 AS BIGINT) AS c_de,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4 AS BIGINT) AS c_fr,
+    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4 AS BIGINT) AS c_es,
+    CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '的', '')) AS BIGINT) AS c_zh
+  FROM documents
+)
+SELECT doc_id, c_en, c_de, c_fr, c_es, c_zh,
+  CASE
+    WHEN GREATEST(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+    WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+    WHEN c_es >= c_zh THEN 'es'
+    ELSE 'zh'
+  END AS pred_lang
+FROM counts ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return fingerprint(docs).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS content_fp,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS shape_fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise token-set Jaccard within each source block, ≥ 0.5."""
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_columns=["source"], threshold=0.0)
+    return (
+        pairs.withColumn(
+            "jaccard_e6", (F.col("jaccard") * 1_000_000).cast("long")
+        )
+        .filter(F.col("jaccard_e6") >= 200_000)
+        .select("id_a", "id_b", "jaccard_e6")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Scaled-integer Jaccard (no float) for oracle comparison."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    pairs = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("long")
+                * 1_000_000
+            ).alias("inter_e6"),
+            F.size(F.array_union("a.toks", "b.toks")).cast("long").alias("uni"),
+        )
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.expr("inter_e6 div uni").alias("jaccard_e6")
+        )
+        .filter(F.col("jaccard_e6") >= 200_000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH base AS (
+  SELECT source, doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+    // CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS jaccard_e6
+FROM base a JOIN base b ON a.source = b.source AND a.id < b.id
+WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+    // CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) >= 200000
+ORDER BY id_a, id_b
+"""
+
+
+def emb_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors as queries."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+EMB_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(range(1, len(qv) + 1),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_sim
+  FROM c, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# --- weaker (rows-only) checks: hash-based ops DuckDB cannot replicate -----
+def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.2).orderBy("id_a", "id_b")
+
+
+def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return simhash_pairs(docs, max_hamming=16).orderBy("id_a", "id_b")
+
+
+def emb_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+def emb_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+    "top_customer_per_nation": top_customer_per_nation,
+    "ts_range_filter": ts_range_filter,
+    "ts_series_discovery": ts_series_discovery,
+    "ts_latest_value": ts_latest_value,
+    "ts_plot_buckets": ts_plot_buckets,
+    "ts_asof_join": ts_asof_join,
+    "ts_interval_union": ts_interval_union,
+    "events_daily_window": events_daily_window,
+    "events_rollup": events_rollup,
+    "sessionize": sessionize,
+    "dedup_exact": dedup_exact_q,
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "ngram_jaccard": ngram_jaccard_exact,
+    "emb_topk_bruteforce": emb_topk_bruteforce,
+    "minhash_lsh_pairs": minhash_lsh_q,
+    "simhash_pairs": simhash_q,
+    "emb_lsh_topk": emb_lsh_topk_q,
+    "emb_ivf_topk": emb_ivf_topk_q,
+}
+
+ORACLES: Dict[str, str] = {
+    "tpch_q1": TPCH_Q1_SQL,
+    "tpch_q3": TPCH_Q3_SQL,
+    "tpch_q5": TPCH_Q5_SQL,
+    "tpch_q6": TPCH_Q6_SQL,
+    "top_customer_per_nation": TOP_CUSTOMER_SQL,
+    "ts_range_filter": TS_RANGE_FILTER_SQL,
+    "ts_series_discovery": TS_SERIES_DISCOVERY_SQL,
+    "ts_latest_value": TS_LATEST_VALUE_SQL,
+    "ts_plot_buckets": TS_PLOT_BUCKETS_SQL,
+    "ts_asof_join": TS_ASOF_JOIN_SQL,
+    "ts_interval_union": TS_INTERVAL_UNION_SQL,
+    "events_daily_window": EVENTS_DAILY_WINDOW_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SCORE_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "emb_topk_bruteforce": EMB_TOPK_SQL,
+    # minhash_lsh_pairs / simhash_pairs / emb_lsh_topk / emb_ivf_topk:
+    # xxhash64-based — not expressible in DuckDB; rows-only check.
+}

@@ -1,0 +1,106 @@
+"""Differential check: run every workload query on Spark AND its DuckDB
+oracle, compare row count / schema / values. Mimics the driver's gate.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+from kukur_spark.io import TABLES
+from kukur_spark.session import get_spark
+from kukur_spark.workloads import ORACLES, QUERIES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: {len(spark_pdf)} vs {len(duck_pdf)}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            mism = ~((av == bv) | (av.isna() & bv.isna()))
+            if mism.any():
+                idx = mism.idxmax()
+                problems.append(
+                    f"float col {col}: {int(mism.sum())} mismatches, e.g. "
+                    f"{av[idx]!r} vs {bv[idx]!r} (diff {abs(av[idx]-bv[idx])})"
+                )
+        else:
+            mism = ~((av.astype(str) == bv.astype(str)))
+            if mism.any():
+                idx = mism.idxmax()
+                problems.append(
+                    f"col {col}: {int(mism.sum())} mismatches, e.g. "
+                    f"{av[idx]!r} vs {bv[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(QUERIES)
+    spark = get_spark("oracle_check")
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in ORACLES:
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{spark_s:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.sql(ORACLES[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: [{spark_s:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(spark_pdf)} rows [{spark_s:.1f}s]")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
