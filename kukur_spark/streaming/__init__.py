@@ -1,0 +1,173 @@
+"""Structured Streaming extensions.
+
+The reference has **no** streaming operators (SURVEY.md §2.9) — these are
+the Spark-native extension of the 4 verbs to continuous data:
+
+- ``stream_data``: a streaming ``get_data`` — file-source stream with the
+  same tag/range predicates and canonical projection;
+- ``windowed_stats``: watermarked tumbling/sliding window aggregates
+  (count/sum/min/max) per series — the streaming twin of plot buckets;
+- ``session_stats``: ``session_window`` gap sessionization per key;
+- ``running_last_value``: custom stateful operator via
+  ``applyInPandasWithState`` — emits the running last value per series on
+  every trigger (the streaming analogue of the latest-value verb A2).
+
+All operators compose on any streaming DataFrame (Kafka, file, socket);
+tests drive them with a file source + memory sink + processAllAvailable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
+
+
+def stream_data(
+    spark,
+    path: str,
+    schema: T.StructType,
+    file_format: str = "parquet",
+    tags: Optional[dict] = None,
+) -> DataFrame:
+    """Streaming scan with the engine's tag-equality predicates (F2)."""
+    df = (
+        spark.readStream.format(file_format)
+        .schema(schema)
+        .load(path)
+    )
+    for key, value in (tags or {}).items():
+        df = df.filter(F.col(key) == F.lit(value))
+    return df
+
+
+def windowed_stats(
+    df: DataFrame,
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+    group_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Watermarked window aggregate: n/sum/min/max/first/last per window."""
+    group_columns = group_columns or []
+    win = (
+        F.window(TS_COLUMN, window, slide) if slide else F.window(TS_COLUMN, window)
+    )
+    return (
+        df.withWatermark(TS_COLUMN, watermark)
+        .groupBy(win.alias("w"), *group_columns)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(VALUE_COLUMN).alias("sum_value"),
+            F.min(VALUE_COLUMN).alias("min_value"),
+            F.max(VALUE_COLUMN).alias("max_value"),
+            F.min_by(VALUE_COLUMN, F.col(TS_COLUMN)).alias("first_value"),
+            F.max_by(VALUE_COLUMN, F.col(TS_COLUMN)).alias("last_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_columns,
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "first_value",
+            "last_value",
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Session-window aggregation keyed by inactivity gap."""
+    group_columns = group_columns or []
+    return (
+        df.withWatermark(TS_COLUMN, watermark)
+        .groupBy(F.session_window(TS_COLUMN, gap).alias("s"), *group_columns)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(VALUE_COLUMN).alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *group_columns,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+
+def _update_last_value(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    last_ts, last_value, n_total = (
+        state.get if state.exists else (None, None, 0)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n_total += len(pdf)
+        idx = pdf["ts_us"].idxmax()
+        ts_us = int(pdf["ts_us"][idx])
+        if last_ts is None or ts_us >= last_ts:
+            last_ts = ts_us
+            last_value = float(pdf["value"][idx])
+    state.update((last_ts, last_value, n_total))
+    yield pd.DataFrame(
+        {
+            "series": [key[0]],
+            "last_ts_us": [last_ts],
+            "last_value": [last_value],
+            "n_total": [n_total],
+        }
+    )
+
+
+def running_last_value(
+    df: DataFrame, series_column: str = "series"
+) -> DataFrame:
+    """Stateful running latest-value per series (A2, streaming flavor).
+
+    Input needs columns ``series, ts, value``; emits one row per series per
+    trigger with the running last value and total count.
+    """
+    prepared = df.select(
+        F.col(series_column).alias("series"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+        F.col(VALUE_COLUMN).cast("double").alias("value"),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _update_last_value,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

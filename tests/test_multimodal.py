@@ -1,0 +1,65 @@
+"""Multimodal column plumbing: schema, batch shape, stub gating."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    synthesize_assets,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return synthesize_assets(spark, n=30).cache()
+
+
+def test_asset_schema_and_determinism(spark, assets):
+    rows = assets.orderBy("asset_id").collect()
+    assert len(rows) == 30
+    assert {r["modality"] for r in rows} == {"image", "audio", "video"}
+    again = synthesize_assets(spark, n=30).orderBy("asset_id").collect()
+    assert [bytes(r["payload"]) for r in rows] == [
+        bytes(r["payload"]) for r in again
+    ]
+    assert rows[0]["meta"]["size_bytes"] == len(bytes(rows[0]["payload"]))
+
+
+def test_decode_features(spark, assets):
+    feats = {r["asset_id"]: r for r in decode_features(assets).collect()}
+    assert len(feats) == 30
+    for row in feats.values():
+        assert 0 <= row["byte_mean"] <= 255
+        assert 0 <= row["byte_entropy_e6"] <= 8_000_000
+        assert len(row["sha256"]) == 64
+    # deterministic: same asset → same hash
+    again = {r["asset_id"]: r["sha256"] for r in decode_features(assets).collect()}
+    assert all(feats[k]["sha256"] == v for k, v in again.items())
+
+
+def test_real_codec_gate_raises(spark, assets):
+    with pytest.raises(Exception) as err:
+        decode_features(assets, real_codec=True).collect()
+    assert "NotImplementedError" in str(err.value) or isinstance(
+        err.value, NotImplementedError
+    )
+
+
+def test_metadata_only_query_prunes_payload(spark, assets, tmp_path):
+    path = str(tmp_path / "assets.parquet")
+    assets.write.parquet(path)
+    df = spark.read.parquet(path).filter(
+        F.col("meta.size_bytes") > 80
+    ).select("asset_id", "modality", "meta.size_bytes")
+    plan = df.queryExecution.executedPlan().toString() if False else \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruning keeps payload IO at zero
+    assert df.count() > 0
+
+
+def test_frame_sample_offsets(spark, assets):
+    frames = frame_sample(assets, every_ms=250)
+    rows = frames.groupBy("asset_id").count().collect()
+    assert all(r["count"] == 5 for r in rows)  # 0..1000 step 250

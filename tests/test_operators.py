@@ -1,0 +1,216 @@
+"""Operator semantics tests: plot buckets, as-of join, dedup, similarity,
+text analysis.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.asof import asof_join
+from kukur_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kukur_spark.operators.plot import plot_buckets, plot_downsample
+from kukur_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from kukur_spark.operators.text import language_id, quality_score, token_stats
+
+
+def ts(day, hour=0):
+    return datetime(2020, 1, day, hour, tzinfo=timezone.utc)
+
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 1, 5, tzinfo=timezone.utc)
+
+
+# -- plot ------------------------------------------------------------------
+def test_plot_buckets_stats(spark):
+    df = spark.createDataFrame(
+        [(ts(1), 1.0), (ts(1, 6), 9.0), (ts(2), 4.0), (ts(3), 2.0), (ts(4, 12), 7.0)],
+        "ts timestamp, value double",
+    )
+    stats = plot_buckets(df, START, END, 4).orderBy("bucket").collect()
+    assert [r["bucket"] for r in stats] == [0, 1, 2, 3]
+    b0 = stats[0]
+    assert b0["min_value"] == 1.0 and b0["max_value"] == 9.0
+    assert b0["first_value"] == 1.0 and b0["last_value"] == 9.0
+    assert b0["n_points"] == 2
+
+
+def test_plot_downsample_keeps_envelope(spark):
+    rows = [(ts(1, h), float(h % 7)) for h in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    reduced = plot_downsample(df, START, END, 2).collect()
+    values = [r["value"] for r in reduced]
+    assert 0.0 in values and 6.0 in values  # envelope preserved
+    assert len(reduced) <= 8
+
+
+def test_plot_last_bucket_clamped(spark):
+    df = spark.createDataFrame(
+        [(END.replace(tzinfo=None), 5.0)], "ts timestamp, value double"
+    )
+    # a point exactly at end lands in the last bucket, not bucket n
+    stats = plot_buckets(df, START, END, 4).collect()
+    assert stats[0]["bucket"] == 3
+
+
+# -- as-of join ------------------------------------------------------------
+def test_asof_join_backward_match(spark):
+    left = spark.createDataFrame(
+        [(1, ts(2)), (1, ts(4)), (2, ts(3))], "user long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(1), 10.0), (1, ts(3), 30.0), (2, ts(4), 99.0)],
+        "user long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, on=["user"]).orderBy("user", "ts").collect()
+    # user 1 @ day2 → value 10 (day1); user 1 @ day4 → value 30 (day3)
+    # user 2 @ day3 → no earlier right row → dropped (inner as-of)
+    assert len(out) == 2
+    assert out[0]["value"] == 10.0
+    assert out[1]["value"] == 30.0
+
+
+def test_asof_join_exact_match_included(spark):
+    left = spark.createDataFrame([(1, ts(3))], "user long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(3), 42.0)], "user long, ts timestamp, value double"
+    )
+    assert asof_join(left, right, on=["user"]).collect()[0]["value"] == 42.0
+    assert (
+        asof_join(left, right, on=["user"], allow_exact_matches=False).count() == 0
+    )
+
+
+# -- dedup -----------------------------------------------------------------
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat", "a"),  # near dup
+    (4, "completely different text about spark engines here", "b"),
+    (5, "unrelated words banana apple cherry mango papaya kiwi", "b"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    dup = [r for r in out if r["dup_count"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, shingle_size=2, jaccard_threshold=0.3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always found
+    assert (1, 3) in found or (2, 3) in found  # near dup via banding
+    assert all(
+        r["jaccard"] == 1.0 for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)
+    )
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=20).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    hamming = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hamming[(1, 2)] == 0  # identical text → identical simhash
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, block_columns=["source"]).collect()
+    scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert scores[(1, 2)] == 1.0
+    assert 0.5 < scores[(1, 3)] < 1.0
+    assert (4, 5) in scores  # same block
+    assert (1, 4) not in scores  # different block never compared
+
+
+# -- similarity ------------------------------------------------------------
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),  # close to 2
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, vectors, k=4).collect()
+    }
+    approx = lsh_topk(vectors, vectors, k=4, num_planes=4).collect()
+    assert all((r["query_id"], r["neighbor_id"]) in exact for r in approx)
+
+
+def test_ivf_topk_returns_k(spark, vectors):
+    out = ivf_topk(
+        vectors.filter(F.col("vec_id") == 0),
+        vectors,
+        k=2,
+        num_centroids=3,
+        nprobe=3,
+    ).collect()
+    assert len(out) == 2
+    assert out[0]["neighbor_id"] == 1
+
+
+# -- text ------------------------------------------------------------------
+def test_token_stats(spark, docs):
+    out = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_unique_tokens"] == 8  # 'the' twice
+    assert out[1]["avg_token_chars"] == pytest.approx(
+        (len(DOCS[0][1]) - 8) / 9, abs=1e-6
+    )
+
+
+def test_quality_score_bounds(spark, docs):
+    for row in quality_score(docs).collect():
+        assert 0.0 < row["quality_score"] <= 1.0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "der hund und der mann"),
+            (3, "le chat est sur le tapis"),
+            (4, "el perro y el gato"),
+            (5, "这是的一个测试的"),
+            (6, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}

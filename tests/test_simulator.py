@@ -1,0 +1,102 @@
+"""Simulator determinism tests (models reference
+tests/source/test_simulator.py:115-157,295-411).
+"""
+
+import math
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.sources.simulator import SimulatorSource
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 1, 3, tzinfo=timezone.utc)
+
+SIGNALS = [
+    {
+        "series name": "sine-test",
+        "signal_type": "sine",
+        "interval_seconds": 3600,
+        "period_seconds": 86400,
+        "amplitude": 2,
+        "shift": 10,
+        "phase_seconds": 0,
+    },
+    {
+        "series name": "step-test",
+        "signal_type": "step",
+        "seed": 0,
+        "interval_seconds_min": 600,
+        "interval_seconds_max": 3600,
+        "min_value": 0,
+        "max_value": 100,
+        "number_of_steps": 10,
+    },
+    {
+        "series name": "noise-test",
+        "signal_type": "white noise",
+        "interval_seconds": 3600,
+        "mean": 5,
+        "standard_deviation": 2,
+    },
+    {
+        "series name": "counter-test",
+        "signal_type": "counter",
+        "interval_seconds": 3600,
+        "min_value": 0,
+        "max_value": 1000,
+        "increase_value": 1,
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    return SimulatorSource(spark, "sim", {"signals": SIGNALS})
+
+
+def selector(source, name):
+    tags = next(
+        dict(s) for s in SIGNALS if s["series name"] == name
+    )
+    return SeriesSelector.from_tags("sim", {k: str(v) for k, v in tags.items()})
+
+
+def test_search_lists_signals(source):
+    names = [s.tags["series name"] for s in source.search(SeriesSearch("sim"))]
+    assert names == ["sine-test", "step-test", "noise-test", "counter-test"]
+
+
+def test_sine_closed_form(source):
+    rows = source.get_data(selector(source, "sine-test"), START, END).collect()
+    assert len(rows) == 48
+    for row in rows[:5]:
+        epoch = row["ts"].replace(tzinfo=timezone.utc).timestamp()
+        expected = 2 * math.sin(2 * math.pi * epoch / 86400) + 10
+        assert row["value"] == pytest.approx(expected, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", ["step-test", "noise-test", "counter-test"])
+def test_deterministic_across_runs(source, name):
+    a = source.get_data(selector(source, name), START, END).collect()
+    b = source.get_data(selector(source, name), START, END).collect()
+    assert a == b
+    assert len(a) > 0
+
+
+@pytest.mark.parametrize("name", ["step-test", "noise-test", "sine-test"])
+def test_overlapping_windows_consistent(source, name):
+    """Same (selector, day) → identical points, regardless of query window."""
+    mid = datetime(2020, 1, 2, tzinfo=timezone.utc)
+    full = source.get_data(selector(source, name), START, END).collect()
+    tail = source.get_data(selector(source, name), mid, END).collect()
+    overlap = [r for r in full if r["ts"].replace(tzinfo=timezone.utc) >= mid]
+    assert overlap == tail
+
+
+def test_noise_statistics(source):
+    rows = source.get_data(selector(source, "noise-test"), START, END).collect()
+    values = [r["value"] for r in rows]
+    mean = sum(values) / len(values)
+    assert abs(mean - 5) < 1.5  # 48 samples, stddev 2

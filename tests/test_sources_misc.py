@@ -1,0 +1,219 @@
+"""Binary file formats, SQLite SQL source, Spark-SQL source, JSON metadata,
+config loading, engine façade.
+"""
+
+import json
+import sqlite3
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.feather
+import pyarrow.ipc
+import pyarrow.parquet
+import pytest
+
+from kukur_spark.app import Engine
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.config import from_toml
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+from kukur_spark.sources.json_meta import JsonMetadataSource
+from kukur_spark.sources.spark_sql import SparkSqlSource
+from kukur_spark.sources.sql_source import SqlSource
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def arrow_row_table():
+    return pa.table(
+        {
+            "series name": ["s1", "s1", "s2"],
+            "ts": pa.array(
+                [
+                    datetime(2020, 1, 1, tzinfo=timezone.utc),
+                    datetime(2020, 2, 1, tzinfo=timezone.utc),
+                    datetime(2020, 1, 1, tzinfo=timezone.utc),
+                ],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "feather", "arrows"])
+def test_binary_row_formats(spark, tmp_path, fmt):
+    table = arrow_row_table()
+    path = str(tmp_path / f"data.{fmt}")
+    if fmt == "parquet":
+        pa.parquet.write_table(table, path)
+    elif fmt == "feather":
+        pa.feather.write_feather(table, path)
+    else:
+        with pa.OSFile(path, "wb") as sink:
+            with pa.ipc.new_stream(sink, table.schema) as writer:
+                writer.write_table(table)
+    source = FileSource(
+        spark, "test", FileSourceOptions(path=path, file_format=fmt)
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("test", "s1"), START, END
+    ).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0]
+    names = sorted(s.name for s in source.search(SeriesSearch("test")))
+    assert names == ["s1", "s2"]
+
+
+def test_ndjson_row_format(spark, tmp_path):
+    path = tmp_path / "data.ndjson"
+    lines = [
+        {"series name": "s1", "ts": "2020-01-01T00:00:00Z", "value": 1.0},
+        {"series name": "s1", "ts": "2020-02-01T00:00:00Z", "value": 2.0},
+    ]
+    path.write_text("\n".join(json.dumps(l) for l in lines))
+    source = FileSource(
+        spark, "test", FileSourceOptions(path=str(path), file_format="ndjson")
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("test", "s1"), START, END
+    ).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0]
+
+
+def test_sqlite_source(spark, tmp_path):
+    db = str(tmp_path / "test.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE Metadata (name text, description text, units text)")
+    con.execute("INSERT INTO Metadata VALUES ('s1', 'Series one', 'm')")
+    con.execute("CREATE TABLE Data (name text, ts text, value real)")
+    for day, value in [(1, 1.5), (2, 2.5), (3, 3.5)]:
+        con.execute(
+            "INSERT INTO Data VALUES ('s1', ?, ?)",
+            (f"2020-01-0{day}T00:00:00+00:00", value),
+        )
+    con.commit()
+    con.close()
+    source = SqlSource(
+        spark,
+        "db",
+        {
+            "type": "sqlite",
+            "connection_string": db,
+            "list_query": "SELECT DISTINCT name FROM Data",
+            "list_columns": ["series name"],
+            "metadata_query": "SELECT description, units FROM Metadata WHERE name = ?",
+            "metadata_columns": ["description", "unit"],
+            "data_query": "SELECT ts, value FROM Data WHERE name = ? AND ts >= ? AND ts < ?",
+        },
+    )
+    names = [s.name for s in source.search(SeriesSearch("db"))]
+    assert names == ["s1"]
+    metadata = source.get_metadata(SeriesSelector.from_name("db", "s1"))
+    assert metadata["description"] == "Series one"
+    assert metadata["unit"] == "m"
+    rows = source.get_data(
+        SeriesSelector.from_name("db", "s1"),
+        START,
+        datetime(2020, 1, 3, tzinfo=timezone.utc),
+    ).collect()
+    assert [r["value"] for r in rows] == [1.5, 2.5]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+
+
+def test_sqlite_type_unification_strings_to_null(spark, tmp_path):
+    db = str(tmp_path / "mixed.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE Data (name text, ts text, value)")
+    rows = [("s1", f"2020-01-01T{h:02d}:00:00+00:00", float(h)) for h in range(20)]
+    rows.append(("s1", "2020-01-01T23:00:00+00:00", "broken"))
+    con.executemany("INSERT INTO Data VALUES (?,?,?)", rows)
+    con.commit()
+    con.close()
+    source = SqlSource(
+        spark,
+        "db",
+        {
+            "type": "sqlite",
+            "connection_string": db,
+            "data_query": "SELECT ts, value FROM Data WHERE name = ? AND ts >= ? AND ts < ?",
+        },
+    )
+    out = source.get_data(SeriesSelector.from_name("db", "s1"), START, END).collect()
+    # numbers dominate (>90%) → losing string becomes null
+    assert len(out) == 21
+    assert out[-1]["value"] is None
+
+
+def test_spark_sql_source(spark, tmp_path):
+    table = arrow_row_table()
+    path = str(tmp_path / "data.parquet")
+    pa.parquet.write_table(table, path)
+    source = SparkSqlSource(
+        spark,
+        "sql",
+        {
+            "list_query": "SELECT DISTINCT `series name` FROM data",
+            "data_query": (
+                "SELECT ts, value FROM data WHERE `series name` = :tag0 "
+                "AND ts >= :start AND ts < :end"
+            ),
+            "tables": [{"name": "data", "type": "parquet", "path": path}],
+        },
+    )
+    names = [s.name for s in source.search(SeriesSearch("sql"))]
+    assert sorted(names) == ["s1", "s2"]
+    rows = source.get_data(
+        SeriesSelector.from_name("sql", "s1"), START, END
+    ).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0]
+
+
+def test_json_metadata_source(spark, tmp_path):
+    (tmp_path / "s1.json").write_text(
+        json.dumps({"description": "From JSON", "unit": "kg"})
+    )
+    source = JsonMetadataSource(spark, "json", {"path": str(tmp_path)})
+    metadata = source.get_metadata(SeriesSelector.from_name("json", "s1"))
+    assert metadata["description"] == "From JSON"
+    results = list(source.search(SeriesSearch("json")))
+    assert len(results) == 1
+    with pytest.raises(ValueError):
+        source.get_metadata(SeriesSelector.from_name("json", "../escape"))
+
+
+def test_engine_from_toml_with_includes(spark, tmp_path):
+    (tmp_path / "extra.toml").write_text(
+        f"""
+[source.extra]
+type = "csv"
+path = "{tmp_path}/extra.csv"
+"""
+    )
+    (tmp_path / "extra.csv").write_text("s9,2020-01-01T00:00:00Z,9\n")
+    root = tmp_path / "root.toml"
+    root.write_text(
+        f"""
+[[include]]
+glob = "{tmp_path}/extra.toml"
+
+[source.main]
+type = "csv"
+path = "{tmp_path}/main.csv"
+"""
+    )
+    (tmp_path / "main.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(from_toml(str(root)), spark)
+    assert engine.list_sources() == ["extra", "main"]
+    rows = engine.get_data(
+        SeriesSelector.from_name("extra", "s9"), START, END
+    ).collect()
+    assert rows[0]["value"] == 9.0
+
+
+def test_engine_default_time_range(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {"source": {"d": {"type": "csv", "path": str(tmp_path / "d.csv")}}}, spark
+    )
+    # default trailing-year window does not include 2020 → empty result
+    assert engine.get_data(SeriesSelector.from_name("d", "s1")).count() == 0

@@ -1,0 +1,108 @@
+"""Structured Streaming tests: file source → memory sink, synchronous."""
+
+import uuid
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kukur_spark.streaming import (
+    running_last_value,
+    session_stats,
+    stream_data,
+    windowed_stats,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def ts(minute):
+    return datetime(2020, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    rows = [
+        ("s1", ts(0), 1.0),
+        ("s1", ts(2), 2.0),
+        ("s1", ts(7), 3.0),
+        ("s2", ts(1), 10.0),
+        ("s2", ts(50), 20.0),  # second session for s2
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "stream")
+    )
+    return str(tmp_path / "stream")
+
+
+def run_to_memory(df, name=None):
+    name = name or f"out_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.outputMode(
+            "update" if "last_value" in df.columns else "append"
+        )
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return name
+
+
+def test_stream_data_tag_filter(spark, stream_dir):
+    df = stream_data(spark, stream_dir, SCHEMA, tags={"series": "s1"})
+    assert df.isStreaming
+    name = run_to_memory(df)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 3
+    assert all(r["series"] == "s1" for r in rows)
+
+
+def test_windowed_stats(spark, stream_dir):
+    df = stream_data(spark, stream_dir, SCHEMA)
+    agg = windowed_stats(df, window="5 minutes", group_columns=["series"])
+    name = run_to_memory(agg)
+    rows = {
+        (r["series"], r["window_start"].minute): r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    first = rows[("s1", 0)]
+    assert first["n"] == 2
+    assert first["sum_value"] == 3.0
+    assert first["first_value"] == 1.0 and first["last_value"] == 2.0
+    assert rows[("s1", 5)]["n"] == 1
+
+
+def test_session_stats_gap_split(spark, stream_dir):
+    df = stream_data(spark, stream_dir, SCHEMA, tags={"series": "s2"})
+    agg = session_stats(df, gap="30 minutes", group_columns=["series"])
+    name = run_to_memory(agg)
+    rows = spark.sql(f"SELECT * FROM {name} ORDER BY session_start").collect()
+    # append mode emits only watermark-closed sessions: the 0:01 session
+    # closed (watermark reached 0:40 = 0:50 max event - 10 min); the 0:50
+    # session stays open in state — correct late-data semantics
+    assert len(rows) == 1
+    assert rows[0]["session_start"].minute == 1
+    assert rows[0]["session_end"].minute == 31  # start + 30 min gap
+    assert rows[0]["n"] == 1
+
+
+def test_running_last_value_stateful(spark, stream_dir):
+    df = stream_data(spark, stream_dir, SCHEMA)
+    out = running_last_value(df)
+    name = run_to_memory(out)
+    rows = {
+        r["series"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert rows["s1"]["last_value"] == 3.0
+    assert rows["s1"]["n_total"] == 3
+    assert rows["s2"]["last_value"] == 20.0

@@ -1,0 +1,183 @@
+"""SourceWrapper policy tests: retry, interval split, type promotion,
+empty range, metadata merge — models reference
+tests/source/test_source_wrapper.py:19-364.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from pyspark.sql import types as T
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import (
+    promote_value_type,
+    union_conform,
+)
+from kukur_spark.sources import SourceWrapper
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 1, 3, tzinfo=timezone.utc)
+
+
+class FakeSource:
+    """In-memory source recording calls."""
+
+    def __init__(self, spark, fail_times: int = 0, value_type="double"):
+        self.spark = spark
+        self.calls = []
+        self.fail_times = fail_times
+        self.value_type = value_type
+
+    def search(self, search):
+        yield SeriesSelector.from_name("fake", "series-1")
+
+    def get_metadata(self, selector):
+        metadata = Metadata(selector)
+        metadata["description"] = "base description"
+        metadata["unit"] = "m"
+        return metadata
+
+    def get_data(self, selector, start, end):
+        self.calls.append((start, end))
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RuntimeError("transient failure")
+        rows = [(start, 1.0), (start + timedelta(hours=1), 2.0)]
+        if self.value_type == "string":
+            rows = [(ts, str(v)) for ts, v in rows]
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType()),
+                T.StructField(
+                    "value",
+                    T.StringType() if self.value_type == "string" else T.DoubleType(),
+                ),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+
+def test_empty_range_shortcut(spark):
+    source = FakeSource(spark)
+    wrapper = SourceWrapper(spark, source)
+    df = wrapper.get_data(SeriesSelector.from_name("fake", "s"), START, START)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["ts", "value"]
+    assert source.calls == []  # source never touched
+
+
+def test_interval_splitting(spark):
+    source = FakeSource(spark)
+    wrapper = SourceWrapper(
+        spark, source, data_query_interval=timedelta(days=1)
+    )
+    df = wrapper.get_data(SeriesSelector.from_name("fake", "s"), START, END)
+    assert len(source.calls) == 2  # two one-day chunks
+    assert source.calls[0] == (START, START + timedelta(days=1))
+    assert source.calls[1] == (START + timedelta(days=1), END)
+    assert df.count() == 4
+
+
+def test_retry_then_success(spark):
+    source = FakeSource(spark, fail_times=2)
+    wrapper = SourceWrapper(spark, source, query_retry_count=2, query_retry_delay=0.0)
+    df = wrapper.get_data(SeriesSelector.from_name("fake", "s"), START, END)
+    assert df.count() == 2
+
+
+def test_retry_exhausted(spark):
+    source = FakeSource(spark, fail_times=3)
+    wrapper = SourceWrapper(spark, source, query_retry_count=1, query_retry_delay=0.0)
+    with pytest.raises(RuntimeError):
+        wrapper.get_data(SeriesSelector.from_name("fake", "s"), START, END)
+
+
+def test_not_implemented_never_retried(spark):
+    class NotImplSource(FakeSource):
+        def get_data(self, selector, start, end):
+            self.calls.append(1)
+            raise NotImplementedError
+
+    source = NotImplSource(spark)
+    wrapper = SourceWrapper(spark, source, query_retry_count=5, query_retry_delay=0.0)
+    with pytest.raises(NotImplementedError):
+        wrapper.get_data(SeriesSelector.from_name("fake", "s"), START, END)
+    assert len(source.calls) == 1
+
+
+def test_metadata_merge_non_empty_wins(spark):
+    source = FakeSource(spark)
+
+    class ExtraSource:
+        def get_metadata(self, selector):
+            metadata = Metadata(selector)
+            metadata["description"] = "override description"
+            metadata["unit"] = ""  # empty → must NOT override
+            return metadata
+
+    wrapper = SourceWrapper(spark, source, metadata_sources=[ExtraSource()])
+    metadata = wrapper.get_metadata(SeriesSelector.from_name("fake", "s"))
+    assert metadata["description"] == "override description"
+    assert metadata["unit"] == "m"
+
+
+def test_metadata_merge_failure_isolated(spark):
+    source = FakeSource(spark)
+
+    class FailingSource:
+        def get_metadata(self, selector):
+            raise RuntimeError("boom")
+
+    wrapper = SourceWrapper(spark, source, metadata_sources=[FailingSource()])
+    metadata = wrapper.get_metadata(SeriesSelector.from_name("fake", "s"))
+    assert metadata["description"] == "base description"
+
+
+def test_plot_fallback_buckets(spark):
+    source = FakeSource(spark)
+    wrapper = SourceWrapper(spark, source)
+    df = wrapper.get_plot_data(
+        SeriesSelector.from_name("fake", "s"), START, END, interval_count=2
+    )
+    rows = df.collect()
+    assert 1 <= len(rows) <= 4
+    assert rows[0]["value"] == 1.0
+
+
+# -- type promotion rules (SURVEY.md §1.2) -----------------------------------
+def test_promotion_any_string_wins(spark):
+    assert isinstance(
+        promote_value_type([T.DoubleType(), T.StringType()]), T.StringType
+    )
+
+
+def test_promotion_all_int(spark):
+    assert isinstance(
+        promote_value_type([T.LongType(), T.IntegerType()]), T.LongType
+    )
+
+
+def test_promotion_mixed_numeric_is_double(spark):
+    assert isinstance(
+        promote_value_type([T.LongType(), T.DoubleType()]), T.DoubleType
+    )
+
+
+def test_union_conform_promotes_to_string(spark):
+    a = FakeSource(spark).get_data(None, START, END)
+    b = FakeSource(spark, value_type="string").get_data(None, START, END)
+    out = union_conform([a, b])
+    assert isinstance(out.schema["value"].dataType, T.StringType)
+    assert out.count() == 4
+
+
+def test_union_conform_keeps_quality_if_any(spark):
+    a = FakeSource(spark).get_data(None, START, END)
+    b = a.selectExpr("ts", "value", "cast(1 as tinyint) as quality")
+    out = union_conform([a, b])
+    assert "quality" in out.columns
+    rows = out.orderBy("ts", "quality").collect()
+    assert any(r["quality"] is None for r in rows)
+    assert any(r["quality"] == 1 for r in rows)
