@@ -1,0 +1,117 @@
+"""CLI: serve Flight, test a source, inspect paths.
+
+Parity target: reference ``kukur/cli.py`` subcommands (flight | test |
+inspect), minus api-key management (no auth store in v1).
+
+Usage::
+
+    python -m kukur_spark.cli flight --config kukur.toml [--port 8081]
+    python -m kukur_spark.cli test --config kukur.toml --source mysrc \
+        [--start 2020-01-01 --end 2021-01-01]
+    python -m kukur_spark.cli inspect --path /data [--preview FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.config import from_toml
+from kukur_spark.metadata import Metadata
+
+
+def _parse_date(value: str) -> datetime:
+    parsed = datetime.fromisoformat(value.replace("Z", "+00:00"))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=timezone.utc)
+    return parsed
+
+
+def cmd_flight(args) -> int:
+    from kukur_spark.app import Engine
+    from kukur_spark.flight import serve
+
+    engine = Engine(from_toml(args.config))
+    print(f"serving Arrow Flight on grpc://0.0.0.0:{args.port}")
+    serve(engine, port=args.port)
+    return 0
+
+
+def cmd_test(args) -> int:
+    """Print search/metadata/data for a source (reference
+    kukur/subcommands/test_source.py)."""
+    from kukur_spark.app import Engine
+
+    engine = Engine(from_toml(args.config))
+    start = _parse_date(args.start) if args.start else None
+    end = _parse_date(args.end) if args.end else None
+    for result in engine.search(SeriesSearch(args.source)):
+        if isinstance(result, Metadata):
+            print("metadata:", result.to_data())
+            selector = result.series
+        else:
+            print("series:", result.name)
+            selector = result
+        if args.data:
+            df = engine.get_data(selector, start, end)
+            for row in df.limit(args.limit).collect():
+                print("   ", row["ts"].isoformat(), row["value"])
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from kukur_spark.inspect import inspect_path, preview
+    from kukur_spark.session import get_spark
+
+    if args.preview:
+        from kukur_spark.inspect import EXTENSION_TYPES, InspectedPath
+        import os
+
+        ext = os.path.splitext(args.preview)[1].lower()
+        resource_type = EXTENSION_TYPES.get(ext, "parquet")
+        df = preview(
+            get_spark("kukur_spark_inspect"),
+            InspectedPath(args.preview, resource_type),
+            num_rows=args.limit,
+        )
+        for line in df.toPandas().to_string(index=False).splitlines():
+            print(line)
+        return 0
+    for item in inspect_path(args.path, recursive=args.recursive):
+        print(f"{item.resource_type:10} {item.path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser("kukur_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_flight = sub.add_parser("flight", help="serve the Arrow Flight API")
+    p_flight.add_argument("--config", required=True)
+    p_flight.add_argument("--port", type=int, default=8081)
+    p_flight.set_defaults(fn=cmd_flight)
+
+    p_test = sub.add_parser("test", help="print search/metadata/data for a source")
+    p_test.add_argument("--config", required=True)
+    p_test.add_argument("--source", required=True)
+    p_test.add_argument("--start")
+    p_test.add_argument("--end")
+    p_test.add_argument("--data", action="store_true")
+    p_test.add_argument("--limit", type=int, default=10)
+    p_test.set_defaults(fn=cmd_test)
+
+    p_inspect = sub.add_parser("inspect", help="list or preview data resources")
+    p_inspect.add_argument("--path", default=".")
+    p_inspect.add_argument("--preview")
+    p_inspect.add_argument("--recursive", action="store_true")
+    p_inspect.add_argument("--limit", type=int, default=10)
+    p_inspect.set_defaults(fn=cmd_inspect)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

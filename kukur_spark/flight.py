@@ -1,0 +1,234 @@
+"""Arrow Flight server + client speaking the reference's JSON protocol.
+
+Parity target: reference ``kukur/flight.py:20-125`` — tickets and actions
+are JSON:
+
+- ``do_get`` ticket: ``{"query": "get_data"|"get_plot_data", "selector":
+  {"source":…, "tags":…, "field":…}, "start_date": iso, "end_date": iso
+  [, "interval_count": n]}`` → Arrow record-batch stream;
+- actions: ``search``, ``get_metadata``, ``list_sources``,
+  ``get_source_structure`` → one JSON result per item.
+
+The engine executes the query as a Spark plan; the result lands on the wire
+via ``DataFrame.toArrow()`` — executors compute, the driver only relays
+Arrow batches (Spark collects to the driver; for 100 TB-scale *exports* use
+``df.write`` to shared storage instead — Flight is the interactive verb
+surface, matching the reference's usage).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import datetime
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from kukur_spark.base import (
+    SeriesSearch,
+    SeriesSelector,
+)
+from kukur_spark.metadata import Metadata
+
+try:
+    import pyarrow.flight as fl
+
+    HAS_FLIGHT = True
+except ImportError:  # pragma: no cover
+    HAS_FLIGHT = False
+    fl = None  # type: ignore
+
+
+def _parse_date(value: str) -> datetime:
+    return datetime.fromisoformat(value.replace("Z", "+00:00"))
+
+
+def _selector_from_data(data: Dict[str, Any]) -> SeriesSelector:
+    return SeriesSelector(
+        data["source"], dict(data.get("tags", {})), data.get("field", "value")
+    )
+
+
+if HAS_FLIGHT:
+
+    class KukurFlightServer(fl.FlightServerBase):
+        """Serves an Engine over gRPC with the JSON ticket/action protocol."""
+
+        def __init__(self, engine, location: str = "grpc://0.0.0.0:8081"):
+            super().__init__(location)
+            self.engine = engine
+            self.location = location
+
+        # -- data ---------------------------------------------------------
+        def do_get(self, context, ticket):
+            request = json.loads(ticket.ticket.decode())
+            query = request.get("query", "get_data")
+            selector = _selector_from_data(request["selector"])
+            start = _parse_date(request["start_date"])
+            end = _parse_date(request["end_date"])
+            if query == "get_data":
+                df = self.engine.get_data(selector, start, end)
+            elif query == "get_plot_data":
+                df = self.engine.get_plot_data(
+                    selector, start, end, int(request.get("interval_count", 200))
+                )
+            else:
+                raise fl.FlightServerError(f"unknown query: {query}")
+            return fl.RecordBatchStream(df.toArrow())
+
+        # -- actions ------------------------------------------------------
+        def do_action(self, context, action):
+            body = json.loads(action.body.to_pybytes().decode()) if action.body else {}
+            if action.type == "search":
+                return self._search(body)
+            if action.type == "get_metadata":
+                selector = _selector_from_data(body["selector"])
+                metadata = self.engine.get_metadata(selector)
+                return [json.dumps(metadata.to_data()).encode()]
+            if action.type == "list_sources":
+                return [json.dumps(self.engine.list_sources()).encode()]
+            if action.type == "get_source_structure":
+                search = SeriesSearch(
+                    body["search"]["source"], body["search"].get("tags")
+                )
+                structure = self.engine.get_source_structure(search)
+                if structure is None:
+                    return [json.dumps(None).encode()]
+                return [
+                    json.dumps(
+                        {
+                            "fields": structure.fields,
+                            "tagKeys": structure.tag_keys,
+                            "tagValues": structure.tag_values,
+                        }
+                    ).encode()
+                ]
+            raise fl.FlightServerError(f"unknown action: {action.type}")
+
+        def _search(self, body: Dict[str, Any]) -> List[bytes]:
+            search = SeriesSearch(
+                body["search"]["source"],
+                body["search"].get("tags"),
+                body["search"].get("field"),
+            )
+            results = []
+            for result in self.engine.search(search):
+                if isinstance(result, Metadata):
+                    results.append(json.dumps(result.to_data()).encode())
+                else:
+                    results.append(
+                        json.dumps(
+                            {
+                                "source": result.source,
+                                "tags": dict(result.tags),
+                                "field": result.field,
+                            }
+                        ).encode()
+                    )
+            return results
+
+    class FlightClient:
+        """Python client for the JSON Flight protocol (reference
+        kukur/client.py:34-237)."""
+
+        def __init__(self, host: str = "localhost", port: int = 8081):
+            self._client = fl.connect(f"grpc://{host}:{port}")
+
+        def list_sources(self) -> List[str]:
+            result = next(
+                iter(self._client.do_action(fl.Action("list_sources", b"{}")))
+            )
+            return json.loads(result.body.to_pybytes())
+
+        def search(
+            self, search: SeriesSearch
+        ) -> Iterator[Union[SeriesSelector, Metadata]]:
+            body = json.dumps(
+                {
+                    "search": {
+                        "source": search.source,
+                        "tags": search.tags,
+                        "field": search.field,
+                    }
+                }
+            ).encode()
+            for result in self._client.do_action(fl.Action("search", body)):
+                data = json.loads(result.body.to_pybytes())
+                if "series" in data:
+                    yield Metadata.from_data(data)
+                else:
+                    yield SeriesSelector(
+                        data["source"], dict(data["tags"]), data.get("field", "value")
+                    )
+
+        def get_metadata(self, selector: SeriesSelector) -> Metadata:
+            body = json.dumps(
+                {
+                    "selector": {
+                        "source": selector.source,
+                        "tags": dict(selector.tags),
+                        "field": selector.field,
+                    }
+                }
+            ).encode()
+            result = next(
+                iter(self._client.do_action(fl.Action("get_metadata", body)))
+            )
+            return Metadata.from_data(json.loads(result.body.to_pybytes()))
+
+        def _read(self, request: Dict[str, Any]):
+            ticket = fl.Ticket(json.dumps(request).encode())
+            return self._client.do_get(ticket).read_all()
+
+        def get_data(
+            self, selector: SeriesSelector, start: datetime, end: datetime
+        ):
+            return self._read(
+                {
+                    "query": "get_data",
+                    "selector": {
+                        "source": selector.source,
+                        "tags": dict(selector.tags),
+                        "field": selector.field,
+                    },
+                    "start_date": start.isoformat(),
+                    "end_date": end.isoformat(),
+                }
+            )
+
+        def get_plot_data(
+            self,
+            selector: SeriesSelector,
+            start: datetime,
+            end: datetime,
+            interval_count: int = 200,
+        ):
+            return self._read(
+                {
+                    "query": "get_plot_data",
+                    "selector": {
+                        "source": selector.source,
+                        "tags": dict(selector.tags),
+                        "field": selector.field,
+                    },
+                    "start_date": start.isoformat(),
+                    "end_date": end.isoformat(),
+                    "interval_count": interval_count,
+                }
+            )
+
+
+def serve(
+    engine,
+    port: int = 8081,
+    background: bool = False,
+) -> Optional["KukurFlightServer"]:
+    """Start the Flight server; ``background=True`` runs it on a thread."""
+    if not HAS_FLIGHT:  # pragma: no cover
+        raise NotImplementedError("pyarrow.flight is not available")
+    server = KukurFlightServer(engine, f"grpc://0.0.0.0:{port}")
+    if background:
+        thread = threading.Thread(target=server.serve, daemon=True)
+        thread.start()
+        return server
+    server.serve()
+    return server

@@ -1,0 +1,108 @@
+"""Inspect: list and preview data resources (files, directories, catalogs).
+
+Parity target: reference inspect family (SURVEY.md S21-S24):
+``kukur/inspect/arrow.py:27-34,138-180`` (extension classification),
+``kukur/inspect/filesystem.py:16-37`` (listing + preview). Blob stores map
+to Hadoop FS schemes in Spark (s3a://, abfss://) through the same
+``spark.read`` calls — path handling is identical.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+PREVIEW_ROWS = 5000  # reference kukur/inspect/filesystem.py:31
+
+# extension → resource type (reference kukur/inspect/arrow.py:27-34)
+EXTENSION_TYPES = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".arrow": "arrow",
+    ".feather": "arrow",
+    ".arrows": "arrows",
+    ".csv": "csv",
+    ".txt": "csv",
+    ".gpx": "gpx",
+    ".xlsx": "excel",
+    ".ndjson": "ndjson",
+    ".jsonl": "ndjson",
+    ".json": "ndjson",
+    ".orc": "orc",
+}
+
+
+@dataclass
+class InspectedPath:
+    path: str
+    resource_type: str  # directory | delta | parquet | csv | ...
+
+
+def inspect_path(path: str, recursive: bool = False) -> List[InspectedPath]:
+    """Classify directory entries by extension; detect Delta table dirs."""
+    results: List[InspectedPath] = []
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            if os.path.isdir(os.path.join(full, "_delta_log")):
+                results.append(InspectedPath(full, "delta"))
+            else:
+                results.append(InspectedPath(full, "directory"))
+                if recursive:
+                    results.extend(inspect_path(full, recursive=True))
+        else:
+            ext = os.path.splitext(entry)[1].lower()
+            resource_type = EXTENSION_TYPES.get(ext)
+            if resource_type:
+                results.append(InspectedPath(full, resource_type))
+    return results
+
+
+def preview(
+    spark: SparkSession,
+    inspected: InspectedPath,
+    num_rows: int = PREVIEW_ROWS,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """First ``num_rows`` of a resource as a DataFrame (df.limit)."""
+    rt = inspected.resource_type
+    if rt == "parquet":
+        df = spark.read.parquet(inspected.path)
+    elif rt == "csv":
+        df = spark.read.csv(inspected.path, header=True)
+    elif rt == "orc":
+        df = spark.read.orc(inspected.path)
+    elif rt == "ndjson":
+        df = spark.read.json(inspected.path)
+    elif rt == "delta":
+        df = spark.read.format("delta").load(inspected.path)
+    elif rt in ("arrow", "arrows"):
+        import pyarrow as pa
+        import pyarrow.feather
+        import pyarrow.ipc
+
+        if rt == "arrow":
+            table = pa.feather.read_table(inspected.path)
+        else:
+            with pa.OSFile(inspected.path, "rb") as handle:
+                table = pa.ipc.open_stream(handle).read_all()
+        df = spark.createDataFrame(table.to_pandas())
+    else:
+        raise NotImplementedError(f"preview of {rt} not supported")
+    if columns:
+        df = df.select(columns)
+    return df.limit(num_rows)
+
+
+def list_catalog(spark: SparkSession) -> List[dict]:
+    """Database-catalog listing over the Spark catalog (reference S24)."""
+    out = []
+    for db in spark.catalog.listDatabases():
+        for table in spark.catalog.listTables(db.name):
+            out.append(
+                {"database": db.name, "table": table.name, "type": table.tableType}
+            )
+    return out

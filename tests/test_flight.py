@@ -1,0 +1,81 @@
+"""Flight server end-to-end: JSON protocol over a real gRPC socket
+(models reference tests/integration/test_flight.py:27-183).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+pytest.importorskip("pyarrow.flight")
+
+from kukur_spark.app import Engine
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.flight import FlightClient, serve
+from kukur_spark.metadata import Metadata
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def flight_client(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("flight")
+    (tmp / "data.csv").write_text(
+        "s1,2020-01-01T00:00:00Z,1\n"
+        "s1,2020-02-01T00:00:00Z,2\n"
+        "s1,2020-03-01T00:00:00Z,3\n"
+        "s2,2020-01-01T00:00:00Z,10\n"
+    )
+    (tmp / "metadata.csv").write_text(
+        "series name,description,unit\ns1,Series one,m\n"
+    )
+    config = {
+        "source": {
+            "demo": {
+                "type": "csv",
+                "path": str(tmp / "data.csv"),
+                "metadata": str(tmp / "metadata.csv"),
+            }
+        }
+    }
+    engine = Engine(config, spark)
+    server = serve(engine, port=18081, background=True)
+    yield FlightClient("localhost", 18081)
+    server.shutdown()
+
+
+def test_list_sources(flight_client):
+    assert flight_client.list_sources() == ["demo"]
+
+
+def test_search_returns_metadata(flight_client):
+    results = list(flight_client.search(SeriesSearch("demo")))
+    assert len(results) == 2
+    assert all(isinstance(r, Metadata) for r in results)
+    by_name = {r.series.name: r for r in results}
+    assert by_name["s1"]["description"] == "Series one"
+
+
+def test_get_metadata(flight_client):
+    metadata = flight_client.get_metadata(
+        SeriesSelector.from_name("demo", "s1")
+    )
+    assert metadata["unit"] == "m"
+
+
+def test_get_data_arrow_stream(flight_client):
+    table = flight_client.get_data(
+        SeriesSelector.from_name("demo", "s1"), START, END
+    )
+    assert table.num_rows == 3
+    assert table.column("value").to_pylist() == [1.0, 2.0, 3.0]
+    assert str(table.schema.field("ts").type) == "timestamp[us, tz=UTC]"
+
+
+def test_get_plot_data(flight_client):
+    table = flight_client.get_plot_data(
+        SeriesSelector.from_name("demo", "s1"), START, END, interval_count=2
+    )
+    assert 0 < table.num_rows <= 4
+    values = table.column("value").to_pylist()
+    assert 1.0 in values and 3.0 in values

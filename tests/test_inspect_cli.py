@@ -1,0 +1,79 @@
+"""Inspect listing/preview and the CLI subcommands."""
+
+import pyarrow as pa
+import pyarrow.parquet
+
+from kukur_spark.cli import main
+from kukur_spark.inspect import inspect_path, preview
+
+
+def setup_tree(tmp_path):
+    (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+    pa.parquet.write_table(pa.table({"v": [1, 2, 3]}), str(tmp_path / "b.parquet"))
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    (sub / "c.ndjson").write_text('{"k": 1}\n')
+    delta_dir = tmp_path / "dtable"
+    (delta_dir / "_delta_log").mkdir(parents=True)
+    return tmp_path
+
+
+def test_inspect_path_classification(tmp_path):
+    setup_tree(tmp_path)
+    items = {i.path.split("/")[-1]: i.resource_type for i in inspect_path(str(tmp_path))}
+    assert items["a.csv"] == "csv"
+    assert items["b.parquet"] == "parquet"
+    assert items["nested"] == "directory"
+    assert items["dtable"] == "delta"
+
+
+def test_inspect_recursive(tmp_path):
+    setup_tree(tmp_path)
+    items = inspect_path(str(tmp_path), recursive=True)
+    assert any(i.resource_type == "ndjson" for i in items)
+
+
+def test_preview_limit(spark, tmp_path):
+    setup_tree(tmp_path)
+    from kukur_spark.inspect import InspectedPath
+
+    df = preview(spark, InspectedPath(str(tmp_path / "b.parquet"), "parquet"), 2)
+    assert df.count() == 2
+
+
+def test_cli_inspect(tmp_path, capsys):
+    setup_tree(tmp_path)
+    assert main(["inspect", "--path", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "parquet" in out and "csv" in out and "delta" in out
+
+
+def test_cli_test_source(tmp_path, capsys, spark):
+    (tmp_path / "d.csv").write_text(
+        "s1,2020-01-01T00:00:00Z,1\ns1,2020-02-01T00:00:00Z,2\n"
+    )
+    (tmp_path / "conf.toml").write_text(
+        f"""
+[source.demo]
+type = "csv"
+path = "{tmp_path}/d.csv"
+"""
+    )
+    code = main(
+        [
+            "test",
+            "--config",
+            str(tmp_path / "conf.toml"),
+            "--source",
+            "demo",
+            "--data",
+            "--start",
+            "2020-01-01",
+            "--end",
+            "2021-01-01",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "series: s1" in out
+    assert "2020-01-01T00:00:00" in out
