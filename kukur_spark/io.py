@@ -32,8 +32,20 @@ TABLES = [
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver test table; normalize ns-long timestamps to timestamp."""
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range=None,
+) -> DataFrame:
+    """Load one driver test table; normalize ns-long timestamps to timestamp.
+
+    ``ts_range=(start, end)`` (datetimes, half-open) applies the range
+    predicate **on the raw nanosecond long column before conversion** — a
+    filter through ``timestamp_micros(x div 1000)`` is opaque to Catalyst
+    and would NOT reach the parquet scan (no row-group pruning); the raw
+    long comparison shows up in ``PushedFilters`` and prunes at 100 TB.
+    """
     if name in _NANOS_TS_COLUMNS:
         # the caller's session may not have the flag (e.g. the driver's);
         # it is a runtime SQLConf, safe to set before the read resolves
@@ -45,6 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "LongType",
             "bigint",
         ):
+            if ts_range is not None:
+                start_ns = int(ts_range[0].timestamp() * 1_000_000_000)
+                end_ns = int(ts_range[1].timestamp() * 1_000_000_000)
+                df = df.filter(
+                    (F.col(column) >= F.lit(start_ns))
+                    & (F.col(column) < F.lit(end_ns))
+                )
             df = df.withColumn(
                 column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
             )

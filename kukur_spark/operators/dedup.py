@@ -57,13 +57,44 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """Array of ``num_hashes`` min-hashes: min over shingles of
-    xxhash64(shingle, seed_j). Pure projection — computed map-side."""
+def token_hashes(text: Column) -> Column:
+    """Each whitespace token hashed once (array<bigint>)."""
+    return F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+
+
+def combine_shingle_hashes(th_col: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingle hashes from a *materialized* token-hash
+    array column — no shingle strings are ever built.
+
+    ``th_col`` must be a real column (not an inline expression): the lambda
+    indexes it ``k`` times per shingle, and an inline expression would be
+    re-evaluated on every access (O(k·n²) hashing).
+    """
+    n = F.size(th_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(th_col, i + j) for j in range(k)]),
+        )
+    )
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hashes over pre-hashed shingles.
+
+    ``hash_col`` is an ``array<bigint>`` of per-shingle xxhash64 values —
+    each shingle string is hashed **once**; permutation ``j`` re-mixes the
+    8-byte hash with ``xxhash64(h, j)`` (fixed-width input — far cheaper
+    than re-hashing the variable-length shingle per seed, and safe under
+    ANSI arithmetic, unlike a wrapping ``a·h + b``). Pure projection,
+    computed map-side: the only shuffle in the LSH pipeline is the final
+    bucket join.
+    """
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j)))
+                F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(j)))
             )
             for j in range(num_hashes)
         ]
@@ -78,6 +109,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    partitions: int = 0,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified exactly.
 
@@ -88,13 +120,29 @@ def minhash_lsh_pairs(
     Returns ``id_a, id_b, jaccard``.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_column).alias("id"),
-        shingles(F.col(text_column), shingle_size).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    if partitions <= 0:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    # a single-file corpus arrives as one scan task; the signature
+    # projection is the CPU hot spot, so spread it before computing —
+    # at real scale the scan itself is already many partitions
+    spread = df.repartition(partitions, F.col(id_column))
+    # hashed shingle sets: all downstream set math runs on longs, no
+    # shingle strings are ever materialized; token hashes land in a real
+    # column first so the k-gram combine indexes them O(1)
+    base = (
+        spread.select(
+            F.col(id_column).alias("id"),
+            token_hashes(F.col(text_column)).alias("th"),
+        )
+        .select(
+            "id", combine_shingle_hashes(F.col("th"), shingle_size).alias("hs")
+        )
+        .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+    )
+    # banding carries only (id, band, bucket) — 24 bytes/row through the
+    # explode and the self-join shuffle, never the shingle arrays
     banded = base.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -115,32 +163,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
-    left = banded.alias("a")
-    right = banded.alias("b")
+    ).select("id", "bb.band", "bb.bucket")
     pairs = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bucket") == F.col("b.bucket"),
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact verification only for surviving candidates: join the hashed
+    # sets back by id (candidate count << corpus for any sane banding)
+    sets = base.select("id", "hs")
+    verified = (
+        pairs.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+    )
     jaccard = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+        / F.size(F.array_union("hs_a", "hs_b"))
     )
     return (
-        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        verified.withColumn("jaccard", F.round(jaccard, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -275,12 +275,13 @@ ORDER BY n_name, rank
 # ---------------------------------------------------------------------------
 def ts_range_filter(spark: SparkSession, sf: str) -> DataFrame:
     """F2 tag filter + F3 half-open range filter, canonical projection."""
-    events = load_table(spark, sf, "events")
     start = datetime(2024, 1, 10, tzinfo=timezone.utc)
     end = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    # range applied on the raw ns column inside load_table → parquet
+    # row-group pruning (see kukur_spark.io.load_table)
+    events = load_table(spark, sf, "events", ts_range=(start, end))
     return (
         events.filter(F.col("event_type") == "purchase")
-        .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
         .select(
             F.unix_micros("ts").alias("ts_us"),
             F.col("user_id"),
