@@ -240,8 +240,12 @@ class SourceFactory:
 
 
 def _register_builtin() -> None:
+    from kukur_spark.sources.excel import ExcelSource
     from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+    from kukur_spark.sources.gpx import GpxSource
     from kukur_spark.sources.json_meta import JsonMetadataSource
+    from kukur_spark.sources.plugin import PluginSource
+    from kukur_spark.sources.remote import RemoteSource
     from kukur_spark.sources.simulator import SimulatorSource
     from kukur_spark.sources.sql_source import SqlSource
     from kukur_spark.sources.spark_sql import SparkSqlSource
@@ -274,6 +278,18 @@ def _register_builtin() -> None:
     SourceFactory.register_source(
         "spark_sql",
         lambda spark, name, config: SparkSqlSource(spark, name, config),
+    )
+    SourceFactory.register_source(
+        "gpx", lambda spark, name, config: GpxSource(spark, name, config)
+    )
+    SourceFactory.register_source(
+        "plugin", lambda spark, name, config: PluginSource(spark, name, config)
+    )
+    SourceFactory.register_source(
+        "kukur", lambda spark, name, config: RemoteSource(spark, name, config)
+    )
+    SourceFactory.register_source(
+        "excel", lambda spark, name, config: ExcelSource(spark, name, config)
     )
 
 

@@ -1,0 +1,72 @@
+"""Excel source (reference S19, kukur/source/excel/__init__.py:23-72).
+
+Gated behind openpyxl/pandas availability — the test image ships neither
+openpyxl nor xlrd, so construction works but reads raise
+``NotImplementedError`` until the dependency is present. When available,
+the sheet is read driver-side (Excel files are small by nature) and enters
+Spark via Arrow; all filtering runs as DataFrame predicates.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from datetime import datetime
+from typing import Any, Dict, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN, conform
+
+HAS_EXCEL = importlib.util.find_spec("openpyxl") is not None
+
+
+class ExcelSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.path = config["path"]
+        self.sheet = config.get("sheet", 0)
+        self.header = bool(config.get("header_row", True))
+
+    def _frame(self) -> DataFrame:
+        if not HAS_EXCEL:
+            raise NotImplementedError(
+                "Excel reads need openpyxl, which is not installed"
+            )
+        import pandas as pd
+
+        pdf = pd.read_excel(
+            self.path,
+            sheet_name=self.sheet,
+            header=0 if self.header else None,
+        )
+        if not self.header:
+            names = [SERIES_NAME_TAG, TS_COLUMN, VALUE_COLUMN][: len(pdf.columns)]
+            pdf.columns = names
+        return self.spark.createDataFrame(pdf)
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        df = self._frame()
+        for row in df.select(SERIES_NAME_TAG).distinct().collect():
+            yield SeriesSelector(self.name, {SERIES_NAME_TAG: row[0]})
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return Metadata(selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        df = self._frame()
+        name = selector.tags.get(SERIES_NAME_TAG)
+        df = df.filter(F.col(SERIES_NAME_TAG) == F.lit(name)).select(
+            F.col(TS_COLUMN).cast("timestamp").alias(TS_COLUMN),
+            F.col(VALUE_COLUMN).alias(VALUE_COLUMN),
+        )
+        return conform(
+            df.filter(
+                (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
+            ).orderBy(TS_COLUMN)
+        )

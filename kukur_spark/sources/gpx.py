@@ -1,0 +1,144 @@
+"""GPX track source: lat/lon/ele points + derived distance/speed series.
+
+Parity target: reference ``kukur/source/gpx/__init__.py:40-166`` — parse
+GPX XML tracks, expose per-point series (lat, lon, elevation) and derived
+series computed with pairwise diff + cumulative sum (W1/A4 in SURVEY §2):
+
+- ``distance``: cumulative haversine distance (m);
+- ``speed``: segment distance / segment time (m/s).
+
+XML parsing happens driver-side (files are small); the *analytics* —
+haversine, pairwise diff via ``lag`` windows, cumulative sums — are Spark
+column expressions, the idiomatic replacements for the reference's
+pc.pairwise_diff / pc.cumulative_sum kernels.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import math
+import os
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+from typing import Any, Dict, Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
+
+_NS = {"gpx": "http://www.topografix.com/GPX/1/1"}
+
+FIELDS = ["lat", "lon", "elevation", "distance", "speed"]
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def _parse_points(path: str) -> List[Dict[str, Any]]:
+    root = ET.parse(path).getroot()
+    points = []
+    for trkpt in root.iter("{http://www.topografix.com/GPX/1/1}trkpt"):
+        ele = trkpt.find("gpx:ele", _NS)
+        time = trkpt.find("gpx:time", _NS)
+        points.append(
+            {
+                "lat": float(trkpt.get("lat")),
+                "lon": float(trkpt.get("lon")),
+                "elevation": float(ele.text) if ele is not None else None,
+                "ts": datetime.fromisoformat(
+                    time.text.replace("Z", "+00:00")
+                ).astimezone(timezone.utc)
+                if time is not None
+                else None,
+            }
+        )
+    return points
+
+
+class GpxSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.path = config["path"]
+
+    def _tracks(self) -> List[str]:
+        if os.path.isdir(self.path):
+            return sorted(globlib.glob(os.path.join(self.path, "*.gpx")))
+        return [self.path]
+
+    def _points_frame(self, track: str) -> DataFrame:
+        points = _parse_points(track)
+        df = self.spark.createDataFrame(
+            [(p["ts"], p["lat"], p["lon"], p["elevation"]) for p in points],
+            "ts timestamp, lat double, lon double, elevation double",
+        )
+        window = Window.orderBy("ts")
+        # W1 pairwise diff: haversine between consecutive points
+        prev_lat, prev_lon = F.lag("lat").over(window), F.lag("lon").over(window)
+        dlat = F.radians(F.col("lat") - prev_lat)
+        dlon = F.radians(F.col("lon") - prev_lon)
+        a = (
+            F.sin(dlat / 2) ** 2
+            + F.cos(F.radians(prev_lat))
+            * F.cos(F.radians(F.col("lat")))
+            * F.sin(dlon / 2) ** 2
+        )
+        segment = (
+            F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+        )
+        dt = (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(window))
+        ) / 1_000_000.0
+        df = df.withColumn("segment_m", F.coalesce(segment, F.lit(0.0)))
+        df = df.withColumn(
+            "speed", F.coalesce(F.col("segment_m") / F.nullif(dt, F.lit(0.0)), F.lit(0.0))
+        )
+        # A4 cumulative sum: running distance
+        df = df.withColumn(
+            "distance",
+            F.sum("segment_m").over(
+                window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return df
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        for track in self._tracks():
+            stem = os.path.splitext(os.path.basename(track))[0]
+            for field in FIELDS:
+                yield SeriesSelector(
+                    self.name, {SERIES_NAME_TAG: stem}, field
+                )
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = Metadata(selector)
+        units = {
+            "lat": "°",
+            "lon": "°",
+            "elevation": "m",
+            "distance": "m",
+            "speed": "m/s",
+        }
+        metadata["unit"] = units.get(selector.field, "")
+        metadata["interpolation type"] = "LINEAR"
+        return metadata
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        stem = selector.tags.get(SERIES_NAME_TAG)
+        track = next(
+            (t for t in self._tracks() if os.path.splitext(os.path.basename(t))[0] == stem),
+            None,
+        )
+        if track is None:
+            raise KeyError(f"unknown track: {stem}")
+        field = selector.field if selector.field in FIELDS else "lat"
+        df = self._points_frame(track).select(
+            F.col("ts").alias(TS_COLUMN), F.col(field).alias(VALUE_COLUMN)
+        )
+        return df.filter(
+            (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
+        ).orderBy(TS_COLUMN)

@@ -1,0 +1,102 @@
+"""Plugin source: subprocess speaking JSON-in / JSON-or-Arrow-out.
+
+Parity target: reference ``kukur/source/plugin/plugin.py:24-110`` — the
+engine spawns the configured command, writes one JSON request to stdin:
+
+- ``{"action": "search", "search": {...}}`` → JSON list of selector/
+  metadata dicts on stdout;
+- ``{"action": "get_metadata", "selector": {...}}`` → JSON dict;
+- ``{"action": "get_data", "selector": {...}, "start_date": iso,
+  "end_date": iso}`` → an Arrow IPC stream of the canonical data schema.
+
+The subprocess runs driver-side (it is an *adapter*, like the reference's);
+the returned Arrow table enters Spark through the Arrow fast path and all
+further processing is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from datetime import datetime
+from typing import Any, Dict, Iterator, List, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import conform
+
+
+class PluginSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.cmd: List[str] = list(config["cmd"])
+        self.extra: Dict[str, Any] = dict(config.get("extra", {}))
+
+    def _call(self, request: Dict[str, Any]) -> bytes:
+        request = {**request, **self.extra}
+        result = subprocess.run(
+            self.cmd,
+            input=json.dumps(request).encode(),
+            capture_output=True,
+            check=True,
+        )
+        return result.stdout
+
+    def search(
+        self, search: SeriesSearch
+    ) -> Iterator[Union[SeriesSelector, Metadata]]:
+        out = self._call(
+            {
+                "action": "search",
+                "search": {
+                    "source": search.source,
+                    "tags": search.tags,
+                    "field": search.field,
+                },
+            }
+        )
+        for item in json.loads(out.decode()):
+            if "series" in item:
+                yield Metadata.from_data(item)
+            else:
+                yield SeriesSelector(
+                    self.name, dict(item["tags"]), item.get("field", "value")
+                )
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        out = self._call(
+            {
+                "action": "get_metadata",
+                "selector": {
+                    "source": selector.source,
+                    "tags": dict(selector.tags),
+                    "field": selector.field,
+                },
+            }
+        )
+        return Metadata.from_data(json.loads(out.decode()), selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        import io
+
+        import pyarrow.ipc
+
+        out = self._call(
+            {
+                "action": "get_data",
+                "selector": {
+                    "source": selector.source,
+                    "tags": dict(selector.tags),
+                    "field": selector.field,
+                },
+                "start_date": start.isoformat(),
+                "end_date": end.isoformat(),
+            }
+        )
+        table = pyarrow.ipc.open_stream(io.BytesIO(out)).read_all()
+        return conform(self.spark.createDataFrame(table.to_pandas()))

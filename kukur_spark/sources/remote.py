@@ -1,0 +1,61 @@
+"""Kukur-remote source: proxy all verbs to another engine over Flight.
+
+Parity target: reference ``kukur/source/kukur/kukur.py:25-91`` — rewrite
+the source name to the remote's source and forward search / get_metadata /
+get_data over the Flight protocol; results re-enter Spark via the Arrow
+fast path.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Dict, Iterator, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import conform
+
+
+class RemoteSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        from kukur_spark.flight import FlightClient
+
+        self.spark = spark
+        self.name = name
+        self.remote_source = config.get("source", name)
+        self.client = FlightClient(
+            config.get("host", "localhost"), int(config.get("port", 8081))
+        )
+
+    def _rewrite(self, selector: SeriesSelector) -> SeriesSelector:
+        return SeriesSelector(
+            self.remote_source, dict(selector.tags), selector.field
+        )
+
+    def search(
+        self, search: SeriesSearch
+    ) -> Iterator[Union[SeriesSelector, Metadata]]:
+        remote = SeriesSearch(self.remote_source, search.tags, search.field)
+        for result in self.client.search(remote):
+            if isinstance(result, Metadata):
+                local = Metadata.from_data(
+                    result.to_data(),
+                    SeriesSelector(
+                        self.name, dict(result.series.tags), result.series.field
+                    ),
+                )
+                yield local
+            else:
+                yield SeriesSelector(self.name, dict(result.tags), result.field)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = self.client.get_metadata(self._rewrite(selector))
+        return Metadata.from_data(metadata.to_data(), selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        table = self.client.get_data(self._rewrite(selector), start, end)
+        return conform(self.spark.createDataFrame(table.to_pandas()))
