@@ -701,6 +701,172 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def orders_with_shipments_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders with a line shipped after a date."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+ORDERS_SEMI_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1998-01-01')
+ORDER BY o_orderkey
+"""
+
+
+def orders_without_shipments_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS), aggregated per priority."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_ANTI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > TIMESTAMP '1998-01-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction from the props column, exact integer sums."""
+    events = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_pivot_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: one column of counts per event type, per day."""
+    events = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+        )
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day_us")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY day_us ORDER BY day_us
+"""
+
+
+def customer_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Cube over (mktsegment, nationkey): all grouping-set combinations."""
+    customer = load_table(spark, sf, "customer")
+    return (
+        customer.cube("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+CUSTOMER_CUBE_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.99 over all pairs."""
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+EMB_NEARDUP_SQL = """
+WITH base AS (
+  SELECT vec_id AS id, embedding AS v,
+    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(list_sum(list_transform(range(1, len(a.v) + 1),
+    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.n * b.n), 6) AS cos_sim
+FROM base a JOIN base b ON a.id < b.id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.n * b.n) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
 # --- weaker (rows-only) checks: hash-based ops DuckDB cannot replicate -----
 def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
@@ -742,6 +908,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_window": events_daily_window,
     "events_rollup": events_rollup,
     "sessionize": sessionize,
+    "orders_exists_semi": orders_with_shipments_semi,
+    "orders_missing_anti": orders_without_shipments_anti,
+    "events_json_extract": events_json_extract,
+    "events_pivot_wide": events_pivot_wide,
+    "customer_cube": customer_cube,
+    "emb_neardup_pairs": emb_neardup_pairs,
     "dedup_exact": dedup_exact_q,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -770,6 +942,12 @@ ORACLES: Dict[str, str] = {
     "events_daily_window": EVENTS_DAILY_WINDOW_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "orders_exists_semi": ORDERS_SEMI_SQL,
+    "orders_missing_anti": ORDERS_ANTI_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_pivot_wide": EVENTS_PIVOT_SQL,
+    "customer_cube": CUSTOMER_CUBE_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,

@@ -1,0 +1,75 @@
+"""Engine-level integration: wrapper policies wired through TOML config."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.app import Engine
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def merged_engine(spark, tmp_path):
+    (tmp_path / "data.csv").write_text(
+        "s1,2020-01-01T00:00:00Z,1\ns1,2020-06-01T00:00:00Z,2\n"
+    )
+    (tmp_path / "base_meta.csv").write_text(
+        "series name,description,unit\ns1,base description,m\n"
+    )
+    (tmp_path / "extra_meta.csv").write_text(
+        "series name,description,accuracy\ns1,better description,0.5\n"
+    )
+    config = {
+        "source": {
+            "data": {
+                "type": "csv",
+                "path": str(tmp_path / "data.csv"),
+                "metadata": str(tmp_path / "base_meta.csv"),
+                "metadata_sources": ["extra"],
+                "data_query_interval_seconds": 86400 * 200,
+            },
+            "extra": {
+                "type": "csv",
+                "path": str(tmp_path / "data.csv"),
+                "metadata": str(tmp_path / "extra_meta.csv"),
+            },
+        }
+    }
+    return Engine(config, spark)
+
+
+def test_metadata_merge_through_config(merged_engine):
+    metadata = merged_engine.get_metadata(
+        SeriesSelector.from_name("data", "s1")
+    )
+    # extra source overrides description, base unit survives
+    assert metadata["description"] == "better description"
+    assert metadata["unit"] == "m"
+    assert metadata["accuracy"] == 0.5
+
+
+def test_search_enriched_through_config(merged_engine):
+    results = list(merged_engine.search(SeriesSearch("data")))
+    assert len(results) == 1
+    assert isinstance(results[0], Metadata)
+    assert results[0]["description"] == "better description"
+
+
+def test_interval_split_through_config(merged_engine):
+    # 1-year query over 200-day chunks → two chunked scans, united lazily
+    df = merged_engine.get_data(
+        SeriesSelector.from_name("data", "s1"), START, END
+    )
+    assert [r["value"] for r in df.orderBy("ts").collect()] == [1.0, 2.0]
+
+
+def test_plot_through_config(merged_engine):
+    df = merged_engine.get_plot_data(
+        SeriesSelector.from_name("data", "s1"), START, END, interval_count=4
+    )
+    values = [r["value"] for r in df.collect()]
+    assert 1.0 in values and 2.0 in values
