@@ -1,0 +1,105 @@
+"""Plan-quality regression tests: the properties that matter at 100 TB.
+
+These assert on the *physical plan*, not results: predicate pushdown reaches
+the scan, small dimensions broadcast, pivot melts never keep wide rows,
+hot expressions stay inside whole-stage codegen.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_tag_filter_pushdown(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s1", datetime(2020, 1, 1), 1.0), ("s2", datetime(2020, 1, 1), 2.0)],
+        "`series name` string, ts timestamp, value double",
+    )
+    path = str(tmp_path / "row.parquet")
+    df.write.parquet(path)
+    source = FileSource(
+        spark, "t", FileSourceOptions(path=path, file_format="parquet")
+    )
+    data = source.get_data(SeriesSelector.from_name("t", "s1"), START, END)
+    plan = plan_of(data)
+    assert "PushedFilters" in plan
+    assert "EqualTo(`series name`,s1)" in plan
+
+
+def test_events_range_filter_pushdown(spark):
+    plan = plan_of(QUERIES["ts_range_filter"](spark, SF))
+    # raw-ns comparison reaches the scan's data filters (the PushedFilters
+    # list itself is truncated in toString)
+    assert ">= 1704844800000000000)" in plan
+    assert "(event_type" in plan and "purchase" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(QUERIES["tpch_q5"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_q1_partial_aggregation(spark):
+    # partial (map-side) + final hash aggregate: the shuffle carries only
+    # one row per group per partition
+    plan = plan_of(QUERIES["tpch_q1"](spark, SF))
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_plot_buckets_single_shuffle(spark):
+    plan = plan_of(QUERIES["ts_plot_buckets"](spark, SF))
+    # one exchange for the aggregation, one for the final orderBy; the
+    # aggregation itself must be partial+final (no extra shuffle)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, plan
+
+
+def test_column_pruning_reads_needed_columns_only(spark):
+    df = QUERIES["ts_series_discovery"](spark, SF)
+    plan = plan_of(df)
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_pivot_melts_to_long(spark, tmp_path):
+    path = tmp_path / "wide.csv"
+    cols = ",".join(f"s{i}" for i in range(50))
+    path.write_text(f"ts,{cols}\n2020-01-01T00:00:00Z,{','.join('1' for _ in range(50))}\n")
+    source = FileSource(
+        spark,
+        "w",
+        FileSourceOptions(path=str(path), format="pivot", header=True),
+    )
+    long_df = source.data_frame()
+    # melted: exactly 3 columns regardless of series count
+    assert long_df.columns == ["series name", "ts", "value"]
+    assert long_df.count() == 50
+
+
+def test_text_ops_stay_jvm_side(spark):
+    df = QUERIES["text_token_stats"](spark, SF)
+    df.count()  # finalize the adaptive plan
+    plan = plan_of(df)
+    # no python UDF in the hot path — all token math is one fused projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Project") == 1
+    assert "div" in plan  # scaled-integer math inside the projection
+
+
+def test_similarity_broadcasts_queries(spark):
+    plan = plan_of(QUERIES["emb_topk_bruteforce"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
