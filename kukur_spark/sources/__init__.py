@@ -291,6 +291,16 @@ def _register_builtin() -> None:
     SourceFactory.register_source(
         "excel", lambda spark, name, config: ExcelSource(spark, name, config)
     )
+    from kukur_spark.sources.elasticsearch import ElasticsearchSource
+    from kukur_spark.sources.influxdb import InfluxDBSource
+
+    SourceFactory.register_source(
+        "influxdb", lambda spark, name, config: InfluxDBSource(spark, name, config)
+    )
+    SourceFactory.register_source(
+        "elasticsearch",
+        lambda spark, name, config: ElasticsearchSource(spark, name, config),
+    )
 
 
 _register_builtin()

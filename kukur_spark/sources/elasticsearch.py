@@ -1,0 +1,123 @@
+"""Elasticsearch source: query-DSL filters + search_after pagination.
+
+Parity target: reference ``kukur/source/elasticsearch/elasticsearch.py`` —
+data reads are a ``bool`` filter of ``term`` clauses per tag plus a closed
+``range`` on the timestamp field (:244-296), paginated with ``search_after``
+on a (ts, _id)-like sort at ``query_page_size`` (default 10 000,
+reference :64); series listing uses the SQL endpoint with a cursor
+(:302-353).
+
+Driver-side stdlib REST client; each page lands in Spark via
+``createDataFrame`` and pages are united lazily (the same U1 union used for
+interval chunks).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any, Dict, Iterator, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import data_schema, union_conform
+
+DEFAULT_PAGE_SIZE = 10_000  # reference elasticsearch.py:64
+
+
+class ElasticsearchSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.url = config["url"].rstrip("/")
+        self.index = config["index"]
+        self.ts_field = config.get("timestamp_field", "@timestamp")
+        self.value_field = config.get("field", "value")
+        self.tag_fields = list(config.get("tag_columns", []))
+        self.page_size = int(config.get("query_page_size", DEFAULT_PAGE_SIZE))
+
+    def _post(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:
+        request = urllib.request.Request(
+            f"{self.url}{path}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(request) as response:
+            return json.load(response)
+
+    # -- search over the SQL endpoint (reference :302-353) ----------------
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        columns = ", ".join(f'"{c}"' for c in self.tag_fields)
+        body: Dict[str, Any] = {
+            "query": f'SELECT DISTINCT {columns} FROM "{self.index}"'
+        }
+        while True:
+            payload = self._post("/_sql", body)
+            names = [c["name"] for c in payload.get("columns", [])] or self.tag_fields
+            for row in payload.get("rows", []):
+                tags = {k: str(v) for k, v in zip(names, row)}
+                if search.tags and any(
+                    tags.get(k) != v for k, v in search.tags.items()
+                ):
+                    continue
+                yield SeriesSelector(self.name, tags, self.value_field)
+            cursor = payload.get("cursor")
+            if not cursor:
+                return
+            body = {"cursor": cursor}
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return Metadata(selector)
+
+    # -- data with search_after pagination (reference :244-296) ------------
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        filters: List[Dict[str, Any]] = [
+            {"term": {key: value}} for key, value in selector.tags.items()
+        ]
+        filters.append(
+            {
+                "range": {
+                    self.ts_field: {  # closed range (reference parity)
+                        "gte": start.isoformat(),
+                        "lte": end.isoformat(),
+                    }
+                }
+            }
+        )
+        body: Dict[str, Any] = {
+            "size": self.page_size,
+            "query": {"bool": {"filter": filters}},
+            "sort": [{self.ts_field: "asc"}, {"_doc": "asc"}],
+            "_source": [self.ts_field, self.value_field],
+        }
+        pages: List[DataFrame] = []
+        search_after: Optional[List[Any]] = None
+        while True:
+            if search_after is not None:
+                body["search_after"] = search_after
+            payload = self._post(f"/{self.index}/_search", body)
+            hits = payload.get("hits", {}).get("hits", [])
+            if not hits:
+                break
+            rows = []
+            for hit in hits:
+                source = hit["_source"]
+                ts = datetime.fromisoformat(
+                    str(source[self.ts_field]).replace("Z", "+00:00")
+                ).astimezone(timezone.utc)
+                value = source.get(self.value_field)
+                rows.append((ts, float(value) if value is not None else None))
+            pages.append(self.spark.createDataFrame(rows, data_schema()))
+            if len(hits) < self.page_size:
+                break
+            search_after = hits[-1]["sort"]
+        if not pages:
+            from kukur_spark.schema import empty_data_frame
+
+            return empty_data_frame(self.spark)
+        return union_conform(pages).orderBy("ts")

@@ -1,0 +1,112 @@
+"""InfluxDB source: InfluxQL over the /query REST endpoint.
+
+Parity target: reference ``kukur/source/influxdb/influxdb.py`` — data reads
+are InfluxQL ``SELECT time, <field> FROM <measurement> WHERE time >= … AND
+time <= … AND tag = …`` with bind parameters (:124-153), series discovery is
+``SHOW SERIES`` / ``SHOW FIELD KEYS`` (:155-177), and identifier escaping
+follows :193-200.
+
+NOTE the reference's range filter here is **closed** (``>= AND <=``), an
+exception to the engine's half-open canonical form (SURVEY §2.2 F3) — kept
+for parity and documented.
+
+The adapter is a driver-side REST client (stdlib urllib, no influx client
+library needed); rows enter Spark through ``createDataFrame`` and all
+further processing is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any, Dict, Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import data_schema
+
+
+def _escape_identifier(name: str) -> str:
+    return '"' + name.replace('"', '\\"') + '"'
+
+
+def _escape_string(value: str) -> str:
+    return "'" + value.replace("'", "\\'") + "'"
+
+
+class InfluxDBSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.url = config["url"].rstrip("/")
+        self.database = config["database"]
+
+    def _query(self, q: str, epoch: str = "u") -> List[dict]:
+        params = urllib.parse.urlencode(
+            {"db": self.database, "q": q, "epoch": epoch}
+        )
+        with urllib.request.urlopen(f"{self.url}/query?{params}") as response:
+            payload = json.load(response)
+        results = payload.get("results", [])
+        if not results:
+            return []
+        return results[0].get("series", [])
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        """SHOW SERIES → one selector per (measurement, tag set, field)."""
+        for series in self._query("SHOW SERIES"):
+            for (key,) in series.get("values", []):
+                # key format: measurement,tag1=v1,tag2=v2
+                measurement, _, tag_str = key.partition(",")
+                tags = {"__measurement__": measurement}
+                if tag_str:
+                    for part in tag_str.split(","):
+                        k, _, v = part.partition("=")
+                        tags[k] = v
+                for field_series in self._query(
+                    f"SHOW FIELD KEYS FROM {_escape_identifier(measurement)}"
+                ):
+                    for field_key, _ftype in field_series.get("values", []):
+                        selector = SeriesSelector(self.name, tags, field_key)
+                        if search.tags and any(
+                            tags.get(k) != v for k, v in search.tags.items()
+                        ):
+                            continue
+                        yield selector
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return Metadata(selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        measurement = selector.tags.get("__measurement__", "")
+        conditions = [
+            f"time >= {int(start.timestamp() * 1_000_000)}u",
+            f"time <= {int(end.timestamp() * 1_000_000)}u",  # closed (parity)
+        ]
+        for key, value in selector.tags.items():
+            if key == "__measurement__":
+                continue
+            conditions.append(
+                f"{_escape_identifier(key)} = {_escape_string(value)}"
+            )
+        q = (
+            f"SELECT time, {_escape_identifier(selector.field)} "
+            f"FROM {_escape_identifier(measurement)} "
+            f"WHERE {' AND '.join(conditions)}"
+        )
+        rows = []
+        for series in self._query(q):
+            for time_us, value in series.get("values", []):
+                rows.append(
+                    (
+                        datetime.fromtimestamp(time_us / 1e6, tz=timezone.utc),
+                        float(value) if value is not None else None,
+                    )
+                )
+        return self.spark.createDataFrame(rows, data_schema()).orderBy("ts")

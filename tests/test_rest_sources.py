@@ -1,0 +1,198 @@
+"""REST sources against a canned-response HTTP stub (the reference's
+mocked-HTTP test pattern, tests/source/test_piwebapi_*.py style).
+"""
+
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.sources.elasticsearch import ElasticsearchSource
+from kukur_spark.sources.influxdb import InfluxDBSource
+
+START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+END = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+
+class StubHandler(BaseHTTPRequestHandler):
+    requests: list = []
+
+    def log_message(self, *args):  # silence
+        pass
+
+    def _reply(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    # -- influx ------------------------------------------------------------
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        q = parse_qs(parsed.query).get("q", [""])[0]
+        StubHandler.requests.append(("GET", self.path, q))
+        if q == "SHOW SERIES":
+            self._reply(
+                {
+                    "results": [
+                        {
+                            "series": [
+                                {
+                                    "columns": ["key"],
+                                    "values": [["temperature,location=antwerp"]],
+                                }
+                            ]
+                        }
+                    ]
+                }
+            )
+        elif q.startswith("SHOW FIELD KEYS"):
+            self._reply(
+                {
+                    "results": [
+                        {
+                            "series": [
+                                {
+                                    "columns": ["fieldKey", "fieldType"],
+                                    "values": [["value", "float"]],
+                                }
+                            ]
+                        }
+                    ]
+                }
+            )
+        elif q.startswith("SELECT"):
+            self._reply(
+                {
+                    "results": [
+                        {
+                            "series": [
+                                {
+                                    "columns": ["time", "value"],
+                                    "values": [
+                                        [1704067200000000, 20.5],
+                                        [1704070800000000, 21.0],
+                                    ],
+                                }
+                            ]
+                        }
+                    ]
+                }
+            )
+        else:
+            self._reply({"results": []})
+
+    # -- elasticsearch -----------------------------------------------------
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length) or b"{}")
+        StubHandler.requests.append(("POST", self.path, body))
+        if self.path == "/_sql":
+            if "cursor" in body:
+                self._reply({"rows": [["barcelona"]], "columns": [{"name": "location"}]})
+            else:
+                self._reply(
+                    {
+                        "columns": [{"name": "location"}],
+                        "rows": [["antwerp"]],
+                        "cursor": "next-page",
+                    }
+                )
+        elif self.path.endswith("/_search"):
+            if "search_after" in body:
+                self._reply({"hits": {"hits": []}})
+            else:
+                self._reply(
+                    {
+                        "hits": {
+                            "hits": [
+                                {
+                                    "_source": {
+                                        "@timestamp": "2024-01-01T00:00:00Z",
+                                        "value": 1.5,
+                                    },
+                                    "sort": [1704067200000, 0],
+                                },
+                                {
+                                    "_source": {
+                                        "@timestamp": "2024-01-01T01:00:00Z",
+                                        "value": 2.5,
+                                    },
+                                    "sort": [1704070800000, 1],
+                                },
+                            ]
+                        }
+                    }
+                )
+        else:
+            self._reply({})
+
+
+@pytest.fixture(scope="module")
+def stub_url():
+    server = HTTPServer(("localhost", 0), StubHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def test_influx_search_and_data(spark, stub_url):
+    source = InfluxDBSource(
+        spark, "influx", {"url": stub_url, "database": "db"}
+    )
+    series = list(source.search(SeriesSearch("influx")))
+    assert len(series) == 1
+    assert series[0].tags == {
+        "__measurement__": "temperature",
+        "location": "antwerp",
+    }
+    rows = source.get_data(series[0], START, END).collect()
+    assert [r["value"] for r in rows] == [20.5, 21.0]
+    assert rows[0]["ts"] == datetime(2024, 1, 1)
+    # the generated InfluxQL uses a CLOSED range (reference parity) and
+    # escaped identifiers
+    select_q = next(q for m, p, q in StubHandler.requests if str(q).startswith("SELECT"))
+    assert "time >= 1704067200000000u" in select_q
+    assert "time <= 1704153600000000u" in select_q
+    assert '"location" = \'antwerp\'' in select_q
+
+
+def test_elasticsearch_sql_cursor_search(spark, stub_url):
+    source = ElasticsearchSource(
+        spark,
+        "es",
+        {"url": stub_url, "index": "metrics", "tag_columns": ["location"]},
+    )
+    names = sorted(s.tags["location"] for s in source.search(SeriesSearch("es")))
+    assert names == ["antwerp", "barcelona"]  # both cursor pages consumed
+
+
+def test_elasticsearch_data_pagination(spark, stub_url):
+    StubHandler.requests.clear()
+    source = ElasticsearchSource(
+        spark,
+        "es",
+        {
+            "url": stub_url,
+            "index": "metrics",
+            "tag_columns": ["location"],
+            "query_page_size": 2,
+        },
+    )
+    selector = SeriesSelector("es", {"location": "antwerp"}, "value")
+    rows = source.get_data(selector, START, END).collect()
+    assert [r["value"] for r in rows] == [1.5, 2.5]
+    searches = [b for m, p, b in StubHandler.requests if p.endswith("/_search")]
+    assert len(searches) == 2  # page 1 full → search_after page 2 empty
+    assert searches[1]["search_after"] == [1704070800000, 1]
+    # term + closed range filters present
+    filters = searches[0]["query"]["bool"]["filter"]
+    assert {"term": {"location": "antwerp"}} in filters
+    assert any("range" in f and f["range"]["@timestamp"]["lte"] for f in filters)
