@@ -301,6 +301,17 @@ def _register_builtin() -> None:
         "elasticsearch",
         lambda spark, name, config: ElasticsearchSource(spark, name, config),
     )
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+    from kukur_spark.sources.piwebapi import PIWebAPISource
+
+    SourceFactory.register_source(
+        "azure_data_explorer",
+        lambda spark, name, config: AzureDataExplorerSource(spark, name, config),
+    )
+    SourceFactory.register_source(
+        "piwebapi",
+        lambda spark, name, config: PIWebAPISource(spark, name, config),
+    )
 
 
 _register_builtin()

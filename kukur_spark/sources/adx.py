@@ -1,0 +1,196 @@
+"""Azure Data Explorer (Kusto) source: KQL over the REST v2 query API.
+
+Parity target: reference
+``kukur/source/azure_data_explorer/azure_data_explorer.py`` —
+
+- data reads build KQL ``<table> | where ts between (..) | where tag == .. |
+  project .. | sort by ts asc`` (:297-322; note the reference uses a
+  **closed** ``between`` range);
+- results are paginated with ``serialize | where row_number() > N | take M``
+  (:252-270), halving the page size on E_QUERY_RESULT_SET_TOO_LARGE
+  (:272-276, start 500 000) and exponential backoff on throttling
+  (:279-286, max 8 retries);
+- series discovery is ``distinct`` over the tag columns (:180-194);
+- latest-value metadata via ``summarize arg_max(ts, ..) by tags`` (:196-229).
+
+Driver-side stdlib REST client (no azure-kusto-data dependency); auth is a
+caller-provided bearer token hook.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import data_schema, union_conform
+
+DEFAULT_MAX_ITEMS = 500_000  # reference azure_data_explorer.py:44
+DEFAULT_BACKOFF_COUNT = 8  # reference azure_data_explorer.py:45
+
+
+class TooLargeError(Exception):
+    pass
+
+
+class ThrottledError(Exception):
+    pass
+
+
+def _escape(value: str) -> str:
+    return "'" + value.replace("'", "\\'") + "'"
+
+
+class AzureDataExplorerSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.url = config["url"].rstrip("/")
+        self.database = config["database"]
+        self.table = config["table"]
+        self.ts_column = config.get("timestamp_column", "ts")
+        self.value_column = config.get("value_column", "value")
+        self.tag_columns = list(config.get("tag_columns", []))
+        self.max_items = int(config.get("max_items_per_call", DEFAULT_MAX_ITEMS))
+        self.backoff_count = int(
+            config.get("throttle_backoff_count", DEFAULT_BACKOFF_COUNT)
+        )
+        self._sleep: Callable[[float], None] = config.get("_sleep", time.sleep)
+        self.token_provider: Optional[Callable[[], str]] = config.get(
+            "token_provider"
+        )
+
+    # -- transport ---------------------------------------------------------
+    def _execute(self, kql: str) -> List[List[Any]]:
+        headers = {"Content-Type": "application/json"}
+        if self.token_provider is not None:
+            headers["Authorization"] = f"Bearer {self.token_provider()}"
+        request = urllib.request.Request(
+            f"{self.url}/v2/rest/query",
+            data=json.dumps({"db": self.database, "csl": kql}).encode(),
+            headers=headers,
+        )
+        try:
+            with urllib.request.urlopen(request) as response:
+                payload = json.load(response)
+        except urllib.error.HTTPError as error:  # pragma: no cover - mapped below
+            body = error.read().decode(errors="replace")
+            if "E_QUERY_RESULT_SET_TOO_LARGE" in body:
+                raise TooLargeError(body) from error
+            if error.code == 429:
+                raise ThrottledError(body) from error
+            raise
+        for frame in payload:
+            if frame.get("FrameType") == "DataTable" and frame.get(
+                "TableKind", "PrimaryResult"
+            ) == "PrimaryResult":
+                return frame.get("Rows", [])
+        return []
+
+    def _execute_with_policy(self, kql: str) -> List[List[Any]]:
+        """Throttle backoff: 2^n seconds, up to backoff_count retries."""
+        for attempt in range(self.backoff_count + 1):
+            try:
+                return self._execute(kql)
+            except ThrottledError:
+                if attempt == self.backoff_count:
+                    raise
+                self._sleep(2**attempt)
+        raise AssertionError("unreachable")
+
+    # -- verbs -------------------------------------------------------------
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        tags = ", ".join(self.tag_columns)
+        rows = self._execute_with_policy(
+            f"['{self.table}'] | distinct {tags} | sort by {tags} asc"
+        )
+        for row in rows:
+            tag_map = {
+                column: str(value)
+                for column, value in zip(self.tag_columns, row)
+            }
+            if search.tags and any(
+                tag_map.get(k) != v for k, v in search.tags.items()
+            ):
+                continue
+            yield SeriesSelector(self.name, tag_map, self.value_column)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return Metadata(selector)
+
+    def _base_query(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> str:
+        conditions = [
+            f"| where {self.ts_column} between "
+            f"(datetime({start.isoformat()}) .. datetime({end.isoformat()}))"
+        ]
+        for key, value in selector.tags.items():
+            conditions.append(f"| where ['{key}'] == {_escape(value)}")
+        return (
+            f"['{self.table}'] "
+            + " ".join(conditions)
+            + f" | project {self.ts_column}, {self.value_column}"
+            + f" | sort by {self.ts_column} asc"
+        )
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        """Paged read: serialize/row_number/take, halving on too-large."""
+        base = self._base_query(selector, start, end)
+        pages: List[DataFrame] = []
+        skip = 0
+        page_size = self.max_items
+        while True:
+            kql = (
+                f"{base} | serialize | where row_number() > {skip} "
+                f"| take {page_size}"
+            )
+            try:
+                rows = self._execute_with_policy(kql)
+            except TooLargeError:
+                if page_size <= 1:
+                    raise
+                page_size //= 2  # adaptive halving (reference :272-276)
+                continue
+            if rows:
+                records = [
+                    (
+                        datetime.fromisoformat(
+                            str(ts).replace("Z", "+00:00")
+                        ).astimezone(timezone.utc),
+                        float(value) if value is not None else None,
+                    )
+                    for ts, value in rows
+                ]
+                pages.append(self.spark.createDataFrame(records, data_schema()))
+            if len(rows) < page_size:
+                break
+            skip += len(rows)
+        if not pages:
+            from kukur_spark.schema import empty_data_frame
+
+            return empty_data_frame(self.spark)
+        return union_conform(pages).orderBy("ts")
+
+    def get_latest(self, search: SeriesSearch) -> List[Dict[str, Any]]:
+        """arg_max latest-value metadata per series (reference :196-229)."""
+        tags = ", ".join(self.tag_columns)
+        rows = self._execute_with_policy(
+            f"['{self.table}'] | summarize arg_max({self.ts_column}, "
+            f"{self.value_column}) by {tags}"
+        )
+        out = []
+        for row in rows:
+            item = dict(zip(self.tag_columns, row))
+            item["ts"], item["value"] = row[len(self.tag_columns):][:2]
+            out.append(item)
+        return out

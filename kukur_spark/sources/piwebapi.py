@@ -1,0 +1,123 @@
+"""PI Web API Data Archive source: recorded-data pages over REST.
+
+Parity target: reference ``kukur/source/piwebapi_da/piwebapi_da.py`` —
+
+- data reads page through ``/streams/{webid}/recorded`` with ``maxCount``
+  (default 150 000, reference :152-155), resuming from the last returned
+  timestamp (:248-313);
+- the resume row duplicates the page boundary — the duplicate is dropped
+  (W3, reference :299-309);
+- PI system-state sentinel values are filtered out (F6, reference
+  pi_asset_framework.py:976-988);
+- the ``Good`` flag maps to the canonical quality column (M6).
+
+Series discovery lists ``/dataservers/{webid}/points``.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from datetime import datetime, timezone
+from typing import Any, Dict, Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import data_schema, union_conform
+
+DEFAULT_MAX_ITEMS = 150_000  # reference piwebapi_da.py:152-155
+
+
+class PIWebAPISource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.url = config["url"].rstrip("/")
+        self.dataserver_webid = config.get("dataserver_webid", "")
+        self.max_items = int(
+            config.get("max_returned_items_per_call", DEFAULT_MAX_ITEMS)
+        )
+
+    def _get(self, path: str, params: Dict[str, Any]) -> Dict[str, Any]:
+        query = urllib.parse.urlencode(params)
+        with urllib.request.urlopen(f"{self.url}{path}?{query}") as response:
+            return json.load(response)
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        payload = self._get(
+            f"/dataservers/{self.dataserver_webid}/points", {}
+        )
+        for item in payload.get("Items", []):
+            selector = SeriesSelector(
+                self.name,
+                {SERIES_NAME_TAG: item["Name"], "__webid__": item["WebId"]},
+            )
+            if search.tags and search.tags.get(SERIES_NAME_TAG) != item["Name"]:
+                continue
+            yield selector
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = Metadata(selector)
+        webid = selector.tags.get("__webid__")
+        if webid:
+            payload = self._get(f"/points/{webid}", {})
+            metadata["description"] = payload.get("Descriptor", "")
+            metadata["unit"] = payload.get("EngineeringUnits", "")
+        return metadata
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        webid = selector.tags.get("__webid__")
+        if not webid:
+            raise KeyError(f"series {selector.name!r} has no PI WebId tag")
+        pages: List[DataFrame] = []
+        page_start = start
+        first_page = True
+        while True:
+            payload = self._get(
+                f"/streams/{webid}/recorded",
+                {
+                    "startTime": page_start.isoformat(),
+                    "endTime": end.isoformat(),
+                    "maxCount": self.max_items,
+                },
+            )
+            items = payload.get("Items", [])
+            rows = []
+            for item in items:
+                value = item.get("Value")
+                # F6: PI system states arrive as objects with a Name
+                if isinstance(value, dict):
+                    continue
+                ts = datetime.fromisoformat(
+                    str(item["Timestamp"]).replace("Z", "+00:00")
+                ).astimezone(timezone.utc)
+                rows.append(
+                    (
+                        ts,
+                        float(value) if value is not None else None,
+                        1 if item.get("Good", True) else 0,
+                    )
+                )
+            # W3: the resume timestamp duplicates the previous page's last row
+            if not first_page and rows and rows[0][0] == page_start:
+                rows = rows[1:]
+            if rows:
+                pages.append(
+                    self.spark.createDataFrame(
+                        rows, data_schema(with_quality=True)
+                    )
+                )
+            if len(items) < self.max_items or not rows:
+                break
+            page_start = rows[-1][0]
+            first_page = False
+        if not pages:
+            from kukur_spark.schema import empty_data_frame
+
+            return empty_data_frame(self.spark, with_quality=True)
+        return union_conform(pages).orderBy("ts")

@@ -1,0 +1,195 @@
+"""ADX and PI Web API adapters against canned-HTTP stubs: pagination,
+adaptive page halving, throttle backoff, boundary dedup, quality flags.
+"""
+
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.sources.adx import AzureDataExplorerSource
+from kukur_spark.sources.piwebapi import PIWebAPISource
+
+START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+END = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+
+def _adx_rows(rows):
+    return [
+        {"FrameType": "DataSetHeader"},
+        {"FrameType": "DataTable", "TableKind": "PrimaryResult", "Rows": rows},
+        {"FrameType": "DataSetCompletion"},
+    ]
+
+
+class AdxHandler(BaseHTTPRequestHandler):
+    queries: list = []
+    throttle_first = 0
+
+    def log_message(self, *args):
+        pass
+
+    def _reply(self, payload, code=200):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        kql = json.loads(self.rfile.read(length))["csl"]
+        AdxHandler.queries.append(kql)
+        if AdxHandler.throttle_first > 0:
+            AdxHandler.throttle_first -= 1
+            self._reply({"error": "throttled"}, 429)
+            return
+        if "distinct" in kql:
+            self._reply(_adx_rows([["pump-1"], ["pump-2"]]))
+            return
+        if "take 4" in kql:  # page too large → halving kicks in
+            body = json.dumps({"error": "E_QUERY_RESULT_SET_TOO_LARGE"}).encode()
+            self.send_response(400)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if "row_number() > 0" in kql:
+            self._reply(
+                _adx_rows(
+                    [
+                        ["2024-01-01T00:00:00Z", 1.0],
+                        ["2024-01-01T01:00:00Z", 2.0],
+                    ]
+                )
+            )
+        elif "row_number() > 2" in kql:
+            self._reply(_adx_rows([["2024-01-01T02:00:00Z", 3.0]]))
+        else:
+            self._reply(_adx_rows([]))
+
+
+@pytest.fixture()
+def adx_url():
+    server = HTTPServer(("localhost", 0), AdxHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def make_adx(spark, url, **kwargs):
+    sleeps = []
+    config = {
+        "url": url,
+        "database": "db",
+        "table": "data",
+        "tag_columns": ["series"],
+        "max_items_per_call": 4,
+        "_sleep": sleeps.append,
+        **kwargs,
+    }
+    return AzureDataExplorerSource(spark, "adx", config), sleeps
+
+
+def test_adx_search_distinct(spark, adx_url):
+    source, _ = make_adx(spark, adx_url)
+    names = [s.tags["series"] for s in source.search(SeriesSearch("adx"))]
+    assert names == ["pump-1", "pump-2"]
+
+
+def test_adx_paged_read_with_halving(spark, adx_url):
+    AdxHandler.queries.clear()
+    source, _ = make_adx(spark, adx_url)
+    selector = SeriesSelector("adx", {"series": "pump-1"}, "value")
+    rows = source.get_data(selector, START, END).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0, 3.0]
+    # first attempt at take 4 failed too-large → retried at take 2
+    takes = [q for q in AdxHandler.queries if "take" in q]
+    assert any("take 4" in q for q in takes)
+    assert any("take 2" in q for q in takes)
+    # KQL shape: closed between-range + tag where + sort
+    assert any("between" in q and "== 'pump-1'" in q for q in AdxHandler.queries)
+
+
+def test_adx_throttle_backoff(spark, adx_url):
+    AdxHandler.throttle_first = 2
+    source, sleeps = make_adx(spark, adx_url)
+    names = [s.tags["series"] for s in source.search(SeriesSearch("adx"))]
+    assert names == ["pump-1", "pump-2"]
+    assert sleeps == [1, 2]  # 2^0, 2^1 exponential backoff
+
+
+class PiHandler(BaseHTTPRequestHandler):
+    requests: list = []
+
+    def log_message(self, *args):
+        pass
+
+    def _reply(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        PiHandler.requests.append(self.path)
+        if "/points" in parsed.path and "/dataservers" in parsed.path:
+            self._reply(
+                {"Items": [{"Name": "tag-1", "WebId": "W1"}]}
+            )
+        elif "/streams/W1/recorded" in parsed.path:
+            start = parse_qs(parsed.query)["startTime"][0]
+            if start.startswith("2024-01-01T00:00:00"):
+                self._reply(
+                    {
+                        "Items": [
+                            {"Timestamp": "2024-01-01T00:30:00Z", "Value": 1.0, "Good": True},
+                            {"Timestamp": "2024-01-01T01:00:00Z", "Value": {"Name": "Shutdown"}, "Good": False},
+                            {"Timestamp": "2024-01-01T02:00:00Z", "Value": 2.0, "Good": False},
+                        ]
+                    }
+                )
+            else:  # resume page: first row repeats the boundary ts
+                self._reply(
+                    {
+                        "Items": [
+                            {"Timestamp": "2024-01-01T02:00:00Z", "Value": 2.0, "Good": False},
+                            {"Timestamp": "2024-01-01T03:00:00Z", "Value": 3.0, "Good": True},
+                        ]
+                    }
+                )
+        else:
+            self._reply({"Descriptor": "demo point", "EngineeringUnits": "bar"})
+
+
+@pytest.fixture()
+def pi_url():
+    server = HTTPServer(("localhost", 0), PiHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def test_pi_paged_read_boundary_dedup_quality(spark, pi_url):
+    source = PIWebAPISource(
+        spark,
+        "pi",
+        {"url": pi_url, "dataserver_webid": "DS1", "max_returned_items_per_call": 3},
+    )
+    series = list(source.search(SeriesSearch("pi")))
+    assert series[0].tags["series name"] == "tag-1"
+    metadata = source.get_metadata(series[0])
+    assert metadata["unit"] == "bar"
+    rows = source.get_data(series[0], START, END).collect()
+    # system-state row dropped, boundary duplicate dropped, quality mapped
+    assert [(r["value"], r["quality"]) for r in rows] == [
+        (1.0, 1),
+        (2.0, 0),
+        (3.0, 1),
+    ]
