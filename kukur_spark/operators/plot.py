@@ -58,13 +58,17 @@ def plot_buckets(
     span = max(end_us - start_us, 1)
     bucketed = df.withColumn(BUCKET_COLUMN, _bucket_expr(start, end, interval_count))
     value, ts = F.col(VALUE_COLUMN), F.col(TS_COLUMN)
+    # struct-ordered argmin/argmax: deterministic under value ties
+    # (earliest ts among min-value rows, latest ts among max-value rows)
+    by_value = F.struct(value.alias("v"), ts.alias("t"))
+    by_ts = F.struct(ts.alias("t"), value.alias("v"))
     agg = bucketed.groupBy(*group_columns, BUCKET_COLUMN).agg(
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
-        F.min_by(value, ts).alias("first_value"),
-        F.max_by(value, ts).alias("last_value"),
-        F.min_by(ts, value).alias("ts_min"),
-        F.max_by(ts, value).alias("ts_max"),
+        F.min(by_ts).getField("v").alias("first_value"),
+        F.max(by_ts).getField("v").alias("last_value"),
+        F.min(by_value).getField("t").alias("ts_min"),
+        F.max(by_value).getField("t").alias("ts_max"),
         F.min(ts).alias("ts_first"),
         F.max(ts).alias("ts_last"),
         F.count(F.lit(1)).alias("n_points"),

@@ -312,6 +312,12 @@ def _register_builtin() -> None:
         "piwebapi",
         lambda spark, name, config: PIWebAPISource(spark, name, config),
     )
+    from kukur_spark.sources.databricks_rest import DatabricksRestSource
+
+    SourceFactory.register_source(
+        "databricks_rest",
+        lambda spark, name, config: DatabricksRestSource(spark, name, config),
+    )
 
 
 _register_builtin()

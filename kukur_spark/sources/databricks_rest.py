@@ -1,0 +1,129 @@
+"""Databricks SQL statement-execution source (REST, Arrow external links).
+
+Parity target: reference ``kukur/source/databricks_sql/databricks_rest.py``
+— POST a statement to ``/api/2.0/sql/statements`` with
+``disposition=EXTERNAL_LINKS`` and ``format=ARROW_STREAM`` and a 50 s wait
+(:199-200), poll on PENDING/RUNNING, then download every external-link
+chunk as an Arrow IPC stream and concatenate (:184-250).
+
+When the engine itself runs *on* Databricks, prefer the `spark_sql` source
+(native ``spark.sql``) — this adapter is for reading a remote workspace.
+Queries are config-templated like the S7 SQL family: ``data_query`` with
+``:tagN``/``:start``/``:end`` placeholders.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+import urllib.request
+from datetime import datetime
+from typing import Any, Dict, Iterator, List
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.schema import conform
+
+WAIT_TIMEOUT_S = 50  # reference databricks_rest.py:199-200
+
+
+class DatabricksRestSource:
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        self.spark = spark
+        self.name = name
+        self.url = config["url"].rstrip("/")
+        self.warehouse_id = config.get("warehouse_id", "")
+        self.token = config.get("token")
+        self.tag_columns = list(config.get("tag_columns", [SERIES_NAME_TAG]))
+        self.config = config
+        self._sleep = config.get("_sleep", time.sleep)
+
+    def _request(self, method: str, path: str, body: Any = None) -> Dict[str, Any]:
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        request = urllib.request.Request(
+            f"{self.url}{path}",
+            data=json.dumps(body).encode() if body is not None else None,
+            headers=headers,
+            method=method,
+        )
+        with urllib.request.urlopen(request) as response:
+            return json.load(response)
+
+    def _download(self, link: str) -> bytes:
+        with urllib.request.urlopen(link) as response:
+            return response.read()
+
+    def _execute(self, statement: str):
+        """Run a statement; return the concatenated Arrow table."""
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        payload = self._request(
+            "POST",
+            "/api/2.0/sql/statements",
+            {
+                "statement": statement,
+                "warehouse_id": self.warehouse_id,
+                "disposition": "EXTERNAL_LINKS",
+                "format": "ARROW_STREAM",
+                "wait_timeout": f"{WAIT_TIMEOUT_S}s",
+            },
+        )
+        while payload["status"]["state"] in ("PENDING", "RUNNING"):
+            self._sleep(1)
+            payload = self._request(
+                "GET", f"/api/2.0/sql/statements/{payload['statement_id']}"
+            )
+        if payload["status"]["state"] != "SUCCEEDED":
+            raise RuntimeError(
+                f"statement failed: {payload['status'].get('error')}"
+            )
+        tables = []
+        for chunk in payload.get("result", {}).get("external_links", []):
+            data = self._download(chunk["external_link"])
+            tables.append(pyarrow.ipc.open_stream(io.BytesIO(data)).read_all())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    def _template(self, query: str, selector: SeriesSelector,
+                  start: datetime, end: datetime) -> str:
+        for i, column in enumerate(self.tag_columns):
+            query = query.replace(
+                f":tag{i}", "'" + selector.tags.get(column, "").replace("'", "''") + "'"
+            )
+        return query.replace(":start", f"'{start.isoformat()}'").replace(
+            ":end", f"'{end.isoformat()}'"
+        )
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        query = self.config.get("list_query")
+        if query is None:
+            return
+        table = self._execute(query)
+        for row in table.to_pylist():
+            tags = {
+                c: str(row[c]) for c in self.tag_columns if row.get(c) is not None
+            }
+            if search.tags and any(
+                tags.get(k) != v for k, v in search.tags.items()
+            ):
+                continue
+            yield SeriesSelector(self.name, tags)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return Metadata(selector)
+
+    def get_data(
+        self, selector: SeriesSelector, start: datetime, end: datetime
+    ) -> DataFrame:
+        statement = self._template(
+            self.config["data_query"], selector, start, end
+        )
+        table = self._execute(statement)
+        return conform(self.spark.createDataFrame(table.to_pandas()))

@@ -365,6 +365,43 @@ ORDER BY event_type, bucket
 """
 
 
+def ts_plot_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """The reduced-series plot verb: envelope points, canonical schema."""
+    from kukur_spark.operators.plot import plot_downsample
+
+    events = load_table(spark, sf, "events").select("event_type", "ts", "value")
+    reduced = plot_downsample(
+        events, EVENTS_START, EVENTS_END, 24, group_columns=["event_type"]
+    )
+    return reduced.select(
+        "event_type", us("ts").alias("ts_us"), F.col("value")
+    ).orderBy("event_type", "ts_us")
+
+
+TS_PLOT_DOWNSAMPLE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+    LEAST(CAST(FLOOR((epoch_us(ts) - {EVENTS_START_US}) * 24.0
+          / {EVENTS_END_US - EVENTS_START_US}) AS BIGINT), 23) AS bucket,
+    MIN(epoch_us(ts)) AS ts_first,
+    (MIN({{'t': epoch_us(ts), 'v': value}})).v AS first_value,
+    (MIN({{'v': value, 't': epoch_us(ts)}})).t AS ts_min, MIN(value) AS min_value,
+    (MAX({{'v': value, 't': epoch_us(ts)}})).t AS ts_max, MAX(value) AS max_value,
+    MAX(epoch_us(ts)) AS ts_last,
+    (MAX({{'t': epoch_us(ts), 'v': value}})).v AS last_value
+  FROM events GROUP BY event_type, bucket
+),
+points AS (
+  SELECT event_type, ts_first AS ts_us, first_value AS value FROM stats
+  UNION ALL SELECT event_type, ts_min, min_value FROM stats
+  UNION ALL SELECT event_type, ts_max, max_value FROM stats
+  UNION ALL SELECT event_type, ts_last, last_value FROM stats
+)
+SELECT DISTINCT event_type, ts_us, value FROM points
+ORDER BY event_type, ts_us
+"""
+
+
 def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each error event matched to the user's latest purchase."""
     events = load_table(spark, sf, "events")
@@ -903,6 +940,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_series_discovery": ts_series_discovery,
     "ts_latest_value": ts_latest_value,
     "ts_plot_buckets": ts_plot_buckets,
+    "ts_plot_downsample": ts_plot_downsample,
     "ts_asof_join": ts_asof_join,
     "ts_interval_union": ts_interval_union,
     "events_daily_window": events_daily_window,
@@ -937,6 +975,7 @@ ORACLES: Dict[str, str] = {
     "ts_series_discovery": TS_SERIES_DISCOVERY_SQL,
     "ts_latest_value": TS_LATEST_VALUE_SQL,
     "ts_plot_buckets": TS_PLOT_BUCKETS_SQL,
+    "ts_plot_downsample": TS_PLOT_DOWNSAMPLE_SQL,
     "ts_asof_join": TS_ASOF_JOIN_SQL,
     "ts_interval_union": TS_INTERVAL_UNION_SQL,
     "events_daily_window": EVENTS_DAILY_WINDOW_SQL,

@@ -1,0 +1,132 @@
+"""Databricks statement-execution adapter against a canned HTTP stub:
+polling, external-link Arrow chunk download, query templating.
+"""
+
+import io
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pyarrow as pa
+import pyarrow.ipc
+import pytest
+
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.sources.databricks_rest import DatabricksRestSource
+
+START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+END = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+
+def arrow_bytes(table: pa.Table) -> bytes:
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()
+
+
+class DbxHandler(BaseHTTPRequestHandler):
+    statements: list = []
+    polls = 0
+
+    def log_message(self, *args):
+        pass
+
+    def _reply_json(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_bytes(self, body):
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length))
+        DbxHandler.statements.append(body)
+        assert body["disposition"] == "EXTERNAL_LINKS"
+        assert body["format"] == "ARROW_STREAM"
+        # first respond PENDING to exercise the polling loop
+        self._reply_json(
+            {"statement_id": "st-1", "status": {"state": "PENDING"}}
+        )
+
+    def do_GET(self):
+        base = f"http://localhost:{self.server.server_port}"
+        if self.path.startswith("/api/2.0/sql/statements/st-1"):
+            DbxHandler.polls += 1
+            self._reply_json(
+                {
+                    "statement_id": "st-1",
+                    "status": {"state": "SUCCEEDED"},
+                    "result": {
+                        "external_links": [
+                            {"external_link": f"{base}/chunk/0"},
+                            {"external_link": f"{base}/chunk/1"},
+                        ]
+                    },
+                }
+            )
+        elif self.path == "/chunk/0":
+            table = pa.table(
+                {
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, tzinfo=timezone.utc)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "value": [1.0],
+                }
+            )
+            self._reply_bytes(arrow_bytes(table))
+        elif self.path == "/chunk/1":
+            table = pa.table(
+                {
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, 6, tzinfo=timezone.utc)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "value": [2.0],
+                }
+            )
+            self._reply_bytes(arrow_bytes(table))
+
+
+@pytest.fixture()
+def dbx_url():
+    server = HTTPServer(("localhost", 0), DbxHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def test_databricks_poll_and_chunked_arrow(spark, dbx_url):
+    DbxHandler.statements.clear()
+    DbxHandler.polls = 0
+    source = DatabricksRestSource(
+        spark,
+        "dbx",
+        {
+            "url": dbx_url,
+            "warehouse_id": "wh1",
+            "token": "secret",
+            "tag_columns": ["series name"],
+            "data_query": (
+                "SELECT ts, value FROM data WHERE name = :tag0 "
+                "AND ts >= :start AND ts < :end"
+            ),
+            "_sleep": lambda s: None,
+        },
+    )
+    selector = SeriesSelector.from_name("dbx", "pump-1")
+    rows = source.get_data(selector, START, END).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0]  # both chunks united
+    assert DbxHandler.polls == 1  # PENDING → one poll → SUCCEEDED
+    statement = DbxHandler.statements[0]["statement"]
+    assert "name = 'pump-1'" in statement
+    assert "ts >= '2024-01-01" in statement

@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis): parsing round-trips, promotion
+algebra, plot-bucket invariants.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.schema import promote_value_type
+
+# tag keys/values must avoid the reserved separators , = ::
+tag_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="-_ ."
+    ),
+    min_size=1,
+    max_size=20,
+).filter(lambda s: s.strip() == s)
+
+
+@given(
+    tags=st.dictionaries(tag_text, tag_text, min_size=1, max_size=4),
+    field=tag_text,
+)
+@settings(max_examples=200, deadline=None)
+def test_selector_name_round_trip(tags, field):
+    selector = SeriesSelector.from_tags("src", tags, field)
+    parsed = SeriesSelector.from_name("src", selector.name)
+    assert parsed.field == field
+    # single bare "series name" tag round-trips to itself; otherwise exact
+    if list(tags.keys()) == ["series name"]:
+        assert parsed.tags == tags
+    elif all("=" not in k and "," not in k for k in tags):
+        assert parsed.tags == tags
+
+
+_NUMERIC = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_ALL = _NUMERIC + [T.FloatType(), T.DoubleType(), T.StringType()]
+
+
+@given(st.lists(st.sampled_from(_ALL), min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_promotion_rules_total(types):
+    promoted = promote_value_type(types)
+    if any(isinstance(t, T.StringType) for t in types):
+        assert isinstance(promoted, T.StringType)
+    elif all(isinstance(t, tuple(type(n) for n in _NUMERIC)) for t in types):
+        assert isinstance(promoted, T.LongType)
+    else:
+        assert isinstance(promoted, T.DoubleType)
+
+
+@given(st.lists(st.sampled_from(_ALL), min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_promotion_order_insensitive(types):
+    assert type(promote_value_type(types)) is type(
+        promote_value_type(list(reversed(types)))
+    )
+
+
+@given(
+    n_points=st.integers(1, 50),
+    interval_count=st.integers(1, 20),
+    span_hours=st.integers(1, 1000),
+)
+@settings(max_examples=50, deadline=None)
+def test_bucket_ids_in_range(n_points, interval_count, span_hours):
+    """Pure-python mirror of the bucket arithmetic: ids always in
+    [0, interval_count)."""
+    start = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    end = start + timedelta(hours=span_hours)
+    start_us = int(start.timestamp() * 1_000_000)
+    end_us = int(end.timestamp() * 1_000_000)
+    span = max(end_us - start_us, 1)
+    for i in range(n_points):
+        ts_us = start_us + (span * i) // max(n_points - 1, 1)
+        bucket = min(
+            (ts_us - start_us) * interval_count // span, interval_count - 1
+        )
+        assert 0 <= bucket < interval_count

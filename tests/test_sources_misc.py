@@ -64,6 +64,22 @@ def test_binary_row_formats(spark, tmp_path, fmt):
     assert names == ["s1", "s2"]
 
 
+def test_orc_row_format(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s1", datetime(2020, 1, 1), 1.0), ("s1", datetime(2020, 2, 1), 2.0)],
+        "`series name` string, ts timestamp, value double",
+    )
+    path = str(tmp_path / "data.orc")
+    df.coalesce(1).write.orc(path)
+    source = FileSource(
+        spark, "test", FileSourceOptions(path=path, file_format="orc")
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("test", "s1"), START, END
+    ).collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0]
+
+
 def test_ndjson_row_format(spark, tmp_path):
     path = tmp_path / "data.ndjson"
     lines = [
