@@ -313,6 +313,12 @@ def _register_builtin() -> None:
         lambda spark, name, config: PIWebAPISource(spark, name, config),
     )
     from kukur_spark.sources.databricks_rest import DatabricksRestSource
+    from kukur_spark.sources.piwebapi_af import PIAssetFrameworkSource
+
+    SourceFactory.register_source(
+        "piwebapi_af",
+        lambda spark, name, config: PIAssetFrameworkSource(spark, name, config),
+    )
 
     SourceFactory.register_source(
         "databricks_rest",

@@ -1,0 +1,61 @@
+"""PI Asset Framework source: element/attribute hierarchy over REST.
+
+Parity target: reference ``kukur/source/piwebapi_af/pi_asset_framework.py``
+— series discovery walks the AF database's elements (full hierarchy,
+:594-630) and lists each element's attributes; a series is identified by
+(element path, attribute name) and reads data with the same recorded-data
+pager as the Data Archive source (:990-1055) — inherited here from
+``PIWebAPISource`` (boundary dedup W3, system-state filter F6,
+Good→quality M6 all included).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator
+
+from pyspark.sql import SparkSession
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.sources.piwebapi import PIWebAPISource
+
+
+class PIAssetFrameworkSource(PIWebAPISource):
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        super().__init__(spark, name, config)
+        self.database_webid = config.get("database_webid", "")
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        elements = self._get(
+            f"/assetdatabases/{self.database_webid}/elements",
+            {"searchFullHierarchy": "true"},
+        )
+        for element in elements.get("Items", []):
+            attributes = self._get(
+                f"/elements/{element['WebId']}/attributes", {}
+            )
+            for attribute in attributes.get("Items", []):
+                tags = {
+                    SERIES_NAME_TAG: f"{element['Name']}|{attribute['Name']}",
+                    "element": element["Name"],
+                    "attribute": attribute["Name"],
+                    "__webid__": attribute["WebId"],
+                }
+                if search.tags and any(
+                    tags.get(k) != v
+                    for k, v in search.tags.items()
+                    if k != "__webid__"
+                ):
+                    continue
+                yield SeriesSelector(self.name, tags)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = Metadata(selector)
+        webid = selector.tags.get("__webid__")
+        if webid:
+            payload = self._get(f"/attributes/{webid}", {})
+            metadata["description"] = payload.get("Description", "")
+            metadata["unit"] = payload.get("DefaultUnitsName", "")
+        return metadata
+
+    # get_data inherited: /streams/{webid}/recorded pager with W3/F6/M6

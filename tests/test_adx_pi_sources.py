@@ -176,6 +176,58 @@ def pi_url():
     server.shutdown()
 
 
+class PiAfHandler(PiHandler):
+    def do_GET(self):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(self.path)
+        if "/assetdatabases/" in parsed.path:
+            self._reply(
+                {"Items": [{"Name": "Reactor", "WebId": "E1"}]}
+            )
+        elif "/elements/E1/attributes" in parsed.path:
+            self._reply(
+                {"Items": [{"Name": "Temperature", "WebId": "W1"}]}
+            )
+        elif "/attributes/W1" in parsed.path:
+            self._reply(
+                {"Description": "reactor temp", "DefaultUnitsName": "K"}
+            )
+        else:
+            super().do_GET()
+
+
+@pytest.fixture()
+def pi_af_url():
+    server = HTTPServer(("localhost", 0), PiAfHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def test_pi_af_hierarchy_and_data(spark, pi_af_url):
+    from kukur_spark.sources.piwebapi_af import PIAssetFrameworkSource
+
+    source = PIAssetFrameworkSource(
+        spark,
+        "af",
+        {"url": pi_af_url, "database_webid": "DB1",
+         "max_returned_items_per_call": 3},
+    )
+    series = list(source.search(SeriesSearch("af")))
+    assert series[0].tags["element"] == "Reactor"
+    assert series[0].tags["attribute"] == "Temperature"
+    metadata = source.get_metadata(series[0])
+    assert metadata["unit"] == "K"
+    # same pager/dedup/quality path as the DA source (attribute WebId = W1)
+    rows = source.get_data(series[0], START, END).collect()
+    assert [(r["value"], r["quality"]) for r in rows] == [
+        (1.0, 1),
+        (2.0, 0),
+        (3.0, 1),
+    ]
+
+
 def test_pi_paged_read_boundary_dedup_quality(spark, pi_url):
     source = PIWebAPISource(
         spark,

@@ -1,0 +1,86 @@
+"""Skew and bucketing helpers: correctness + shuffle-free bucketed joins."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.scale import (
+    bucketed_join_ready,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # 90% of rows share one hot key
+    hot = spark.range(900).select(
+        F.lit("hot").alias("key"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    cold = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id") % 20).alias("key"),
+        F.lit(1.0).alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_matches_plain(spark, skewed_df):
+    plain = {
+        (r["key"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in skewed_df.groupBy("key")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["key"]): (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+        for r in salted_aggregate(
+            skewed_df, ["key"], {"v": "sum"} | {}, salt=8
+        ).join(
+            salted_aggregate(skewed_df, ["key"], {"v": "count"}, salt=8), "key"
+        ).join(
+            salted_aggregate(skewed_df, ["key"], {"v": "min"}, salt=8), "key"
+        ).join(
+            salted_aggregate(skewed_df, ["key"], {"v": "max"}, salt=8), "key"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, skewed_df):
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k1", "K1"), ("k5", "K5")], "key string, label string"
+    )
+    plain = sorted(
+        (r["key"], r["v"], r["label"])
+        for r in skewed_df.join(dim, "key").collect()
+    )
+    salted = sorted(
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(skewed_df, dim, ["key"], salt=4).collect()
+    )
+    assert salted == plain
+    assert len(salted) == 900 + 5 + 5  # hot + k1 + k5 cold rows
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "bt_left", "k", buckets=4)
+    write_bucketed(right, "bt_right", "k", buckets=4)
+    joined, shuffle_free = bucketed_join_ready(spark, "bt_left", "bt_right", "k")
+    assert shuffle_free, "bucketed join should not shuffle"
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE bt_left")
+    spark.sql("DROP TABLE bt_right")
