@@ -1,0 +1,124 @@
+"""Resampling to a regular grid with STEPPED / LINEAR interpolation.
+
+The reference stores interpolation semantics as *metadata*
+(``InterpolationType`` LINEAR | STEPPED, kukur/base.py:145-149) and leaves
+acting on it to clients. This operator is the engine-side realization:
+project each series onto a regular time grid,
+
+- **stepped**: sample-and-hold — the last value at or before the grid
+  instant (classic as-of semantics);
+- **linear**: interpolate between the bracketing points; exact at grid
+  instants that coincide with data points; null outside the bracket.
+
+Implementation is the same scalable union+window shape as the as-of join
+(one shuffle on the series key, O(1) window state per row, no UDF): grid
+rows and data rows are unioned, ordered by (ts, data-first), and the
+bracketing values arrive via ``last(..., ignorenulls)`` over the preceding
+frame and ``first(..., ignorenulls)`` over the following frame.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
+
+
+def resample(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    interval_seconds: int,
+    how: str = "stepped",
+    group_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Resample ``(group…, ts, value)`` onto a half-open regular grid.
+
+    Returns one row per (group, grid instant) with the interpolated value
+    (null where undefined).
+    """
+    group_columns = group_columns or []
+    spark = df.sparkSession
+    start_us = int(start.timestamp() * 1_000_000)
+    end_us = int(end.timestamp() * 1_000_000)
+    step_us = interval_seconds * 1_000_000
+
+    groups = (
+        df.select(group_columns).distinct()
+        if group_columns
+        else spark.range(1).select(F.lit(1).alias("__g"))
+    )
+    grid = groups.select(
+        *[F.col(c) for c in group_columns],
+        F.explode(
+            F.sequence(
+                F.lit(start_us), F.lit(end_us - 1), F.lit(step_us)
+            )
+        ).alias("ts_us"),
+    ).select(
+        *group_columns,
+        "ts_us",
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast("double").alias("__data_value"),
+        F.lit(None).cast("long").alias("__data_ts"),
+    )
+    data = df.select(
+        *group_columns,
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+        F.lit(0).alias("__is_grid"),
+        F.col(VALUE_COLUMN).cast("double").alias("__data_value"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("__data_ts"),
+    )
+    combined = grid.unionByName(data)
+
+    order = [F.col("ts_us").asc(), F.col("__is_grid").asc()]
+    before = (
+        Window.partitionBy(*group_columns)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    after = (
+        Window.partitionBy(*group_columns)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    with_brackets = (
+        combined.withColumn(
+            "__prev_v", F.last("__data_value", ignorenulls=True).over(before)
+        )
+        .withColumn("__prev_t", F.last("__data_ts", ignorenulls=True).over(before))
+        .withColumn(
+            "__next_v", F.first("__data_value", ignorenulls=True).over(after)
+        )
+        .withColumn("__next_t", F.first("__data_ts", ignorenulls=True).over(after))
+    )
+    grid_rows = with_brackets.filter(F.col("__is_grid") == 1)
+
+    if how == "stepped":
+        value = F.col("__prev_v")
+    elif how == "linear":
+        t = F.col("ts_us").cast("double")
+        t0, t1 = F.col("__prev_t").cast("double"), F.col("__next_t").cast("double")
+        v0, v1 = F.col("__prev_v"), F.col("__next_v")
+        on_point = F.col("__prev_t") == F.col("ts_us")
+        interpolated = v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        value = (
+            F.when(on_point, v0)
+            .when(
+                F.col("__prev_t").isNotNull() & F.col("__next_t").isNotNull(),
+                interpolated,
+            )
+            .otherwise(F.lit(None))
+        )
+    else:
+        raise ValueError(f"unknown interpolation: {how}")
+
+    return grid_rows.select(
+        *group_columns,
+        F.timestamp_micros(F.col("ts_us")).alias(TS_COLUMN),
+        F.round(value, 6).alias(VALUE_COLUMN),
+    ).orderBy(*group_columns, TS_COLUMN)

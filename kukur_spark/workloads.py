@@ -402,6 +402,72 @@ ORDER BY event_type, ts_us
 """
 
 
+def _resample_query(how: str):
+    def query(spark: SparkSession, sf: str) -> DataFrame:
+        from kukur_spark.operators.resample import resample
+
+        events = load_table(spark, sf, "events").select(
+            "event_type", "ts", "value"
+        )
+        out = resample(
+            events,
+            EVENTS_START,
+            EVENTS_END,
+            interval_seconds=6 * 3600,
+            how=how,
+            group_columns=["event_type"],
+        )
+        return out.select(
+            "event_type", us("ts").alias("ts_us"), F.col("value")
+        ).orderBy("event_type", "ts_us")
+
+    return query
+
+
+def _resample_sql(how: str) -> str:
+    step_us = 6 * 3600 * 1_000_000
+    value_expr = (
+        "round(prev_v, 6)"
+        if how == "stepped"
+        else (
+            "round(CASE WHEN prev_t = ts_us THEN prev_v "
+            "WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN "
+            "prev_v + (next_v - prev_v) * (CAST(ts_us AS DOUBLE) - prev_t)"
+            " / (next_t - prev_t) ELSE NULL END, 6)"
+        )
+    )
+    return f"""
+WITH grid AS (
+  SELECT e.event_type, r.range AS ts_us, 1 AS is_grid,
+         CAST(NULL AS DOUBLE) AS dv, CAST(NULL AS BIGINT) AS dt
+  FROM (SELECT DISTINCT event_type FROM events) e,
+       range({EVENTS_START_US}, {EVENTS_END_US}, {step_us}) r
+),
+pts AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, 0 AS is_grid,
+         value AS dv, epoch_us(ts) AS dt
+  FROM events
+),
+u AS (SELECT * FROM grid UNION ALL SELECT * FROM pts),
+b AS (
+  SELECT event_type, ts_us, is_grid,
+    LAST_VALUE(dv IGNORE NULLS) OVER before AS prev_v,
+    LAST_VALUE(dt IGNORE NULLS) OVER before AS prev_t,
+    FIRST_VALUE(dv IGNORE NULLS) OVER after AS next_v,
+    FIRST_VALUE(dt IGNORE NULLS) OVER after AS next_t
+  FROM u
+  WINDOW
+    before AS (PARTITION BY event_type ORDER BY ts_us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    after AS (PARTITION BY event_type ORDER BY ts_us, is_grid
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, ts_us, {value_expr} AS value
+FROM b WHERE is_grid = 1
+ORDER BY event_type, ts_us
+"""
+
+
 def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each error event matched to the user's latest purchase."""
     events = load_table(spark, sf, "events")
@@ -425,6 +491,25 @@ FROM (SELECT * FROM events WHERE event_type = 'error') a
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
   ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY a.event_id
+"""
+
+
+def distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct aggregation per series (COUNT DISTINCT expansion)."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -942,7 +1027,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_plot_buckets": ts_plot_buckets,
     "ts_plot_downsample": ts_plot_downsample,
     "ts_asof_join": ts_asof_join,
+    "ts_resample_stepped": _resample_query("stepped"),
+    "ts_resample_linear": _resample_query("linear"),
     "ts_interval_union": ts_interval_union,
+    "distinct_users": distinct_users,
     "events_daily_window": events_daily_window,
     "events_rollup": events_rollup,
     "sessionize": sessionize,
@@ -977,7 +1065,10 @@ ORACLES: Dict[str, str] = {
     "ts_plot_buckets": TS_PLOT_BUCKETS_SQL,
     "ts_plot_downsample": TS_PLOT_DOWNSAMPLE_SQL,
     "ts_asof_join": TS_ASOF_JOIN_SQL,
+    "ts_resample_stepped": _resample_sql("stepped"),
+    "ts_resample_linear": _resample_sql("linear"),
     "ts_interval_union": TS_INTERVAL_UNION_SQL,
+    "distinct_users": DISTINCT_USERS_SQL,
     "events_daily_window": EVENTS_DAILY_WINDOW_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "sessionize": SESSIONIZE_SQL,

@@ -1,0 +1,65 @@
+"""Resample/interpolation operator semantics."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.operators.resample import resample
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 1, 1, 4, tzinfo=timezone.utc)
+
+
+def ts(hour, minute=0):
+    return datetime(2020, 1, 1, hour, minute, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def series(spark):
+    return spark.createDataFrame(
+        [("s", ts(0, 30), 10.0), ("s", ts(2, 30), 30.0)],
+        "series string, ts timestamp, value double",
+    )
+
+
+def test_stepped_sample_and_hold(spark, series):
+    out = resample(
+        series, START, END, 3600, how="stepped", group_columns=["series"]
+    ).collect()
+    values = [r["value"] for r in out]
+    # 00:00 → no data yet; 01:00/02:00 → hold 10; 03:00 → hold 30
+    assert values == [None, 10.0, 10.0, 30.0]
+
+
+def test_linear_interpolation(spark, series):
+    out = resample(
+        series, START, END, 3600, how="linear", group_columns=["series"]
+    ).collect()
+    values = [r["value"] for r in out]
+    assert values[0] is None  # before first point
+    assert values[1] == pytest.approx(15.0)  # 01:00 between 10@00:30, 30@02:30
+    assert values[2] == pytest.approx(25.0)  # 02:00
+    assert values[3] is None  # after last point (no bracket)
+
+
+def test_linear_exact_at_data_point(spark):
+    df = spark.createDataFrame(
+        [("s", ts(1), 42.0), ("s", ts(3), 44.0)],
+        "series string, ts timestamp, value double",
+    )
+    out = resample(
+        df, START, END, 3600, how="linear", group_columns=["series"]
+    ).collect()
+    assert out[1]["value"] == 42.0  # grid instant == data instant → exact
+
+
+def test_grid_is_half_open(spark, series):
+    out = resample(
+        series, START, END, 3600, how="stepped", group_columns=["series"]
+    ).collect()
+    assert len(out) == 4  # 00,01,02,03 — end (04:00) excluded
+
+
+def test_unknown_mode_raises(spark, series):
+    with pytest.raises(ValueError):
+        resample(series, START, END, 3600, how="cubic")
