@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "ts_range_filter",
     "ts_plot_buckets",
     "ts_asof_join",
+    "ts_resample_linear",
     "events_daily_window",
     "sessionize",
     "dedup_exact",

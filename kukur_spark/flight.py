@@ -50,11 +50,34 @@ def _selector_from_data(data: Dict[str, Any]) -> SeriesSelector:
 
 if HAS_FLIGHT:
 
+    class _ApiKeyMiddlewareFactory(fl.ServerMiddlewareFactory):
+        """API-key auth (reference kukur serves api-keys from its local
+        repository; here keys come from config ``[api_keys]``)."""
+
+        def __init__(self, api_keys):
+            self.api_keys = set(api_keys)
+
+        def start_call(self, info, headers):
+            provided = headers.get("x-api-key", [None])
+            if not self.api_keys:
+                return None
+            if provided and provided[0] in self.api_keys:
+                return None
+            raise fl.FlightUnauthenticatedError("missing or invalid api key")
+
     class KukurFlightServer(fl.FlightServerBase):
         """Serves an Engine over gRPC with the JSON ticket/action protocol."""
 
-        def __init__(self, engine, location: str = "grpc://0.0.0.0:8081"):
-            super().__init__(location)
+        def __init__(
+            self,
+            engine,
+            location: str = "grpc://0.0.0.0:8081",
+            api_keys=None,
+        ):
+            middleware = {}
+            if api_keys:
+                middleware["auth"] = _ApiKeyMiddlewareFactory(api_keys)
+            super().__init__(location, middleware=middleware)
             self.engine = engine
             self.location = location
 
@@ -126,12 +149,36 @@ if HAS_FLIGHT:
                     )
             return results
 
+    class _ApiKeyClientMiddleware(fl.ClientMiddleware):
+        def __init__(self, api_key: str):
+            self.api_key = api_key
+
+        def sending_headers(self):
+            return {"x-api-key": self.api_key}
+
+    class _ApiKeyClientMiddlewareFactory(fl.ClientMiddlewareFactory):
+        def __init__(self, api_key: str):
+            self.api_key = api_key
+
+        def start_call(self, info):
+            return _ApiKeyClientMiddleware(self.api_key)
+
     class FlightClient:
         """Python client for the JSON Flight protocol (reference
         kukur/client.py:34-237)."""
 
-        def __init__(self, host: str = "localhost", port: int = 8081):
-            self._client = fl.connect(f"grpc://{host}:{port}")
+        def __init__(
+            self,
+            host: str = "localhost",
+            port: int = 8081,
+            api_key: Optional[str] = None,
+        ):
+            middleware = []
+            if api_key is not None:
+                middleware.append(_ApiKeyClientMiddlewareFactory(api_key))
+            self._client = fl.connect(
+                f"grpc://{host}:{port}", middleware=middleware
+            )
 
         def list_sources(self) -> List[str]:
             result = next(
@@ -174,6 +221,19 @@ if HAS_FLIGHT:
                 iter(self._client.do_action(fl.Action("get_metadata", body)))
             )
             return Metadata.from_data(json.loads(result.body.to_pybytes()))
+
+        def get_source_structure(self, search: SeriesSearch):
+            body = json.dumps(
+                {"search": {"source": search.source, "tags": search.tags}}
+            ).encode()
+            result = next(
+                iter(
+                    self._client.do_action(
+                        fl.Action("get_source_structure", body)
+                    )
+                )
+            )
+            return json.loads(result.body.to_pybytes())
 
         def _read(self, request: Dict[str, Any]):
             ticket = fl.Ticket(json.dumps(request).encode())
@@ -221,11 +281,16 @@ def serve(
     engine,
     port: int = 8081,
     background: bool = False,
+    api_keys=None,
 ) -> Optional["KukurFlightServer"]:
     """Start the Flight server; ``background=True`` runs it on a thread."""
     if not HAS_FLIGHT:  # pragma: no cover
         raise NotImplementedError("pyarrow.flight is not available")
-    server = KukurFlightServer(engine, f"grpc://0.0.0.0:{port}")
+    if api_keys is None:
+        api_keys = (
+            engine.config.get("api_keys", []) if hasattr(engine, "config") else []
+        )
+    server = KukurFlightServer(engine, f"grpc://0.0.0.0:{port}", api_keys)
     if background:
         thread = threading.Thread(target=server.serve, daemon=True)
         thread.start()

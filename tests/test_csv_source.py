@@ -142,6 +142,24 @@ test-tag-1,2020-05-01T00:00:00Z,5,GoodQuality
     assert [r["quality"] for r in rows] == [1, 1, 0, 1, 1]
 
 
+def test_row_quality_mapping_integer_ranges(spark, make_csv):
+    content = """
+test-tag-1,2020-01-01T00:00:00Z,1,192
+test-tag-1,2020-02-01T00:00:00Z,2,219
+test-tag-1,2020-03-01T00:00:00Z,3,0
+test-tag-1,2020-04-01T00:00:00Z,4,250
+"""
+    options = FileSourceOptions.from_config(
+        {"path": make_csv(content), "quality_mapping": "opc_mapping_ranges"}
+    )
+    source = FileSource(spark, "test", options)
+    rows = source.get_data(
+        SeriesSelector.from_name("test", "test-tag-1"), START, END
+    ).collect()
+    # GOOD range is [192, 219] inclusive
+    assert [r["quality"] for r in rows] == [1, 1, 0, 0]
+
+
 def test_row_tags_and_fields(spark, make_csv):
     content = """
 location,plant,ts,product,value

@@ -72,6 +72,37 @@ def test_get_data_arrow_stream(flight_client):
     assert str(table.schema.field("ts").type) == "timestamp[us, tz=UTC]"
 
 
+def test_get_source_structure(flight_client):
+    structure = flight_client.get_source_structure(SeriesSearch("demo"))
+    assert structure["tagKeys"] == ["series name"]
+    assert structure["tagValues"][0]["values"] == ["s1", "s2"]
+
+
+def test_api_key_auth(spark, tmp_path):
+    import pyarrow.flight as fl
+
+    (tmp_path / "a.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {
+            "source": {"demo": {"type": "csv", "path": str(tmp_path / "a.csv")}},
+            "api_keys": ["secret-key"],
+        },
+        spark,
+    )
+    server = serve(engine, port=18082, background=True)
+    try:
+        authed = FlightClient("localhost", 18082, api_key="secret-key")
+        assert authed.list_sources() == ["demo"]
+        anonymous = FlightClient("localhost", 18082)
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            anonymous.list_sources()
+        wrong = FlightClient("localhost", 18082, api_key="wrong")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            wrong.list_sources()
+    finally:
+        server.shutdown()
+
+
 def test_get_plot_data(flight_client):
     table = flight_client.get_plot_data(
         SeriesSelector.from_name("demo", "s1"), START, END, interval_count=2
