@@ -46,9 +46,11 @@ def load_table(
     and would NOT reach the parquet scan (no row-group pruning); the raw
     long comparison shows up in ``PushedFilters`` and prunes at 100 TB.
     """
+    # canonical timestamp semantics require a UTC session (SURVEY §1.3);
+    # the caller's session (e.g. the driver's) may be configured otherwise —
+    # both confs are runtime SQLConfs, safe to set before the read resolves
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLUMNS:
-        # the caller's session may not have the flag (e.g. the driver's);
-        # it is a runtime SQLConf, safe to set before the read resolves
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for column in _NANOS_TS_COLUMNS.get(name, []):
