@@ -75,16 +75,19 @@ def resample(
     )
     combined = grid.unionByName(data)
 
-    order = [F.col("ts_us").asc(), F.col("__is_grid").asc()]
+    # both bracket lookups use *growing* frames (incrementally evaluated);
+    # an UnboundedFollowing frame would be recomputed per row — O(n²) per
+    # partition (measured: 108 s vs 2 s at sf0.1). "next" comes from a
+    # descending-ordered running last over the strictly-preceding frame.
     before = (
         Window.partitionBy(*group_columns)
-        .orderBy(*order)
+        .orderBy(F.col("ts_us").asc(), F.col("__is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    after = (
+    after_desc = (
         Window.partitionBy(*group_columns)
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc(), F.col("__is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     with_brackets = (
         combined.withColumn(
@@ -92,9 +95,11 @@ def resample(
         )
         .withColumn("__prev_t", F.last("__data_ts", ignorenulls=True).over(before))
         .withColumn(
-            "__next_v", F.first("__data_value", ignorenulls=True).over(after)
+            "__next_v", F.last("__data_value", ignorenulls=True).over(after_desc)
         )
-        .withColumn("__next_t", F.first("__data_ts", ignorenulls=True).over(after))
+        .withColumn(
+            "__next_t", F.last("__data_ts", ignorenulls=True).over(after_desc)
+        )
     )
     grid_rows = with_brackets.filter(F.col("__is_grid") == 1)
 

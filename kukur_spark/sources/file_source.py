@@ -68,6 +68,7 @@ class FileSourceOptions:
     sort_by_timestamp: bool = False
     path_encoding: Optional[str] = None  # None | "base64"
     file_extension: Optional[str] = None
+    encoding: Optional[str] = None  # e.g. "cp1252"; BOM handled by UTF-8 default
     metadata_path: Optional[str] = None
     metadata_field_column: Optional[str] = None
     metadata_mapping: Dict[str, str] = dc_field(default_factory=dict)
@@ -88,6 +89,7 @@ class FileSourceOptions:
             header=bool(config.get("header_row", config.get("header", False))),
             delimiter=config.get("csv_delimiter", config.get("delimiter", ",")),
             decimal_point=config.get("csv_decimal_point", "."),
+            encoding=config.get("file_encoding", config.get("encoding")),
             data_datetime_format=config.get("data_datetime_format"),
             data_timezone=config.get("data_timezone"),
             quality_mapper=QualityMapper.from_config(config),
@@ -124,11 +126,20 @@ class FileSource:
         path = path or opts.path
         fmt = opts.file_format
         if fmt == "csv":
+            # Spark's CSV reader accepts a fixed charset list; windows-125x
+            # configs map to their latin-1 sibling (identical outside the
+            # 0x80-0x9F control block)
+            encoding = {
+                "cp1252": "iso-8859-1",
+                "windows-1252": "iso-8859-1",
+                "latin1": "iso-8859-1",
+            }.get((opts.encoding or "UTF-8").lower(), opts.encoding or "UTF-8")
             return self.spark.read.csv(
                 path,
                 header=opts.header,
                 sep=opts.delimiter,
                 inferSchema=False,  # config-driven, never inferred
+                encoding=encoding,
             )
         if fmt == "parquet":
             return self.spark.read.parquet(path)

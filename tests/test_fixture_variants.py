@@ -1,0 +1,137 @@
+"""Remaining reference fixture variants (FIXTURES.md §1-6): encodings,
+dir-layout quality + base64 paths, per-(tags+field) metadata rows.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+from kukur_spark.sources.quality import QualityMapper
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def test_csv_cp1252_encoding(spark, tmp_path):
+    path = tmp_path / "latin.csv"
+    path.write_bytes("séries-à,2020-01-01T00:00:00Z,1\n".encode("cp1252"))
+    source = FileSource(
+        spark, "t", FileSourceOptions(path=str(path), encoding="cp1252")
+    )
+    names = [s.name for s in source.search(SeriesSearch("t"))]
+    assert names == ["séries-à"]
+    rows = source.get_data(
+        SeriesSelector.from_name("t", "séries-à"), START, END
+    ).collect()
+    assert rows[0]["value"] == 1.0
+
+
+def test_csv_utf8_bom(spark, tmp_path):
+    path = tmp_path / "bom.csv"
+    path.write_bytes(
+        b"\xef\xbb\xbf" + b"series name,ts,value\ns1,2020-01-01T00:00:00Z,2\n"
+    )
+    source = FileSource(
+        spark, "t", FileSourceOptions(path=str(path), header=True)
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("t", "s1"), START, END
+    ).collect()
+    assert rows[0]["value"] == 2.0
+
+
+def test_dir_layout_with_quality(spark, tmp_path):
+    d = tmp_path / "series"
+    d.mkdir()
+    (d / "tag-1.csv").write_text(
+        "2020-01-01T00:00:00Z,1,GoodQuality\n2020-02-01T00:00:00Z,2,BadQuality\n"
+    )
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(
+            path=str(d),
+            format="dir",
+            quality_mapper=QualityMapper(good_values=["GoodQuality"]),
+        ),
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("t", "tag-1"), START, END
+    ).collect()
+    assert [(r["value"], r["quality"]) for r in rows] == [(1.0, 1), (2.0, 0)]
+
+
+def test_dir_layout_base64_paths(spark, tmp_path):
+    import base64
+
+    d = tmp_path / "series"
+    d.mkdir()
+    name = "unit/with:odd chars"
+    encoded = base64.urlsafe_b64encode(name.encode()).decode()
+    (d / f"{encoded}.csv").write_text("2020-01-01T00:00:00Z,7\n")
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(path=str(d), format="dir", path_encoding="base64"),
+    )
+    names = [s.name for s in source.search(SeriesSearch("t"))]
+    assert names == [name]
+    rows = source.get_data(
+        SeriesSelector.from_tags("t", {SERIES_NAME_TAG: name}), START, END
+    ).collect()
+    assert rows[0]["value"] == 7.0
+
+
+def test_metadata_field_column_per_field_rows(spark, tmp_path):
+    """Per-(tags+field) metadata rows (reference row-tags-metadata.csv)."""
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    (tmp_path / "m.csv").write_text(
+        "series name,field,unit,description\n"
+        "s1,value,m,the value series\n"
+        "s1,product,,the product series\n"
+    )
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(
+            path=str(tmp_path / "d.csv"),
+            metadata_path=str(tmp_path / "m.csv"),
+            metadata_field_column="field",
+        ),
+    )
+    value_metadata = source.get_metadata(
+        SeriesSelector.from_name("t", "s1")
+    )
+    assert value_metadata["unit"] == "m"
+    assert value_metadata["description"] == "the value series"
+    product_metadata = source.get_metadata(
+        SeriesSelector.from_name("t", "s1::product")
+    )
+    assert product_metadata["description"] == "the product series"
+
+
+def test_metadata_name_and_value_mapping(spark, tmp_path):
+    """M7: rename external field names and translate values."""
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    (tmp_path / "m.csv").write_text(
+        "series name,UNITS,INTERP\ns1,meters,continuous\n"
+    )
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(
+            path=str(tmp_path / "d.csv"),
+            metadata_path=str(tmp_path / "m.csv"),
+            metadata_mapping={"UNITS": "unit", "INTERP": "interpolation type"},
+            metadata_value_mapping={
+                "interpolation type": {"continuous": "LINEAR"}
+            },
+        ),
+    )
+    metadata = source.get_metadata(SeriesSelector.from_name("t", "s1"))
+    assert metadata["unit"] == "meters"
+    from kukur_spark.base import InterpolationType
+
+    assert metadata["interpolation type"] is InterpolationType.LINEAR
