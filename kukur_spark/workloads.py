@@ -240,6 +240,199 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Trade volume between two nations by year (q7 shape)."""
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume_e6"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS volume_e6
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (q10 shape)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf, "nation")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_e6"
+            )
+        )
+        .orderBy(F.col("revenue_e6").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS revenue_e6
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e6 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-aggregate revenue share of one part type (q14 shape)."""
+    part = load_table(spark, sf, "part")
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    economy = F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(F.lit(0.0))
+    agg = joined.agg(
+        dsum(economy).alias("economy_revenue_e6"),
+        dsum(revenue).alias("total_revenue_e6"),
+    )
+    return agg.select(
+        "economy_revenue_e6",
+        "total_revenue_e6",
+        F.expr(
+            "economy_revenue_e6 * 1000000 div total_revenue_e6"
+        ).alias("share_e6"),
+    )
+
+
+TPCH_Q14_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(FLOOR(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS economy_revenue_e6,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS total_revenue_e6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT economy_revenue_e6, total_revenue_e6,
+  economy_revenue_e6 * 1000000 // total_revenue_e6 AS share_e6
+FROM agg
+"""
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive multi-predicate join filter (q19 shape)."""
+    part = load_table(spark, sf, "part")
+    lineitem = load_table(spark, sf, "lineitem")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue_e6"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS revenue_e6,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+
 def top_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per group: highest-balance customer of every nation (W-ranking)."""
     customer = load_table(spark, sf, "customer")
@@ -1020,6 +1213,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7_volume_shipping,
+    "tpch_q10": tpch_q10_returned_items,
+    "tpch_q14": tpch_q14_promo_revenue,
+    "tpch_q19": tpch_q19_disjunctive,
     "top_customer_per_nation": top_customer_per_nation,
     "ts_range_filter": ts_range_filter,
     "ts_series_discovery": ts_series_discovery,
@@ -1058,6 +1255,10 @@ ORACLES: Dict[str, str] = {
     "tpch_q3": TPCH_Q3_SQL,
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q6": TPCH_Q6_SQL,
+    "tpch_q7": TPCH_Q7_SQL,
+    "tpch_q10": TPCH_Q10_SQL,
+    "tpch_q14": TPCH_Q14_SQL,
+    "tpch_q19": TPCH_Q19_SQL,
     "top_customer_per_nation": TOP_CUSTOMER_SQL,
     "ts_range_filter": TS_RANGE_FILTER_SQL,
     "ts_series_discovery": TS_SERIES_DISCOVERY_SQL,
