@@ -1,0 +1,106 @@
+"""Duplicate-group clustering: connected components over near-dup pairs.
+
+The last step of a dedup pipeline: MinHash/Jaccard produce *pairs*; keeping
+one canonical document per group needs the transitive closure — connected
+components. Implemented as iterative label propagation on DataFrames:
+
+    label(v) ← min(label(v), min(label(u)) for u adjacent to v)
+
+repeated until fixpoint. Each round is two shuffles (join + groupBy) on the
+edge list; rounds needed ≈ graph diameter (near-dup graphs are shallow —
+chains longer than a handful of hops are rare), and the loop stops exactly
+at convergence by counting changed labels. All operations are DataFrame
+joins/aggregations — no driver-side graph materialization, so the edge set
+can be arbitrarily large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Component label (minimum reachable id) for every node in ``pairs``.
+
+    Returns ``id, component`` — one row per distinct node.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(right).alias("src"), F.col(left).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iterations):
+        # 1-hop propagation: candidate labels from every neighbor
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("component"))
+        )
+        propagated = (
+            labels.select("id", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling (path compression): follow the label's label —
+        # halves chain length per round, so convergence is O(log diameter)
+        parents = propagated.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            propagated.join(
+                parents, propagated.component == parents.pid, "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("pcomp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document assignment from near-dup pairs.
+
+    Returns ``doc_id, canonical_id`` for every document: members of a
+    duplicate group map to the group's minimum id; unpaired documents map
+    to themselves.
+    """
+    components = connected_components(pairs)
+    return (
+        docs.select(F.col(id_column))
+        .join(
+            components.withColumnRenamed("id", id_column),
+            on=id_column,
+            how="left",
+        )
+        .select(
+            id_column,
+            F.coalesce("component", F.col(id_column)).alias("canonical_id"),
+        )
+    )

@@ -100,6 +100,58 @@ def language_id(df: DataFrame, text_column: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tfidf(term, doc) = tf × ln(N / df), rounded to 6; rank ties break by
+    term ascending. Plan shape: explode → two hash aggregates (doc-term tf,
+    term df) → broadcast of the (small) df table → per-doc top-k window.
+    The explode and aggregates are linear in corpus token count.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_column), F.explode(tokens(F.col(text_column))).alias("term")
+    )
+    tf = terms.groupBy(id_column, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = terms.groupBy("term").agg(
+        F.countDistinct(id_column).alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_column).alias("n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    window = Window.partitionBy(id_column).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_column,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_column: str = "text") -> DataFrame:
     """Content + shape fingerprints.
 

@@ -984,6 +984,77 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of near-dup pairs → canonical doc per group.
+
+    Iterative label propagation (connected components) over the blocked
+    Jaccard pairs; the oracle is a recursive CTE over the same edge set.
+    """
+    from kukur_spark.operators.cluster import dedup_groups
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_exact(spark, sf)
+    return dedup_groups(docs, pairs).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT source, doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM base a JOIN base b ON a.source = b.source AND a.id < b.id
+  WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+      // CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) >= 200000
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(src, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT src AS id, MIN(reach) AS component FROM walk GROUP BY src)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from kukur_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+TEXT_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+docfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+    round(tf.tf * ln(CAST(n.n AS DOUBLE) / docfreq.df), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def emb_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-5 for the first 10 vectors as queries."""
     emb = load_table(spark, sf, "embeddings")
@@ -1243,6 +1314,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "ngram_jaccard": ngram_jaccard_exact,
+    "dedup_clusters": dedup_clusters,
+    "text_tfidf_topk": text_tfidf_topk,
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "minhash_lsh_pairs": minhash_lsh_q,
     "simhash_pairs": simhash_q,
@@ -1285,6 +1358,8 @@ ORACLES: Dict[str, str] = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "text_tfidf_topk": TEXT_TFIDF_SQL,
     "emb_topk_bruteforce": EMB_TOPK_SQL,
     # minhash_lsh_pairs / simhash_pairs / emb_lsh_topk / emb_ivf_topk:
     # xxhash64-based — not expressible in DuckDB; rows-only check.

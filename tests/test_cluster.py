@@ -1,0 +1,35 @@
+"""Connected-components dedup clustering."""
+
+from kukur_spark.operators.cluster import connected_components, dedup_groups
+
+
+def test_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, singleton edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    components = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert components == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_converges(spark):
+    # a 30-hop chain exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    components = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert set(components.values()) == {0}
+
+
+def test_dedup_groups_unpaired_docs_self_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+    groups = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_groups(docs, pairs).collect()
+    }
+    assert groups == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
