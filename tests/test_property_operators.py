@@ -1,0 +1,82 @@
+"""Property-based differential tests: operators vs pure-Python models on
+randomized series (hypothesis). Few examples (Spark job per example), wide
+input space.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.operators.plot import plot_buckets
+from kukur_spark.operators.resample import resample
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 1, 2, tzinfo=timezone.utc)
+
+# random series: minute offsets (unique, sorted) + integer-ish values
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 24 * 60 - 1),
+        st.integers(-50, 50).map(float),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda p: p[0],
+).map(lambda pts: sorted(pts))
+
+
+def to_rows(points):
+    return [
+        (START.replace(tzinfo=None) + timedelta(minutes=m), v)
+        for m, v in points
+    ]
+
+
+@given(points=series_strategy, interval_minutes=st.sampled_from([30, 60, 180]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stepped_resample_matches_model(spark, points, interval_minutes):
+    df = spark.createDataFrame(to_rows(points), "ts timestamp, value double")
+    out = resample(
+        df, START, END, interval_minutes * 60, how="stepped"
+    ).collect()
+    # python model: last value at or before each grid minute
+    for row in out:
+        grid_minute = (
+            row["ts"].replace(tzinfo=timezone.utc) - START
+        ).total_seconds() / 60
+        candidates = [v for m, v in points if m <= grid_minute]
+        expected = candidates[-1] if candidates else None
+        assert row["value"] == expected, (grid_minute, points)
+
+
+@given(points=series_strategy, n_buckets=st.sampled_from([1, 4, 24]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_plot_buckets_match_model(spark, points, n_buckets):
+    df = spark.createDataFrame(to_rows(points), "ts timestamp, value double")
+    stats = {
+        r["bucket"]: r for r in plot_buckets(df, START, END, n_buckets).collect()
+    }
+    total_minutes = 24 * 60
+    model: dict = {}
+    for m, v in points:
+        b = min(m * n_buckets // total_minutes, n_buckets - 1)
+        model.setdefault(b, []).append((m, v))
+    assert set(stats) == set(model)
+    for b, pts in model.items():
+        values = [v for _, v in pts]
+        row = stats[b]
+        assert row["min_value"] == min(values)
+        assert row["max_value"] == max(values)
+        assert row["first_value"] == pts[0][1]  # earliest ts
+        assert row["last_value"] == pts[-1][1]
+        assert row["n_points"] == len(pts)
