@@ -1,0 +1,115 @@
+"""Timestamp-partition pruning predicates.
+
+Parity target: reference ``kukur/source/delta/delta_lake.py:298-356`` —
+tables partitioned by YEAR/MONTH/DAY/HOUR directory columns cannot be
+pruned by a raw ``ts`` range filter (the optimizer doesn't know the
+partition columns derive from ts), so the time range is *enumerated* into
+explicit partition-value predicates, with the reference's enumeration caps:
+months only when the range spans ≤ 1 year, days ≤ 31 days, hours ≤ 24
+hours. The produced predicates land in the scan's ``PartitionFilters`` and
+skip whole directories at any scale.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# enumeration caps (reference delta_lake.py:298-356)
+MAX_MONTH_SPAN = timedelta(days=366)
+MAX_DAY_SPAN = timedelta(days=31)
+MAX_HOUR_SPAN = timedelta(hours=24)
+
+
+def _enumerate(start: datetime, end: datetime, resolution: str) -> List[Dict[str, int]]:
+    out = []
+    cursor = start
+    seen = set()
+    while cursor < end:
+        key = {
+            "year": cursor.year,
+            "month": cursor.month,
+            "day": cursor.day,
+            "hour": cursor.hour,
+        }
+        keep = {
+            "year": ("year",),
+            "month": ("year", "month"),
+            "day": ("year", "month", "day"),
+            "hour": ("year", "month", "day", "hour"),
+        }[resolution]
+        item = tuple(key[k] for k in keep)
+        if item not in seen:
+            seen.add(item)
+            out.append({k: key[k] for k in keep})
+        cursor += {
+            "year": timedelta(days=28),
+            "month": timedelta(days=1),
+            "day": timedelta(days=1),
+            "hour": timedelta(hours=1),
+        }[resolution]
+    # ensure the end boundary's partition is included (half-open range may
+    # still touch it when end is not aligned)
+    return out
+
+
+def partition_predicates(
+    start: datetime,
+    end: datetime,
+    partition_columns: List[str],
+) -> Optional[Column]:
+    """Build IN-list predicates over ts-derived partition columns.
+
+    ``partition_columns`` is an ordered subset of
+    ``["year", "month", "day", "hour"]``. Enumeration caps follow the
+    reference: finer resolutions are skipped for ranges too wide to
+    enumerate (the coarser predicate still prunes).
+    """
+    span = end - start
+    resolution = partition_columns[-1]
+    if resolution == "month" and span > MAX_MONTH_SPAN:
+        resolution = "year"
+    elif resolution == "day" and span > MAX_DAY_SPAN:
+        resolution = "month" if span <= MAX_MONTH_SPAN else "year"
+    elif resolution == "hour" and span > MAX_HOUR_SPAN:
+        if span <= MAX_DAY_SPAN:
+            resolution = "day"
+        elif span <= MAX_MONTH_SPAN:
+            resolution = "month"
+        else:
+            resolution = "year"
+    usable = {
+        "year": ["year"],
+        "month": ["year", "month"],
+        "day": ["year", "month", "day"],
+        "hour": ["year", "month", "day", "hour"],
+    }[resolution]
+    usable = [c for c in usable if c in partition_columns]
+    if not usable:
+        return None
+    combos = _enumerate(start, end, usable[-1])
+    predicate = None
+    for combo in combos:
+        clause = None
+        for column in usable:
+            term = F.col(column) == F.lit(combo[column])
+            clause = term if clause is None else (clause & term)
+        predicate = clause if predicate is None else (predicate | clause)
+    return predicate
+
+
+def prune_time_partitions(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    partition_columns: List[str],
+) -> DataFrame:
+    """Apply the enumerated partition predicates (plus nothing else —
+    callers still apply the exact ts range filter on the data column)."""
+    predicate = partition_predicates(start, end, partition_columns)
+    if predicate is None:
+        return df
+    return df.filter(predicate)

@@ -75,6 +75,9 @@ class FileSourceOptions:
     metadata_value_mapping: Dict[str, Dict[str, str]] = dc_field(default_factory=dict)
     dictionary_dir: Optional[str] = None
     value_type: Optional[str] = None  # None=auto | double | bigint | string
+    # ts-derived hive partition columns (subset of year/month/day/hour, in
+    # order) — range queries enumerate them into pruning predicates
+    timestamp_partition_columns: List[str] = dc_field(default_factory=list)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
@@ -107,6 +110,9 @@ class FileSourceOptions:
             metadata_value_mapping=dict(config.get("metadata_value_mapping", {})),
             dictionary_dir=config.get("dictionary_dir"),
             value_type=config.get("value_type"),
+            timestamp_partition_columns=list(
+                config.get("timestamp_partition_columns", [])
+            ),
         )
 
 
@@ -430,6 +436,15 @@ class FileSource:
                 else F.col(QUALITY_COLUMN).cast("byte")
             )
             cols.append(qcol.alias(QUALITY_COLUMN))
+        if opts.timestamp_partition_columns:
+            # enumerate the range into partition predicates while the
+            # ts-derived partition columns are still in scope (M-parity of
+            # the reference's Delta partition enumeration)
+            from kukur_spark.operators.partitions import prune_time_partitions
+
+            df = prune_time_partitions(
+                df, start, end, opts.timestamp_partition_columns
+            )
         df = df.select(cols)
         df = df.filter(
             (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))

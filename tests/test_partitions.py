@@ -1,0 +1,84 @@
+"""Timestamp-partition enumeration and pruning (reference Delta parity)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.operators.partitions import partition_predicates
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+
+
+def ts(month, day=1, hour=0):
+    return datetime(2020, month, day, hour, tzinfo=timezone.utc)
+
+
+def test_month_enumeration(spark):
+    pred = partition_predicates(ts(2), ts(5), ["year", "month"])
+    df = spark.createDataFrame(
+        [(2020, m) for m in range(1, 13)] + [(2019, 3)], "year int, month int"
+    )
+    kept = sorted(
+        (r["year"], r["month"]) for r in df.filter(pred).collect()
+    )
+    # half-open [Feb 1, May 1): May's partition is never touched
+    assert kept == [(2020, 2), (2020, 3), (2020, 4)]
+
+
+def test_day_resolution_caps_to_month_for_wide_ranges(spark):
+    # 90-day span exceeds the 31-day day-enumeration cap → month predicates
+    pred = partition_predicates(ts(1), ts(4), ["year", "month", "day"])
+    df = spark.createDataFrame(
+        [(2020, 1, 15), (2020, 3, 2), (2020, 6, 1)],
+        "year int, month int, day int",
+    )
+    kept = sorted((r["month"]) for r in df.filter(pred).collect())
+    assert kept == [1, 3]  # June pruned; day column unused (cap)
+
+
+def test_hour_enumeration_small_range(spark):
+    pred = partition_predicates(
+        datetime(2020, 1, 1, 10, tzinfo=timezone.utc),
+        datetime(2020, 1, 1, 13, tzinfo=timezone.utc),
+        ["year", "month", "day", "hour"],
+    )
+    df = spark.createDataFrame(
+        [(2020, 1, 1, h) for h in range(24)],
+        "year int, month int, day int, hour int",
+    )
+    kept = sorted(r["hour"] for r in df.filter(pred).collect())
+    assert kept == [10, 11, 12]
+
+
+def test_file_source_partition_pruned_scan(spark, tmp_path):
+    base = tmp_path / "ts_part"
+    for month, value in [(1, 1.0), (2, 2.0), (3, 3.0)]:
+        df = spark.createDataFrame(
+            [("s1", datetime(2020, month, 15), value)],
+            "`series name` string, ts timestamp, value double",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(base / "year=2020" / f"month={month}")
+        )
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(
+            path=str(base),
+            file_format="parquet",
+            timestamp_partition_columns=["year", "month"],
+        ),
+    )
+    data = source.get_data(
+        SeriesSelector.from_name("t", "s1"),
+        ts(2),
+        ts(3),
+    )
+    rows = data.collect()
+    assert [r["value"] for r in rows] == [2.0]
+    plan = data._jdf.queryExecution().executedPlan().toString()
+    # the enumerated predicates reach PartitionFilters → directory skipping
+    assert "PartitionFilters: [" in plan
+    assert "month" in plan.split("PartitionFilters")[1][:200]
