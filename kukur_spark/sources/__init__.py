@@ -269,12 +269,20 @@ def _register_builtin() -> None:
     SourceFactory.register_source(
         "simulator", lambda spark, name, config: SimulatorSource(spark, name, config)
     )
-    SourceFactory.register_source(
-        "sqlite", lambda spark, name, config: SqlSource(spark, name, config)
-    )
-    SourceFactory.register_source(
-        "sql", lambda spark, name, config: SqlSource(spark, name, config)
-    )
+    for dialect in (
+        "sqlite",
+        "sql",
+        "postgresql",
+        "odbc",
+        "adodb",
+        "cratedb",
+        "redshift",
+        "tdengine",
+        "databricks_sql_odbc",
+    ):
+        SourceFactory.register_source(
+            dialect, lambda spark, name, config: SqlSource(spark, name, config)
+        )
     SourceFactory.register_source(
         "spark_sql",
         lambda spark, name, config: SparkSqlSource(spark, name, config),

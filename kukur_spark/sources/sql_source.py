@@ -46,6 +46,20 @@ TYPE_CHECKING_ROW_LIMIT = 300  # reference sql.py:60
 MAJORITY_THRESHOLD = 0.9  # reference sql.py:404-410
 
 
+# dialect → (module, connect kwargs style); every family member of the
+# reference's S7 template (kukur/source/{postgresql,odbc,adodb,cratedb,
+# redshift,tdengine}) shares the query semantics and differs only here
+_DIALECT_DRIVERS = {
+    "postgresql": "psycopg2",
+    "odbc": "pyodbc",
+    "adodb": "adodbapi",
+    "cratedb": "crate.client",
+    "redshift": "redshift_connector",
+    "tdengine": "taos",
+    "databricks_sql_odbc": "pyodbc",
+}
+
+
 def _connect(config: Dict[str, Any]):
     """Open a DB-API connection for the configured dialect."""
     dialect = config.get("type", "sqlite")
@@ -53,9 +67,19 @@ def _connect(config: Dict[str, Any]):
         import sqlite3
 
         return sqlite3.connect(config["connection_string"])
-    raise NotImplementedError(
-        f"DB-API dialect {dialect!r} needs its driver installed"
-    )
+    module_name = _DIALECT_DRIVERS.get(dialect)
+    if module_name is None:
+        raise ValueError(f"unknown SQL dialect: {dialect!r}")
+    import importlib
+
+    try:
+        module = importlib.import_module(module_name)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"SQL dialect {dialect!r} needs the {module_name!r} driver, "
+            "which is not installed"
+        ) from exc
+    return module.connect(config["connection_string"])
 
 
 def _normalize_ts(value: Any, timezone_name: Optional[str]) -> Optional[dt.datetime]:

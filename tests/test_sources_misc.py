@@ -160,6 +160,27 @@ def test_sqlite_type_unification_strings_to_null(spark, tmp_path):
     assert out[-1]["value"] is None
 
 
+def test_sql_dialect_gating(spark):
+    """Every S7-family dialect is registered; missing drivers gate cleanly."""
+    from kukur_spark.sources import SourceFactory
+
+    factory = SourceFactory(
+        spark,
+        {
+            "source": {
+                "pg": {
+                    "type": "postgresql",
+                    "connection_string": "host=nowhere",
+                    "data_query": "SELECT ts, value FROM d WHERE n=%s AND ts>=%s AND ts<%s",
+                }
+            }
+        },
+    )
+    wrapper = factory.get_source("pg")  # registration + construction works
+    with pytest.raises(NotImplementedError, match="psycopg2"):
+        wrapper.get_data(SeriesSelector.from_name("pg", "s1"), START, END)
+
+
 def test_spark_sql_source(spark, tmp_path):
     table = arrow_row_table()
     path = str(tmp_path / "data.parquet")
