@@ -84,6 +84,27 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_api_key(args) -> int:
+    """Manage Flight API keys (reference api-key subcommand)."""
+    from kukur_spark.config import from_toml
+    from kukur_spark.repository import ApiKeyRepository
+
+    config = from_toml(args.config) if args.config else {}
+    db = args.db or config.get("api_key_db", "kukur_api_keys.db")
+    repository = ApiKeyRepository(db)
+    if args.action == "create":
+        secret = repository.create(args.name)
+        print(f"api key {args.name!r} created; secret (shown once): {secret}")
+    elif args.action == "list":
+        for item in repository.list():
+            print(f"{item['name']}  created {item['created_at']}")
+    elif args.action == "revoke":
+        removed = repository.revoke(args.name)
+        print("revoked" if removed else f"no such key: {args.name!r}")
+        return 0 if removed else 1
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser("kukur_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -108,6 +129,13 @@ def main(argv=None) -> int:
     p_inspect.add_argument("--recursive", action="store_true")
     p_inspect.add_argument("--limit", type=int, default=10)
     p_inspect.set_defaults(fn=cmd_inspect)
+
+    p_key = sub.add_parser("api-key", help="manage Flight API keys")
+    p_key.add_argument("action", choices=["create", "list", "revoke"])
+    p_key.add_argument("--name", default="")
+    p_key.add_argument("--config")
+    p_key.add_argument("--db")
+    p_key.set_defaults(fn=cmd_api_key)
 
     args = parser.parse_args(argv)
     return args.fn(args)

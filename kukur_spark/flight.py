@@ -51,17 +51,20 @@ def _selector_from_data(data: Dict[str, Any]) -> SeriesSelector:
 if HAS_FLIGHT:
 
     class _ApiKeyMiddlewareFactory(fl.ServerMiddlewareFactory):
-        """API-key auth (reference kukur serves api-keys from its local
-        repository; here keys come from config ``[api_keys]``)."""
+        """API-key auth: static keys from config ``api_keys`` and/or a
+        SQLite ``ApiKeyRepository`` (reference pattern — keys managed by
+        the api-key CLI subcommand)."""
 
-        def __init__(self, api_keys):
-            self.api_keys = set(api_keys)
+        def __init__(self, api_keys=None, repository=None):
+            self.api_keys = set(api_keys or [])
+            self.repository = repository
 
         def start_call(self, info, headers):
             provided = headers.get("x-api-key", [None])
-            if not self.api_keys:
+            secret = provided[0] if provided else None
+            if secret is not None and secret in self.api_keys:
                 return None
-            if provided and provided[0] in self.api_keys:
+            if self.repository is not None and self.repository.verify(secret):
                 return None
             raise fl.FlightUnauthenticatedError("missing or invalid api key")
 
@@ -73,10 +76,13 @@ if HAS_FLIGHT:
             engine,
             location: str = "grpc://0.0.0.0:8081",
             api_keys=None,
+            repository=None,
         ):
             middleware = {}
-            if api_keys:
-                middleware["auth"] = _ApiKeyMiddlewareFactory(api_keys)
+            if api_keys or (repository is not None and repository.has_keys()):
+                middleware["auth"] = _ApiKeyMiddlewareFactory(
+                    api_keys, repository
+                )
             super().__init__(location, middleware=middleware)
             self.engine = engine
             self.location = location
@@ -282,15 +288,21 @@ def serve(
     port: int = 8081,
     background: bool = False,
     api_keys=None,
+    repository=None,
 ) -> Optional["KukurFlightServer"]:
     """Start the Flight server; ``background=True`` runs it on a thread."""
     if not HAS_FLIGHT:  # pragma: no cover
         raise NotImplementedError("pyarrow.flight is not available")
+    config = engine.config if hasattr(engine, "config") else {}
     if api_keys is None:
-        api_keys = (
-            engine.config.get("api_keys", []) if hasattr(engine, "config") else []
-        )
-    server = KukurFlightServer(engine, f"grpc://0.0.0.0:{port}", api_keys)
+        api_keys = config.get("api_keys", [])
+    if repository is None and config.get("api_key_db"):
+        from kukur_spark.repository import ApiKeyRepository
+
+        repository = ApiKeyRepository(config["api_key_db"])
+    server = KukurFlightServer(
+        engine, f"grpc://0.0.0.0:{port}", api_keys, repository
+    )
     if background:
         thread = threading.Thread(target=server.serve, daemon=True)
         thread.start()

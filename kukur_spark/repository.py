@@ -1,0 +1,87 @@
+"""SQLite-backed API-key repository with schema migrations.
+
+Parity target: reference ``kukur/repository/base.py:45-60`` (migrations run
+at startup, kukur/app.py:29-36) and the ``api-key`` CLI subcommand. Keys
+are stored as salted SHA-256 hashes — the plaintext secret is returned
+exactly once, at creation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import secrets
+import sqlite3
+from datetime import datetime, timezone
+from typing import List, Optional
+
+_MIGRATIONS = [
+    """CREATE TABLE IF NOT EXISTS api_keys (
+        name TEXT PRIMARY KEY,
+        salt TEXT NOT NULL,
+        key_hash TEXT NOT NULL,
+        created_at TEXT NOT NULL
+    )""",
+]
+
+
+def _hash(secret: str, salt: str) -> str:
+    return hashlib.sha256((salt + secret).encode()).hexdigest()
+
+
+class ApiKeyRepository:
+    def __init__(self, path: str = ":memory:"):
+        self._connection = sqlite3.connect(path, check_same_thread=False)
+        self._migrate()
+
+    def _migrate(self) -> None:
+        cursor = self._connection.cursor()
+        cursor.execute("PRAGMA user_version")
+        version = cursor.fetchone()[0]
+        for index, migration in enumerate(_MIGRATIONS[version:], start=version):
+            cursor.execute(migration)
+            cursor.execute(f"PRAGMA user_version = {index + 1}")
+        self._connection.commit()
+
+    def create(self, name: str) -> str:
+        """Create a key; returns the plaintext secret (shown only once)."""
+        secret = secrets.token_urlsafe(32)
+        salt = secrets.token_hex(8)
+        self._connection.execute(
+            "INSERT INTO api_keys (name, salt, key_hash, created_at) "
+            "VALUES (?, ?, ?, ?)",
+            (
+                name,
+                salt,
+                _hash(secret, salt),
+                datetime.now(timezone.utc).isoformat(),
+            ),
+        )
+        self._connection.commit()
+        return secret
+
+    def list(self) -> List[dict]:
+        rows = self._connection.execute(
+            "SELECT name, created_at FROM api_keys ORDER BY name"
+        ).fetchall()
+        return [{"name": name, "created_at": created} for name, created in rows]
+
+    def revoke(self, name: str) -> bool:
+        cursor = self._connection.execute(
+            "DELETE FROM api_keys WHERE name = ?", (name,)
+        )
+        self._connection.commit()
+        return cursor.rowcount > 0
+
+    def verify(self, secret: Optional[str]) -> bool:
+        if not secret:
+            return False
+        rows = self._connection.execute(
+            "SELECT salt, key_hash FROM api_keys"
+        ).fetchall()
+        return any(_hash(secret, salt) == key_hash for salt, key_hash in rows)
+
+    def has_keys(self) -> bool:
+        return (
+            self._connection.execute("SELECT COUNT(*) FROM api_keys").fetchone()[0]
+            > 0
+        )

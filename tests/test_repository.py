@@ -1,0 +1,74 @@
+"""API-key repository, CLI management, and repository-backed Flight auth."""
+
+import pytest
+
+from kukur_spark.cli import main
+from kukur_spark.repository import ApiKeyRepository
+
+
+def test_create_list_revoke_round_trip(tmp_path):
+    repo = ApiKeyRepository(str(tmp_path / "keys.db"))
+    secret = repo.create("ci-bot")
+    assert len(secret) > 20
+    assert [k["name"] for k in repo.list()] == ["ci-bot"]
+    assert repo.verify(secret)
+    assert not repo.verify("wrong")
+    assert not repo.verify(None)
+    assert repo.revoke("ci-bot")
+    assert not repo.verify(secret)
+    assert not repo.revoke("ci-bot")  # already gone
+
+
+def test_secrets_stored_hashed(tmp_path):
+    path = str(tmp_path / "keys.db")
+    repo = ApiKeyRepository(path)
+    secret = repo.create("k1")
+    raw = open(path, "rb").read()
+    assert secret.encode() not in raw  # plaintext never persisted
+
+
+def test_migration_idempotent(tmp_path):
+    path = str(tmp_path / "keys.db")
+    repo1 = ApiKeyRepository(path)
+    repo1.create("a")
+    repo2 = ApiKeyRepository(path)  # re-open runs migrations again
+    assert [k["name"] for k in repo2.list()] == ["a"]
+
+
+def test_cli_api_key_management(tmp_path, capsys):
+    db = str(tmp_path / "keys.db")
+    assert main(["api-key", "create", "--name", "ops", "--db", db]) == 0
+    secret = capsys.readouterr().out.strip().split(": ")[-1]
+    assert main(["api-key", "list", "--db", db]) == 0
+    assert "ops" in capsys.readouterr().out
+    assert ApiKeyRepository(db).verify(secret)
+    assert main(["api-key", "revoke", "--name", "ops", "--db", db]) == 0
+    assert main(["api-key", "revoke", "--name", "ops", "--db", db]) == 1
+
+
+def test_flight_auth_from_repository(spark, tmp_path):
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow.flight as fl
+
+    from kukur_spark.app import Engine
+    from kukur_spark.flight import FlightClient, serve
+    from kukur_spark.repository import ApiKeyRepository
+
+    db = str(tmp_path / "keys.db")
+    secret = ApiKeyRepository(db).create("reader")
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {
+            "source": {"demo": {"type": "csv", "path": str(tmp_path / "d.csv")}},
+            "api_key_db": db,
+        },
+        spark,
+    )
+    server = serve(engine, port=18087, background=True)
+    try:
+        authed = FlightClient("localhost", 18087, api_key=secret)
+        assert authed.list_sources() == ["demo"]
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            FlightClient("localhost", 18087).list_sources()
+    finally:
+        server.shutdown()
