@@ -1,7 +1,7 @@
-"""CLI: serve Flight, test a source, inspect paths.
+"""CLI: serve Flight, test a source, inspect paths, manage API keys.
 
 Parity target: reference ``kukur/cli.py`` subcommands (flight | test |
-inspect), minus api-key management (no auth store in v1).
+inspect | api-key).
 
 Usage::
 
@@ -9,6 +9,8 @@ Usage::
     python -m kukur_spark.cli test --config kukur.toml --source mysrc \
         [--start 2020-01-01 --end 2021-01-01]
     python -m kukur_spark.cli inspect --path /data [--preview FILE]
+    python -m kukur_spark.cli api-key {create|list|revoke} --name NAME \
+        (--db keys.db | --config kukur.toml)   # flight reads api_key_db too
 """
 
 from __future__ import annotations
@@ -86,14 +88,26 @@ def cmd_inspect(args) -> int:
 
 def cmd_api_key(args) -> int:
     """Manage Flight API keys (reference api-key subcommand)."""
-    from kukur_spark.config import from_toml
     from kukur_spark.repository import ApiKeyRepository
 
     config = from_toml(args.config) if args.config else {}
-    db = args.db or config.get("api_key_db", "kukur_api_keys.db")
+    db = args.db or config.get("api_key_db")
+    if not db:
+        print(
+            "error: no key store — pass --db or set api_key_db in the "
+            "config (the flight server reads the same setting)"
+        )
+        return 1
+    if args.action in ("create", "revoke") and not args.name:
+        print(f"error: api-key {args.action} requires --name")
+        return 1
     repository = ApiKeyRepository(db)
     if args.action == "create":
-        secret = repository.create(args.name)
+        try:
+            secret = repository.create(args.name)
+        except ValueError as error:
+            print(f"error: {error}")
+            return 1
         print(f"api key {args.name!r} created; secret (shown once): {secret}")
     elif args.action == "list":
         for item in repository.list():

@@ -60,9 +60,20 @@ if HAS_FLIGHT:
             self.repository = repository
 
         def start_call(self, info, headers):
+            import hmac
+
+            # key existence is checked per request (not frozen at server
+            # start): a fresh empty repository leaves the server open until
+            # the first key is created, then locks down immediately
+            if not self.api_keys and (
+                self.repository is None or not self.repository.has_keys()
+            ):
+                return None
             provided = headers.get("x-api-key", [None])
             secret = provided[0] if provided else None
-            if secret is not None and secret in self.api_keys:
+            if secret is not None and any(
+                hmac.compare_digest(secret, key) for key in self.api_keys
+            ):
                 return None
             if self.repository is not None and self.repository.verify(secret):
                 return None
@@ -79,7 +90,7 @@ if HAS_FLIGHT:
             repository=None,
         ):
             middleware = {}
-            if api_keys or (repository is not None and repository.has_keys()):
+            if api_keys or repository is not None:
                 middleware["auth"] = _ApiKeyMiddlewareFactory(
                     api_keys, repository
                 )

@@ -9,8 +9,10 @@ exactly once, at creation.
 from __future__ import annotations
 
 import hashlib
+import hmac
 import secrets
 import sqlite3
+import threading
 from datetime import datetime, timezone
 from typing import List, Optional
 
@@ -31,6 +33,8 @@ def _hash(secret: str, salt: str) -> str:
 class ApiKeyRepository:
     def __init__(self, path: str = ":memory:"):
         self._connection = sqlite3.connect(path, check_same_thread=False)
+        # one connection shared across gRPC handler threads — serialize
+        self._lock = threading.Lock()
         self._migrate()
 
     def _migrate(self) -> None:
@@ -44,44 +48,65 @@ class ApiKeyRepository:
 
     def create(self, name: str) -> str:
         """Create a key; returns the plaintext secret (shown only once)."""
+        if not name:
+            raise ValueError("api key name must not be empty")
         secret = secrets.token_urlsafe(32)
         salt = secrets.token_hex(8)
-        self._connection.execute(
-            "INSERT INTO api_keys (name, salt, key_hash, created_at) "
-            "VALUES (?, ?, ?, ?)",
-            (
-                name,
-                salt,
-                _hash(secret, salt),
-                datetime.now(timezone.utc).isoformat(),
-            ),
-        )
-        self._connection.commit()
+        with self._lock:
+            try:
+                self._connection.execute(
+                    "INSERT INTO api_keys (name, salt, key_hash, created_at) "
+                    "VALUES (?, ?, ?, ?)",
+                    (
+                        name,
+                        salt,
+                        _hash(secret, salt),
+                        datetime.now(timezone.utc).isoformat(),
+                    ),
+                )
+                self._connection.commit()
+            except sqlite3.IntegrityError as exc:
+                raise ValueError(f"api key {name!r} already exists") from exc
         return secret
 
     def list(self) -> List[dict]:
-        rows = self._connection.execute(
-            "SELECT name, created_at FROM api_keys ORDER BY name"
-        ).fetchall()
+        with self._lock:
+            rows = self._connection.execute(
+                "SELECT name, created_at FROM api_keys ORDER BY name"
+            ).fetchall()
         return [{"name": name, "created_at": created} for name, created in rows]
 
     def revoke(self, name: str) -> bool:
-        cursor = self._connection.execute(
-            "DELETE FROM api_keys WHERE name = ?", (name,)
-        )
-        self._connection.commit()
-        return cursor.rowcount > 0
+        with self._lock:
+            cursor = self._connection.execute(
+                "DELETE FROM api_keys WHERE name = ?", (name,)
+            )
+            self._connection.commit()
+            return cursor.rowcount > 0
 
     def verify(self, secret: Optional[str]) -> bool:
+        """Constant-time hash comparison against every stored key.
+
+        O(#keys) per call because the wire protocol carries only the
+        secret (the reference client sends a (name, key) pair and looks up
+        by name); gateways hold few keys, so the scan is acceptable.
+        """
         if not secret:
             return False
-        rows = self._connection.execute(
-            "SELECT salt, key_hash FROM api_keys"
-        ).fetchall()
-        return any(_hash(secret, salt) == key_hash for salt, key_hash in rows)
+        with self._lock:
+            rows = self._connection.execute(
+                "SELECT salt, key_hash FROM api_keys"
+            ).fetchall()
+        return any(
+            hmac.compare_digest(_hash(secret, salt), key_hash)
+            for salt, key_hash in rows
+        )
 
     def has_keys(self) -> bool:
-        return (
-            self._connection.execute("SELECT COUNT(*) FROM api_keys").fetchone()[0]
-            > 0
-        )
+        with self._lock:
+            return (
+                self._connection.execute(
+                    "SELECT COUNT(*) FROM api_keys"
+                ).fetchone()[0]
+                > 0
+            )

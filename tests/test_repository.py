@@ -46,6 +46,60 @@ def test_cli_api_key_management(tmp_path, capsys):
     assert main(["api-key", "revoke", "--name", "ops", "--db", db]) == 1
 
 
+def test_duplicate_and_empty_names_rejected(tmp_path):
+    repo = ApiKeyRepository(str(tmp_path / "keys.db"))
+    repo.create("x")
+    with pytest.raises(ValueError, match="already exists"):
+        repo.create("x")
+    with pytest.raises(ValueError, match="empty"):
+        repo.create("")
+
+
+def test_cli_requires_db_and_name(tmp_path, capsys):
+    assert main(["api-key", "create", "--name", "x"]) == 1  # no --db/config
+    assert "api_key_db" in capsys.readouterr().out
+    db = str(tmp_path / "k.db")
+    assert main(["api-key", "create", "--db", db]) == 1  # no --name
+    assert "requires --name" in capsys.readouterr().out
+    assert main(["api-key", "create", "--name", "x", "--db", db]) == 0
+    capsys.readouterr()
+    assert main(["api-key", "create", "--name", "x", "--db", db]) == 1
+    assert "already exists" in capsys.readouterr().out
+
+
+def test_flight_empty_repo_open_until_first_key(spark, tmp_path):
+    """A fresh empty key store leaves the server open; creating the first
+    key locks it down live (no restart)."""
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow.flight as fl
+
+    from kukur_spark.app import Engine
+    from kukur_spark.flight import FlightClient, serve
+
+    db = str(tmp_path / "keys.db")
+    ApiKeyRepository(db)  # create empty store
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {
+            "source": {"demo": {"type": "csv", "path": str(tmp_path / "d.csv")}},
+            "api_key_db": db,
+        },
+        spark,
+    )
+    server = serve(engine, port=18088, background=True)
+    try:
+        anonymous = FlightClient("localhost", 18088)
+        assert anonymous.list_sources() == ["demo"]  # open: no keys yet
+        secret = ApiKeyRepository(db).create("first")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            anonymous.list_sources()  # locked down immediately
+        assert FlightClient(
+            "localhost", 18088, api_key=secret
+        ).list_sources() == ["demo"]
+    finally:
+        server.shutdown()
+
+
 def test_flight_auth_from_repository(spark, tmp_path):
     pytest.importorskip("pyarrow.flight")
     import pyarrow.flight as fl
