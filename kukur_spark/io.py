@@ -60,8 +60,10 @@ def load_table(
             "bigint",
         ):
             if ts_range is not None:
-                start_ns = int(ts_range[0].timestamp() * 1_000_000_000)
-                end_ns = int(ts_range[1].timestamp() * 1_000_000_000)
+                from kukur_spark.timeutil import epoch_ns
+
+                start_ns = epoch_ns(ts_range[0])
+                end_ns = epoch_ns(ts_range[1])
                 df = df.filter(
                     (F.col(column) >= F.lit(start_ns))
                     & (F.col(column) < F.lit(end_ns))

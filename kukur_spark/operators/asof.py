@@ -40,23 +40,32 @@ def asof_join(
     matched within the ``on`` key columns. Left rows without a match are
     dropped (inner as-of, like DuckDB's ASOF JOIN default).
     """
-    value_columns = value_columns or [
-        c for c in right.columns if c not in on and c != ts_column
-    ]
+    if value_columns is None:
+        value_columns = [
+            c for c in right.columns if c not in on and c != ts_column
+        ]
     # side ordering: on equal ts the right row sorts first when exact
     # matches are allowed (so it is visible to the left row), after when not
     right_side, left_side = (0, 1) if allow_exact_matches else (2, 1)
 
-    left_tagged = left.withColumn("__side", F.lit(left_side))
-    for c in value_columns:
-        left_tagged = left_tagged.withColumn(
-            f"__r_{c}", F.lit(None).cast(right.schema[c].dataType)
+    # the matched right row travels as ONE struct: per-column last() would
+    # skip NULL values (returning a stale row's value) and could combine
+    # fields from different right rows; the struct is non-null whenever a
+    # right row exists, even if every value in it is NULL
+    row_struct = F.struct(
+        F.lit(1).alias("__present"),
+        *[F.col(c).alias(c) for c in value_columns],
+    )
+    left_tagged = left.withColumn("__side", F.lit(left_side)).withColumn(
+        "__r", F.lit(None).cast(
+            right.select(row_struct.alias("s")).schema["s"].dataType
         )
+    )
     right_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(ts_column),
         F.lit(right_side).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_columns],
+        row_struct.alias("__r"),
     )
     combined = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
 
@@ -65,18 +74,18 @@ def asof_join(
         .orderBy(F.col(ts_column).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_columns:
-        combined = combined.withColumn(
-            f"__m_{c}", F.last(f"__r_{c}", ignorenulls=True).over(window)
-        )
+    combined = combined.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(window)
+    )
     matched = combined.filter(F.col("__side") == F.lit(left_side))
+    # inner as-of: drop left rows with no preceding right row (the struct
+    # itself is null only when nothing matched)
+    matched = matched.filter(F.col("__m").isNotNull())
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
-        F.col(f"__m_{c}").alias(c if c not in left.columns else c + suffix)
+        F.col("__m").getField(c).alias(
+            c if c not in left.columns else c + suffix
+        )
         for c in value_columns
     ]
-    result = matched.select(out_cols)
-    # inner as-of: drop left rows with no preceding right row
-    first_value = value_columns[0]
-    alias = first_value if first_value not in left.columns else first_value + suffix
-    return result.filter(F.col(alias).isNotNull())
+    return matched.select(out_cols)

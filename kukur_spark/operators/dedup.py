@@ -69,14 +69,20 @@ def combine_shingle_hashes(th_col: Column, k: int = 3) -> Column:
     ``th_col`` must be a real column (not an inline expression): the lambda
     indexes it ``k`` times per shingle, and an inline expression would be
     re-evaluated on every access (O(k·n²) hashing).
+
+    Documents with fewer than ``k`` tokens contribute one shingle — the
+    hash of their full token-hash array (indexing past the array end would
+    throw under ANSI mode and a short doc still needs an identity for
+    exact-dup detection).
     """
     n = F.size(th_col)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    full = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(th_col, i + j) for j in range(k)]),
+    )
     return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at(th_col, i + j) for j in range(k)]),
-        )
+        F.when(n >= F.lit(k), full).otherwise(F.array(F.xxhash64(th_col)))
     )
 
 
@@ -119,6 +125,11 @@ def minhash_lsh_pairs(
 
     Returns ``id_a, id_b, jaccard``.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "— a remainder would silently drop signature rows"
+        )
     rows_per_band = num_hashes // bands
     if partitions <= 0:
         partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -138,6 +149,9 @@ def minhash_lsh_pairs(
             "id", combine_shingle_hashes(F.col("th"), shingle_size).alias("hs")
         )
         .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+        # feeds three plan branches (banding + both verification joins);
+        # without persist the CPU-heavy projection runs three times
+        .persist()
     )
     # banding carries only (id, band, bucket) — 24 bytes/row through the
     # explode and the self-join shuffle, never the shingle arrays

@@ -24,10 +24,45 @@ MAX_DAY_SPAN = timedelta(days=31)
 MAX_HOUR_SPAN = timedelta(hours=24)
 
 
+def _truncate(value: datetime, resolution: str) -> datetime:
+    if resolution == "year":
+        return value.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    if resolution == "month":
+        return value.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if resolution == "day":
+        return value.replace(hour=0, minute=0, second=0, microsecond=0)
+    return value.replace(minute=0, second=0, microsecond=0)
+
+
+def _next_boundary(value: datetime, resolution: str) -> datetime:
+    if resolution == "year":
+        return value.replace(year=value.year + 1)
+    if resolution == "month":
+        if value.month == 12:
+            return value.replace(year=value.year + 1, month=1)
+        return value.replace(month=value.month + 1)
+    if resolution == "day":
+        return value + timedelta(days=1)
+    return value + timedelta(hours=1)
+
+
 def _enumerate(start: datetime, end: datetime, resolution: str) -> List[Dict[str, int]]:
+    """Every partition the half-open [start, end) range touches.
+
+    The cursor walks exact calendar boundaries (truncate → next boundary),
+    so an unaligned range never skips its final partition — fixed-size
+    steps (the previous implementation) could jump past ``end`` before
+    emitting the partition that contains it, silently pruning in-range
+    data.
+    """
+    keep = {
+        "year": ("year",),
+        "month": ("year", "month"),
+        "day": ("year", "month", "day"),
+        "hour": ("year", "month", "day", "hour"),
+    }[resolution]
     out = []
-    cursor = start
-    seen = set()
+    cursor = _truncate(start, resolution)
     while cursor < end:
         key = {
             "year": cursor.year,
@@ -35,24 +70,8 @@ def _enumerate(start: datetime, end: datetime, resolution: str) -> List[Dict[str
             "day": cursor.day,
             "hour": cursor.hour,
         }
-        keep = {
-            "year": ("year",),
-            "month": ("year", "month"),
-            "day": ("year", "month", "day"),
-            "hour": ("year", "month", "day", "hour"),
-        }[resolution]
-        item = tuple(key[k] for k in keep)
-        if item not in seen:
-            seen.add(item)
-            out.append({k: key[k] for k in keep})
-        cursor += {
-            "year": timedelta(days=28),
-            "month": timedelta(days=1),
-            "day": timedelta(days=1),
-            "hour": timedelta(hours=1),
-        }[resolution]
-    # ensure the end boundary's partition is included (half-open range may
-    # still touch it when end is not aligned)
+        out.append({k: key[k] for k in keep})
+        cursor = _next_boundary(cursor, resolution)
     return out
 
 
@@ -68,6 +87,9 @@ def partition_predicates(
     reference: finer resolutions are skipped for ranges too wide to
     enumerate (the coarser predicate still prunes).
     """
+    from kukur_spark.timeutil import as_utc
+
+    start, end = as_utc(start), as_utc(end)
     span = end - start
     resolution = partition_columns[-1]
     if resolution == "month" and span > MAX_MONTH_SPAN:

@@ -28,8 +28,10 @@ BUCKET_COLUMN = "bucket"
 
 def _bucket_expr(start: datetime, end: datetime, interval_count: int):
     """Integer bucket id: floor((ts - start) * n / span), clamped to n-1."""
-    start_us = int(start.timestamp() * 1_000_000)
-    end_us = int(end.timestamp() * 1_000_000)
+    from kukur_spark.timeutil import epoch_us
+
+    start_us = epoch_us(start)
+    end_us = epoch_us(end)
     span = max(end_us - start_us, 1)
     raw = (
         (F.unix_micros(F.col(TS_COLUMN)) - F.lit(start_us))
@@ -52,10 +54,18 @@ def plot_buckets(
     Returns ``[group…, bucket, bucket_start, min_value, max_value,
     first_value, last_value, ts_min, ts_max, ts_first, ts_last, n_points]``.
     """
+    from kukur_spark.timeutil import epoch_us as _epoch_us
+
     group_columns = group_columns or []
-    start_us = int(start.timestamp() * 1_000_000)
-    end_us = int(end.timestamp() * 1_000_000)
+    start_us = _epoch_us(start)
+    end_us = _epoch_us(end)
     span = max(end_us - start_us, 1)
+    # out-of-window rows would clamp into the edge buckets (or produce
+    # negative bucket ids) — restrict to the half-open window first
+    df = df.filter(
+        (F.unix_micros(F.col(TS_COLUMN).cast("timestamp")) >= F.lit(start_us))
+        & (F.unix_micros(F.col(TS_COLUMN).cast("timestamp")) < F.lit(end_us))
+    )
     bucketed = df.withColumn(BUCKET_COLUMN, _bucket_expr(start, end, interval_count))
     value, ts = F.col(VALUE_COLUMN), F.col(TS_COLUMN)
     # struct-ordered argmin/argmax: deterministic under value ties

@@ -41,10 +41,12 @@ def resample(
     Returns one row per (group, grid instant) with the interpolated value
     (null where undefined).
     """
+    from kukur_spark.timeutil import epoch_us
+
     group_columns = group_columns or []
     spark = df.sparkSession
-    start_us = int(start.timestamp() * 1_000_000)
-    end_us = int(end.timestamp() * 1_000_000)
+    start_us = epoch_us(start)
+    end_us = epoch_us(end)
     step_us = interval_seconds * 1_000_000
 
     groups = (

@@ -73,7 +73,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot keys: salt the big side
-    deterministically, replicate the small side per salt value."""
+    deterministically, replicate the small side per salt value.
+
+    Only inner/left joins are supported: with right/full joins an
+    unmatched small-side row would surface once per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} — the "
+            "replicated small side would duplicate unmatched rows"
+        )
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)
     )

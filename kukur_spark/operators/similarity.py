@@ -50,12 +50,17 @@ def brute_force_topk(
     k: int = 5,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
     Returns ``query_id, neighbor_id, cos_sim`` (rounded to 6), ties broken
     by neighbor id for determinism. The query side is broadcast — never
     shuffle the corpus.
+
+    ``exclude_same_id`` assumes queries and corpus share one id namespace
+    (self-search); pass False when they are distinct tables whose ids may
+    collide coincidentally.
     """
     q = queries.select(
         F.col(id_column).alias("query_id"),
@@ -65,8 +70,13 @@ def brute_force_topk(
         F.col(id_column).alias("neighbor_id"),
         _as_double(F.col(vector_column)).alias("cv"),
     )
+    condition = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_same_id
+        else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), condition)
         .withColumn("cos_sim", dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv"))))
     )
     window = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,39 @@
+"""Exact, timezone-safe datetime → epoch conversions.
+
+Two hazards these helpers remove (both found by review, both real):
+
+- ``dt.timestamp() * 1e9`` computes nanoseconds in *float*: ~1.7e18 is far
+  beyond double's exact-integer range (2^53), so the result is off by up
+  to hundreds of ns — fatal for half-open boundary comparisons on raw
+  nanosecond columns.
+- ``naive_dt.timestamp()`` interprets the value in the *driver's local
+  timezone*, while the engine's canonical timestamps are UTC — a driver
+  in UTC+5 would shift every grid/bucket/partition boundary by 5 hours.
+
+Policy: naive datetimes are treated as UTC wall-clock.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+
+def as_utc(value: datetime) -> datetime:
+    """Aware → converted to UTC; naive → assumed UTC."""
+    if value.tzinfo is None:
+        return value.replace(tzinfo=timezone.utc)
+    return value.astimezone(timezone.utc)
+
+
+def epoch_us(value: datetime) -> int:
+    """Exact microseconds since the epoch (integer arithmetic)."""
+    value = as_utc(value)
+    # integral seconds of the microsecond-truncated value: exact below
+    # 2^53, immune to float rounding across the integer boundary
+    seconds = int(value.replace(microsecond=0).timestamp())
+    return seconds * 1_000_000 + value.microsecond
+
+
+def epoch_ns(value: datetime) -> int:
+    """Exact nanoseconds since the epoch (integer arithmetic)."""
+    return epoch_us(value) * 1_000

@@ -55,13 +55,19 @@ def test_plot_downsample_keeps_envelope(spark):
     assert len(reduced) <= 8
 
 
-def test_plot_last_bucket_clamped(spark):
+def test_plot_window_half_open(spark):
     df = spark.createDataFrame(
-        [(END.replace(tzinfo=None), 5.0)], "ts timestamp, value double"
+        [
+            (datetime(2019, 12, 31), -1.0),  # before window
+            (ts(4, 23), 5.0),  # in window (last hour)
+            (END.replace(tzinfo=None), 9.0),  # exactly at end → excluded
+        ],
+        "ts timestamp, value double",
     )
-    # a point exactly at end lands in the last bucket, not bucket n
     stats = plot_buckets(df, START, END, 4).collect()
+    assert len(stats) == 1
     assert stats[0]["bucket"] == 3
+    assert stats[0]["max_value"] == 5.0  # neither out-of-window point leaked
 
 
 # -- as-of join ------------------------------------------------------------
