@@ -42,6 +42,18 @@ class Source(Protocol):
     ) -> DataFrame: ...
 
 
+class _OwnSource:
+    """Adapter presenting the wrapped source's own metadata with retry."""
+
+    def __init__(self, wrapper: "SourceWrapper"):
+        self._wrapper = wrapper
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        return self._wrapper._retry(
+            lambda: self._wrapper.source.get_metadata(selector)
+        )
+
+
 class SourceWrapper:
     """Applies the cross-cutting query policies around a concrete source."""
 
@@ -81,47 +93,59 @@ class SourceWrapper:
 
     # -- search with metadata fan-out (M2/J1) ------------------------------
     def search(self, search: SeriesSearch) -> Iterator[SearchResult]:
+        """Selector results pass through unchanged; Metadata results are
+        merged on top of the full metadata lookup (reference
+        kukur/source/__init__.py:162-203): the search hit's own non-empty
+        fields take final precedence.
+        """
         for result in self._retry(lambda: list(self.source.search(search))):
-            if not self.metadata_sources:
+            if not self.metadata_sources or not isinstance(result, Metadata):
                 yield result
                 continue
-            selector = (
-                result.series if isinstance(result, Metadata) else result
+            selector = SeriesSelector(
+                result.series.source,
+                dict(result.series.tags),
+                result.series.field,
             )
-            base = (
-                result
-                if isinstance(result, Metadata)
-                else Metadata(selector)
-            )
-            yield self._enrich(selector, base)
-
-    def _enrich(self, selector: SeriesSelector, base: Metadata) -> Metadata:
-        """Field-level precedence merge: non-empty extra-source values win.
-
-        Failure isolation: a failing extra source logs and leaves the
-        original untouched (reference :196-203).
-        """
-        for extra in self.metadata_sources:
             try:
-                extra_metadata = extra.get_metadata(selector)
+                merged = self.get_metadata(selector)
+            except Exception:
+                logger.warning(
+                    "metadata fan-out failed for %s", selector.name, exc_info=True
+                )
+                yield result
+                continue
+            for name, value in result.iter_names():
+                if value not in (None, ""):
+                    merged.set_field_by_name(name, value)
+            yield merged
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        """Precedence parity (reference kukur/source/__init__.py:205-236):
+        sources apply in ``reversed(extras) + [own source]`` order with
+        non-empty values overwriting — the own source wins, and
+        earlier-listed extras beat later ones. A failing extra logs and is
+        skipped (failure isolation).
+        """
+        metadata = Metadata(selector)
+        own = _OwnSource(self)
+        for source in list(reversed(self.metadata_sources)) + [own]:
+            try:
+                received = source.get_metadata(selector)
+            except NotImplementedError:
+                continue
             except Exception:
                 logger.warning(
                     "metadata source failed for %s", selector.name, exc_info=True
                 )
                 continue
-            allowed = self.metadata_fields.get(extra)
-            for name, value in extra_metadata.iter_names():
+            allowed = self.metadata_fields.get(source)
+            for name, value in received.iter_names():
                 if allowed is not None and name not in allowed:
                     continue
                 if value not in (None, ""):
-                    base.set_field_by_name(name, value)
-        return base
-
-    def get_metadata(self, selector: SeriesSelector) -> Metadata:
-        base = self._retry(lambda: self.source.get_metadata(selector))
-        if self.metadata_sources:
-            base = self._enrich(selector, base)
-        return base
+                    metadata.set_field_by_name(name, value)
+        return metadata
 
     # -- get_data with M3/M5 ----------------------------------------------
     def get_data(
@@ -144,7 +168,13 @@ class SourceWrapper:
             )
             chunk_start = chunk_end
         out = union_conform(chunks)
-        return out if out is not None else empty_data_frame(self.spark)
+        if out is None:
+            return empty_data_frame(self.spark)
+        # sources with closed time ranges (ADX between, Influx <=, ES lte)
+        # return the chunk-boundary instant in both adjacent chunks
+        if getattr(self.source, "closed_ranges", False) and len(chunks) > 1:
+            out = out.dropDuplicates(["ts"])
+        return out
 
     # -- get_plot_data with M4 fallback -----------------------------------
     def get_plot_data(

@@ -45,10 +45,16 @@ class ThrottledError(Exception):
 
 
 def _escape(value: str) -> str:
-    return "'" + value.replace("'", "\\'") + "'"
+    # backslashes first: a trailing backslash would otherwise escape the
+    # closing quote and break out of the KQL string literal
+    escaped = value.replace("\\", "\\\\").replace("'", "\\'")
+    return "'" + escaped + "'"
 
 
 class AzureDataExplorerSource:
+    # reference-parity closed time ranges (F3 exception);
+    # SourceWrapper dedupes chunk boundaries when interval splitting
+    closed_ranges = True
     def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
         self.spark = spark
         self.name = name

@@ -126,4 +126,8 @@ class DatabricksRestSource:
             self.config["data_query"], selector, start, end
         )
         table = self._execute(statement)
+        if table.num_columns == 0 or table.num_rows == 0:
+            from kukur_spark.schema import empty_data_frame
+
+            return empty_data_frame(self.spark)
         return conform(self.spark.createDataFrame(table.to_pandas()))

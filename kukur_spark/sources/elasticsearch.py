@@ -29,6 +29,9 @@ DEFAULT_PAGE_SIZE = 10_000  # reference elasticsearch.py:64
 
 
 class ElasticsearchSource:
+    # reference-parity closed time ranges (F3 exception);
+    # SourceWrapper dedupes chunk boundaries when interval splitting
+    closed_ranges = True
     def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
         self.spark = spark
         self.name = name

@@ -500,10 +500,11 @@ class FileSource:
         index: Dict[tuple, Dict[str, str]] = {}
         for row in rows:
             data = {k: v for k, v in row.asDict().items() if v not in (None, "")}
-            key_cols = [c for c in opts.tag_columns if c in data] or [
-                SERIES_NAME_TAG
-            ]
-            key = tuple(data.get(c, "") for c in key_cols)
+            # key over ALL configured tag columns (missing cells as "") —
+            # must mirror _lookup_metadata exactly or sparse rows become
+            # silently unfindable
+            key_cols = list(opts.tag_columns) or [SERIES_NAME_TAG]
+            key = tuple(str(data.get(c, "")) for c in key_cols)
             if opts.metadata_field_column and opts.metadata_field_column in data:
                 key = key + (data[opts.metadata_field_column],)
             index[key] = data

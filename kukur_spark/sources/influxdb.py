@@ -39,6 +39,9 @@ def _escape_string(value: str) -> str:
 
 
 class InfluxDBSource:
+    # reference-parity closed time ranges (F3 exception);
+    # SourceWrapper dedupes chunk boundaries when interval splitting
+    closed_ranges = True
     def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
         self.spark = spark
         self.name = name
@@ -56,8 +59,20 @@ class InfluxDBSource:
             return []
         return results[0].get("series", [])
 
+    def _field_keys(self, measurement: str, cache: Dict[str, List[str]]) -> List[str]:
+        """SHOW FIELD KEYS once per measurement (depends only on it)."""
+        if measurement not in cache:
+            keys: List[str] = []
+            for series in self._query(
+                f"SHOW FIELD KEYS FROM {_escape_identifier(measurement)}"
+            ):
+                keys.extend(field for field, _ftype in series.get("values", []))
+            cache[measurement] = keys
+        return cache[measurement]
+
     def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
         """SHOW SERIES → one selector per (measurement, tag set, field)."""
+        field_cache: Dict[str, List[str]] = {}
         for series in self._query("SHOW SERIES"):
             for (key,) in series.get("values", []):
                 # key format: measurement,tag1=v1,tag2=v2
@@ -67,16 +82,13 @@ class InfluxDBSource:
                     for part in tag_str.split(","):
                         k, _, v = part.partition("=")
                         tags[k] = v
-                for field_series in self._query(
-                    f"SHOW FIELD KEYS FROM {_escape_identifier(measurement)}"
+                # tag filter first: non-matching series pay no field query
+                if search.tags and any(
+                    tags.get(k) != v for k, v in search.tags.items()
                 ):
-                    for field_key, _ftype in field_series.get("values", []):
-                        selector = SeriesSelector(self.name, tags, field_key)
-                        if search.tags and any(
-                            tags.get(k) != v for k, v in search.tags.items()
-                        ):
-                            continue
-                        yield selector
+                    continue
+                for field_key in self._field_keys(measurement, field_cache):
+                    yield SeriesSelector(self.name, tags, field_key)
 
     def get_metadata(self, selector: SeriesSelector) -> Metadata:
         return Metadata(selector)
@@ -84,10 +96,12 @@ class InfluxDBSource:
     def get_data(
         self, selector: SeriesSelector, start: datetime, end: datetime
     ) -> DataFrame:
+        from kukur_spark.timeutil import epoch_us
+
         measurement = selector.tags.get("__measurement__", "")
         conditions = [
-            f"time >= {int(start.timestamp() * 1_000_000)}u",
-            f"time <= {int(end.timestamp() * 1_000_000)}u",  # closed (parity)
+            f"time >= {epoch_us(start)}u",
+            f"time <= {epoch_us(end)}u",  # closed (parity)
         ]
         for key, value in selector.tags.items():
             if key == "__measurement__":

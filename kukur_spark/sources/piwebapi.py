@@ -88,14 +88,19 @@ class PIWebAPISource:
             )
             items = payload.get("Items", [])
             rows = []
+            last_item_ts = None
             for item in items:
+                ts = datetime.fromisoformat(
+                    str(item["Timestamp"]).replace("Z", "+00:00")
+                ).astimezone(timezone.utc)
+                last_item_ts = ts
+                # W3: the resume timestamp duplicates the previous page
+                if not first_page and ts == page_start:
+                    continue
                 value = item.get("Value")
                 # F6: PI system states arrive as objects with a Name
                 if isinstance(value, dict):
                     continue
-                ts = datetime.fromisoformat(
-                    str(item["Timestamp"]).replace("Z", "+00:00")
-                ).astimezone(timezone.utc)
                 rows.append(
                     (
                         ts,
@@ -103,18 +108,21 @@ class PIWebAPISource:
                         1 if item.get("Good", True) else 0,
                     )
                 )
-            # W3: the resume timestamp duplicates the previous page's last row
-            if not first_page and rows and rows[0][0] == page_start:
-                rows = rows[1:]
             if rows:
                 pages.append(
                     self.spark.createDataFrame(
                         rows, data_schema(with_quality=True)
                     )
                 )
-            if len(items) < self.max_items or not rows:
+            # continue whenever the page was FULL — a page of nothing but
+            # filtered system-state rows still means more data may follow;
+            # resume from the last *raw* item's timestamp, and stop if the
+            # cursor cannot advance (all-duplicate page)
+            if len(items) < self.max_items:
                 break
-            page_start = rows[-1][0]
+            if last_item_ts is None or last_item_ts == page_start:
+                break
+            page_start = last_item_ts
             first_page = False
         if not pages:
             from kukur_spark.schema import empty_data_frame

@@ -103,8 +103,13 @@ def _normalize_ts(value: Any, timezone_name: Optional[str]) -> Optional[dt.datet
     return value.astimezone(dt.timezone.utc)
 
 
-def _unify_values(values: List[Any]) -> Tuple[List[Any], str]:
-    """Majority-type unification over the first 300 rows (reference rules)."""
+def _unify_values(values: List[Any]) -> Tuple[List[Any], List[int], str]:
+    """Majority-type unification over the first 300 rows (reference rules).
+
+    Returns (unified values, kept row indexes, type) — bytes rows are
+    dropped as *whole rows* (reference sql.py:239-244); returning indexes
+    keeps timestamps/quality aligned with the surviving values.
+    """
     sample = values[:TYPE_CHECKING_ROW_LIMIT]
     n_str = sum(1 for v in sample if isinstance(v, str))
     n_num = sum(
@@ -112,11 +117,13 @@ def _unify_values(values: List[Any]) -> Tuple[List[Any], str]:
     )
     total = max(len(sample), 1)
     out: List[Any] = []
+    kept: List[int] = []
     if n_str / total > MAJORITY_THRESHOLD:
         target = "string"
-        for v in values:
+        for i, v in enumerate(values):
             if isinstance(v, bytes):
-                continue  # bytes rows dropped (reference sql.py:239-244)
+                continue
+            kept.append(i)
             if isinstance(v, (dt.date, dt.datetime)):
                 out.append(v.isoformat())
             elif v is None:
@@ -125,17 +132,19 @@ def _unify_values(values: List[Any]) -> Tuple[List[Any], str]:
                 out.append(str(v))
     elif n_num / total > MAJORITY_THRESHOLD or n_num >= n_str:
         target = "double"
-        for v in values:
+        for i, v in enumerate(values):
             if isinstance(v, bytes):
                 continue
+            kept.append(i)
             if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool):
                 out.append(float(v))
             else:
                 out.append(None)  # losing strings → null
     else:
         target = "string"
+        kept = list(range(len(values)))
         out = [str(v) if v is not None else None for v in values]
-    return out, target
+    return out, kept, target
 
 
 class SqlSource:
@@ -224,8 +233,9 @@ class SqlSource:
             end_param,
         )
         rows = self._execute(query, params)
+        values, kept, value_type = _unify_values([r[1] for r in rows])
+        rows = [rows[i] for i in kept]  # bytes rows dropped whole
         timestamps = [_normalize_ts(r[0], self.data_timezone) for r in rows]
-        values, value_type = _unify_values([r[1] for r in rows])
         qualities = [r[2] for r in rows] if rows and len(rows[0]) > 2 else None
         records = list(zip(timestamps, values, *([qualities] if qualities else [])))
         schema = data_schema(

@@ -132,6 +132,10 @@ def _update_last_value(
         state.get if state.exists else (None, None, 0)
     )
     for pdf in pdfs:
+        # rows with unparseable/null timestamps cannot participate in a
+        # "latest value" — drop them instead of letting idxmax() raise on
+        # an all-NaN series and kill the streaming query
+        pdf = pdf.dropna(subset=["ts_us"])
         if len(pdf) == 0:
             continue
         n_total += len(pdf)
@@ -139,7 +143,8 @@ def _update_last_value(
         ts_us = int(pdf["ts_us"][idx])
         if last_ts is None or ts_us >= last_ts:
             last_ts = ts_us
-            last_value = float(pdf["value"][idx])
+            value = pdf["value"][idx]
+            last_value = None if value != value else float(value)  # NaN-safe
     state.update((last_ts, last_value, n_total))
     yield pd.DataFrame(
         {

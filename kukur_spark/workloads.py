@@ -362,11 +362,14 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
         dsum(economy).alias("economy_revenue_e6"),
         dsum(revenue).alias("total_revenue_e6"),
     )
+    # divide-before-scale: economy_e6 * 1e6 overflows int64 at sf>=0.1;
+    # both engines compute the identical truncating expression, so the
+    # result stays bit-exact
     return agg.select(
         "economy_revenue_e6",
         "total_revenue_e6",
         F.expr(
-            "economy_revenue_e6 * 1000000 div total_revenue_e6"
+            "economy_revenue_e6 div (total_revenue_e6 div 1000000)"
         ).alias("share_e6"),
     )
 
@@ -382,7 +385,7 @@ WITH agg AS (
     AND l_shipdate < TIMESTAMP '1995-10-01'
 )
 SELECT economy_revenue_e6, total_revenue_e6,
-  economy_revenue_e6 * 1000000 // total_revenue_e6 AS share_e6
+  economy_revenue_e6 // (total_revenue_e6 // 1000000) AS share_e6
 FROM agg
 """
 

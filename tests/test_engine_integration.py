@@ -46,8 +46,9 @@ def test_metadata_merge_through_config(merged_engine):
     metadata = merged_engine.get_metadata(
         SeriesSelector.from_name("data", "s1")
     )
-    # extra source overrides description, base unit survives
-    assert metadata["description"] == "better description"
+    # reference precedence: the own source wins conflicts, the extra
+    # source fills fields the own source lacks
+    assert metadata["description"] == "base description"
     assert metadata["unit"] == "m"
     assert metadata["accuracy"] == 0.5
 
@@ -56,7 +57,8 @@ def test_search_enriched_through_config(merged_engine):
     results = list(merged_engine.search(SeriesSearch("data")))
     assert len(results) == 1
     assert isinstance(results[0], Metadata)
-    assert results[0]["description"] == "better description"
+    assert results[0]["description"] == "base description"
+    assert results[0]["accuracy"] == 0.5  # filled from the extra source
 
 
 def test_interval_split_through_config(merged_engine):

@@ -1,0 +1,134 @@
+"""Regression tests for the second review batch (sources/streaming)."""
+
+import json
+import threading
+from datetime import datetime, timedelta, timezone
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.sources import SourceWrapper
+from kukur_spark.sources.adx import _escape
+from kukur_spark.sources.piwebapi import PIWebAPISource
+from kukur_spark.sources.sql_source import _unify_values
+
+START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+END = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+
+# -- sql: bytes rows dropped whole, no ts/value misalignment ---------------
+def test_unify_values_keeps_row_alignment():
+    values = [1.0, b"blob", 3.0]
+    out, kept, target = _unify_values(values)
+    assert target == "double"
+    assert out == [1.0, 3.0]
+    assert kept == [0, 2]  # caller drops the timestamp of the bytes row too
+
+
+# -- adx: backslash escaping -----------------------------------------------
+def test_kql_escape_backslash():
+    assert _escape("foo\\") == "'foo\\\\'"
+    assert _escape("x\\' | take 0 //") == "'x\\\\\\' | take 0 //'"
+
+
+# -- pi: full page of system states must not stop pagination ---------------
+class PiStatesHandler(BaseHTTPRequestHandler):
+    def log_message(self, *args):
+        pass
+
+    def _reply(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if "/recorded" in parsed.path:
+            start = parse_qs(parsed.query)["startTime"][0]
+            if start.startswith("2024-01-01T00"):
+                # FULL page (2 items) that filters down to zero rows
+                self._reply(
+                    {
+                        "Items": [
+                            {"Timestamp": "2024-01-01T01:00:00Z",
+                             "Value": {"Name": "Shutdown"}, "Good": False},
+                            {"Timestamp": "2024-01-01T02:00:00Z",
+                             "Value": {"Name": "Pt Created"}, "Good": False},
+                        ]
+                    }
+                )
+            else:  # resume page carries the real data
+                self._reply(
+                    {
+                        "Items": [
+                            {"Timestamp": "2024-01-01T03:00:00Z",
+                             "Value": 7.5, "Good": True},
+                        ]
+                    }
+                )
+        else:
+            self._reply({"Items": []})
+
+
+def test_pi_pagination_survives_all_system_state_page(spark):
+    server = HTTPServer(("localhost", 0), PiStatesHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        source = PIWebAPISource(
+            spark,
+            "pi",
+            {
+                "url": f"http://localhost:{server.server_port}",
+                "max_returned_items_per_call": 2,
+            },
+        )
+        selector = SeriesSelector("pi", {"series name": "t", "__webid__": "W1"})
+        rows = source.get_data(selector, START, END).collect()
+        # the data behind the filtered-out full page must still arrive
+        assert [(r["value"], r["quality"]) for r in rows] == [(7.5, 1)]
+    finally:
+        server.shutdown()
+
+
+# -- wrapper: chunk-boundary dedup for closed-range sources ----------------
+class ClosedRangeFake:
+    closed_ranges = True
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def get_data(self, selector, start, end):
+        # closed range: returns both boundary instants inclusively
+        rows, cursor = [], start
+        while cursor <= end:
+            rows.append((cursor, float(cursor.hour)))
+            cursor += timedelta(hours=1)
+        return self.spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+def test_closed_range_chunks_deduplicate_boundaries(spark):
+    wrapper = SourceWrapper(
+        spark,
+        ClosedRangeFake(spark),
+        data_query_interval=timedelta(hours=6),
+    )
+    df = wrapper.get_data(
+        SeriesSelector.from_name("f", "s"),
+        START,
+        datetime(2024, 1, 1, 12, tzinfo=timezone.utc),
+    )
+    timestamps = [r["ts"] for r in df.orderBy("ts").collect()]
+    assert len(timestamps) == len(set(timestamps))  # 06:00 not duplicated
+    assert len(timestamps) == 13  # 00..12 inclusive
+
+
+# -- workloads: q14 no longer overflows at sf0.1 ---------------------------
+def test_q14_share_at_sf01(spark):
+    from kukur_spark.workloads import QUERIES
+
+    row = QUERIES["tpch_q14"](spark, "/root/testdata/sf0.1").collect()[0]
+    assert 0 < row["share_e6"] < 1_000_000  # a sane fraction, no wraparound

@@ -107,20 +107,30 @@ def test_not_implemented_never_retried(spark):
     assert len(source.calls) == 1
 
 
-def test_metadata_merge_non_empty_wins(spark):
+def test_metadata_merge_own_source_wins(spark):
+    """Reference precedence (kukur/source/__init__.py:205-236): sources
+    apply reversed(extras) + [own] with non-empty overwrite — the own
+    source wins conflicts, extras fill gaps, earlier extras beat later."""
     source = FakeSource(spark)
 
     class ExtraSource:
+        def __init__(self, description, accuracy):
+            self.description = description
+            self.accuracy = accuracy
+
         def get_metadata(self, selector):
             metadata = Metadata(selector)
-            metadata["description"] = "override description"
-            metadata["unit"] = ""  # empty → must NOT override
+            metadata["description"] = self.description
+            metadata["accuracy"] = self.accuracy
             return metadata
 
-    wrapper = SourceWrapper(spark, source, metadata_sources=[ExtraSource()])
+    first = ExtraSource("first extra", 0.1)
+    second = ExtraSource("second extra", 0.2)
+    wrapper = SourceWrapper(spark, source, metadata_sources=[first, second])
     metadata = wrapper.get_metadata(SeriesSelector.from_name("fake", "s"))
-    assert metadata["description"] == "override description"
+    assert metadata["description"] == "base description"  # own source wins
     assert metadata["unit"] == "m"
+    assert metadata["accuracy"] == 0.1  # earlier extra beats later
 
 
 def test_metadata_merge_failure_isolated(spark):
