@@ -71,8 +71,11 @@ def cmd_inspect(args) -> int:
         from kukur_spark.inspect import EXTENSION_TYPES, InspectedPath
         import os
 
-        ext = os.path.splitext(args.preview)[1].lower()
-        resource_type = EXTENSION_TYPES.get(ext, "parquet")
+        if os.path.isdir(os.path.join(args.preview, "_delta_log")):
+            resource_type = "delta"  # raw-parquet read would show tombstones
+        else:
+            ext = os.path.splitext(args.preview)[1].lower()
+            resource_type = EXTENSION_TYPES.get(ext, "parquet")
         df = preview(
             get_spark("kukur_spark_inspect"),
             InspectedPath(args.preview, resource_type),

@@ -17,18 +17,31 @@ def _merge(base: Dict[str, Any], extra: Dict[str, Any]) -> Dict[str, Any]:
     for key, value in extra.items():
         if key in base and isinstance(base[key], dict) and isinstance(value, dict):
             _merge(base[key], value)
+        elif key in base and isinstance(base[key], list) and isinstance(value, list):
+            base[key] = base[key] + value  # reference extends lists
         else:
             base[key] = value
     return base
 
 
 def from_toml(path: str) -> Dict[str, Any]:
+    """Load TOML with include-globs; included files may themselves declare
+    ``[[include]]`` entries (the reference processes nested includes —
+    the work queue grows as fragments are merged)."""
     with open(path, "rb") as handle:
         config = tomllib.load(handle)
-    for include in config.pop("include", []):
+    pending = list(config.pop("include", []))
+    seen = set()
+    while pending:
+        include = pending.pop(0)
         for match in sorted(globlib.glob(include["glob"])):
+            if match in seen:
+                continue
+            seen.add(match)
             with open(match, "rb") as handle:
-                _merge(config, tomllib.load(handle))
+                fragment = tomllib.load(handle)
+            pending.extend(fragment.pop("include", []))
+            _merge(config, fragment)
     return config
 
 

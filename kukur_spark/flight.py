@@ -39,7 +39,10 @@ except ImportError:  # pragma: no cover
 
 
 def _parse_date(value: str) -> datetime:
-    return datetime.fromisoformat(value.replace("Z", "+00:00"))
+    from kukur_spark.timeutil import as_utc
+
+    # naive dates would otherwise be interpreted in the server's OS tz
+    return as_utc(datetime.fromisoformat(value.replace("Z", "+00:00")))
 
 
 def _selector_from_data(data: Dict[str, Any]) -> SeriesSelector:
@@ -121,15 +124,16 @@ if HAS_FLIGHT:
             if action.type == "search":
                 return self._search(body)
             if action.type == "get_metadata":
-                selector = _selector_from_data(body["selector"])
+                # reference clients send the flat selector dict as the body
+                # (kukur/flight.py:119); our client wraps it — accept both
+                selector = _selector_from_data(body.get("selector", body))
                 metadata = self.engine.get_metadata(selector)
                 return [json.dumps(metadata.to_data()).encode()]
             if action.type == "list_sources":
                 return [json.dumps(self.engine.list_sources()).encode()]
             if action.type == "get_source_structure":
-                search = SeriesSearch(
-                    body["search"]["source"], body["search"].get("tags")
-                )
+                flat = body.get("search", body)
+                search = SeriesSearch(flat["source"], flat.get("tags"))
                 structure = self.engine.get_source_structure(search)
                 if structure is None:
                     return [json.dumps(None).encode()]
@@ -145,10 +149,10 @@ if HAS_FLIGHT:
             raise fl.FlightServerError(f"unknown action: {action.type}")
 
         def _search(self, body: Dict[str, Any]) -> List[bytes]:
+            # reference clients send the flat search dict (kukur/flight.py:84)
+            flat = body.get("search", body)
             search = SeriesSearch(
-                body["search"]["source"],
-                body["search"].get("tags"),
-                body["search"].get("field"),
+                flat["source"], flat.get("tags"), flat.get("field")
             )
             results = []
             for result in self.engine.search(search):

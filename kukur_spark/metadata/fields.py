@@ -79,32 +79,37 @@ class MetadataField:
 
 
 def _calculate_accuracy(metadata: Any) -> Optional[float]:
-    """Derived accuracy: pct/100 × (limit span), physical limits preferred.
+    """Derived accuracy: pct/100 × (limit span).
 
-    Parity: reference kukur/metadata/fields.py:125-146 and tests
-    tests/test_metadata.py:218-283.
+    Parity: reference kukur/metadata/fields.py:125-146 — the percentage
+    must lie in [0, 100], and each limit falls back physical → functional
+    *independently* (a physical low may pair with a functional high).
     """
     pct = metadata.get_field_by_name("accuracy percentage")
-    if pct is None:
+    if pct is None or pct < 0 or pct > 100:
         return None
     lo = metadata.get_field_by_name("physical lower limit")
-    hi = metadata.get_field_by_name("physical upper limit")
-    if lo is None or hi is None:
+    if lo is None:
         lo = metadata.get_field_by_name("functional lower limit")
+        if lo is None:
+            return None
+    hi = metadata.get_field_by_name("physical upper limit")
+    if hi is None:
         hi = metadata.get_field_by_name("functional upper limit")
-    if lo is None or hi is None:
-        return None
-    return pct / 100.0 * (hi - lo)
+        if hi is None:
+            return None
+    return (hi - lo) * float(pct) / 100.0
 
 
-# Well-known fields, in canonical order.
+# Well-known fields, in canonical order; serialized names match the
+# reference wire protocol (kukur/metadata/fields.py serialized_name=...).
 WELL_KNOWN_FIELDS: list[MetadataField] = [
     MetadataField("description", "description", "", _to_str),
     MetadataField("unit", "unit", "", _to_str),
-    MetadataField("functional lower limit", "functionalLowerLimit", None, _to_float),
-    MetadataField("functional upper limit", "functionalUpperLimit", None, _to_float),
-    MetadataField("physical lower limit", "physicalLowerLimit", None, _to_float),
-    MetadataField("physical upper limit", "physicalUpperLimit", None, _to_float),
+    MetadataField("functional lower limit", "limitLowFunctional", None, _to_float),
+    MetadataField("functional upper limit", "limitHighFunctional", None, _to_float),
+    MetadataField("physical lower limit", "limitLowPhysical", None, _to_float),
+    MetadataField("physical upper limit", "limitHighPhysical", None, _to_float),
     MetadataField(
         "accuracy", "accuracy", None, _to_float, calculate=_calculate_accuracy
     ),

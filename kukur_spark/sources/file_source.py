@@ -99,7 +99,9 @@ class FileSourceOptions:
             sort_by_timestamp=bool(
                 config.get(
                     "sort_by_timestamp",
-                    config.get("type", "csv") == "delta",  # delta default on
+                    # delta default on, whichever key named the format
+                    config.get("type", config.get("file_format", "csv"))
+                    == "delta",
                 )
             ),
             path_encoding=config.get("path_encoding"),
@@ -211,9 +213,8 @@ class FileSource:
         """Headerless CSV: assign names by position — tags, ts, fields[, quality]."""
         opts = self.options
         names = list(opts.tag_columns) + [TS_COLUMN] + list(opts.field_columns)
-        if opts.quality_mapper is not None or len(df.columns) == len(names) + 1:
-            if len(df.columns) == len(names) + 1:
-                names.append(QUALITY_COLUMN)
+        if len(df.columns) == len(names) + 1:
+            names.append(QUALITY_COLUMN)
         return df.toDF(*names[: len(df.columns)])
 
     def _normalize_ts(self, df: DataFrame, column: str = TS_COLUMN) -> DataFrame:
@@ -274,6 +275,8 @@ class FileSource:
             if opts.file_format == "csv" and not opts.header:
                 df = self._positional_columns(df)
             df = self._map_columns(df)
+            if opts.ts_column != TS_COLUMN and opts.ts_column in df.columns:
+                df = df.withColumnRenamed(opts.ts_column, TS_COLUMN)
             return self._normalize_ts(df)
         if opts.format == "pivot":
             return self._melt_pivot()
@@ -282,17 +285,25 @@ class FileSource:
         raise ValueError(f"unknown layout: {opts.format}")
 
     def _melt_pivot(self) -> DataFrame:
-        """Wide → long with ``stack`` (never operate wide)."""
+        """Wide → long with ``unpivot`` (never operate wide).
+
+        The native unpivot API takes column identifiers, not SQL text, so
+        series names containing quotes/backticks cannot break the plan
+        (a string-built ``stack`` expression could).
+        """
         df = self._read_raw()
         ts_col = df.columns[0]
         series_cols = df.columns[1:]
         df = self._normalize_ts(df, ts_col)
-        pairs = ", ".join(
-            f"'{c}', cast(`{c}` as string)" for c in series_cols
+        normalized = df.select(
+            F.col(ts_col).alias(TS_COLUMN),
+            *[F.col(f"`{c}`").cast("string").alias(c) for c in series_cols],
         )
-        melted = df.selectExpr(
-            f"`{ts_col}` as {TS_COLUMN}",
-            f"stack({len(series_cols)}, {pairs}) as (`{SERIES_NAME_TAG}`, {VALUE_COLUMN})",
+        melted = normalized.unpivot(
+            ids=[TS_COLUMN],
+            values=series_cols,
+            variableColumnName=SERIES_NAME_TAG,
+            valueColumnName=VALUE_COLUMN,
         )
         return melted.select(f"`{SERIES_NAME_TAG}`", TS_COLUMN, VALUE_COLUMN)
 
@@ -315,7 +326,9 @@ class FileSource:
     def _series_path(self, selector: SeriesSelector) -> str:
         name = selector.tags.get(SERIES_NAME_TAG, selector.name)
         if self.options.path_encoding == "base64":
-            name = base64.urlsafe_b64encode(name.encode()).decode()
+            # standard alphabet for parity with reference-written datasets
+            # (kukur/source/arrow.py:206 uses b64encode, not urlsafe)
+            name = base64.b64encode(name.encode()).decode()
         return os.path.join(self.options.path, name + self._extension())
 
     def _dir_series_names(self) -> List[str]:
@@ -324,7 +337,7 @@ class FileSource:
         for path in sorted(globlib.glob(os.path.join(self.options.path, f"*{ext}"))):
             stem = os.path.basename(path)[: -len(ext)]
             if self.options.path_encoding == "base64":
-                stem = base64.urlsafe_b64decode(stem.encode()).decode()
+                stem = base64.b64decode(stem.encode()).decode()
             names.append(stem)
         return names
 

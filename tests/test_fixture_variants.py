@@ -69,7 +69,8 @@ def test_dir_layout_base64_paths(spark, tmp_path):
     d = tmp_path / "series"
     d.mkdir()
     name = "unit/with:odd chars"
-    encoded = base64.urlsafe_b64encode(name.encode()).decode()
+    # standard alphabet — parity with reference-written datasets
+    encoded = base64.b64encode(name.encode()).decode()
     (d / f"{encoded}.csv").write_text("2020-01-01T00:00:00Z,7\n")
     source = FileSource(
         spark,

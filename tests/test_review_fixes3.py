@@ -1,0 +1,139 @@
+"""Regression tests for the third review batch (flight/config/metadata)."""
+
+import json
+
+import pytest
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.config import from_toml
+from kukur_spark.metadata import Metadata
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+
+
+def make(name="s"):
+    return Metadata(SeriesSelector.from_name("src", name))
+
+
+# -- accuracy parity (reference tests/test_metadata.py:218-283) -----------
+def test_accuracy_percentage_out_of_range_returns_none():
+    metadata = make()
+    metadata["accuracy percentage"] = 200
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    assert metadata["accuracy"] is None
+    metadata["accuracy percentage"] = -1
+    assert metadata["accuracy"] is None
+
+
+def test_accuracy_limits_fall_back_independently():
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    metadata["physical lower limit"] = 0
+    metadata["functional upper limit"] = 10  # no physical upper
+    assert metadata["accuracy"] == pytest.approx(0.2)
+
+
+def test_serialized_names_match_reference_protocol():
+    metadata = make()
+    metadata["functional lower limit"] = 1
+    metadata["physical upper limit"] = 9
+    data = metadata.to_data()
+    assert "limitLowFunctional" in data
+    assert "limitHighPhysical" in data
+    assert metadata.get_field_by_name("limitLowFunctional") == 1.0  # lookup
+
+
+# -- flight: flat reference-protocol bodies --------------------------------
+def test_flight_accepts_flat_reference_bodies(spark, tmp_path):
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow.flight as fl
+
+    from kukur_spark.app import Engine
+    from kukur_spark.flight import serve
+
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {"source": {"demo": {"type": "csv", "path": str(tmp_path / "d.csv")}}},
+        spark,
+    )
+    server = serve(engine, port=18089, background=True)
+    try:
+        client = fl.connect("grpc://localhost:18089")
+        # flat body, as the reference client sends (kukur/client.py:110)
+        flat = json.dumps({"source": "demo"}).encode()
+        results = list(client.do_action(fl.Action("search", flat)))
+        assert len(results) == 1
+        flat_selector = json.dumps(
+            {"source": "demo", "tags": {"series name": "s1"}, "field": "value"}
+        ).encode()
+        metadata = json.loads(
+            next(iter(client.do_action(fl.Action("get_metadata", flat_selector))))
+            .body.to_pybytes()
+        )
+        assert metadata["series"]["source"] == "demo"
+    finally:
+        server.shutdown()
+
+
+# -- file source: ts_column option actually used ---------------------------
+def test_ts_column_option(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    path = tmp_path / "d.csv"
+    path.write_text("series name,timestamp,value\ns1,2020-01-01T00:00:00Z,4\n")
+    source = FileSource(
+        spark,
+        "t",
+        FileSourceOptions(path=str(path), header=True, ts_column="timestamp"),
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("t", "s1"),
+        datetime(2020, 1, 1, tzinfo=timezone.utc),
+        datetime(2021, 1, 1, tzinfo=timezone.utc),
+    ).collect()
+    assert rows[0]["value"] == 4.0
+
+
+# -- pivot: hostile column names cannot break the melt ---------------------
+def test_pivot_with_quote_in_series_name(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    path = tmp_path / "wide.csv"
+    path.write_text("ts,O'Brien sensor\n2020-01-01T00:00:00Z,7\n")
+    source = FileSource(
+        spark, "t", FileSourceOptions(path=str(path), format="pivot", header=True)
+    )
+    rows = source.get_data(
+        SeriesSelector.from_tags("t", {"series name": "O'Brien sensor"}),
+        datetime(2020, 1, 1, tzinfo=timezone.utc),
+        datetime(2021, 1, 1, tzinfo=timezone.utc),
+    ).collect()
+    assert rows[0]["value"] == 7.0
+
+
+# -- config: nested includes and list extension ----------------------------
+def test_nested_includes_processed(tmp_path):
+    (tmp_path / "extra").mkdir()
+    (tmp_path / "extra" / "deep.toml").write_text(
+        "[source.deep]\ntype = \"csv\"\npath = \"x\"\n"
+    )
+    (tmp_path / "level1.toml").write_text(
+        f'[[include]]\nglob = "{tmp_path}/extra/*.toml"\n'
+        "[source.mid]\ntype = \"csv\"\npath = \"y\"\n"
+    )
+    (tmp_path / "root.toml").write_text(
+        f'[[include]]\nglob = "{tmp_path}/level1.toml"\n'
+        "[source.top]\ntype = \"csv\"\npath = \"z\"\n"
+    )
+    config = from_toml(str(tmp_path / "root.toml"))
+    assert set(config["source"]) == {"top", "mid", "deep"}
+    assert "include" not in config
+
+
+def test_merge_extends_lists(tmp_path):
+    (tmp_path / "a.toml").write_text('api_keys = ["k1"]\n')
+    (tmp_path / "root.toml").write_text(
+        f'api_keys = ["k0"]\n[[include]]\nglob = "{tmp_path}/a.toml"\n'
+    )
+    config = from_toml(str(tmp_path / "root.toml"))
+    assert config["api_keys"] == ["k0", "k1"]
