@@ -48,6 +48,23 @@ def stream_data(
     return df
 
 
+def streaming_dedup(
+    df: DataFrame,
+    key_columns: List[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication on key columns.
+
+    ``dropDuplicates`` keyed on the given columns with a watermark bound on
+    the state store: duplicates arriving within the watermark horizon are
+    dropped exactly-once; state for expired event-time windows is evicted.
+    The streaming twin of the batch exact-dedup operator.
+    """
+    return df.withWatermark(TS_COLUMN, watermark).dropDuplicates(
+        key_columns + [TS_COLUMN]
+    )
+
+
 def windowed_stats(
     df: DataFrame,
     window: str = "5 minutes",

@@ -436,6 +436,82 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
 """
 
 
+def tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape (q17): lines below 20% of the part's
+    average quantity. The per-part average is decimal-bridged so the
+    filter threshold is bit-identical on both engines."""
+    lineitem = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    joined = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(avg_per_part, lineitem.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return joined.agg(
+        dsum("l_extendedprice").alias("total_price_e6"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+TPCH_Q17_SQL = """
+WITH avg_per_part AS (
+  SELECT l_partkey AS avg_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS total_price_e6,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_per_part ON l_partkey = avg_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def events_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-frame window: trailing-7-day event count/value per day+type."""
+    events = load_table(spark, sf, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_e6"))
+    window = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rangeBetween(-6 * 86400 * 1_000_000, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day_us",
+        F.sum("n").over(window).alias("n_7d"),
+        F.sum("value_e6").over(window).alias("value_7d_e6"),
+    ).orderBy("event_type", "day_us")
+
+
+EVENTS_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+    COUNT(*) AS n,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS value_e6
+  FROM events GROUP BY event_type, day_us
+)
+SELECT event_type, day_us,
+  SUM(n) OVER w AS n_7d,
+  SUM(value_e6) OVER w AS value_7d_e6
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day_us
+"""
+
+
 def top_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per group: highest-balance customer of every nation (W-ranking)."""
     customer = load_table(spark, sf, "customer")
@@ -1291,6 +1367,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": tpch_q10_returned_items,
     "tpch_q14": tpch_q14_promo_revenue,
     "tpch_q19": tpch_q19_disjunctive,
+    "tpch_q17": tpch_q17_small_quantity,
+    "events_rolling_7d": events_rolling_7d,
     "top_customer_per_nation": top_customer_per_nation,
     "ts_range_filter": ts_range_filter,
     "ts_series_discovery": ts_series_discovery,
@@ -1335,6 +1413,8 @@ ORACLES: Dict[str, str] = {
     "tpch_q10": TPCH_Q10_SQL,
     "tpch_q14": TPCH_Q14_SQL,
     "tpch_q19": TPCH_Q19_SQL,
+    "tpch_q17": TPCH_Q17_SQL,
+    "events_rolling_7d": EVENTS_ROLLING_SQL,
     "top_customer_per_nation": TOP_CUSTOMER_SQL,
     "ts_range_filter": TS_RANGE_FILTER_SQL,
     "ts_series_discovery": TS_SERIES_DISCOVERY_SQL,

@@ -96,6 +96,25 @@ def test_session_stats_gap_split(spark, stream_dir):
     assert rows[0]["n"] == 1
 
 
+def test_streaming_dedup(spark, tmp_path):
+    from kukur_spark.streaming import streaming_dedup
+
+    rows = [
+        ("s1", ts(0), 1.0),
+        ("s1", ts(0), 1.0),  # duplicate (same series + ts)
+        ("s1", ts(2), 2.0),
+        ("s2", ts(0), 9.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "dup")
+    )
+    df = stream_data(spark, str(tmp_path / "dup"), SCHEMA)
+    deduped = streaming_dedup(df, ["series"])
+    name = run_to_memory(deduped)
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(out) == 3  # duplicate dropped exactly-once
+
+
 def test_running_last_value_stateful(spark, stream_dir):
     df = stream_data(spark, stream_dir, SCHEMA)
     out = running_last_value(df)
