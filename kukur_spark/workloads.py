@@ -512,6 +512,71 @@ ORDER BY event_type, day_us
 """
 
 
+def tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING-filter shape (q18): customers with any order above a
+    quantity threshold, top 20 by order total."""
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty_e6"))
+        .filter(F.col("sum_qty_e6") > 250 * 1_000_000)
+    )
+    joined = (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty_e6"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q18_SQL = """
+WITH big_orders AS (
+  SELECT l_orderkey,
+    CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_qty_e6
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty_e6 > 250 * 1000000
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty_e6
+FROM orders
+JOIN big_orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def orders_by_quarter(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-quarter grouping: order counts and totals per quarter."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            us(F.date_trunc("quarter", F.col("o_orderdate").cast("timestamp"))).alias(
+                "quarter_us"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_e6"),
+        )
+        .orderBy("quarter_us")
+    )
+
+
+ORDERS_BY_QUARTER_SQL = """
+SELECT epoch_us(date_trunc('quarter', o_orderdate)) AS quarter_us,
+  COUNT(*) AS n_orders,
+  CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS total_e6
+FROM orders GROUP BY quarter_us ORDER BY quarter_us
+"""
+
+
 def top_customer_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k per group: highest-balance customer of every nation (W-ranking)."""
     customer = load_table(spark, sf, "customer")
@@ -1368,6 +1433,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": tpch_q14_promo_revenue,
     "tpch_q19": tpch_q19_disjunctive,
     "tpch_q17": tpch_q17_small_quantity,
+    "tpch_q18": tpch_q18_large_orders,
+    "orders_by_quarter": orders_by_quarter,
     "events_rolling_7d": events_rolling_7d,
     "top_customer_per_nation": top_customer_per_nation,
     "ts_range_filter": ts_range_filter,
@@ -1414,6 +1481,8 @@ ORACLES: Dict[str, str] = {
     "tpch_q14": TPCH_Q14_SQL,
     "tpch_q19": TPCH_Q19_SQL,
     "tpch_q17": TPCH_Q17_SQL,
+    "tpch_q18": TPCH_Q18_SQL,
+    "orders_by_quarter": ORDERS_BY_QUARTER_SQL,
     "events_rolling_7d": EVENTS_ROLLING_SQL,
     "top_customer_per_nation": TOP_CUSTOMER_SQL,
     "ts_range_filter": TS_RANGE_FILTER_SQL,
