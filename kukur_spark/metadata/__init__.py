@@ -97,7 +97,10 @@ class Metadata:
 
     # -- serde ------------------------------------------------------------
     def to_data(self) -> Dict[str, Any]:
-        """camelCase dict (reference kukur/metadata/__init__.py:118-126)."""
+        """camelCase dict (reference kukur/metadata/__init__.py:118-126,
+        185-189): only set/derivable fields are emitted — the reference
+        serializes ``self._values`` and a strict client need not handle
+        explicit nulls."""
         out: Dict[str, Any] = {"series": {
             "source": self.series.source,
             "tags": dict(self.series.tags),
@@ -105,6 +108,8 @@ class Metadata:
         }}
         for f in self._registry:
             value = self.get_field_by_name(f.name)
+            if value is None:
+                continue
             out[f.serialized_name] = _serialize_enum(value)
         out.update(self._extra)
         return out
