@@ -53,6 +53,34 @@ def _selector_from_data(data: Dict[str, Any]) -> SeriesSelector:
 
 if HAS_FLIGHT:
 
+    class _BasicServerAuthHandler(fl.ServerAuthHandler):
+        """Flight-handshake BasicAuth (the reference client's mechanism:
+        kukur/client.py:235-236 authenticates with a (name, key) pair).
+
+        Anonymous calls (no handshake) pass through with an empty token and
+        are judged by the header middleware; a non-empty token must be a
+        valid key.
+        """
+
+        def __init__(self, validate):
+            super().__init__()
+            self._validate = validate
+
+        def authenticate(self, outgoing, incoming):
+            auth = fl.BasicAuth.deserialize(incoming.read())
+            password = (auth.password or b"").decode()
+            if not self._validate(password):
+                raise fl.FlightUnauthenticatedError("invalid api key")
+            outgoing.write(auth.password)
+
+        def is_valid(self, token):
+            if not token:
+                return b""  # anonymous → middleware decides
+            secret = token.decode() if isinstance(token, bytes) else token
+            if self._validate(secret):
+                return token
+            raise fl.FlightUnauthenticatedError("invalid token")
+
     class _ApiKeyMiddlewareFactory(fl.ServerMiddlewareFactory):
         """API-key auth: static keys from config ``api_keys`` and/or a
         SQLite ``ApiKeyRepository`` (reference pattern — keys managed by
@@ -65,12 +93,19 @@ if HAS_FLIGHT:
         def start_call(self, info, headers):
             import hmac
 
+            # the handshake RPC itself must pass: the auth handler judges it
+            if info.method == fl.FlightMethod.HANDSHAKE:
+                return None
             # key existence is checked per request (not frozen at server
             # start): a fresh empty repository leaves the server open until
             # the first key is created, then locks down immediately
             if not self.api_keys and (
                 self.repository is None or not self.repository.has_keys()
             ):
+                return None
+            # handshake-authenticated calls carry the auth token (already
+            # validated by the server auth handler's is_valid)
+            if headers.get("auth-token-bin"):
                 return None
             provided = headers.get("x-api-key", [None])
             secret = provided[0] if provided else None
@@ -93,11 +128,25 @@ if HAS_FLIGHT:
             repository=None,
         ):
             middleware = {}
+            auth_handler = None
             if api_keys or repository is not None:
                 middleware["auth"] = _ApiKeyMiddlewareFactory(
                     api_keys, repository
                 )
-            super().__init__(location, middleware=middleware)
+
+                def validate(secret: str) -> bool:
+                    import hmac
+
+                    if any(
+                        hmac.compare_digest(secret, key) for key in (api_keys or [])
+                    ):
+                        return True
+                    return repository is not None and repository.verify(secret)
+
+                auth_handler = _BasicServerAuthHandler(validate)
+            super().__init__(
+                location, auth_handler=auth_handler, middleware=middleware
+            )
             self.engine = engine
             self.location = location
 
@@ -170,6 +219,21 @@ if HAS_FLIGHT:
                     )
             return results
 
+    class _ClientBasicAuthHandler(fl.ClientAuthHandler):
+        """Handshake BasicAuth client side (reference (name, key) pairs)."""
+
+        def __init__(self, name: str, key: str):
+            super().__init__()
+            self._basic = fl.BasicAuth(name.encode(), key.encode())
+            self._token = b""
+
+        def authenticate(self, outgoing, incoming):
+            outgoing.write(self._basic.serialize())
+            self._token = incoming.read()
+
+        def get_token(self):
+            return self._token
+
     class _ApiKeyClientMiddleware(fl.ClientMiddleware):
         def __init__(self, api_key: str):
             self.api_key = api_key
@@ -192,14 +256,24 @@ if HAS_FLIGHT:
             self,
             host: str = "localhost",
             port: int = 8081,
-            api_key: Optional[str] = None,
+            api_key=None,
         ):
+            """``api_key`` may be a plain secret (sent as the x-api-key
+            header) or a ``(name, key)`` pair (reference-style Flight
+            handshake BasicAuth)."""
             middleware = []
-            if api_key is not None:
+            handshake = None
+            if isinstance(api_key, (tuple, list)):
+                handshake = tuple(api_key)
+            elif api_key is not None:
                 middleware.append(_ApiKeyClientMiddlewareFactory(api_key))
             self._client = fl.connect(
                 f"grpc://{host}:{port}", middleware=middleware
             )
+            if handshake is not None:
+                self._client.authenticate(
+                    _ClientBasicAuthHandler(handshake[0], handshake[1])
+                )
 
         def list_sources(self) -> List[str]:
             result = next(

@@ -144,12 +144,17 @@ METADATA_SCHEMA = T.StructType(
 
 
 def with_derived_accuracy(df: DataFrame) -> DataFrame:
-    """Accuracy derived from percentage × limit span, physical preferred.
+    """Accuracy derived from percentage × limit span.
 
-    Column-expression version of the reference's derived field
-    (kukur/metadata/fields.py:125-146).
+    Column-expression twin of ``Metadata``'s derived field and the
+    reference (kukur/metadata/fields.py:125-146): the percentage must lie
+    in [0, 100], and each limit falls back physical → functional
+    *independently*.
     """
-    span_phys = F.col("physical_upper_limit") - F.col("physical_lower_limit")
-    span_func = F.col("functional_upper_limit") - F.col("functional_lower_limit")
-    derived = F.col("accuracy_percentage") / 100.0 * F.coalesce(span_phys, span_func)
+    pct = F.col("accuracy_percentage")
+    lo = F.coalesce(F.col("physical_lower_limit"), F.col("functional_lower_limit"))
+    hi = F.coalesce(F.col("physical_upper_limit"), F.col("functional_upper_limit"))
+    derived = F.when(
+        (pct >= 0) & (pct <= 100), (hi - lo) * pct / 100.0
+    )
     return df.withColumn("accuracy", F.coalesce(F.col("accuracy"), derived))

@@ -43,15 +43,14 @@ class Source(Protocol):
 
 
 class _OwnSource:
-    """Adapter presenting the wrapped source's own metadata with retry."""
+    """Adapter presenting the wrapped source's own metadata (the merge
+    loop applies the wrapper's retry policy uniformly)."""
 
     def __init__(self, wrapper: "SourceWrapper"):
         self._wrapper = wrapper
 
     def get_metadata(self, selector: SeriesSelector) -> Metadata:
-        return self._wrapper._retry(
-            lambda: self._wrapper.source.get_metadata(selector)
-        )
+        return self._wrapper.source.get_metadata(selector)
 
 
 class SourceWrapper:
@@ -131,7 +130,11 @@ class SourceWrapper:
         own = _OwnSource(self)
         for source in list(reversed(self.metadata_sources)) + [own]:
             try:
-                received = source.get_metadata(selector)
+                # extras get the wrapper's retry policy too (reference
+                # source/__init__.py:216-223)
+                received = self._retry(
+                    lambda s=source: s.get_metadata(selector)
+                )
             except NotImplementedError:
                 continue
             except Exception:
@@ -140,6 +143,12 @@ class SourceWrapper:
                 )
                 continue
             allowed = self.metadata_fields.get(source)
+            if allowed is not None:
+                # entries may use human or serialized (camelCase) names
+                allowed = {
+                    (found.name if (found := Metadata._find(entry)) else entry)
+                    for entry in allowed
+                }
             for name, value in received.iter_names():
                 if allowed is not None and name not in allowed:
                     continue
@@ -231,19 +240,39 @@ class SourceFactory:
     def source_names(self) -> List[str]:
         return sorted(self.config.get("source", {}).keys())
 
+    def _source_config(self, name: str) -> Dict[str, Any]:
+        """Resolve a source config by name; extra metadata sources live in
+        the reference's ``[metadata.<name>]`` section but plain
+        ``[source.<name>]`` entries are accepted too. Root-level mapping
+        tables are injected for by-name resolution inside builders."""
+        sources = self.config.get("source", {})
+        metadata_section = self.config.get("metadata", {})
+        if name in sources:
+            source_config = dict(sources[name])
+        elif name in metadata_section:
+            source_config = dict(metadata_section[name])
+        else:
+            raise KeyError(f"unknown source: {name}")
+        for table_key in (
+            "quality_mapping",
+            "metadata_mapping",
+            "metadata_value_mapping",
+        ):
+            tables = self.config.get(table_key)
+            if isinstance(tables, dict):
+                source_config[f"__{table_key}_tables__"] = tables
+        return source_config
+
     def get_source(self, name: str) -> SourceWrapper:
         if name in self._cache:
             return self._cache[name]
-        sources = self.config.get("source", {})
-        if name not in sources:
-            raise KeyError(f"unknown source: {name}")
-        source_config = sources[name]
+        source_config = self._source_config(name)
         source = self._build(name, source_config)
         interval = source_config.get("data_query_interval_seconds")
         metadata_sources = []
         metadata_fields: Dict[Any, Optional[List[str]]] = {}
         for extra_name in source_config.get("metadata_sources", []):
-            extra_config = sources[extra_name]
+            extra_config = self._source_config(extra_name)
             extra = self._build(extra_name, extra_config)
             metadata_sources.append(extra)
             fields = extra_config.get("fields")

@@ -47,6 +47,50 @@ from kukur_spark.schema import (
 )
 from kukur_spark.sources.quality import QualityMapper
 
+# strptime %-directive → Spark datetime pattern (reference configs use
+# strptime formats, kukur/source/arrow.py:254-282)
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%z": "XX",
+    "%Z": "zzz",
+    "%p": "a",
+    "%%": "%",
+}
+
+
+def _resolve_mapping(config: Dict[str, Any], key: str) -> Dict[str, Any]:
+    """Resolve a metadata (value) mapping that may be inline or a name
+    referencing a root-level table (reference config style:
+    ``metadata_mapping = "x"`` + ``[metadata_mapping.x]``; tables are
+    injected by the factory as ``__<key>_tables__``)."""
+    value = config.get(key, {})
+    if isinstance(value, str):
+        tables = config.get(f"__{key}_tables__", {})
+        if value not in tables:
+            raise ValueError(f"unknown {key}: {value!r}")
+        value = tables[value]
+    return dict(value)
+
+
+def _datetime_format_to_spark(fmt: Optional[str]) -> Optional[str]:
+    """Accept both strptime %-directives (reference configs) and native
+    Spark patterns (passed through unchanged when no '%' is present)."""
+    if fmt is None or "%" not in fmt:
+        return fmt
+    out = fmt
+    for directive, spark in _STRPTIME_TO_SPARK.items():
+        out = out.replace(directive, spark)
+    return out
+
 
 @dataclass
 class FileSourceOptions:
@@ -93,7 +137,9 @@ class FileSourceOptions:
             delimiter=config.get("csv_delimiter", config.get("delimiter", ",")),
             decimal_point=config.get("csv_decimal_point", "."),
             encoding=config.get("file_encoding", config.get("encoding")),
-            data_datetime_format=config.get("data_datetime_format"),
+            data_datetime_format=_datetime_format_to_spark(
+                config.get("data_datetime_format")
+            ),
             data_timezone=config.get("data_timezone"),
             quality_mapper=QualityMapper.from_config(config),
             sort_by_timestamp=bool(
@@ -108,8 +154,12 @@ class FileSourceOptions:
             file_extension=config.get("file_extension"),
             metadata_path=config.get("metadata"),
             metadata_field_column=config.get("metadata_field_column"),
-            metadata_mapping=dict(config.get("metadata_mapping", {})),
-            metadata_value_mapping=dict(config.get("metadata_value_mapping", {})),
+            metadata_mapping=_resolve_mapping(
+                config, "metadata_mapping"
+            ),
+            metadata_value_mapping=_resolve_mapping(
+                config, "metadata_value_mapping"
+            ),
             dictionary_dir=config.get("dictionary_dir"),
             value_type=config.get("value_type"),
             timestamp_partition_columns=list(
@@ -247,7 +297,15 @@ class FileSource:
         elif isinstance(dtype, T.StringType):
             first = df.select(column).filter(F.col(column).isNotNull()).first()
             sample = first[0] if first is not None else None
-            target = "string" if sample is not None and not _is_number(sample) else "double"
+            # the sniff honors the configured decimal separator: "1,5" is a
+            # number only when csv_decimal_point = "," — otherwise it must
+            # classify as string (a blind double cast would null every row)
+            target = (
+                "string"
+                if sample is not None
+                and not _is_number(sample, opts.decimal_point)
+                else "double"
+            )
         elif isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
             target = "bigint"
         elif isinstance(dtype, T.DoubleType) or isinstance(dtype, T.FloatType):
@@ -532,13 +590,29 @@ class FileSource:
         data = index.get(key + (selector.field,)) if opts.metadata_field_column else None
         if data is None:
             data = index.get(key, {})
+        # reference orientation: metadata_mapping maps kukur→external
+        # (kukur/source/metadata.py) — reverse it for external→kukur lookup
+        from_external = {
+            str(external): kukur
+            for kukur, external in opts.metadata_mapping.items()
+        }
         metadata = Metadata(selector)
         for name, value in data.items():
             if name in opts.tag_columns or name == opts.metadata_field_column:
                 continue
-            mapped = opts.metadata_mapping.get(name, name)
+            mapped = from_external.get(name, name)
+            # value mapping: {kukur_field: {kukur_value: external-or-list}}
             value_map = opts.metadata_value_mapping.get(mapped, {})
-            metadata.set_field_by_name(mapped, value_map.get(value, value))
+            reverse_values = {}
+            for kukur_value, externals in value_map.items():
+                if isinstance(externals, (list, tuple)):
+                    for external in externals:
+                        reverse_values[str(external)] = kukur_value
+                else:
+                    reverse_values[str(externals)] = kukur_value
+            metadata.set_field_by_name(
+                mapped, reverse_values.get(str(value), value)
+            )
         dictionary_name = metadata.get_field_by_name("dictionary name")
         if dictionary_name and opts.dictionary_dir:
             metadata.set_field_by_name(
@@ -554,9 +628,12 @@ class FileSource:
         return Dictionary({int(r[0]): r[1] for r in rows})
 
 
-def _is_number(value: str) -> bool:
+def _is_number(value: str, decimal_point: str = ".") -> bool:
+    text = str(value)
+    if decimal_point != ".":
+        text = text.replace(decimal_point, ".")
     try:
-        float(str(value).replace(",", "."))
+        float(text)
         return True
     except (TypeError, ValueError):
         return False

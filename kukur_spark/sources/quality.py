@@ -38,25 +38,72 @@ class QualityMapper:
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> Optional["QualityMapper"]:
+        """Build from a source config.
+
+        A string resolves against the root ``[quality_mapping.<name>]``
+        tables (injected by the factory as ``__quality_mapping_tables__``,
+        reference kukur/source/__init__.py:456-459) and then the built-in
+        OPC presets. The reference table format is ``GOOD = [...]`` where
+        each entry is a scalar/string value, a one-element list (value) or
+        a two-element list (inclusive range); the explicit
+        ``GOOD_VALUES``/``GOOD_RANGES`` keys are also accepted.
+        """
         name = config.get("quality_mapping")
         if name is None:
             return None
         if isinstance(name, str):
-            preset = PRESET_MAPPINGS.get(name)
-            if preset is None:
+            tables = config.get("__quality_mapping_tables__", {})
+            spec = tables.get(name, PRESET_MAPPINGS.get(name))
+            if spec is None:
                 raise ValueError(f"unknown quality mapping: {name}")
-            spec = preset
         else:
             spec = name
-        return cls(spec.get("GOOD_VALUES"), spec.get("GOOD_RANGES"))
+        good_values = list(spec.get("GOOD_VALUES", []))
+        good_ranges = list(spec.get("GOOD_RANGES", []))
+        for entry in spec.get("GOOD", []):
+            if isinstance(entry, (list, tuple)):
+                if len(entry) == 1:
+                    good_values.append(entry[0])
+                elif len(entry) == 2:
+                    good_ranges.append(tuple(entry))
+                else:
+                    raise ValueError(f"bad GOOD entry: {entry!r}")
+            else:
+                good_values.append(entry)
+        return cls(good_values, good_ranges)
+
+    def is_good(self, value: Any) -> bool:
+        """Driver-side evaluation (row-oriented SQL sources)."""
+        if value in self.good_values or str(value) in {
+            str(v) for v in self.good_values
+        }:
+            return True
+        try:
+            numeric = int(value)
+        except (TypeError, ValueError):
+            return False
+        return any(lo <= numeric <= hi for lo, hi in self.good_ranges)
 
     def expr(self, col: Column) -> Column:
-        """1 when the source quality is GOOD, else 0, as int8."""
+        """1 when the source quality is GOOD, else 0, as int8.
+
+        Ranges compare on a ``try_cast`` numeric view so a mapping mixing
+        string values and integer ranges never trips ANSI cast errors on
+        the string rows (they simply fall outside every range).
+        """
         cond = F.lit(False)
         if self.good_values:
-            cond = cond | col.isin(self.good_values)
-        for lo, hi in self.good_ranges:
-            cond = cond | ((col >= F.lit(lo)) & (col <= F.lit(hi)))
+            cond = cond | col.cast("string").isin(
+                [str(v) for v in self.good_values]
+            )
+        if self.good_ranges:
+            numeric = col.cast("string").try_cast("bigint")
+            for lo, hi in self.good_ranges:
+                cond = cond | (
+                    numeric.isNotNull()
+                    & (numeric >= F.lit(int(lo)))
+                    & (numeric <= F.lit(int(hi)))
+                )
         return (
             F.when(cond, F.lit(QUALITY_GOOD))
             .otherwise(F.lit(QUALITY_BAD))

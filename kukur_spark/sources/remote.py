@@ -25,8 +25,13 @@ class RemoteSource:
         self.spark = spark
         self.name = name
         self.remote_source = config.get("source", name)
+        api_key = config.get("api_key")  # str or (name, key) pair
+        if isinstance(api_key, list):
+            api_key = tuple(api_key)
         self.client = FlightClient(
-            config.get("host", "localhost"), int(config.get("port", 8081))
+            config.get("host", "localhost"),
+            int(config.get("port", 8081)),
+            api_key=api_key,
         )
 
     def _rewrite(self, selector: SeriesSelector) -> SeriesSelector:

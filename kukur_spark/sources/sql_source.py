@@ -130,7 +130,7 @@ def _unify_values(values: List[Any]) -> Tuple[List[Any], List[int], str]:
                 out.append(None)
             else:
                 out.append(str(v))
-    elif n_num / total > MAJORITY_THRESHOLD or n_num >= n_str:
+    elif n_num / total > MAJORITY_THRESHOLD:
         target = "double"
         for i, v in enumerate(values):
             if isinstance(v, bytes):
@@ -139,11 +139,19 @@ def _unify_values(values: List[Any]) -> Tuple[List[Any], List[int], str]:
             if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool):
                 out.append(float(v))
             else:
-                out.append(None)  # losing strings → null
+                out.append(None)  # losing minority strings → null
     else:
+        # no >90% majority: fall back to string and stringify numbers —
+        # nothing is lost (reference sql.py:404-421)
         target = "string"
-        kept = list(range(len(values)))
-        out = [str(v) if v is not None else None for v in values]
+        for i, v in enumerate(values):
+            if isinstance(v, bytes):
+                continue
+            kept.append(i)
+            if isinstance(v, (dt.date, dt.datetime)):
+                out.append(v.isoformat())
+            else:
+                out.append(str(v) if v is not None else None)
     return out, kept, target
 
 
@@ -237,6 +245,14 @@ class SqlSource:
         rows = [rows[i] for i in kept]  # bytes rows dropped whole
         timestamps = [_normalize_ts(r[0], self.data_timezone) for r in rows]
         qualities = [r[2] for r in rows] if rows and len(rows[0]) > 2 else None
+        if qualities is not None:
+            from kukur_spark.sources.quality import QualityMapper
+
+            mapper = QualityMapper.from_config(self.config)
+            if mapper is not None:
+                # reference maps row-oriented qualities through the mapper
+                # (kukur/source/sql.py:244-247)
+                qualities = [1 if mapper.is_good(q) else 0 for q in qualities]
         records = list(zip(timestamps, values, *([qualities] if qualities else [])))
         schema = data_schema(
             T.DoubleType() if value_type == "double" else T.StringType(),
@@ -252,7 +268,8 @@ class SqlSource:
         config = self.config
         query = config["data_query_jdbc"]
         for i, column in enumerate(self.tag_columns):
-            query = query.replace(f":tag{i}", f"'{selector.tags.get(column, '')}'")
+            value = selector.tags.get(column, "").replace("'", "''")
+            query = query.replace(f":tag{i}", f"'{value}'")
         reader = (
             self.spark.read.format("jdbc")
             .option("url", config["jdbc_url"])

@@ -119,15 +119,17 @@ def test_metadata_name_and_value_mapping(spark, tmp_path):
     (tmp_path / "m.csv").write_text(
         "series name,UNITS,INTERP\ns1,meters,continuous\n"
     )
+    # reference orientation: kukur field -> external name, and
+    # kukur value -> external value(s)
     source = FileSource(
         spark,
         "t",
         FileSourceOptions(
             path=str(tmp_path / "d.csv"),
             metadata_path=str(tmp_path / "m.csv"),
-            metadata_mapping={"UNITS": "unit", "INTERP": "interpolation type"},
+            metadata_mapping={"unit": "UNITS", "interpolation type": "INTERP"},
             metadata_value_mapping={
-                "interpolation type": {"continuous": "LINEAR"}
+                "interpolation type": {"LINEAR": "continuous"}
             },
         ),
     )

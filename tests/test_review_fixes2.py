@@ -20,11 +20,19 @@ END = datetime(2024, 1, 2, tzinfo=timezone.utc)
 
 # -- sql: bytes rows dropped whole, no ts/value misalignment ---------------
 def test_unify_values_keeps_row_alignment():
-    values = [1.0, b"blob", 3.0]
+    # numeric majority (>90%) with one bytes row in the middle
+    values = [float(i) for i in range(20)] + [b"blob"] + [99.0]
     out, kept, target = _unify_values(values)
     assert target == "double"
-    assert out == [1.0, 3.0]
-    assert kept == [0, 2]  # caller drops the timestamp of the bytes row too
+    assert out == [float(i) for i in range(20)] + [99.0]
+    assert kept == list(range(20)) + [21]  # bytes row dropped whole
+
+
+def test_unify_values_no_majority_stringifies():
+    out, kept, target = _unify_values([1.0, b"blob", "x"])
+    assert target == "string"
+    assert out == ["1.0", "x"]  # numbers stringified, bytes row dropped
+    assert kept == [0, 2]
 
 
 # -- adx: backslash escaping -----------------------------------------------

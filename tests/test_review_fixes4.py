@@ -1,0 +1,167 @@
+"""Regression tests for the fourth (high-effort) review batch:
+reference-config compatibility and handshake auth.
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.app import Engine
+from kukur_spark.base import InterpolationType, SeriesSelector
+from kukur_spark.sources.quality import QualityMapper
+from kukur_spark.sources.sql_source import _unify_values
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def test_strptime_datetime_format(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("s1,2020/03/01 10:30,1\n")
+    engine = Engine(
+        {
+            "source": {
+                "d": {
+                    "type": "csv",
+                    "path": str(tmp_path / "d.csv"),
+                    "data_datetime_format": "%Y/%m/%d %H:%M",  # reference style
+                }
+            }
+        },
+        spark,
+    )
+    rows = engine.get_data(SeriesSelector.from_name("d", "s1"), START, END).collect()
+    assert rows[0]["ts"] == datetime(2020, 3, 1, 10, 30)
+
+
+def test_reference_quality_mapping_table(spark, tmp_path):
+    (tmp_path / "d.csv").write_text(
+        "s1,2020-01-01T00:00:00Z,1,195\ns1,2020-02-01T00:00:00Z,2,GoodQuality\n"
+        "s1,2020-03-01T00:00:00Z,3,5\n"
+    )
+    engine = Engine(
+        {
+            "quality_mapping": {"q": {"GOOD": [[192, 200], "GoodQuality"]}},
+            "source": {
+                "d": {
+                    "type": "csv",
+                    "path": str(tmp_path / "d.csv"),
+                    "quality_mapping": "q",
+                }
+            },
+        },
+        spark,
+    )
+    rows = engine.get_data(SeriesSelector.from_name("d", "s1"), START, END).collect()
+    assert [r["quality"] for r in rows] == [1, 1, 0]
+
+
+def test_quality_single_element_range_entry():
+    mapper = QualityMapper.from_config(
+        {"quality_mapping": {"GOOD": [[192], [194, 200]]}}
+    )
+    assert mapper.is_good(192)
+    assert not mapper.is_good(193)
+    assert mapper.is_good(197)
+
+
+def test_reference_metadata_mapping_orientation(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    (tmp_path / "m.csv").write_text("series name,UNITS,INTERP\ns1,meters,lin\n")
+    engine = Engine(
+        {
+            "metadata_mapping": {"m": {"unit": "UNITS", "interpolation type": "INTERP"}},
+            "metadata_value_mapping": {
+                "v": {"interpolation type": {"LINEAR": ["continuous", "lin"]}}
+            },
+            "source": {
+                "d": {
+                    "type": "csv",
+                    "path": str(tmp_path / "d.csv"),
+                    "metadata": str(tmp_path / "m.csv"),
+                    "metadata_mapping": "m",
+                    "metadata_value_mapping": "v",
+                }
+            },
+        },
+        spark,
+    )
+    metadata = engine.get_metadata(SeriesSelector.from_name("d", "s1"))
+    assert metadata["unit"] == "meters"
+    assert metadata["interpolation type"] is InterpolationType.LINEAR
+
+
+def test_no_majority_falls_back_to_string():
+    values = [1.0] * 160 + ["x"] * 140  # neither type exceeds 90%
+    out, kept, target = _unify_values(values)
+    assert target == "string"
+    assert len(out) == 300  # nothing lost; numbers stringified
+    assert out[0] == "1.0" and out[-1] == "x"
+
+
+def test_decimal_comma_without_config_stays_string(spark, tmp_path):
+    (tmp_path / "c.csv").write_text('s1,2020-01-01T00:00:00Z,"1,5"\n')
+    engine = Engine(
+        {"source": {"c": {"type": "csv", "path": str(tmp_path / "c.csv")}}}, spark
+    )
+    value = engine.get_data(
+        SeriesSelector.from_name("c", "s1"), START, END
+    ).collect()[0]["value"]
+    assert value == "1,5"  # not silently nulled by a blind double cast
+
+
+def test_metadata_section_and_extra_field_whitelist_camelcase(spark, tmp_path):
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    (tmp_path / "e.csv").write_text(
+        "series name,unit,description\ns1,kg,from extra\n"
+    )
+    engine = Engine(
+        {
+            "source": {
+                "d": {
+                    "type": "csv",
+                    "path": str(tmp_path / "d.csv"),
+                    "metadata_sources": ["extra"],
+                }
+            },
+            # reference [metadata.<name>] section
+            "metadata": {
+                "extra": {
+                    "type": "csv",
+                    "path": str(tmp_path / "d.csv"),
+                    "metadata": str(tmp_path / "e.csv"),
+                    "fields": ["unit"],  # whitelist blocks description
+                }
+            },
+        },
+        spark,
+    )
+    metadata = engine.get_metadata(SeriesSelector.from_name("d", "s1"))
+    assert metadata["unit"] == "kg"
+    assert metadata["description"] == ""  # filtered by the whitelist
+
+
+def test_flight_handshake_basic_auth(spark, tmp_path):
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow.flight as fl
+
+    from kukur_spark.flight import FlightClient, serve
+
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {
+            "source": {"d": {"type": "csv", "path": str(tmp_path / "d.csv")}},
+            "api_keys": ["sekret"],
+        },
+        spark,
+    )
+    server = serve(engine, port=18084, background=True)
+    try:
+        # reference-style (name, key) handshake
+        client = FlightClient("localhost", 18084, api_key=("ops", "sekret"))
+        assert client.list_sources() == ["d"]
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            FlightClient("localhost", 18084, api_key=("ops", "wrong"))
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            FlightClient("localhost", 18084).list_sources()
+    finally:
+        server.shutdown()
