@@ -103,9 +103,12 @@ if HAS_FLIGHT:
                 self.repository is None or not self.repository.has_keys()
             ):
                 return None
-            # handshake-authenticated calls carry the auth token (already
-            # validated by the server auth handler's is_valid)
-            if headers.get("auth-token-bin"):
+            # handshake-authenticated calls carry a NON-EMPTY auth token
+            # (validated by the server auth handler's is_valid); an empty
+            # token is the anonymous pass-through and must NOT bypass the
+            # key check here
+            tokens = headers.get("auth-token-bin")
+            if tokens and tokens[0]:
                 return None
             provided = headers.get("x-api-key", [None])
             secret = provided[0] if provided else None

@@ -44,6 +44,10 @@ def asof_join(
         value_columns = [
             c for c in right.columns if c not in on and c != ts_column
         ]
+    # null-timestamp rows would sort first (Spark asc = nulls first) and
+    # masquerade as universal as-of matches — exclude them on both sides
+    left = left.filter(F.col(ts_column).isNotNull())
+    right = right.filter(F.col(ts_column).isNotNull())
     # side ordering: on equal ts the right row sorts first when exact
     # matches are allowed (so it is visible to the left row), after when not
     right_side, left_side = (0, 1) if allow_exact_matches else (2, 1)

@@ -68,13 +68,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint BEFORE counting: the convergence check and the next
+        # round both read the materialized frame instead of re-executing
+        # the full propagation lineage twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels

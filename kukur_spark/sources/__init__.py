@@ -77,6 +77,11 @@ class SourceWrapper:
         self.metadata_fields = metadata_fields or {}
 
     # -- M1: retry ---------------------------------------------------------
+    # Scope note: for driver-side sources (REST adapters, DB-API SQL) the
+    # data fetch happens inside get_data, so transient errors retry here as
+    # in the reference. For Spark-lazy sources the returned DataFrame
+    # materializes later — execution-time failures are covered by Spark's
+    # own task retries (spark.task.maxFailures), not this policy.
     def _retry(self, action: Callable[[], Any]) -> Any:
         attempts = self.query_retry_count + 1
         for attempt in range(attempts):
@@ -180,9 +185,11 @@ class SourceWrapper:
         if out is None:
             return empty_data_frame(self.spark)
         # sources with closed time ranges (ADX between, Influx <=, ES lte)
-        # return the chunk-boundary instant in both adjacent chunks
+        # return the chunk-boundary instant in both adjacent chunks; those
+        # duplicates are exact row copies, so dedupe on ALL columns —
+        # deduping on ts alone would drop legitimate same-timestamp rows
         if getattr(self.source, "closed_ranges", False) and len(chunks) > 1:
-            out = out.dropDuplicates(["ts"])
+            out = out.dropDuplicates()
         return out
 
     # -- get_plot_data with M4 fallback -----------------------------------

@@ -67,6 +67,13 @@ _STRPTIME_TO_SPARK = {
 }
 
 
+def _literal_col(name: str) -> Column:
+    """A column reference that treats ``name`` literally — both ``F.col``
+    and ``df[name]`` parse dots as struct access; backtick-quoting (with
+    doubled inner backticks) does not."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _resolve_mapping(config: Dict[str, Any], key: str) -> Dict[str, Any]:
     """Resolve a metadata (value) mapping that may be inline or a name
     referencing a root-level table (reference config style:
@@ -184,9 +191,11 @@ class FileSource:
         path = path or opts.path
         fmt = opts.file_format
         if fmt == "csv":
-            # Spark's CSV reader accepts a fixed charset list; windows-125x
-            # configs map to their latin-1 sibling (identical outside the
-            # 0x80-0x9F control block)
+            # Spark's CSV reader accepts a fixed charset list (iso-8859-1,
+            # us-ascii, utf-16*, utf-32, utf-8); windows-125x configs map
+            # to their latin-1 sibling. CAVEAT: the 0x80-0x9F block (€,
+            # smart quotes, dashes) decodes as C1 controls — re-encode such
+            # files to UTF-8 upstream if those characters matter.
             encoding = {
                 "cp1252": "iso-8859-1",
                 "windows-1252": "iso-8859-1",
@@ -273,7 +282,7 @@ class FileSource:
         Parity: reference kukur/source/arrow.py:254-282.
         """
         opts = self.options
-        col = F.col(column)
+        col = _literal_col(column)  # dotted column names stay literal
         if opts.data_datetime_format is not None:
             col = F.to_timestamp(col, opts.data_datetime_format)
         elif not isinstance(df.schema[column].dataType, T.TimestampType):
@@ -295,8 +304,20 @@ class FileSource:
         if declared is not None:
             target = declared
         elif isinstance(dtype, T.StringType):
-            first = df.select(column).filter(F.col(column).isNotNull()).first()
-            sample = first[0] if first is not None else None
+            # sniff once per (source, column): the result is a property of
+            # the file, and interval-split reads would otherwise re-run
+            # this eager job per chunk
+            cache = getattr(self, "_sniff_cache", None)
+            if cache is None:
+                cache = self._sniff_cache = {}
+            if column in cache:
+                sample = cache[column]
+            else:
+                first = (
+                    df.select(column).filter(df[column].isNotNull()).first()
+                )
+                sample = first[0] if first is not None else None
+                cache[column] = sample
             # the sniff honors the configured decimal separator: "1,5" is a
             # number only when csv_decimal_point = "," — otherwise it must
             # classify as string (a blind double cast would null every row)
@@ -486,9 +507,12 @@ class FileSource:
                 raise KeyError(
                     f"series {selector.name!r} not a column of pivot source"
                 )
-            df = self._normalize_ts(df, ts_col).select(
-                F.col(ts_col).alias(TS_COLUMN),
-                F.col(selector.tags[SERIES_NAME_TAG]).alias(VALUE_COLUMN),
+            # backtick-quoted literal references: plain F.col()/df[name]
+            # parse dots as struct access and crash on "sensor.1"
+            normalized = self._normalize_ts(df, ts_col)
+            df = normalized.select(
+                _literal_col(ts_col).alias(TS_COLUMN),
+                _literal_col(selector.tags[SERIES_NAME_TAG]).alias(VALUE_COLUMN),
             )
             value_col = VALUE_COLUMN
         else:
@@ -564,7 +588,15 @@ class FileSource:
     # metadata files
     # ------------------------------------------------------------------
     def _metadata_index(self) -> Dict[tuple, Dict[str, str]]:
-        """Read the metadata CSV once into {(series key): {field: value}}."""
+        """Read the metadata CSV once into {(series key): {field: value}}.
+
+        Cached per source instance: the search fan-out calls get_metadata
+        once per series, and re-collecting the same immutable file would
+        cost O(series) driver jobs.
+        """
+        cached = getattr(self, "_metadata_index_cache", None)
+        if cached is not None:
+            return cached
         opts = self.options
         df = self.spark.read.csv(opts.metadata_path, header=True)
         rows = df.collect()
@@ -579,6 +611,7 @@ class FileSource:
             if opts.metadata_field_column and opts.metadata_field_column in data:
                 key = key + (data[opts.metadata_field_column],)
             index[key] = data
+        self._metadata_index_cache = index
         return index
 
     def _lookup_metadata(

@@ -97,12 +97,14 @@ class QualityMapper:
                 [str(v) for v in self.good_values]
             )
         if self.good_ranges:
-            numeric = col.cast("string").try_cast("bigint")
+            # try_cast to double directly: a float-typed quality column
+            # (192.0) round-trips; via-string bigint would null it out
+            numeric = col.try_cast("double")
             for lo, hi in self.good_ranges:
                 cond = cond | (
                     numeric.isNotNull()
-                    & (numeric >= F.lit(int(lo)))
-                    & (numeric <= F.lit(int(hi)))
+                    & (numeric >= F.lit(float(lo)))
+                    & (numeric <= F.lit(float(hi)))
                 )
         return (
             F.when(cond, F.lit(QUALITY_GOOD))

@@ -140,6 +140,66 @@ def test_metadata_section_and_extra_field_whitelist_camelcase(spark, tmp_path):
     assert metadata["description"] == ""  # filtered by the whitelist
 
 
+def test_empty_auth_token_header_does_not_bypass(spark, tmp_path):
+    """Security regression: an empty auth-token-bin header must not skip
+    the api-key check."""
+    pytest.importorskip("pyarrow.flight")
+    import pyarrow.flight as fl
+
+    from kukur_spark.flight import serve
+
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    engine = Engine(
+        {
+            "source": {"d": {"type": "csv", "path": str(tmp_path / "d.csv")}},
+            "api_keys": ["sekret"],
+        },
+        spark,
+    )
+    server = serve(engine, port=18086, background=True)
+    try:
+        client = fl.connect("grpc://localhost:18086")
+        options = fl.FlightCallOptions(headers=[(b"auth-token-bin", b"")])
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            list(client.do_action(fl.Action("list_sources", b"{}"), options))
+    finally:
+        server.shutdown()
+
+
+def test_quality_float_typed_column(spark, tmp_path):
+    """A double-typed quality column (192.0) must match integer ranges."""
+    import pyarrow as pa
+    import pyarrow.parquet
+    from datetime import datetime as dt
+
+    table = pa.table(
+        {
+            "series name": ["s1", "s1"],
+            "ts": pa.array(
+                [dt(2020, 1, 1), dt(2020, 2, 1)], type=pa.timestamp("us", tz="UTC")
+            ),
+            "value": [1.0, 2.0],
+            "quality": [192.0, 5.0],
+        }
+    )
+    path = str(tmp_path / "q.parquet")
+    pa.parquet.write_table(table, path)
+    engine = Engine(
+        {
+            "source": {
+                "p": {
+                    "type": "parquet",
+                    "path": path,
+                    "quality_mapping": "opc_mapping_ranges",
+                }
+            }
+        },
+        spark,
+    )
+    rows = engine.get_data(SeriesSelector.from_name("p", "s1"), START, END).collect()
+    assert [r["quality"] for r in rows] == [1, 0]
+
+
 def test_flight_handshake_basic_auth(spark, tmp_path):
     pytest.importorskip("pyarrow.flight")
     import pyarrow.flight as fl
