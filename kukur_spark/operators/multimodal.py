@@ -160,9 +160,13 @@ def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
     of sample offsets against duration metadata, payload untouched — is the
     real distributed plan a video pipeline needs.
     """
+    # valid frame offsets are [0, duration): F.sequence is inclusive of
+    # its upper bound, so cap it at duration-1
     offsets = F.sequence(
         F.lit(0),
-        F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+        F.greatest(
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)
+        ),
         F.lit(every_ms),
     )
     return (

@@ -68,12 +68,20 @@ def resample(
         F.lit(None).cast("double").alias("__data_value"),
         F.lit(None).cast("long").alias("__data_ts"),
     )
-    data = df.select(
-        *group_columns,
-        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
-        F.lit(0).alias("__is_grid"),
-        F.col(VALUE_COLUMN).cast("double").alias("__data_value"),
-        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("__data_ts"),
+    # null-ts rows would sort first and poison every early bracket, and
+    # null-value rows would split __prev_v/__prev_t across different rows
+    # (the hazards asof.py guards against) — neither can interpolate
+    data = (
+        df.filter(
+            F.col(TS_COLUMN).isNotNull() & F.col(VALUE_COLUMN).isNotNull()
+        )
+        .select(
+            *group_columns,
+            F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+            F.lit(0).alias("__is_grid"),
+            F.col(VALUE_COLUMN).cast("double").alias("__data_value"),
+            F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("__data_ts"),
+        )
     )
     combined = grid.unionByName(data)
 

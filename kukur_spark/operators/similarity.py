@@ -62,22 +62,23 @@ def brute_force_topk(
     (self-search); pass False when they are distinct tables whose ids may
     collide coincidentally.
     """
+    # norms precomputed per vector BEFORE the join: computing them inside
+    # the N×Q projection would redo the O(d) aggregate per candidate pair
     q = queries.select(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         _as_double(F.col(vector_column)).alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     condition = (
         F.col("query_id") != F.col("neighbor_id")
         if exclude_same_id
         else F.lit(True)
     )
-    scored = (
-        c.join(F.broadcast(q), condition)
-        .withColumn("cos_sim", dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv"))))
+    scored = c.join(F.broadcast(q), condition).withColumn(
+        "cos_sim", dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
     window = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -89,7 +90,7 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round("cos_sim", 6).alias("cos_sim"),
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
         )
     )
 
@@ -140,17 +141,21 @@ def lsh_topk(
     candidate join is an equi-join on the signature, so cost scales with
     bucket size, not corpus size. Recall is approximate by construction.
     """
-    sig = lambda df, id_alias, v_alias: df.select(  # noqa: E731
-        F.col(id_column).alias(id_alias),
-        _as_double(F.col(vector_column)).alias(v_alias),
-        hyperplane_signature(F.col(vector_column), num_planes).alias("bucket"),
-    )
-    q = sig(queries, "query_id", "qv")
-    c = sig(corpus, "neighbor_id", "cv")
+    def sig(df, id_alias, v_alias, n_alias):
+        return df.select(
+            F.col(id_column).alias(id_alias),
+            _as_double(F.col(vector_column)).alias(v_alias),
+            hyperplane_signature(F.col(vector_column), num_planes).alias(
+                "bucket"
+            ),
+        ).withColumn(n_alias, norm(F.col(v_alias)))
+
+    q = sig(queries, "query_id", "qv", "qn")
+    c = sig(corpus, "neighbor_id", "cv", "cn")
     scored = (
         c.join(F.broadcast(q), on=["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("cos_sim", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     window = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -158,7 +163,12 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(window))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 
@@ -217,7 +227,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     probe_window = Window.partitionBy("query_id").orderBy(
         F.col("centroid_sim").desc(), F.col("centroid_id").asc()
     )
@@ -229,12 +239,13 @@ def ivf_topk(
         )
         .withColumn("rn", F.row_number().over(probe_window))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
     scored = (
-        assignments.join(F.broadcast(probes), on="centroid_id")
+        assignments.withColumn("vn", norm(F.col("v")))
+        .join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("query_id") != F.col(id_column))
-        .withColumn("cos_sim", dot("qv", "v") / (norm(F.col("qv")) * norm(F.col("v"))))
+        .withColumn("cos_sim", dot("qv", "v") / (F.col("qn") * F.col("vn")))
     )
     window = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_column).asc()
@@ -246,6 +257,6 @@ def ivf_topk(
             "query_id",
             F.col(id_column).alias("neighbor_id"),
             F.round("cos_sim", 6).alias("cos_sim"),
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -31,19 +31,21 @@ from kukur_spark.operators.asof import asof_join
 from kukur_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from kukur_spark.operators.plot import plot_buckets
 from kukur_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
-from kukur_spark.operators.text import language_id, fingerprint, token_stats
+from kukur_spark.operators.text import language_id, fingerprint
 from kukur_spark.schema import union_conform
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
 EVENTS_END = datetime(2024, 2, 1, tzinfo=timezone.utc)
-EVENTS_START_US = int(EVENTS_START.timestamp() * 1_000_000)
-EVENTS_END_US = int(EVENTS_END.timestamp() * 1_000_000)
+
+from kukur_spark.timeutil import epoch_us as _epoch_us  # noqa: E402
+
+EVENTS_START_US = _epoch_us(EVENTS_START)
+EVENTS_END_US = _epoch_us(EVENTS_END)
 
 
 def dsum(col) -> Column:
@@ -693,8 +695,8 @@ SELECT event_type,
         / {EVENTS_END_US - EVENTS_START_US}) AS BIGINT), 47) AS bucket,
   MIN(value) AS min_value,
   MAX(value) AS max_value,
-  arg_min(value, ts) AS first_value,
-  arg_max(value, ts) AS last_value,
+  (MIN({{'t': epoch_us(ts), 'v': value}})).v AS first_value,
+  (MAX({{'t': epoch_us(ts), 'v': value}})).v AS last_value,
   COUNT(*) AS n_points
 FROM events
 GROUP BY event_type, bucket
@@ -971,7 +973,6 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("long")
     n_unique = F.size(F.array_distinct(toks)).cast("long")
-    total_chars = (F.length("text") - (n_tokens - 1)).cast("long")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -1061,20 +1062,6 @@ SELECT doc_id, md5(text) AS content_fp,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS shape_fp
 FROM documents ORDER BY doc_id
 """
-
-
-def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Pairwise token-set Jaccard within each source block, ≥ 0.5."""
-    docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_columns=["source"], threshold=0.0)
-    return (
-        pairs.withColumn(
-            "jaccard_e6", (F.col("jaccard") * 1_000_000).cast("long")
-        )
-        .filter(F.col("jaccard_e6") >= 200_000)
-        .select("id_a", "id_b", "jaccard_e6")
-        .orderBy("id_a", "id_b")
-    )
 
 
 def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -1405,7 +1392,9 @@ def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
 
 def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=16).orderBy("id_a", "id_b")
+    # max_hamming must stay <= 3: the 4x16-bit banding guarantees candidate
+    # recall only within that radius (pigeonhole)
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def emb_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:

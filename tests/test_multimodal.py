@@ -62,4 +62,6 @@ def test_metadata_only_query_prunes_payload(spark, assets, tmp_path):
 def test_frame_sample_offsets(spark, assets):
     frames = frame_sample(assets, every_ms=250)
     rows = frames.groupBy("asset_id").count().collect()
-    assert all(r["count"] == 5 for r in rows)  # 0..1000 step 250
+    # offsets are [0, duration): 0,250,500,750 for duration_ms=1000 — an
+    # offset at exactly t == duration would be past the end of the media
+    assert all(r["count"] == 4 for r in rows)
