@@ -1,0 +1,59 @@
+"""Property-based differential: asof_join vs pandas.merge_asof on
+randomized series (the de-facto semantics standard for backward as-of).
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.operators.asof import asof_join
+
+BASE = datetime(2020, 1, 1)
+
+series = st.lists(
+    st.integers(0, 500), min_size=1, max_size=15, unique=True
+).map(sorted)
+
+
+def to_df(spark, minutes, values=None):
+    rows = [
+        (1, BASE + timedelta(minutes=m), float(v))
+        for m, v in zip(minutes, values or minutes)
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, value double")
+
+
+@given(left_minutes=series, right_minutes=series, exact=st.booleans())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_matches_pandas_merge_asof(spark, left_minutes, right_minutes, exact):
+    left = to_df(spark, left_minutes, [0] * len(left_minutes)).drop("value")
+    right = to_df(spark, right_minutes)
+    out = asof_join(
+        left, right, on=["k"], allow_exact_matches=exact
+    ).toPandas()
+
+    left_pdf = pd.DataFrame(
+        {"k": 1, "ts": [BASE + timedelta(minutes=m) for m in left_minutes]}
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "k": 1,
+            "ts": [BASE + timedelta(minutes=m) for m in right_minutes],
+            "value": [float(m) for m in right_minutes],
+        }
+    )
+    expected = pd.merge_asof(
+        left_pdf, right_pdf, on="ts", by="k", allow_exact_matches=exact
+    )
+    expected = expected[expected["value"].notna()]  # inner as-of
+
+    got = sorted(zip(out["ts"], out["value"]))
+    want = sorted(zip(expected["ts"], expected["value"]))
+    assert got == want, (left_minutes, right_minutes, exact)
