@@ -33,7 +33,7 @@ _NS = {"gpx": "http://www.topografix.com/GPX/1/1"}
 
 FIELDS = ["lat", "lon", "elevation", "distance", "speed"]
 
-EARTH_RADIUS_M = 6371000.0
+EARTH_RADIUS_M = 6_378_137  # reference gpx/__init__.py:131
 
 
 def _parse_points(path: str) -> List[Dict[str, Any]]:
@@ -75,25 +75,28 @@ class GpxSource:
             "ts timestamp, lat double, lon double, elevation double",
         )
         window = Window.orderBy("ts")
-        # W1 pairwise diff: haversine between consecutive points
-        prev_lat, prev_lon = F.lag("lat").over(window), F.lag("lon").over(window)
-        dlat = F.radians(F.col("lat") - prev_lat)
-        dlon = F.radians(F.col("lon") - prev_lon)
-        a = (
-            F.sin(dlat / 2) ** 2
-            + F.cos(F.radians(prev_lat))
-            * F.cos(F.radians(F.col("lat")))
-            * F.sin(dlon / 2) ** 2
-        )
-        segment = (
-            F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
-        )
+        # W1 pairwise diff on ECEF-projected coordinates — the reference's
+        # exact formula (kukur/source/gpx/__init__.py:131-145), including
+        # its lat/colatitude convention and R=6378137, for value parity
+        lat_r, lon_r = F.radians("lat"), F.radians("lon")
+        x = F.lit(float(EARTH_RADIUS_M)) * F.cos(lon_r) * F.sin(lat_r)
+        y = F.lit(float(EARTH_RADIUS_M)) * F.sin(lon_r) * F.sin(lat_r)
+        z = F.lit(float(EARTH_RADIUS_M)) * F.cos(lat_r)
+        df = df.withColumn("__x", x).withColumn("__y", y).withColumn("__z", z)
+        dx = F.col("__x") - F.lag("__x").over(window)
+        dy = F.col("__y") - F.lag("__y").over(window)
+        dz = F.col("__z") - F.lag("__z").over(window)
+        segment = F.sqrt(dx**2 + dy**2 + dz**2)
         dt = (
             F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(window))
         ) / 1_000_000.0
         df = df.withColumn("segment_m", F.coalesce(segment, F.lit(0.0)))
+        # speed in km/h, like the reference (distance/seconds * 3600/1000)
         df = df.withColumn(
-            "speed", F.coalesce(F.col("segment_m") / F.nullif(dt, F.lit(0.0)), F.lit(0.0))
+            "speed",
+            F.coalesce(
+                F.col("segment_m") / F.nullif(dt, F.lit(0.0)) * 3.6, F.lit(0.0)
+            ),
         )
         # A4 cumulative sum: running distance
         df = df.withColumn(
@@ -101,7 +104,7 @@ class GpxSource:
             F.sum("segment_m").over(
                 window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
-        )
+        ).drop("__x", "__y", "__z")
         return df
 
     def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
@@ -119,7 +122,7 @@ class GpxSource:
             "lon": "°",
             "elevation": "m",
             "distance": "m",
-            "speed": "m/s",
+            "speed": "km/h",  # reference gpx/__init__.py:170
         }
         metadata["unit"] = units.get(selector.field, "")
         metadata["interpolation type"] = "LINEAR"

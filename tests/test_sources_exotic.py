@@ -35,20 +35,21 @@ def test_gpx_fields_and_derived_series(spark, tmp_path):
     series = list(source.search(SeriesSearch("gpx")))
     fields = {s.field for s in series}
     assert fields == {"lat", "lon", "elevation", "distance", "speed"}
-    # 0.001° latitude ≈ 111.2 m per segment
+    # 0.001° latitude ≈ 111.3 m per segment (reference ECEF chord, R=6378137)
     dist = source.get_data(
         SeriesSelector.from_name("gpx", "ride::distance"), START, END
     ).collect()
     assert dist[0]["value"] == pytest.approx(0.0)
-    assert dist[1]["value"] == pytest.approx(111.2, rel=0.01)
-    assert dist[2]["value"] == pytest.approx(222.4, rel=0.01)
+    assert dist[1]["value"] == pytest.approx(111.3, rel=0.01)
+    assert dist[2]["value"] == pytest.approx(222.6, rel=0.01)
     speed = source.get_data(
         SeriesSelector.from_name("gpx", "ride::speed"), START, END
     ).collect()
-    assert speed[1]["value"] == pytest.approx(111.2 / 60, rel=0.01)
+    # km/h, reference units: 111.3 m over 60 s ≈ 6.68 km/h
+    assert speed[1]["value"] == pytest.approx(111.3 * 3.6 / 60, rel=0.01)
     assert source.get_metadata(
         SeriesSelector.from_name("gpx", "ride::speed")
-    )["unit"] == "m/s"
+    )["unit"] == "km/h"
 
 
 PLUGIN_SCRIPT = r"""#!/usr/bin/env python
