@@ -31,7 +31,7 @@ from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
 
 _NS = {"gpx": "http://www.topografix.com/GPX/1/1"}
 
-FIELDS = ["lat", "lon", "elevation", "distance", "speed"]
+FIELDS = ["lat", "lon", "elevation", "distance", "speed", "time"]
 
 EARTH_RADIUS_M = 6_378_137  # reference gpx/__init__.py:131
 
@@ -98,13 +98,16 @@ class GpxSource:
                 F.col("segment_m") / F.nullif(dt, F.lit(0.0)) * 3.6, F.lit(0.0)
             ),
         )
-        # A4 cumulative sum: running distance
-        df = df.withColumn(
-            "distance",
-            F.sum("segment_m").over(
-                window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        ).drop("__x", "__y", "__z")
+        # A4 cumulative sums: running distance and total activity time
+        # (reference calc_total_distance / calc_time, gpx/__init__.py:151-166)
+        running = window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df = (
+            df.withColumn("distance", F.sum("segment_m").over(running))
+            .withColumn(
+                "time", F.sum(F.coalesce(dt, F.lit(0.0))).over(running)
+            )
+            .drop("__x", "__y", "__z")
+        )
         return df
 
     def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
@@ -123,6 +126,7 @@ class GpxSource:
             "elevation": "m",
             "distance": "m",
             "speed": "km/h",  # reference gpx/__init__.py:170
+            "time": "s",  # reference calc_time_unit
         }
         metadata["unit"] = units.get(selector.field, "")
         metadata["interpolation type"] = "LINEAR"

@@ -34,7 +34,11 @@ def test_gpx_fields_and_derived_series(spark, tmp_path):
     source = GpxSource(spark, "gpx", {"path": str(tmp_path)})
     series = list(source.search(SeriesSearch("gpx")))
     fields = {s.field for s in series}
-    assert fields == {"lat", "lon", "elevation", "distance", "speed"}
+    assert fields == {"lat", "lon", "elevation", "distance", "speed", "time"}
+    time = source.get_data(
+        SeriesSelector.from_name("gpx", "ride::time"), START, END
+    ).collect()
+    assert [r["value"] for r in time] == [0.0, 60.0, 120.0]
     # 0.001° latitude ≈ 111.3 m per segment (reference ECEF chord, R=6378137)
     dist = source.get_data(
         SeriesSelector.from_name("gpx", "ride::distance"), START, END
