@@ -37,6 +37,7 @@ from kukur_spark.operators.plot import plot_buckets
 from kukur_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from kukur_spark.operators.text import language_id, fingerprint
 from kukur_spark.schema import union_conform
+from kukur_spark.workloads_tpch import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1459,6 +1460,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_topk": emb_lsh_topk_q,
     "emb_ivf_topk": emb_ivf_topk_q,
 }
+QUERIES.update(TPCH_EXTRA_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1504,4 +1506,5 @@ ORACLES: Dict[str, str] = {
     "emb_topk_bruteforce": EMB_TOPK_SQL,
     # minhash_lsh_pairs / simhash_pairs / emb_lsh_topk / emb_ivf_topk:
     # xxhash64-based — not expressible in DuckDB; rows-only check.
+    **TPCH_EXTRA_ORACLES,
 }

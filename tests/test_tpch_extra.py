@@ -1,0 +1,89 @@
+"""Plan + result tests for the adapted TPC-H queries (workloads_tpch.py).
+
+Result correctness is covered by the DuckDB oracle differential
+(scripts/check_oracle.py / the driver's CORRECTNESS gate); here we pin the
+*physical plan* properties that matter at scale and a few structural
+invariants of each result.
+"""
+
+from kukur_spark.workloads import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q21",
+    "tpch_q22",
+]
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_all_new_queries_registered_with_oracles():
+    for name in NEW_QUERIES:
+        assert name in QUERIES
+        assert name in ORACLES
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = plan_of(QUERIES["tpch_q4"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    # part, nation x2, region, supplier all broadcast; only the
+    # lineitem-orders-customer joins may shuffle
+    plan = plan_of(QUERIES["tpch_q8"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q9_broadcasts_part_supplier_nation(spark):
+    plan = plan_of(QUERIES["tpch_q9"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q13_left_join_preserved(spark):
+    plan = plan_of(QUERIES["tpch_q13"](spark, SF))
+    assert "LeftOuter" in plan
+    # every customer appears in the distribution exactly once
+    rows = QUERIES["tpch_q13"](spark, SF).collect()
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_customers
+
+
+def test_q15_single_scan_shape_and_max_tie(spark):
+    df = QUERIES["tpch_q15"](spark, SF)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue_e6 for r in rows}) == 1  # all ties at max
+
+
+def test_q16_anti_join_exclusion(spark):
+    plan = plan_of(QUERIES["tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_q21_semi_and_anti(spark):
+    plan = plan_of(QUERIES["tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_scalar_subquery_then_anti(spark):
+    plan = plan_of(QUERIES["tpch_q22"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_q11_threshold_is_integer_exact(spark):
+    rows = QUERIES["tpch_q11"](spark, SF).collect()
+    # value_e6 comes from integer-cents arithmetic: always a multiple of 10^4
+    assert all(r.value_e6 % 10_000 == 0 for r in rows)
