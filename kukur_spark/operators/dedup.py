@@ -210,6 +210,192 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# MinHash+LSH, md5 variant (cross-engine checkable)
+# ---------------------------------------------------------------------------
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint.
+
+    md5 is the one hash both Spark and DuckDB implement identically, which
+    makes this variant's full LSH pipeline checkable against a SQL oracle
+    (the xxhash64 fast path is not expressible outside Spark)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """MinHash banding with md5-derived hashes and integer-exact Jaccard.
+
+    Same plan shape as :func:`minhash_lsh_pairs` (map-side signatures →
+    skinny (id, band, bucket) self-join → exact verify on surviving
+    candidates) but every hash is ``md5``-derived and the Jaccard is
+    reported in exact parts-per-million, so DuckDB reproduces the result
+    bit-for-bit. Returns ``id_a, id_b, jaccard_ppm``.
+
+    Use :func:`minhash_lsh_pairs` in production — xxhash64 is ~5× cheaper
+    than md5; this variant exists as correctness evidence for the pipeline.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sh = shingles(F.col(text_column), shingle_size)
+    base = (
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
+        )
+        .select(F.col(id_column).alias("id"), sh.alias("sh"))
+        .select(
+            "id",
+            F.array_distinct(F.transform(F.col("sh"), md5_long)).alias("hs"),
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("sh"),
+                            lambda s, j=j: md5_long(
+                                F.concat(s, F.lit(f"#{j}"))
+                            ),
+                        )
+                    )
+                    for j in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+        .persist()
+    )
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(
+                                            "sig", b * rows_per_band + r + 1
+                                        ).cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                F.lit(f"|{b}"),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select("id", "hs")
+    verified = pairs.join(
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"),
+        "id_a",
+    ).join(
+        sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    union = F.size("hs_a").cast("long") + F.size("hs_b") - inter
+    return (
+        verified.withColumn("inter", inter)
+        .withColumn("uni", union)
+        .withColumn("jaccard_ppm", F.expr("inter * 1000000L div uni"))
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def minhash_md5_oracle_sql(
+    table: str = "documents",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> str:
+    """DuckDB SQL computing exactly :func:`minhash_lsh_pairs_md5`.
+
+    Generated from the same constants so the two can never drift apart.
+    """
+    rows_per_band = num_hashes // bands
+    k = shingle_size
+    sig_entries = ",\n      ".join(
+        "list_min(list_transform(sh, "
+        f"s -> ('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT))"
+        for j in range(num_hashes)
+    )
+    bucket_exprs = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, ('0x' || substr(md5({concat} || '|{b}'), 1, 15))::BIGINT AS bucket FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"sig[{b * rows_per_band + r + 1}]::VARCHAR"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_column} AS id, string_split({text_column}, ' ') AS t
+  FROM {table}
+), sh AS (
+  SELECT id,
+    CASE WHEN len(t) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+           i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')))
+      ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), sigs AS (
+  SELECT id,
+    list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs,
+    [ {sig_entries} ] AS sig
+  FROM sh
+), banded AS (
+{bucket_exprs}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+), verified AS (
+  SELECT id_a, id_b,
+    len(list_intersect(ha.hs, hb.hs))::BIGINT AS inter,
+    len(ha.hs)::BIGINT + len(hb.hs)::BIGINT AS tot
+  FROM cand
+  JOIN sigs ha ON ha.id = cand.id_a
+  JOIN sigs hb ON hb.id = cand.id_b
+)
+SELECT id_a, id_b, inter * 1000000 // (tot - inter) AS jaccard_ppm
+FROM verified
+WHERE inter * 1000000 // (tot - inter) >= {jaccard_ppm_threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(text_column: str) -> Column:
@@ -298,6 +484,129 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash, md5 variant (cross-engine checkable)
+# ---------------------------------------------------------------------------
+def simhash_md5(text_column: str) -> Column:
+    """60-bit SimHash over md5-derived token hashes (oracle-checkable).
+
+    Same fold as :func:`simhash` but the per-token hash is the 60-bit md5
+    prefix (`md5_long`), computed once per token, so DuckDB can replicate
+    the signature exactly."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split({text_column}, ' '),
+                        tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10)
+                                    as bigint)),
+              array_repeat(cast(0 as bigint), 60),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 59), bi -> shiftright(h, bi) & 1),
+                (cc, bb) -> cc + bb * 2 - 1)),
+            sequence(0, 59),
+            (cnt, bi) -> if(cnt > 0,
+                            shiftleft(cast(1 as bigint), bi),
+                            cast(0 as bigint))),
+          cast(0 as bigint),
+          (acc2, x) -> acc2 | x)
+        """
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by md5-SimHash banding (4 × 15-bit bands).
+
+    Hamming ≤ 3 guarantees a shared band by pigeonhole, as in
+    :func:`simhash_pairs`. Returns ``id_a, id_b, hamming``."""
+    sig = df.select(
+        F.col(id_column).alias("id"), simhash_md5(text_column).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.chunk")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_md5_oracle_sql(
+    table: str = "documents",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB SQL computing exactly :func:`simhash_pairs_md5`."""
+    return f"""
+WITH th AS (
+  SELECT {id_column} AS id,
+    ('0x' || substr(md5(unnest(string_split({text_column}, ' '))), 1, 15))::BIGINT AS h
+  FROM {table}
+), votes AS (
+  SELECT id, bi, SUM(((h >> bi) & 1) * 2 - 1) AS v
+  FROM th, generate_series(0, 59) t(bi)
+  GROUP BY id, bi
+), sigs AS (
+  SELECT id,
+    SUM(CASE WHEN v > 0 THEN (1::BIGINT << bi) ELSE 0::BIGINT END)::BIGINT AS sig
+  FROM votes GROUP BY id
+), banded AS (
+  SELECT id, sig, b AS band, (sig >> (15 * b)) & 32767 AS chunk
+  FROM sigs, generate_series(0, 3) t(b)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -105,14 +105,36 @@ def _plane_component(plane: int, i: Column) -> Column:
     return (F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)) - F.lit(1.0)
 
 
-def hyperplane_signature(v: Column, num_planes: int = 16) -> Column:
-    """Bit signature: sign of the projection on each deterministic plane."""
+def _plane_component_md5(plane: int, i: Column) -> Column:
+    """md5-derived plane component — same distribution as
+    :func:`_plane_component` but reproducible in any engine with md5
+    (used by the oracle-checkable LSH variant)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"pl{plane}_"), i.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)
+    ) - F.lit(1.0)
+
+
+def hyperplane_signature(
+    v: Column, num_planes: int = 16, md5_planes: bool = False
+) -> Column:
+    """Bit signature: sign of the projection on each deterministic plane.
+
+    ``md5_planes`` switches the plane PRNG from xxhash64 (fast path) to
+    md5 (cross-engine checkable path); the plan shape is identical."""
+    component = _plane_component_md5 if md5_planes else _plane_component
     v = _as_double(v)
     idx = F.transform(v, lambda _, i: i)
     bits = [
         F.when(
             F.aggregate(
-                F.zip_with(v, idx, lambda x, i: x * _plane_component(p, i)),
+                F.zip_with(v, idx, lambda x, i: x * component(p, i)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -134,6 +156,7 @@ def lsh_topk(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     num_planes: int = 8,
+    md5_planes: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query.
 
@@ -145,9 +168,9 @@ def lsh_topk(
         return df.select(
             F.col(id_column).alias(id_alias),
             _as_double(F.col(vector_column)).alias(v_alias),
-            hyperplane_signature(F.col(vector_column), num_planes).alias(
-                "bucket"
-            ),
+            hyperplane_signature(
+                F.col(vector_column), num_planes, md5_planes
+            ).alias("bucket"),
         ).withColumn(n_alias, norm(F.col(v_alias)))
 
     q = sig(queries, "query_id", "qv", "qn")

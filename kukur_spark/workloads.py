@@ -31,7 +31,11 @@ from kukur_spark.operators.asof import asof_join
 from kukur_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_md5,
+    minhash_md5_oracle_sql,
+    simhash_md5_oracle_sql,
     simhash_pairs,
+    simhash_pairs_md5,
 )
 from kukur_spark.operators.plot import plot_buckets
 from kukur_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
@@ -1219,6 +1223,75 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine-similarity expression matching operators.similarity
+    (sequential left-fold dot products over double-cast elements — the
+    exact IEEE operation order Spark's ``aggregate`` performs)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return (
+        f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+    )
+
+
+# IVF top-k is hash-free (seed centroids = lowest-id vectors; everything
+# else is float arithmetic DuckDB reproduces bit-for-bit), so unlike the
+# xxhash64 LSH variant it gets a full exact oracle.
+EMB_IVF_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id ASC LIMIT 16
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id, e.embedding,
+    {_duck_cos('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e, centroids c
+),
+assignments AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT vec_id, centroid_id, embedding,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+probe_scored AS (
+  SELECT query_id, qv, centroid_id,
+    {_duck_cos('qv', 'centroid')} AS centroid_sim
+  FROM q, centroids
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY centroid_sim DESC, centroid_id ASC) AS rn
+    FROM probe_scored
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {_duck_cos('p.qv', 'a.embedding')} AS cos_sim
+  FROM probes p
+  JOIN assignments a ON a.centroid_id = p.centroid_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def orders_with_shipments_semi(spark: SparkSession, sf: str) -> DataFrame:
     """Left-semi join (EXISTS): orders with a line shipped after a date."""
     orders = load_table(spark, sf, "orders")
@@ -1404,6 +1477,73 @@ def emb_lsh_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
+def minhash_lsh_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checkable MinHash+LSH near-dup pipeline (md5 hashes).
+
+    The production path is ``minhash_lsh_pairs`` (xxhash64); this variant
+    proves the *whole* LSH pipeline — shingling, signatures, banding,
+    bucket join, exact verify — against DuckDB bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs_md5(docs).orderBy("id_a", "id_b")
+
+
+def emb_lsh_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checkable hyperplane-LSH ANN (md5-derived planes)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(queries, emb, k=5, md5_planes=True).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _emb_lsh_md5_sql(num_planes: int = 8, k: int = 5) -> str:
+    """DuckDB oracle for ``emb_lsh_md5`` — same md5 plane PRNG, the same
+    sign-bit bucket assembly, the same cosine ranking."""
+    def comp(p: int) -> str:
+        # i is the 1-based DuckDB list index; Spark's transform index is
+        # 0-based, hence (i - 1)
+        return (
+            f"(CAST(('0x' || substr(md5('pl{p}_' || (i - 1)::VARCHAR), 1, 15))::BIGINT"
+            f" % 2000003 AS DOUBLE) / CAST(1000001.5 AS DOUBLE)"
+            f" - CAST(1.0 AS DOUBLE))"
+        )
+
+    bucket_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
+        f"i -> CAST(v[i] AS DOUBLE) * {comp(p)})) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        for p in range(num_planes)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding AS v, {bucket_bits} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {_duck_cos('q.qv', 'c.v')} AS cos_sim
+  FROM sigs c JOIN q ON c.bucket = q.bucket
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def simhash_md5_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checkable SimHash near-dup pipeline (md5-derived bits)."""
+    docs = load_table(spark, sf, "documents")
+    return simhash_pairs_md5(docs).orderBy("id_a", "id_b")
+
+
 def emb_ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1456,6 +1596,9 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": text_tfidf_topk,
     "emb_topk_bruteforce": emb_topk_bruteforce,
     "minhash_lsh_pairs": minhash_lsh_q,
+    "minhash_lsh_md5": minhash_lsh_md5_q,
+    "simhash_md5": simhash_md5_q,
+    "emb_lsh_md5": emb_lsh_md5_q,
     "simhash_pairs": simhash_q,
     "emb_lsh_topk": emb_lsh_topk_q,
     "emb_ivf_topk": emb_ivf_topk_q,
@@ -1505,6 +1648,11 @@ ORACLES: Dict[str, str] = {
     "text_tfidf_topk": TEXT_TFIDF_SQL,
     "emb_topk_bruteforce": EMB_TOPK_SQL,
     # minhash_lsh_pairs / simhash_pairs / emb_lsh_topk / emb_ivf_topk:
-    # xxhash64-based — not expressible in DuckDB; rows-only check.
+    # xxhash64-based — not expressible in DuckDB; rows-only check. The
+    # md5 variant below proves the same LSH pipeline exactly.
+    "minhash_lsh_md5": minhash_md5_oracle_sql(),
+    "simhash_md5": simhash_md5_oracle_sql(),
+    "emb_ivf_topk": EMB_IVF_SQL,
+    "emb_lsh_md5": _emb_lsh_md5_sql(),
     **TPCH_EXTRA_ORACLES,
 }
