@@ -44,8 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.
 
-    xxhash64-based operators (minhash_lsh_pairs, simhash_pairs,
-    emb_lsh_topk, emb_ivf_topk) are omitted — not expressible in DuckDB —
-    and get the driver's weaker rows-only check.
+    Only the two xxhash64 fast paths (minhash_lsh_pairs, simhash_pairs)
+    are omitted — not expressible in DuckDB; each is proven exactly by an
+    md5 twin (minhash_lsh_md5, simhash_md5) that runs the identical plan.
     """
     return dict(ORACLES)

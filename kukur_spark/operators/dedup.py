@@ -404,19 +404,20 @@ def simhash(text_column: str) -> Column:
     One fold over the tokens builds the 64 bit-counters; tokens vote
     +1/-1 per bit of their xxhash64. All JVM-side array expressions
     (written as a SQL expression because the Python ``shiftright`` wrapper
-    only accepts literal shift amounts).
+    only accepts literal shift amounts). Tokens are hashed **once** in an
+    inner transform — hashing inside the per-bit lambda would recompute
+    xxhash64 64× per token.
     """
     return F.expr(
         f"""
         aggregate(
           zip_with(
             aggregate(
-              split({text_column}, ' '),
+              transform(split({text_column}, ' '), tok -> xxhash64(tok)),
               array_repeat(cast(0 as bigint), 64),
-              (acc, tok) -> zip_with(
+              (acc, h) -> zip_with(
                 acc,
-                transform(sequence(0, 63),
-                          bi -> shiftright(xxhash64(tok), bi) & 1),
+                transform(sequence(0, 63), bi -> shiftright(h, bi) & 1),
                 (cc, bb) -> cc + bb * 2 - 1)),
             sequence(0, 63),
             (cnt, bi) -> if(cnt > 0,
@@ -440,7 +441,11 @@ def simhash_pairs(
     hamming distance 3 shares at least one exact band (pigeonhole), so the
     bucket join has full recall. Returns ``id_a, id_b, hamming``.
     """
-    sig = df.select(
+    # spread the CPU-heavy signature fold (see simhash_pairs_md5)
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
+    )
+    sig = spread.select(
         F.col(id_column).alias("id"), simhash(text_column).alias("sig")
     )
     banded = sig.select(
@@ -528,7 +533,13 @@ def simhash_pairs_md5(
 
     Hamming ≤ 3 guarantees a shared band by pigeonhole, as in
     :func:`simhash_pairs`. Returns ``id_a, id_b, hamming``."""
-    sig = df.select(
+    # the signature fold is the CPU hot spot and a single-file corpus
+    # arrives as one scan task — spread before computing (no-op at real
+    # scale where the scan is already many tasks)
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
+    )
+    sig = spread.select(
         F.col(id_column).alias("id"), simhash_md5(text_column).alias("sig")
     )
     banded = sig.select(

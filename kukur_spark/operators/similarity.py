@@ -19,6 +19,8 @@ All dot products are built-in higher-order functions (``zip_with`` +
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,55 +100,54 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # LSH: deterministic signed random projections
 # ---------------------------------------------------------------------------
-def _plane_component(plane: int, i: Column) -> Column:
-    """Pseudo-random hyperplane component in [-1, 1), deterministic from
-    (plane, dimension) via xxhash64 — no RNG state, so executors agree."""
-    h = F.xxhash64(F.lit(plane), i)
-    return (F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)) - F.lit(1.0)
-
-
-def _plane_component_md5(plane: int, i: Column) -> Column:
-    """md5-derived plane component — same distribution as
-    :func:`_plane_component` but reproducible in any engine with md5
-    (used by the oracle-checkable LSH variant)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"pl{plane}_"), i.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        F.pmod(h, F.lit(2_000_003)).cast("double") / F.lit(1_000_001.5)
-    ) - F.lit(1.0)
+def plane_components(plane: int, dim: int) -> list:
+    """Pseudo-random hyperplane components in [-1, 1), deterministic from
+    (plane, dimension) via md5 — computed driver-side once and shipped as
+    literals, so (a) rows never re-hash the constant planes and (b) any
+    engine with the same md5-derived table reproduces the buckets exactly
+    (the DuckDB oracle embeds the same literals)."""
+    return [
+        (
+            int(hashlib.md5(f"pl{plane}_{d}".encode()).hexdigest()[:15], 16)
+            % 2_000_003
+        )
+        / 1_000_001.5
+        - 1.0
+        for d in range(dim)
+    ]
 
 
 def hyperplane_signature(
-    v: Column, num_planes: int = 16, md5_planes: bool = False
+    v: Column, num_planes: int = 16, dim: int = 64
 ) -> Column:
     """Bit signature: sign of the projection on each deterministic plane.
 
-    ``md5_planes`` switches the plane PRNG from xxhash64 (fast path) to
-    md5 (cross-engine checkable path); the plan shape is identical."""
-    component = _plane_component_md5 if md5_planes else _plane_component
+    ``dim`` is the maximum vector dimensionality the literal planes cover;
+    vectors longer than ``dim`` raise at runtime rather than silently
+    hashing on a truncated plane."""
     v = _as_double(v)
-    idx = F.transform(v, lambda _, i: i)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, idx, lambda x, i: x * component(p, i)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in plane_components(p, dim)])
+        proj = F.aggregate(
+            F.zip_with(v, F.slice(plane, 1, F.size(v)), lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
             )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long"))
-        for p in range(num_planes)
-    ]
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
-    return out
+    return F.when(
+        F.size(v) > dim,
+        F.raise_error(
+            F.lit(f"hyperplane_signature: vector longer than dim={dim}")
+        ).cast("long"),
+    ).otherwise(out)
 
 
 def lsh_topk(
@@ -156,7 +157,7 @@ def lsh_topk(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     num_planes: int = 8,
-    md5_planes: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query.
 
@@ -169,12 +170,23 @@ def lsh_topk(
             F.col(id_column).alias(id_alias),
             _as_double(F.col(vector_column)).alias(v_alias),
             hyperplane_signature(
-                F.col(vector_column), num_planes, md5_planes
+                F.col(vector_column), num_planes, dim
             ).alias("bucket"),
         ).withColumn(n_alias, norm(F.col(v_alias)))
 
     q = sig(queries, "query_id", "qv", "qn")
-    c = sig(corpus, "neighbor_id", "cv", "cn")
+    # signature projection over the corpus is the CPU hot spot; a
+    # single-file corpus arrives as one scan task, so spread it first
+    # (no-op at real scale)
+    c = sig(
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col(id_column),
+        ),
+        "neighbor_id",
+        "cv",
+        "cn",
+    )
     scored = (
         c.join(F.broadcast(q), on=["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -219,9 +231,9 @@ def ivf_assign(
             _as_double(F.col(vector_column)).alias("centroid"),
         )
     )
-    c = corpus.select(
-        F.col(id_column), _as_double(F.col(vector_column)).alias("v")
-    )
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
+    ).select(F.col(id_column), _as_double(F.col(vector_column)).alias("v"))
     scored = c.join(F.broadcast(centroids)).withColumn(
         "sim", dot("v", "centroid") / (norm(F.col("v")) * norm(F.col("centroid")))
     )

@@ -1487,30 +1487,18 @@ def minhash_lsh_md5_q(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs_md5(docs).orderBy("id_a", "id_b")
 
 
-def emb_lsh_md5_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Oracle-checkable hyperplane-LSH ANN (md5-derived planes)."""
-    emb = load_table(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(queries, emb, k=5, md5_planes=True).orderBy(
-        "query_id", "rank"
-    )
+def _emb_lsh_sql(num_planes: int = 8, k: int = 5, dim: int = 64) -> str:
+    """DuckDB oracle for ``emb_lsh_topk`` — embeds the same literal plane
+    components (driver-side md5 PRNG, ``similarity.plane_components``) and
+    the same sign-bit bucket assembly and cosine ranking."""
+    from kukur_spark.operators.similarity import plane_components
 
-
-def _emb_lsh_md5_sql(num_planes: int = 8, k: int = 5) -> str:
-    """DuckDB oracle for ``emb_lsh_md5`` — same md5 plane PRNG, the same
-    sign-bit bucket assembly, the same cosine ranking."""
-    def comp(p: int) -> str:
-        # i is the 1-based DuckDB list index; Spark's transform index is
-        # 0-based, hence (i - 1)
-        return (
-            f"(CAST(('0x' || substr(md5('pl{p}_' || (i - 1)::VARCHAR), 1, 15))::BIGINT"
-            f" % 2000003 AS DOUBLE) / CAST(1000001.5 AS DOUBLE)"
-            f" - CAST(1.0 AS DOUBLE))"
-        )
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(c) for c in plane_components(p, dim)) + "]"
 
     bucket_bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
-        f"i -> CAST(v[i] AS DOUBLE) * {comp(p)})) > 0 "
+        f"i -> CAST(v[i] AS DOUBLE) * ({plane_lit(p)})[i])) > 0 "
         f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
         for p in range(num_planes)
     )
@@ -1598,7 +1586,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": minhash_lsh_q,
     "minhash_lsh_md5": minhash_lsh_md5_q,
     "simhash_md5": simhash_md5_q,
-    "emb_lsh_md5": emb_lsh_md5_q,
     "simhash_pairs": simhash_q,
     "emb_lsh_topk": emb_lsh_topk_q,
     "emb_ivf_topk": emb_ivf_topk_q,
@@ -1647,12 +1634,12 @@ ORACLES: Dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "text_tfidf_topk": TEXT_TFIDF_SQL,
     "emb_topk_bruteforce": EMB_TOPK_SQL,
-    # minhash_lsh_pairs / simhash_pairs / emb_lsh_topk / emb_ivf_topk:
-    # xxhash64-based — not expressible in DuckDB; rows-only check. The
-    # md5 variant below proves the same LSH pipeline exactly.
+    # minhash_lsh_pairs / simhash_pairs: xxhash64 fast paths — not
+    # expressible in DuckDB; rows-only check, each proven exactly by its
+    # md5 twin below.
     "minhash_lsh_md5": minhash_md5_oracle_sql(),
     "simhash_md5": simhash_md5_oracle_sql(),
     "emb_ivf_topk": EMB_IVF_SQL,
-    "emb_lsh_md5": _emb_lsh_md5_sql(),
+    "emb_lsh_topk": _emb_lsh_sql(),
     **TPCH_EXTRA_ORACLES,
 }
