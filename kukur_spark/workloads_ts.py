@@ -1,0 +1,227 @@
+"""Time-series analytics workloads beyond the reference's fixed pipeline.
+
+The reference (kukur) only scans/filters series (SURVEY.md §2); a
+training-data pipeline over sensor streams also needs per-series
+statistics, outlier flags, normalization and gap detection. Each query
+here is a window/aggregate composition on the long-format ``events``
+table, exact-checkable against DuckDB.
+
+Determinism: the same conventions as ``workloads.py`` — decimal-bridged
+sums, epoch-microsecond timestamps, scaled-integer ratios (``*_ppm``
+columns = parts-per-million as bigint), total orderings via
+``(ts, event_id)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+
+# ---------------------------------------------------------------------------
+# per-series z-score outliers
+# ---------------------------------------------------------------------------
+def ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows more than 2 population standard deviations from the
+    per-series mean.
+
+    Mean and variance are derived from decimal-bridged sums of ``v`` and
+    ``v*v`` (both engines produce identical bigints), so every double that
+    follows is bit-identical cross-engine; the z-score ships as exact ppm.
+    One shuffle: the per-series aggregate (broadcast back by the join).
+    """
+    events = load_table(spark, sf, "events")
+    stats = events.groupBy("event_type").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.floor(
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,10)")
+            )
+            * 1_000_000
+        ).cast("long").alias("sumsq_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    enriched = events.join(F.broadcast(stats), "event_type")
+    mean = F.col("sum_e6").cast("double") / 1e6 / F.col("n")
+    var = (
+        F.col("sumsq_e6").cast("double") / 1e6 / F.col("n") - mean * mean
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        enriched.withColumn("z_ppm", F.floor(z * 1_000_000).cast("long"))
+        .filter(F.abs(F.col("z_ppm")) > 2_000_000)
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+            "z_ppm",
+        )
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+TS_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sumsq_e6,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id, e.value,
+  CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
+       / sqrt(CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
+              - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n))
+       * 1000000) AS BIGINT) AS z_ppm
+FROM events e JOIN stats USING (event_type)
+WHERE ABS(CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
+       / sqrt(CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
+              - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n))
+       * 1000000) AS BIGINT)) > 2000000
+ORDER BY event_type, ts_us, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-series rate of change (discrete derivative)
+# ---------------------------------------------------------------------------
+def ts_rate_of_change(spark: SparkSession, sf: str) -> DataFrame:
+    """d(value)/dt between consecutive points of each series, in exact
+    ppm per second; the window order is totalized by (ts, event_id)."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    rate_ppm = F.floor(dv * 1e6 / (dt_us.cast("double") / 1e6)).cast("long")
+    return (
+        base.withColumn("rate_ppm_per_s", rate_ppm)
+        .filter(F.col("rate_ppm_per_s").isNotNull())
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+TS_RATE_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events
+),
+diffed AS (
+  SELECT event_type, ts_us, event_id, value,
+    value - LAG(value) OVER w AS dv,
+    ts_us - LAG(ts_us) OVER w AS dt_us
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+)
+SELECT event_type, ts_us, event_id, value,
+  CAST(FLOOR(dv * 1e6 / (CAST(dt_us AS DOUBLE) / 1e6)) AS BIGINT) AS rate_ppm_per_s
+FROM diffed WHERE dv IS NOT NULL
+ORDER BY event_type, ts_us, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-series min-max normalization (feature scaling)
+# ---------------------------------------------------------------------------
+def ts_minmax_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """(v - min) / (max - min) per series, in exact ppm.
+
+    Window min/max need no shuffle beyond the per-series partition; the
+    division happens on identical doubles in both engines."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(
+        hi != lo,
+        F.floor((F.col("value") - lo) * 1_000_000 / (hi - lo)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        events.select(
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+            scaled.alias("scaled_ppm"),
+        )
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+TS_MINMAX_SQL = """
+SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+  CASE WHEN MAX(value) OVER w <> MIN(value) OVER w
+    THEN CAST(FLOOR((value - MIN(value) OVER w) * 1000000
+              / (MAX(value) OVER w - MIN(value) OVER w)) AS BIGINT)
+    ELSE 0 END AS scaled_ppm
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_type, ts_us, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap detection
+# ---------------------------------------------------------------------------
+def ts_gap_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-sample gaps longer than 10 minutes per series —
+    pure integer arithmetic on epoch microseconds."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    prev = F.lag("ts_us").over(w)
+    return (
+        base.withColumn("gap_start_us", prev)
+        .withColumn("gap_us", F.col("ts_us") - prev)
+        .filter(F.col("gap_us") > 10 * 60 * 1_000_000)
+        .select(
+            "event_type",
+            "gap_start_us",
+            F.col("ts_us").alias("gap_end_us"),
+            "gap_us",
+        )
+        .orderBy("event_type", "gap_start_us", "gap_end_us")
+    )
+
+
+TS_GAP_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+diffed AS (
+  SELECT event_type,
+    LAG(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_start_us,
+    ts_us AS gap_end_us
+  FROM base
+)
+SELECT event_type, gap_start_us, gap_end_us,
+  gap_end_us - gap_start_us AS gap_us
+FROM diffed
+WHERE gap_end_us - gap_start_us > 10 * 60 * 1000000
+ORDER BY event_type, gap_start_us, gap_end_us
+"""
+
+
+TS_EXTRA_QUERIES = {
+    "ts_zscore_outliers": ts_zscore_outliers,
+    "ts_rate_of_change": ts_rate_of_change,
+    "ts_minmax_normalize": ts_minmax_normalize,
+    "ts_gap_detect": ts_gap_detect,
+}
+
+TS_EXTRA_ORACLES = {
+    "ts_zscore_outliers": TS_ZSCORE_SQL,
+    "ts_rate_of_change": TS_RATE_SQL,
+    "ts_minmax_normalize": TS_MINMAX_SQL,
+    "ts_gap_detect": TS_GAP_SQL,
+}

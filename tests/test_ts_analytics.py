@@ -1,0 +1,55 @@
+"""Structural tests for the time-series analytics workloads
+(workloads_ts.py). Value correctness is the DuckDB oracle differential;
+these pin plan properties and semantic invariants."""
+
+from kukur_spark.workloads import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_registered_with_oracles():
+    for name in (
+        "ts_zscore_outliers",
+        "ts_rate_of_change",
+        "ts_minmax_normalize",
+        "ts_gap_detect",
+    ):
+        assert name in QUERIES and name in ORACLES
+
+
+def test_zscore_stats_broadcast(spark):
+    # the tiny per-series stats table must broadcast, never shuffle events
+    plan = plan_of(QUERIES["ts_zscore_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_outliers_are_extreme(spark):
+    rows = QUERIES["ts_zscore_outliers"](spark, SF).collect()
+    assert rows, "expected some |z| > 2 outliers"
+    assert all(abs(r.z_ppm) > 2_000_000 for r in rows)
+
+
+def test_rate_of_change_skips_first_sample(spark):
+    df = QUERIES["ts_rate_of_change"](spark, SF)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    n_series = 5
+    assert df.count() == n_events - n_series  # one lag-null per series
+
+
+def test_minmax_bounds(spark):
+    rows = QUERIES["ts_minmax_normalize"](spark, SF).collect()
+    assert all(0 <= r.scaled_ppm <= 1_000_000 for r in rows)
+
+
+def test_gap_detect_positive_gaps(spark):
+    rows = QUERIES["ts_gap_detect"](spark, SF).collect()
+    assert rows
+    assert all(
+        r.gap_us == r.gap_end_us - r.gap_start_us
+        and r.gap_us > 10 * 60 * 1_000_000
+        for r in rows
+    )
