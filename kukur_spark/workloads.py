@@ -43,6 +43,7 @@ from kukur_spark.operators.text import language_id, fingerprint
 from kukur_spark.schema import union_conform
 from kukur_spark.workloads_tpch import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES
 from kukur_spark.workloads_ts import TS_EXTRA_ORACLES, TS_EXTRA_QUERIES
+from kukur_spark.workloads_mm import MM_ORACLES, MM_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1593,6 +1594,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 QUERIES.update(TPCH_EXTRA_QUERIES)
 QUERIES.update(TS_EXTRA_QUERIES)
+QUERIES.update(MM_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1645,4 +1647,5 @@ ORACLES: Dict[str, str] = {
     "emb_lsh_topk": _emb_lsh_sql(),
     **TPCH_EXTRA_ORACLES,
     **TS_EXTRA_ORACLES,
+    **MM_ORACLES,
 }
