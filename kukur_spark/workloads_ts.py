@@ -212,11 +212,203 @@ ORDER BY event_type, gap_start_us, gap_end_us
 """
 
 
+# ---------------------------------------------------------------------------
+# per-series exact percentiles (sort + integer row indexing)
+# ---------------------------------------------------------------------------
+def ts_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """p50/p90/p99 per series by explicit rank selection.
+
+    ``floor(p * (n - 1)) + 1``-th value in ``(value, event_id)`` order —
+    pure integer indexing, no interpolation formula to disagree on."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    def pick(p: float):
+        idx = F.floor(F.lit(p) * (F.col("n") - 1)) + 1
+        return F.max(F.when(F.col("rn") == idx, F.col("value")))
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+            pick(0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  MAX(CASE WHEN rn = FLOOR(CAST(0.5 AS DOUBLE) * (n - 1)) + 1 THEN value END) AS p50,
+  MAX(CASE WHEN rn = FLOOR(CAST(0.9 AS DOUBLE) * (n - 1)) + 1 THEN value END) AS p90,
+  MAX(CASE WHEN rn = FLOOR(CAST(0.99 AS DOUBLE) * (n - 1)) + 1 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-series value histogram (fixed-width buckets)
+# ---------------------------------------------------------------------------
+def ts_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Count per (series, value-decade bucket) — integer-exact."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+TS_HISTOGRAM_SQL = """
+SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-series Pearson correlation on daily-aligned averages
+# ---------------------------------------------------------------------------
+def ts_corr_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlation between every pair of series, aligned on daily means.
+
+    The alignment grid (per-series daily decimal-bridged mean) makes the
+    series comparable; the Pearson terms are computed from exact e6-scaled
+    bigints so the final doubles match cross-engine; ships as ppm."""
+    events = load_table(spark, sf, "events")
+    # integer-exact daily mean: e6-scaled decimal-bridged sum, then bigint
+    # division (decimal-division scale rules differ between engines)
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "day_us",
+            F.expr("sum_e6 div cnt").alias("avg_e6"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day_us") == F.col("b.day_us"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("series_a"),
+        F.col("b.event_type").alias("series_b"),
+        (F.col("a.avg_e6").cast("double") / 1e6).alias("x"),
+        (F.col("b.avg_e6").cast("double") / 1e6).alias("y"),
+    )
+    agg = pairs.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(F.col("x").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sx_e6"),
+        F.floor(F.sum(F.col("y").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxx_e6"),
+        F.floor(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("syy_e6"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_e6").cast("double") / 1e6
+    sy = F.col("sy_e6").cast("double") / 1e6
+    sxy = F.col("sxy_e6").cast("double") / 1e6
+    sxx = F.col("sxx_e6").cast("double") / 1e6
+    syy = F.col("syy_e6").cast("double") / 1e6
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return (
+        agg.select(
+            "series_a",
+            "series_b",
+            "n",
+            F.floor(r * 1_000_000).cast("long").alias("r_ppm"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+TS_CORR_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      // COUNT(*) AS avg_e6
+  FROM events GROUP BY event_type, day_us
+),
+pairs AS (
+  SELECT a.event_type AS series_a, b.event_type AS series_b,
+    CAST(a.avg_e6 AS DOUBLE) / 1e6 AS x,
+    CAST(b.avg_e6 AS DOUBLE) / 1e6 AS y
+  FROM daily a JOIN daily b
+    ON a.day_us = b.day_us AND a.event_type < b.event_type
+),
+agg AS (
+  SELECT series_a, series_b, COUNT(*) AS n,
+    CAST(FLOOR(SUM(CAST(x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sx_e6,
+    CAST(FLOOR(SUM(CAST(y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sy_e6,
+    CAST(FLOOR(SUM(CAST(x * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxy_e6,
+    CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxx_e6,
+    CAST(FLOOR(SUM(CAST(y * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS syy_e6
+  FROM pairs GROUP BY series_a, series_b
+)
+SELECT series_a, series_b, n,
+  CAST(FLOOR(
+    (CAST(n AS DOUBLE) * (CAST(sxy_e6 AS DOUBLE) / 1e6)
+     - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6))
+    / sqrt((CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+            - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+           * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+              - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)))
+    * 1000000) AS BIGINT) AS r_ppm
+FROM agg
+ORDER BY series_a, series_b
+"""
+
+
 TS_EXTRA_QUERIES = {
     "ts_zscore_outliers": ts_zscore_outliers,
     "ts_rate_of_change": ts_rate_of_change,
     "ts_minmax_normalize": ts_minmax_normalize,
     "ts_gap_detect": ts_gap_detect,
+    "ts_percentiles": ts_percentiles,
+    "ts_value_histogram": ts_value_histogram,
+    "ts_corr_pairs": ts_corr_pairs,
 }
 
 TS_EXTRA_ORACLES = {
@@ -224,4 +416,7 @@ TS_EXTRA_ORACLES = {
     "ts_rate_of_change": TS_RATE_SQL,
     "ts_minmax_normalize": TS_MINMAX_SQL,
     "ts_gap_detect": TS_GAP_SQL,
+    "ts_percentiles": TS_PERCENTILES_SQL,
+    "ts_value_histogram": TS_HISTOGRAM_SQL,
+    "ts_corr_pairs": TS_CORR_SQL,
 }

@@ -17,6 +17,9 @@ def test_registered_with_oracles():
         "ts_rate_of_change",
         "ts_minmax_normalize",
         "ts_gap_detect",
+        "ts_percentiles",
+        "ts_value_histogram",
+        "ts_corr_pairs",
     ):
         assert name in QUERIES and name in ORACLES
 
@@ -43,6 +46,24 @@ def test_rate_of_change_skips_first_sample(spark):
 def test_minmax_bounds(spark):
     rows = QUERIES["ts_minmax_normalize"](spark, SF).collect()
     assert all(0 <= r.scaled_ppm <= 1_000_000 for r in rows)
+
+
+def test_percentiles_ordered(spark):
+    rows = QUERIES["ts_percentiles"](spark, SF).collect()
+    assert len(rows) == 5  # one per series
+    assert all(r.p50 <= r.p90 <= r.p99 for r in rows)
+
+
+def test_histogram_counts_complete(spark):
+    rows = QUERIES["ts_value_histogram"](spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n for r in rows) == n_events
+
+
+def test_corr_pairs_bounded(spark):
+    rows = QUERIES["ts_corr_pairs"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) series pairs
+    assert all(-1_000_000 <= r.r_ppm <= 1_000_000 for r in rows)
 
 
 def test_gap_detect_positive_gaps(spark):
