@@ -45,7 +45,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.
 
     Only the two xxhash64 fast paths (minhash_lsh_pairs, simhash_pairs)
-    are omitted — not expressible in DuckDB; each is proven exactly by an
-    md5 twin (minhash_lsh_md5, simhash_md5) that runs the identical plan.
+    are omitted — not expressible in DuckDB; each has an md5 twin
+    (minhash_lsh_md5, simhash_md5) with the same plan *shape* (signatures
+    → banding → bucket join → exact verify) proven exactly.
     """
     return dict(ORACLES)

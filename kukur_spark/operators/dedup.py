@@ -45,6 +45,79 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# shared LSH scaffolding (used by both the xxhash64 fast paths and their
+# md5 oracle twins, so the two can never drift structurally)
+# ---------------------------------------------------------------------------
+def _spread(df: DataFrame, id_column: str, partitions: int = 0) -> DataFrame:
+    """Repartition by id before a CPU-heavy signature projection: a
+    single-file corpus arrives as one scan task (no-op at real scale
+    where the scan is already many tasks)."""
+    if partitions <= 0:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions, F.col(id_column))
+
+
+def _band_candidates(banded: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Distinct candidate pairs from a banded table: self-equi-join on
+    (band, bucket) with ``id_a < id_b``. ``carry`` columns are kept from
+    each side as ``<col>_a`` / ``<col>_b``."""
+    pairs = banded.alias("a").join(
+        banded.alias("b"),
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.bucket") == F.col("b.bucket"),
+            F.col("a.id") < F.col("b.id"),
+        ],
+    )
+    cols = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")] + [
+        c for name in carry
+        for c in (
+            F.col(f"a.{name}").alias(f"{name}_a"),
+            F.col(f"b.{name}").alias(f"{name}_b"),
+        )
+    ]
+    return pairs.select(*cols).dropDuplicates(["id_a", "id_b"])
+
+
+def _simhash_banded(
+    sig: DataFrame, bands: int, bits_per_band: int
+) -> DataFrame:
+    """Split an (id, sig) bit-signature table into per-band chunk buckets:
+    any pair within hamming distance ``bands - 1`` shares at least one
+    exact band (pigeonhole)."""
+    mask = (1 << bits_per_band) - 1
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def _join_hash_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Join each candidate side back to its (id, hs) hashed-shingle set —
+    only surviving candidates pay the array transfer."""
+    return pairs.join(
+        sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"),
+        "id_a",
+    ).join(
+        sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"),
+        "id_b",
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingling + MinHash
 # ---------------------------------------------------------------------------
 def shingles(text: Column, k: int = 3) -> Column:
@@ -131,17 +204,11 @@ def minhash_lsh_pairs(
             "— a remainder would silently drop signature rows"
         )
     rows_per_band = num_hashes // bands
-    if partitions <= 0:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
-    # a single-file corpus arrives as one scan task; the signature
-    # projection is the CPU hot spot, so spread it before computing —
-    # at real scale the scan itself is already many partitions
-    spread = df.repartition(partitions, F.col(id_column))
     # hashed shingle sets: all downstream set math runs on longs, no
     # shingle strings are ever materialized; token hashes land in a real
     # column first so the k-gram combine indexes them O(1)
     base = (
-        spread.select(
+        _spread(df, id_column, partitions).select(
             F.col(id_column).alias("id"),
             token_hashes(F.col(text_column)).alias("th"),
         )
@@ -150,7 +217,10 @@ def minhash_lsh_pairs(
         )
         .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
         # feeds three plan branches (banding + both verification joins);
-        # without persist the CPU-heavy projection runs three times
+        # without persist the CPU-heavy projection runs three times.
+        # The cache lives until session end / unpersist — long-lived
+        # sessions running many queries should spark.catalog.clearCache()
+        # between workloads (the oracle gate does).
         .persist()
     )
     # banding carries only (id, band, bucket) — 24 bytes/row through the
@@ -178,26 +248,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = _band_candidates(banded)
     # exact verification only for surviving candidates: join the hashed
     # sets back by id (candidate count << corpus for any sane banding)
-    sets = base.select("id", "hs")
-    verified = (
-        pairs.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
-    )
+    verified = _join_hash_sets(pairs, base.select("id", "hs"))
     jaccard = (
         F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
         / F.size(F.array_union("hs_a", "hs_b"))
@@ -246,9 +300,7 @@ def minhash_lsh_pairs_md5(
     rows_per_band = num_hashes // bands
     sh = shingles(F.col(text_column), shingle_size)
     base = (
-        df.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
-        )
+        _spread(df, id_column)
         .select(F.col(id_column).alias("id"), sh.alias("sh"))
         .select(
             "id",
@@ -296,27 +348,8 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = base.select("id", "hs")
-    verified = pairs.join(
-        sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"),
-        "id_a",
-    ).join(
-        sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"),
-        "id_b",
-    )
+    pairs = _band_candidates(banded)
+    verified = _join_hash_sets(pairs, base.select("id", "hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
     union = F.size("hs_a").cast("long") + F.size("hs_b") - inter
     return (
@@ -441,47 +474,11 @@ def simhash_pairs(
     hamming distance 3 shares at least one exact band (pigeonhole), so the
     bucket join has full recall. Returns ``id_a, id_b, hamming``.
     """
-    # spread the CPU-heavy signature fold (see simhash_pairs_md5)
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
-    )
-    sig = spread.select(
+    sig = _spread(df, id_column).select(
         F.col(id_column).alias("id"), simhash(text_column).alias("sig")
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.chunk")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _band_candidates(
+        _simhash_banded(sig, bands=4, bits_per_band=16), carry=("sig",)
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -533,49 +530,11 @@ def simhash_pairs_md5(
 
     Hamming ≤ 3 guarantees a shared band by pigeonhole, as in
     :func:`simhash_pairs`. Returns ``id_a, id_b, hamming``."""
-    # the signature fold is the CPU hot spot and a single-file corpus
-    # arrives as one scan task — spread before computing (no-op at real
-    # scale where the scan is already many tasks)
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
-    )
-    sig = spread.select(
+    sig = _spread(df, id_column).select(
         F.col(id_column).alias("id"), simhash_md5(text_column).alias("sig")
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.chunk")
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _band_candidates(
+        _simhash_banded(sig, bands=4, bits_per_band=15), carry=("sig",)
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (

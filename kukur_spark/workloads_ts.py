@@ -51,8 +51,12 @@ def ts_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sumsq_e6").cast("double") / 1e6 / F.col("n") - mean * mean
     )
     z = (F.col("value") - mean) / F.sqrt(var)
+    # var == 0 for a constant series (z undefined → no outliers); the
+    # guard avoids ANSI DIVIDE_BY_ZERO, and the null z_ppm fails the
+    # filter predicate on both engines
+    z_ppm = F.when(var > 0, F.floor(z * 1_000_000).cast("long"))
     return (
-        enriched.withColumn("z_ppm", F.floor(z * 1_000_000).cast("long"))
+        enriched.withColumn("z_ppm", z_ppm)
         .filter(F.abs(F.col("z_ppm")) > 2_000_000)
         .select(
             "event_type",
@@ -74,15 +78,19 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id, e.value,
-  CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
+  CASE WHEN CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
+            - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n) > 0
+    THEN CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
        / sqrt(CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
               - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n))
-       * 1000000) AS BIGINT) AS z_ppm
+       * 1000000) AS BIGINT) END AS z_ppm
 FROM events e JOIN stats USING (event_type)
-WHERE ABS(CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
+WHERE ABS(CASE WHEN CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
+            - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n) > 0
+    THEN CAST(FLOOR((e.value - CAST(sum_e6 AS DOUBLE) / 1e6 / n)
        / sqrt(CAST(sumsq_e6 AS DOUBLE) / 1e6 / n
               - (CAST(sum_e6 AS DOUBLE) / 1e6 / n) * (CAST(sum_e6 AS DOUBLE) / 1e6 / n))
-       * 1000000) AS BIGINT)) > 2000000
+       * 1000000) AS BIGINT) END) > 2000000
 ORDER BY event_type, ts_us, event_id
 """
 
@@ -103,7 +111,11 @@ def ts_rate_of_change(spark: SparkSession, sf: str) -> DataFrame:
     )
     dv = F.col("value") - F.lag("value").over(w)
     dt_us = F.col("ts_us") - F.lag("ts_us").over(w)
-    rate_ppm = F.floor(dv * 1e6 / (dt_us.cast("double") / 1e6)).cast("long")
+    # dt can be 0 when two samples share a timestamp (rate undefined) —
+    # guard before dividing or ANSI mode raises DIVIDE_BY_ZERO
+    rate_ppm = F.when(
+        dt_us > 0, F.floor(dv * 1e6 / (dt_us.cast("double") / 1e6))
+    ).cast("long")
     return (
         base.withColumn("rate_ppm_per_s", rate_ppm)
         .filter(F.col("rate_ppm_per_s").isNotNull())
@@ -124,7 +136,7 @@ diffed AS (
 )
 SELECT event_type, ts_us, event_id, value,
   CAST(FLOOR(dv * 1e6 / (CAST(dt_us AS DOUBLE) / 1e6)) AS BIGINT) AS rate_ppm_per_s
-FROM diffed WHERE dv IS NOT NULL
+FROM diffed WHERE dv IS NOT NULL AND dt_us > 0
 ORDER BY event_type, ts_us, event_id
 """
 
@@ -350,11 +362,13 @@ def ts_corr_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sxy = F.col("sxy_e6").cast("double") / 1e6
     sxx = F.col("sxx_e6").cast("double") / 1e6
     syy = F.col("syy_e6").cast("double") / 1e6
-    r = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(den2)
+    # Pearson r is undefined when either series is constant on the shared
+    # grid (denominator 0); drop those pairs instead of dividing by zero
     return (
-        agg.select(
+        agg.filter(den2 > 0)
+        .select(
             "series_a",
             "series_b",
             "n",
@@ -397,6 +411,10 @@ SELECT series_a, series_b, n,
               - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)))
     * 1000000) AS BIGINT) AS r_ppm
 FROM agg
+WHERE (CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+       - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+      * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+         - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)) > 0
 ORDER BY series_a, series_b
 """
 

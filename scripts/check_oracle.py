@@ -80,6 +80,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
+        finally:
+            # the LSH pipelines persist their signature projections; drop
+            # them so a 60+-query gate run doesn't accumulate cached
+            # partitions across queries
+            spark.catalog.clearCache()
         spark_s = time.time() - t0
         if name not in ORACLES:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{spark_s:.1f}s]")

@@ -66,6 +66,54 @@ def test_corr_pairs_bounded(spark):
     assert all(-1_000_000 <= r.r_ppm <= 1_000_000 for r in rows)
 
 
+def _write_degenerate_events(spark, tmp_path) -> str:
+    """events table with a constant-valued series and duplicate
+    timestamps — the inputs that make z-scores/rates undefined."""
+    from datetime import datetime
+
+    rows = [
+        # constant series: var == 0
+        (1, datetime(2024, 1, 1, 0, 0), 10, "flat", 5.0, "{}"),
+        (2, datetime(2024, 1, 1, 1, 0), 10, "flat", 5.0, "{}"),
+        (3, datetime(2024, 1, 1, 2, 0), 10, "flat", 5.0, "{}"),
+        # duplicate timestamps: dt == 0
+        (4, datetime(2024, 1, 1, 0, 0), 11, "dup", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 0), 11, "dup", 2.0, "{}"),
+        (6, datetime(2024, 1, 1, 3, 0), 11, "dup", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "degenerate")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_zscore_constant_series_yields_no_outliers(spark, tmp_path):
+    # a constant series has var == 0: z undefined → no rows, no
+    # DIVIDE_BY_ZERO under ANSI mode
+    sf = _write_degenerate_events(spark, tmp_path)
+    rows = QUERIES["ts_zscore_outliers"](spark, sf).collect()
+    assert all(r.event_type != "flat" for r in rows)
+
+
+def test_rate_of_change_skips_zero_dt(spark, tmp_path):
+    sf = _write_degenerate_events(spark, tmp_path)
+    rows = QUERIES["ts_rate_of_change"](spark, sf).collect()
+    dup = [r for r in rows if r.event_type == "dup"]
+    # 3 samples, first has no lag, second has dt=0 → only one rate row
+    assert len(dup) == 1
+
+
+def test_corr_constant_series_dropped(spark, tmp_path):
+    sf = _write_degenerate_events(spark, tmp_path)
+    rows = QUERIES["ts_corr_pairs"](spark, sf).collect()
+    # 'flat' is constant on the daily grid → Pearson undefined → no pair
+    assert all("flat" not in (r.series_a, r.series_b) for r in rows)
+
+
 def test_gap_detect_positive_gaps(spark):
     rows = QUERIES["ts_gap_detect"](spark, SF).collect()
     assert rows
