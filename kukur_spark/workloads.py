@@ -1162,6 +1162,74 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup output: the documents a training pipeline keeps.
+
+    A document survives iff it is the canonical (minimum-id) member of its
+    near-dup connected component — the actual deliverable of the dedup
+    stage, stacked on the same components as ``dedup_clusters``."""
+    from kukur_spark.operators.cluster import dedup_groups
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_exact(spark, sf)
+    groups = dedup_groups(docs, pairs)
+    return (
+        groups.filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEPT_SQL = DEDUP_CLUSTERS_SQL.replace(
+    "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id\n"
+    "ORDER BY d.doc_id",
+    "SELECT d.doc_id\n"
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id\n"
+    "WHERE d.doc_id = COALESCE(c.component, d.doc_id)\n"
+    "ORDER BY d.doc_id",
+)
+
+
+def corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus statistics: documents, tokens, vocabulary size,
+    type-token ratio (lexical diversity) in exact ppm."""
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    return (
+        tokens.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("n_vocab"),
+        )
+        .withColumn(
+            "type_token_ppm", F.expr("n_vocab * 1000000L div n_tokens")
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_STATS_SQL = """
+WITH tokens AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT source,
+  COUNT(DISTINCT doc_id) AS n_docs,
+  COUNT(*) AS n_tokens,
+  COUNT(DISTINCT term) AS n_vocab,
+  COUNT(DISTINCT term) * 1000000 // COUNT(*) AS type_token_ppm
+FROM tokens
+GROUP BY source
+ORDER BY source
+"""
+
+
 def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from kukur_spark.operators.text import tfidf_topk
 
@@ -1291,6 +1359,107 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def emb_topk_l2(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 neighbors by euclidean distance (the cosine twin's
+    other metric); same broadcast-queries/rank plan as brute-force."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("l2", dist)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("l2", 6).alias("l2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+EMB_TOPK_L2_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+      i -> (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+           * (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))))) AS l2
+  FROM c, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, l2,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY l2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(l2, 6) AS l2, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def emb_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Class prototypes: the per-label mean of each embedding dimension.
+
+    posexplode → two-key aggregate; the mean is integer-exact (e6-scaled
+    decimal-bridged sum, bigint division). One row per (label, dim) so
+    the oracle compare needs no array assembly."""
+    emb = load_table(spark, sf, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        dims.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.floor(
+                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
+                * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.expr("sum_e6 div cnt").alias("centroid_e6"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMB_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings
+)
+SELECT label, dim,
+  CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    // COUNT(*) AS centroid_e6
+FROM dims
+GROUP BY label, dim
+ORDER BY label, dim
 """
 
 
@@ -1583,8 +1752,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "ngram_jaccard": ngram_jaccard_exact,
     "dedup_clusters": dedup_clusters,
+    "dedup_kept": dedup_kept,
+    "corpus_stats": corpus_stats,
     "text_tfidf_topk": text_tfidf_topk,
     "emb_topk_bruteforce": emb_topk_bruteforce,
+    "emb_topk_l2": emb_topk_l2,
+    "emb_centroid_per_label": emb_centroid_per_label,
     "minhash_lsh_pairs": minhash_lsh_q,
     "minhash_lsh_md5": minhash_lsh_md5_q,
     "simhash_md5": simhash_md5_q,
@@ -1636,8 +1809,12 @@ ORACLES: Dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_kept": DEDUP_KEPT_SQL,
+    "corpus_stats": CORPUS_STATS_SQL,
     "text_tfidf_topk": TEXT_TFIDF_SQL,
     "emb_topk_bruteforce": EMB_TOPK_SQL,
+    "emb_topk_l2": EMB_TOPK_L2_SQL,
+    "emb_centroid_per_label": EMB_CENTROID_SQL,
     # minhash_lsh_pairs / simhash_pairs: xxhash64 fast paths — not
     # expressible in DuckDB; rows-only check, each proven exactly by its
     # md5 twin below.
