@@ -1193,22 +1193,35 @@ DEDUP_KEPT_SQL = DEDUP_CLUSTERS_SQL.replace(
 
 def corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus statistics: documents, tokens, vocabulary size,
-    type-token ratio (lexical diversity) in exact ppm."""
+    type-token ratio (lexical diversity) in exact ppm.
+
+    Two-level aggregation instead of ``countDistinct``: a multi-distinct
+    aggregate plans an Expand that doubles the exploded token stream on
+    the shuffle; pre-aggregating per (source, term) gets map-side combine
+    and carries one row per distinct term instead. n_docs needs no
+    distinct at all (documents are one row per doc)."""
     docs = load_table(spark, sf, "documents")
     tokens = docs.select(
-        "source",
-        "doc_id",
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    per_term = tokens.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = per_term.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("c").alias("n_tokens"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tokens.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("term").alias("n_vocab"),
-        )
-        .withColumn(
-            "type_token_ppm", F.expr("n_vocab * 1000000L div n_tokens")
+        n_docs.join(vocab, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            F.expr("n_vocab * 1000000L div n_tokens").alias(
+                "type_token_ppm"
+            ),
         )
         .orderBy("source")
     )

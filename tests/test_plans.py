@@ -100,6 +100,18 @@ def test_text_ops_stay_jvm_side(spark):
     assert "div" in plan  # scaled-integer math inside the projection
 
 
+def test_corpus_stats_no_expand(spark):
+    # multi-countDistinct would plan an Expand that doubles the exploded
+    # token stream on the shuffle; the two-level aggregate must not
+    plan = plan_of(QUERIES["corpus_stats"](spark, SF))
+    assert "Expand" not in plan
+
+
+def test_centroid_partial_aggregation(spark):
+    plan = plan_of(QUERIES["emb_centroid_per_label"](spark, SF))
+    assert "HashAggregate" in plan  # partial+final two-key aggregate
+
+
 def test_similarity_broadcasts_queries(spark):
     plan = plan_of(QUERIES["emb_topk_bruteforce"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
