@@ -1,0 +1,82 @@
+"""Scaling probe: replicate the sf tables N× (keys shifted per copy so
+joins/groups stay honest) and run the headline bench against the result.
+
+Usage: python scripts/scale_probe.py [factor] [src_sf_dir] [dst_dir]
+
+Writes the scaled tables to dst (default /tmp/sfbig) and prints the same
+one-line JSON as bench.py. This is the evidence behind PERFORMANCE.md's
+"500× the data costs ~17% wall clock" row — rerunnable at any factor.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kukur_spark.io import load_table  # noqa: E402
+from kukur_spark.session import get_spark  # noqa: E402
+
+COPIED = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+
+
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
+    max_ok = orders.agg(F.max("o_orderkey")).first()[0]
+
+    def shifted_union(df, key: str, stride: int):
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(i * stride))
+            for i in range(factor)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    shifted_union(lineitem, "l_orderkey", max_ok + 1).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/lineitem.parquet")
+    shifted_union(orders, "o_orderkey", max_ok + 1).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/orders.parquet")
+
+    events = load_table(spark, src, "events")
+    max_eid = events.agg(F.max("event_id")).first()[0]
+    shifted_union(events, "event_id", max_eid + 1).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/events.parquet")
+
+    for t in COPIED:
+        p = f"{dst}/{t}.parquet"
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+        shutil.copy(f"{src}/{t}.parquet", p)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfbig"
+    os.makedirs(dst, exist_ok=True)
+    spark = get_spark("scale_probe")
+    replicate(spark, src, dst, factor)
+    spark.stop()  # bench starts its own session
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=dst)
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    subprocess.run([sys.executable, bench], env=env, check=True)
+
+
+if __name__ == "__main__":
+    main()
