@@ -1,0 +1,137 @@
+"""Property differential for the decorrelation-heavy relational shapes.
+
+The oracle gate runs on the driver's fixed synthetic tables; these tests
+generate *random* small instances, write them as parquet, and run the
+actual workload query AND its DuckDB oracle on the same files — guarding
+the EXISTS / double-NOT-EXISTS / scalar-subquery logic against
+fixed-data coincidences.
+"""
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.workloads import ORACLES, QUERIES
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["F", "O", "P"]
+FLAGS = ["R", "N", "A"]
+BASE = datetime(1995, 1, 1)
+
+CHECKED = ["tpch_q4", "tpch_q13", "tpch_q21", "tpch_q22"]
+
+
+@st.composite
+def instance(draw):
+    n_orders = draw(st.integers(5, 40))
+    orders = []
+    lineitems = []
+    for ok in range(1, n_orders + 1):
+        orders.append(
+            dict(
+                o_orderkey=ok,
+                o_custkey=draw(st.integers(1, 10)),
+                o_orderstatus=draw(st.sampled_from(STATUSES)),
+                o_totalprice=draw(st.integers(100, 10_000_000)) / 100.0,
+                o_orderdate=BASE + timedelta(days=draw(st.integers(0, 2400))),
+                o_orderpriority=draw(st.sampled_from(PRIORITIES)),
+            )
+        )
+        for ln in range(draw(st.integers(0, 3))):
+            ship = BASE + timedelta(days=draw(st.integers(0, 2500)))
+            lineitems.append(
+                dict(
+                    l_orderkey=ok,
+                    l_partkey=draw(st.integers(1, 20)),
+                    l_suppkey=draw(st.integers(1, 5)),
+                    l_linenumber=ln + 1,
+                    l_quantity=float(draw(st.integers(1, 50))),
+                    l_extendedprice=draw(st.integers(100, 10_000_000)) / 100.0,
+                    l_discount=draw(st.integers(0, 10)) / 100.0,
+                    l_tax=draw(st.integers(0, 8)) / 100.0,
+                    l_returnflag=draw(st.sampled_from(FLAGS)),
+                    l_linestatus="O",
+                    l_shipdate=ship,
+                )
+            )
+    customers = [
+        dict(
+            c_custkey=c,
+            c_name=f"cust{c}",
+            c_nationkey=c % 3,
+            c_acctbal=draw(st.integers(-50_000, 1_000_000)) / 100.0,
+            c_mktsegment="SEG",
+        )
+        for c in range(1, 11)
+    ]
+    suppliers = [
+        dict(s_suppkey=s, s_name=f"supp{s}", s_nationkey=s % 3,
+             s_acctbal=draw(st.integers(-10_000, 100_000)) / 100.0)
+        for s in range(1, 6)
+    ]
+    nations = [
+        dict(n_nationkey=k, n_name=f"NATION_{k}", n_regionkey=0)
+        for k in range(3)
+    ]
+    return orders, lineitems, customers, suppliers, nations
+
+
+def _write(spark, tmpdir: str, name: str, rows: list, schema: str) -> None:
+    df = (
+        spark.createDataFrame(rows)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/{name}.parquet"
+    )
+
+
+LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+@given(data=instance())
+@settings(max_examples=4, deadline=None)
+def test_relational_shapes_match_oracle(spark, tmp_path_factory, data):
+    orders, lineitems, customers, suppliers, nations = data
+    tmpdir = str(tmp_path_factory.mktemp("prop"))
+    _write(spark, tmpdir, "orders", orders, "")
+    _write(spark, tmpdir, "lineitem", lineitems, LINEITEM_SCHEMA)
+    _write(spark, tmpdir, "customer", customers, "")
+    _write(spark, tmpdir, "supplier", suppliers, "")
+    _write(spark, tmpdir, "nation", nations, "")
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "customer", "supplier", "nation"]:
+        # Spark writes a parquet *directory*; DuckDB needs the part glob
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmpdir}/{t}.parquet/*.parquet'"
+        )
+    for name in CHECKED:
+        spark_pdf = QUERIES[name](spark, tmpdir).toPandas()
+        spark_pdf = spark_pdf[sorted(spark_pdf.columns)]
+        spark_pdf = spark_pdf.sort_values(
+            by=list(spark_pdf.columns)
+        ).reset_index(drop=True)
+        duck_pdf = con.sql(ORACLES[name]).df()
+        duck_pdf = duck_pdf[sorted(duck_pdf.columns)]
+        duck_pdf = duck_pdf.sort_values(
+            by=list(duck_pdf.columns)
+        ).reset_index(drop=True)
+        assert len(spark_pdf) == len(duck_pdf), (
+            f"{name}: {len(spark_pdf)} vs {len(duck_pdf)} rows"
+        )
+        if len(spark_pdf):
+            pd.testing.assert_frame_equal(
+                spark_pdf, duck_pdf, check_dtype=False, check_exact=True,
+                obj=name,
+            )
+    con.close()
