@@ -31,6 +31,12 @@ TABLES = [
 # Columns stored as TIMESTAMP(NANOS) in the driver parquet, per table.
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
+# Parquet schema cache: footer-based schema inference costs ~0.1-0.15 s
+# per read (every query re-pays it for every table it touches); the test
+# tables are immutable, so infer once per (session, path). Keyed by
+# applicationId so a new session never reuses a stale entry.
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(
     spark: SparkSession,
@@ -52,7 +58,14 @@ def load_table(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in _NANOS_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (spark.sparkContext.applicationId, path)
+    cached = _SCHEMA_CACHE.get(cache_key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[cache_key] = df.schema
     for column in _NANOS_TS_COLUMNS.get(name, []):
         if column in df.columns and str(df.schema[column].dataType) in (
             "LongType()",
