@@ -419,6 +419,61 @@ ORDER BY series_a, series_b
 """
 
 
+# ---------------------------------------------------------------------------
+# exponentially weighted moving average (bounded trailing window)
+# ---------------------------------------------------------------------------
+def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA over the trailing 8 samples per series (alpha = 0.3).
+
+    s_1 = x_1; s_i = alpha*x_i + (1-alpha)*s_{i-1}, folded over the
+    window-collected list — the recursion is a per-row bounded fold, so
+    it distributes (no cross-partition sequential state), and the same
+    expression tree runs in DuckDB's list_reduce for an exact match."""
+    events = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    xs = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return (
+        base.withColumn("xs", xs)
+        .withColumn("ewma_e6", F.floor(ewma * 1_000_000).cast("long"))
+        .select("event_type", "ts_us", "event_id", "value", "ewma_e6")
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+TS_EWMA_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events
+),
+windowed AS (
+  SELECT event_type, ts_us, event_id, value,
+    list(value) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+  FROM base
+)
+SELECT event_type, ts_us, event_id, value,
+  CAST(FLOOR(list_reduce(xs,
+    (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+    * 1000000) AS BIGINT) AS ewma_e6
+FROM windowed
+ORDER BY event_type, ts_us, event_id
+"""
+
+
 TS_EXTRA_QUERIES = {
     "ts_zscore_outliers": ts_zscore_outliers,
     "ts_rate_of_change": ts_rate_of_change,
@@ -427,6 +482,7 @@ TS_EXTRA_QUERIES = {
     "ts_percentiles": ts_percentiles,
     "ts_value_histogram": ts_value_histogram,
     "ts_corr_pairs": ts_corr_pairs,
+    "ts_ewma": ts_ewma,
 }
 
 TS_EXTRA_ORACLES = {
@@ -437,4 +493,5 @@ TS_EXTRA_ORACLES = {
     "ts_percentiles": TS_PERCENTILES_SQL,
     "ts_value_histogram": TS_HISTOGRAM_SQL,
     "ts_corr_pairs": TS_CORR_SQL,
+    "ts_ewma": TS_EWMA_SQL,
 }
