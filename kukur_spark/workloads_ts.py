@@ -420,6 +420,98 @@ ORDER BY series_a, series_b
 
 
 # ---------------------------------------------------------------------------
+# lag-1 autocorrelation per series
+# ---------------------------------------------------------------------------
+def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson autocorrelation of each series with its lag-1 self.
+
+    Same exact-moment machinery as ts_corr_pairs, over (x_t, x_{t-1})
+    pairs from a lag window; ships as ppm, undefined-denominator rows
+    dropped."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value").alias("x"),
+    )
+    lagged = base.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(F.col("x").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sx_e6"),
+        F.floor(F.sum(F.col("y").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxx_e6"),
+        F.floor(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("syy_e6"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_e6").cast("double") / 1e6
+    sy = F.col("sy_e6").cast("double") / 1e6
+    sxy = F.col("sxy_e6").cast("double") / 1e6
+    sxx = F.col("sxx_e6").cast("double") / 1e6
+    syy = F.col("syy_e6").cast("double") / 1e6
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(den2)
+    return (
+        agg.filter(den2 > 0)
+        .select(
+            "event_type",
+            "n",
+            F.floor(r * 1_000_000).cast("long").alias("acf1_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_AUTOCORR_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value AS x FROM events
+),
+lagged AS (
+  SELECT event_type, x,
+    LAG(x) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS y
+  FROM base
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(FLOOR(SUM(CAST(x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sx_e6,
+    CAST(FLOOR(SUM(CAST(y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sy_e6,
+    CAST(FLOOR(SUM(CAST(x * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxy_e6,
+    CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxx_e6,
+    CAST(FLOOR(SUM(CAST(y * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS syy_e6
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(FLOOR(
+    (CAST(n AS DOUBLE) * (CAST(sxy_e6 AS DOUBLE) / 1e6)
+     - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6))
+    / sqrt((CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+            - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+           * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+              - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)))
+    * 1000000) AS BIGINT) AS acf1_ppm
+FROM agg
+WHERE (CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+       - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+      * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+         - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)) > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # exponentially weighted moving average (bounded trailing window)
 # ---------------------------------------------------------------------------
 def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
@@ -483,6 +575,7 @@ TS_EXTRA_QUERIES = {
     "ts_value_histogram": ts_value_histogram,
     "ts_corr_pairs": ts_corr_pairs,
     "ts_ewma": ts_ewma,
+    "ts_autocorr": ts_autocorr,
 }
 
 TS_EXTRA_ORACLES = {
@@ -494,4 +587,5 @@ TS_EXTRA_ORACLES = {
     "ts_value_histogram": TS_HISTOGRAM_SQL,
     "ts_corr_pairs": TS_CORR_SQL,
     "ts_ewma": TS_EWMA_SQL,
+    "ts_autocorr": TS_AUTOCORR_SQL,
 }
