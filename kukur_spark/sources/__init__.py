@@ -128,8 +128,10 @@ class SourceWrapper:
         """Precedence parity (reference kukur/source/__init__.py:205-236):
         sources apply in ``reversed(extras) + [own source]`` order with
         non-empty values overwriting — the own source wins, and
-        earlier-listed extras beat later ones. A failing extra logs and is
-        skipped (failure isolation).
+        earlier-listed extras beat later ones. After retries, failures
+        PROPAGATE (reference _retry re-raises, :114-130; only
+        NotImplementedError is skipped) — failure isolation lives in the
+        search fan-out, not here.
         """
         metadata = Metadata(selector)
         own = _OwnSource(self)
@@ -141,11 +143,6 @@ class SourceWrapper:
                     lambda s=source: s.get_metadata(selector)
                 )
             except NotImplementedError:
-                continue
-            except Exception:
-                logger.warning(
-                    "metadata source failed for %s", selector.name, exc_info=True
-                )
                 continue
             allowed = self.metadata_fields.get(source)
             if allowed is not None:

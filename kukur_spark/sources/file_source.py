@@ -141,8 +141,15 @@ class FileSourceOptions:
             ts_column=config.get("ts_column", TS_COLUMN),
             column_mapping=dict(config.get("column_mapping", {})),
             header=bool(config.get("header_row", config.get("header", False))),
-            delimiter=config.get("csv_delimiter", config.get("delimiter", ",")),
-            decimal_point=config.get("csv_decimal_point", "."),
+            # reference key names first (kukur csv-examples.toml), then
+            # this engine's historical aliases
+            delimiter=config.get(
+                "data_column_separator",
+                config.get("csv_delimiter", config.get("delimiter", ",")),
+            ),
+            decimal_point=config.get(
+                "data_decimal_point", config.get("csv_decimal_point", ".")
+            ),
             encoding=config.get("file_encoding", config.get("encoding")),
             data_datetime_format=_datetime_format_to_spark(
                 config.get("data_datetime_format")
@@ -201,9 +208,14 @@ class FileSource:
                 "windows-1252": "iso-8859-1",
                 "latin1": "iso-8859-1",
             }.get((opts.encoding or "UTF-8").lower(), opts.encoding or "UTF-8")
+            # pivot CSVs always carry the series names in a header row:
+            # the reference reads them with pyarrow's default read options
+            # (first row = header) regardless of header_row
+            # (kukur/source/csv/csv.py:435-441 vs :466-471)
+            header = opts.header or opts.format == "pivot"
             return self.spark.read.csv(
                 path,
-                header=opts.header,
+                header=header,
                 sep=opts.delimiter,
                 inferSchema=False,  # config-driven, never inferred
                 encoding=encoding,
@@ -429,6 +441,14 @@ class FileSource:
                 names.append(QUALITY_COLUMN)
             df = df.toDF(*names[: len(df.columns)])
         df = self._map_columns(df)
+        # reference parity (arrow.py:215-216): dir-layout columns are
+        # positional — whatever their stored names (e.g. IP_TREND_TIME /
+        # IP_TREND_VALUE), the first columns become ts, value[, quality]
+        names = [TS_COLUMN, VALUE_COLUMN]
+        if self.options.quality_mapper is not None and len(df.columns) >= 3:
+            names.append(QUALITY_COLUMN)
+        if df.columns[: len(names)] != names:
+            df = df.toDF(*names, *df.columns[len(names):])
         return self._normalize_ts(df)
 
     def _read_dir_all(self) -> DataFrame:
@@ -524,13 +544,23 @@ class FileSource:
 
         cols = [F.col(TS_COLUMN), self._cast_value(df, value_col).alias(VALUE_COLUMN)]
         if QUALITY_COLUMN in df.columns:
+            # reference parity: the quality column participates only when a
+            # quality_mapping is configured (kukur csv.py:320-321 /
+            # arrow.py:193-194, is_present()); an unmapped *typed* quality
+            # column (parquet int8) passes through as a superset, but an
+            # unmapped string column is dropped — not blind-cast (ANSI
+            # would throw on e.g. "GoodQuality").
             mapper = opts.quality_mapper
-            qcol = (
-                mapper.expr(F.col(QUALITY_COLUMN))
-                if mapper is not None
-                else F.col(QUALITY_COLUMN).cast("byte")
-            )
-            cols.append(qcol.alias(QUALITY_COLUMN))
+            if mapper is not None:
+                cols.append(
+                    mapper.expr(F.col(QUALITY_COLUMN)).alias(QUALITY_COLUMN)
+                )
+            elif not isinstance(
+                df.schema[QUALITY_COLUMN].dataType, T.StringType
+            ):
+                cols.append(
+                    F.col(QUALITY_COLUMN).cast("byte").alias(QUALITY_COLUMN)
+                )
         if opts.timestamp_partition_columns:
             # enumerate the range into partition predicates while the
             # ts-derived partition columns are still in scope (M-parity of

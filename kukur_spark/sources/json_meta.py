@@ -22,7 +22,10 @@ class JsonMetadataSource:
     def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
         self.spark = spark
         self.name = name
-        self.path = config["path"]
+        # the reference configures the directory under the ``metadata`` key
+        # ([source.json] metadata = "...", tests/test_data/json/
+        # json-examples.toml); ``path`` is this engine's alias
+        self.path = config.get("path") or config["metadata"]
 
     def _series_file(self, selector: SeriesSelector) -> str:
         name = selector.tags.get(SERIES_NAME_TAG, selector.name)

@@ -1,0 +1,258 @@
+"""Parity tests against the reference's own committed fixture files.
+
+These read kukur's actual test data (``/root/reference/tests/test_data`` —
+data files only, read-only) through OUR engine with an equivalent TOML
+config, asserting the same expectations kukur's test suite pins
+(tests/source/test_csv.py:42-80: row counts, column sets, first values,
+quality flags, search results). Skipped if the reference checkout is
+absent.
+"""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.app import Engine
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.config import from_toml
+
+REF = "/root/reference/tests/test_data/csv"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not available"
+)
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 11, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("refcfg") / "kukur.toml"
+    cfg.write_text(
+        f"""
+[quality_mapping.opc_mapping_strings]
+GOOD = ["GoodQuality", "Decent"]
+
+[quality_mapping.opc_mapping_ranges]
+GOOD = [[192], [194, 198]]
+
+[source.row]
+type = "csv"
+path = "{REF}/row.csv"
+
+[source.row_quality]
+type = "csv"
+path = "{REF}/row-quality.csv"
+quality_mapping = "opc_mapping_strings"
+
+[source.pivot]
+type = "csv"
+path = "{REF}/pivot.csv"
+format = "pivot"
+
+[source.dir]
+type = "csv"
+path = "{REF}/dir"
+format = "dir"
+
+[source.dir_quality]
+type = "csv"
+path = "{REF}/dir_quality"
+format = "dir"
+quality_mapping = "opc_mapping_ranges"
+
+[source.row_header]
+type = "csv"
+path = "{REF}/row-header.csv"
+header_row = true
+
+[source.row_column_mapping]
+type = "csv"
+path = "{REF}/row-column-mapping.csv"
+header_row = true
+
+[source.row_column_mapping.column_mapping]
+"series name" = "name"
+"ts" = "timestamp"
+"value" = "value"
+
+[source.dir_header]
+type = "csv"
+path = "{REF}/dir_header"
+format = "dir"
+header_row = true
+
+[source.dir_mapping]
+type = "csv"
+path = "{REF}/dir_mapping"
+format = "dir"
+header_row = true
+
+[source.dir_mapping.column_mapping]
+"ts" = "timestamp"
+"value" = "header_value"
+
+[source.row_semicolon]
+type = "csv"
+path = "{REF}/row-semicolon.csv"
+data_column_separator = ";"
+
+[source.row_comma]
+type = "csv"
+path = "{REF}/row-comma.csv"
+data_decimal_point = ","
+
+[source.dir_datetime_naive]
+type = "csv"
+path = "{REF}/dir_datetime_naive"
+format = "dir"
+data_datetime_format = "%Y-%m-%d %H:%M:%S.%f"
+data_timezone = "America/Sao_Paulo"
+"""
+    )
+    return Engine(from_toml(str(cfg)))
+
+
+def test_row(engine):
+    # reference tests/source/test_csv.py::test_row
+    df = engine.get_data(SeriesSelector.from_name("row", "test-tag-1"), START, END)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["ts", "value"]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+
+
+def test_search_row(engine):
+    # reference ::test_search_row — 5 series in row.csv
+    found = list(engine.search(SeriesSearch("row")))
+    names = {s.tags["series name"] for s in found}
+    assert len(names) == 5
+    assert "test-tag-1" in names
+
+
+def test_row_quality(engine):
+    # reference ::test_row_quality — GoodQuality→1, BadQuality→0
+    df = engine.get_data(
+        SeriesSelector.from_name("row_quality", "test-tag-1"), START, END
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["ts", "value", "quality"]
+    assert [r["quality"] for r in rows] == [1, 1, 0, 1, 1]
+
+
+def test_pivot(engine):
+    # reference ::test_pivot — 7 rows, first value 1.0
+    df = engine.get_data(SeriesSelector.from_name("pivot", "test-tag-1"), START, END)
+    rows = df.collect()
+    assert len(rows) == 7
+    assert df.columns == ["ts", "value"]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+
+
+def test_search_pivot(engine):
+    # reference ::test_search_pivot — 2 series columns
+    found = list(engine.search(SeriesSearch("pivot")))
+    names = {s.tags["series name"] for s in found}
+    assert names == {"test-tag-1", "test-tag-2"}
+
+
+def test_dir(engine):
+    # reference ::test_dir — file-per-series layout
+    df = engine.get_data(SeriesSelector.from_name("dir", "test-tag-1"), START, END)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+
+
+def test_row_header(engine):
+    # reference ::test_row_format_with_header
+    df = engine.get_data(
+        SeriesSelector.from_name("row_header", "test-tag-1"), START, END
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["ts", "value"]
+    assert rows[0]["value"] == 1.0
+
+
+def test_row_column_mapping(engine):
+    # reference ::test_row_column_mapping — external names name/timestamp
+    df = engine.get_data(
+        SeriesSelector.from_name("row_column_mapping", "test-tag-1"),
+        START,
+        END,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["ts", "value"]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+
+
+def test_dir_header(engine):
+    # reference ::test_dir_header
+    rows = engine.get_data(
+        SeriesSelector.from_name("dir_header", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["value"] == 1.0
+
+
+def test_dir_mapping(engine):
+    # reference ::test_dir_mapping — per-file header with mapped names
+    rows = engine.get_data(
+        SeriesSelector.from_name("dir_mapping", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+
+
+def test_row_semicolon(engine):
+    # reference ::test_row_semicolon_separator_{search,data}
+    found = list(engine.search(SeriesSearch("row_semicolon")))
+    assert len({s.tags["series name"] for s in found}) == 5
+    rows = engine.get_data(
+        SeriesSelector.from_name("row_semicolon", "test-tag-3"), START, END
+    ).collect()
+    assert len(rows) == 30
+    assert rows[7]["value"] == pytest.approx(5.6)
+
+
+def test_row_comma_decimal(engine):
+    # reference ::test_row_comma — decimal comma ("5,6" → 5.6)
+    rows = engine.get_data(
+        SeriesSelector.from_name("row_comma", "test-tag-3"), START, END
+    ).collect()
+    assert len(rows) == 30
+    assert rows[7]["value"] == pytest.approx(5.6)
+
+
+def test_dir_data_timezone(engine):
+    # reference ::test_dir_data_timezone — naive timestamps in
+    # America/Sao_Paulo (-03:00) normalize to UTC
+    rows = engine.get_data(
+        SeriesSelector.from_name("dir_datetime_naive", "test-tag-1"),
+        START,
+        END,
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+
+
+def test_dir_quality(engine):
+    # reference ::test_dir_quality — config-table ranges:
+    # GOOD = value 192 or range [194, 198] → 192,192,3,197,192 = 1,1,0,1,1
+    df = engine.get_data(
+        SeriesSelector.from_name("dir_quality", "test-tag-1"), START, END
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert [r["quality"] for r in rows] == [1, 1, 0, 1, 1]
+    assert rows[0]["value"] == 1.0

@@ -1,0 +1,178 @@
+"""Parity tests for the reference's binary-format, GPX and JSON fixtures.
+
+Companion to test_reference_fixtures.py (CSV): read kukur's committed
+parquet/feather/arrows/gpx/json test data through our engine and assert
+the expectations its own suite pins (tests/source/test_parquet.py:33-110,
+test_feather.py, test_gpx.py:9-14, test_json.py:25-67)."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.app import Engine
+from kukur_spark.base import SeriesSearch, SeriesSelector
+from kukur_spark.config import from_toml
+
+REF = "/root/reference/tests/test_data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not available"
+)
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2020, 11, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("refcfg2") / "kukur.toml"
+    cfg.write_text(
+        f"""
+[quality_mapping.opc_mapping_strings]
+GOOD = ["GoodQuality", "Decent"]
+
+[quality_mapping.opc_mapping_ranges]
+GOOD = [[192], [194, 198]]
+
+[source.row_parquet]
+type = "parquet"
+path = "{REF}/parquet/row.parquet"
+
+[source.row_parquet_quality]
+type = "parquet"
+path = "{REF}/parquet/row-quality.parquet"
+quality_mapping = "opc_mapping_strings"
+
+[source.pivot_parquet]
+type = "parquet"
+format = "pivot"
+path = "{REF}/parquet/pivot.parquet"
+
+[source.dir_parquet]
+type = "parquet"
+format = "dir"
+path = "{REF}/parquet/dir"
+
+[source.row_feather]
+type = "feather"
+path = "{REF}/feather/row.feather"
+
+[source.row_arrows]
+type = "arrows"
+path = "{REF}/arrows/row.arrows"
+
+[source.gpx]
+type = "gpx"
+path = "{REF}/gpx/20240501.gpx"
+
+[source.json]
+type = "json"
+metadata = "{REF}/json"
+"""
+    )
+    return Engine(from_toml(str(cfg)))
+
+
+def test_parquet_row(engine):
+    # reference test_parquet.py::test_row / ::test_search_row
+    rows = engine.get_data(
+        SeriesSelector.from_name("row_parquet", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+    assert rows[0]["value"] == 1.0
+    found = {
+        s.tags["series name"]
+        for s in engine.search(SeriesSearch("row_parquet"))
+    }
+    assert len(found) == 3 and "test-tag-1" in found
+
+
+def test_parquet_row_quality(engine):
+    # reference ::test_row_quality — string quality mapped via config
+    df = engine.get_data(
+        SeriesSelector.from_name("row_parquet_quality", "test-tag-1"),
+        START,
+        END,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["ts", "value", "quality"]
+    assert rows[0]["quality"] == 1
+
+
+def test_parquet_pivot(engine):
+    # reference ::test_pivot — first column ("timestamp") is the ts axis
+    rows = engine.get_data(
+        SeriesSelector.from_name("pivot_parquet", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 7
+    assert rows[0]["value"] == 1.0
+    found = {
+        s.tags["series name"]
+        for s in engine.search(SeriesSearch("pivot_parquet"))
+    }
+    assert found == {"test-tag-1", "test-tag-2", "test-tag-5"}
+
+
+def test_parquet_dir_and_string_series(engine):
+    # reference ::test_dir / ::test_dir_string — string-valued series keeps
+    # its type through the canonical schema
+    rows = engine.get_data(
+        SeriesSelector.from_name("dir_parquet", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["value"] == 1.0
+    srows = engine.get_data(
+        SeriesSelector.from_name("dir_parquet", "test-tag-5"), START, END
+    ).collect()
+    assert len(srows) == 7
+    assert srows[0]["value"] == "A"
+
+
+def test_feather_row(engine):
+    # reference test_feather.py::test_row
+    rows = engine.get_data(
+        SeriesSelector.from_name("row_feather", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["value"] == 1.0
+
+
+def test_arrows_row(engine):
+    # reference test_arrows.py — IPC stream scan
+    rows = engine.get_data(
+        SeriesSelector.from_name("row_arrows", "test-tag-1"), START, END
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["value"] == 1.0
+
+
+def test_gpx_point_count(engine):
+    # reference test_gpx.py::test_gpx — 2263 track points
+    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    sel = SeriesSelector.from_tags(
+        "gpx", {"series name": "20240501"}, "lat"
+    )
+    rows = engine.get_data(sel, start, end).collect()
+    assert len(rows) == 2263
+
+
+def test_json_metadata(engine):
+    # reference test_json.py::test_search_metadata / ::test_metadata
+    found = list(engine.search(SeriesSearch("json")))
+    assert len(found) == 2
+    by_name = {m.series.tags["series name"]: m for m in found}
+    assert by_name["test-tag-1"]["description"] == "hello"
+    assert by_name["test-tag-1"]["functional lower limit"] == 42
+    assert by_name["test-tag-2"]["description"] == "world"
+
+
+def test_json_traversal_guard(engine):
+    # reference ::test_metadata_directory_traversal
+    with pytest.raises(ValueError):
+        engine.get_metadata(
+            SeriesSelector.from_name("json", "../../../test-tag-1")
+        )

@@ -133,7 +133,10 @@ def test_metadata_merge_own_source_wins(spark):
     assert metadata["accuracy"] == 0.1  # earlier extra beats later
 
 
-def test_metadata_merge_failure_isolated(spark):
+def test_metadata_failure_propagates(spark):
+    # reference parity (_retry re-raises after exhaustion,
+    # source/__init__.py:114-130): a failing metadata source is NOT
+    # swallowed by get_metadata...
     source = FakeSource(spark)
 
     class FailingSource:
@@ -141,8 +144,22 @@ def test_metadata_merge_failure_isolated(spark):
             raise RuntimeError("boom")
 
     wrapper = SourceWrapper(spark, source, metadata_sources=[FailingSource()])
-    metadata = wrapper.get_metadata(SeriesSelector.from_name("fake", "s"))
-    assert metadata["description"] == "base description"
+    with pytest.raises(RuntimeError):
+        wrapper.get_metadata(SeriesSelector.from_name("fake", "s"))
+
+
+def test_search_fanout_failure_isolated(spark):
+    # ...failure isolation lives in the search fan-out (reference
+    # :196-203): the enriched hit falls back to the original result
+    source = FakeSource(spark)
+
+    class FailingSource:
+        def get_metadata(self, selector):
+            raise RuntimeError("boom")
+
+    wrapper = SourceWrapper(spark, source, metadata_sources=[FailingSource()])
+    results = list(wrapper.search(SeriesSearch("fake")))
+    assert results  # the original (unenriched) hits still come through
 
 
 def test_plot_fallback_buckets(spark):
