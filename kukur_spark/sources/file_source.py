@@ -122,6 +122,10 @@ class FileSourceOptions:
     encoding: Optional[str] = None  # e.g. "cp1252"; BOM handled by UTF-8 default
     metadata_path: Optional[str] = None
     metadata_field_column: Optional[str] = None
+    # whitelist of metadata fields this source returns (reference
+    # kukur/source/csv/csv.py:68-70: ``metadata_fields`` or ``fields``);
+    # empty = all fields
+    metadata_fields: List[str] = dc_field(default_factory=list)
     metadata_mapping: Dict[str, str] = dc_field(default_factory=dict)
     metadata_value_mapping: Dict[str, Dict[str, str]] = dc_field(default_factory=dict)
     dictionary_dir: Optional[str] = None
@@ -133,7 +137,9 @@ class FileSourceOptions:
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
         return cls(
-            path=config["path"],
+            # metadata-only sources have no data path (reference
+            # custom-fields-simple config) — data verbs then raise
+            path=config.get("path", ""),
             format=config.get("format", "row"),
             file_format=config.get("type", config.get("file_format", "csv")),
             tag_columns=list(config.get("tag_columns", [SERIES_NAME_TAG])),
@@ -167,6 +173,9 @@ class FileSourceOptions:
             path_encoding=config.get("path_encoding"),
             file_extension=config.get("file_extension"),
             metadata_path=config.get("metadata"),
+            metadata_fields=list(
+                config.get("metadata_fields", config.get("fields", []))
+            ),
             metadata_field_column=config.get("metadata_field_column"),
             metadata_mapping=_resolve_mapping(
                 config, "metadata_mapping"
@@ -200,14 +209,11 @@ class FileSource:
         if fmt == "csv":
             # Spark's CSV reader accepts a fixed charset list (iso-8859-1,
             # us-ascii, utf-16*, utf-32, utf-8); windows-125x configs map
-            # to their latin-1 sibling. CAVEAT: the 0x80-0x9F block (€,
-            # smart quotes, dashes) decodes as C1 controls — re-encode such
-            # files to UTF-8 upstream if those characters matter.
-            encoding = {
-                "cp1252": "iso-8859-1",
-                "windows-1252": "iso-8859-1",
-                "latin1": "iso-8859-1",
-            }.get((opts.encoding or "UTF-8").lower(), opts.encoding or "UTF-8")
+            # to their latin-1 sibling (_spark_encoding). CAVEAT: the
+            # 0x80-0x9F block (€, smart quotes, dashes) decodes as C1
+            # controls — re-encode such files to UTF-8 upstream if those
+            # characters matter.
+            encoding = self._spark_encoding()
             # pivot CSVs always carry the series names in a header row:
             # the reference reads them with pyarrow's default read options
             # (first row = header) regardless of header_row
@@ -628,11 +634,24 @@ class FileSource:
         if cached is not None:
             return cached
         opts = self.options
-        df = self.spark.read.csv(opts.metadata_path, header=True)
+        df = self.spark.read.csv(
+            opts.metadata_path, header=True, encoding=self._spark_encoding()
+        )
         rows = df.collect()
+        # external→kukur column renames apply BEFORE indexing so a mapped
+        # series-name column (e.g. ip21's NAME) still keys the index
+        # (reference kukur/source/metadata.py maps tag columns too)
+        from_external = {
+            str(external): kukur
+            for kukur, external in opts.metadata_mapping.items()
+        }
         index: Dict[tuple, Dict[str, str]] = {}
         for row in rows:
-            data = {k: v for k, v in row.asDict().items() if v not in (None, "")}
+            data = {
+                from_external.get(k, k): v
+                for k, v in row.asDict().items()
+                if v not in (None, "")
+            }
             # key over ALL configured tag columns (missing cells as "") —
             # must mirror _lookup_metadata exactly or sparse rows become
             # silently unfindable
@@ -653,17 +672,16 @@ class FileSource:
         data = index.get(key + (selector.field,)) if opts.metadata_field_column else None
         if data is None:
             data = index.get(key, {})
-        # reference orientation: metadata_mapping maps kukur→external
-        # (kukur/source/metadata.py) — reverse it for external→kukur lookup
-        from_external = {
-            str(external): kukur
-            for kukur, external in opts.metadata_mapping.items()
-        }
+        # column names were already normalized external→kukur while
+        # building the index (see _metadata_index)
         metadata = Metadata(selector)
+        allowed = set(opts.metadata_fields) or None
         for name, value in data.items():
             if name in opts.tag_columns or name == opts.metadata_field_column:
                 continue
-            mapped = from_external.get(name, name)
+            if allowed is not None and name not in allowed:
+                continue
+            mapped = name
             # value mapping: {kukur_field: {kukur_value: external-or-list}}
             value_map = opts.metadata_value_mapping.get(mapped, {})
             reverse_values = {}
@@ -687,8 +705,20 @@ class FileSource:
         from kukur_spark.base import Dictionary
 
         path = os.path.join(self.options.dictionary_dir, f"{name}.csv")
-        rows = self.spark.read.csv(path, header=False).collect()
+        rows = self.spark.read.csv(
+            path, header=False, encoding=self._spark_encoding()
+        ).collect()
         return Dictionary({int(r[0]): r[1] for r in rows})
+
+    def _spark_encoding(self) -> str:
+        """Spark-supported charset for the configured file encoding (the
+        same windows-125x→latin-1 mapping the data reader applies)."""
+        enc = self.options.encoding or "UTF-8"
+        return {
+            "cp1252": "iso-8859-1",
+            "windows-1252": "iso-8859-1",
+            "latin1": "iso-8859-1",
+        }.get(enc.lower(), enc)
 
 
 def _is_number(value: str, decimal_point: str = ".") -> bool:

@@ -41,6 +41,63 @@ GOOD = [[192], [194, 198]]
 [source.row]
 type = "csv"
 path = "{REF}/row.csv"
+metadata = "{REF}/row-metadata.csv"
+dictionary_dir = "{REF}/dictionary"
+
+[source.mapping]
+type = "csv"
+path = "{REF}/mapping.csv"
+metadata = "{REF}/mapping-metadata.csv"
+metadata_mapping = "ip21"
+metadata_value_mapping = "example_value_mapping"
+
+[metadata_mapping.ip21]
+"series name" = "NAME"
+description = "IP_DESCRIPTION"
+unit = "IP_ENG_UNITS"
+
+[metadata_value_mapping.example_value_mapping."interpolation type"]
+LINEAR = "linear"
+STEPPED = "stepped"
+
+[metadata_value_mapping.example_value_mapping."data type"]
+FLOAT64 = ["int16", "int32"]
+
+[source.cp1252]
+type = "csv"
+path = "{REF}/cp1252-encoding/row.csv"
+metadata = "{REF}/cp1252-encoding/row-metadata.csv"
+dictionary_dir = "{REF}/cp1252-encoding/dictionary"
+file_encoding = "cp1252"
+
+[source.custom-fields-simple]
+type = "csv"
+metadata = "{REF}/custom-fields-metadata.csv"
+metadata_fields = ["description", "unit", "functional lower limit", "functional upper limit", "location"]
+metadata_mapping = "custom"
+
+[source.custom-fields]
+type = "csv"
+metadata = "{REF}/custom-fields-metadata.csv"
+metadata_fields = ["description", "unit", "functional lower limit", "functional upper limit", "location"]
+metadata_mapping = "custom"
+metadata_sources = ["custom-fields-extra"]
+
+[metadata.custom-fields-extra]
+fields = ["process type"]
+type = "csv"
+metadata = "{REF}/custom-fields-extra-metadata.csv"
+metadata_mapping = "custom"
+metadata_value_mapping = "custom"
+
+[metadata_mapping.custom]
+"functional lower limit" = "limitlow"
+"functional upper limit" = "limithigh"
+location = "loc"
+"process type" = "proctype"
+
+[metadata_value_mapping.custom."process type"]
+BATCH = "batch"
 
 [source.row_quality]
 type = "csv"
@@ -126,9 +183,13 @@ def test_row(engine):
 
 
 def test_search_row(engine):
-    # reference ::test_search_row — 5 series in row.csv
+    # reference ::test_search_row — 5 series in row.csv; with a metadata
+    # csv configured the hits come back as Metadata (polymorphic search)
     found = list(engine.search(SeriesSearch("row")))
-    names = {s.tags["series name"] for s in found}
+    names = {
+        (m.series.tags if hasattr(m, "series") else m.tags)["series name"]
+        for m in found
+    }
     assert len(names) == 5
     assert "test-tag-1" in names
 
@@ -168,6 +229,72 @@ def test_dir(engine):
     assert len(rows) == 5
     assert rows[0]["ts"] == datetime(2020, 1, 1)
     assert rows[0]["value"] == 1.0
+
+
+def test_row_metadata_accuracy_percentage(engine):
+    # reference ::test_metadata_accuracy_percentage — test-tag-1 has no
+    # stored accuracy; it derives from 2% of the physical 0..10 span
+    md = engine.get_metadata(SeriesSelector.from_name("row", "test-tag-1"))
+    assert md["unit"] == "m"
+    assert md["accuracy percentage"] == 2
+    assert md["physical lower limit"] == 0
+    assert md["physical upper limit"] == 10
+    assert md["accuracy"] == pytest.approx(0.2)
+
+
+def test_row_metadata_dictionary(engine):
+    # reference ::test_row_metadata_dictionary — test-tag-6 is an enum
+    # series with the Active dictionary
+    md = engine.get_metadata(SeriesSelector.from_name("row", "test-tag-6"))
+    assert str(md["data type"]).upper().endswith("DICTIONARY")
+    assert md["dictionary name"] == "Active"
+    assert md["dictionary"].mapping == {0: "OFF", 1: "ON"}
+
+
+def test_metadata_mapping(engine):
+    # reference ::test_metadata_mapping / ::test_metadata_mapping_multiple
+    # — external column names (NAME, IP_ENG_UNITS) and source vocabulary
+    # ("linear", "int16"/"int32") translate to canonical values
+    md = engine.get_metadata(SeriesSelector.from_name("mapping", "test-tag-1"))
+    assert md["unit"] == "kg"
+    assert md["functional lower limit"] == 1
+    assert str(md["interpolation type"]).upper().endswith("LINEAR")
+    assert str(md["data type"]).upper().endswith("FLOAT64")
+    md4 = engine.get_metadata(SeriesSelector.from_name("mapping", "test-tag-4"))
+    assert str(md4["data type"]).upper().endswith("FLOAT64")
+
+
+def test_metadata_cp1252_encoding(engine):
+    # reference ::test_metadata_with_different_encoding — °C survives the
+    # cp1252 read
+    md = engine.get_metadata(SeriesSelector.from_name("cp1252", "test-tag-3"))
+    assert md["unit"] == "°C"
+    assert md["functional lower limit"] == 0
+
+
+def test_custom_fields_metadata(engine):
+    # reference ::test_custom_fields_metadata — whitelist keeps the
+    # custom "location" (mapped from loc) and drops unlisted "plant"
+    md = engine.get_metadata(
+        SeriesSelector.from_name("custom-fields-simple", "test-tag-custom")
+    )
+    assert md["description"] == "Test for custom metadata fields"
+    assert md.get_field_by_name("location") == "Antwerp"
+    assert md["functional lower limit"] == 1
+    assert not md.get_field_by_name("plant")
+
+
+def test_custom_fields_extra_metadata(engine):
+    # reference ::test_custom_fields_extra_metadata — the extra metadata
+    # source contributes only its whitelisted "process type", with the
+    # source vocabulary ("batch") translated to BATCH
+    md = engine.get_metadata(
+        SeriesSelector.from_name("custom-fields", "test-tag-custom")
+    )
+    assert md["description"] == "Test for custom metadata fields"
+    assert md.get_field_by_name("process type") == "BATCH"
+    assert md.get_field_by_name("location") == "Antwerp"
+    assert not md.get_field_by_name("plant")
 
 
 def test_row_header(engine):
