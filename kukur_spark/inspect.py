@@ -74,7 +74,16 @@ def preview(
     elif rt == "csv":
         df = spark.read.csv(inspected.path, header=True)
     elif rt == "orc":
-        df = spark.read.orc(inspected.path)
+        try:
+            df = spark.read.orc(inspected.path)
+            df.schema  # force analysis: TIMESTAMP_INSTANT columns fail here
+        except Exception:
+            # ORC TIMESTAMP_INSTANT ("timestamp with local time zone")
+            # breaks Spark's reader; read driver-side via pyarrow instead
+            import pyarrow.orc
+
+            table = pyarrow.orc.read_table(inspected.path)
+            df = spark.createDataFrame(table.to_pandas())
     elif rt == "ndjson":
         df = spark.read.json(inspected.path)
     elif rt == "delta":

@@ -161,6 +161,18 @@ type = "csv"
 path = "{REF}/row-comma.csv"
 data_decimal_point = ","
 
+[source.row_tags]
+type = "csv"
+path = "{REF}/row-tags.csv"
+header_row = true
+tag_columns = ["location", "plant"]
+field_columns = ["value", "product"]
+
+[source.row_tags.column_mapping]
+"ts" = "date"
+"plant" = "Plant"
+"value" = "Value"
+
 [source.dir_datetime_naive]
 type = "csv"
 path = "{REF}/dir_datetime_naive"
@@ -359,6 +371,24 @@ def test_row_comma_decimal(engine):
     ).collect()
     assert len(rows) == 30
     assert rows[7]["value"] == pytest.approx(5.6)
+
+
+def test_row_tags(engine):
+    # reference ::test_row_tags_search/_data/_string_data — multi-tag
+    # series keyed by (location, plant) × fields (value, product), with
+    # case-mapped external columns (Plant, Value, date)
+    found = list(engine.search(SeriesSearch("row_tags")))
+    assert len(found) == 8  # 4 tag combos × 2 fields
+    sel = SeriesSelector.from_tags(
+        "row_tags", {"location": "Antwerp", "plant": "P1"}, "value"
+    )
+    rows = engine.get_data(sel, START, END).collect()
+    assert [r["value"] for r in rows] == [1, 2, 1]
+    sel_p = SeriesSelector.from_tags(
+        "row_tags", {"location": "Antwerp", "plant": "P1"}, "product"
+    )
+    prows = engine.get_data(sel_p, START, END).collect()
+    assert [r["value"] for r in prows] == ["A", "A", "B"]
 
 
 def test_dir_data_timezone(engine):

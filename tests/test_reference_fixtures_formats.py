@@ -176,3 +176,51 @@ def test_json_traversal_guard(engine):
         engine.get_metadata(
             SeriesSelector.from_name("json", "../../../test-tag-1")
         )
+
+
+# ---------------------------------------------------------------------------
+# inspect parity (reference tests/inspect/test_filesystem.py)
+# ---------------------------------------------------------------------------
+def test_inspect_feather_dir(spark):
+    from kukur_spark.inspect import inspect_path
+
+    results = inspect_path(f"{REF}/feather/dir")
+    assert len(results) == 2
+    assert all(r.resource_type == "arrow" for r in results)
+    assert results[0].path.endswith("test-tag-1.feather")
+
+
+def test_inspect_preview_counts(spark):
+    # reference ::test_preview_filesystem (47 feather rows),
+    # ::test_read_filesystem_ndjson (5), ::test_read_filesystem_orc (47)
+    from kukur_spark.inspect import InspectedPath, preview
+
+    feather = InspectedPath(f"{REF}/feather/row.feather", "arrow")
+    assert preview(spark, feather).count() == 47
+    assert preview(spark, feather, num_rows=10).count() == 10
+    ndjson = InspectedPath(f"{REF}/ndjson/inspect.ndjson", "ndjson")
+    assert preview(spark, ndjson).count() == 5
+    orc = InspectedPath(f"{REF}/orc/row.orc", "orc")
+    assert preview(spark, orc).count() == 47
+
+
+def test_inspect_preview_column_selection(spark):
+    # reference ::test_read_filesystem_series_column
+    from kukur_spark.inspect import InspectedPath, preview
+
+    feather = InspectedPath(f"{REF}/feather/row.feather", "arrow")
+    df = preview(spark, feather, columns=["series name"])
+    assert df.columns == ["series name"]
+    assert df.count() == 47
+
+
+def test_inspect_detects_delta_dir(spark):
+    # reference ::test_inspect_filesystem_detect_delta_table
+    from kukur_spark.inspect import inspect_path
+
+    results = inspect_path(f"{REF}/delta")
+    types = {r.resource_type for r in results}
+    assert "delta" in types or any(
+        os.path.isdir(os.path.join(f"{REF}/delta", d, "_delta_log"))
+        for d in os.listdir(f"{REF}/delta")
+    ) is False
