@@ -17,7 +17,7 @@ timestamps, explicit total tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
@@ -516,7 +516,157 @@ ORDER BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier: the correlated-MIN scalar subquery over a
+# 5-table join (part × bridge × supplier × nation × region).  The driver
+# schema has no partsupp, so lineitem is the part↔supplier bridge and
+# l_extendedprice stands in for ps_supplycost; the subquery decorrelates
+# into a per-part window MIN over the region-restricted bridge rows.
+# ---------------------------------------------------------------------------
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    # EUROPE suppliers: two broadcast joins over tiny dims
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # restrict the bridge to the filtered parts *before* the window: the
+    # per-part MIN is unchanged (it is per part) and the window input
+    # shrinks by ~20× — this is what keeps the plan viable at 100 TB
+    bridge = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).join(F.broadcast(eu_supp), lineitem.l_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = bridge.withColumn(
+        "min_cost", F.min("l_extendedprice").over(w)
+    ).filter(F.col("l_extendedprice") == F.col("min_cost"))
+    return (
+        best.select(
+            F.floor(F.col("s_acctbal").cast("decimal(30,10)") * 1_000_000)
+            .cast("long")
+            .alias("s_acctbal_e6"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal_e6").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+SELECT DISTINCT
+  CAST(FLOOR(CAST(s_acctbal AS DECIMAL(30,10)) * 1000000) AS BIGINT)
+    AS s_acctbal_e6,
+  s_name, n_name, p_partkey, p_name
+FROM part, lineitem, supplier, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_type = 'STANDARD' AND p_size <= 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2, supplier s2, nation n2, region r2
+    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal_e6 DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — excess-share suppliers: nested IN subqueries with a correlated
+# scalar aggregate in the HAVING.  Without partsupp/availqty the predicate
+# becomes "this supplier shipped more than half of the part's total 1996
+# volume" (TPC-H's 0.5 factor); quantities are decimal-bridged so the
+# > comparison is integer-exact on both engines.
+# ---------------------------------------------------------------------------
+def tpch_q20_excess_share(spark: SparkSession, sf: str) -> DataFrame:
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    bridge = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == F.col("p_partkey")
+    ).select(
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(30,10)").alias("qty"),
+    )
+    # one shuffle for the (supplier, part) partial sums; the per-part
+    # total is a window over those partials (tiny relative to the scan)
+    sp = bridge.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = sp.withColumn("total_qty", F.sum("supp_qty").over(w)).filter(
+        F.col("supp_qty") * 2 > F.col("total_qty")
+    )
+    supp_ids = qualified.select("l_suppkey").distinct()
+    nation = load_table(spark, sf, "nation").filter(
+        F.col("n_name").like("NATION_1%")
+    )
+    supplier = load_table(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(supp_ids),
+            supplier.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, s_nationkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(30,10))) * 2 > (
+      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(30,10)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+  )
+  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+ORDER BY s_name
+"""
+
+
 TPCH_EXTRA_QUERIES = {
+    "tpch_q2": tpch_q2_min_cost_supplier,
+    "tpch_q20": tpch_q20_excess_share,
     "tpch_q4": tpch_q4_priority,
     "tpch_q8": tpch_q8_market_share,
     "tpch_q9": tpch_q9_profit,
@@ -530,6 +680,8 @@ TPCH_EXTRA_QUERIES = {
 }
 
 TPCH_EXTRA_ORACLES = {
+    "tpch_q2": TPCH_Q2_SQL,
+    "tpch_q20": TPCH_Q20_SQL,
     "tpch_q4": TPCH_Q4_SQL,
     "tpch_q8": TPCH_Q8_SQL,
     "tpch_q9": TPCH_Q9_SQL,

@@ -11,6 +11,7 @@ from kukur_spark.workloads import ORACLES, QUERIES
 SF = "/root/testdata/sf0.001"
 
 NEW_QUERIES = [
+    "tpch_q2",
     "tpch_q4",
     "tpch_q8",
     "tpch_q9",
@@ -19,6 +20,7 @@ NEW_QUERIES = [
     "tpch_q13",
     "tpch_q15",
     "tpch_q16",
+    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
 ]
@@ -81,6 +83,26 @@ def test_q21_semi_and_anti(spark):
 def test_q22_scalar_subquery_then_anti(spark):
     plan = plan_of(QUERIES["tpch_q22"](spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_q2_broadcasts_dims_and_windows_min(spark):
+    # part, supplier, nation, region all reach the bridge as broadcasts;
+    # the correlated MIN decorrelates into a single window (one shuffle)
+    plan = plan_of(QUERIES["tpch_q2"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
+    rows = QUERIES["tpch_q2"](spark, SF).collect()
+    # every surviving row carries its part's regional minimum cost, so a
+    # part never appears with two different suppliers at different prices
+    assert len(rows) == len({(r.p_partkey, r.s_name) for r in rows})
+
+
+def test_q20_semi_join_and_exact_share(spark):
+    plan = plan_of(QUERIES["tpch_q20"](spark, SF))
+    assert "LeftSemi" in plan
+    rows = QUERIES["tpch_q20"](spark, SF).collect()
+    names = [r.s_name for r in rows]
+    assert names == sorted(names)
 
 
 def test_q11_threshold_is_integer_exact(spark):
