@@ -566,7 +566,393 @@ ORDER BY event_type, ts_us, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# time-weighted average (the canonical process-historian aggregate)
+# ---------------------------------------------------------------------------
+def ts_twa(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily time-weighted average per series with stepped (sample-and-
+    hold) semantics: each sample holds until the next sample in the same
+    day, the last sample holds to midnight.
+
+    This is the aggregate the reference can only *delegate* to historians
+    that support it server-side (PI summaries); here it is native.  The
+    weight is integer microseconds, the value×weight product is an
+    IEEE-deterministic double bridged through decimal(30,10), and the
+    final division runs on exact bigints — identical bits cross-engine.
+    Plan: scan → window lead (one shuffle on (series, day)) → hash agg on
+    the same key (no second exchange).
+    """
+    day = 86_400_000_000
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    ).withColumn("day_us", F.col("ts_us") - F.col("ts_us") % F.lit(day))
+    w = Window.partitionBy("event_type", "day_us").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w)
+    weighted = base.withColumn(
+        "w_us", F.coalesce(nxt, F.col("day_us") + F.lit(day)) - F.col("ts_us")
+    )
+    # numerator stays at value·µs scale (≤ ~5e13 for a full day — far from
+    # bigint overflow even for large values); the ×1e6 display scaling
+    # happens in the final IEEE-deterministic double division
+    agg = weighted.groupBy("event_type", "day_us").agg(
+        F.floor(
+            F.sum(
+                (F.col("value") * F.col("w_us").cast("double")).cast(
+                    "decimal(30,10)"
+                )
+            )
+        )
+        .cast("long")
+        .alias("num_vus"),
+        F.sum("w_us").alias("den_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "day_us",
+            F.floor(
+                F.col("num_vus").cast("double")
+                * 1_000_000
+                / F.col("den_us").cast("double")
+            )
+            .cast("long")
+            .alias("twa_e6"),
+            "den_us",
+            "n",
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+TS_TWA_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+    epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+  FROM events
+),
+weighted AS (
+  SELECT event_type, day_us, value,
+    COALESCE(
+      LEAD(ts_us) OVER (
+        PARTITION BY event_type, day_us ORDER BY ts_us, event_id),
+      day_us + 86400000000) - ts_us AS w_us
+  FROM base
+),
+agg AS (
+  SELECT event_type, day_us,
+    CAST(FLOOR(SUM(CAST(value * w_us AS DECIMAL(30,10)))) AS BIGINT)
+      AS num_vus,
+    CAST(SUM(w_us) AS BIGINT) AS den_us,
+    COUNT(*) AS n
+  FROM weighted GROUP BY event_type, day_us
+)
+SELECT event_type, day_us,
+  CAST(FLOOR(CAST(num_vus AS DOUBLE) * 1000000 / CAST(den_us AS DOUBLE))
+    AS BIGINT) AS twa_e6,
+  den_us, n
+FROM agg
+ORDER BY event_type, day_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# PAA + SAX symbolization (time-series representation for ML pipelines)
+# ---------------------------------------------------------------------------
+def ts_paa_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """Piecewise Aggregate Approximation over 64 equal-time segments of
+    January 2024, z-normalized per series and symbolized with the SAX
+    4-letter Gaussian breakpoints (−0.6745, 0, 0.6745).
+
+    All moments are decimal-bridged bigints, so the doubles derived from
+    them (segment mean, series mean/std, z) are bit-identical cross-engine
+    and the breakpoint comparisons cannot flip.  Plan: one hash aggregate
+    per (series, segment), one tiny per-series aggregate broadcast back —
+    two scans, no window, shuffle keyed on at most 64×|series| groups.
+    """
+    n_seg = 64
+    start_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    end_us = 1_706_745_600_000_000  # 2024-02-01 UTC
+    span = end_us - start_us
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    ).filter((F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us))
+    seg = F.least(
+        ((F.col("ts_us") - start_us) * n_seg).cast("long") / F.lit(span),
+        F.lit(float(n_seg - 1)),
+    )
+    base = base.withColumn("seg", F.floor(seg).cast("long"))
+    segs = base.groupBy("event_type", "seg").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long")
+        .alias("s_sum_e6"),
+        F.count(F.lit(1)).alias("s_n"),
+    )
+    glob = base.groupBy("event_type").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long")
+        .alias("g_sum_e6"),
+        F.floor(
+            F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("g_sumsq_e6"),
+        F.count(F.lit(1)).alias("g_n"),
+    )
+    joined = segs.join(F.broadcast(glob), "event_type")
+    mean = F.col("g_sum_e6") / 1e6 / F.col("g_n")
+    var = F.col("g_sumsq_e6") / 1e6 / F.col("g_n") - mean * mean
+    paa = F.col("s_sum_e6") / 1e6 / F.col("s_n")
+    z = (paa - mean) / F.sqrt(var)
+    z = F.when(var > 0, z)
+    symbol = (
+        F.when(z.isNull(), F.lit("b"))
+        .when(z < -0.6745, F.lit("a"))
+        .when(z < 0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        joined.select(
+            "event_type",
+            "seg",
+            F.floor(paa * 1_000_000).cast("long").alias("paa_e6"),
+            F.floor(z * 1_000_000).cast("long").alias("z_ppm"),
+            symbol.alias("sax"),
+            F.col("s_n").alias("n_points"),
+        )
+        .orderBy("event_type", "seg")
+    )
+
+
+TS_PAA_SAX_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value
+  FROM events
+  WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706745600000000
+),
+segged AS (
+  SELECT event_type, value,
+    CAST(FLOOR(LEAST(
+      CAST((ts_us - 1704067200000000) * 64 AS DOUBLE)
+        / (1706745600000000 - 1704067200000000),
+      63.0)) AS BIGINT) AS seg
+  FROM base
+),
+segs AS (
+  SELECT event_type, seg,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS s_sum_e6,
+    COUNT(*) AS s_n
+  FROM segged GROUP BY event_type, seg
+),
+gstats AS (
+  SELECT event_type,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS g_sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000)
+      AS BIGINT) AS g_sumsq_e6,
+    COUNT(*) AS g_n
+  FROM segged GROUP BY event_type
+),
+scored AS (
+  SELECT s.event_type, s.seg, s.s_n,
+    s.s_sum_e6 / 1e6 / s.s_n AS paa,
+    g.g_sum_e6 / 1e6 / g.g_n AS mean,
+    g.g_sumsq_e6 / 1e6 / g.g_n
+      - (g.g_sum_e6 / 1e6 / g.g_n) * (g.g_sum_e6 / 1e6 / g.g_n) AS var
+  FROM segs s JOIN gstats g USING (event_type)
+),
+zed AS (
+  SELECT event_type, seg, s_n, paa,
+    CASE WHEN var > 0 THEN (paa - mean) / SQRT(var) END AS z
+  FROM scored
+)
+SELECT event_type, seg,
+  CAST(FLOOR(paa * 1000000) AS BIGINT) AS paa_e6,
+  CAST(FLOOR(z * 1000000) AS BIGINT) AS z_ppm,
+  CASE WHEN z IS NULL THEN 'b'
+       WHEN z < -0.6745 THEN 'a'
+       WHEN z < 0 THEN 'b'
+       WHEN z < 0.6745 THEN 'c'
+       ELSE 'd' END AS sax,
+  s_n AS n_points
+FROM zed
+ORDER BY event_type, seg
+"""
+
+
+# ---------------------------------------------------------------------------
+# LTTB plot downsampling (parallel variant)
+# ---------------------------------------------------------------------------
+def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to 50 points per series
+    over January 2024 — the visually-optimal alternative to min/max plot
+    buckets (W2).
+
+    Classic LTTB anchors each triangle on the *previously selected* point,
+    a sequential dependency that cannot scale; this is the standard
+    parallel variant that anchors on the neighbour buckets' centroids
+    instead, which decomposes into one hash aggregate (bucket centroids, a
+    few hundred rows broadcast back) plus one per-bucket argmax.  First and
+    last buckets keep their first/last raw point, as in the original
+    algorithm.  Centroids derive from decimal-bridged bigints, triangle
+    areas are IEEE-deterministic doubles of those — exact cross-engine.
+    """
+    n_b = 50
+    start_us = 1_704_067_200_000_000
+    end_us = 1_706_745_600_000_000
+    span = end_us - start_us
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    ).filter((F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us))
+    raw = ((F.col("ts_us") - start_us) * n_b).cast("double") / F.lit(
+        float(span)
+    )
+    base = base.withColumn(
+        "bucket", F.floor(F.least(raw, F.lit(float(n_b - 1)))).cast("long")
+    )
+    cents = base.groupBy("event_type", "bucket").agg(
+        F.sum("ts_us").alias("sum_ts"),
+        F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long")
+        .alias("sum_val_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    anchors = (
+        cents.withColumn("ax_us", F.lag("sum_ts").over(wb) / F.lag("n").over(wb))
+        .withColumn(
+            "ay",
+            F.lag("sum_val_e6").over(wb) / 1e6 / F.lag("n").over(wb),
+        )
+        .withColumn(
+            "cx_us", F.lead("sum_ts").over(wb) / F.lead("n").over(wb)
+        )
+        .withColumn(
+            "cy",
+            F.lead("sum_val_e6").over(wb) / 1e6 / F.lead("n").over(wb),
+        )
+        .select("event_type", "bucket", "ax_us", "ay", "cx_us", "cy")
+    )
+    mid = base.filter(
+        (F.col("bucket") > 0) & (F.col("bucket") < n_b - 1)
+    ).join(F.broadcast(anchors), ["event_type", "bucket"])
+    ax_s = F.col("ax_us") / 1e6
+    cx_s = F.col("cx_us") / 1e6
+    px_s = F.col("ts_us").cast("double") / 1e6
+    area = F.abs(
+        (ax_s - cx_s) * (F.col("value") - F.col("ay"))
+        - (ax_s - px_s) * (F.col("cy") - F.col("ay"))
+    )
+    mid = mid.withColumn("area", F.coalesce(area, F.lit(-1.0)))
+    wpick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("area").desc(), "ts_us", "event_id"
+    )
+    peaks = (
+        mid.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "ts_us", "event_id", "value")
+    )
+    wfirst = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wlast = Window.partitionBy("event_type").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    first = (
+        base.filter(F.col("bucket") == 0)
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "ts_us", "event_id", "value")
+    )
+    last = (
+        base.filter(F.col("bucket") == n_b - 1)
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "ts_us", "event_id", "value")
+    )
+    return (
+        first.unionByName(peaks)
+        .unionByName(last)
+        .orderBy("event_type", "bucket", "ts_us", "event_id")
+    )
+
+
+TS_LTTB_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+    CAST(FLOOR(LEAST(
+      CAST((epoch_us(ts) - 1704067200000000) * 50 AS DOUBLE)
+        / CAST(1706745600000000 - 1704067200000000 AS DOUBLE),
+      49.0)) AS BIGINT) AS bucket
+  FROM events
+  WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706745600000000
+),
+cents AS (
+  SELECT event_type, bucket,
+    CAST(SUM(ts_us) AS BIGINT) AS sum_ts,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_val_e6,
+    COUNT(*) AS n
+  FROM base GROUP BY event_type, bucket
+),
+anchors AS (
+  SELECT event_type, bucket,
+    LAG(sum_ts) OVER w / LAG(n) OVER w AS ax_us,
+    LAG(sum_val_e6) OVER w / 1e6 / LAG(n) OVER w AS ay,
+    LEAD(sum_ts) OVER w / LEAD(n) OVER w AS cx_us,
+    LEAD(sum_val_e6) OVER w / 1e6 / LEAD(n) OVER w AS cy
+  FROM cents
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+mid AS (
+  SELECT b.event_type, b.bucket, b.ts_us, b.event_id, b.value,
+    COALESCE(ABS(
+      (a.ax_us / 1e6 - a.cx_us / 1e6) * (b.value - a.ay)
+      - (a.ax_us / 1e6 - CAST(b.ts_us AS DOUBLE) / 1e6) * (a.cy - a.ay)),
+      -1.0) AS area
+  FROM base b JOIN anchors a USING (event_type, bucket)
+  WHERE b.bucket > 0 AND b.bucket < 49
+),
+peaks AS (
+  SELECT event_type, bucket, ts_us, event_id, value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type, bucket
+      ORDER BY area DESC, ts_us, event_id) AS rn
+    FROM mid) WHERE rn = 1
+),
+firsts AS (
+  SELECT event_type, bucket, ts_us, event_id, value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts_us, event_id) AS rn
+    FROM base WHERE bucket = 0) WHERE rn = 1
+),
+lasts AS (
+  SELECT event_type, bucket, ts_us, event_id, value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM base WHERE bucket = 49) WHERE rn = 1
+)
+SELECT * FROM firsts
+UNION ALL SELECT * FROM peaks
+UNION ALL SELECT * FROM lasts
+ORDER BY event_type, bucket, ts_us, event_id
+"""
+
+
 TS_EXTRA_QUERIES = {
+    "ts_twa": ts_twa,
+    "ts_paa_sax": ts_paa_sax,
+    "ts_lttb": ts_lttb,
     "ts_zscore_outliers": ts_zscore_outliers,
     "ts_rate_of_change": ts_rate_of_change,
     "ts_minmax_normalize": ts_minmax_normalize,
@@ -579,6 +965,9 @@ TS_EXTRA_QUERIES = {
 }
 
 TS_EXTRA_ORACLES = {
+    "ts_twa": TS_TWA_SQL,
+    "ts_paa_sax": TS_PAA_SAX_SQL,
+    "ts_lttb": TS_LTTB_SQL,
     "ts_zscore_outliers": TS_ZSCORE_SQL,
     "ts_rate_of_change": TS_RATE_SQL,
     "ts_minmax_normalize": TS_MINMAX_SQL,

@@ -122,3 +122,46 @@ def test_gap_detect_positive_gaps(spark):
         and r.gap_us > 10 * 60 * 1_000_000
         for r in rows
     )
+
+
+def test_twa_weights_cover_each_day_exactly(spark):
+    rows = QUERIES["ts_twa"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # weights are (next_ts − ts) with the last sample held to
+        # midnight: they tile [first_sample, midnight) exactly, so the
+        # denominator never exceeds a day and is always positive
+        assert 0 < r.den_us <= 86_400_000_000
+    assert all(name in ORACLES for name in ("ts_twa", "ts_paa_sax", "ts_lttb"))
+
+
+def test_paa_sax_symbols_from_z(spark):
+    rows = QUERIES["ts_paa_sax"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.sax in ("a", "b", "c", "d")
+        if r.z_ppm is not None:
+            expected = (
+                "a" if r.z_ppm < -674_500
+                else "b" if r.z_ppm < 0
+                else "c" if r.z_ppm < 674_500
+                else "d"
+            )
+            # z_ppm is floor(z·1e6): at the exact breakpoints the floored
+            # value can sit one ulp below the symbol boundary, so allow
+            # the adjacent symbol only when z_ppm lands on a boundary
+            assert r.sax == expected or r.z_ppm in (-674_500, 0, 674_500)
+
+
+def test_lttb_one_point_per_nonempty_bucket(spark):
+    df = QUERIES["ts_lttb"](spark, SF)
+    rows = df.collect()
+    seen = {}
+    for r in rows:
+        key = (r.event_type, r.bucket)
+        seen[key] = seen.get(key, 0) + 1
+    assert all(v == 1 for v in seen.values())
+    plan = plan_of(df)
+    # the centroid/anchor side must reach the points as a broadcast —
+    # the argmax is the only per-point shuffle
+    assert "BroadcastHashJoin" in plan
