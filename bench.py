@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "ts_plot_buckets",
     "ts_asof_join",
     "ts_resample_linear",
+    "ts_twa",
+    "ts_lttb",
     "events_daily_window",
     "sessionize",
     "dedup_exact",

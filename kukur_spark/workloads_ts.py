@@ -819,13 +819,25 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     base = base.withColumn(
         "bucket", F.floor(F.least(raw, F.lit(float(n_b - 1)))).cast("long")
     )
+    # one aggregate produces the centroids AND the edge-bucket first/last
+    # points (struct-ordered argmin/argmax) — no extra scan or window
+    pt = F.struct(
+        F.col("ts_us").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
+    )
     cents = base.groupBy("event_type", "bucket").agg(
         F.sum("ts_us").alias("sum_ts"),
         F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
         .cast("long")
         .alias("sum_val_e6"),
         F.count(F.lit(1)).alias("n"),
-    )
+        F.min(pt).alias("first_pt"),
+        F.max(pt).alias("last_pt"),
+    ).persist()  # ≤ n_buckets×|series| rows; without it every branch
+    # (anchors, first, last) re-runs the full scan+aggregate — Spark's
+    # ReuseExchange does not fire because column pruning makes each
+    # branch's scan structurally different
     wb = Window.partitionBy("event_type").orderBy("bucket")
     anchors = (
         cents.withColumn("ax_us", F.lag("sum_ts").over(wb) / F.lag("n").over(wb))
@@ -861,21 +873,19 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "bucket", "ts_us", "event_id", "value")
     )
-    wfirst = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    wlast = Window.partitionBy("event_type").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
+    first = cents.filter(F.col("bucket") == 0).select(
+        "event_type",
+        "bucket",
+        F.col("first_pt.t").alias("ts_us"),
+        F.col("first_pt.i").alias("event_id"),
+        F.col("first_pt.v").alias("value"),
     )
-    first = (
-        base.filter(F.col("bucket") == 0)
-        .withColumn("rn", F.row_number().over(wfirst))
-        .filter(F.col("rn") == 1)
-        .select("event_type", "bucket", "ts_us", "event_id", "value")
-    )
-    last = (
-        base.filter(F.col("bucket") == n_b - 1)
-        .withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select("event_type", "bucket", "ts_us", "event_id", "value")
+    last = cents.filter(F.col("bucket") == n_b - 1).select(
+        "event_type",
+        "bucket",
+        F.col("last_pt.t").alias("ts_us"),
+        F.col("last_pt.i").alias("event_id"),
+        F.col("last_pt.v").alias("value"),
     )
     return (
         first.unionByName(peaks)
