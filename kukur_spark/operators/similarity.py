@@ -230,6 +230,8 @@ def ivf_assign(
             F.col(id_column).alias("centroid_id"),
             _as_double(F.col(vector_column)).alias("centroid"),
         )
+        .persist()  # num_centroids rows, broadcast into two joins — the
+        # cache saves a full corpus take-ordered scan per consumer
     )
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_column)

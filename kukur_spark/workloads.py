@@ -451,20 +451,22 @@ def tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     filter threshold is bit-identical on both engines."""
     lineitem = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
-    joined = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(avg_per_part, lineitem.l_partkey == F.col("avg_partkey"))
+    # the per-part average only matters for parts that survive the brand
+    # filter, so compute it as a window over the already-filtered join:
+    # one lineitem scan and one shuffle (by l_partkey) instead of a
+    # second scan + aggregate + join
+    scoped = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(F.col("l_quantity").cast("decimal(30,10)")).over(w).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w)
+    return (
+        scoped.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-    )
-    return joined.agg(
-        dsum("l_extendedprice").alias("total_price_e6"),
-        F.count(F.lit(1)).alias("n_rows"),
+        .agg(
+            dsum("l_extendedprice").alias("total_price_e6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
