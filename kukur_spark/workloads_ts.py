@@ -959,10 +959,164 @@ ORDER BY event_type, bucket, ts_us, event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# hour-of-day seasonal profile
+# ---------------------------------------------------------------------------
+def ts_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series hour-of-day baseline: mean and sample count for each of
+    the 24 civil hours, plus the deviation of each hour from the series'
+    all-hours mean in exact ppm.
+
+    A single hash aggregate on (series, hour) — 24×|series| groups — plus
+    a per-series rollup derived from those partials (no second scan).
+    This is the profile a monitoring pipeline subtracts to de-season a
+    signal before outlier detection.
+    """
+    hour_us = 3_600_000_000
+    events = load_table(spark, sf, "events")
+    # explicit FLOOR: DuckDB's double→bigint cast rounds, Spark's
+    # truncates — FLOOR makes both engines bucket hour 23.9 as 23
+    base = events.select(
+        "event_type",
+        F.floor((F.unix_micros("ts") % 86_400_000_000) / F.lit(hour_us))
+        .cast("long")
+        .alias("hour"),
+        "value",
+    )
+    hourly = base.groupBy("event_type", "hour").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long")
+        .alias("sum_e6"),
+        F.count(F.lit(1)).alias("n"),
+    ).persist()  # 24×|series| rows; feeds the per-series rollup and the
+    # final projection without re-running the scan
+    total = hourly.groupBy("event_type").agg(
+        F.sum("sum_e6").alias("t_sum_e6"), F.sum("n").alias("t_n")
+    )
+    joined = hourly.join(F.broadcast(total), "event_type")
+    mean = F.col("sum_e6") / F.col("n")
+    t_mean = F.col("t_sum_e6") / F.col("t_n")
+    return (
+        joined.select(
+            "event_type",
+            "hour",
+            F.floor(mean).cast("long").alias("mean_e6"),
+            "n",
+            F.floor((mean - t_mean) / t_mean * 1_000_000)
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+    CAST(FLOOR(epoch_us(ts) % 86400000000 / 3600000000) AS BIGINT) AS hour,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    COUNT(*) AS n
+  FROM events
+  GROUP BY event_type,
+    CAST(FLOOR(epoch_us(ts) % 86400000000 / 3600000000) AS BIGINT)
+),
+total AS (
+  SELECT event_type, CAST(SUM(sum_e6) AS BIGINT) AS t_sum_e6,
+    CAST(SUM(n) AS BIGINT) AS t_n
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour,
+  CAST(FLOOR(h.sum_e6 / h.n) AS BIGINT) AS mean_e6,
+  h.n,
+  CAST(FLOOR((h.sum_e6 / h.n - t.t_sum_e6 / t.t_n) / (t.t_sum_e6 / t.t_n)
+    * 1000000) AS BIGINT) AS dev_ppm
+FROM hourly h JOIN total t USING (event_type)
+ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# counter-reset correction (monotonic counter → consumption)
+# ---------------------------------------------------------------------------
+def ts_counter_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily consumption from a monotonic-counter reading: per-sample
+    delta vs the previous sample, a drop (delta < 0) is a counter reset
+    and contributes the post-reset reading instead — the standard
+    historian/Prometheus ``increase()`` rule.
+
+    One window (lag per series) + one hash aggregate on (series, day);
+    the delta of two identical doubles is IEEE-exact, bridged through
+    decimal for the daily sum.
+    """
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    prev = F.lag("value").over(w)
+    day = 86_400_000_000
+    diffed = base.withColumn("delta", F.col("value") - prev).filter(
+        F.col("delta").isNotNull()
+    )
+    corrected = F.when(F.col("delta") < 0, F.col("value")).otherwise(
+        F.col("delta")
+    )
+    return (
+        diffed.withColumn("corrected", corrected)
+        .withColumn(
+            "day_us", F.col("ts_us") - F.col("ts_us") % F.lit(day)
+        )
+        .groupBy("event_type", "day_us")
+        .agg(
+            F.floor(
+                F.sum(F.col("corrected").cast("decimal(30,10)")) * 1_000_000
+            )
+            .cast("long")
+            .alias("consumed_e6"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("resets"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+TS_COUNTER_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+    value - LAG(value) OVER (
+      PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS delta
+  FROM events
+),
+corrected AS (
+  SELECT event_type, ts_us, delta,
+    CASE WHEN delta < 0 THEN value ELSE delta END AS corrected
+  FROM base WHERE delta IS NOT NULL
+)
+SELECT event_type,
+  ts_us - ts_us % 86400000000 AS day_us,
+  CAST(FLOOR(SUM(CAST(corrected AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    AS consumed_e6,
+  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS resets,
+  COUNT(*) AS n
+FROM corrected
+GROUP BY event_type, ts_us - ts_us % 86400000000
+ORDER BY event_type, day_us
+"""
+
+
 TS_EXTRA_QUERIES = {
     "ts_twa": ts_twa,
     "ts_paa_sax": ts_paa_sax,
     "ts_lttb": ts_lttb,
+    "ts_seasonal_profile": ts_seasonal_profile,
+    "ts_counter_delta": ts_counter_delta,
     "ts_zscore_outliers": ts_zscore_outliers,
     "ts_rate_of_change": ts_rate_of_change,
     "ts_minmax_normalize": ts_minmax_normalize,
@@ -978,6 +1132,8 @@ TS_EXTRA_ORACLES = {
     "ts_twa": TS_TWA_SQL,
     "ts_paa_sax": TS_PAA_SAX_SQL,
     "ts_lttb": TS_LTTB_SQL,
+    "ts_seasonal_profile": TS_SEASONAL_SQL,
+    "ts_counter_delta": TS_COUNTER_SQL,
     "ts_zscore_outliers": TS_ZSCORE_SQL,
     "ts_rate_of_change": TS_RATE_SQL,
     "ts_minmax_normalize": TS_MINMAX_SQL,

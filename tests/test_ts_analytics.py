@@ -165,3 +165,24 @@ def test_lttb_one_point_per_nonempty_bucket(spark):
     # the centroid/anchor side must reach the points as a broadcast —
     # the argmax is the only per-point shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_profile_covers_24_hours(spark):
+    rows = QUERIES["ts_seasonal_profile"](spark, SF).collect()
+    by_series = {}
+    for r in rows:
+        assert 0 <= r.hour <= 23
+        by_series.setdefault(r.event_type, set()).add(r.hour)
+    # per-series deviations against the all-hours mean must bracket zero
+    for s, hours in by_series.items():
+        devs = [r.dev_ppm for r in rows if r.event_type == s]
+        assert min(devs) <= 0 <= max(devs) or len(devs) == 1
+
+
+def test_counter_delta_reset_rule(spark):
+    rows = QUERIES["ts_counter_delta"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # consumption is a sum of non-negative contributions
+        assert r.consumed_e6 >= 0
+        assert 0 <= r.resets <= r.n
