@@ -515,8 +515,8 @@ WITH daily AS (
   FROM events GROUP BY event_type, day_us
 )
 SELECT event_type, day_us,
-  SUM(n) OVER w AS n_7d,
-  SUM(value_e6) OVER w AS value_7d_e6
+  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+  CAST(SUM(value_e6) OVER w AS BIGINT) AS value_7d_e6
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_us
              RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)

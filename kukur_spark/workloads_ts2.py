@@ -100,11 +100,16 @@ def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     the per-series totals (broadcast back), one for the running-sum window;
     per-row window state is O(1).
     """
+    # Exactness bound: v_dec decimal(17,10) makes the running sum
+    # decimal(27,10); counts cast to decimal(9,0) keep each product at
+    # precision <= 37 and the difference at <= 38, so no Spark
+    # allowPrecisionLoss rounding kicks in and both engines stay exact.
     base = _base_events(spark, sf).withColumn(
-        "v_dec", F.col("value").cast("decimal(30,10)")
+        "v_dec", F.col("value").cast("decimal(17,10)")
     )
     totals = base.groupBy("event_type").agg(
-        F.sum("v_dec").alias("t_dec"), F.count(F.lit(1)).alias("n")
+        F.sum("v_dec").cast("decimal(27,10)").alias("t_dec"),
+        F.count(F.lit(1)).alias("n"),
     )
     w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
     run = (
@@ -117,7 +122,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("k", F.row_number().over(w))
         .join(F.broadcast(totals), "event_type")
         .withColumn(
-            "d_k", F.col("n") * F.col("s_k") - F.col("k") * F.col("t_dec")
+            "d_k",
+            F.col("n").cast("decimal(9,0)") * F.col("s_k")
+            - F.col("k").cast("decimal(9,0)") * F.col("t_dec"),
         )
     )
     pick = Window.partitionBy("event_type").orderBy(
@@ -141,18 +148,18 @@ def ts_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
 TS_CUSUM_SQL = """
 WITH base AS (
   SELECT event_type, epoch_us(ts) AS ts_us, event_id,
-    CAST(value AS DECIMAL(30,10)) AS v_dec
+    CAST(value AS DECIMAL(17,10)) AS v_dec
   FROM events
 ),
 totals AS (
-  SELECT event_type, SUM(v_dec) AS t_dec, COUNT(*) AS n
+  SELECT event_type, CAST(SUM(v_dec) AS DECIMAL(27,10)) AS t_dec, COUNT(*) AS n
   FROM base GROUP BY event_type
 ),
 run AS (
   SELECT b.event_type, b.ts_us, b.event_id,
-    SUM(v_dec) OVER (
+    CAST(SUM(v_dec) OVER (
       PARTITION BY b.event_type ORDER BY b.ts_us, b.event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(27,10)) AS s_k,
     ROW_NUMBER() OVER (
       PARTITION BY b.event_type ORDER BY b.ts_us, b.event_id) AS k,
     t.t_dec, t.n
@@ -160,7 +167,7 @@ run AS (
 ),
 dev AS (
   SELECT event_type, ts_us, event_id, n,
-    n * s_k - k * t_dec AS d_k
+    CAST(n AS DECIMAL(9,0)) * s_k - CAST(k AS DECIMAL(9,0)) * t_dec AS d_k
   FROM run
 ),
 ranked AS (
@@ -196,10 +203,12 @@ def ts_trapezoid_integral(spark: SparkSession, sf: str) -> DataFrame:
         base.withColumn("next_v", F.lead("value").over(w))
         .withColumn("next_ts", F.lead("ts_us").over(w))
         .filter(F.col("next_v").isNotNull())
+        # decimal(17,10) * long -> decimal(38,10) exactly (17+20+1 == 38):
+        # no allowPrecisionLoss rounding, matching DuckDB's exact product.
         .withColumn(
             "contrib",
             (
-                (F.col("value") + F.col("next_v")).cast("decimal(30,10)")
+                (F.col("value") + F.col("next_v")).cast("decimal(17,10)")
                 * (F.col("next_ts") - F.col("ts_us"))
             ),
         )
@@ -232,7 +241,7 @@ pairs AS (
 SELECT event_type,
   ts_us - ts_us % 86400000000 AS day_us,
   CAST(FLOOR(SUM(
-    CAST(value + next_v AS DECIMAL(30,10)) * (next_ts - ts_us)
+    CAST(value + next_v AS DECIMAL(17,10)) * (next_ts - ts_us)
   )) AS BIGINT) AS area2_us,
   COUNT(*) AS n_pairs
 FROM pairs WHERE next_v IS NOT NULL
@@ -330,10 +339,12 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
     Stage k counts users whose earliest stage-k event is strictly after
     their earliest stage-(k−1) completion.  Expressed as conditional
-    aggregation over one user-key shuffle per stage (three total), each
-    stage's min-ts broadcast into the next — never a self-join of the raw
-    events.  Returns one row per stage with the completing-user count and
-    the summed conversion lag.
+    aggregation over one user-key shuffle per stage (three total).  The
+    per-user stage tables are one row per user — unbounded — so they join
+    on user_id via shuffle (AQE may still pick broadcast when the stage
+    table is actually small); never a self-join of the raw events.
+    Returns one row per stage with the completing-user count and the
+    summed conversion lag.
     """
     base = load_table(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
@@ -343,14 +354,14 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
     t2 = (
         base.filter(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter(F.col("ts_us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"), F.first("t1").alias("t1"))
     )
     t3 = (
         base.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts_us") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t3"), F.first("t2").alias("t2"))
@@ -396,9 +407,9 @@ t3 AS (
 SELECT '1_view' AS stage, COUNT(*) AS users,
   CAST(0 AS BIGINT) AS lag_us_sum FROM t1
 UNION ALL
-SELECT '2_click', COUNT(*), SUM(t2 - t1) FROM t2
+SELECT '2_click', COUNT(*), CAST(SUM(t2 - t1) AS BIGINT) FROM t2
 UNION ALL
-SELECT '3_purchase', COUNT(*), SUM(t3 - t2) FROM t3
+SELECT '3_purchase', COUNT(*), CAST(SUM(t3 - t2) AS BIGINT) FROM t3
 ORDER BY stage
 """
 

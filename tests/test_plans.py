@@ -45,10 +45,18 @@ def test_events_range_filter_pushdown(spark):
     # the range predicate reaches the scan's data filters: either as a raw-ns
     # long comparison (TIMESTAMP(NANOS) testdata generations) or as a native
     # timestamp comparison (timestamp[us] generations)
+    # anchored to the scan: either the literal appears in the scan's data
+    # filters, or the source-level PushedFilters list carries the ts bound —
+    # a post-scan Filter node alone must NOT satisfy this test
+    scan_lines = [
+        line for line in plan.splitlines()
+        if "FileScan" in line or "PushedFilters" in line
+    ]
+    scan_text = "\n".join(scan_lines)
     assert (
-        ">= 1704844800000000000)" in plan
-        or ">= 2024-01-10 00:00:00)" in plan
-        or "(ts" in plan
+        ">= 1704844800000000000)" in scan_text
+        or ">= 2024-01-10 00:00:00)" in scan_text
+        or "GreaterThanOrEqual(ts" in scan_text
     ), plan
     assert "(event_type" in plan and "purchase" in plan
 
