@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kukur_spark.io import TABLES, load_table  # noqa: E402
 from kukur_spark.session import get_spark  # noqa: E402
 from kukur_spark.workloads import QUERIES  # noqa: E402
 
@@ -58,6 +59,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # unknown scale label; still run
     spark = get_spark("kukur_spark_bench")
+    # pre-warm the parquet footer/schema cache so the first query's warm-up
+    # run does not also pay per-table schema inference
+    for table in TABLES:
+        load_table(spark, sf_dir, table)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run_query(spark, name, sf_dir)  # warm-up: codegen + file listing

@@ -109,6 +109,22 @@ def load_table(
     return df
 
 
+def persist_once(df: DataFrame) -> DataFrame:
+    """Persist ``df`` unless an equivalent plan is already cached.
+
+    Re-running a query rebuilds an identical logical plan; calling
+    ``.persist()`` on it again triggers Spark's "Asked to cache already
+    cached data" warning and a redundant CacheManager insert.
+    ``df.storageLevel`` consults the shared CacheManager by plan equality,
+    so this guard stays idempotent across rebuilt DataFrames within a
+    session.
+    """
+    level = df.storageLevel
+    if level.useMemory or level.useDisk:
+        return df
+    return df.persist()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view (for spark.sql queries)."""
     for name in TABLES:

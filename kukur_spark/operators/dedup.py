@@ -21,6 +21,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kukur_spark.io import persist_once
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -216,13 +218,13 @@ def minhash_lsh_pairs(
             "id", combine_shingle_hashes(F.col("th"), shingle_size).alias("hs")
         )
         .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
-        # feeds three plan branches (banding + both verification joins);
-        # without persist the CPU-heavy projection runs three times.
-        # The cache lives until session end / unpersist — long-lived
-        # sessions running many queries should spark.catalog.clearCache()
-        # between workloads (the oracle gate does).
-        .persist()
     )
+    # feeds three plan branches (banding + both verification joins);
+    # without persist the CPU-heavy projection runs three times.
+    # The cache lives until session end / unpersist — long-lived
+    # sessions running many queries should spark.catalog.clearCache()
+    # between workloads (the oracle gate does).
+    base = persist_once(base)
     # banding carries only (id, band, bucket) — 24 bytes/row through the
     # explode and the self-join shuffle, never the shingle arrays
     banded = base.select(
@@ -319,8 +321,8 @@ def minhash_lsh_pairs_md5(
                 ]
             ).alias("sig"),
         )
-        .persist()
     )
+    base = persist_once(base)
     banded = base.select(
         "id",
         F.explode(

@@ -24,6 +24,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kukur_spark.io import persist_once
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -230,9 +232,10 @@ def ivf_assign(
             F.col(id_column).alias("centroid_id"),
             _as_double(F.col(vector_column)).alias("centroid"),
         )
-        .persist()  # num_centroids rows, broadcast into two joins — the
-        # cache saves a full corpus take-ordered scan per consumer
     )
+    centroids = persist_once(centroids)  # num_centroids rows, broadcast
+    # into two joins — the cache saves a full corpus take-ordered scan per
+    # consumer
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_column)
     ).select(F.col(id_column), _as_double(F.col(vector_column)).alias("v"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kukur_spark.io import load_table
+from kukur_spark.io import load_table, persist_once
 
 
 def _dsum(col) -> Column:
@@ -214,8 +214,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("long")
     per_part = scoped.groupBy("l_partkey").agg(
         (F.sum(value_cents) * 10_000).alias("value_e6")
-    ).persist()  # ≤ |parts| rows; feeds both the threshold scalar and the
-    # filter branch — without it the scan+join+aggregate runs twice
+    )
+    per_part = persist_once(per_part)  # ≤ |parts| rows; feeds both the
+    # threshold scalar and the filter branch — without it the
+    # scan+join+aggregate runs twice
     total = per_part.agg(F.sum("value_e6").alias("total_e6"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -331,7 +333,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue_e6"
         )
-    ).persist()  # ≤ |suppliers| rows; feeds the MAX scalar and the filter
+    )
+    revenue = persist_once(revenue)  # ≤ |suppliers| rows; feeds the MAX
+    # scalar and the filter
     max_rev = revenue.agg(F.max("total_revenue_e6").alias("max_revenue_e6"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kukur_spark.io import load_table
+from kukur_spark.io import load_table, persist_once
 
 
 # ---------------------------------------------------------------------------
@@ -834,9 +834,10 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min(pt).alias("first_pt"),
         F.max(pt).alias("last_pt"),
-    ).persist()  # ≤ n_buckets×|series| rows; without it every branch
-    # (anchors, first, last) re-runs the full scan+aggregate — Spark's
-    # ReuseExchange does not fire because column pruning makes each
+    )
+    cents = persist_once(cents)  # ≤ n_buckets×|series| rows; without it
+    # every branch (anchors, first, last) re-runs the full scan+aggregate —
+    # Spark's ReuseExchange does not fire because column pruning makes each
     # branch's scan structurally different
     wb = Window.partitionBy("event_type").orderBy("bucket")
     anchors = (
@@ -988,8 +989,9 @@ def ts_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("sum_e6"),
         F.count(F.lit(1)).alias("n"),
-    ).persist()  # 24×|series| rows; feeds the per-series rollup and the
-    # final projection without re-running the scan
+    )
+    hourly = persist_once(hourly)  # 24×|series| rows; feeds the per-series
+    # rollup and the final projection without re-running the scan
     total = hourly.groupBy("event_type").agg(
         F.sum("sum_e6").alias("t_sum_e6"), F.sum("n").alias("t_n")
     )
