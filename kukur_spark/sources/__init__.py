@@ -95,6 +95,21 @@ class SourceWrapper:
                 time.sleep(self.query_retry_delay)
         raise AssertionError("unreachable")
 
+    # -- distributed series discovery --------------------------------------
+    def search_df(self, search: SeriesSearch) -> DataFrame:
+        """Series discovery as a DataFrame (one row per series: tags +
+        field) that never materializes combos on the driver.  Sources
+        without a DataFrame-native discovery raise NotImplementedError
+        (never retried), mirroring the reference's NotImplemented
+        passthrough semantics.
+        """
+        source_search_df = getattr(self.source, "search_df", None)
+        if source_search_df is None:
+            raise NotImplementedError(
+                f"{type(self.source).__name__} has no DataFrame search"
+            )
+        return self._retry(lambda: source_search_df(search))
+
     # -- search with metadata fan-out (M2/J1) ------------------------------
     def search(self, search: SeriesSearch) -> Iterator[SearchResult]:
         """Selector results pass through unchanged; Metadata results are

@@ -479,39 +479,79 @@ class FileSource:
     # ------------------------------------------------------------------
     # 4-verb API
     # ------------------------------------------------------------------
+    def search_df(self, search: SeriesSearch) -> DataFrame:
+        """Distributed series discovery: one row per series (tags + field).
+
+        SURVEY.md §3.2 frames search as a metadata DataFrame; this is the
+        scale path — the row-format branch never materializes tag combos on
+        the driver.  ``distinct()`` runs on the executors, search-tag
+        predicates push into the parquet scan (``PushedFilters``), and the
+        tags×fields expansion is a crossJoin against a literal fields frame
+        (reference semantics: kukur/source/arrow.py:183-189 group-by tags,
+        kukur/source/sql.py:287-304 tags×fields).  At 10⁷+ series the
+        iterator verb streams from this via ``toLocalIterator`` instead of
+        collecting every combo.
+        """
+        opts = self.options
+        if opts.format == "dir":
+            names = self._dir_series_names()
+            combos = self.spark.createDataFrame(
+                [(n,) for n in names], f"`{SERIES_NAME_TAG}` string"
+            )
+            tag_cols = [SERIES_NAME_TAG]
+        elif opts.format == "pivot":
+            columns = self._read_raw().columns[1:]
+            combos = self.spark.createDataFrame(
+                [(c,) for c in columns], f"`{SERIES_NAME_TAG}` string"
+            )
+            tag_cols = [SERIES_NAME_TAG]
+        else:
+            df = self.data_frame()
+            tag_cols = [c for c in opts.tag_columns if c in df.columns]
+            combos = df.select(
+                [_literal_col(c).cast("string").alias(c) for c in tag_cols]
+            ).distinct()
+        if search.tags:
+            for key, value in search.tags.items():
+                if key in tag_cols:
+                    combos = combos.filter(_literal_col(key) == F.lit(value))
+                else:
+                    # a tag key the source does not carry matches nothing
+                    combos = combos.filter(F.lit(False))
+        fields = opts.field_columns if opts.format == "row" else [DEFAULT_FIELD]
+        # field_idx keeps the configured field order (reference iterates
+        # field_columns in config order, not alphabetically)
+        fields_df = self.spark.createDataFrame(
+            list(enumerate(fields)), "field_idx int, field string"
+        )
+        return (
+            combos.crossJoin(F.broadcast(fields_df))
+            .orderBy(*[_literal_col(c) for c in tag_cols], "field_idx")
+            .drop("field_idx")
+        )
+
     def search(
         self, search: SeriesSearch
     ) -> Iterator[Union[SeriesSelector, Metadata]]:
-        """Series discovery: distinct tag combos × field columns.
+        """Series discovery: thin streaming wrapper over ``search_df``.
 
         Parity: reference kukur/source/arrow.py:183-189 (group-by tags) and
         tags×fields expansion kukur/source/sql.py:287-304. When a metadata
         file is configured, full Metadata rows are yielded instead
         (reference csv metadata, kukur/source/csv/csv.py).
         """
-        opts = self.options
-        if opts.format == "dir":
-            combos = [{SERIES_NAME_TAG: n} for n in self._dir_series_names()]
-        elif opts.format == "pivot":
-            df = self._read_raw()
-            combos = [{SERIES_NAME_TAG: c} for c in df.columns[1:]]
-        else:
-            df = self.data_frame()
-            tag_cols = [c for c in opts.tag_columns if c in df.columns]
-            rows = df.select(tag_cols).distinct().orderBy(tag_cols).collect()
-            combos = [row.asDict() for row in rows]
-        fields = opts.field_columns if opts.format == "row" else [DEFAULT_FIELD]
-        metadata_by_key = self._metadata_index() if opts.metadata_path else {}
-        for tags in combos:
-            tags = {k: str(v) for k, v in tags.items()}
-            if search.tags and any(tags.get(k) != v for k, v in search.tags.items()):
-                continue
-            for fld in fields:
-                selector = SeriesSelector(self.name, tags, fld)
-                if metadata_by_key:
-                    yield self._lookup_metadata(selector, metadata_by_key)
-                else:
-                    yield selector
+        metadata_by_key = (
+            self._metadata_index() if self.options.metadata_path else {}
+        )
+        for row in self.search_df(search).toLocalIterator():
+            combo = row.asDict()
+            fld = combo.pop("field")
+            tags = {k: str(v) for k, v in combo.items()}
+            selector = SeriesSelector(self.name, tags, fld)
+            if metadata_by_key:
+                yield self._lookup_metadata(selector, metadata_by_key)
+            else:
+                yield selector
 
     def get_metadata(self, selector: SeriesSelector) -> Metadata:
         if self.options.metadata_path is None:

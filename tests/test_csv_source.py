@@ -268,3 +268,56 @@ def test_dictionary_file(spark, make_csv, tmp_path):
     )
     metadata = source.get_metadata(SeriesSelector.from_name("test", "test-tag-1"))
     assert metadata["dictionary"].mapping == {0: "OFF", 1: "ON"}
+
+
+def test_search_df_row_layout(spark, make_csv):
+    """search_df: one row per (tags, field), streamed — not collected."""
+    from kukur_spark.base import SeriesSearch
+
+    source = make_source(spark, make_csv(ROW_CSV))
+    df = source.search_df(SeriesSearch("test"))
+    assert df.columns == [SERIES_NAME_TAG, "field"]
+    rows = df.collect()
+    assert [(r[SERIES_NAME_TAG], r["field"]) for r in rows] == [
+        ("test-tag-1", "value"),
+        ("test-tag-2", "value"),
+    ]
+
+
+def test_search_df_tag_filter_matches_iterator(spark, make_csv):
+    from kukur_spark.base import SeriesSearch
+
+    source = make_source(spark, make_csv(ROW_CSV))
+    search = SeriesSearch("test", {SERIES_NAME_TAG: "test-tag-2"})
+    df_rows = source.search_df(search).collect()
+    it_rows = list(source.search(search))
+    assert len(df_rows) == len(it_rows) == 1
+    assert df_rows[0][SERIES_NAME_TAG] == "test-tag-2"
+    assert it_rows[0].tags[SERIES_NAME_TAG] == "test-tag-2"
+
+
+def test_search_df_unknown_tag_key_matches_nothing(spark, make_csv):
+    from kukur_spark.base import SeriesSearch
+
+    source = make_source(spark, make_csv(ROW_CSV))
+    assert source.search_df(
+        SeriesSearch("test", {"no-such-tag": "x"})
+    ).count() == 0
+
+
+def test_search_df_field_order_is_config_order(spark, make_csv):
+    """Multiple fields iterate in configured order, not alphabetical."""
+    from kukur_spark.base import SeriesSearch
+
+    content = """
+series name,ts,zfield,afield
+s1,2020-01-01T00:00:00Z,1,2
+"""
+    source = make_source(
+        spark,
+        make_csv(content),
+        header=True,
+        field_columns=["zfield", "afield"],
+    )
+    fields = [r["field"] for r in source.search_df(SeriesSearch("test")).collect()]
+    assert fields == ["zfield", "afield"]

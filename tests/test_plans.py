@@ -128,3 +128,27 @@ def test_centroid_partial_aggregation(spark):
 def test_similarity_broadcasts_queries(spark):
     plan = plan_of(QUERIES["emb_topk_bruteforce"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_search_df_discovery_stays_distributed(spark, tmp_path):
+    """Series discovery is a distributed distinct with the search-tag
+    predicate pushed into the parquet scan — combos are never collected."""
+    from kukur_spark.base import SeriesSearch
+
+    df = spark.createDataFrame(
+        [("s1", datetime(2020, 1, 1), 1.0), ("s2", datetime(2020, 1, 1), 2.0)],
+        "`series name` string, ts timestamp, value double",
+    )
+    path = str(tmp_path / "row.parquet")
+    df.write.parquet(path)
+    source = FileSource(
+        spark, "t", FileSourceOptions(path=path, file_format="parquet")
+    )
+    plan = plan_of(
+        source.search_df(SeriesSearch("t", {"series name": "s1"}))
+    )
+    assert "HashAggregate" in plan  # executor-side distinct
+    assert "PushedFilters" in plan
+    assert "EqualTo(`series name`,s1)" in plan
+    # only the tag column is read for discovery
+    assert "ReadSchema: struct<series name:string>" in plan
