@@ -1,26 +1,48 @@
 """Excel source (reference S19, kukur/source/excel/__init__.py:23-72).
 
-Gated behind openpyxl/pandas availability — the test image ships neither
-openpyxl nor xlrd, so construction works but reads raise
-``NotImplementedError`` until the dependency is present. When available,
-the sheet is read driver-side (Excel files are small by nature) and enters
-Spark via Arrow; all filtering runs as DataFrame predicates.
+Reads .xlsx with the pure-stdlib SpreadsheetML parser
+(``kukur_spark.sources.xlsx``) — no openpyxl gate. The sheet is read
+driver-side (Excel files are small by nature: the format caps at ~1M
+rows) and enters Spark via ``createDataFrame``; all filtering then runs
+as DataFrame predicates. Column typing mirrors the reference's
+``_to_pyarrow``: a column keeps its native type when homogeneous and
+falls back to per-value ``str()`` otherwise.
 """
 
 from __future__ import annotations
 
-import importlib.util
 from datetime import datetime
-from typing import Any, Dict, Iterator
+from typing import Any, Dict, Iterator, List
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
 from kukur_spark.metadata import Metadata
 from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN, conform
+from kukur_spark.sources.xlsx import list_sheets, read_sheet
 
-HAS_EXCEL = importlib.util.find_spec("openpyxl") is not None
+# retained for import compatibility: reads no longer need openpyxl
+HAS_EXCEL = True
+
+
+def _column_type(values: List[Any]):
+    """Spark type + coercion for one column (reference per-column
+    fallback-to-string, kukur/source/excel/__init__.py:56-70)."""
+    present = [v for v in values if v is not None]
+    kinds = {type(v) for v in present}
+    if not kinds:
+        return T.StringType(), lambda v: v
+    if kinds <= {bool}:
+        return T.BooleanType(), lambda v: v
+    if kinds <= {int, float} and bool not in kinds:
+        return T.DoubleType(), lambda v: None if v is None else float(v)
+    if kinds <= {datetime}:
+        return T.TimestampType(), lambda v: v
+    if kinds <= {str}:
+        return T.StringType(), lambda v: v
+    return T.StringType(), lambda v: None if v is None else str(v)
 
 
 class ExcelSource:
@@ -31,22 +53,34 @@ class ExcelSource:
         self.sheet = config.get("sheet", 0)
         self.header = bool(config.get("header_row", True))
 
-    def _frame(self) -> DataFrame:
-        if not HAS_EXCEL:
-            raise NotImplementedError(
-                "Excel reads need openpyxl, which is not installed"
-            )
-        import pandas as pd
+    def list_sheets(self) -> List[str]:
+        return list_sheets(self.path)
 
-        pdf = pd.read_excel(
-            self.path,
-            sheet_name=self.sheet,
-            header=0 if self.header else None,
-        )
-        if not self.header:
-            names = [SERIES_NAME_TAG, TS_COLUMN, VALUE_COLUMN][: len(pdf.columns)]
-            pdf.columns = names
-        return self.spark.createDataFrame(pdf)
+    def _frame(self) -> DataFrame:
+        rows = read_sheet(self.path, self.sheet)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], f"`{SERIES_NAME_TAG}` string, `{TS_COLUMN}` timestamp, "
+                f"`{VALUE_COLUMN}` double",
+            )
+        if self.header:
+            headers = [str(h) for h in rows[0]]
+            rows = rows[1:]
+        else:
+            headers = [SERIES_NAME_TAG, TS_COLUMN, VALUE_COLUMN][
+                : len(rows[0])
+            ] + [str(i) for i in range(3, len(rows[0]))]
+        fields, coercions = [], []
+        for index, header in enumerate(headers):
+            column = [row[index] for row in rows]
+            dtype, coerce = _column_type(column)
+            fields.append(T.StructField(header, dtype))
+            coercions.append(coerce)
+        coerced = [
+            tuple(coerce(value) for coerce, value in zip(coercions, row))
+            for row in rows
+        ]
+        return self.spark.createDataFrame(coerced, T.StructType(fields))
 
     def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
         df = self._frame()

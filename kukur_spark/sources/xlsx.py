@@ -1,0 +1,209 @@
+"""Minimal pure-stdlib .xlsx reader (zipfile + ElementTree).
+
+SpreadsheetML is a zip of XML parts; reading cell values needs no external
+dependency, which un-gates the Excel source (reference S19,
+kukur/source/excel/__init__.py:23-72 — gated on openpyxl there) in any
+environment. Scope: cell VALUES only (like the reference's
+``data_only=True`` read) — formulas yield their cached value, no styling
+beyond date-format detection.
+
+Covered:
+- shared strings (plain ``<t>`` and rich-text runs), inline strings;
+- numeric, boolean, error and formula-string cell types;
+- date/time detection via ``styles.xml`` number formats (builtin ids
+  14-22 / 45-47 and custom formats containing date tokens), converting
+  Excel serial dates (1900 and 1904 systems, incl. the Lotus leap-year
+  bug offset) to ``datetime``;
+- sparse rows / missing ``r`` attributes.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from datetime import datetime, timedelta
+from typing import Any, Dict, List, Optional, Tuple
+from xml.etree import ElementTree
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+# builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30)
+_BUILTIN_DATE_FORMATS = set(range(14, 23)) | {45, 46, 47}
+
+# custom format codes: a date format contains y/m/d/h/s tokens outside
+# quoted literals and [] sections
+_QUOTED = re.compile(r'"[^"]*"|\[[^\]]*\]')
+_DATE_TOKEN = re.compile(r"[ymdhsYMDHS]")
+
+_EPOCH_1900 = datetime(1899, 12, 30)  # Excel day 0 (accounts for Lotus bug)
+_EPOCH_1904 = datetime(1904, 1, 1)
+
+
+def _is_date_format(code: str) -> bool:
+    return bool(_DATE_TOKEN.search(_QUOTED.sub("", code)))
+
+
+def _column_index(ref: str) -> int:
+    """``'BC12'`` → zero-based column 54."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _serial_to_datetime(serial: float, date1904: bool) -> datetime:
+    epoch = _EPOCH_1904 if date1904 else _EPOCH_1900
+    # round to whole microseconds: serials store time as a day fraction and
+    # the float error would otherwise leak into the microsecond digits
+    return epoch + timedelta(microseconds=round(serial * 86_400_000_000))
+
+
+class _Workbook:
+    def __init__(self, path: str):
+        self.zf = zipfile.ZipFile(path)
+        self.sheets = self._sheet_targets()
+        self.shared = self._shared_strings()
+        self.date_styles = self._date_style_indexes()
+        self.date1904 = self._uses_1904()
+
+    def _root(self, member: str) -> Optional[ElementTree.Element]:
+        try:
+            with self.zf.open(member) as handle:
+                return ElementTree.parse(handle).getroot()
+        except KeyError:
+            return None
+
+    def _sheet_targets(self) -> List[Tuple[str, str]]:
+        """[(sheet name, zip member)] in workbook order."""
+        workbook = self._root("xl/workbook.xml")
+        if workbook is None:
+            raise ValueError("not an xlsx file: missing xl/workbook.xml")
+        rels = {}
+        rel_root = self._root("xl/_rels/workbook.xml.rels")
+        if rel_root is not None:
+            for rel in rel_root.iter(f"{_PKG_REL_NS}Relationship"):
+                target = rel.get("Target", "")
+                if target.startswith("/"):
+                    target = target.lstrip("/")
+                else:
+                    target = "xl/" + target
+                rels[rel.get("Id")] = target
+        out = []
+        for sheet in workbook.iter(f"{_NS}sheet"):
+            rid = sheet.get(f"{_REL_NS}id")
+            target = rels.get(rid)
+            if target is None:
+                continue
+            out.append((sheet.get("name", ""), target))
+        return out
+
+    def _shared_strings(self) -> List[str]:
+        root = self._root("xl/sharedStrings.xml")
+        if root is None:
+            return []
+        strings = []
+        for si in root.iter(f"{_NS}si"):
+            # plain <t> or rich-text runs: concatenate every <t> descendant
+            strings.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        return strings
+
+    def _date_style_indexes(self) -> set:
+        """Indexes into cellXfs whose number format is a date format."""
+        root = self._root("xl/styles.xml")
+        if root is None:
+            return set()
+        custom_date_ids = {
+            int(fmt.get("numFmtId", -1))
+            for fmt in root.iter(f"{_NS}numFmt")
+            if _is_date_format(fmt.get("formatCode", ""))
+        }
+        date_ids = _BUILTIN_DATE_FORMATS | custom_date_ids
+        cell_xfs = root.find(f"{_NS}cellXfs")
+        if cell_xfs is None:
+            return set()
+        return {
+            index
+            for index, xf in enumerate(cell_xfs.findall(f"{_NS}xf"))
+            if int(xf.get("numFmtId", 0)) in date_ids
+        }
+
+    def _uses_1904(self) -> bool:
+        workbook = self._root("xl/workbook.xml")
+        if workbook is None:
+            return False
+        pr = workbook.find(f"{_NS}workbookPr")
+        return pr is not None and pr.get("date1904") in ("1", "true")
+
+    def _cell_value(self, cell: ElementTree.Element) -> Any:
+        kind = cell.get("t", "n")
+        if kind == "inlineStr":
+            inline = cell.find(f"{_NS}is")
+            if inline is None:
+                return None
+            return "".join(t.text or "" for t in inline.iter(f"{_NS}t"))
+        v = cell.find(f"{_NS}v")
+        if v is None or v.text is None:
+            return None
+        text = v.text
+        if kind == "s":
+            return self.shared[int(text)]
+        if kind in ("str", "e"):
+            return text
+        if kind == "b":
+            return text not in ("0", "false", "FALSE")
+        number = float(text)
+        style = int(cell.get("s", 0))
+        if style in self.date_styles:
+            return _serial_to_datetime(number, self.date1904)
+        if number.is_integer() and "." not in text and "E" not in text.upper():
+            return int(number)
+        return number
+
+    def rows(self, member: str) -> List[List[Any]]:
+        root = self._root(member)
+        if root is None:
+            raise KeyError(member)
+        data = root.find(f"{_NS}sheetData")
+        if data is None:
+            return []
+        out: List[List[Any]] = []
+        for row in data.findall(f"{_NS}row"):
+            values: List[Any] = []
+            next_col = 0
+            for cell in row.findall(f"{_NS}c"):
+                ref = cell.get("r")
+                col = _column_index(ref) if ref else next_col
+                while len(values) < col:
+                    values.append(None)
+                values.append(self._cell_value(cell))
+                next_col = col + 1
+            out.append(values)
+        width = max((len(r) for r in out), default=0)
+        return [r + [None] * (width - len(r)) for r in out]
+
+
+def list_sheets(path: str) -> List[str]:
+    """Sheet names in workbook order (reference ``list_sheets``)."""
+    return [name for name, _ in _Workbook(path).sheets]
+
+
+def read_sheet(path: str, sheet: Any = 0) -> List[List[Any]]:
+    """All rows of one sheet (by index or name) as Python values."""
+    workbook = _Workbook(path)
+    if isinstance(sheet, int):
+        try:
+            _, member = workbook.sheets[sheet]
+        except IndexError:
+            raise KeyError(f"no sheet index {sheet} in {path}") from None
+    else:
+        by_name: Dict[str, str] = dict(workbook.sheets)
+        if sheet not in by_name:
+            raise KeyError(f"no sheet named {sheet!r} in {path}")
+        member = by_name[sheet]
+    return workbook.rows(member)

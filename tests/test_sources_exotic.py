@@ -127,13 +127,80 @@ def test_remote_source_via_flight(spark, tmp_path):
         server.shutdown()
 
 
-def test_excel_gate(spark, tmp_path):
-    source = ExcelSource(spark, "xl", {"path": str(tmp_path / "missing.xlsx")})
-    if not HAS_EXCEL:
-        with pytest.raises(NotImplementedError):
-            source.get_data(
-                SeriesSelector.from_name("xl", "s1"), START, END
-            )
+def _write_xlsx(path, date1904=False):
+    """Hand-built SpreadsheetML workbook: shared strings (incl. a rich-text
+    run), date-styled serial timestamps, numerics, a bool and a sparse row."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pr = '<workbookPr date1904="1"/>' if date1904 else ""
+    workbook = f"""<?xml version="1.0"?>
+<workbook {ns} xmlns:r="{rns}">{pr}
+  <sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+    rels = f"""<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+  <Relationship Id="rId1"
+    Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    shared = f"""<?xml version="1.0"?>
+<sst {ns} count="4" uniqueCount="4">
+  <si><t>series name</t></si><si><t>ts</t></si><si><t>value</t></si>
+  <si><r><t>al</t></r><r><t>pha</t></r></si>
+</sst>"""
+    # style 1 = builtin datetime format 22
+    styles = f"""<?xml version="1.0"?>
+<styleSheet {ns}>
+  <cellXfs count="2">
+    <xf numFmtId="0"/><xf numFmtId="22" applyNumberFormat="1"/>
+  </cellXfs>
+</styleSheet>"""
+    # serial 43831.5 = 2020-01-01T12:00 (1900 system, epoch 1899-12-30)
+    sheet = f"""<?xml version="1.0"?>
+<worksheet {ns}><sheetData>
+  <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+    <c r="C1" t="s"><v>2</v></c></row>
+  <row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2" s="1"><v>43831.5</v></c>
+    <c r="C2"><v>1.5</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>beta</t></is></c>
+    <c r="B3" s="1"><v>43832.25</v></c><c r="C3"><v>2</v></c></row>
+</sheetData></worksheet>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_reads_without_openpyxl(spark, tmp_path):
+    """S19 ungated: stdlib SpreadsheetML parser — shared/rich/inline
+    strings, date-styled serials, numeric column typing."""
+    path = str(tmp_path / "data.xlsx")
+    _write_xlsx(path)
+    source = ExcelSource(spark, "xl", {"path": path})
+    assert source.list_sheets() == ["data"]
+    names = sorted(
+        s.tags["series name"] for s in source.search(SeriesSearch("xl"))
+    )
+    assert names == ["alpha", "beta"]
+    rows = source.get_data(
+        SeriesSelector.from_name("xl", "alpha"), START, END
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["ts"] == datetime(2020, 1, 1, 12, 0)
+    assert rows[0]["value"] == 1.5
+
+
+def test_excel_1904_date_system(spark, tmp_path):
+    from kukur_spark.sources.xlsx import read_sheet
+
+    path = str(tmp_path / "data1904.xlsx")
+    _write_xlsx(path, date1904=True)
+    rows = read_sheet(path)
+    # serial 43831.5 under the 1904 epoch lands 4 years + 1 day later
+    assert rows[1][1] == datetime(2024, 1, 2, 12, 0)
 
 
 def test_hive_partitioned_layout(spark, tmp_path):
