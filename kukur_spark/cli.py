@@ -84,7 +84,10 @@ def cmd_inspect(args) -> int:
         for line in df.toPandas().to_string(index=False).splitlines():
             print(line)
         return 0
-    for item in inspect_path(args.path, recursive=args.recursive):
+    # URI paths (s3a://, abfss://, file://) list through Hadoop FS and
+    # need a session; plain paths stay session-free
+    spark = get_spark("kukur_spark_inspect") if "://" in args.path else None
+    for item in inspect_path(args.path, recursive=args.recursive, spark=spark):
         print(f"{item.resource_type:10} {item.path}")
     return 0
 

@@ -41,8 +41,24 @@ class InspectedPath:
     resource_type: str  # directory | delta | parquet | csv | ...
 
 
-def inspect_path(path: str, recursive: bool = False) -> List[InspectedPath]:
-    """Classify directory entries by extension; detect Delta table dirs."""
+def inspect_path(
+    path: str,
+    recursive: bool = False,
+    spark: Optional[SparkSession] = None,
+) -> List[InspectedPath]:
+    """Classify directory entries by extension; detect Delta table dirs.
+
+    URI paths (``s3a://…``, ``abfss://…``, ``file://…``) list through the
+    Hadoop FileSystem of the Spark session — one code path for every blob
+    store Hadoop speaks (reference blob variants: kukur/inspect/blob.py,
+    s3.py, adls.py). Plain paths list via ``os`` and need no session.
+    """
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"listing {path!r} needs a SparkSession (Hadoop FileSystem)"
+            )
+        return _inspect_hadoop(spark, path, recursive)
     results: List[InspectedPath] = []
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
@@ -55,6 +71,36 @@ def inspect_path(path: str, recursive: bool = False) -> List[InspectedPath]:
                     results.extend(inspect_path(full, recursive=True))
         else:
             ext = os.path.splitext(entry)[1].lower()
+            resource_type = EXTENSION_TYPES.get(ext)
+            if resource_type:
+                results.append(InspectedPath(full, resource_type))
+    return results
+
+
+def _inspect_hadoop(
+    spark: SparkSession, path: str, recursive: bool
+) -> List[InspectedPath]:
+    """List one level (or recursively) through Hadoop FileSystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    results: List[InspectedPath] = []
+    statuses = sorted(
+        fs.listStatus(jpath), key=lambda s: s.getPath().toString()
+    )
+    for status in statuses:
+        full = status.getPath().toString()
+        if status.isDirectory():
+            delta_log = jvm.org.apache.hadoop.fs.Path(full + "/_delta_log")
+            if fs.exists(delta_log):
+                results.append(InspectedPath(full, "delta"))
+            else:
+                results.append(InspectedPath(full, "directory"))
+                if recursive:
+                    results.extend(_inspect_hadoop(spark, full, True))
+        else:
+            ext = os.path.splitext(full)[1].lower()
             resource_type = EXTENSION_TYPES.get(ext)
             if resource_type:
                 results.append(InspectedPath(full, resource_type))

@@ -2,6 +2,7 @@
 
 import pyarrow as pa
 import pyarrow.parquet
+import pytest
 
 from kukur_spark.cli import main
 from kukur_spark.inspect import inspect_path, preview
@@ -77,3 +78,28 @@ path = "{tmp_path}/d.csv"
     out = capsys.readouterr().out
     assert "series: s1" in out
     assert "2020-01-01T00:00:00" in out
+
+
+def test_inspect_hadoop_fs_scheme(spark, tmp_path):
+    """URI paths list through Hadoop FileSystem — the same code path
+    serves s3a:// and abfss:// with the right jars/credentials."""
+    (tmp_path / "a.parquet").write_bytes(b"")
+    (tmp_path / "b.csv").write_text("x\n1\n")
+    sub = tmp_path / "table"
+    (sub / "_delta_log").mkdir(parents=True)
+    from kukur_spark.inspect import inspect_path
+
+    items = {
+        i.path.rsplit("/", 1)[-1]: i.resource_type
+        for i in inspect_path(f"file://{tmp_path}", spark=spark)
+    }
+    assert items["a.parquet"] == "parquet"
+    assert items["b.csv"] == "csv"
+    assert items["table"] == "delta"
+
+
+def test_inspect_uri_without_session_raises(tmp_path):
+    from kukur_spark.inspect import inspect_path
+
+    with pytest.raises(ValueError):
+        inspect_path(f"file://{tmp_path}")
