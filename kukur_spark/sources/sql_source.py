@@ -264,26 +264,52 @@ class SqlSource:
     def _get_data_jdbc(
         self, selector: SeriesSelector, start: dt.datetime, end: dt.datetime
     ) -> DataFrame:
-        """Executor-side JDBC scan, partitioned on ts for scale."""
+        """Executor-side JDBC scan, partitioned on ts for scale.
+
+        The tag predicate is inlined into the user's query (``:tagN``
+        placeholders, values SQL-escaped) and the range bounds replace
+        ``:start``/``:end`` so the database — not Spark — filters rows.
+        With ``num_partitions`` the query wraps as a ``dbtable`` derived
+        table (Spark rejects ``query`` + ``partitionColumn`` together) and
+        splits on ts into parallel executor reads — the Spark shape of the
+        reference's serial interval splitting (M3, kukur/source/
+        __init__.py:238-318).
+        """
         config = self.config
         query = config["data_query_jdbc"]
         for i, column in enumerate(self.tag_columns):
             value = selector.tags.get(column, "").replace("'", "''")
             query = query.replace(f":tag{i}", f"'{value}'")
-        reader = (
-            self.spark.read.format("jdbc")
-            .option("url", config["jdbc_url"])
-            .option("query", query)
+        # JDBC timestamp literal format (java.sql.Timestamp.valueOf)
+        start_s = start.strftime("%Y-%m-%d %H:%M:%S")
+        end_s = end.strftime("%Y-%m-%d %H:%M:%S")
+        query = query.replace(":start", f"TIMESTAMP('{start_s}')")
+        query = query.replace(":end", f"TIMESTAMP('{end_s}')")
+        reader = self.spark.read.format("jdbc").option(
+            "url", config["jdbc_url"]
         )
+        if driver := config.get("jdbc_driver"):
+            reader = reader.option("driver", driver)
         partitions = config.get("num_partitions")
         if partitions:
             reader = (
-                reader.option("partitionColumn", TS_COLUMN)
-                .option("lowerBound", start.isoformat())
-                .option("upperBound", end.isoformat())
+                reader.option("dbtable", f"({query}) AS kukur_q")
+                .option("partitionColumn", TS_COLUMN)
+                .option("lowerBound", start_s)
+                .option("upperBound", end_s)
                 .option("numPartitions", int(partitions))
             )
+        else:
+            reader = reader.option("query", query)
         df = reader.load()
+        # normalize driver-reported column case (Derby/Oracle report upper)
+        renames = {c.lower(): c for c in df.columns}
+        columns = [
+            F.col(renames[name]).alias(name)
+            for name in (TS_COLUMN, VALUE_COLUMN, "quality")
+            if name in renames
+        ]
+        df = df.select(columns)
         return df.filter(
             (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
         ).orderBy(TS_COLUMN)

@@ -254,3 +254,90 @@ def test_engine_default_time_range(spark, tmp_path):
     )
     # default trailing-year window does not include 2020 → empty result
     assert engine.get_data(SeriesSelector.from_name("d", "s1")).count() == 0
+
+
+def _derby_seed(spark, db_path):
+    """Create an embedded Derby database via the JVM (Derby ships on
+    Spark's classpath for the Hive metastore)."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    con = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db_path};create=true"
+    )
+    st = con.createStatement()
+    st.execute(
+        'CREATE TABLE series_data (name VARCHAR(64), '
+        '"ts" TIMESTAMP, "value" DOUBLE)'
+    )
+    for day, value in [(1, 1.5), (2, 2.5), (3, 3.5), (4, 4.5)]:
+        st.execute(
+            "INSERT INTO series_data VALUES "
+            f"('s1', TIMESTAMP('2020-01-0{day} 00:00:00'), {value})"
+        )
+    st.execute(
+        "INSERT INTO series_data VALUES "
+        "('other', TIMESTAMP('2020-01-01 00:00:00'), 99.0)"
+    )
+    st.close()
+    con.close()
+
+
+def test_jdbc_executor_path_embedded_derby(spark, tmp_path):
+    """S7 executor path: a real spark.read.jdbc (not the DB-API driver
+    path) against embedded Derby — tag + range predicates run in the
+    database, result lands as a DataFrame."""
+    db = str(tmp_path / "derbydb")
+    _derby_seed(spark, db)
+    source = SqlSource(
+        spark,
+        "db",
+        {
+            "type": "sql",
+            "connection_string": "unused-for-jdbc-path",
+            "jdbc_url": f"jdbc:derby:{db}",
+            "jdbc_driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "data_query_jdbc": (
+                'SELECT "ts", "value" FROM series_data '
+                "WHERE name = :tag0 AND \"ts\" >= :start AND \"ts\" < :end"
+            ),
+        },
+    )
+    rows = source.get_data(
+        SeriesSelector.from_name("db", "s1"),
+        START,
+        datetime(2020, 1, 4, tzinfo=timezone.utc),
+    ).collect()
+    assert [r["value"] for r in rows] == [1.5, 2.5, 3.5]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
+
+
+def test_jdbc_partitioned_read_options(spark, tmp_path):
+    """num_partitions splits the JDBC scan on ts into parallel executor
+    reads (the Spark shape of reference interval splitting M3)."""
+    db = str(tmp_path / "derbydb2")
+    _derby_seed(spark, db)
+    source = SqlSource(
+        spark,
+        "db",
+        {
+            "type": "sql",
+            "connection_string": "unused",
+            "jdbc_url": f"jdbc:derby:{db}",
+            "jdbc_driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "num_partitions": 3,
+            "data_query_jdbc": (
+                'SELECT "ts", "value" FROM series_data '
+                "WHERE name = :tag0 AND \"ts\" >= :start AND \"ts\" < :end"
+            ),
+        },
+    )
+    df = source.get_data(
+        SeriesSelector.from_name("db", "s1"),
+        START,
+        datetime(2020, 1, 5, tzinfo=timezone.utc),
+    )
+    # the scan itself is split 3 ways (the final orderBy re-shuffles, so
+    # assert on the JDBCRelation node, not the result partitioning)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=3" in plan, plan
+    assert [r["value"] for r in df.collect()] == [1.5, 2.5, 3.5, 4.5]
