@@ -152,3 +152,44 @@ def test_search_df_discovery_stays_distributed(spark, tmp_path):
     assert "EqualTo(`series name`,s1)" in plan
     # only the tag column is read for discovery
     assert "ReadSchema: struct<series name:string>" in plan
+
+
+def test_lttb_broadcast_anchors_no_python(spark):
+    """LTTB: one broadcast join for the anchor stats; the points stream
+    JVM-side only (no Python, no sort-merge, no cartesian)."""
+    plan = plan_of(QUERIES["ts_lttb"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ivf_broadcasts_centroids_corpus_never_shuffled(spark):
+    """IVF: centroids/queries broadcast; the corpus side never hash-
+    shuffles for a join (only its explicit repartition appears)."""
+    plan = plan_of(QUERIES["emb_ivf_topk"](spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_has_no_broadcast_hints(spark):
+    """Per-user stage tables are unbounded: the funnel must not HINT them
+    broadcast (ADVICE r01) — AQE may still choose broadcast from runtime
+    stats, which is exactly the desired behavior."""
+    df = QUERIES["events_funnel"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_kmeans_partial_aggregation_and_broadcast_seeds(spark):
+    """k-means step: seeds broadcast into the argmin (vectors never
+    shuffle for the assignment); re-estimation is a partial+final
+    aggregate."""
+    plan = plan_of(QUERIES["emb_kmeans_step"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan

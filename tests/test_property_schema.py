@@ -1,0 +1,89 @@
+"""Property tests for chunked-union schema promotion (SURVEY.md §1.2).
+
+Reference expectations: kukur/source/__init__.py:462-522 via
+tests/source/test_source_wrapper.py:249-282 — float64 default, string if
+any chunk is string, int64 only if all chunks are integer, quality kept
+if any chunk has it (null-filled elsewhere).
+"""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from kukur_spark.schema import (
+    QUALITY_COLUMN,
+    VALUE_COLUMN,
+    union_conform,
+)
+
+_BASE_TS = datetime(2020, 1, 1)
+
+chunk_spec = st.tuples(
+    st.sampled_from(["int", "double", "string"]),
+    st.booleans(),  # has quality column
+    st.integers(min_value=0, max_value=3),  # rows
+)
+
+
+def _build_chunk(spark, index, kind, has_quality, n_rows):
+    value_type = {
+        "int": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+    }[kind]
+    fields = [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField(VALUE_COLUMN, value_type),
+    ]
+    if has_quality:
+        fields.append(T.StructField(QUALITY_COLUMN, T.ByteType()))
+    rows = []
+    for row_index in range(n_rows):
+        value = {
+            "int": index * 10 + row_index,
+            "double": index * 10.0 + row_index + 0.5,
+            "string": f"v{index}-{row_index}",
+        }[kind]
+        row = [_BASE_TS + timedelta(hours=index * 10 + row_index), value]
+        if has_quality:
+            row.append(row_index % 2)
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+@given(st.lists(chunk_spec, min_size=1, max_size=4))
+@settings(max_examples=25, deadline=None)
+def test_union_conform_promotion_properties(spark, specs):
+    chunks = [
+        _build_chunk(spark, i, kind, has_quality, n)
+        for i, (kind, has_quality, n) in enumerate(specs)
+    ]
+    out = union_conform(chunks)
+    kinds = [kind for kind, _, _ in specs]
+    value_type = out.schema[VALUE_COLUMN].dataType
+    if "string" in kinds:
+        assert isinstance(value_type, T.StringType)
+    elif all(kind == "int" for kind in kinds):
+        assert isinstance(value_type, T.LongType)
+    else:
+        assert isinstance(value_type, T.DoubleType)
+    any_quality = any(has_quality for _, has_quality, _ in specs)
+    assert (QUALITY_COLUMN in out.columns) == any_quality
+    rows = out.orderBy("ts").collect()
+    assert len(rows) == sum(n for _, _, n in specs)
+    # quality: chunks without the column contribute nulls, never fabricated
+    if any_quality:
+        expected_nulls = sum(
+            n for _, has_quality, n in specs if not has_quality
+        )
+        assert sum(1 for r in rows if r[QUALITY_COLUMN] is None) == expected_nulls
+    # int chunks survive numeric promotion losslessly
+    if "string" not in kinds and "double" not in kinds:
+        values = {r[VALUE_COLUMN] for r in rows}
+        expected = {
+            i * 10 + j for i, (kind, _, n) in enumerate(specs) for j in range(n)
+        }
+        assert values == expected
