@@ -45,6 +45,7 @@ from kukur_spark.workloads_tpch import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES
 from kukur_spark.workloads_ts import TS_EXTRA_ORACLES, TS_EXTRA_QUERIES
 from kukur_spark.workloads_mm import MM_ORACLES, MM_QUERIES
 from kukur_spark.workloads_ts2 import TS2_ORACLES, TS2_QUERIES
+from kukur_spark.workloads_llm import LLM_ORACLES, LLM_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1785,6 +1786,7 @@ QUERIES.update(TPCH_EXTRA_QUERIES)
 QUERIES.update(TS_EXTRA_QUERIES)
 QUERIES.update(MM_QUERIES)
 QUERIES.update(TS2_QUERIES)
+QUERIES.update(LLM_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1843,4 +1845,5 @@ ORACLES: Dict[str, str] = {
     **TS_EXTRA_ORACLES,
     **MM_ORACLES,
     **TS2_ORACLES,
+    **LLM_ORACLES,
 }

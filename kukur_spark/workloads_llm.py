@@ -1,0 +1,389 @@
+"""Training-data pipeline operators, round 2: deterministic splits,
+decontamination, pipeline yield, retention cohorts, embedding-dimension
+stats, seasonal-residual anomalies.
+
+Beyond-reference operators (north-star §"large-scale training-data
+pipeline"); every query has an exact DuckDB oracle. All hot paths are
+JVM-side column expressions — Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+def docs_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable train/val/test assignment by content-independent hash.
+
+    Split membership must survive re-runs, engine changes and corpus
+    growth, so it hashes the immutable identity (source:doc_id) — never
+    row order or text.  md5's first hex nibble buckets 16 ways:
+    0-b → train (12/16), c-d → val (2/16), e-f → test (2/16).
+    Scale: a pure map-side projection — zero shuffles before the
+    presentation orderBy; at 100 TB this is a free column on the scan.
+    """
+    docs = load_table(spark, sf, "documents")
+    nibble = F.substring(
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 1
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(nibble < "c", "train")
+        .when(nibble < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+DOCS_SPLIT_SQL = """
+SELECT doc_id, source,
+  CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 1) < 'c'
+       THEN 'train'
+       WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 1) < 'e'
+       THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+def docs_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-overlap contamination of each doc against a benchmark set.
+
+    Benchmark = every 25th doc (stands in for an eval set).  Score =
+    |distinct doc tokens ∩ benchmark vocabulary| / |distinct doc tokens|,
+    scaled e6.  The benchmark vocabulary is a distinct-token frame —
+    small by construction — broadcast into the membership join, so the
+    corpus explodes its tokens map-side and aggregates back per doc
+    without ever joining doc×doc pairs (contrast ngram_jaccard's blocked
+    pair join).  One shuffle on (doc) for the count-back.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("tok"),
+    )
+    bench_vocab = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(bench_vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.expr("hits * 1000000 div n_tokens").alias("contamination_e6"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_DECONTAMINATE_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 25 = 0
+),
+doc_toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+)
+SELECT d.doc_id,
+  CAST(CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       * 1000000 // COUNT(*) AS BIGINT) AS contamination_e6,
+  COUNT(*) AS n_tokens
+FROM doc_toks d LEFT JOIN vocab v USING (tok)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline yield report
+# ---------------------------------------------------------------------------
+def docs_pipeline_yield(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor counts through a staged cleaning funnel.
+
+    Stages: raw → length (n_chars ≥ 120) → language (en) → token floor
+    (≥ 25 tokens) → exact-dedup survivor (lowest doc_id per text hash).
+    Conditional aggregation over ONE corpus scan — stages are cumulative
+    booleans, so no per-stage subquery re-scans; the dedup rank is the
+    only shuffle (window on the text fingerprint).
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    keep_rank = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = (
+        docs.withColumn("is_canonical", F.row_number().over(keep_rank) == 1)
+        .withColumn("s1", F.col("n_chars") >= 120)
+        .withColumn("s2", F.col("s1") & (F.col("lang") == "en"))
+        .withColumn("s3", F.col("s2") & (F.col("n_toks") >= 25))
+        .withColumn("s4", F.col("s3") & F.col("is_canonical"))
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("s1").cast("long")).alias("len_ok"),
+        F.sum(F.col("s2").cast("long")).alias("lang_ok"),
+        F.sum(F.col("s3").cast("long")).alias("tok_ok"),
+        F.sum(F.col("s4").cast("long")).alias("deduped"),
+    )
+    stages = [
+        ("1_raw", "raw"), ("2_len", "len_ok"), ("3_lang", "lang_ok"),
+        ("4_tok", "tok_ok"), ("5_dedup", "deduped"),
+    ]
+    return (
+        agg.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(name).alias("stage"), F.col(col).alias("docs")
+                    )
+                    for name, col in stages
+                ])
+            ).alias("s")
+        )
+        .select("s.stage", "s.docs")
+        .orderBy("stage")
+    )
+
+
+DOCS_YIELD_SQL = """
+WITH flagged AS (
+  SELECT n_chars, lang,
+    len(string_split(text, ' ')) AS n_toks,
+    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      AS is_canonical
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS raw,
+    CAST(SUM(CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
+    CAST(SUM(CASE WHEN n_chars >= 120 AND lang = 'en'
+             THEN 1 ELSE 0 END) AS BIGINT) AS lang_ok,
+    CAST(SUM(CASE WHEN n_chars >= 120 AND lang = 'en' AND n_toks >= 25
+             THEN 1 ELSE 0 END) AS BIGINT) AS tok_ok,
+    CAST(SUM(CASE WHEN n_chars >= 120 AND lang = 'en' AND n_toks >= 25
+                  AND is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS deduped
+  FROM flagged
+)
+SELECT '1_raw' AS stage, raw AS docs FROM agg
+UNION ALL SELECT '2_len', len_ok FROM agg
+UNION ALL SELECT '3_lang', lang_ok FROM agg
+UNION ALL SELECT '4_tok', tok_ok FROM agg
+UNION ALL SELECT '5_dedup', deduped FROM agg
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort (first-seen day) × day-offset distinct-user retention.
+
+    The cohort day rides along from one user-key aggregate (min day per
+    user) joined back on user_id; the matrix is a (cohort, offset)
+    count-distinct.  Two key shuffles total; both partial-aggregate
+    map-side.  No window over the raw stream.
+    """
+    events = load_table(spark, sf, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    cohorts = events.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        events.join(cohorts, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_day").alias("cohort_day_us"),
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+        .orderBy("cohort_day_us", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT epoch_us(cohort_day) AS cohort_day_us,
+  date_diff('day', cohort_day, day) AS day_offset,
+  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS users
+FROM days d JOIN cohorts c USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day_us, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding dimension statistics
+# ---------------------------------------------------------------------------
+def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension corpus stats (mean_e6 / min / max) for normalization.
+
+    posexplode keeps (dim, value) pairs skinny on the single (dim)
+    aggregate shuffle; means go through the decimal bridge so the e6
+    floor is order-independent (bit-exact vs the oracle).  At 100 TB the
+    shuffle carries num_dims × partitions partial rows — nothing else.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    dims = emb.select(F.posexplode(F.col("embedding")).alias("pos", "v"))
+    return (
+        dims.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.floor(
+                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
+                * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.min(F.col("v").cast("double")).alias("min_v"),
+            F.max(F.col("v").cast("double")).alias("max_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "dim",
+            F.expr("sum_e6 div n").alias("mean_e6"),
+            "min_v",
+            "max_v",
+            "n",
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_STATS_SQL = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings
+)
+SELECT dim,
+  CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(30,10)))
+       * 1000000) AS BIGINT) // COUNT(*) AS mean_e6,
+  MIN(CAST(embedding[dim] AS DOUBLE)) AS min_v,
+  MAX(CAST(embedding[dim] AS DOUBLE)) AS max_v,
+  COUNT(*) AS n
+FROM dims
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# seasonal-residual anomalies
+# ---------------------------------------------------------------------------
+def ts_seasonal_residual_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value deviates > 3σ from the per-(series, hour-of-day)
+    seasonal mean — the seasonal-profile-adjusted twin of plain z-score
+    outliers.
+
+    Profile stats (mean/stddev per series×hour, 24×|series| rows) come
+    from one partial-aggregated shuffle and broadcast back; the outlier
+    predicate is then a map-side expression on the original stream.
+    Exactness: the residual is compared through e6-scaled decimal means,
+    and σ² uses the decimal-bridged moment form n·Σv² − (Σv)² over e6
+    integers, so the 3σ cut is bit-identical cross-engine.
+    """
+    events = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    )
+    # moment sums land as exact e6 integers (decimal bridge); v·v is the
+    # same IEEE double in both engines, so its bridged sum is too
+    stats = events.groupBy("event_type", "hod").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.floor(
+            F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)"))
+            * 1_000_000
+        ).cast("long").alias("sumsq_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = events.join(F.broadcast(stats), ["event_type", "hod"])
+    # predicate evaluated in double from the exact integer sums with the
+    # same operation order as the oracle SQL: identical inputs + identical
+    # IEEE ops == identical comparison outcomes, no epsilon needed
+    mean = F.col("sum_e6").cast("double") / F.col("n") / 1_000_000.0
+    msq = F.col("sumsq_e6").cast("double") / F.col("n") / 1_000_000.0
+    dev = F.col("value") - mean
+    variance = msq - mean * mean
+    return (
+        joined.filter((F.col("n") > 1) & (dev * dev > 9.0 * variance))
+        .select("event_type", "ts_us", "event_id", "value", "hod")
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+TS_SEASONAL_RESIDUAL_SQL = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod, value
+  FROM events
+),
+stats AS (
+  SELECT event_type, hod,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000)
+      AS BIGINT) AS sumsq_e6,
+    COUNT(*) AS n
+  FROM base GROUP BY event_type, hod
+)
+SELECT b.event_type, b.ts_us, b.event_id, b.value, b.hod
+FROM base b JOIN stats s USING (event_type, hod)
+WHERE s.n > 1 AND
+  (b.value - CAST(s.sum_e6 AS DOUBLE) / s.n / 1000000.0)
+  * (b.value - CAST(s.sum_e6 AS DOUBLE) / s.n / 1000000.0)
+  > 9.0 * (CAST(s.sumsq_e6 AS DOUBLE) / s.n / 1000000.0
+           - (CAST(s.sum_e6 AS DOUBLE) / s.n / 1000000.0)
+             * (CAST(s.sum_e6 AS DOUBLE) / s.n / 1000000.0))
+ORDER BY b.event_type, b.ts_us, b.event_id
+"""
+
+
+LLM_QUERIES = {
+    "docs_split_assign": docs_split_assign,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_pipeline_yield": docs_pipeline_yield,
+    "events_retention_cohorts": events_retention_cohorts,
+    "emb_dim_stats": emb_dim_stats,
+    "ts_seasonal_residual_outliers": ts_seasonal_residual_outliers,
+}
+
+LLM_ORACLES = {
+    "docs_split_assign": DOCS_SPLIT_SQL,
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_pipeline_yield": DOCS_YIELD_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "emb_dim_stats": EMB_DIM_STATS_SQL,
+    "ts_seasonal_residual_outliers": TS_SEASONAL_RESIDUAL_SQL,
+}

@@ -1,0 +1,41 @@
+"""Round-2 training-pipeline operators: invariant tests (the exact-value
+gate is scripts/check_oracle.py / the driver's CORRECTNESS run)."""
+
+from kukur_spark.workloads import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_assign_is_deterministic_and_total(spark):
+    df = QUERIES["docs_split_assign"](spark, SF)
+    rows = df.collect()
+    again = QUERIES["docs_split_assign"](spark, SF).collect()
+    assert rows == again  # stable across runs
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"}
+    n = len(rows)
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert 0.5 < n_train / n < 0.9  # ~12/16 expected
+
+def test_pipeline_yield_monotone(spark):
+    rows = QUERIES["docs_pipeline_yield"](spark, SF).collect()
+    counts = [r["docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # funnel never grows
+    assert len(counts) == 5
+
+def test_retention_offsets_nonnegative(spark):
+    rows = QUERIES["events_retention_cohorts"](spark, SF).collect()
+    assert all(r["day_offset"] >= 0 for r in rows)
+    assert all(r["users"] >= 1 for r in rows)
+
+def test_contamination_bounds(spark):
+    rows = QUERIES["docs_decontaminate"](spark, SF).collect()
+    assert all(0 <= r["contamination_e6"] <= 1_000_000 for r in rows)
+
+def test_llm_queries_registered_with_oracles(spark):
+    for name in [
+        "docs_split_assign", "docs_decontaminate", "docs_pipeline_yield",
+        "events_retention_cohorts", "emb_dim_stats",
+        "ts_seasonal_residual_outliers",
+    ]:
+        assert name in QUERIES and name in ORACLES
