@@ -193,3 +193,20 @@ def test_kmeans_partial_aggregation_and_broadcast_seeds(spark):
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_split_assign_is_pure_projection(spark):
+    """Split assignment adds a column on the scan: no joins, no
+    aggregates — only the presentation sort exchanges."""
+    plan = plan_of(QUERIES["docs_split_assign"](spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_decontaminate_broadcasts_vocabulary(spark):
+    """The benchmark vocabulary broadcasts; docs never pair-join."""
+    plan = plan_of(QUERIES["docs_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
