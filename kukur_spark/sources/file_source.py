@@ -650,12 +650,21 @@ class FileSource:
                 [{"key": SERIES_NAME_TAG, "values": names}],
             )
         df = self.data_frame()
-        tag_values = []
-        for key in opts.tag_columns:
-            values = [
-                r[0] for r in df.select(key).distinct().orderBy(key).collect()
+        # one aggregation job for every tag column (previously one Spark
+        # job per column): collect_set partial-aggregates map-side, so the
+        # shuffle carries per-partition distinct sets only. The result is
+        # driver-materialized by API contract (SourceStructure returns
+        # value lists) — same bound as the reference.
+        tag_cols = [c for c in opts.tag_columns if c in df.columns]
+        row = df.agg(
+            *[
+                F.sort_array(F.collect_set(_literal_col(c))).alias(c)
+                for c in tag_cols
             ]
-            tag_values.append({"key": key, "values": values})
+        ).collect()[0]
+        tag_values = [
+            {"key": key, "values": list(row[key])} for key in tag_cols
+        ]
         return SourceStructure(
             list(opts.field_columns), list(opts.tag_columns), tag_values
         )
