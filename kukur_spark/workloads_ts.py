@@ -866,13 +866,29 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
         - (ax_s - px_s) * (F.col("cy") - F.col("ay"))
     )
     mid = mid.withColumn("area", F.coalesce(area, F.lit(-1.0)))
-    wpick = Window.partitionBy("event_type", "bucket").orderBy(
-        F.col("area").desc(), "ts_us", "event_id"
+    # per-bucket argmax as a struct-max aggregate (partial+final, map-side
+    # combine) instead of a row_number window: no full sort shuffle of the
+    # mid rows — the shuffle carries one candidate per (series, bucket)
+    # per partition. Negated ts/event_id fields give the desc-area,
+    # asc-ts, asc-id tie order under lexicographic struct max.
+    cand = F.struct(
+        F.col("area").alias("a"),
+        (-F.col("ts_us")).alias("nt"),
+        (-F.col("event_id")).alias("ni"),
+        F.col("ts_us").alias("t"),
+        F.col("event_id").alias("i"),
+        F.col("value").alias("v"),
     )
     peaks = (
-        mid.withColumn("rn", F.row_number().over(wpick))
-        .filter(F.col("rn") == 1)
-        .select("event_type", "bucket", "ts_us", "event_id", "value")
+        mid.groupBy("event_type", "bucket")
+        .agg(F.max(cand).alias("p"))
+        .select(
+            "event_type",
+            "bucket",
+            F.col("p.t").alias("ts_us"),
+            F.col("p.i").alias("event_id"),
+            F.col("p.v").alias("value"),
+        )
     )
     first = cents.filter(F.col("bucket") == 0).select(
         "event_type",
