@@ -387,3 +387,117 @@ LLM_ORACLES = {
     "emb_dim_stats": EMB_DIM_STATS_SQL,
     "ts_seasonal_residual_outliers": TS_SEASONAL_RESIDUAL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence
+# ---------------------------------------------------------------------------
+def orders_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Top part pairs co-occurring within an order (support counts).
+
+    The pair fan-out is the classic self-join on the basket key — bounded
+    by per-order line count squared, never corpus-quadratic; both sides
+    co-partition on l_orderkey so the join is one shuffle of the skinny
+    (orderkey, partkey) projection.  Distinct parts per order first, so
+    duplicate lines of one part don't inflate support.
+    """
+    lines = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = lines.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    right = lines.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = left.join(right, "okey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+ORDERS_BASKET_SQL = """
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  COUNT(*) AS support
+FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+ORDER BY support DESC, part_a, part_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# downtime intervals (merged gap windows)
+# ---------------------------------------------------------------------------
+def ts_downtime_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series daily downtime report: count and total duration of
+    sampling gaps longer than 10 minutes, attributed to the day the gap
+    starts.
+
+    The gap stream is the lag-window projection of ts_gap_detect; the
+    report is one partial+final aggregate over (series, day) — two
+    shuffles total, no arrays, no iteration.
+    """
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    prev = F.lag("ts_us").over(w)
+    gaps = (
+        base.withColumn("gap_start_us", prev)
+        .withColumn("gap_us", F.col("ts_us") - prev)
+        .filter(F.col("gap_us") > 10 * 60 * 1_000_000)
+    )
+    return (
+        gaps.groupBy(
+            "event_type",
+            (
+                F.col("gap_start_us") - F.col("gap_start_us") % 86_400_000_000
+            ).alias("day_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("downtime_us"),
+            F.max("gap_us").alias("longest_gap_us"),
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+TS_DOWNTIME_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+gaps AS (
+  SELECT event_type,
+    LAG(ts_us) OVER (
+      PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_start_us,
+    ts_us - LAG(ts_us) OVER (
+      PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_us
+  FROM base
+)
+SELECT event_type,
+  gap_start_us - gap_start_us % 86400000000 AS day_us,
+  COUNT(*) AS n_gaps,
+  CAST(SUM(gap_us) AS BIGINT) AS downtime_us,
+  MAX(gap_us) AS longest_gap_us
+FROM gaps
+WHERE gap_us > 600000000
+GROUP BY event_type, day_us
+ORDER BY event_type, day_us
+"""
+
+LLM_QUERIES["orders_market_basket"] = orders_market_basket
+LLM_QUERIES["ts_downtime_intervals"] = ts_downtime_intervals
+LLM_ORACLES["orders_market_basket"] = ORDERS_BASKET_SQL
+LLM_ORACLES["ts_downtime_intervals"] = TS_DOWNTIME_SQL

@@ -36,6 +36,18 @@ def test_llm_queries_registered_with_oracles(spark):
     for name in [
         "docs_split_assign", "docs_decontaminate", "docs_pipeline_yield",
         "events_retention_cohorts", "emb_dim_stats",
-        "ts_seasonal_residual_outliers",
+        "ts_seasonal_residual_outliers", "orders_market_basket",
+        "ts_downtime_intervals",
     ]:
         assert name in QUERIES and name in ORACLES
+
+
+def test_market_basket_pairs_canonical(spark):
+    rows = QUERIES["orders_market_basket"](spark, SF).collect()
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+    assert all(r["support"] >= 2 for r in rows)
+
+def test_downtime_positive_durations(spark):
+    rows = QUERIES["ts_downtime_intervals"](spark, SF).collect()
+    assert all(r["downtime_us"] >= r["longest_gap_us"] > 600_000_000 for r in rows)
+    assert all(r["n_gaps"] >= 1 for r in rows)
