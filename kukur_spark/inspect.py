@@ -134,6 +134,12 @@ def preview(
         df = spark.read.json(inspected.path)
     elif rt == "delta":
         df = spark.read.format("delta").load(inspected.path)
+    elif rt == "excel":
+        from kukur_spark.sources.excel import ExcelSource
+
+        df = ExcelSource(
+            spark, "inspect", {"path": inspected.path}
+        )._frame()
     elif rt in ("arrow", "arrows"):
         import pyarrow as pa
         import pyarrow.feather

@@ -103,3 +103,19 @@ def test_inspect_uri_without_session_raises(tmp_path):
 
     with pytest.raises(ValueError):
         inspect_path(f"file://{tmp_path}")
+
+
+def test_preview_excel(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_sources_exotic import _write_xlsx
+    from kukur_spark.inspect import InspectedPath
+    from kukur_spark.inspect import preview as preview_fn
+
+    path = str(tmp_path / "p.xlsx")
+    _write_xlsx(path)
+    df = preview_fn(spark, InspectedPath(path, "excel"), num_rows=10)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r["series name"] for r in rows} == {"alpha", "beta"}
