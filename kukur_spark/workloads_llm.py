@@ -501,3 +501,225 @@ LLM_QUERIES["orders_market_basket"] = orders_market_basket
 LLM_QUERIES["ts_downtime_intervals"] = ts_downtime_intervals
 LLM_ORACLES["orders_market_basket"] = ORDERS_BASKET_SQL
 LLM_ORACLES["ts_downtime_intervals"] = TS_DOWNTIME_SQL
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC top-k)
+# ---------------------------------------------------------------------------
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace (64-dim embeddings)
+_PQ_CODES = 16     # codebook entries per subspace (seeds: vec_id 0..15)
+_PQ_K = 5
+_PQ_QUERIES = 10
+
+
+def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: encode the corpus once, answer queries
+    from code lookups (asymmetric distance computation).
+
+    Completes the ANN family (brute force / LSH / IVF): PQ is the
+    memory-scale path — each 64-dim float vector compresses to 8 one-byte
+    codes, so a 100 TB embedding corpus becomes ~1.5 TB of codes that
+    *stay* distributed; queries compare against codebook reconstructions,
+    never raw vectors.  Codebooks are the embeddings of vec_id 0..15
+    sliced per subspace, shipped as driver-side literals (the LSH-planes
+    pattern — no per-row codebook join).  Encoding and ADC are pure
+    column expressions; every float addition chain is written in the same
+    left-associative order as the oracle SQL, so distances are IEEE-
+    identical cross-engine.  One shuffle: the per-query top-k window.
+    """
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed_rows = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    # cb[s][c][d]: python floats -> literal columns
+    cb = [
+        [
+            [float(row["v"][s * _PQ_DSUB + d]) for d in range(_PQ_DSUB)]
+            for row in seed_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+
+    def _arr_sql(values):
+        return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
+
+    # literal arrays as single parsed SQL expressions: per-element F.lit
+    # would cost ~2000 py4j round trips (~10 s of driver time) just to
+    # build the codebook tree
+    def cb_array(s):
+        return F.expr(
+            "array("
+            + ", ".join(_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
+            + ")"
+        )
+
+    # every expression below lands as ONE parsed SQL string per column:
+    # building the equivalent tree through the Column API costs hundreds
+    # of py4j round trips (F.lit / lambda wrapping) and ~8 s of driver
+    # time per call. The fold is `aggregate(zip_with(...), 0.0, +)` —
+    # 0.0+t1+…+t8 == t1+…+t8 (squares are non-negative), the oracle's
+    # left-associative chain order.
+    def sq_fold_sql(sub_expr, ref_expr):
+        return (
+            f"aggregate(zip_with({sub_expr}, {ref_expr}, "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    # encode: per subspace, argmin over the 16 codebook entries
+    # (array_position of the min → ties resolve to the lowest code)
+    enc = emb.select(
+        "vec_id",
+        *[
+            F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"sub{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    code_cols = []
+    for s in range(_PQ_M):
+        dists = (
+            "array("
+            + ", ".join(
+                sq_fold_sql(f"sub{s}", _arr_sql(cb[s][c]))
+                for c in range(_PQ_CODES)
+            )
+            + ")"
+        )
+        code_cols.append(
+            F.expr(
+                f"cast(array_position({dists}, array_min({dists})) - 1"
+                " as int)"
+            ).alias(f"code{s}")
+        )
+    codes = enc.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
+    queries = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # reconstruct each neighbor once per subspace (one element_at into the
+    # literal codebook), then fold the query diff against that column
+    cb_sql = [
+        "array("
+        + ", ".join(_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
+        + ")"
+        for s in range(_PQ_M)
+    ]
+    joined = (
+        codes.join(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"qsub{s}")
+                for s in range(_PQ_M)
+            ],
+            *[
+                F.expr(f"element_at({cb_sql[s]}, code{s} + 1)").alias(
+                    f"rec{s}"
+                )
+                for s in range(_PQ_M)
+            ],
+        )
+    )
+    adc = F.expr(
+        " + ".join(sq_fold_sql(f"qsub{s}", f"rec{s}") for s in range(_PQ_M))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_sql() -> str:
+    """Oracle: identical math with seeds from the table (same parquet
+    floats the Spark literals came from), same left-assoc chains."""
+    m, dsub, codes, k, nq = _PQ_M, _PQ_DSUB, _PQ_CODES, _PQ_K, _PQ_QUERIES
+
+    def enc_dist(s):
+        return " + ".join(
+            f"(CAST(e.embedding[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(se.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(se.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            for d in range(dsub)
+        )
+
+    enc_unions = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {s} AS s, se.vec_id AS c, {enc_dist(s)} AS dist\n"
+        f"FROM embeddings e, seeds se"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END) AS code{s}" for s in range(m)
+    )
+    seed_joins = "\n".join(
+        f"JOIN seeds s{s} ON s{s}.vec_id = c.code{s}" for s in range(m)
+    )
+    adc = " + ".join(
+        "(" + " + ".join(
+            f"(CAST(q.qv[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(s{s}.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            f" * (CAST(q.qv[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(s{s}.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            for d in range(dsub)
+        ) + ")"
+        for s in range(m)
+    )
+    return f"""
+WITH seeds AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {codes}
+),
+enc_scored AS (
+{enc_unions}
+),
+enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+    FROM enc_scored
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, {code_cols} FROM enc GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {nq}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {adc} AS adc
+  FROM codes c
+{seed_joins}
+  , q
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM ranked_src
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+""".replace("ranked_src", "scored")
+
+
+LLM_QUERIES["emb_pq_topk"] = emb_pq_topk
+LLM_ORACLES["emb_pq_topk"] = _pq_sql()

@@ -51,3 +51,15 @@ def test_downtime_positive_durations(spark):
     rows = QUERIES["ts_downtime_intervals"](spark, SF).collect()
     assert all(r["downtime_us"] >= r["longest_gap_us"] > 600_000_000 for r in rows)
     assert all(r["n_gaps"] >= 1 for r in rows)
+
+
+def test_pq_topk_shape_and_rank(spark):
+    rows = QUERIES["emb_pq_topk"](spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, group in by_q.items():
+        assert [g["rank"] for g in group] == list(range(1, len(group) + 1))
+        adcs = [g["adc"] for g in group]
+        assert adcs == sorted(adcs)
+        assert all(g["neighbor_id"] != q for g in group)
