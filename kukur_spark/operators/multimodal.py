@@ -177,3 +177,50 @@ def frame_sample(df: DataFrame, every_ms: int = 200) -> DataFrame:
             F.col("meta.size_bytes").alias("size_bytes"),
         )
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_byte_sum", T.LongType()),
+    ]
+)
+
+
+def resize_stride(
+    df: DataFrame, factor: int = 4, real_codec: bool = False
+) -> DataFrame:
+    """Resize/downsample plumbing: payload → every ``factor``-th byte.
+
+    A real image resize (decode → interpolate → re-encode) plugs in where
+    ``_decode_payload`` gates on the codec; the deterministic byte-stride
+    stand-in keeps the full distributed shape real — binary in, smaller
+    binary out through an Arrow ``mapInPandas`` batch, new payload plus
+    summary stats, nothing through the driver.
+    """
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "modality": [],
+                "payload": [],
+                "resized_bytes": [],
+                "resized_byte_sum": [],
+            }
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                data = _decode_payload(bytes(payload), modality, real_codec)
+                small = data[::factor]
+                out["asset_id"].append(int(asset_id))
+                out["modality"].append(modality)
+                out["payload"].append(small)
+                out["resized_bytes"].append(len(small))
+                out["resized_byte_sum"].append(sum(small))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(shrink, RESIZE_SCHEMA)

@@ -117,12 +117,62 @@ ORDER BY asset_id, frame_offset_ms
 """
 
 
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing: payload → every-4th-byte downsample through an
+    Arrow mapInPandas batch; the oracle rebuilds the strided bytes from
+    the sha256 keystream, so the binary-out path is value-checked too
+    (via the summary stats — DuckDB here only hashes VARCHAR columns)."""
+    from kukur_spark.operators.multimodal import resize_stride
+
+    assets = synthesize_assets(spark, n=N_ASSETS)
+    return (
+        resize_stride(assets, factor=4)
+        .select("asset_id", "modality", "resized_bytes", "resized_byte_sum")
+        .orderBy("asset_id")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH base AS (
+  SELECT range AS id,
+    CASE (range % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      AS modality,
+    (range % 977 + 64)::BIGINT AS size_bytes,
+    sha256(range::VARCHAR) AS seed_hex
+  FROM range({N_ASSETS})
+),
+payload AS (
+  SELECT id, modality, size_bytes,
+    substr(repeat(seed_hex, (size_bytes // 32 + 1)::INT),
+           1, (2 * size_bytes)::INT) AS payload_hex
+  FROM base
+),
+sampled AS (
+  SELECT id, payload_hex,
+    unnest(generate_series(0, size_bytes - 1, 4)) AS i
+  FROM payload
+),
+bytes AS (
+  SELECT id, ('0x' || substr(payload_hex, (2 * i + 1)::INT, 2))::INT AS bv
+  FROM sampled
+)
+SELECT p.id AS asset_id, p.modality,
+  COUNT(b.bv) AS resized_bytes,
+  CAST(SUM(b.bv) AS BIGINT) AS resized_byte_sum
+FROM payload p JOIN bytes b ON b.id = p.id
+GROUP BY p.id, p.modality
+ORDER BY asset_id
+"""
+
+
 MM_QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 MM_ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }

@@ -65,3 +65,27 @@ def test_frame_sample_offsets(spark, assets):
     # offsets are [0, duration): 0,250,500,750 for duration_ms=1000 — an
     # offset at exactly t == duration would be past the end of the media
     assert all(r["count"] == 4 for r in rows)
+
+
+def test_resize_stride_payload_and_stats(spark):
+    from kukur_spark.operators.multimodal import resize_stride, synthesize_assets
+
+    assets = synthesize_assets(spark, n=20)
+    rows = resize_stride(assets, factor=4).orderBy("asset_id").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["payload"]) == r["resized_bytes"]
+        assert sum(r["payload"]) == r["resized_byte_sum"]
+
+
+def test_resize_real_codec_gated(spark):
+    import pytest as _pytest
+
+    from kukur_spark.operators.multimodal import resize_stride, synthesize_assets
+
+    assets = synthesize_assets(spark, n=3)
+    with _pytest.raises(Exception) as err:
+        resize_stride(assets, real_codec=True).collect()
+    assert "NotImplementedError" in str(err.value) or isinstance(
+        err.value, NotImplementedError
+    )
