@@ -723,3 +723,145 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 
 LLM_QUERIES["emb_pq_topk"] = emb_pq_topk
 LLM_ORACLES["emb_pq_topk"] = _pq_sql()
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+def ts_seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict this hour's
+    mean = the same hour 7 days earlier), reporting per-series MAE.
+
+    The hourly panel aggregates once (partial+final); the forecast join
+    is an equi-join of the panel against itself shifted by 7 days — both
+    sides co-partition on (series, hour-key), no window over raw rows.
+    The error sums stay in e6 integers so MAE is bit-exact cross-engine.
+    """
+    events = load_table(spark, sf, "events")
+    hourly = events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros("ts") % 3_600_000_000).alias(
+            "hour_us"
+        ),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        "hour_us",
+        F.expr("sum_e6 div n").alias("mean_e6"),
+    )
+    week_us = 7 * 86_400_000_000
+    actual = hourly.select(
+        "event_type", "hour_us", F.col("mean_e6").alias("actual_e6")
+    )
+    predicted = hourly.select(
+        "event_type",
+        (F.col("hour_us") + week_us).alias("hour_us"),
+        F.col("mean_e6").alias("pred_e6"),
+    )
+    return (
+        actual.join(predicted, ["event_type", "hour_us"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.abs(F.col("actual_e6") - F.col("pred_e6"))).alias(
+                "abs_err_sum_e6"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.expr("abs_err_sum_e6 div n_hours").alias("mae_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_SEASONAL_NAIVE_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      // COUNT(*) AS mean_e6
+  FROM events GROUP BY event_type, hour_us
+)
+SELECT a.event_type, COUNT(*) AS n_hours,
+  CAST(SUM(ABS(a.mean_e6 - p.mean_e6)) AS BIGINT) // COUNT(*) AS mae_e6
+FROM hourly a JOIN hourly p
+  ON a.event_type = p.event_type
+ AND a.hour_us = p.hour_us + 604800000000
+GROUP BY a.event_type
+ORDER BY a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user consecutive event-type transition counts with e6
+    row-normalized probabilities — the first-order Markov view of user
+    journeys.
+
+    One user-key window for the lag, one (from, to) aggregate, one tiny
+    broadcast of the per-from totals — the raw stream shuffles once.
+    """
+    events = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div row_total").alias("p_e6"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+pairs AS (
+  SELECT
+    LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type,
+    event_type AS to_type
+  FROM base
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+  c.n * 1000000 // t.row_total AS p_e6
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY c.from_type, c.to_type
+"""
+
+LLM_QUERIES["ts_seasonal_naive_backtest"] = ts_seasonal_naive_backtest
+LLM_QUERIES["events_transition_matrix"] = events_transition_matrix
+LLM_ORACLES["ts_seasonal_naive_backtest"] = TS_SEASONAL_NAIVE_SQL
+LLM_ORACLES["events_transition_matrix"] = EVENTS_TRANSITION_SQL

@@ -63,3 +63,21 @@ def test_pq_topk_shape_and_rank(spark):
         adcs = [g["adc"] for g in group]
         assert adcs == sorted(adcs)
         assert all(g["neighbor_id"] != q for g in group)
+
+
+def test_transition_matrix_probabilities_normalize(spark):
+    rows = QUERIES["events_transition_matrix"](spark, SF).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for from_type, group in by_from.items():
+        total_p = sum(g["p_e6"] for g in group)
+        # integer-floor division: sums to 1e6 minus rounding slack
+        assert 1_000_000 - len(group) < total_p <= 1_000_000
+        assert all(g["n"] >= 1 for g in group)
+
+
+def test_seasonal_naive_backtest_sane(spark):
+    rows = QUERIES["ts_seasonal_naive_backtest"](spark, SF).collect()
+    assert rows
+    assert all(r["mae_e6"] >= 0 and r["n_hours"] > 0 for r in rows)
