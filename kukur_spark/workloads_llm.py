@@ -865,3 +865,181 @@ LLM_QUERIES["ts_seasonal_naive_backtest"] = ts_seasonal_naive_backtest
 LLM_QUERIES["events_transition_matrix"] = events_transition_matrix
 LLM_ORACLES["ts_seasonal_naive_backtest"] = TS_SEASONAL_NAIVE_SQL
 LLM_ORACLES["events_transition_matrix"] = EVENTS_TRANSITION_SQL
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup
+# ---------------------------------------------------------------------------
+def docs_prefix_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs where one document is an exact prefix of a longer one —
+    the truncation-dup class that exact-hash dedup misses.
+
+    Blocked equi-join on the first 32 characters (every doc has ≥ 48
+    chars in this corpus; at 100 TB the block key bounds the candidate
+    set exactly like the n-gram block), then a startswith verify.
+    Equal-length ties (exact dups) keep the lower id as the prefix side.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", F.length("text").alias("n"),
+        F.substring("text", 1, 32).alias("blk"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("prefix_id"), F.col("text").alias("a_text"),
+        F.col("n").alias("a_n"), "blk",
+    )
+    b = docs.select(
+        F.col("doc_id").alias("full_id"), F.col("text").alias("b_text"),
+        F.col("n").alias("b_n"), "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (
+                (F.col("a_n") < F.col("b_n"))
+                | ((F.col("a_n") == F.col("b_n"))
+                   & (F.col("prefix_id") < F.col("full_id")))
+            )
+            & F.col("b_text").startswith(F.col("a_text"))
+        )
+        .select("prefix_id", "full_id", F.col("a_n").alias("prefix_chars"))
+        .orderBy("prefix_id", "full_id")
+    )
+
+
+DOCS_PREFIX_SQL = """
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n, left(text, 32) AS blk FROM documents
+)
+SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
+  CAST(a.n AS BIGINT) AS prefix_chars
+FROM d a JOIN d b ON a.blk = b.blk
+WHERE ((a.n < b.n) OR (a.n = b.n AND a.doc_id < b.doc_id))
+  AND starts_with(b.text, a.text)
+ORDER BY prefix_id, full_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition: variance explained by trend + daily seasonality
+# ---------------------------------------------------------------------------
+def ts_stl_lite(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series decomposition quality: how much hourly variance the
+    centered 24 h rolling trend plus the hour-of-day seasonal profile
+    explain.
+
+    Panel → trend (24-row centered window over e6 integers) → seasonal
+    (per-(series, hour-of-day) integer mean of the detrended series) →
+    residual.  Every intermediate is an e6 integer (integer division
+    throughout) and the sums of squares run in decimal(38,0), so the
+    variance ratio is bit-exact cross-engine.  Shuffles: hourly panel
+    aggregate, one series-key window, the seasonal aggregate, final
+    per-series reduce — all partial-aggregated.
+    """
+    events = load_table(spark, sf, "events")
+    hourly = events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros("ts") % 3_600_000_000).alias(
+            "hour_us"
+        ),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "event_type",
+        "hour_us",
+        F.expr("sum_e6 div cnt").alias("mean_e6"),
+        F.expr("hour_us div 3600000000 % 24").alias("hod"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(-12, 11)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour_us",
+        "hod",
+        "mean_e6",
+        F.expr(
+            "sum(mean_e6) over (partition by event_type order by hour_us "
+            "rows between 12 preceding and 11 following) div "
+            "count(mean_e6) over (partition by event_type order by hour_us "
+            "rows between 12 preceding and 11 following)"
+        ).alias("trend_e6"),
+    ).withColumn("detr_e6", F.col("mean_e6") - F.col("trend_e6"))
+    seasonal = trended.groupBy("event_type", "hod").agg(
+        F.sum("detr_e6").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt")
+    ).select(
+        "event_type", "hod", F.expr("s_sum div s_cnt").alias("seasonal_e6")
+    )
+    joined = trended.join(seasonal, ["event_type", "hod"]).withColumn(
+        "resid_e6", F.col("detr_e6") - F.col("seasonal_e6")
+    )
+    sq = lambda c: (  # noqa: E731
+        F.col(c).cast("decimal(19,0)") * F.col(c).cast("decimal(19,0)")
+    )
+    stats = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(sq("detr_e6")).alias("detr_ss"),
+        F.sum(sq("resid_e6")).alias("resid_ss"),
+    )
+    return stats.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "cast(case when detr_ss = 0 then 1000000 else "
+            "(detr_ss - resid_ss) * 1000000 div detr_ss end as bigint)"
+        ).alias("seasonal_share_e6"),
+    ).orderBy("event_type")
+
+
+TS_STL_LITE_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      // COUNT(*) AS mean_e6,
+    (epoch_us(ts) - epoch_us(ts) % 3600000000) // 3600000000 % 24 AS hod
+  FROM events GROUP BY event_type, hour_us, hod
+),
+trended AS (
+  SELECT event_type, hour_us, hod, mean_e6,
+    mean_e6
+      - CAST(SUM(mean_e6) OVER w AS BIGINT)
+        // CAST(COUNT(mean_e6) OVER w AS BIGINT) AS detr_e6
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+),
+seasonal AS (
+  SELECT event_type, hod,
+    CAST(SUM(detr_e6) AS BIGINT) // COUNT(*) AS seasonal_e6
+  FROM trended GROUP BY event_type, hod
+),
+resid AS (
+  SELECT t.event_type, t.detr_e6,
+    t.detr_e6 - s.seasonal_e6 AS resid_e6
+  FROM trended t JOIN seasonal s USING (event_type, hod)
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+    SUM(CAST(detr_e6 AS DECIMAL(19,0)) * CAST(detr_e6 AS DECIMAL(19,0)))
+      AS detr_ss,
+    SUM(CAST(resid_e6 AS DECIMAL(19,0)) * CAST(resid_e6 AS DECIMAL(19,0)))
+      AS resid_ss
+  FROM resid GROUP BY event_type
+)
+SELECT event_type, n_hours,
+  CAST(CASE WHEN detr_ss = 0 THEN 1000000
+       ELSE CAST(detr_ss - resid_ss AS HUGEINT) * 1000000
+            // CAST(detr_ss AS HUGEINT) END AS BIGINT)
+    AS seasonal_share_e6
+FROM stats ORDER BY event_type
+"""
+
+LLM_QUERIES["docs_prefix_containment"] = docs_prefix_containment
+LLM_QUERIES["ts_stl_lite"] = ts_stl_lite
+LLM_ORACLES["docs_prefix_containment"] = DOCS_PREFIX_SQL
+LLM_ORACLES["ts_stl_lite"] = TS_STL_LITE_SQL

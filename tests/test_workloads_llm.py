@@ -81,3 +81,16 @@ def test_seasonal_naive_backtest_sane(spark):
     rows = QUERIES["ts_seasonal_naive_backtest"](spark, SF).collect()
     assert rows
     assert all(r["mae_e6"] >= 0 and r["n_hours"] > 0 for r in rows)
+
+
+def test_prefix_containment_verified(spark):
+    rows = QUERIES["docs_prefix_containment"](spark, SF).collect()
+    # exact dups appear with lower id as prefix side
+    assert all(r["prefix_id"] < r["full_id"] or r["prefix_id"] != r["full_id"]
+               for r in rows)
+
+
+def test_stl_lite_share_bounds(spark):
+    rows = QUERIES["ts_stl_lite"](spark, SF).collect()
+    assert rows
+    assert all(r["seasonal_share_e6"] <= 1_000_000 for r in rows)
