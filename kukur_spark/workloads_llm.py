@@ -1043,3 +1043,158 @@ LLM_QUERIES["docs_prefix_containment"] = docs_prefix_containment
 LLM_QUERIES["ts_stl_lite"] = ts_stl_lite
 LLM_ORACLES["docs_prefix_containment"] = DOCS_PREFIX_SQL
 LLM_ORACLES["ts_stl_lite"] = TS_STL_LITE_SQL
+
+
+# ---------------------------------------------------------------------------
+# context-window chunk accounting
+# ---------------------------------------------------------------------------
+def docs_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window packing report at T=512 tokens: per source, how
+    many training chunks the corpus yields and how much padding the
+    final partial chunks waste.
+
+    Chunk math is a map-side projection (ceil-div on the token count);
+    the report is one partial+final aggregate per source.  The padding
+    model is one doc per sequence (no cross-doc packing) — the
+    conservative upper bound curricula usually budget against.
+    """
+    t = 512
+    docs = load_table(spark, sf, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    per_doc = docs.select(
+        "source",
+        "n_toks",
+        F.expr(f"(n_toks + {t} - 1) div {t}").alias("chunks"),
+    ).withColumn("padding", F.col("chunks") * t - F.col("n_toks"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_toks").alias("tokens"),
+            F.sum("chunks").alias("chunks"),
+            F.sum("padding").alias("padding_tokens"),
+        )
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            "chunks",
+            "padding_tokens",
+            F.expr("padding_tokens * 1000000 div (chunks * 512)").alias(
+                "waste_e6"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_PACK_SQL = """
+WITH per_doc AS (
+  SELECT source,
+    len(string_split(text, ' ')) AS n_toks,
+    (len(string_split(text, ' ')) + 511) // 512 AS chunks
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(SUM(n_toks) AS BIGINT) AS tokens,
+  CAST(SUM(chunks) AS BIGINT) AS chunks,
+  CAST(SUM(chunks * 512 - n_toks) AS BIGINT) AS padding_tokens,
+  CAST(SUM(chunks * 512 - n_toks) AS BIGINT) * 1000000
+    // (CAST(SUM(chunks) AS BIGINT) * 512) AS waste_e6
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs
+# ---------------------------------------------------------------------------
+def text_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-level token-pair association (PMI, e6-scaled) over the
+    min-document-frequency vocabulary.
+
+    The df >= 5 vocabulary filter bounds the pair space before the
+    doc-keyed self-join (the same blocking discipline as the n-gram
+    dedup); counts are exact integers, and the PMI log runs on the same
+    double ratios in both engines.  Shuffles: token df aggregate, one
+    doc-key join, the pair aggregate.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    kept = toks.join(F.broadcast(vocab), "tok")
+    n_docs = docs.count()
+    pairs = (
+        kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+        .join(
+            kept.select(
+                "doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("n_ab") >= 5)
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.lit(float(n_docs)))
+        / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+    )
+    return (
+        pairs.select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.floor(pmi * 1_000_000).cast("long").alias("pmi_e6"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+TEXT_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) >= 5
+),
+kept AS (
+  SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+    COUNT(*) AS n_ab, MIN(a.df) AS df_a, MIN(b.df) AS df_b
+  FROM kept a JOIN kept b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(*) >= 5
+)
+SELECT tok_a, tok_b, n_ab,
+  CAST(FLOOR(ln(CAST(n_ab AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+       / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))) * 1000000) AS BIGINT)
+    AS pmi_e6
+FROM pairs
+ORDER BY tok_a, tok_b
+"""
+
+LLM_QUERIES["docs_pack_chunks"] = docs_pack_chunks
+LLM_QUERIES["text_pmi_pairs"] = text_pmi_pairs
+LLM_ORACLES["docs_pack_chunks"] = DOCS_PACK_SQL
+LLM_ORACLES["text_pmi_pairs"] = TEXT_PMI_SQL

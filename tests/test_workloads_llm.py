@@ -94,3 +94,16 @@ def test_stl_lite_share_bounds(spark):
     rows = QUERIES["ts_stl_lite"](spark, SF).collect()
     assert rows
     assert all(r["seasonal_share_e6"] <= 1_000_000 for r in rows)
+
+
+def test_pack_chunks_accounting(spark):
+    rows = QUERIES["docs_pack_chunks"](spark, SF).collect()
+    for r in rows:
+        assert r["chunks"] * 512 == r["tokens"] + r["padding_tokens"]
+        assert 0 <= r["waste_e6"] < 1_000_000
+
+
+def test_pmi_pairs_canonical_and_counts(spark):
+    rows = QUERIES["text_pmi_pairs"](spark, SF).collect()
+    assert rows
+    assert all(r["tok_a"] < r["tok_b"] and r["n_ab"] >= 5 for r in rows)
