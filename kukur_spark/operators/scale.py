@@ -133,3 +133,60 @@ def bucketed_join_ready(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", previous)
     return joined, "Exchange hashpartitioning" not in plan
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_columns: List[str],
+    output_column: str,
+) -> DataFrame:
+    """Global ntile without a single-task window.
+
+    A bare ``ntile(n) OVER (ORDER BY …)`` collapses the whole table into
+    one window task; this computes the same deterministic result as a
+    distributed two-phase global rank: range-repartition on the order
+    key, rank locally per partition, then add broadcast partition-count
+    offsets.  The bucket rule matches SQL NTILE: the first
+    ``total % n`` buckets get one extra row.
+    """
+    from pyspark.sql import Window
+
+    ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    offset_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(offset_w), F.lit(0)).alias("__offset"),
+        F.sum("__cnt").over(
+            Window.orderBy("__pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    local_w = Window.partitionBy("__pid").orderBy(
+        *[F.col(c) for c in order_columns]
+    )
+    ranked = (
+        with_pid.withColumn("__local", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__rank", F.col("__offset") + F.col("__local"))
+    )
+    # SQL NTILE: bucket_size = total div n, remainder r = total % n; the
+    # first r buckets hold (bucket_size+1) rows
+    ranked = ranked.withColumn(
+        output_column,
+        F.expr(
+            f"case when (__rank - 1) < (__total % {n}) * (__total div {n} + 1) "
+            f"then (__rank - 1) div (__total div {n} + 1) + 1 "
+            f"else (__total % {n}) + ((__rank - 1) - (__total % {n}) "
+            f"* (__total div {n} + 1)) div (__total div {n}) + 1 end"
+        ).cast("int"),
+    )
+    return ranked.drop("__pid", "__local", "__offset", "__total", "__rank")

@@ -1198,3 +1198,149 @@ LLM_QUERIES["docs_pack_chunks"] = docs_pack_chunks
 LLM_QUERIES["text_pmi_pairs"] = text_pmi_pairs
 LLM_ORACLES["docs_pack_chunks"] = DOCS_PACK_SQL
 LLM_ORACLES["text_pmi_pairs"] = TEXT_PMI_SQL
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile scores per customer.
+
+    One customer-key aggregate builds the three metrics (monetary as an
+    exact cents integer); quartiles come from ``distributed_ntile`` —
+    the two-phase global rank (range repartition + broadcast offsets)
+    that produces bit-identical NTILE semantics WITHOUT the single-task
+    window a bare ``ntile() OVER (ORDER BY …)`` plans, so the scoring
+    scales past one executor.  Ties are deterministic (metric, then
+    custkey).  Output is the segment count matrix — 64 rows max, the
+    classic CRM view.
+    """
+    from kukur_spark.io import persist_once
+    from kukur_spark.operators.scale import distributed_ntile
+
+    orders = load_table(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.to_timestamp("o_orderdate"))).alias(
+            "last_order_us"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("monetary_cents"),
+    )
+    # each ntile pass executes its input twice (partition counts + rank);
+    # persist between passes so the lineage doesn't re-run multiplicatively
+    per_cust = persist_once(per_cust)
+    scored = persist_once(
+        distributed_ntile(
+            per_cust, 4, ["last_order_us", "o_custkey"], "r_score"
+        )
+    )
+    scored = persist_once(
+        distributed_ntile(scored, 4, ["frequency", "o_custkey"], "f_score")
+    )
+    scored = distributed_ntile(
+        scored, 4, ["monetary_cents", "o_custkey"], "m_score"
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+ORDERS_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_order_us,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+    NTILE(4) OVER (ORDER BY last_order_us ASC, o_custkey ASC) AS r_score,
+    NTILE(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+    NTILE(4) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# local peak detection
+# ---------------------------------------------------------------------------
+def ts_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Local maxima with a prominence floor: points strictly above both
+    neighbours and at least 0.5 above the higher neighbour.
+
+    One lag/lead window per series; the peak predicate is a map-side
+    expression over exact e6 integers, so the threshold comparison can
+    never drift between engines.
+    """
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    flagged = (
+        base.withColumn("prev_e6", F.lag("v_e6").over(w))
+        .withColumn("next_e6", F.lead("v_e6").over(w))
+        .filter(
+            F.col("prev_e6").isNotNull()
+            & F.col("next_e6").isNotNull()
+            & (F.col("v_e6") > F.col("prev_e6"))
+            & (F.col("v_e6") > F.col("next_e6"))
+            & (
+                F.col("v_e6") - F.greatest("prev_e6", "next_e6")
+                >= 500_000
+            )
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        "v_e6",
+        (F.col("v_e6") - F.greatest("prev_e6", "next_e6")).alias(
+            "prominence_e6"
+        ),
+    ).orderBy("event_type", "ts_us", "event_id")
+
+
+TS_PEAK_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events
+),
+flagged AS (
+  SELECT event_type, ts_us, event_id, v_e6,
+    LAG(v_e6) OVER w AS prev_e6,
+    LEAD(v_e6) OVER w AS next_e6
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+)
+SELECT event_type, ts_us, event_id, v_e6,
+  v_e6 - GREATEST(prev_e6, next_e6) AS prominence_e6
+FROM flagged
+WHERE prev_e6 IS NOT NULL AND next_e6 IS NOT NULL
+  AND v_e6 > prev_e6 AND v_e6 > next_e6
+  AND v_e6 - GREATEST(prev_e6, next_e6) >= 500000
+ORDER BY event_type, ts_us, event_id
+"""
+
+LLM_QUERIES["orders_rfm_segments"] = orders_rfm_segments
+LLM_QUERIES["ts_peak_detect"] = ts_peak_detect
+LLM_ORACLES["orders_rfm_segments"] = ORDERS_RFM_SQL
+LLM_ORACLES["ts_peak_detect"] = TS_PEAK_SQL

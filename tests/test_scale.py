@@ -84,3 +84,50 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert joined.count() == 1000
     spark.sql("DROP TABLE bt_left")
     spark.sql("DROP TABLE bt_right")
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import distributed_ntile
+
+    df = spark.range(0, 103).select(
+        "id", (F.col("id") * 37 % 103).alias("metric")
+    )
+    got = (
+        distributed_ntile(df, 4, ["metric", "id"], "q")
+        .orderBy("metric", "id")
+        .collect()
+    )
+    want = (
+        df.select(
+            "id",
+            "metric",
+            F.ntile(4).over(Window.orderBy("metric", "id")).alias("q"),
+        )
+        .orderBy("metric", "id")
+        .collect()
+    )
+    assert [(r["id"], r["q"]) for r in got] == [
+        (r["id"], r["q"]) for r in want
+    ]
+
+
+def test_distributed_ntile_plan_is_range_partitioned(spark):
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import distributed_ntile
+
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") * 7 % 1000).alias("metric")
+    )
+    plan = (
+        distributed_ntile(df, 4, ["metric", "id"], "q")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the data-bearing rank runs after a range repartition, never through
+    # a single-partition global window over the full table
+    assert "rangepartitioning" in plan.lower(), plan

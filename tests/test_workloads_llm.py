@@ -107,3 +107,15 @@ def test_pmi_pairs_canonical_and_counts(spark):
     rows = QUERIES["text_pmi_pairs"](spark, SF).collect()
     assert rows
     assert all(r["tok_a"] < r["tok_b"] and r["n_ab"] >= 5 for r in rows)
+
+
+def test_rfm_segment_counts_total(spark):
+    rows = QUERIES["orders_rfm_segments"](spark, SF).collect()
+    assert all(1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4
+               and 1 <= r["m_score"] <= 4 for r in rows)
+    assert sum(r["customers"] for r in rows) > 0
+
+
+def test_peak_detect_prominence_floor(spark):
+    rows = QUERIES["ts_peak_detect"](spark, SF).collect()
+    assert all(r["prominence_e6"] >= 500_000 for r in rows)
