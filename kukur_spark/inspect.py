@@ -133,7 +133,12 @@ def preview(
     elif rt == "ndjson":
         df = spark.read.json(inspected.path)
     elif rt == "delta":
-        df = spark.read.format("delta").load(inspected.path)
+        try:
+            df = spark.read.format("delta").load(inspected.path)
+        except Exception:
+            from kukur_spark.sources.delta_log import read_delta
+
+            df = read_delta(spark, inspected.path)
     elif rt == "excel":
         from kukur_spark.sources.excel import ExcelSource
 

@@ -1,0 +1,204 @@
+"""Delta Lake transaction-log reader — no delta-spark jars required.
+
+The Delta protocol is an open spec (delta.io PROTOCOL.md; reference
+implementation kukur/source/delta/delta_lake.py:188-274 reads tables via
+deltalake-python): a table is parquet data files plus ``_delta_log/``
+holding ordered JSON commits and periodic parquet checkpoints. The
+active snapshot is the checkpoint's file set with later commits' add
+and remove actions replayed on top.
+
+This module computes that snapshot with pyarrow + stdlib json and hands
+Spark the live file list; ``file_source`` reads them with ``basePath``
+so hive-style partition directories still resolve to partition columns
+and Catalyst still prunes. The semantics delta-spark would give a
+read-only scan — tombstone exclusion, schema from ``metaData``,
+partition columns — are reproduced engine-side; writer features
+(deletion vectors, column mapping) are detected and rejected loudly
+rather than silently misread.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+from urllib.parse import unquote
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    files: List[str]  # absolute paths of live data files
+    partition_values: Dict[str, Dict[str, str]]  # path -> partition map
+    schema_json: Optional[str] = None  # Spark StructType JSON
+    partition_columns: List[str] = field(default_factory=list)
+
+
+def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
+    if parts:
+        return [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{p:010d}.{parts:010d}.parquet",
+            )
+            for p in range(1, parts + 1)
+        ]
+    return [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
+
+
+def _reject_unsupported(protocol: dict) -> None:
+    reader_version = int(protocol.get("minReaderVersion", 1))
+    features = protocol.get("readerFeatures") or []
+    supported = {"timestampNtz", "v2Checkpoint"} - {"v2Checkpoint"}
+    unsupported = [f for f in features if f not in supported]
+    if reader_version > 3 or (reader_version == 3 and unsupported):
+        raise NotImplementedError(
+            f"Delta reader features not supported here: "
+            f"minReaderVersion={reader_version}, features={unsupported}"
+        )
+    if reader_version == 2:
+        # column mapping tables rename physical columns — misreading
+        # them silently would be worse than refusing
+        raise NotImplementedError(
+            "Delta column-mapping tables (minReaderVersion=2) are not "
+            "supported without delta-spark"
+        )
+
+
+def read_snapshot(table_path: str) -> DeltaSnapshot:
+    """Replay the transaction log into the current file snapshot."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
+
+    start_version = 0
+    adds: Dict[str, Dict[str, str]] = {}
+    schema_json: Optional[str] = None
+    partition_columns: List[str] = []
+
+    last_checkpoint = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_checkpoint):
+        import pyarrow.parquet as pq
+
+        with open(last_checkpoint) as handle:
+            info = json.load(handle)
+        cp_version = int(info["version"])
+        for part in _checkpoint_paths(log_dir, cp_version, info.get("parts")):
+            table = pq.read_table(part)
+            for row in table.to_pylist():
+                if row.get("protocol"):
+                    _reject_unsupported(row["protocol"])
+                meta = row.get("metaData")
+                if meta:
+                    schema_json = meta.get("schemaString") or schema_json
+                    partition_columns = list(
+                        meta.get("partitionColumns") or partition_columns
+                    )
+                add = row.get("add")
+                if add:
+                    adds[add["path"]] = dict(add.get("partitionValues") or {})
+                remove = row.get("remove")
+                if remove:
+                    adds.pop(remove["path"], None)
+        start_version = cp_version + 1
+
+    version = start_version - 1
+    v = start_version
+    while True:
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            break
+        version = v
+        with open(commit) as handle:
+            for line in handle:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    _reject_unsupported(action["protocol"])
+                if "metaData" in action:
+                    meta = action["metaData"]
+                    schema_json = meta.get("schemaString") or schema_json
+                    partition_columns = list(
+                        meta.get("partitionColumns") or partition_columns
+                    )
+                if "add" in action:
+                    add = action["add"]
+                    if add.get("deletionVector"):
+                        raise NotImplementedError(
+                            "Delta deletion vectors are not supported "
+                            "without delta-spark"
+                        )
+                    adds[add["path"]] = dict(
+                        add.get("partitionValues") or {}
+                    )
+                if "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+        v += 1
+    if version < 0:
+        raise FileNotFoundError(f"no Delta commits found in {log_dir}")
+
+    files = []
+    partition_values = {}
+    for rel_path, pvals in adds.items():
+        abs_path = os.path.join(table_path, unquote(rel_path))
+        files.append(abs_path)
+        partition_values[abs_path] = pvals
+    files.sort()
+    return DeltaSnapshot(
+        version=version,
+        files=files,
+        partition_values=partition_values,
+        schema_json=schema_json,
+        partition_columns=partition_columns,
+    )
+
+
+def read_delta(spark, table_path: str):
+    """Read the current snapshot of a Delta table as a DataFrame.
+
+    Live files are handed to the parquet reader with ``basePath`` so
+    hive-style partition directories (Delta's physical layout for
+    partitioned tables) resolve to partition columns and partition
+    pruning keeps working. Tables whose add-actions are not laid out in
+    ``col=value`` directories get their partition values injected as
+    literal columns per file group instead.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    snapshot = read_snapshot(table_path)
+    if not snapshot.files:
+        schema = (
+            T.StructType.fromJson(json.loads(snapshot.schema_json))
+            if snapshot.schema_json
+            else T.StructType([])
+        )
+        return spark.createDataFrame([], schema)
+
+    hive_style = all(
+        all(
+            f"{column}={value}" in path.split(os.sep)
+            or f"{column}=__HIVE_DEFAULT_PARTITION__" in path.split(os.sep)
+            for column, value in snapshot.partition_values[path].items()
+        )
+        for path in snapshot.files
+    )
+    if not snapshot.partition_columns or hive_style:
+        return spark.read.option("basePath", table_path).parquet(
+            *snapshot.files
+        )
+    # non-hive layout: group files by partition tuple, inject literals
+    groups: Dict[tuple, List[str]] = {}
+    for path in snapshot.files:
+        key = tuple(sorted(snapshot.partition_values[path].items()))
+        groups.setdefault(key, []).append(path)
+    out = None
+    for key, files in sorted(groups.items()):
+        df = spark.read.parquet(*files)
+        for column, value in key:
+            df = df.withColumn(column, F.lit(value))
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -237,11 +237,15 @@ class FileSource:
         if fmt == "delta":
             try:
                 return self.spark.read.format("delta").load(path)
-            except Exception as exc:  # delta-spark jar not on classpath
-                raise NotImplementedError(
-                    "Delta Lake reads need the delta-spark package on the "
-                    "Spark classpath"
-                ) from exc
+            except Exception:
+                # delta-spark jar not on the classpath: replay the open
+                # transaction-log protocol engine-side (JSON commits +
+                # parquet checkpoints -> live file set with tombstones
+                # excluded; reference kukur/source/delta/delta_lake.py
+                # reads via deltalake-python the same way)
+                from kukur_spark.sources.delta_log import read_delta
+
+                return read_delta(self.spark, path)
         raise ValueError(f"unknown file format: {fmt}")
 
     def _read_arrow_ipc(self, path: str, fmt: str) -> DataFrame:

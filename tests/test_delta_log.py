@@ -1,0 +1,245 @@
+"""Delta Lake reads without delta-spark: transaction-log replay.
+
+Tables are crafted directly in the open log format (parquet data files
++ `_delta_log` JSON commits / parquet checkpoints), which is exactly
+what a Delta writer produces — so these tests exercise the real
+protocol: tombstone exclusion, multi-commit replay, checkpoint +
+post-checkpoint commits, hive-style partition resolution and pruning.
+"""
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.sources.delta_log import read_delta, read_snapshot
+from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+
+START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+END = datetime(2021, 1, 1, tzinfo=timezone.utc)
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _commit(log_dir, version, actions):
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as handle:
+        for action in actions:
+            handle.write(json.dumps(action) + "\n")
+
+
+def _meta_action(fields, partition_columns=()):
+    return {
+        "metaData": {
+            "id": "test-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(partition_columns),
+            "configuration": {},
+        }
+    }
+
+
+_PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _write_parquet(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + ".tmp")
+    part = [
+        f
+        for f in os.listdir(path + ".tmp")
+        if f.endswith(".parquet") and not f.startswith("_")
+    ][0]
+    os.replace(os.path.join(path + ".tmp", part), path)
+
+
+def _make_unpartitioned(spark, root):
+    """v0 adds a.parquet+b.parquet; v1 removes b and adds c."""
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = "`series name` string, ts timestamp, value double"
+    _write_parquet(
+        spark, [("s1", datetime(2020, 1, 1), 1.0)], schema,
+        os.path.join(root, "a.parquet"),
+    )
+    _write_parquet(
+        spark, [("s1", datetime(2020, 1, 2), 99.0)], schema,
+        os.path.join(root, "b.parquet"),
+    )
+    _write_parquet(
+        spark, [("s2", datetime(2020, 1, 3), 3.0)], schema,
+        os.path.join(root, "c.parquet"),
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL,
+        _meta_action(fields),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(log_dir, 1, [
+        {"remove": {"path": "b.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+
+
+def test_snapshot_replays_tombstones(spark, tmp_path):
+    root = str(tmp_path / "table")
+    _make_unpartitioned(spark, root)
+    snapshot = read_snapshot(root)
+    assert snapshot.version == 1
+    names = sorted(os.path.basename(f) for f in snapshot.files)
+    assert names == ["a.parquet", "c.parquet"]  # b tombstoned
+
+
+def test_read_delta_excludes_removed_rows(spark, tmp_path):
+    root = str(tmp_path / "table")
+    _make_unpartitioned(spark, root)
+    rows = read_delta(spark, root).orderBy("ts").collect()
+    # a raw parquet glob would return 3 rows incl. the removed 99.0
+    assert [r["value"] for r in rows] == [1.0, 3.0]
+
+
+def test_file_source_delta_end_to_end(spark, tmp_path):
+    root = str(tmp_path / "table")
+    _make_unpartitioned(spark, root)
+    source = FileSource(
+        spark, "d", FileSourceOptions(path=root, file_format="delta")
+    )
+    data = source.get_data(
+        SeriesSelector.from_name("d", "s1"), START, END
+    ).collect()
+    assert [r["value"] for r in data] == [1.0]
+
+
+def test_partitioned_delta_prunes(spark, tmp_path):
+    root = str(tmp_path / "ptable")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    schema = "ts timestamp, value double"
+    for name, day, value in [("s1", 1, 1.0), ("s2", 2, 2.0)]:
+        part_dir = os.path.join(root, f"series name={name}")
+        os.makedirs(part_dir, exist_ok=True)
+        _write_parquet(
+            spark, [(datetime(2020, 1, day), value)], schema,
+            os.path.join(part_dir, "part.parquet"),
+        )
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL,
+        _meta_action(fields, partition_columns=["series name"]),
+        {"add": {"path": "series%20name=s1/part.parquet",
+                 "partitionValues": {"series name": "s1"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "series%20name=s2/part.parquet",
+                 "partitionValues": {"series name": "s2"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    source = FileSource(
+        spark, "d", FileSourceOptions(path=root, file_format="delta")
+    )
+    df = source.get_data(SeriesSelector.from_name("d", "s1"), START, END)
+    assert [r["value"] for r in df.collect()] == [1.0]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the tag predicate must prune partitions, not just filter rows
+    assert "PartitionFilters" in plan and "series name" in plan
+
+
+def test_checkpoint_plus_commits(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ctable")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    schema = "`series name` string, ts timestamp, value double"
+    for name in ("a", "b", "c"):
+        _write_parquet(
+            spark, [("s1", datetime(2020, 1, 1), float(ord(name)))], schema,
+            os.path.join(root, f"{name}.parquet"),
+        )
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    # checkpoint at version 1: files a+b live, metaData + protocol rows
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None,
+         "metaData": {"id": "t", "schemaString": _schema_string(fields),
+                      "partitionColumns": []},
+         "add": None, "remove": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "a.parquet", "partitionValues": {}}, "remove": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "b.parquet", "partitionValues": {}}, "remove": None},
+    ]
+    checkpoint_schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("remove", pa.struct([("path", pa.string())])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=checkpoint_schema),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as handle:
+        json.dump({"version": 1, "size": 4}, handle)
+    # commit 2: remove a, add c
+    _commit(log_dir, 2, [
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    snapshot = read_snapshot(root)
+    assert snapshot.version == 2
+    names = sorted(os.path.basename(f) for f in snapshot.files)
+    assert names == ["b.parquet", "c.parquet"]
+    values = sorted(
+        r["value"] for r in read_delta(spark, root).collect()
+    )
+    assert values == [float(ord("b")), float(ord("c"))]
+
+
+def test_unsupported_reader_features_rejected(spark, tmp_path):
+    root = str(tmp_path / "utable")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+    ])
+    with pytest.raises(NotImplementedError):
+        read_snapshot(root)
