@@ -243,3 +243,55 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError):
         read_snapshot(root)
+
+
+def test_delta_timestamp_partition_pruning(spark, tmp_path):
+    """Reference Delta semantics end-to-end (delta_lake.py:298-356): a
+    range query on a year/month-partitioned Delta table enumerates the
+    partitions and skips directories through the log-replayed read."""
+    root = str(tmp_path / "ts_delta")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    schema = "`series name` string, ts timestamp, value double"
+    adds = []
+    for month, value in [(1, 1.0), (2, 2.0), (3, 3.0)]:
+        rel_dir = f"year=2020/month={month}"
+        os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+        _write_parquet(
+            spark, [("s1", datetime(2020, month, 15), value)], schema,
+            os.path.join(root, rel_dir, "part.parquet"),
+        )
+        adds.append({
+            "add": {
+                "path": f"{rel_dir}/part.parquet",
+                "partitionValues": {"year": "2020", "month": str(month)},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }
+        })
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"),
+        ("value", "double"), ("year", "integer"), ("month", "integer"),
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL,
+        _meta_action(fields, partition_columns=["year", "month"]),
+        *adds,
+    ])
+    source = FileSource(
+        spark,
+        "d",
+        FileSourceOptions(
+            path=root,
+            file_format="delta",
+            timestamp_partition_columns=["year", "month"],
+        ),
+    )
+    data = source.get_data(
+        SeriesSelector.from_name("d", "s1"),
+        datetime(2020, 2, 1, tzinfo=timezone.utc),
+        datetime(2020, 3, 1, tzinfo=timezone.utc),
+    )
+    assert [r["value"] for r in data.collect()] == [2.0]
+    plan = data._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "month" in plan.split("PartitionFilters")[1][:200]
