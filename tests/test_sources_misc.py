@@ -341,3 +341,70 @@ def test_jdbc_partitioned_read_options(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "numPartitions=3" in plan, plan
     assert [r["value"] for r in df.collect()] == [1.5, 2.5, 3.5, 4.5]
+
+
+def test_postgresql_dialect_driver_path(spark, monkeypatch):
+    """S7 dialect plumbing: type=postgresql resolves the psycopg2 module
+    and the templated queries flow through its DB-API cursor unchanged
+    (no live server: a recording fake stands in for the driver)."""
+    import sys
+    import types
+
+    executed = []
+
+    class FakeCursor:
+        def execute(self, query, params=()):
+            executed.append((query, tuple(params)))
+
+        def fetchall(self):
+            if executed[-1][0].startswith("SELECT series"):
+                return [("s1",), ("s2",)]
+            return [
+                ("2020-01-01T00:00:00+00:00", 1.5),
+                ("2020-01-02T00:00:00+00:00", 2.5),
+            ]
+
+    class FakeConnection:
+        def cursor(self):
+            return FakeCursor()
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("psycopg2")
+    fake.connect = lambda conn_str: FakeConnection()
+    monkeypatch.setitem(sys.modules, "psycopg2", fake)
+
+    source = SqlSource(
+        spark,
+        "pg",
+        {
+            "type": "postgresql",
+            "connection_string": "postgresql://example/db",
+            "list_query": "SELECT series FROM meta",
+            "list_columns": ["series name"],
+            "data_query": (
+                "SELECT ts, value FROM data "
+                "WHERE name = %s AND ts >= %s AND ts < %s"
+            ),
+        },
+    )
+    names = [s.name for s in source.search(SeriesSearch("pg"))]
+    assert names == ["s1", "s2"]
+    rows = source.get_data(
+        SeriesSelector.from_name("pg", "s1"), START, END
+    ).collect()
+    assert executed[0] == ("SELECT series FROM meta", ())
+    assert executed[-1][0].startswith("SELECT ts, value FROM data")
+    assert executed[-1][1][0] == "s1"
+    assert len(rows) == 2
+
+
+def test_unknown_dialect_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SqlSource(
+            spark, "x", {"type": "no-such-db", "connection_string": "x",
+                         "data_query": "SELECT 1"},
+        ).get_data(SeriesSelector.from_name("x", "s"), START, END)
