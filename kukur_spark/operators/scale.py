@@ -135,20 +135,20 @@ def bucketed_join_ready(
     return joined, "Exchange hashpartitioning" not in plan
 
 
-def distributed_ntile(
+def distributed_row_number(
     df: DataFrame,
-    n: int,
     order_columns: List[str],
     output_column: str,
+    total_column: str = "",
 ) -> DataFrame:
-    """Global ntile without a single-task window.
+    """Global row_number without a single-task window.
 
-    A bare ``ntile(n) OVER (ORDER BY …)`` collapses the whole table into
-    one window task; this computes the same deterministic result as a
-    distributed two-phase global rank: range-repartition on the order
-    key, rank locally per partition, then add broadcast partition-count
-    offsets.  The bucket rule matches SQL NTILE: the first
-    ``total % n`` buckets get one extra row.
+    A bare ``row_number() OVER (ORDER BY …)`` collapses the whole table
+    into one window task; this computes the identical deterministic rank
+    in two phases: range-repartition on the order key, rank locally per
+    partition, then add broadcast partition-count offsets.  Pass
+    ``total_column`` to also attach the global row count (free — it
+    rides the same broadcast).
     """
     from pyspark.sql import Window
 
@@ -176,17 +176,32 @@ def distributed_ntile(
     ranked = (
         with_pid.withColumn("__local", F.row_number().over(local_w))
         .join(F.broadcast(offsets), "__pid")
-        .withColumn("__rank", F.col("__offset") + F.col("__local"))
+        .withColumn(output_column, F.col("__offset") + F.col("__local"))
     )
-    # SQL NTILE: bucket_size = total div n, remainder r = total % n; the
-    # first r buckets hold (bucket_size+1) rows
-    ranked = ranked.withColumn(
+    if total_column:
+        ranked = ranked.withColumn(total_column, F.col("__total"))
+    return ranked.drop("__pid", "__local", "__offset", "__total")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_columns: List[str],
+    output_column: str,
+) -> DataFrame:
+    """Global ntile without a single-task window (two-phase global rank
+    + the SQL NTILE bucket rule: the first ``total % n`` buckets get one
+    extra row)."""
+    ranked = distributed_row_number(
+        df, order_columns, "__rank", total_column="__gtotal"
+    )
+    out = ranked.withColumn(
         output_column,
         F.expr(
-            f"case when (__rank - 1) < (__total % {n}) * (__total div {n} + 1) "
-            f"then (__rank - 1) div (__total div {n} + 1) + 1 "
-            f"else (__total % {n}) + ((__rank - 1) - (__total % {n}) "
-            f"* (__total div {n} + 1)) div (__total div {n}) + 1 end"
+            f"case when (__rank - 1) < (__gtotal % {n}) * (__gtotal div {n} + 1) "
+            f"then (__rank - 1) div (__gtotal div {n} + 1) + 1 "
+            f"else (__gtotal % {n}) + ((__rank - 1) - (__gtotal % {n}) "
+            f"* (__gtotal div {n} + 1)) div (__gtotal div {n}) + 1 end"
         ).cast("int"),
     )
-    return ranked.drop("__pid", "__local", "__offset", "__total", "__rank")
+    return out.drop("__rank", "__gtotal")

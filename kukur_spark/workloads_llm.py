@@ -1344,3 +1344,138 @@ LLM_QUERIES["orders_rfm_segments"] = orders_rfm_segments
 LLM_QUERIES["ts_peak_detect"] = ts_peak_detect
 LLM_ORACLES["orders_rfm_segments"] = ORDERS_RFM_SQL
 LLM_ORACLES["ts_peak_detect"] = TS_PEAK_SQL
+
+
+# ---------------------------------------------------------------------------
+# grouping sets
+# ---------------------------------------------------------------------------
+def events_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregate with grouping_id: per (type, day),
+    per type, per day, and grand total in ONE pass.
+
+    Spark plans a single Expand + aggregate — one scan feeding all four
+    granularities; the alternative (four scans + union) reads the table
+    four times.  Completes the multi-granularity family next to rollup
+    and cube.
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    grouped = base.groupingSets(
+        [["event_type", "day"], ["event_type"], ["day"], []],
+        "event_type",
+        "day",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return grouped.select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        "n",
+        "sum_e6",
+        "gid",
+    ).orderBy("gid", "event_type", "day_us")
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type,
+  epoch_us(date_trunc('day', ts)) AS day_us,
+  COUNT(*) AS n,
+  CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    AS sum_e6,
+  CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, date_trunc('day', ts)), (event_type),
+  (date_trunc('day', ts)), ())
+ORDER BY gid, event_type, day_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative revenue share
+# ---------------------------------------------------------------------------
+def orders_cumulative_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Running share of total revenue by order-value rank (the Pareto /
+    'what fraction of revenue do the top-k orders carry' curve),
+    reported at 1 % rank percentiles.
+
+    Revenue is exact cents; ranking runs through the two-phase
+    distributed global rank (range repartition + broadcast offsets) —
+    no single-task window ever sees the order stream.  Only the 100-row
+    percentile bucket table goes through a global running-sum window.
+    """
+    from kukur_spark.operators.scale import distributed_row_number
+
+    orders = load_table(spark, sf, "orders")
+    cents = orders.select(
+        (-F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "neg_cents"
+        ),
+        "o_orderkey",
+    )
+    ranked = distributed_row_number(
+        cents, ["neg_cents", "o_orderkey"], "rnk", total_column="n_total"
+    )
+    bucketed = (
+        ranked.withColumn("pct", F.expr("(rnk - 1) * 100 div n_total"))
+        .groupBy("pct")
+        .agg(F.sum(-F.col("neg_cents")).alias("bucket_cents"))
+    )
+    w_cum = Window.orderBy("pct").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_w = Window.orderBy("pct").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bucketed.select(
+        "pct",
+        F.sum("bucket_cents").over(w_cum).alias("cum_cents"),
+        F.expr(
+            "cast(sum(bucket_cents) over (order by pct rows between "
+            "unbounded preceding and current row) * 1000000 div "
+            "sum(bucket_cents) over (order by pct rows between unbounded "
+            "preceding and unbounded following) as bigint)"
+        ).alias("share_e6"),
+    ).orderBy("pct")
+
+
+ORDERS_CUM_SHARE_SQL = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey ASC) AS rnk
+  FROM cents
+),
+bucketed AS (
+  SELECT (rnk - 1) * 100 // (SELECT COUNT(*) FROM cents) AS pct,
+    CAST(SUM(cents) AS BIGINT) AS bucket_cents
+  FROM ranked GROUP BY pct
+)
+SELECT pct,
+  CAST(SUM(bucket_cents) OVER cum AS BIGINT) AS cum_cents,
+  CAST(CAST(SUM(bucket_cents) OVER cum AS HUGEINT) * 1000000
+       // CAST(SUM(bucket_cents) OVER tot AS HUGEINT) AS BIGINT)
+    AS share_e6
+FROM bucketed
+WINDOW cum AS (ORDER BY pct ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW),
+       tot AS (ORDER BY pct ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)
+ORDER BY pct
+"""
+
+LLM_QUERIES["events_grouping_sets"] = events_grouping_sets
+LLM_QUERIES["orders_cumulative_share"] = orders_cumulative_share
+LLM_ORACLES["events_grouping_sets"] = EVENTS_GROUPING_SETS_SQL
+LLM_ORACLES["orders_cumulative_share"] = ORDERS_CUM_SHARE_SQL

@@ -119,3 +119,21 @@ def test_rfm_segment_counts_total(spark):
 def test_peak_detect_prominence_floor(spark):
     rows = QUERIES["ts_peak_detect"](spark, SF).collect()
     assert all(r["prominence_e6"] >= 500_000 for r in rows)
+
+
+def test_grouping_sets_grand_total(spark):
+    rows = QUERIES["events_grouping_sets"](spark, SF).collect()
+    grand = [r for r in rows if r["event_type"] is None and r["day_us"] is None]
+    assert len(grand) == 1
+    per_type_sum = sum(
+        r["n"] for r in rows
+        if r["event_type"] is not None and r["day_us"] is None
+    )
+    assert per_type_sum == grand[0]["n"]
+
+
+def test_cumulative_share_monotone_to_one(spark):
+    rows = QUERIES["orders_cumulative_share"](spark, SF).collect()
+    shares = [r["share_e6"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
