@@ -210,3 +210,19 @@ def test_decontaminate_broadcasts_vocabulary(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """Four granularities come from ONE Expand over one scan — not a
+    union of four scans."""
+    plan = plan_of(QUERIES["events_grouping_sets"](spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
+
+
+def test_cumulative_share_no_global_window_on_orders(spark):
+    """The raw order stream ranks through the range-partitioned
+    two-phase rank; only the 100-row bucket table may hit a
+    single-partition window."""
+    plan = plan_of(QUERIES["orders_cumulative_share"](spark, SF))
+    assert "rangepartitioning" in plan.lower(), plan
