@@ -87,3 +87,37 @@ def test_union_conform_promotion_properties(spark, specs):
             i * 10 + j for i, (kind, _, n) in enumerate(specs) for j in range(n)
         }
         assert values == expected
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank equivalence under random sizes and bucket counts
+# ---------------------------------------------------------------------------
+@given(
+    n_rows=st.integers(min_value=1, max_value=200),
+    buckets=st.integers(min_value=1, max_value=7),
+    stride=st.integers(min_value=1, max_value=97),
+)
+@settings(max_examples=12, deadline=None)
+def test_distributed_ntile_property(spark, n_rows, buckets, stride):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import distributed_ntile
+
+    df = spark.range(0, n_rows).select(
+        "id", (F.col("id") * stride % max(n_rows, 1)).alias("metric")
+    )
+    got = (
+        distributed_ntile(df, buckets, ["metric", "id"], "q")
+        .orderBy("metric", "id")
+        .collect()
+    )
+    want = (
+        df.select(
+            "id",
+            F.ntile(buckets).over(Window.orderBy("metric", "id")).alias("q"),
+        )
+        .orderBy("metric", "id")
+        .collect()
+    )
+    assert [r["q"] for r in got] == [r["q"] for r in want]

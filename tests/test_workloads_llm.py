@@ -84,10 +84,20 @@ def test_seasonal_naive_backtest_sane(spark):
 
 
 def test_prefix_containment_verified(spark):
+    from kukur_spark.io import load_table
+
     rows = QUERIES["docs_prefix_containment"](spark, SF).collect()
-    # exact dups appear with lower id as prefix side
-    assert all(r["prefix_id"] < r["full_id"] or r["prefix_id"] != r["full_id"]
-               for r in rows)
+    assert rows  # the corpus contains exact dups, so pairs must exist
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    for r in rows:
+        a, b = texts[r["prefix_id"]], texts[r["full_id"]]
+        assert b.startswith(a)
+        assert len(a) == r["prefix_chars"]
+        if len(a) == len(b):  # exact dup: lower id is the prefix side
+            assert r["prefix_id"] < r["full_id"]
 
 
 def test_stl_lite_share_bounds(spark):
