@@ -1,0 +1,84 @@
+"""Bucketed interval (range) join — events matched to enclosing intervals.
+
+The reference gateway has no join engine at all (SURVEY §2.3:
+`kukur/source/__init__.py` only merges metadata), but a training-data
+pipeline constantly needs "which rows fall inside these windows":
+maintenance windows × sensor rows, incident intervals × user events,
+session spans × raw clicks.
+
+The naive Spark plan for ``e.ts BETWEEN i.start AND i.end`` with no
+shared equality key is a BroadcastNestedLoopJoin — O(|events| ×
+|intervals|) comparisons and an unbounded broadcast, which is exactly
+the plan that dies first at 100 TB. The scale-safe shape implemented
+here is the classic *binning* rewrite:
+
+1. explode each interval onto the fixed-width time bins it covers
+   (``sequence(floor(start/W), floor((end-1)/W))`` — bounded by
+   interval length / W, never data volume);
+2. map each event to its single bin (``floor(ts/W)``);
+3. shuffle-equi-join on the bin id (hash join, AQE-skew-splittable);
+4. apply the residual ``start <= ts < end`` predicate.
+
+Each event lands in exactly one bin, so no post-join dedup is needed;
+an interval appears once per covered bin, so the join fan-out is
+bounded by (interval length / W) and W is the knob that trades
+duplicate interval rows against bin selectivity. Both join inputs are
+map-side projections; the only shuffle carries (bin, key columns).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bin_width_us: int = 3_600_000_000,
+    keys: Optional[List[str]] = None,
+) -> DataFrame:
+    """Join ``events`` rows to every ``intervals`` row whose half-open
+    ``[start_col, end_col)`` window contains the event's ``ts_col``.
+
+    ``keys`` (optional) are extra equality columns present on both
+    sides (e.g. a series/tenant id); they ride along in the equi-join
+    condition, tightening the shuffle key from ``(bin)`` to
+    ``(keys..., bin)``.
+
+    Returns events columns + interval columns (minus duplicated keys).
+    Intervals with ``end <= start`` are dropped (empty windows —
+    also guards ``sequence`` against descending ranges).
+    """
+    width = F.lit(int(bin_width_us))
+    keys = keys or []
+
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / width).cast("long"),
+                ((F.col(end_col) - 1) / width).cast("long"),
+            )
+        ),
+    )
+    ev = events.withColumn("__bin", (F.col(ts_col) / width).cast("long"))
+    cond: Column = ev["__bin"] == iv["__bin"]
+    for k in keys:
+        cond = cond & (ev[k] == iv[k])
+    joined = (
+        ev.join(iv, cond, "inner")
+        .filter(
+            (ev[ts_col] >= iv[start_col]) & (ev[ts_col] < iv[end_col])
+        )
+        .drop(iv["__bin"])
+        .drop(ev["__bin"])
+    )
+    for k in keys:
+        joined = joined.drop(iv[k])
+    return joined

@@ -46,6 +46,7 @@ from kukur_spark.workloads_ts import TS_EXTRA_ORACLES, TS_EXTRA_QUERIES
 from kukur_spark.workloads_mm import MM_ORACLES, MM_QUERIES
 from kukur_spark.workloads_ts2 import TS2_ORACLES, TS2_QUERIES
 from kukur_spark.workloads_llm import LLM_ORACLES, LLM_QUERIES
+from kukur_spark.workloads_r2 import R2_ORACLES, R2_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1787,6 +1788,7 @@ QUERIES.update(TS_EXTRA_QUERIES)
 QUERIES.update(MM_QUERIES)
 QUERIES.update(TS2_QUERIES)
 QUERIES.update(LLM_QUERIES)
+QUERIES.update(R2_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1846,4 +1848,5 @@ ORACLES: Dict[str, str] = {
     **MM_ORACLES,
     **TS2_ORACLES,
     **LLM_ORACLES,
+    **R2_ORACLES,
 }

@@ -1,0 +1,299 @@
+"""Round-2 workloads: bucketed interval join, repetition-based text
+quality filters, deterministic stratified domain mixing.
+
+Beyond-reference operators for the training-data pipeline (the
+reference gateway computes none of these — SURVEY §2.3 records that
+`kukur/source/__init__.py` has no join executor at all); every query
+here has an exact DuckDB oracle. Hot paths are JVM-side column
+expressions — Python never touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.interval_join import interval_join
+
+
+# ---------------------------------------------------------------------------
+# bucketed interval (range) join
+# ---------------------------------------------------------------------------
+GAP_US = 3_600_000_000  # intervals = sampling gaps > 1 h per event type
+
+
+def ts_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-stream range join: for every >1 h silence window of one
+    event type, count and total the events of *all* types inside it.
+
+    This is the operator class Spark answers with a
+    BroadcastNestedLoopJoin if written naively (no shared equi key).
+    ``operators/interval_join.py`` rewrites it as an hourly-bin
+    equi-join + residual range predicate: the only shuffle carries
+    (bin, 24-byte rows), fan-out is bounded by interval length / 1 h,
+    and AQE can split skewed bins. A plan test pins the absence of
+    nested-loop/cartesian nodes.
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    intervals = (
+        base.select(
+            F.col("event_type").alias("itype"),
+            F.lag("ts_us").over(w).alias("start_us"),
+            F.col("ts_us").alias("end_us"),
+        )
+        .filter(F.col("start_us").isNotNull())
+        .filter(F.col("end_us") - F.col("start_us") > GAP_US)
+    )
+    joined = interval_join(
+        base.select("ts_us", "event_type", "value"),
+        intervals,
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bin_width_us=3_600_000_000,
+    )
+    return (
+        joined.groupBy("itype", "start_us", "end_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+            )
+            .cast("long")
+            .alias("value_e6"),
+        )
+        .orderBy("itype", "start_us")
+    )
+
+
+TS_INTERVAL_JOIN_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value FROM events
+),
+iv AS (
+  SELECT event_type AS itype,
+    LAG(ts_us) OVER (
+      PARTITION BY event_type ORDER BY ts_us, event_id) AS start_us,
+    ts_us AS end_us
+  FROM base
+)
+SELECT itype, start_us, end_us,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT e.event_type) AS n_types,
+  CAST(FLOOR(SUM(CAST(e.value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    AS value_e6
+FROM iv
+JOIN base e ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+WHERE iv.start_us IS NOT NULL AND iv.end_us - iv.start_us > 3600000000
+GROUP BY itype, start_us, end_us
+ORDER BY itype, start_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality filters (Gopher-style)
+# ---------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition counters used by corpus quality filters
+    (duplicate-word fraction, most-frequent-word share, duplicate
+    2-gram fraction — the ratios are integer-derivable downstream;
+    integers are emitted so the cross-engine compare is bit-exact).
+
+    Scale: one map-side projection, zero shuffles before the
+    presentation orderBy. The most-frequent-word count is a run-length
+    fold over the *sorted* word array (``aggregate`` over
+    ``array_sort``) — no explode, no per-doc groupBy, so the operator
+    costs O(words·log words) CPU inside whole-stage codegen and
+    nothing on the network at any corpus size.
+    """
+    docs = load_table(spark, sf, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    run = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bigrams = F.zip_with(
+        F.slice("ws", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("ws", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+        run.alias("top_word_count"),
+        F.size(F.array_distinct(bigrams))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+  CAST(COALESCE(list_max(list_transform(list_distinct(ws),
+    wd -> len(list_filter(ws, x -> x = wd)))), 0) AS BIGINT)
+    AS top_word_count,
+  CAST(len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+    i -> ws[i] || ' ' || ws[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+FROM w
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified domain mixing
+# ---------------------------------------------------------------------------
+MIX_BUDGET_FRAC = "0.5"  # sample half the corpus, reweighted by domain
+
+
+def _mix_weight_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IN ('src0','src1','src2','src3','src4') THEN 4 "
+        f"WHEN {col} IN ('src5','src6','src7','src8','src9') THEN 2 "
+        "ELSE 1 END"
+    )
+
+
+def docs_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sample hitting a target domain mix.
+
+    Domains get weights (4/2/1 here); the budget is half the corpus;
+    each domain keeps ``min(floor(budget·weight/Σweights), available)``
+    documents, chosen by md5-of-identity order so membership is stable
+    across runs, engines and row order (same identity hash as
+    ``docs_split_assign``).
+
+    Scale: per-domain quotas come from a tiny count aggregate
+    (broadcast back); selection is a rank-within-domain window. With
+    few giant domains the window partition is skewed — the 100 TB
+    variant replaces ``row_number`` with the distributed
+    range-partitioned rank used by ``orders_rfm_segments``
+    (md5 prefix buckets give a uniform pre-sort key, so quantile
+    cutoffs per domain select the same set without a single-partition
+    sort).
+    """
+    docs = load_table(spark, sf, "documents")
+    weight = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2
+        )
+        .otherwise(1)
+        .cast("long")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("available")
+    )
+    totals = per_source.select(
+        F.sum(weight).alias("total_weight"),
+        F.sum("available").alias("total_docs"),
+    )
+    quotas = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.floor(
+                F.col("total_docs")
+                * F.expr(MIX_BUDGET_FRAC)
+                * weight
+                / F.col("total_weight")
+            ).cast("long"),
+            F.col("available"),
+        ).alias("quota"),
+    )
+    order_key = F.md5(
+        F.concat_ws(":", F.col("source"), F.col("doc_id"))
+    )
+    ranked = docs.select(
+        "doc_id", "source", order_key.alias("pick_key")
+    ).withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("pick_key", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("doc_id", "source", F.col("pick_rank").cast("long").alias("pick_rank"))
+        .orderBy("source", "pick_rank")
+    )
+
+
+DOCS_DOMAIN_MIX_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS available,
+    {_mix_weight_sql('source')} AS w
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(w) AS total_weight, SUM(available) AS total_docs
+  FROM per_source
+),
+quotas AS (
+  SELECT source,
+    LEAST(CAST(FLOOR(total_docs * {MIX_BUDGET_FRAC} * w / total_weight)
+      AS BIGINT), available) AS quota
+  FROM per_source, totals
+),
+ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(concat(source, ':', CAST(doc_id AS VARCHAR))), doc_id
+    ) AS pick_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.pick_rank AS BIGINT) AS pick_rank
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.pick_rank <= q.quota
+ORDER BY r.source, r.pick_rank
+"""
+
+
+R2_QUERIES = {
+    "ts_interval_join": ts_interval_join,
+    "text_repetition": text_repetition,
+    "docs_domain_mix": docs_domain_mix,
+}
+
+R2_ORACLES = {
+    "ts_interval_join": TS_INTERVAL_JOIN_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "docs_domain_mix": DOCS_DOMAIN_MIX_SQL,
+}

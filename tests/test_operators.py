@@ -220,3 +220,43 @@ def test_language_id_markers(spark):
     )
     out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_interval_join_boundaries_and_spanning(spark):
+    from kukur_spark.operators.interval_join import interval_join
+
+    events = spark.createDataFrame(
+        [(0,), (999,), (1000,), (5000,), (9999,), (10000,)],
+        "ts_us long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 1000, 10000),  # half-open: 1000 in, 10000 out; spans bins
+            (2, 0, 1000),      # adjacent window
+            (3, 5000, 5000),   # empty (end == start) — dropped
+            (4, 7000, 6000),   # inverted — dropped
+        ],
+        "iid long, start_us long, end_us long",
+    )
+    out = interval_join(
+        events, intervals, bin_width_us=1000
+    )  # tiny bins force multi-bin interval explosion
+    got = sorted((r["iid"], r["ts_us"]) for r in out.collect())
+    assert got == [(1, 1000), (1, 5000), (1, 9999), (2, 0), (2, 999)]
+
+
+def test_interval_join_with_keys(spark):
+    from kukur_spark.operators.interval_join import interval_join
+
+    events = spark.createDataFrame(
+        [("a", 5), ("b", 5)], "series string, ts_us long"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0, 10)], "series string, start_us long, end_us long"
+    )
+    out = interval_join(
+        events, intervals, bin_width_us=100, keys=["series"]
+    )
+    rows = out.collect()
+    assert [(r["series"], r["ts_us"]) for r in rows] == [("a", 5)]
+    assert out.columns.count("series") == 1

@@ -226,3 +226,32 @@ def test_cumulative_share_no_global_window_on_orders(spark):
     single-partition window."""
     plan = plan_of(QUERIES["orders_cumulative_share"](spark, SF))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_interval_join_is_binned_equi_join(spark):
+    """The range join runs as a hash/sort-merge equi-join on the hourly
+    bin — never the nested-loop or cartesian plan Spark picks for a
+    naive non-equi condition."""
+    plan = plan_of(QUERIES["ts_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_text_repetition_pure_projection(spark):
+    """Repetition counters (incl. the top-word run-length fold) are one
+    map-side projection: no joins, no aggregates, no Python workers;
+    only the presentation sort exchanges."""
+    plan = plan_of(QUERIES["text_repetition"](spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_domain_mix_broadcasts_quotas(spark):
+    """Per-domain quotas broadcast back to the ranked corpus — the big
+    side shuffles only for its own rank window, never for the join."""
+    plan = plan_of(QUERIES["docs_domain_mix"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
