@@ -124,6 +124,119 @@ def session_stats(
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    key_columns: List[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-time deduplication: rows with the same keys but
+    *different* event times (retries, at-least-once replays with
+    re-stamped timestamps) collapse to the first arrival, as long as
+    they land within the watermark horizon of each other.
+
+    ``dropDuplicates`` (see ``streaming_dedup``) only collapses exact
+    (keys, ts) matches; ``dropDuplicatesWithinWatermark`` keys state on
+    the columns alone and bounds it by event-time, which is the shape
+    ingestion retries actually have. State size is O(distinct keys per
+    watermark window) — the knob a 100 TB stream tunes is the horizon,
+    not the key count.
+    """
+    return df.withWatermark(TS_COLUMN, watermark).dropDuplicatesWithinWatermark(
+        key_columns
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    metadata: DataFrame,
+    on: List[str],
+) -> DataFrame:
+    """Stream-static dimension join: enrich a point stream with series
+    metadata (units, limits, interpolation type — J1's fields).
+
+    The static side re-resolves per micro-batch (metadata updates are
+    picked up without restarting the query) and is hint-broadcast: the
+    stream side never shuffles, which keeps the stateless map pipeline
+    intact at any stream rate. Inner join; use a left join upstream if
+    unknown series must pass through.
+    """
+    return stream.join(F.broadcast(metadata), on=on, how="left")
+
+
+_COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+_COUNTER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("delta", T.DoubleType()),
+    ]
+)
+
+
+def _update_counter_delta(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    last_ts, last_value = state.get if state.exists else (None, None)
+    out_ts: List[int] = []
+    out_delta: List[float] = []
+    frames = [pdf.dropna(subset=["ts_us"]) for pdf in pdfs]
+    frames = [pdf for pdf in frames if len(pdf)]
+    if frames:
+        batch = pd.concat(frames).sort_values("ts_us")
+        for ts_us, value in zip(batch["ts_us"], batch["value"]):
+            ts_us = int(ts_us)
+            value = float(value)
+            if last_value is not None and ts_us >= (last_ts or 0):
+                # monotonic counters reset to ~0 on restart: a drop is a
+                # reset, the delta since reset is the new raw value
+                delta = value - last_value if value >= last_value else value
+                out_ts.append(ts_us)
+                out_delta.append(delta)
+            if last_ts is None or ts_us >= last_ts:
+                last_ts, last_value = ts_us, value
+    state.update((last_ts, last_value))
+    yield pd.DataFrame(
+        {
+            "series": [key[0]] * len(out_ts),
+            "ts_us": out_ts,
+            "delta": out_delta,
+        }
+    )
+
+
+def streaming_counter_delta(
+    df: DataFrame, series_column: str = "series"
+) -> DataFrame:
+    """Stateful per-series counter increments with reset detection —
+    the streaming twin of the batch ``ts_counter_delta`` workload.
+
+    Input needs ``series, ts, value`` (a monotonic counter with
+    occasional restarts). Emits one row per consumed point carrying the
+    increment since the previous point; a value drop is treated as a
+    counter reset (delta = raw value), matching the batch operator's
+    semantics. State per series is two scalars — O(distinct series)
+    total, the minimum any cross-batch diff can hold.
+    """
+    prepared = df.select(
+        F.col(series_column).alias("series"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+        F.col(VALUE_COLUMN).cast("double").alias("value"),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _update_counter_delta,
+        outputStructType=_COUNTER_OUTPUT_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts_us", T.LongType()),

@@ -125,3 +125,106 @@ def test_running_last_value_stateful(spark, stream_dir):
     assert rows["s1"]["last_value"] == 3.0
     assert rows["s1"]["n_total"] == 3
     assert rows["s2"]["last_value"] == 20.0
+
+
+def test_dedup_within_watermark_collapses_restamped(spark, tmp_path):
+    from kukur_spark.streaming import dedup_within_watermark
+
+    rows = [
+        ("s1", ts(0), 1.0),
+        ("s1", ts(1), 1.0),  # same (series, value), re-stamped ts: retry
+        ("s1", ts(2), 2.0),
+        ("s2", ts(0), 1.0),  # same value, different series: kept
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "restamp")
+    )
+    df = stream_data(spark, str(tmp_path / "restamp"), SCHEMA)
+    deduped = dedup_within_watermark(df, ["series", "value"])
+    name = run_to_memory(deduped)
+    out = spark.sql(f"SELECT series, value FROM {name}").collect()
+    assert sorted((r["series"], r["value"]) for r in out) == [
+        ("s1", 1.0),
+        ("s1", 2.0),
+        ("s2", 1.0),
+    ]
+
+
+def test_stream_static_enrich_broadcasts_metadata(spark, stream_dir):
+    from kukur_spark.streaming import stream_static_enrich
+
+    metadata = spark.createDataFrame(
+        [("s1", "m/s", 0.0, 100.0)],
+        "series string, unit string, low double, high double",
+    )
+    df = stream_data(spark, stream_dir, SCHEMA)
+    enriched = stream_static_enrich(df, metadata, on=["series"])
+    assert enriched.isStreaming
+    name = run_to_memory(enriched)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) == 5  # left join: unknown series pass through
+    units = {r["series"]: r["unit"] for r in rows}
+    assert units["s1"] == "m/s" and units["s2"] is None
+
+
+def test_streaming_counter_delta_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_counter_delta
+
+    path = str(tmp_path / "counter")
+    batch1 = [("s1", ts(0), 10.0), ("s1", ts(2), 15.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, SCHEMA)
+    out = streaming_counter_delta(df)
+    name = f"ctr_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    # second micro-batch: a reset (15 -> 3) then normal growth; state
+    # (last value 15.0) must survive the batch boundary
+    batch2 = [("s1", ts(4), 3.0), ("s1", ts(6), 8.0)]
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name} ORDER BY ts_us").collect()
+    assert [r["delta"] for r in rows] == [5.0, 3.0, 5.0]
+
+
+def test_windowed_stats_drops_late_data(spark, tmp_path):
+    from kukur_spark.streaming import windowed_stats
+
+    path = str(tmp_path / "late")
+    # batch 1: two rows in window [0,5) and one at minute 30 that pushes
+    # the watermark to 20 min, finalizing (and emitting) window [0,5)
+    batch1 = [("s1", ts(0), 1.0), ("s1", ts(2), 2.0), ("s1", ts(30), 9.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, SCHEMA)
+    agg = windowed_stats(df, window="5 minutes", group_columns=["series"])
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    # batch 2: a row for the already-finalized window — must be dropped,
+    # plus a fresh row advancing the watermark past minute 30
+    batch2 = [("s1", ts(1), 100.0), ("s1", ts(59), 1.0)]
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = {
+        r["window_start"].minute: r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # window [0,5) was emitted with the on-time rows only
+    assert rows[0]["n"] == 2
+    assert rows[0]["sum_value"] == 3.0
