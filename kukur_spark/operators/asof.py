@@ -1,29 +1,39 @@
-"""As-of join: match each left row to the most recent right row.
+"""As-of join: match each left row to the nearest right row in time.
 
 Not a reference operator (the reference has no joins, SURVEY.md §2.3) — this
 is the natural Spark extension for LINEAR/STEPPED interpolation semantics and
-a standard time-series primitive.
+a standard time-series primitive (cf. DuckDB ASOF JOIN, pandas.merge_asof).
 
 Implementation is the scalable union+window form, not a UDF:
 
     union(left tagged, right tagged)
       → window over (keys) ordered by (ts, side)
-      → last(right value, ignoreNulls) as the as-of match
+      → last(right struct, ignoreNulls) as the as-of match
       → keep left rows
 
 One shuffle on the key columns, sequential scan per partition — the same
-plan shape a native ASOF join executes (cf. DuckDB's ASOF JOIN and
-pandas.merge_asof semantics: right.ts <= left.ts, a "backward" search). Keys
-with heavy skew can be salted upstream; AQE skew-join does not apply (window,
-not join), but the window state is O(1) per row.
+plan shape a native ASOF join executes. ``direction="forward"`` runs the
+identical scan ordered descending; ``"nearest"`` computes both matches over
+the *same* partitioning (one exchange, two in-partition sorts) and picks the
+closer side, ties to backward. Keys with heavy skew can be salted upstream;
+the window state is O(1) per row either way.
 """
 
 from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TS_FIELD = "__ts"
+
+
+def _ts_micros(col: Column, dtype) -> Column:
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col)
+    return col.cast("long")
 
 
 def asof_join(
@@ -34,12 +44,24 @@ def asof_join(
     value_columns: Optional[List[str]] = None,
     allow_exact_matches: bool = True,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_us: Optional[int] = None,
 ) -> DataFrame:
-    """For every ``left`` row, the latest ``right`` row with
-    ``right.ts <= left.ts`` (or ``<`` when ``allow_exact_matches=False``),
-    matched within the ``on`` key columns. Left rows without a match are
-    dropped (inner as-of, like DuckDB's ASOF JOIN default).
+    """For every ``left`` row, the nearest ``right`` row by timestamp,
+    matched within the ``on`` key columns.
+
+    ``direction``: ``"backward"`` (right.ts <= left.ts, the default),
+    ``"forward"`` (right.ts >= left.ts) or ``"nearest"`` (closer of the
+    two; equidistant ties resolve backward). ``allow_exact_matches=False``
+    makes the comparisons strict. ``tolerance_us`` (microseconds) drops
+    matches farther than the bound — with it, ``"nearest"`` mirrors
+    ``pandas.merge_asof(..., tolerance=...)``.
+
+    Left rows without a surviving match are dropped (inner as-of, like
+    DuckDB's ASOF JOIN default).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     if value_columns is None:
         value_columns = [
             c for c in right.columns if c not in on and c != ts_column
@@ -49,21 +71,23 @@ def asof_join(
     left = left.filter(F.col(ts_column).isNotNull())
     right = right.filter(F.col(ts_column).isNotNull())
     # side ordering: on equal ts the right row sorts first when exact
-    # matches are allowed (so it is visible to the left row), after when not
+    # matches are allowed (so it is visible to the left row), after when
+    # not; the numbering is direction-agnostic because both scans order
+    # by (ts, side asc)
     right_side, left_side = (0, 1) if allow_exact_matches else (2, 1)
 
     # the matched right row travels as ONE struct: per-column last() would
     # skip NULL values (returning a stale row's value) and could combine
     # fields from different right rows; the struct is non-null whenever a
-    # right row exists, even if every value in it is NULL
+    # right row exists, even if every value in it is NULL. The right ts
+    # rides along for tolerance / nearest distance math.
     row_struct = F.struct(
-        F.lit(1).alias("__present"),
+        F.col(ts_column).alias(_TS_FIELD),
         *[F.col(c).alias(c) for c in value_columns],
     )
+    struct_type = right.select(row_struct.alias("s")).schema["s"].dataType
     left_tagged = left.withColumn("__side", F.lit(left_side)).withColumn(
-        "__r", F.lit(None).cast(
-            right.select(row_struct.alias("s")).schema["s"].dataType
-        )
+        "__r", F.lit(None).cast(struct_type)
     )
     right_tagged = right.select(
         *[F.col(c) for c in on],
@@ -73,18 +97,45 @@ def asof_join(
     )
     combined = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
 
-    window = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_column).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    combined = combined.withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(window)
-    )
+    ts_type = right.schema[ts_column].dataType
+    lts = _ts_micros(F.col(ts_column), ts_type)
+
+    def scan(ascending: bool) -> Column:
+        order = F.col(ts_column).asc() if ascending else F.col(ts_column).desc()
+        window = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__r", ignorenulls=True).over(window)
+
+    if direction == "backward":
+        combined = combined.withColumn("__m", scan(True))
+    elif direction == "forward":
+        combined = combined.withColumn("__m", scan(False))
+    else:  # nearest: both scans share one exchange (same partitioning)
+        combined = combined.withColumn("__mb", scan(True)).withColumn(
+            "__mf", scan(False)
+        )
+        mb, mf = F.col("__mb"), F.col("__mf")
+        db = lts - _ts_micros(mb.getField(_TS_FIELD), ts_type)
+        df_ = _ts_micros(mf.getField(_TS_FIELD), ts_type) - lts
+        combined = combined.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf),
+        ).drop("__mb", "__mf")
+
     matched = combined.filter(F.col("__side") == F.lit(left_side))
-    # inner as-of: drop left rows with no preceding right row (the struct
-    # itself is null only when nothing matched)
+    # inner as-of: drop left rows with no (or out-of-tolerance) match
     matched = matched.filter(F.col("__m").isNotNull())
+    if tolerance_us is not None:
+        dist = F.abs(
+            lts - _ts_micros(F.col("__m").getField(_TS_FIELD), ts_type)
+        )
+        matched = matched.filter(dist <= F.lit(int(tolerance_us)))
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
         F.col("__m").getField(c).alias(

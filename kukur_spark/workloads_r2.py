@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
+from kukur_spark.operators.asof import asof_join
 from kukur_spark.operators.interval_join import interval_join
 
 
@@ -286,14 +287,340 @@ ORDER BY r.source, r.pick_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# nearest as-of join with tolerance
+# ---------------------------------------------------------------------------
+ASOF_TOLERANCE_US = 2 * 3_600_000_000  # 2 h
+
+
+def ts_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-match as-of join with a tolerance bound: each error event
+    matched to the user's *closest* purchase (past or future) within 2 h
+    — the ``pandas.merge_asof(direction="nearest", tolerance=...)``
+    shape.
+
+    Runs through ``operators/asof.py``'s union+window form: backward and
+    forward scans share ONE shuffle on user_id (same partitioning, two
+    in-partition sorts), pick-the-closer is a null-safe projection. The
+    oracle cross-checks against DuckDB's native ASOF JOIN in both
+    directions plus the same tie rule (equidistant → backward).
+    """
+    events = load_table(spark, sf, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .withColumn("pts", F.col("ts"))
+    )
+    matched = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        value_columns=["value", "pts"],
+        direction="nearest",
+        tolerance_us=ASOF_TOLERANCE_US,
+    )
+    return matched.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+        F.abs(F.unix_micros("ts") - F.unix_micros("pts")).alias("dist_us"),
+    ).orderBy("event_id")
+
+
+TS_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT e.event_id, e.ts_us AS ets, p.ts_us AS mts, p.value AS mval
+  FROM e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+),
+f AS (
+  SELECT e.event_id, p.ts_us AS mts, p.value AS mval
+  FROM e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts_us <= p.ts_us
+),
+c AS (
+  SELECT b.event_id, b.ets,
+    CASE WHEN b.mts IS NULL THEN f.mval
+         WHEN f.mts IS NULL THEN b.mval
+         WHEN b.ets - b.mts <= f.mts - b.ets THEN b.mval
+         ELSE f.mval END AS purchase_value,
+    CASE WHEN b.mts IS NULL THEN f.mts - b.ets
+         WHEN f.mts IS NULL THEN b.ets - b.mts
+         WHEN b.ets - b.mts <= f.mts - b.ets THEN b.ets - b.mts
+         ELSE f.mts - b.ets END AS dist_us
+  FROM b JOIN f USING (event_id)
+)
+SELECT event_id, ets AS ts_us, purchase_value,
+  CAST(dist_us AS BIGINT) AS dist_us
+FROM c
+WHERE dist_us IS NOT NULL AND dist_us <= 7200000000
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval merge (union of overlapping windows)
+# ---------------------------------------------------------------------------
+def _merge_pass(iv: DataFrame, partition_cols) -> DataFrame:
+    """One interval-merge pass: within each partition group, coalesce
+    overlapping-or-touching [start,end) windows (classic running-max
+    sweep). Exact when the partition is global; a partitioned pass is a
+    cardinality reducer whose output a global pass merges exactly
+    (interval merging is confluent)."""
+    w_order = Window.partitionBy(*partition_cols).orderBy(
+        "start_us", "end_us"
+    )
+    prev_max = F.max("end_us").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_grp",
+        F.when(
+            prev_max.isNull() | (F.col("start_us") > prev_max), 1
+        ).otherwise(0),
+    ).withColumn(
+        "gid",
+        F.sum("new_grp").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy(*partition_cols, "gid").agg(
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+        F.sum("n_merged").alias("n_merged"),
+    )
+
+
+def ts_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Global outage windows: the per-type >1 h silence intervals merged
+    across event types wherever they overlap or touch.
+
+    Scale shape: pass 1 merges within day-of-start partitions (parallel,
+    reduces interval cardinality by the local overlap factor); pass 2
+    merges the surviving intervals globally. Two-pass merging is exact —
+    pass-1 outputs are still intervals, and the global pass coalesces
+    anything pass 1 could not see across partition boundaries. The
+    single-partition window only ever touches the *reduced* set. The
+    oracle is the one-pass global sweep in DuckDB.
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    iv = (
+        base.select(
+            F.lag("ts_us").over(w).alias("start_us"),
+            F.col("ts_us").alias("end_us"),
+        )
+        .filter(F.col("start_us").isNotNull())
+        .filter(F.col("end_us") - F.col("start_us") > GAP_US)
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    local = _merge_pass(
+        iv.withColumn(
+            "day", (F.col("start_us") / 86_400_000_000).cast("long")
+        ),
+        ["day"],
+    ).drop("day", "gid")
+    merged = _merge_pass(local.withColumn("g", F.lit(0)), ["g"])
+    return merged.select(
+        "start_us", "end_us", F.col("n_merged").cast("long").alias("n_merged")
+    ).orderBy("start_us")
+
+
+TS_MERGE_INTERVALS_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+iv AS (
+  SELECT
+    LAG(ts_us) OVER (
+      PARTITION BY event_type ORDER BY ts_us, event_id) AS start_us,
+    ts_us AS end_us
+  FROM base
+),
+keep AS (
+  SELECT start_us, end_us FROM iv
+  WHERE start_us IS NOT NULL AND end_us - start_us > 3600000000
+),
+flagged AS (
+  SELECT start_us, end_us,
+    CASE WHEN start_us > COALESCE(MAX(end_us) OVER (
+        ORDER BY start_us, end_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_grp
+  FROM keep
+),
+grouped AS (
+  SELECT start_us, end_us,
+    SUM(new_grp) OVER (
+      ORDER BY start_us, end_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged
+)
+SELECT MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+  COUNT(*) AS n_merged
+FROM grouped GROUP BY gid ORDER BY start_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+def emb_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    report — the storage-shrink step before ANN indexing (4× smaller
+    vectors; cf. the IVF/PQ operators in ``operators/similarity.py``).
+
+    scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (round-half-up,
+    identical in both engines); error = max_i |x_i − q_i·scale|. One
+    map-side projection over the embedding column, all JVM higher-order
+    functions; the e9 fixed-point outputs keep the cross-engine compare
+    bit-exact.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    x = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+        / 127.0
+    )
+    base = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") / F.col("scale") + 0.5).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda v: F.lit(0)))
+    quantized = base.withColumn("qv", q)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda v, qq: F.abs(
+                v.cast("double") - qq.cast("double") * F.col("scale")
+            ),
+        )
+    )
+    return quantized.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e9).cast("long").alias("scale_e9"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("sum_q"),
+        F.floor(err * 1e9).cast("long").alias("err_e9"),
+    ).orderBy("vec_id")
+
+
+EMB_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+    CASE WHEN scale > 0 THEN
+      list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+    ELSE list_transform(embedding, x -> 0) END AS qv
+  FROM s
+)
+SELECT vec_id,
+  CAST(FLOOR(scale * 1e9) AS BIGINT) AS scale_e9,
+  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+  CAST(FLOOR(list_max(list_transform(generate_series(1, len(embedding)),
+    i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale))) * 1e9)
+    AS BIGINT) AS err_e9
+FROM q
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenization counts
+# ---------------------------------------------------------------------------
+PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def text_pretokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs,
+    single digits, single symbols — the GPT-2 pre-split shape reduced to
+    its deterministic ASCII core so Java and RE2 regex engines agree).
+
+    One map-side projection: ``regexp_extract_all`` + array math, no
+    explode, no shuffle before the presentation sort.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = F.regexp_extract_all("text", F.lit(PRETOKEN_PATTERN), 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    alpha = F.filter(F.col("toks"), lambda t: t.rlike("^[A-Za-z]"))
+    digit = F.filter(F.col("toks"), lambda t: t.rlike("^[0-9]"))
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_pretokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(alpha).cast("long").alias("n_alpha"),
+        F.size(digit).cast("long").alias("n_digit"),
+        (F.size("toks") - F.size(alpha) - F.size(digit))
+        .cast("long")
+        .alias("n_symbol"),
+    ).orderBy("doc_id")
+
+
+TEXT_PRETOKENIZE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_pretokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]')))
+    AS BIGINT) AS n_alpha,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+    AS BIGINT) AS n_digit,
+  CAST(len(toks)
+    - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]')))
+    - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+    AS BIGINT) AS n_symbol
+FROM t
+ORDER BY doc_id
+"""
+
+
 R2_QUERIES = {
     "ts_interval_join": ts_interval_join,
     "text_repetition": text_repetition,
     "docs_domain_mix": docs_domain_mix,
+    "ts_asof_nearest": ts_asof_nearest,
+    "ts_merge_intervals": ts_merge_intervals,
+    "emb_int8_quantize": emb_int8_quantize,
+    "text_pretokenize": text_pretokenize,
 }
 
 R2_ORACLES = {
     "ts_interval_join": TS_INTERVAL_JOIN_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "docs_domain_mix": DOCS_DOMAIN_MIX_SQL,
+    "ts_asof_nearest": TS_ASOF_NEAREST_SQL,
+    "ts_merge_intervals": TS_MERGE_INTERVALS_SQL,
+    "emb_int8_quantize": EMB_INT8_SQL,
+    "text_pretokenize": TEXT_PRETOKENIZE_SQL,
 }

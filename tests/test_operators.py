@@ -260,3 +260,47 @@ def test_interval_join_with_keys(spark):
     rows = out.collect()
     assert [(r["series"], r["ts_us"]) for r in rows] == [("a", 5)]
     assert out.columns.count("series") == 1
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from kukur_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100, 1), ("k", 250, 2), ("k", 1000, 3)],
+        "key string, ts long, id int",
+    )
+    right = spark.createDataFrame(
+        [("k", 50, 10.0), ("k", 90, 20.0), ("k", 200, 30.0), ("k", 300, 40.0)],
+        "key string, ts long, v double",
+    )
+
+    def run(**kw):
+        out = asof_join(left, right, on=["key"], **kw)
+        return {r["id"]: r["v"] for r in out.collect()}
+
+    assert run(direction="backward") == {1: 20.0, 2: 30.0, 3: 40.0}
+    assert run(direction="forward") == {1: 30.0, 2: 40.0}  # id 3 unmatched
+    # id 1: backward dist 10 vs forward dist 100 -> backward;
+    # id 2: backward dist 50 == forward dist 50 -> tie resolves backward
+    assert run(direction="nearest") == {1: 20.0, 2: 30.0, 3: 40.0}
+    assert run(direction="nearest", tolerance_us=60) == {1: 20.0, 2: 30.0}
+
+
+def test_asof_join_exact_match_toggle(spark):
+    from kukur_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 200, 1)], "key string, ts long, id int")
+    right = spark.createDataFrame(
+        [("k", 200, 5.0), ("k", 100, 1.0)], "key string, ts long, v double"
+    )
+    exact = asof_join(left, right, on=["key"]).collect()
+    assert exact[0]["v"] == 5.0
+    strict = asof_join(
+        left, right, on=["key"], allow_exact_matches=False
+    ).collect()
+    assert strict[0]["v"] == 1.0
+    fwd_strict = asof_join(
+        left, right, on=["key"], allow_exact_matches=False,
+        direction="forward",
+    ).collect()
+    assert fwd_strict == []

@@ -255,3 +255,27 @@ def test_domain_mix_broadcasts_quotas(spark):
     plan = plan_of(QUERIES["docs_domain_mix"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """Backward+forward scans share one hash exchange on user_id; the
+    match is a window projection — no join node anywhere."""
+    plan = plan_of(QUERIES["ts_asof_nearest"](spark, SF))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_merge_intervals_local_pass_is_partitioned(spark):
+    """Pass 1 merges within day partitions (parallel); only the reduced
+    set reaches the global pass."""
+    plan = plan_of(QUERIES["ts_merge_intervals"](spark, SF))
+    assert "hashpartitioning(day" in plan, plan
+
+
+def test_int8_quantize_and_pretokenize_pure_projection(spark):
+    for name in ("emb_int8_quantize", "text_pretokenize"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "Join" not in plan, name
+        assert "HashAggregate" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("Exchange") <= 1, name
