@@ -1,0 +1,157 @@
+"""Property-based differentials for the round-2 operators:
+
+- asof_join direction/tolerance vs pandas.merge_asof (semantics standard);
+- interval_join vs the naive non-equi join it replaces;
+- two-pass interval merge vs a brute-force single sweep.
+"""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.asof import asof_join
+from kukur_spark.operators.interval_join import interval_join
+
+BASE = datetime(2020, 1, 1)
+
+series = st.lists(
+    st.integers(0, 500), min_size=1, max_size=12, unique=True
+).map(sorted)
+
+
+def to_df(spark, minutes, values=None):
+    rows = [
+        (1, BASE + timedelta(minutes=m), float(v))
+        for m, v in zip(minutes, values or minutes)
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, value double")
+
+
+@given(
+    left_minutes=series,
+    right_minutes=series,
+    direction=st.sampled_from(["forward", "nearest"]),
+    tolerance=st.one_of(st.none(), st.integers(1, 100)),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_directions_match_pandas(
+    spark, left_minutes, right_minutes, direction, tolerance
+):
+    left = to_df(spark, left_minutes, [0] * len(left_minutes)).drop("value")
+    right = to_df(spark, right_minutes)
+    out = asof_join(
+        left,
+        right,
+        on=["k"],
+        direction=direction,
+        tolerance_us=None if tolerance is None else tolerance * 60_000_000,
+    ).toPandas()
+
+    left_pdf = pd.DataFrame(
+        {"k": 1, "ts": [BASE + timedelta(minutes=m) for m in left_minutes]}
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "k": 1,
+            "ts": [BASE + timedelta(minutes=m) for m in right_minutes],
+            "value": [float(m) for m in right_minutes],
+        }
+    )
+    expected = pd.merge_asof(
+        left_pdf,
+        right_pdf,
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=None
+        if tolerance is None
+        else pd.Timedelta(minutes=tolerance),
+    )
+    expected = expected[expected["value"].notna()]  # inner as-of
+
+    got = sorted(zip(out["ts"], out["value"]))
+    want = sorted(zip(expected["ts"], expected["value"]))
+    assert got == want, (left_minutes, right_minutes, direction, tolerance)
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(-5, 80)),
+    min_size=1,
+    max_size=10,
+)
+points_strategy = st.lists(st.integers(0, 400), min_size=1, max_size=20)
+
+
+@given(
+    iv=intervals_strategy,
+    pts=points_strategy,
+    bin_width=st.sampled_from([7, 64, 1000]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_naive_non_equi(spark, iv, pts, bin_width):
+    intervals = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(iv)],
+        "iid long, start_us long, end_us long",
+    )
+    events = spark.createDataFrame([(p,) for p in pts], "ts_us long")
+    got = sorted(
+        (r["iid"], r["ts_us"])
+        for r in interval_join(
+            events, intervals, bin_width_us=bin_width
+        ).collect()
+    )
+    want = sorted(
+        (i, p)
+        for i, (s, d) in enumerate(iv)
+        for p in pts
+        if s <= p < s + d
+    )
+    assert got == want, (iv, pts, bin_width)
+
+
+@given(iv=intervals_strategy)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_pass_interval_merge_matches_brute_force(spark, iv):
+    from kukur_spark.workloads_r2 import _merge_pass
+
+    rows = [(s, s + d) for s, d in iv if d > 0]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "start_us long, end_us long"
+    ).withColumn("n_merged", F.lit(1).cast("long"))
+    # pass 1 over an arbitrary (adversarial) partitioning: parity of start
+    local = (
+        _merge_pass(df.withColumn("p", F.col("start_us") % 2), ["p"])
+        .drop("p", "gid")
+    )
+    merged = _merge_pass(local.withColumn("g", F.lit(0)), ["g"])
+    got = sorted(
+        (r["start_us"], r["end_us"], r["n_merged"])
+        for r in merged.collect()
+    )
+
+    want = []
+    for s, e in sorted(rows):
+        if want and s <= want[-1][1]:
+            ps, pe, n = want[-1]
+            want[-1] = (ps, max(pe, e), n + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == [tuple(w) for w in want], (iv,)
