@@ -1,0 +1,108 @@
+"""Persisted IVF index: build once, query with partition pruning.
+
+``operators/similarity.py::ivf_topk`` recomputes assignments per query
+batch — right for one-shot analytics, wrong for a serving corpus that is
+written once and probed millions of times. This module splits the two
+phases the way a 100 TB deployment would:
+
+- **build**: assign every vector to its nearest coarse centroid
+  (broadcast centroid list, arg-min projection) and write the inverted
+  lists as parquet *hive-partitioned by centroid id*, with the vector
+  L2 norm precomputed per row. One shuffle (the partitioned write), run
+  once.
+- **query**: pick each query's ``nprobe`` nearest centroids (broadcast
+  of the tiny centroid table), then read ONLY those partitions — the
+  ``centroid_id IN (...)`` filter is a directory-level PartitionFilter,
+  so the scan touches nprobe/num_centroids of the corpus bytes. The
+  probed-id set is bounded by ``num_centroids`` (index metadata, not
+  data), so collecting it driver-side is O(centroids), never O(rows).
+
+Same output contract as ``ivf_topk`` (query_id, neighbor_id, cos_sim,
+rank) — a test pins build+query ≡ the in-memory operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.similarity import _as_double, dot, ivf_assign, norm
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> None:
+    """Write ``path/centroids`` (tiny) and ``path/lists`` partitioned by
+    ``centroid_id`` with per-row precomputed norms."""
+    centroids, assignments = ivf_assign(
+        corpus, num_centroids, id_column, vector_column
+    )
+    (
+        assignments.withColumn("vn", norm(F.col("v")))
+        .select(id_column, "v", "vn", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/lists")
+    )
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+    centroids.unpersist()
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a built index, scanning only probed lists."""
+    centroids = spark.read.parquet(path + "/centroids")
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        _as_double(F.col(vector_column)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    probe_window = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "centroid_sim",
+            dot("qv", "centroid")
+            / (norm(F.col("qv")) * norm(F.col("centroid"))),
+        )
+        .withColumn("rn", F.row_number().over(probe_window))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+    # bounded by num_centroids — index metadata, not data
+    probed_ids = sorted(
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    )
+    lists = spark.read.parquet(path + "/lists").filter(
+        F.col("centroid_id").isin(probed_ids)
+    )
+    scored = (
+        lists.join(F.broadcast(probes), on="centroid_id")
+        .filter(F.col("query_id") != F.col(id_column))
+        .withColumn("cos_sim", dot("qv", "v") / (F.col("qn") * F.col("vn")))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_column).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_column).alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

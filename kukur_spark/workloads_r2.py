@@ -605,6 +605,58 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# cumulative distinct users (expanding-window rewrite)
+# ---------------------------------------------------------------------------
+def events_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new-user count and running distinct-user total.
+
+    The naive formulation — ``COUNT(DISTINCT user_id) OVER (ORDER BY day
+    ROWS UNBOUNDED PRECEDING)`` — Spark rejects outright, and any
+    expanding-distinct implementation carries O(users) state per row.
+    The scalable rewrite: a user contributes exactly on their *first*
+    day, so ``min(day) per user`` (one shuffle, map-side combinable) →
+    per-day count of first appearances (tiny) → running sum over the
+    day axis (hundreds of rows, single-partition window is free).
+    """
+    events = load_table(spark, sf, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(
+            F.unix_micros(F.date_trunc("day", F.col("ts")))
+        ).alias("first_day_us")
+    )
+    daily = first_day.groupBy("first_day_us").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        F.col("first_day_us").alias("day_us"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day_us")
+
+
+EVENTS_CUMULATIVE_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id,
+    MIN(epoch_us(date_trunc('day', ts))) AS first_day_us
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day_us AS day_us, COUNT(*) AS n_new_users
+  FROM first_day GROUP BY first_day_us
+)
+SELECT day_us, n_new_users,
+  CAST(SUM(n_new_users) OVER (
+    ORDER BY day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS cum_users
+FROM daily
+ORDER BY day_us
+"""
+
+
 R2_QUERIES = {
     "ts_interval_join": ts_interval_join,
     "text_repetition": text_repetition,
@@ -613,6 +665,7 @@ R2_QUERIES = {
     "ts_merge_intervals": ts_merge_intervals,
     "emb_int8_quantize": emb_int8_quantize,
     "text_pretokenize": text_pretokenize,
+    "events_cumulative_users": events_cumulative_users,
 }
 
 R2_ORACLES = {
@@ -623,4 +676,5 @@ R2_ORACLES = {
     "ts_merge_intervals": TS_MERGE_INTERVALS_SQL,
     "emb_int8_quantize": EMB_INT8_SQL,
     "text_pretokenize": TEXT_PRETOKENIZE_SQL,
+    "events_cumulative_users": EVENTS_CUMULATIVE_USERS_SQL,
 }

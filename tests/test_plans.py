@@ -279,3 +279,15 @@ def test_int8_quantize_and_pretokenize_pure_projection(spark):
         assert "HashAggregate" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("Exchange") <= 1, name
+
+
+def test_cumulative_users_no_expanding_distinct(spark):
+    """The expanding distinct count rewrites to min-per-user + tiny
+    running sum: the raw event stream is aggregated (twice) before any
+    window function runs."""
+    plan = plan_of(QUERIES["events_cumulative_users"](spark, SF))
+    assert "Window" in plan
+    # the window input comes from the day-level aggregate, not raw rows:
+    # plan order is bottom-up — every HashAggregate appears below Window
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
+    assert "Expand" not in plan

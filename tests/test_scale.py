@@ -131,3 +131,30 @@ def test_distributed_ntile_plan_is_range_partitioned(spark):
     # the data-bearing rank runs after a range repartition, never through
     # a single-partition global window over the full table
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_ivf_index_build_query_matches_inmemory_and_prunes(spark, tmp_path):
+    """Persisted IVF index: build+query returns exactly what the
+    in-memory operator returns, and the query scan carries a
+    centroid_id PartitionFilter (only probed lists are read)."""
+    from kukur_spark.io import load_table
+    from kukur_spark.operators.ann_index import build_ivf_index, ivf_index_topk
+    from kukur_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, num_centroids=16)
+    got = ivf_index_topk(spark, path, queries, k=5, nprobe=4)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan, plan
+
+    want = ivf_topk(queries, emb, k=5, nprobe=4)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) == 50  # 10 queries x k
