@@ -1,0 +1,117 @@
+"""Table maintenance: small-file statistics and bin-packed compaction.
+
+At 100 TB the dominant operational failure mode of a parquet lake is not
+a wrong query plan — it is millions of kilobyte files from streaming /
+per-batch ingestion, which turn every scan into an open()-bound crawl
+and blow the driver's file index. The reference gateway reads whatever
+layout it is given; an engine that *owns* storage needs the janitor:
+
+- ``table_stats``: per-(hive-)partition file count and bytes, from a
+  driver-side Hadoop FileSystem walk — metadata, not data.
+- ``compact_table``: rewrite with ~``target_file_bytes`` per output
+  file. Per-partition output counts are computed from the stats (tiny
+  map, broadcast-joined back), rows are salted to exactly that many
+  buckets, and one ``repartition(partition_cols + salt)`` job writes the
+  whole table — no per-partition driver loop, so 10⁵ partitions compact
+  in a single Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def table_stats(
+    spark: SparkSession, path: str
+) -> Dict[Tuple[str, ...], Tuple[int, int]]:
+    """``{partition-dir tuple: (n_files, total_bytes)}`` for a parquet
+    table; unpartitioned tables map the empty tuple. Hidden/metadata
+    entries (``_SUCCESS``, ``.crc``) are ignored."""
+    fs, root = _hadoop_fs(spark, path)
+    root_str = fs.makeQualified(root).toString()
+    stats: Dict[Tuple[str, ...], Tuple[int, int]] = {}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = p[len(root_str):].lstrip("/")
+        parts = tuple(seg for seg in rel.split("/")[:-1] if "=" in seg)
+        n, b = stats.get(parts, (0, 0))
+        stats[parts] = (n + 1, b + status.getLen())
+    return stats
+
+
+def compact_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_columns: Optional[List[str]] = None,
+) -> Dict[Tuple[str, ...], int]:
+    """Rewrite ``src_path`` to ``dst_path`` with ≈``target_file_bytes``
+    files. Returns the planned ``{partition: n_output_files}`` map.
+
+    Partition columns default to whatever hive directories the source
+    carries. Parquet compression typically makes in-memory bytes larger
+    than on-disk — the on-disk stats are the right sizing signal because
+    the output is parquet again.
+    """
+    stats = table_stats(spark, src_path)
+    df = spark.read.parquet(src_path)
+    if partition_columns is None:
+        partition_columns = sorted(
+            {seg.split("=", 1)[0] for parts in stats for seg in parts}
+        )
+    plan = {
+        parts: max(1, math.ceil(nbytes / target_file_bytes))
+        for parts, (_, nbytes) in stats.items()
+    }
+    if not partition_columns:
+        n = plan.get((), 1)
+        df.repartition(n).write.mode("overwrite").parquet(dst_path)
+        return plan
+
+    def parts_key(parts: Tuple[str, ...]) -> Tuple[str, ...]:
+        by_col = {seg.split("=", 1)[0]: seg.split("=", 1)[1] for seg in parts}
+        return tuple(by_col[c] for c in partition_columns)
+
+    quota_rows = [
+        (*parts_key(parts), n) for parts, n in plan.items()
+    ]
+    quotas = spark.createDataFrame(
+        quota_rows, partition_columns + ["__n_files"]
+    )
+    # hive partition values read back as their inferred types; compare as
+    # strings so the broadcast join keys always line up
+    join_cond = [
+        df[c].cast("string") == quotas[c] for c in partition_columns
+    ]
+    salted = (
+        df.join(F.broadcast(quotas), join_cond, "inner")
+        .drop(*[quotas[c] for c in partition_columns])
+        .withColumn(
+            "__salt", (F.rand(seed=42) * F.col("__n_files")).cast("int")
+        )
+    )
+    total_tasks = max(sum(plan.values()), 1)
+    (
+        salted.repartition(total_tasks, *partition_columns, F.col("__salt"))
+        .drop("__salt", "__n_files")
+        .write.mode("overwrite")
+        .partitionBy(*partition_columns)
+        .parquet(dst_path)
+    )
+    return plan

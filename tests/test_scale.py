@@ -158,3 +158,47 @@ def test_ivf_index_build_query_matches_inmemory_and_prunes(spark, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w
     assert len(g) == 50  # 10 queries x k
+
+
+def test_table_stats_and_compaction(spark, tmp_path):
+    """40 tiny files across 2 hive partitions compact to the planned
+    per-partition file counts with identical data."""
+    from kukur_spark.operators.maintenance import compact_table, table_stats
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "packed")
+    df = spark.range(400).select(
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(20).write.partitionBy("part").parquet(src)
+
+    stats = table_stats(spark, src)
+    assert set(stats) == {("part=0",), ("part=1",)}
+    assert all(n >= 15 for n, _ in stats.values())  # fragmented input
+
+    plan = compact_table(spark, src, dst, target_file_bytes=10**9)
+    assert plan == {("part=0",): 1, ("part=1",): 1}
+    out_stats = table_stats(spark, dst)
+    assert {p: n for p, (n, _) in out_stats.items()} == {
+        ("part=0",): 1,
+        ("part=1",): 1,
+    }
+    before = sorted((r["part"], r["v"]) for r in spark.read.parquet(src).collect())
+    after = sorted((r["part"], r["v"]) for r in spark.read.parquet(dst).collect())
+    assert before == after
+
+
+def test_compaction_unpartitioned_splits_to_target(spark, tmp_path):
+    from kukur_spark.operators.maintenance import compact_table, table_stats
+
+    src = str(tmp_path / "u_src")
+    dst = str(tmp_path / "u_dst")
+    spark.range(1000).repartition(25).write.parquet(src)
+    (n_files, nbytes) = table_stats(spark, src)[()]
+    assert n_files == 25
+    # target half the table size -> 2 output files
+    compact_table(spark, src, dst, target_file_bytes=max(nbytes // 2, 1))
+    assert table_stats(spark, dst)[()][0] == 2
+    assert spark.read.parquet(dst).count() == 1000
