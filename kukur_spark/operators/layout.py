@@ -1,0 +1,159 @@
+"""Physical-layout operators: Z-order clustering and surgical deletes.
+
+Row-group and file skipping is the only scan-time defense a 100 TB
+parquet lake has, and it is only as good as the data layout:
+
+- ``zorder_key`` / ``zorder_write``: interleave the bits of two
+  range-normalized dimensions into a Morton key, range-partition and
+  sort by it. Files then hold small rectangles of the (a, b) space, so
+  min/max footer stats prune scans filtered on *either* dimension —
+  a single-column sort only ever helps one.
+- ``delete_keys``: GDPR-style targeted delete. Finds the hive
+  partitions that actually contain the doomed keys (semi-join on the
+  partition column — metadata-sized), rewrites only those partitions
+  with an anti-join, and leaves every other partition's files
+  physically untouched. A full-table rewrite at 100 TB for a
+  thousand-row delete is the classic accident; this is the surgical
+  form.
+
+All driver-side work is bounded by partition/metadata counts, never row
+counts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _interleave(a: Column, b: Column, bits: int) -> Column:
+    """Morton interleave of two non-negative ints of ``bits`` bits:
+    bit i of ``a`` lands at position 2i, of ``b`` at 2i+1."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = (
+            key.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+                F.shiftleft(bbit, 2 * i + 1)
+            )
+        )
+    return key
+
+
+def zorder_key(
+    a: Column, b: Column, a_min, a_max, b_min, b_max, bits: int = 12
+) -> Column:
+    """Morton key over two numeric columns scaled to ``bits``-bit grids
+    by the given bounds (compute them with one tiny min/max aggregate).
+    """
+    scale = (1 << bits) - 1
+
+    def norm(c: Column, lo, hi) -> Column:
+        if hi == lo:
+            return F.lit(0).cast("long")
+        scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        ) * scale
+        return F.least(
+            F.greatest(scaled.cast("long"), F.lit(0)), F.lit(scale)
+        )
+
+    return _interleave(norm(a, a_min, a_max), norm(b, b_min, b_max), bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    columns: List[str],
+    num_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` as ``num_files`` parquet files clustered on the
+    Morton curve of two columns. One tiny bounds aggregate, one range
+    exchange; footer min/max stats on both columns become selective."""
+    if len(columns) != 2:
+        raise ValueError("zorder_write clusters exactly two columns")
+    ca, cb = columns
+    bounds = df.agg(
+        F.min(ca).alias("a_min"),
+        F.max(ca).alias("a_max"),
+        F.min(cb).alias("b_min"),
+        F.max(cb).alias("b_max"),
+    ).collect()[0]
+    keyed = df.withColumn(
+        "__z",
+        zorder_key(
+            F.col(ca),
+            F.col(cb),
+            bounds["a_min"],
+            bounds["a_max"],
+            bounds["b_min"],
+            bounds["b_max"],
+            bits,
+        ),
+    )
+    (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    doomed: DataFrame,
+    key_column: str,
+    partition_column: str,
+) -> List[str]:
+    """Delete all rows of a hive-partitioned table whose ``key_column``
+    appears in ``doomed``; rewrites ONLY partitions containing matches.
+
+    Returns the rewritten partition values. Uses dynamic partition
+    overwrite so untouched partitions keep their existing files
+    byte-for-byte.
+    """
+    table = spark.read.parquet(path)
+    # metadata-sized: the distinct partition values holding doomed keys
+    hit_parts = [
+        r[partition_column]
+        for r in table.join(
+            F.broadcast(doomed.select(key_column).distinct()),
+            on=key_column,
+            how="leftsemi",
+        )
+        .select(partition_column)
+        .distinct()
+        .collect()
+    ]
+    if not hit_parts:
+        return []
+    survivors = (
+        table.filter(F.col(partition_column).isin(hit_parts))
+        .join(
+            F.broadcast(doomed.select(key_column).distinct()),
+            on=key_column,
+            how="left_anti",
+        )
+        # materialize before overwriting the path we are reading from —
+        # cuts the lineage back to the file source (sized by the HIT
+        # partitions only, which is the point of the surgical form)
+        .localCheckpoint(eager=True)
+    )
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(partition_column)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    return sorted(str(p) for p in hit_parts)

@@ -202,3 +202,86 @@ def test_compaction_unpartitioned_splits_to_target(spark, tmp_path):
     compact_table(spark, src, dst, target_file_bytes=max(nbytes // 2, 1))
     assert table_stats(spark, dst)[()][0] == 2
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_zorder_interleave_matches_reference(spark):
+    from kukur_spark.operators.layout import _interleave
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 1023) for b in (0, 1, 7, 512)],
+        "a long, b long",
+    )
+    rows = df.select(
+        "a", "b", _interleave(F.col("a"), F.col("b"), 10).alias("z")
+    ).collect()
+
+    def ref(a, b):
+        z = 0
+        for i in range(10):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    from kukur_spark.operators.layout import zorder_write
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "z")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    zorder_write(grid, path, ["x", "y"], num_files=16, bits=6)
+
+    table = spark.read.parquet(path)
+    assert table.count() == 4096
+
+    def files_with_matches(cond):
+        return (
+            table.filter(cond)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    # on the Morton curve an eighth of either dimension lives in a
+    # fraction of the files; a single-column sort would leave the other
+    # dimension smeared across all 16
+    assert files_with_matches(F.col("x") < 8) <= 8
+    assert files_with_matches(F.col("y") < 8) <= 8
+
+
+def test_delete_keys_rewrites_only_hit_partitions(spark, tmp_path):
+    import os
+    from kukur_spark.operators.layout import delete_keys
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "gdpr")
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 4).alias("day")
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    untouched_before = files_of(1)
+    doomed = spark.createDataFrame([(8,), (16,)], "user_id long")  # day=0 only
+    rewritten = delete_keys(spark, path, doomed, "user_id", "day")
+    assert [str(p) for p in rewritten] == ["0"]
+
+    assert files_of(1) == untouched_before  # byte-for-byte untouched
+    remaining = spark.read.parquet(path)
+    assert remaining.count() == 98
+    assert remaining.filter(F.col("user_id").isin(8, 16)).count() == 0
+    assert remaining.filter(F.col("day") == 0).count() == 23
