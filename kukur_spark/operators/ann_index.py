@@ -23,10 +23,16 @@ rank) — a test pins build+query ≡ the in-memory operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kukur_spark.operators.similarity import _as_double, dot, ivf_assign, norm
+from kukur_spark.io import persist_once
+from kukur_spark.operators.similarity import (
+    ivf_assign,
+    norm,
+    probe_nearest_centroids,
+    score_probed_lists,
+)
 
 
 def build_ivf_index(
@@ -63,46 +69,19 @@ def ivf_index_topk(
 ) -> DataFrame:
     """Approximate top-k over a built index, scanning only probed lists."""
     centroids = spark.read.parquet(path + "/centroids")
-    q = queries.select(
-        F.col(id_column).alias("query_id"),
-        _as_double(F.col(vector_column)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
-    probe_window = Window.partitionBy("query_id").orderBy(
-        F.col("centroid_sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn(
-            "centroid_sim",
-            dot("qv", "centroid")
-            / (norm(F.col("qv")) * norm(F.col("centroid"))),
+    # persisted: the probes feed both the driver-side probed-id collect
+    # and the scoring join — without it the probe job runs twice
+    probes = persist_once(
+        probe_nearest_centroids(
+            queries, centroids, nprobe, id_column, vector_column
         )
-        .withColumn("rn", F.row_number().over(probe_window))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "qn", "centroid_id")
     )
     # bounded by num_centroids — index metadata, not data
     probed_ids = sorted(
-        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
     )
     lists = spark.read.parquet(path + "/lists").filter(
         F.col("centroid_id").isin(probed_ids)
     )
-    scored = (
-        lists.join(F.broadcast(probes), on="centroid_id")
-        .filter(F.col("query_id") != F.col(id_column))
-        .withColumn("cos_sim", dot("qv", "v") / (F.col("qn") * F.col("vn")))
-    )
-    window = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col(id_column).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(window))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_column).alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return score_probed_lists(lists, probes, k, id_column)

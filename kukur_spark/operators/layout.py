@@ -22,7 +22,6 @@ counts.
 
 from __future__ import annotations
 
-import math
 from typing import List
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -156,4 +155,35 @@ def delete_keys(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition whose every row was doomed produces no output
+    # and its old files would survive. Remove those directories outright.
+    surviving_parts = {
+        r[partition_column]
+        for r in survivors.select(partition_column).distinct().collect()
+    }
+    emptied = [p for p in hit_parts if p not in surviving_parts]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        # resolve directory names from the physical listing rather than
+        # re-escaping values (hive escaping has many special cases)
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(conf)
+        from kukur_spark.operators.maintenance import (
+            _unescape_partition_value,
+        )
+
+        doomed_strs = {str(p) for p in emptied if p is not None}
+        doom_null = any(p is None for p in emptied)
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not status.isDirectory() or "=" not in name:
+                continue
+            col, _, raw = name.partition("=")
+            if col != partition_column:
+                continue
+            value = _unescape_partition_value(raw)
+            if (value is None and doom_null) or value in doomed_strs:
+                fs.delete(status.getPath(), True)
     return sorted(str(p) for p in hit_parts)

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -36,7 +37,9 @@ def table_stats(
 ) -> Dict[Tuple[str, ...], Tuple[int, int]]:
     """``{partition-dir tuple: (n_files, total_bytes)}`` for a parquet
     table; unpartitioned tables map the empty tuple. Hidden/metadata
-    entries (``_SUCCESS``, ``.crc``) are ignored."""
+    entries are ignored — including files *inside* hidden directories
+    (a streaming sink's ``_spark_metadata/`` log would otherwise count
+    as data and skew the sizing plan)."""
     fs, root = _hadoop_fs(spark, path)
     root_str = fs.makeQualified(root).toString()
     stats: Dict[Tuple[str, ...], Tuple[int, int]] = {}
@@ -44,14 +47,37 @@ def table_stats(
     while it.hasNext():
         status = it.next()
         p = status.getPath().toString()
-        name = status.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
         rel = p[len(root_str):].lstrip("/")
-        parts = tuple(seg for seg in rel.split("/")[:-1] if "=" in seg)
+        segments = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segments):
+            continue
+        parts = tuple(seg for seg in segments[:-1] if "=" in seg)
         n, b = stats.get(parts, (0, 0))
         stats[parts] = (n + 1, b + status.getLen())
     return stats
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition_value(raw: str) -> Optional[str]:
+    """Decode a hive directory segment value: ``%XX`` escapes back to
+    their characters, the null sentinel back to ``None``."""
+    if raw == _HIVE_NULL:
+        return None
+    out = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "%" and i + 3 <= len(raw):
+            try:
+                out.append(chr(int(raw[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(raw[i])
+        i += 1
+    return "".join(out)
 
 
 def compact_table(
@@ -84,26 +110,42 @@ def compact_table(
         df.repartition(n).write.mode("overwrite").parquet(dst_path)
         return plan
 
-    def parts_key(parts: Tuple[str, ...]) -> Tuple[str, ...]:
-        by_col = {seg.split("=", 1)[0]: seg.split("=", 1)[1] for seg in parts}
+    def parts_key(parts: Tuple[str, ...]):
+        by_col = {
+            seg.split("=", 1)[0]: _unescape_partition_value(
+                seg.split("=", 1)[1]
+            )
+            for seg in parts
+        }
         return tuple(by_col[c] for c in partition_columns)
 
     quota_rows = [
-        (*parts_key(parts), n) for parts, n in plan.items()
+        (*parts_key(parts), n)
+        for parts, n in plan.items()
+        if {seg.split("=", 1)[0] for seg in parts} == set(partition_columns)
     ]
-    quotas = spark.createDataFrame(
-        quota_rows, partition_columns + ["__n_files"]
+    quota_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in partition_columns]
+        + [T.StructField("__n_files", T.LongType())]
     )
-    # hive partition values read back as their inferred types; compare as
-    # strings so the broadcast join keys always line up
-    join_cond = [
-        df[c].cast("string") == quotas[c] for c in partition_columns
-    ]
+    quotas = spark.createDataFrame(quota_rows, quota_schema)
+    # hive partition values read back as their inferred types; compare
+    # unescaped-string to cast-string, null-safe (escaped chars and the
+    # __HIVE_DEFAULT_PARTITION__ null sentinel both line up). LEFT join +
+    # default quota: a key that still fails to match compacts to one file
+    # instead of silently dropping rows.
+    join_cond = quotas[partition_columns[0]].eqNullSafe(
+        df[partition_columns[0]].cast("string")
+    )
+    for c in partition_columns[1:]:
+        join_cond = join_cond & quotas[c].eqNullSafe(df[c].cast("string"))
     salted = (
-        df.join(F.broadcast(quotas), join_cond, "inner")
+        df.join(F.broadcast(quotas), join_cond, "left")
         .drop(*[quotas[c] for c in partition_columns])
         .withColumn(
-            "__salt", (F.rand(seed=42) * F.col("__n_files")).cast("int")
+            "__salt",
+            (F.rand(seed=42) * F.coalesce(F.col("__n_files"), F.lit(1)))
+            .cast("int"),
         )
     )
     total_tasks = max(sum(plan.values()), 1)

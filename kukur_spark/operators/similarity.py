@@ -253,17 +253,17 @@ def ivf_assign(
     return centroids, assignments
 
 
-def ivf_topk(
+def probe_nearest_centroids(
     queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    centroids: DataFrame,
+    nprobe: int,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k probing only the ``nprobe`` nearest inverted lists."""
-    centroids, assignments = ivf_assign(corpus, num_centroids, id_column, vector_column)
+    """Each query's ``nprobe`` nearest centroids (broadcast of the tiny
+    centroid table): ``query_id, qv, qn, centroid_id``. Shared by the
+    in-memory and the persisted-index IVF paths — tie rule
+    (sim desc, centroid_id asc) must stay identical between them."""
     q = queries.select(
         F.col(id_column).alias("query_id"),
         _as_double(F.col(vector_column)).alias("qv"),
@@ -271,7 +271,7 @@ def ivf_topk(
     probe_window = Window.partitionBy("query_id").orderBy(
         F.col("centroid_sim").desc(), F.col("centroid_id").asc()
     )
-    probes = (
+    return (
         q.join(F.broadcast(centroids))
         .withColumn(
             "centroid_sim",
@@ -281,9 +281,19 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qn", "centroid_id")
     )
+
+
+def score_probed_lists(
+    lists: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """Rank the probed inverted lists (columns ``id, v, vn,
+    centroid_id``) against broadcast probes: exact cosine within the
+    candidate set, per-query top-k with a deterministic tie rule."""
     scored = (
-        assignments.withColumn("vn", norm(F.col("v")))
-        .join(F.broadcast(probes), on="centroid_id")
+        lists.join(F.broadcast(probes), on="centroid_id")
         .filter(F.col("query_id") != F.col(id_column))
         .withColumn("cos_sim", dot("qv", "v") / (F.col("qn") * F.col("vn")))
     )
@@ -300,3 +310,21 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k probing only the ``nprobe`` nearest inverted lists."""
+    centroids, assignments = ivf_assign(corpus, num_centroids, id_column, vector_column)
+    probes = probe_nearest_centroids(
+        queries, centroids, nprobe, id_column, vector_column
+    )
+    lists = assignments.withColumn("vn", norm(F.col("v")))
+    return score_probed_lists(lists, probes, k, id_column)

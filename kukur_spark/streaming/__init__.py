@@ -157,8 +157,8 @@ def stream_static_enrich(
     The static side re-resolves per micro-batch (metadata updates are
     picked up without restarting the query) and is hint-broadcast: the
     stream side never shuffles, which keeps the stateless map pipeline
-    intact at any stream rate. Inner join; use a left join upstream if
-    unknown series must pass through.
+    intact at any stream rate. Left join: unknown series pass through
+    with null metadata columns (filter downstream to drop them).
     """
     return stream.join(F.broadcast(metadata), on=on, how="left")
 
@@ -185,7 +185,10 @@ def _update_counter_delta(
     last_ts, last_value = state.get if state.exists else (None, None)
     out_ts: List[int] = []
     out_delta: List[float] = []
-    frames = [pdf.dropna(subset=["ts_us"]) for pdf in pdfs]
+    # null values would emit NaN deltas and poison the saved state (the
+    # next real point would misreport as a reset) — drop them like the
+    # batch ts_counter_delta drops null-delta rows
+    frames = [pdf.dropna(subset=["ts_us", "value"]) for pdf in pdfs]
     frames = [pdf for pdf in frames if len(pdf)]
     if frames:
         batch = pd.concat(frames).sort_values("ts_us")

@@ -285,3 +285,58 @@ def test_delete_keys_rewrites_only_hit_partitions(spark, tmp_path):
     assert remaining.count() == 98
     assert remaining.filter(F.col("user_id").isin(8, 16)).count() == 0
     assert remaining.filter(F.col("day") == 0).count() == 23
+
+
+def test_delete_keys_removes_fully_doomed_partition(spark, tmp_path):
+    """Dynamic overwrite writes nothing for a partition whose every row
+    is doomed — the operator must still remove its files."""
+    from kukur_spark.operators.layout import delete_keys
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "gdpr_full")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "user_id long, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    doomed = spark.createDataFrame([(1,), (2,)], "user_id long")  # all of day=a
+    rewritten = delete_keys(spark, path, doomed, "user_id", "day")
+    assert rewritten == ["a"]
+    remaining = spark.read.parquet(path)
+    assert sorted(r["user_id"] for r in remaining.collect()) == [3, 4]
+    assert remaining.filter(F.col("day") == "a").count() == 0
+
+
+def test_compaction_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values needing hive escaping (':') and null partition
+    values must survive compaction — the quota join is unescaped and
+    null-safe, and an unmatched key degrades to one file, never loss."""
+    from kukur_spark.operators.maintenance import compact_table
+
+    src = str(tmp_path / "esc_src")
+    dst = str(tmp_path / "esc_dst")
+    rows = [(1, "a:b"), (2, "a:b"), (3, None), (4, "plain")]
+    spark.createDataFrame(rows, "v long, part string").repartition(
+        4
+    ).write.partitionBy("part").parquet(src)
+
+    compact_table(spark, src, dst, target_file_bytes=10**9)
+    got = sorted(
+        (r["v"], r["part"]) for r in spark.read.parquet(dst).collect()
+    )
+    assert got == [(1, "a:b"), (2, "a:b"), (3, None), (4, "plain")]
+
+
+def test_table_stats_ignores_hidden_directories(spark, tmp_path):
+    """Files inside _spark_metadata (streaming sink log) are not data."""
+    import os
+    from kukur_spark.operators.maintenance import table_stats
+
+    path = str(tmp_path / "with_meta")
+    spark.range(10).coalesce(1).write.parquet(path)
+    meta = os.path.join(path, "_spark_metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "0"), "w") as f:
+        f.write("{}")
+    stats = table_stats(spark, path)
+    assert list(stats) == [()]
+    assert stats[()][0] == 1  # only the data file
