@@ -1,0 +1,66 @@
+"""Change-data-capture apply: merge a keyed change stream onto a snapshot.
+
+Beyond-reference operator (the reference is read-only over external
+historians — `kukur/source/__init__.py` exposes no write or merge verb),
+but the pattern is the backbone of keeping a 100 TB lakehouse table in
+sync with an upstream OLTP feed: base snapshot + (insert/update/delete)
+changes → next snapshot.
+
+Scale design: ONE hash shuffle on the merge keys over base ∪ changes —
+the same plan shape whether changes are 0.1 % or 100 % of the base.  No
+broadcast of either side (both are unbounded), no driver-side state.  A
+window ``row_number`` picks the winning version per key; tombstones drop
+after the pick so a delete beats any older update.  Under AQE the
+post-shuffle partition count adapts to the actual merged size, and a
+skewed key (one hot entity updated millions of times) is handled by the
+skew-join/partition split because the window partitions by the same key
+the exchange hashed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PRIORITY = "_cdc_priority"
+_RN = "_cdc_rn"
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    delete_col: Optional[str] = None,
+) -> DataFrame:
+    """Latest-writer-wins merge of ``changes`` onto ``base``.
+
+    ``order_by`` columns define version recency (later wins); a change
+    row ties ahead of a base row at identical version columns.  When
+    ``delete_col`` names a boolean column on ``changes``, keys whose
+    winning row has it true disappear from the output (tombstone).
+    Output columns = base columns (the tombstone marker is internal).
+    """
+    cols: List[str] = list(base.columns)
+    if delete_col is None:
+        tagged_base = base.withColumn("_cdc_delete", F.lit(False))
+        tagged_changes = changes.withColumn("_cdc_delete", F.lit(False))
+    else:
+        tagged_base = base.withColumn("_cdc_delete", F.lit(False))
+        tagged_changes = changes.withColumn(
+            "_cdc_delete", F.col(delete_col).cast("boolean")
+        ).drop(delete_col)
+    tagged = tagged_base.withColumn(_PRIORITY, F.lit(0)).unionByName(
+        tagged_changes.withColumn(_PRIORITY, F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in order_by], F.desc(_PRIORITY)
+    )
+    return (
+        tagged.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .filter(~F.col("_cdc_delete"))
+        .select(*cols)
+    )

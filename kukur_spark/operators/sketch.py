@@ -1,0 +1,153 @@
+"""Distributed cardinality sketches (HyperLogLog) with engine-portable
+hashing.
+
+Beyond-reference operator (the reference gateway computes no aggregates at
+all — SURVEY §2.4 records only distinct-tag discovery and latest-value
+arg_max).  A 100 TB corpus cannot answer "how many distinct tokens per
+source" with an exact ``COUNT(DISTINCT …)`` cheaply: the distinct shuffle
+carries every unique token.  An HLL sketch carries a fixed 256-register
+vector per group instead, registers merge with ``max`` (commutative +
+idempotent → safe under partial aggregation, retries and re-aggregation
+across rollup levels), and the estimate is a driver-side fold.
+
+Portability contract: the hash is ``md5`` (available and bit-identical in
+Spark and DuckDB), split as
+
+- register index  = first 2 hex chars  (p = 8 → m = 256 registers)
+- rho input       = next 13 hex chars  (52 bits, fits a signed BIGINT)
+- rho             = 53 - bit_length(rem), i.e. leading-zero count of the
+                    52-bit remainder + 1; ``bit_length`` is spelled
+                    ``length(bin(x))`` in both engines.
+
+Every register value is an exact integer; the harmonic denominator
+``sum(2^(53-rho))`` is an exact BIGINT (≤ 2^61), so the oracle comparison
+is bit-exact.  The final estimate is one IEEE-double division by a shared
+literal constant, evaluated in the same order in both engines, plus the
+standard linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+# 2^53 as an exact double; rho is at most 53.
+POW2_53 = 9007199254740992
+# alpha_m * m^2 for m=256:  0.7213/(1+1.079/256)*65536
+ALPHA_MM = 47072.71267120224
+# ALPHA_MM * 2^53 folded to one literal so both engines evaluate a single
+# double division (no cross-engine multiply-order ambiguity).
+ALPHA_MM_POW2_53 = 4.2399330249068963e20
+
+HLL_M = 256  # registers (p = 8)
+
+
+def hll_rho(item: Column) -> tuple[Column, Column]:
+    """(register index, rho) for one item under the portable md5 split."""
+    h = F.md5(item)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(rem == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rem))
+    )
+    return bucket, rho
+
+
+def hll_sketch(
+    df: DataFrame, group_cols: List[str], item_col: str
+) -> DataFrame:
+    """Per-group HLL register summary + exact distinct count.
+
+    Two partial-aggregate shuffles, each with map-side combine:
+      1. distinct (group, item-hash) — the only pass that sees items;
+      2. (group, bucket) → max(rho) — 256 rows per group on the wire.
+    The exact distinct count falls out of pass 1 for free (sum of
+    per-bucket distinct counts), so callers can report sketch error
+    without a third scan.  At scale you would drop the exact column and
+    pass 1 collapses to the same two-level shape with registers only.
+
+    Output: group_cols + m_nonzero, harmonic_num (BIGINT, exact),
+    est_distinct (BIGINT, linear-counting corrected), exact_distinct.
+    """
+    bucket, rho = hll_rho(F.col(item_col))
+    hashed = (
+        df.select(*group_cols, item_col)
+        .distinct()
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+    )
+    registers = hashed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho"), F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    summary = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("m_nonzero"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(POW2_53)
+        ).alias("harmonic_num"),
+        F.sum("n_in_bucket").alias("exact_distinct"),
+    )
+    raw_est = F.floor(
+        F.lit(ALPHA_MM_POW2_53)
+        / (F.col("harmonic_num").cast("double"))
+        * F.lit(1.0)
+    )
+    # linear counting when est <= 5/2 m and there are empty registers
+    m_zero = F.lit(HLL_M) - F.col("m_nonzero")
+    lc_est = F.floor(
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
+    )
+    est = F.when(
+        (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
+    ).otherwise(raw_est)
+    return summary.select(
+        *group_cols,
+        "m_nonzero",
+        "harmonic_num",
+        est.cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def hll_sketch_sql(
+    table_expr: str, group_cols: List[str], item_expr: str
+) -> str:
+    """DuckDB oracle mirroring :func:`hll_sketch` term for term."""
+    groups = ", ".join(group_cols)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT {groups}, {item_expr} AS _item FROM {table_expr}
+),
+hashed AS (
+  SELECT {groups},
+    CAST('0x' || substr(md5(_item), 1, 2) AS INTEGER) AS bucket,
+    CASE
+      WHEN CAST('0x' || substr(md5(_item), 3, 13) AS BIGINT) = 0 THEN 53
+      ELSE 53 - length(bin(CAST('0x' || substr(md5(_item), 3, 13) AS BIGINT)))
+    END AS rho
+  FROM items
+),
+registers AS (
+  SELECT {groups}, bucket, MAX(rho) AS rho, COUNT(*) AS n_in_bucket
+  FROM hashed GROUP BY {groups}, bucket
+),
+summary AS (
+  SELECT {groups},
+    COUNT(*) AS m_nonzero,
+    CAST(SUM(1::BIGINT << (53 - rho)) + (256 - COUNT(*)) * {POW2_53} AS BIGINT)
+      AS harmonic_num,
+    CAST(SUM(n_in_bucket) AS BIGINT) AS exact_distinct
+  FROM registers GROUP BY {groups}
+)
+SELECT {groups}, m_nonzero, harmonic_num,
+  CAST(CASE
+    WHEN (256 - m_nonzero) > 0
+     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic_num AS DOUBLE) * 1.0) <= 640
+    THEN FLOOR(256.0 * ln(256.0 / CAST(256 - m_nonzero AS DOUBLE)))
+    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic_num AS DOUBLE) * 1.0)
+  END AS BIGINT) AS est_distinct,
+  exact_distinct
+FROM summary
+"""

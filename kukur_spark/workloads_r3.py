@@ -1,0 +1,290 @@
+"""Round-2 second batch: cardinality sketches, CDC merge, document
+chunking, edit-distance near-dup, SCD2 history.
+
+Beyond-reference training-pipeline operators (the reference gateway has
+no aggregate/join executor — SURVEY §2.3/§2.4); every query carries an
+exact DuckDB oracle.  Hot paths are JVM column expressions; the only
+shuffles are keyed partial aggregations or the single CDC merge
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.cdc import merge_upsert
+from kukur_spark.operators.sketch import hll_sketch, hll_sketch_sql
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-token sketch per source
+# ---------------------------------------------------------------------------
+def docs_hll_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-vocabulary estimate per source via a portable HLL(p=8).
+
+    At 100 TB an exact COUNT(DISTINCT token) shuffles the whole
+    vocabulary; the sketch path shuffles 256 registers per source and
+    merges with max (safe under partial agg / retries / rollups).  The
+    exact count rides along here only to expose the sketch error —
+    ``operators/sketch.py`` documents how it drops out at scale.
+    """
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return hll_sketch(tokens, ["source"], "token").orderBy("source")
+
+
+DOCS_HLL_SQL = hll_sketch_sql(
+    "(SELECT source, unnest(string_split(text, ' ')) AS token"
+    " FROM documents)",
+    ["source"],
+    "token",
+)
+
+
+# ---------------------------------------------------------------------------
+# CDC merge: snapshot + change stream -> next snapshot
+# ---------------------------------------------------------------------------
+_CUTOFF = "2024-01-16 00:00:00"
+
+
+def events_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-writer-wins upsert with tombstones.
+
+    Base = per-(user, event_type) latest state before the cutoff; delta
+    = raw events after it, where ``value < 1.0`` acts as a delete.  One
+    hash shuffle on the merge key regardless of delta/base size ratio
+    (`operators/cdc.py`).
+    """
+    events = load_table(spark, sf, "events")
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+    pre = events.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    base = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+    )
+    delta = events.filter(
+        F.col("ts") >= F.lit(_CUTOFF).cast("timestamp")
+    ).select(*cols, (F.col("value") < 1.0).alias("is_delete"))
+    return merge_upsert(
+        base,
+        delta,
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+        delete_col="is_delete",
+    ).orderBy("user_id", "event_type")
+
+
+EVENTS_MERGE_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         FALSE AS is_delete, 0 AS pri
+  FROM events WHERE ts < TIMESTAMP '{_CUTOFF}'
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+),
+delta AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         value < 1.0 AS is_delete, 1 AS pri
+  FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}'
+),
+merged AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+SELECT user_id, event_type, ts, event_id, value
+FROM merged
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type
+  ORDER BY ts DESC, event_id DESC, pri DESC) = 1
+  AND NOT is_delete
+"""
+
+
+# ---------------------------------------------------------------------------
+# overlapping context-window chunks (map-side explode, zero shuffle)
+# ---------------------------------------------------------------------------
+CHUNK_SIZE = 500
+CHUNK_STRIDE = 400
+# ceil((len - size) / stride) spelled integer-only: (len - 101) DIV 400
+_N_EXTRA = (
+    f"CASE WHEN length(text) > {CHUNK_SIZE}"
+    f" THEN (length(text) - {CHUNK_SIZE - CHUNK_STRIDE + 1}) DIV {CHUNK_STRIDE}"
+    f" ELSE 0 END"
+)
+
+
+def docs_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize overlapping character chunks (size 500, stride 400).
+
+    Pure map-side: sequence + explode + substring, no exchange in the
+    plan (asserted in tests/test_plans.py) — chunking 100 TB is
+    embarrassingly parallel and fan-out is bounded by doc length /
+    stride.  Chunk text is fingerprinted (md5) rather than carried, the
+    usual shape when chunks feed a downstream dedup/index stage.
+    """
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.expr(_N_EXTRA).cast("long").alias("n_extra"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_extra"))
+        ).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(
+            f"CAST(length(substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1"
+            f" AS INT), {CHUNK_SIZE})) AS BIGINT)"
+        ).alias("chunk_len"),
+        F.expr(
+            f"md5(substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT),"
+            f" {CHUNK_SIZE}))"
+        ).alias("chunk_md5"),
+    )
+
+
+DOCS_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) > {CHUNK_SIZE}
+      THEN (length(text) - {CHUNK_SIZE - CHUNK_STRIDE + 1}) // {CHUNK_STRIDE}
+      ELSE 0 END AS n_extra
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_extra)) AS chunk_idx
+  FROM base
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(length(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+       {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+  md5(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER),
+      {CHUNK_SIZE})) AS chunk_md5
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (blocked levenshtein)
+# ---------------------------------------------------------------------------
+def text_lev_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate pairs by relative edit distance (≤ 10 % edits).
+
+    Candidate generation blocks on md5 of the first 40 chars, so the
+    quadratic verify runs only inside blocks (prefix-stable edits —
+    the complement of `docs_prefix_containment`'s truncation dups).
+    The block join is skinny — (block, doc_id) only, 48 B/row on the
+    wire — and texts are joined back per side for the surviving
+    candidates, mirroring the MinHash-LSH shape.  Levenshtein itself is
+    JVM-side (`F.levenshtein`), no Python.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    blocked = docs.select(
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("block"), "doc_id"
+    )
+    left = blocked.alias("a")
+    right = blocked.alias("b")
+    cand = left.join(right, "block").filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")
+    )
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn(
+            "lev", F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long")
+        )
+        .filter(
+            F.col("lev") * 10
+            <= F.least(F.length("text_a"), F.length("text_b"))
+        )
+        .select("doc_id_a", "doc_id_b", "lev")
+    )
+
+
+TEXT_LEV_SQL = """
+WITH b AS (
+  SELECT doc_id, text, md5(substr(text, 1, 40)) AS block FROM documents
+)
+SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, c.text) AS BIGINT) AS lev
+FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text) * 10 <= least(length(a.text), length(c.text))
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: per-customer validity intervals of cumulative state
+# ---------------------------------------------------------------------------
+def orders_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 rewrite of the order history.
+
+    Each order opens a new version row: valid_from = order date,
+    valid_to = next order's date (NULL = current), carrying the
+    customer's cumulative order count and spend at that point.  One
+    shuffle on the customer key; windows reuse the same partitioning
+    (lead + row_number + running decimal sum in a single exchange).
+    """
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("n_orders_to_date"),
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("cum_spend_e6"),
+    )
+
+
+ORDERS_SCD2_SQL = """
+SELECT o_custkey, o_orderkey,
+  o_orderdate AS valid_from,
+  lead(o_orderdate) OVER w AS valid_to,
+  CAST(row_number() OVER w AS BIGINT) AS n_orders_to_date,
+  CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) * 1000000)
+    AS BIGINT) AS cum_spend_e6
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+R3_QUERIES = {
+    "docs_hll_tokens": docs_hll_tokens,
+    "events_merge_upsert": events_merge_upsert,
+    "docs_chunks": docs_chunks,
+    "text_lev_neardup": text_lev_neardup,
+    "orders_scd2": orders_scd2,
+}
+
+R3_ORACLES = {
+    "docs_hll_tokens": DOCS_HLL_SQL,
+    "events_merge_upsert": EVENTS_MERGE_SQL,
+    "docs_chunks": DOCS_CHUNKS_SQL,
+    "text_lev_neardup": TEXT_LEV_SQL,
+    "orders_scd2": ORDERS_SCD2_SQL,
+}

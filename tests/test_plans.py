@@ -291,3 +291,45 @@ def test_cumulative_users_no_expanding_distinct(spark):
     # plan order is bottom-up — every HashAggregate appears below Window
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial/final
     assert "Expand" not in plan
+
+
+def test_docs_chunks_map_side_only(spark):
+    """Chunking is explode+substring: zero exchanges, zero Python."""
+    plan = plan_of(QUERIES["docs_chunks"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
+
+
+def test_merge_upsert_two_keyed_exchanges_no_broadcast(spark):
+    """CDC merge: base-snapshot window + merged window, both hashed on
+    the merge key; neither unbounded side is broadcast."""
+    plan = plan_of(QUERIES["events_merge_upsert"](spark, SF))
+    assert "BroadcastHashJoin" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_hll_sketch_partial_aggregation_jvm_side(spark):
+    """Sketch registers reduce with map-side combine and never leave
+    the JVM; no Expand (single grouping pass per level)."""
+    plan = plan_of(QUERIES["docs_hll_tokens"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_lev_neardup_no_nested_loop(spark):
+    """Blocked candidate join: equi-join on the block key only —
+    never a nested-loop/cartesian over document pairs."""
+    plan = plan_of(QUERIES["text_lev_neardup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """lead + row_number + running sum all reuse one hash exchange on
+    the customer key."""
+    plan = plan_of(QUERIES["orders_scd2"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan

@@ -1,0 +1,125 @@
+"""Unit tests for the round-2 second-batch operators (CDC merge, HLL
+sketch): edge semantics the oracle queries don't isolate."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.cdc import merge_upsert
+from kukur_spark.operators.sketch import HLL_M, POW2_53, hll_sketch
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0)],
+        "k int, v int, ts double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 11, 150.0, False),   # update key 1
+            (4, 12, 160.0, False),   # insert key 4
+            (2, 0, 250.0, True),     # delete key 2
+            (5, 0, 50.0, True),      # delete of absent key: no-op
+        ],
+        "k int, v int, ts double, dead boolean",
+    )
+    out = merge_upsert(
+        base, changes, keys=["k"], order_by=["ts"], delete_col="dead"
+    )
+    assert rows(out) == [(1, 11, 150.0), (3, 10, 300.0), (4, 12, 160.0)]
+
+
+def test_merge_upsert_change_beats_base_on_tie(spark):
+    base = spark.createDataFrame([(1, "old", 5.0)], "k int, v string, ts double")
+    changes = spark.createDataFrame(
+        [(1, "new", 5.0)], "k int, v string, ts double"
+    )
+    out = merge_upsert(base, changes, keys=["k"], order_by=["ts"])
+    assert rows(out) == [(1, "new", 5.0)]
+
+
+def test_merge_upsert_older_change_loses(spark):
+    base = spark.createDataFrame([(1, "cur", 9.0)], "k int, v string, ts double")
+    changes = spark.createDataFrame(
+        [(1, "stale", 3.0)], "k int, v string, ts double"
+    )
+    out = merge_upsert(base, changes, keys=["k"], order_by=["ts"])
+    assert rows(out) == [(1, "cur", 9.0)]
+
+
+def test_merge_upsert_delete_then_newer_update_resurrects(spark):
+    base = spark.createDataFrame([(1, "a", 1.0)], "k int, v string, ts double")
+    changes = spark.createDataFrame(
+        [(1, "x", 2.0, True), (1, "b", 3.0, False)],
+        "k int, v string, ts double, dead boolean",
+    )
+    out = merge_upsert(
+        base, changes, keys=["k"], order_by=["ts"], delete_col="dead"
+    )
+    assert rows(out) == [(1, "b", 3.0)]
+
+
+def _py_register(item: str):
+    """Reference md5-split register computation (python, independent)."""
+    h = hashlib.md5(item.encode()).hexdigest()
+    bucket = int(h[:2], 16)
+    rem = int(h[2:15], 16)
+    rho = 53 if rem == 0 else 53 - rem.bit_length()
+    return bucket, rho
+
+
+def test_hll_registers_match_reference_hash_split(spark):
+    items = [f"tok{i}" for i in range(200)]
+    df = spark.createDataFrame([("g", t) for t in items], "g string, item string")
+    out = hll_sketch(df, ["g"], "item").collect()[0]
+    regs = {}
+    for item in set(items):
+        b, r = _py_register(item)
+        regs[b] = max(regs.get(b, 0), r)
+    harmonic = sum(1 << (53 - r) for r in regs.values())
+    harmonic += (HLL_M - len(regs)) * POW2_53
+    assert out["m_nonzero"] == len(regs)
+    assert out["harmonic_num"] == harmonic
+    assert out["exact_distinct"] == 200
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"item-{i}") for i in range(n)], "g string, item string"
+    )
+    out = hll_sketch(df, ["g"], "item").collect()[0]
+    # p=8 -> typical error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(out["est_distinct"] - n) / n < 0.2
+    assert out["exact_distinct"] == n
+
+
+def test_hll_sketch_merges_across_groups_same_as_union(spark):
+    """Register vectors are max-mergeable: sketching two shards then
+    merging registers equals sketching the union (the re-aggregation
+    property that makes the sketch safe for rollups)."""
+    a = [f"x{i}" for i in range(300)]
+    b = [f"x{i}" for i in range(150, 450)]  # overlaps a
+    df = spark.createDataFrame(
+        [("s1", t) for t in a] + [("s2", t) for t in b], "g string, item string"
+    )
+    merged_df = df.select(F.lit("all").alias("g"), "item")
+    # merge shard registers by max, then recompute the harmonic sum
+    from kukur_spark.operators.sketch import hll_rho
+
+    bucket, rho = hll_rho(F.col("item"))
+    shard_regs = (
+        df.select("item").distinct()
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    harmonic = sum(1 << (53 - r["rho"]) for r in shard_regs)
+    harmonic += (HLL_M - len(shard_regs)) * POW2_53
+    union_out = hll_sketch(merged_df, ["g"], "item").collect()[0]
+    assert union_out["harmonic_num"] == harmonic
+    assert union_out["exact_distinct"] == 450
