@@ -288,3 +288,306 @@ R3_ORACLES = {
     "text_lev_neardup": TEXT_LEV_SQL,
     "orders_scd2": ORDERS_SCD2_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# TextRank: one damped PageRank power-iteration over token co-occurrence
+# ---------------------------------------------------------------------------
+def textrank_step(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword extraction: one PageRank iteration on the co-occurrence
+    graph (TextRank), integer-exact.
+
+    Graph = df>=5 vocabulary tokens, edges = co-document pairs with
+    n_ab>=3 (the same vocabulary blocking as `text_pmi_pairs` bounds
+    the pair space).  From uniform rank, one damped step:
+    r1(t) = 0.15 + 0.85 * sum_{u~t} w(u,t)/wdeg(u), computed in e9
+    integers (per-neighbor DIV, then one DIV 100) so both engines get
+    bit-identical ranks.  The iteration body is two keyed aggregates +
+    one broadcast-joined degree lookup — looping it is O(rounds)
+    shuffles with no driver-side data movement, the standard Spark
+    power-iteration shape.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    kept = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    edges = (
+        kept.select("doc_id", F.col("tok").alias("tok_a"))
+        .join(kept.select("doc_id", F.col("tok").alias("tok_b")), "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+    )
+    directed = edges.select(
+        F.col("tok_a").alias("src"), F.col("tok_b").alias("dst"), "w"
+    ).unionByName(
+        edges.select(
+            F.col("tok_b").alias("src"), F.col("tok_a").alias("dst"), "w"
+        )
+    )
+    wdeg = directed.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    contrib = (
+        directed.join(wdeg, "src")
+        .select(
+            "dst",
+            F.expr("CAST(w * 1000000000 AS BIGINT) DIV wdeg").alias("c_e9"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("c_e9").alias("sum_c_e9"))
+    )
+    return (
+        contrib.select(
+            F.col("dst").alias("tok"),
+            (
+                F.lit(150_000_000)
+                + F.expr("CAST(85 * sum_c_e9 AS BIGINT) DIV 100")
+            ).alias("rank_e9"),
+        )
+        .orderBy(F.desc("rank_e9"), "tok")
+        .limit(200)
+    )
+
+
+TEXTRANK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) >= 5
+),
+kept AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+edges AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS w
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok HAVING COUNT(*) >= 3
+),
+directed AS (
+  SELECT tok_a AS src, tok_b AS dst, w FROM edges
+  UNION ALL
+  SELECT tok_b AS src, tok_a AS dst, w FROM edges
+),
+wdeg AS (SELECT src, SUM(w) AS wdeg FROM directed GROUP BY src),
+contrib AS (
+  SELECT dst, SUM(CAST(d.w * 1000000000 AS BIGINT) // g.wdeg) AS sum_c_e9
+  FROM directed d JOIN wdeg g USING (src)
+  GROUP BY dst
+)
+SELECT dst AS tok,
+  CAST(150000000 + CAST(85 * sum_c_e9 AS BIGINT) // 100 AS BIGINT) AS rank_e9
+FROM contrib
+ORDER BY rank_e9 DESC, tok
+LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory quantile sketch: fixed 256-bin histogram per series
+# ---------------------------------------------------------------------------
+def ts_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-based p50/p90/p99 per event type.
+
+    The exact-percentile path (`ts_percentiles`) sorts every value
+    inside each series; at 100 TB that is a full per-key sort.  This
+    sketch needs one pass for (min,max), one partial-aggregated pass
+    into 256 fixed bins (256 counters per series on the wire, constant
+    memory), and a 256-row window per series — the classic
+    bounded-state quantile trade.  Bin edges and estimates are IEEE
+    doubles computed identically in both engines; counts are exact.
+    """
+    events = load_table(spark, sf, "events")
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "vmin",
+            "vmax",
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * 256.0
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "n", "vmin", "vmax", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    upper = F.col("vmin") + (
+        (F.col("bin") + 1).cast("double")
+        * (F.col("vmax") - F.col("vmin"))
+        / 256.0
+    )
+
+    def q_est(q_num: int, q_den: int):
+        # smallest bin whose cumulative count reaches ceil(q * n)
+        target = F.expr(f"CAST(-((-{q_num} * n) DIV {q_den}) AS BIGINT)")
+        return F.min(
+            F.when(F.col("cum") >= target, upper)
+        )
+
+    return (
+        cum.groupBy("event_type", "n")
+        .agg(
+            q_est(1, 2).alias("p50_est"),
+            q_est(9, 10).alias("p90_est"),
+            q_est(99, 100).alias("p99_est"),
+        )
+        .select("event_type", "n", "p50_est", "p90_est", "p99_est")
+        .orderBy("event_type")
+    )
+
+
+TS_QUANTILE_SKETCH_SQL = """
+WITH stats AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type, s.n, s.vmin, s.vmax,
+    LEAST(255, CAST(FLOOR((e.value - s.vmin) / (s.vmax - s.vmin) * 256.0)
+      AS INTEGER)) AS bin,
+    COUNT(*) AS cnt
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY e.event_type, s.n, s.vmin, s.vmax, bin
+),
+cum AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM binned
+)
+SELECT event_type, n,
+  MIN(CASE WHEN cum >= -((-1 * n) // 2)
+      THEN vmin + CAST(bin + 1 AS DOUBLE) * (vmax - vmin) / 256.0 END)
+    AS p50_est,
+  MIN(CASE WHEN cum >= -((-9 * n) // 10)
+      THEN vmin + CAST(bin + 1 AS DOUBLE) * (vmax - vmin) / 256.0 END)
+    AS p90_est,
+  MIN(CASE WHEN cum >= -((-99 * n) // 100)
+      THEN vmin + CAST(bin + 1 AS DOUBLE) * (vmax - vmin) / 256.0 END)
+    AS p99_est
+FROM cum
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+SAMPLE_RATE_NUM = 858993459  # floor(0.2 * 2^32): 20 % Bernoulli
+
+
+def docs_sample_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20 % Bernoulli sample report per source.
+
+    Keep a doc iff the first 8 hex chars of md5('bern1:'||doc_id) fall
+    under floor(0.2*2^32) — a pure map-side predicate: reproducible
+    across runs/engines, no RNG state, trivially pushed into any scan,
+    and composable (different salts give independent samples).  The
+    aggregate is one partial-agg shuffle of 3 counters per source.
+    """
+    docs = load_table(spark, sf, "documents")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bern1:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < SAMPLE_RATE_NUM
+    )
+    return (
+        docs.select("source", keep.alias("keep"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_chars")).otherwise(0)
+            ).alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_SAMPLE_SQL = f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN CAST('0x' || substr(md5('bern1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+    AS BIGINT) < {SAMPLE_RATE_NUM} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  CAST(SUM(CASE WHEN CAST('0x' || substr(md5('bern1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+    AS BIGINT) < {SAMPLE_RATE_NUM} THEN n_chars ELSE 0 END) AS BIGINT)
+    AS sampled_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def events_reservoir_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size (k=5) uniform sample per user, deterministically.
+
+    Reservoir semantics without sequential state: rank every event by a
+    salted hash and keep the k smallest per user — equivalent to a
+    uniform k-subset, but expressible as one keyed window (and at scale
+    as a partial top-k aggregate: min-k is mergeable, so map-side
+    combines bound the shuffle at k rows per user per partition).
+    """
+    events = load_table(spark, sf, "events")
+    hk = F.md5(F.concat(F.lit("res1:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("user_id").orderBy("hk")
+    return (
+        events.select("user_id", "event_id", "ts", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("user_id", "event_id", "ts", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+EVENTS_RESERVOIR_SQL = """
+SELECT user_id, event_id, ts,
+  CAST(row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY md5('res1:' || CAST(event_id AS VARCHAR))) AS BIGINT) AS rk
+FROM events
+QUALIFY rk <= 5
+"""
+
+
+R3_QUERIES.update(
+    {
+        "textrank_step": textrank_step,
+        "ts_quantile_sketch": ts_quantile_sketch,
+        "docs_sample_bernoulli": docs_sample_bernoulli,
+        "events_reservoir_per_user": events_reservoir_per_user,
+    }
+)
+
+R3_ORACLES.update(
+    {
+        "textrank_step": TEXTRANK_SQL,
+        "ts_quantile_sketch": TS_QUANTILE_SKETCH_SQL,
+        "docs_sample_bernoulli": DOCS_SAMPLE_SQL,
+        "events_reservoir_per_user": EVENTS_RESERVOIR_SQL,
+    }
+)

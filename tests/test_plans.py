@@ -333,3 +333,33 @@ def test_scd2_single_exchange(spark):
     plan = plan_of(QUERIES["orders_scd2"](spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Join" not in plan
+
+
+def test_textrank_vocab_broadcast_no_cartesian(spark):
+    plan = plan_of(QUERIES["textrank_step"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_sketch_broadcast_stats_partial_agg(spark):
+    """Histogram bins reduce map-side; per-series stats broadcast back."""
+    plan = plan_of(QUERIES["ts_quantile_sketch"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bernoulli_sample_map_side_predicate(spark):
+    """The md5 keep-predicate is a projection; one agg exchange total."""
+    plan = plan_of(QUERIES["docs_sample_bernoulli"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reservoir_single_keyed_exchange(spark):
+    plan = plan_of(QUERIES["events_reservoir_per_user"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
