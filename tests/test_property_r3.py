@@ -1,0 +1,134 @@
+"""Property-based differentials for the round-2 second batch:
+
+- merge_upsert vs a brute-force python merge (latest-writer-wins with
+  tombstones, change-beats-base tie rule);
+- chunking invariants: full coverage, stride overlap, fan-out bound.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.cdc import merge_upsert
+
+# (key, version, payload) triples; small key space forces collisions
+base_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 20), st.integers(0, 99)),
+    max_size=12,
+)
+# unique by (key, version, payload): two change rows differing only in
+# the delete flag would make the winner genuinely ambiguous
+change_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 20),
+        st.integers(0, 99),
+        st.booleans(),
+    ),
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+def brute_merge(base, changes):
+    """Reference merge: per key pick max (version, payload, priority) —
+    the same order_by=["v","p"]+priority comparison the operator uses;
+    payload is part of the sort key so ties resolve identically."""
+    state = {}
+    for k, v, p in base:
+        cand = (v, p, 0, False)
+        if k not in state or cand > state[k]:
+            state[k] = cand
+    for k, v, p, dead in changes:
+        cand = (v, p, 1, dead)
+        if k not in state or cand > state[k]:
+            state[k] = cand
+    return sorted(
+        (k, v, p)
+        for k, (v, p, _, dead) in state.items()
+        if not dead
+    )
+
+
+@given(base=base_rows, changes=change_rows)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_upsert_matches_bruteforce(spark, base, changes):
+    bdf = spark.createDataFrame(base, "k int, v int, p int") if base else (
+        spark.createDataFrame([], "k int, v int, p int")
+    )
+    cdf = (
+        spark.createDataFrame(changes, "k int, v int, p int, dead boolean")
+        if changes
+        else spark.createDataFrame([], "k int, v int, p int, dead boolean")
+    )
+    # dedupe ties fully: order by (v, p) so the winner is unique per key
+    out = merge_upsert(
+        bdf, cdf, keys=["k"], order_by=["v", "p"], delete_col="dead"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    # brute force with the same (v, priority, p) comparison
+    assert got == brute_merge(base, changes)
+
+
+chunk_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1,
+        max_size=1400,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=chunk_texts)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_covers_text_with_stride_overlap(spark, texts):
+    from kukur_spark.workloads_r3 import CHUNK_SIZE, CHUNK_STRIDE, _N_EXTRA
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = (
+        df.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.expr(_N_EXTRA).cast("long"))
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.expr(
+                f"substring(text, CAST(idx * {CHUNK_STRIDE} + 1 AS INT),"
+                f" {CHUNK_SIZE})"
+            ).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["idx"]] = r["chunk"]
+    for i, t in enumerate(texts):
+        got = by_doc[i]
+        idxs = sorted(got)
+        assert idxs == list(range(len(idxs)))
+        # full coverage: chunks laid at stride offsets reconstruct the text
+        rebuilt = got[0]
+        for j in idxs[1:]:
+            # overlap region agrees
+            assert rebuilt[j * CHUNK_STRIDE:] == got[j][: len(rebuilt) - j * CHUNK_STRIDE]
+            rebuilt = rebuilt[: j * CHUNK_STRIDE] + got[j]
+        assert rebuilt == t
+        # fan-out bound: no more than len/stride + 1 chunks
+        assert len(idxs) <= len(t) // CHUNK_STRIDE + 1
