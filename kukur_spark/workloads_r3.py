@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
 from kukur_spark.operators.cdc import merge_upsert
+from kukur_spark.operators.dedup import shingles
 from kukur_spark.operators.sketch import hll_sketch, hll_sketch_sql
 
 
@@ -591,3 +592,134 @@ R3_ORACLES.update(
         "events_reservoir_per_user": EVENTS_RESERVOIR_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-set manifest (composition flagship)
+# ---------------------------------------------------------------------------
+CONTAM_MAX_E6 = 500_000  # drop docs sharing ≥50 % of 8-gram shingles
+
+
+def docs_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The full cleaning pipeline composed into ONE lazy DAG: quality
+    filters → exact-dedup canonical → benchmark decontamination → split
+    assignment, returning the final training manifest rows.
+
+    Decontamination is 8-gram based (token-level overlap saturates on
+    common words; 8-token shingles only collide on real shared
+    passages, so benchmark members score 1.0 and clean docs ~0).
+    Component operators exist standalone (`docs_pipeline_yield`,
+    `dedup_exact`, `docs_decontaminate`, `docs_split_assign`); this
+    query is the composition proof — Catalyst fuses the filters and the
+    split projection into the scan side, the dedup rank is one keyed
+    window, the shingle vocabulary broadcasts, and survivors explode
+    shingles map-side into a single per-doc aggregate.  Nothing
+    materializes between stages: at 100 TB the pipeline is scan →
+    window(fp) → broadcast-join → agg, three shuffles total.
+    """
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    keep_rank = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        base.withColumn("rn", F.row_number().over(keep_rank))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_chars") >= 120)
+            & (F.col("lang") == "en")
+            & (F.col("n_toks") >= 25)
+        )
+    )
+    bench_vocab = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(F.explode(shingles(F.col("text"), 8)).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_shingles = surv.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(F.col("text"), 8)).alias("sh"),
+    )
+    scored = (
+        doc_shingles.join(F.broadcast(bench_vocab), "sh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .withColumn(
+            "contamination_e6", F.expr("hits * 1000000 div n_shingles")
+        )
+        .filter(F.col("contamination_e6") < CONTAM_MAX_E6)
+    )
+    nibble = F.substring(
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id"))), 1, 1
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        F.when(nibble < "c", "train")
+        .when(nibble < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_shingles",
+        "contamination_e6",
+    ).orderBy("doc_id")
+
+
+DOCS_MANIFEST_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars, text,
+    len(string_split(text, ' ')) AS n_toks,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+surv AS (
+  SELECT doc_id, source, text FROM base
+  WHERE rn = 1 AND n_chars >= 120 AND lang = 'en' AND n_toks >= 25
+),
+vocab AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')
+  ))) AS sh
+  FROM documents WHERE doc_id % 25 = 0
+),
+doc_shingles AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')
+  ))) AS sh
+  FROM surv
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+    SUM(CASE WHEN v.sh IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+    COUNT(*) AS n_shingles
+  FROM doc_shingles t LEFT JOIN vocab v ON t.sh = v.sh
+  GROUP BY t.doc_id, t.source
+)
+SELECT doc_id, source,
+  CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 1) < 'c'
+       THEN 'train'
+       WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 1) < 'e'
+       THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(hits * 1000000 // n_shingles AS BIGINT) AS contamination_e6
+FROM scored
+WHERE hits * 1000000 // n_shingles < {CONTAM_MAX_E6}
+ORDER BY doc_id
+"""
+
+R3_QUERIES["docs_training_manifest"] = docs_training_manifest
+R3_ORACLES["docs_training_manifest"] = DOCS_MANIFEST_SQL

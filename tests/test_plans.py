@@ -363,3 +363,14 @@ def test_reservoir_single_keyed_exchange(spark):
     plan = plan_of(QUERIES["events_reservoir_per_user"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_training_manifest_composed_pipeline_plan(spark):
+    """Composition flagship: shingle vocabulary broadcasts, dedup rank
+    is a keyed window, no Python, no nested-loop joins."""
+    plan = plan_of(QUERIES["docs_training_manifest"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
