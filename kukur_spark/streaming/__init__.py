@@ -309,3 +309,79 @@ def running_last_value(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MERGE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ver_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("alive", T.BooleanType()),
+    ]
+)
+
+_MERGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ver_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("alive", T.BooleanType()),
+    ]
+)
+
+
+def _update_merge_state(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    ver, value, alive = state.get if state.exists else (None, None, False)
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["ver_us"])
+        if len(pdf) == 0:
+            continue
+        idx = pdf["ver_us"].idxmax()
+        v = int(pdf["ver_us"][idx])
+        if ver is None or v >= ver:
+            ver = v
+            raw = pdf["value"][idx]
+            value = None if raw != raw else float(raw)  # NaN-safe
+            alive = not bool(pdf["dead"][idx])
+    state.update((ver, value, alive))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "ver_us": [ver],
+            "value": [value],
+            "alive": [alive],
+        }
+    )
+
+
+def streaming_merge_state(
+    df: DataFrame,
+    key_column: str = "series",
+    delete_column: str = "dead",
+) -> DataFrame:
+    """Streaming flavor of ``operators/cdc.py::merge_upsert``: a keyed
+    change stream folds into latest-writer-wins state with tombstones.
+
+    Each trigger emits the current state row per touched key (``alive``
+    False = tombstoned — downstream sinks drop or propagate the delete).
+    State is 24 bytes per live key regardless of stream volume, the
+    exact streaming analogue of the batch merge's one-exchange design;
+    a newer update resurrects a tombstoned key, matching the batch
+    operator's delete-then-update semantics.
+
+    Input columns: ``{key}, ts, value, {delete}``.
+    """
+    prepared = df.select(
+        F.col(key_column).alias("key"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ver_us"),
+        F.col(VALUE_COLUMN).cast("double").alias("value"),
+        F.col(delete_column).cast("boolean").alias("dead"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _update_merge_state,
+        outputStructType=_MERGE_OUTPUT_SCHEMA,
+        stateStructType=_MERGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

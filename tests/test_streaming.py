@@ -263,3 +263,60 @@ def test_stream_ingest_then_compaction(spark, tmp_path):
     before = sorted(r["value"] for r in spark.read.parquet(lake).collect())
     after = sorted(r["value"] for r in spark.read.parquet(packed).collect())
     assert before == after == [float(m) for m in range(30)]
+
+
+def test_streaming_merge_state_upsert_delete_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_merge_state
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("dead", T.BooleanType()),
+        ]
+    )
+    path = str(tmp_path / "cdc")
+    batch1 = [("k1", ts(0), 1.0, False), ("k2", ts(1), 2.0, False)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, schema)
+    out = streaming_merge_state(df)
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    # batch 2: update k1, tombstone k2, stale out-of-order row for k1
+    # (older ts must NOT overwrite), insert k3
+    batch2 = [
+        ("k1", ts(5), 10.0, False),
+        ("k1", ts(2), 99.0, False),   # within-batch older: loses to ts(5)
+        ("k2", ts(6), 0.0, True),
+        ("k3", ts(3), 7.0, False),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    # batch 3: stale cross-batch update for k1 (ts older than state),
+    # resurrect k2 after its delete
+    batch3 = [("k1", ts(4), 55.0, False), ("k2", ts(9), 3.5, False)]
+    spark.createDataFrame(batch3, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(
+        f"SELECT * FROM {name} WHERE key IN ('k1','k2','k3')"
+    ).collect()
+    # memory sink in update mode appends each trigger's emissions; the
+    # last row per key is the final state
+    final = {}
+    for r in rows:
+        final[r["key"]] = r
+    assert final["k1"]["value"] == 10.0 and final["k1"]["alive"]
+    assert final["k2"]["value"] == 3.5 and final["k2"]["alive"]  # resurrected
+    assert final["k3"]["value"] == 7.0 and final["k3"]["alive"]
