@@ -723,3 +723,162 @@ ORDER BY doc_id
 
 R3_QUERIES["docs_training_manifest"] = docs_training_manifest
 R3_ORACLES["docs_training_manifest"] = DOCS_MANIFEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# iterative k-means: two full Lloyd iterations, integer/IEEE exact
+# ---------------------------------------------------------------------------
+def _kmeans_pass(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration: broadcast-argmin assignment + (cluster, dim)
+    partial-aggregate re-estimation.  Returns (cluster, dim, sum_e6, cnt).
+
+    Docstring parity note: `emb_kmeans_step` (workloads_ts2.py) proves a
+    single pass against the oracle; this helper is the loop body — the
+    centroid frame stays tiny (k x dim rows), the corpus is never
+    shuffled by the argmin, and iterating is O(rounds) keyed aggregates
+    with no driver-side data movement.
+    """
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cluster", F.struct(F.col("d2"), F.col("cluster"))
+            ).alias("cluster"),
+            F.first("v").alias("v"),
+        )
+    )
+    dims = assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+    return dims.groupBy(
+        "cluster", (F.col("pos") + 1).cast("long").alias("dim")
+    ).agg(
+        F.floor(
+            F.sum(F.col("val").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _agg_to_centroids(agg: DataFrame) -> DataFrame:
+    """(cluster, dim, sum_e6, cnt) → (cluster, cv array<double>) with the
+    e6-quantized mean as the next centroid — quantization makes the
+    fixpoint engine-portable (both engines divide the same integers)."""
+    return (
+        agg.select(
+            "cluster",
+            "dim",
+            F.expr("CAST(sum_e6 div cnt AS DOUBLE) / 1000000.0").alias("c"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s")
+        )
+        .select(
+            "cluster", F.transform("s", lambda x: x["c"]).alias("cv")
+        )
+    )
+
+
+def emb_kmeans_iter2(spark: SparkSession, sf: str) -> DataFrame:
+    """Two chained Lloyd iterations of k-means (k=8, seeds = vec_id<8).
+
+    The iterative-algorithm pattern on Spark: the loop builds ONE lazy
+    DAG (assign → re-estimate → assign → re-estimate); each round adds
+    a (cluster, dim) partial aggregate and a broadcast of the k×dim
+    centroid table — the 100 TB corpus is scanned per round but never
+    shuffled, which is the scalable shape for iterative ML on immutable
+    data.  Centroids are e6-quantized between rounds so both engines
+    iterate on identical numbers.
+    """
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    it1 = _kmeans_pass(emb, seeds)
+    cents1 = _agg_to_centroids(it1)
+    it2 = _kmeans_pass(emb, cents1)
+    return it2.select(
+        "cluster",
+        "dim",
+        F.expr("sum_e6 div cnt").alias("centroid_e6"),
+        F.col("cnt").alias("cluster_n"),
+    ).orderBy("cluster", "dim")
+
+
+EMB_KMEANS_ITER2_SQL = """
+WITH emb AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cluster, v AS cv FROM emb WHERE vec_id < 8
+),
+scored1 AS (
+  SELECT e.vec_id, s.cluster, e.v,
+    list_sum(list_transform(range(1, len(e.v) + 1),
+      i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))) AS d2
+  FROM emb e, seeds s
+),
+assigned1 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+      ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rk
+    FROM scored1
+  ) WHERE rk = 1
+),
+dims1 AS (
+  SELECT cluster, unnest(generate_series(1, len(v))) AS dim, v
+  FROM assigned1
+),
+agg1 AS (
+  SELECT cluster, dim,
+    CAST(FLOOR(SUM(CAST(v[dim] AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    COUNT(*) AS cnt
+  FROM dims1 GROUP BY cluster, dim
+),
+cents1 AS (
+  SELECT cluster,
+    list(CAST(sum_e6 // cnt AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv
+  FROM agg1 GROUP BY cluster
+),
+scored2 AS (
+  SELECT e.vec_id, s.cluster, e.v,
+    list_sum(list_transform(range(1, len(e.v) + 1),
+      i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))) AS d2
+  FROM emb e, cents1 s
+),
+assigned2 AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+      ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rk
+    FROM scored2
+  ) WHERE rk = 1
+),
+dims2 AS (
+  SELECT cluster, unnest(generate_series(1, len(v))) AS dim, v
+  FROM assigned2
+)
+SELECT cluster, dim,
+  CAST(FLOOR(SUM(CAST(v[dim] AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    // COUNT(*) AS centroid_e6,
+  COUNT(*) AS cluster_n
+FROM dims2
+GROUP BY cluster, dim
+ORDER BY cluster, dim
+"""
+
+R3_QUERIES["emb_kmeans_iter2"] = emb_kmeans_iter2
+R3_ORACLES["emb_kmeans_iter2"] = EMB_KMEANS_ITER2_SQL

@@ -374,3 +374,13 @@ def test_training_manifest_composed_pipeline_plan(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_iter2_rounds_broadcast_corpus_never_shuffled(spark):
+    """Each Lloyd round broadcasts the k x dim centroid table; the only
+    hash exchanges carry (vec_id) argmin rows and (cluster, dim)
+    partial aggregates — never raw embedding vectors keyed by cluster."""
+    plan = plan_of(QUERIES["emb_kmeans_iter2"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2  # one per round
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
