@@ -385,3 +385,36 @@ def streaming_merge_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_column: str = "series",
+    bound: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each left row pairs with right rows of
+    the same key that happened in ``(left.ts - bound, left.ts)``.
+
+    The canonical streaming attribution/enrichment shape: both sides
+    carry a watermark, and the time-interval predicate lets Spark bound
+    the join state — right rows age out of state ``bound + watermark``
+    past the event time, so state size tracks the window, not the
+    stream.  Without the interval condition the state would grow
+    forever; this function exists so callers can't forget it.
+    """
+    lw = left.withWatermark(TS_COLUMN, watermark).alias("l")
+    rw = right.withWatermark(TS_COLUMN, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key_column} = r.{key_column}"
+        f" AND r.ts < l.ts"
+        f" AND r.ts >= l.ts - interval {bound}"
+    )
+    return lw.join(rw, cond).select(
+        F.col(f"l.{key_column}").alias(key_column),
+        F.col("l.ts").alias("left_ts"),
+        F.col("l.value").alias("left_value"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.value").alias("right_value"),
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
+from kukur_spark.operators.asof import asof_join
 from kukur_spark.operators.cdc import merge_upsert
 from kukur_spark.operators.dedup import shingles
 from kukur_spark.operators.sketch import hll_sketch, hll_sketch_sql
@@ -882,3 +883,84 @@ ORDER BY cluster, dim
 
 R3_QUERIES["emb_kmeans_iter2"] = emb_kmeans_iter2
 R3_ORACLES["emb_kmeans_iter2"] = EMB_KMEANS_ITER2_SQL
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution: last-touch within a 7-day window (as-of reuse)
+# ---------------------------------------------------------------------------
+def events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent view/click strictly before it and at most 7 days old.
+
+    Reuses `operators/asof.py` (backward, strict, tolerance) — the
+    one-exchange union+window as-of, not a non-equi join.  Touches are
+    pre-deduped to one per (user, ts) with the highest event_id so the
+    as-of tie semantics are engine-independent.  Output is the
+    attribution report per touch type.
+    """
+    events = load_table(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_type", "event_id").alias("touch_type"),
+            F.max("event_id").alias("touch_id"),
+        )
+    )
+    matched = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        ts_column="ts",
+        value_columns=["touch_type", "touch_id"],
+        allow_exact_matches=False,
+        direction="backward",
+        tolerance_us=7 * 86400 * 1_000_000,
+    )
+    return (
+        matched.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+            ).cast("long").alias("attributed_value_e6"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, ts,
+    max_by(event_type, event_id) AS touch_type,
+    MAX(event_id) AS touch_id
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+),
+purch AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+),
+attributed AS (
+  SELECT p.event_id, p.value, t.touch_type
+  FROM purch p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+  QUALIFY row_number() OVER (
+    PARTITION BY p.event_id ORDER BY t.ts DESC) = 1
+)
+SELECT touch_type,
+  COUNT(*) AS n_purchases,
+  CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    AS attributed_value_e6
+FROM attributed
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+R3_QUERIES["events_attribution"] = events_attribution
+R3_ORACLES["events_attribution"] = EVENTS_ATTRIBUTION_SQL

@@ -320,3 +320,27 @@ def test_streaming_merge_state_upsert_delete_across_batches(spark, tmp_path):
     assert final["k1"]["value"] == 10.0 and final["k1"]["alive"]
     assert final["k2"]["value"] == 3.5 and final["k2"]["alive"]  # resurrected
     assert final["k3"]["value"] == 7.0 and final["k3"]["alive"]
+
+
+def test_stream_stream_window_join_bounds_matches(spark, tmp_path):
+    from kukur_spark.streaming import stream_stream_window_join
+
+    lpath, rpath = str(tmp_path / "purch"), str(tmp_path / "touch")
+    # purchases at minute 20 and 40; touches at minutes 12, 15, 35;
+    # with a 10-minute bound: purchase@20 matches touches@12,15 (not 35);
+    # purchase@40 matches touch@35 only
+    purchases = [("u1", ts(20), 100.0), ("u1", ts(40), 200.0)]
+    touches = [("u1", ts(12), 1.0), ("u1", ts(15), 2.0), ("u1", ts(35), 3.0)]
+    spark.createDataFrame(purchases, SCHEMA).coalesce(1).write.parquet(lpath)
+    spark.createDataFrame(touches, SCHEMA).coalesce(1).write.parquet(rpath)
+    joined = stream_stream_window_join(
+        stream_data(spark, lpath, SCHEMA),
+        stream_data(spark, rpath, SCHEMA),
+        bound="10 minutes",
+    )
+    name = run_to_memory(joined)
+    rows = spark.sql(
+        f"SELECT * FROM {name} ORDER BY left_ts, right_ts"
+    ).collect()
+    got = [(r["left_value"], r["right_value"]) for r in rows]
+    assert got == [(100.0, 1.0), (100.0, 2.0), (200.0, 3.0)]
