@@ -1,0 +1,55 @@
+"""Incremental aggregate maintenance: fold a delta into a materialized
+rollup without rescanning the base table.
+
+Beyond-reference operator (the reference gateway materializes nothing);
+this is how a 100 TB events table keeps a daily rollup fresh: the
+nightly materialization is the expensive full aggregate once, and every
+subsequent micro-batch folds in as ``merge_additive(base, delta_agg)``
+— cost proportional to the DELTA, not the table.
+
+Correct only for additive (commutative-monoid) aggregates: count, sum,
+min, max merge exactly; avg must be carried as (sum, count).  The merge
+itself is a full-outer join on the group key — the only shuffle carries
+group-cardinality rows, never raw events — followed by a per-column
+monoid combine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERGES = {
+    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "min": lambda a, b: F.least(a, b),  # least/greatest skip nulls
+    "max": lambda a, b: F.greatest(a, b),
+}
+
+
+def merge_additive(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    combine: Dict[str, str],
+) -> DataFrame:
+    """Merge two partial aggregates sharing (keys + value columns).
+
+    ``combine`` maps each value column to its monoid: ``"sum"``,
+    ``"count"``, ``"min"`` or ``"max"``.  Groups present on either side
+    survive (full-outer); column order follows ``base``.
+    """
+    unknown = set(combine.values()) - set(_MERGES)
+    if unknown:
+        raise ValueError(f"non-additive merge functions: {sorted(unknown)}")
+    a = base.alias("a")
+    b = delta.alias("b")
+    merged = a.join(b, on=list(keys), how="full_outer")
+    cols = [F.col(k) for k in keys]
+    for col, fn in combine.items():
+        cols.append(
+            _MERGES[fn](F.col(f"a.{col}"), F.col(f"b.{col}")).alias(col)
+        )
+    return merged.select(*cols)

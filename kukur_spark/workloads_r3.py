@@ -964,3 +964,73 @@ ORDER BY touch_type
 
 R3_QUERIES["events_attribution"] = events_attribution
 R3_ORACLES["events_attribution"] = EVENTS_ATTRIBUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance: delta-only refresh of a daily rollup
+# ---------------------------------------------------------------------------
+_ROLLUP_CUTOFF = "2024-01-25 00:00:00"
+# per-row e6 quantization: every aggregate below is then an integer
+# monoid (sum/count/min/max), so partials merge EXACTLY — the property
+# incremental maintenance needs (floor-of-sum would not distribute)
+_V_E6 = "CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT)"
+
+
+def _daily_rollup(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_V_E6)).alias("value_e6"),
+        F.min(F.expr(_V_E6)).alias("vmin_e6"),
+        F.max(F.expr(_V_E6)).alias("vmax_e6"),
+    )
+
+
+def events_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup refresh: base rollup (events before the
+    cutoff — standing in for last night's materialization) + the
+    delta's own rollup, merged with `operators/incremental.py`.
+
+    At 100 TB the base aggregate is computed once; each refresh scans
+    only the delta and the merge shuffles group-cardinality rows
+    (days × types), never raw events.  The oracle recomputes the rollup
+    from the full table — passing proves merge(partial, partial) ==
+    full, i.e. the monoid design is actually exact.
+    """
+    from kukur_spark.operators.incremental import merge_additive
+
+    events = load_table(spark, sf, "events")
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+    base = _daily_rollup(events.filter(F.col("ts") < cutoff))
+    delta = _daily_rollup(events.filter(F.col("ts") >= cutoff))
+    return merge_additive(
+        base,
+        delta,
+        keys=["day_us", "event_type"],
+        combine={
+            "n": "count",
+            "value_e6": "sum",
+            "vmin_e6": "min",
+            "vmax_e6": "max",
+        },
+    ).orderBy("day_us", "event_type")
+
+
+EVENTS_INCREMENTAL_SQL = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+  COUNT(*) AS n,
+  SUM(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
+    AS value_e6,
+  MIN(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
+    AS vmin_e6,
+  MAX(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
+    AS vmax_e6
+FROM events
+GROUP BY day_us, event_type
+ORDER BY day_us, event_type
+"""
+
+R3_QUERIES["events_incremental_rollup"] = events_incremental_rollup
+R3_ORACLES["events_incremental_rollup"] = EVENTS_INCREMENTAL_SQL

@@ -123,3 +123,35 @@ def test_hll_sketch_merges_across_groups_same_as_union(spark):
     union_out = hll_sketch(merged_df, ["g"], "item").collect()[0]
     assert union_out["harmonic_num"] == harmonic
     assert union_out["exact_distinct"] == 450
+
+
+def test_merge_additive_disjoint_and_overlap_groups(spark):
+    from kukur_spark.operators.incremental import merge_additive
+
+    base = spark.createDataFrame(
+        [("a", 2, 10, 1, 5), ("b", 1, 7, 7, 7)],
+        "k string, n long, s long, mn long, mx long",
+    )
+    delta = spark.createDataFrame(
+        [("b", 3, 9, 0, 4), ("c", 1, 2, 2, 2)],
+        "k string, n long, s long, mn long, mx long",
+    )
+    out = merge_additive(
+        base, delta, keys=["k"],
+        combine={"n": "count", "s": "sum", "mn": "min", "mx": "max"},
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in out.collect()}
+    assert got == {
+        "a": (2, 10, 1, 5),      # base-only group survives untouched
+        "b": (4, 16, 0, 7),      # overlap: sum/count add, min/max widen
+        "c": (1, 2, 2, 2),       # delta-only group inserted
+    }
+
+
+def test_merge_additive_rejects_non_monoid(spark):
+    import pytest as _pytest
+    from kukur_spark.operators.incremental import merge_additive
+
+    base = spark.createDataFrame([("a", 1.0)], "k string, avg double")
+    with _pytest.raises(ValueError, match="non-additive"):
+        merge_additive(base, base, keys=["k"], combine={"avg": "avg"})
