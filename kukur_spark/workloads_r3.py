@@ -1021,8 +1021,8 @@ def events_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
 EVENTS_INCREMENTAL_SQL = """
 SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
   COUNT(*) AS n,
-  SUM(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
-    AS value_e6,
+  CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
+    AS BIGINT) AS value_e6,
   MIN(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
     AS vmin_e6,
   MAX(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
