@@ -48,6 +48,7 @@ from kukur_spark.workloads_ts2 import TS2_ORACLES, TS2_QUERIES
 from kukur_spark.workloads_llm import LLM_ORACLES, LLM_QUERIES
 from kukur_spark.workloads_r2 import R2_ORACLES, R2_QUERIES
 from kukur_spark.workloads_r3 import R3_ORACLES, R3_QUERIES
+from kukur_spark.workloads_r4 import R4_ORACLES, R4_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1791,6 +1792,7 @@ QUERIES.update(TS2_QUERIES)
 QUERIES.update(LLM_QUERIES)
 QUERIES.update(R2_QUERIES)
 QUERIES.update(R3_QUERIES)
+QUERIES.update(R4_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1852,4 +1854,5 @@ ORACLES: Dict[str, str] = {
     **LLM_ORACLES,
     **R2_ORACLES,
     **R3_ORACLES,
+    **R4_ORACLES,
 }

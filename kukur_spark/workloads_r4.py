@@ -1,0 +1,423 @@
+"""Round-2 third batch: count-min sketch, document-frequency quality,
+co-occurrence triangles, matrix-profile nearest neighbor, matrix-free
+power iteration.
+
+Beyond-reference training-pipeline/analytics operators (the reference
+gateway has no aggregate/join executor — SURVEY §2.3/§2.4); every query
+carries an exact DuckDB oracle.  All hot paths are JVM column
+expressions; shuffles are keyed partial aggregations, and every small
+side that must meet a large stream is broadcast explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.dedup import md5_long
+
+R4_QUERIES: dict = {}
+R4_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+def text_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (d=4, w=64).
+
+    The sketch is built FROM the per-token partial counts, not the raw
+    token stream: at 100 TB the token explode happens map-side, partial
+    aggregation combines per task, and only ``d*w`` (=256) cells cross
+    the wire per partition — the sketch is a bounded-size mergeable
+    summary no matter the corpus size.  Estimates are read back by
+    joining the candidate tokens against the broadcast 256-row sketch;
+    the exact count rides along only to expose the overestimate
+    (``est >= exact`` always; equality when no bucket collisions).
+    Hashes are md5-derived (`operators/dedup.py::md5_long`) so the
+    DuckDB oracle replays them bit-for-bit.
+    """
+    docs = load_table(spark, sf, "documents")
+    tok_counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    depths = F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
+    cells = tok_counts.select(
+        "token",
+        "exact",
+        F.explode(depths).alias("depth"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            md5_long(F.concat(F.col("token"), F.lit("#"), F.col("depth"))),
+            F.lit(_CMS_WIDTH),
+        ),
+    )
+    sketch = cells.groupBy("depth", "bucket").agg(
+        F.sum("exact").alias("cell")
+    )
+    est = (
+        cells.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est"), F.first("exact").alias("exact"))
+    )
+    return est.select("token", "est", "exact").orderBy(
+        F.desc("est"), "token"
+    ).limit(20)
+
+
+TEXT_CMS_SQL = f"""
+WITH cnt AS (
+  SELECT token, COUNT(*) AS exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+cells AS (
+  SELECT token, exact, depth,
+    ('0x' || substr(md5(token || '#' || depth), 1, 15))::BIGINT
+      % {_CMS_WIDTH} AS bucket
+  FROM cnt, (SELECT unnest(range({_CMS_DEPTH})) AS depth)
+),
+sketch AS (
+  SELECT depth, bucket, CAST(SUM(exact) AS BIGINT) AS cell
+  FROM cells GROUP BY depth, bucket
+)
+SELECT c.token, MIN(s.cell) AS est, MIN(c.exact) AS exact
+FROM cells c JOIN sketch s USING (depth, bucket)
+GROUP BY c.token
+ORDER BY est DESC, token
+LIMIT 20
+"""
+
+R4_QUERIES["text_cms_topk"] = text_cms_topk
+R4_ORACLES["text_cms_topk"] = TEXT_CMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency quality score
+# ---------------------------------------------------------------------------
+def text_df_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean corpus document-frequency of its distinct tokens.
+
+    A classic training-data rarity signal: documents whose vocabulary is
+    corpus-common score high, rare/garbled documents score low.  Two
+    keyed aggregations (distinct pairs, then token df) and one shuffle
+    join on ``token`` — at 100 TB the df table is vocabulary-sized and
+    the join key is the natural partitioner; the mean is integer-exact
+    (``sum(df)*1e6 div n``), never a float.
+    """
+    docs = load_table(spark, sf, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pairs.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("(sum(df) * 1000000L) div count(1)").alias("mean_df_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_DF_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM pairs GROUP BY token)
+SELECT p.doc_id, COUNT(*) AS n_tokens,
+  (CAST(SUM(df) AS BIGINT) * 1000000) // COUNT(*) AS mean_df_e6
+FROM pairs p JOIN dfreq USING (token)
+GROUP BY p.doc_id
+ORDER BY doc_id
+"""
+
+R4_QUERIES["text_df_score"] = text_df_score
+R4_ORACLES["text_df_score"] = TEXT_DF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence triangles
+# ---------------------------------------------------------------------------
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts in the token co-occurrence graph.
+
+    Edges: token pairs co-occurring in >= 63 % of documents (relative
+    support so every scale factor yields a comparable graph).  Triangles
+    are enumerated with the oriented wedge join — every edge is stored
+    once as ``x < y``, wedges extend ``(x,y)`` with ``(y,z)``, and a
+    semi-join against the edge set closes them, so each triangle is
+    produced exactly once and the join size is bounded by out-degrees.
+    At real scale the orientation would be by degree (makes the wedge
+    count sum-of-squares of the *smaller* degrees); by token id here,
+    noted because the vocabulary is tiny.  The edge list is
+    support-thresholded — vocabulary-sized, not corpus-sized — so both
+    triangle joins broadcast.
+    """
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("x"), F.col("b.token").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("sup") * 100 >= F.col("n_docs") * 63)
+        .select("x", "y")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(
+            F.broadcast(e2), F.col("e1.y") == F.col("e2.x")
+        )
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.x").alias("na"),
+            F.col("e1.y").alias("nb"),
+            F.col("e2.y").alias("nc"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("na").alias("node"))
+        .unionAll(tri.select(F.col("nb").alias("node")))
+        .unionAll(tri.select(F.col("nc").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
+
+
+GRAPH_TRI_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+e AS (
+  SELECT a.token AS x, b.token AS y
+  FROM pairs a JOIN pairs b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) * 100 >= (SELECT n_docs FROM nd) * 63
+),
+tri AS (
+  SELECT e1.x AS na, e1.y AS nb, e2.y AS nc
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  WHERE EXISTS (SELECT 1 FROM e e3
+                WHERE e3.x = e1.x AND e3.y = e2.y)
+),
+nodes AS (
+  SELECT na AS node FROM tri
+  UNION ALL SELECT nb FROM tri
+  UNION ALL SELECT nc FROM tri
+)
+SELECT node, COUNT(*) AS n_tri
+FROM nodes GROUP BY node
+ORDER BY n_tri DESC, node
+LIMIT 20
+"""
+
+R4_QUERIES["graph_triangles"] = graph_triangles
+R4_ORACLES["graph_triangles"] = GRAPH_TRI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile nearest neighbor (non-overlapping windows)
+# ---------------------------------------------------------------------------
+_MP_M = 16
+
+
+def ts_matrix_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor squared distance per length-16 subsequence.
+
+    A matrix-profile-style motif/anomaly primitive: each complete
+    non-overlapping window of 16 samples per series finds its closest
+    other window under squared Euclidean distance.  Windows are packed
+    into arrays with one keyed aggregation, then the per-series window
+    set self-joins and distances run entirely in ``zip_with`` +
+    ``aggregate`` (JVM, no Python).  Values are e3-quantized through a
+    decimal bridge so the distance is integer-exact cross-engine
+    (values <= ~560 -> diffs^2 <= ~1.3e12, x16 fits a long with room).
+    The pair join is per-series quadratic in *windows* (n/16 of the
+    points); at 100 TB the standard refinement is bucketing windows by
+    an LSH/PAA prefix first — the same banding machinery as
+    `operators/dedup.py` — so this keeps the exact-verify role.
+    """
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(
+            F.col("value").cast("decimal(30,10)") * 1_000
+        ).cast("long").alias("v"),
+    ).withColumn("rn", F.row_number().over(w) - 1)
+    pts = base.select(
+        "event_type",
+        F.expr(f"rn div {_MP_M}").alias("win"),
+        F.expr(f"rn % {_MP_M}").alias("pos"),
+        "v",
+    )
+    wins = (
+        pts.groupBy("event_type", "win")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("vec"),
+        )
+        .filter(F.col("n") == _MP_M)
+        .drop("n")
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    d = (
+        a.join(b, "event_type")
+        .filter(F.col("a.win") != F.col("b.win"))
+        .select(
+            "event_type",
+            F.col("a.win").alias("win"),
+            F.col("b.win").alias("w2"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.vec"),
+                    F.col("b.vec"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    return (
+        d.groupBy("event_type", "win")
+        .agg(
+            F.min("d2").alias("nn_d2"),
+            F.min_by("w2", F.struct("d2", "w2")).alias("nn_win"),
+        )
+        .select("event_type", "win", "nn_win", "nn_d2")
+        .orderBy("event_type", "win")
+    )
+
+
+TS_MP_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000) AS BIGINT) AS v,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      - 1 AS rn
+  FROM events
+),
+pts AS (
+  SELECT event_type, rn // {_MP_M} AS win, rn % {_MP_M} AS pos, v
+  FROM base
+),
+full_w AS (
+  SELECT event_type, win FROM pts
+  GROUP BY event_type, win HAVING COUNT(*) = {_MP_M}
+),
+p2 AS (SELECT pts.* FROM pts JOIN full_w USING (event_type, win)),
+d AS (
+  SELECT a.event_type, a.win, b.win AS w2,
+    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM p2 a JOIN p2 b
+    ON a.event_type = b.event_type AND a.pos = b.pos
+    AND a.win <> b.win
+  GROUP BY a.event_type, a.win, b.win
+)
+SELECT event_type, win, w2 AS nn_win, d2 AS nn_d2
+FROM d
+QUALIFY row_number() OVER (PARTITION BY event_type, win
+                           ORDER BY d2, w2) = 1
+ORDER BY event_type, win
+"""
+
+R4_QUERIES["ts_matrix_profile"] = ts_matrix_profile
+R4_ORACLES["ts_matrix_profile"] = TS_MP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free power-iteration step (top principal direction)
+# ---------------------------------------------------------------------------
+def emb_power_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """One matrix-free power-iteration step: y = Aᵀ(A·1).
+
+    The Gram matrix AᵀA (d x d) is never materialized — the step is two
+    passes over the rows: the per-row projection ``s_r = Σ_j v_rj`` is a
+    pure array fold (no shuffle), and ``y_j = Σ_r s_r * v_rj`` is one
+    posexplode + partial aggregation whose shuffle carries d partial
+    sums per task, independent of row count.  That is the shape that
+    survives 100 TB of embeddings; materializing AᵀA via a d x d
+    explode-join would shuffle d^2 cells per row.  Components are
+    e6-quantized through the decimal bridge so every sum is
+    integer-exact (|v|<0.6 -> s_r <= 3.8e7, products <= 2.3e13, sums
+    well inside a long).
+    """
+    emb = load_table(spark, sf, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda v: F.floor(
+            v.cast("double").cast("decimal(30,10)") * 1_000_000
+        ).cast("long"),
+    )
+    rows = emb.select("vec_id", quant.alias("q")).withColumn(
+        "s",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    dims = rows.select("s", F.posexplode("q").alias("p", "v"))
+    return (
+        dims.groupBy((F.col("p") + 1).cast("long").alias("dim"))
+        .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("y"))
+        .orderBy("dim")
+    )
+
+
+EMB_POWER_SQL = """
+WITH qv AS (
+  SELECT vec_id, dim,
+    CAST(FLOOR(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(30,10))
+               * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id,
+          unnest(generate_series(1, len(embedding))) AS dim,
+          embedding
+        FROM embeddings)
+),
+s AS (SELECT vec_id, CAST(SUM(v) AS BIGINT) AS s FROM qv GROUP BY vec_id)
+SELECT dim, CAST(SUM(s.s * qv.v) AS BIGINT) AS y
+FROM qv JOIN s USING (vec_id)
+GROUP BY dim
+ORDER BY dim
+"""
+
+R4_QUERIES["emb_power_iter"] = emb_power_iter
+R4_ORACLES["emb_power_iter"] = EMB_POWER_SQL
