@@ -1,0 +1,187 @@
+"""Round-2 third batch: semantics + plan pins for the r4 workloads.
+
+Semantics are checked against brute-force python on the sf0.001 tables
+(the DuckDB oracle gate covers sf0.01); plan pins assert the properties
+that matter at 100 TB — broadcasts where the small side is bounded, no
+cartesian products, the matrix-free power iteration really is join-free.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_FLOOR, ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+def test_cms_estimates_never_undercount(spark):
+    rows = QUERIES["text_cms_topk"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est >= r.exact
+
+
+def test_cms_sketch_join_broadcasts(spark):
+    plan = plan_of(QUERIES["text_cms_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# df score
+# ---------------------------------------------------------------------------
+def test_df_score_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    df_count: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for r in docs:
+        toks = set(r.text.split(" "))
+        per_doc[r.doc_id] = toks
+        for t in toks:
+            df_count[t] = df_count.get(t, 0) + 1
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_df_e6)
+        for r in QUERIES["text_df_score"](spark, SF).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, toks in per_doc.items():
+        s = sum(df_count[t] for t in toks)
+        assert got[doc_id] == (len(toks), (s * 1_000_000) // len(toks))
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+def _edges(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    sup: dict[tuple, int] = {}
+    for r in docs:
+        toks = sorted(set(r.text.split(" ")))
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                sup[(toks[i], toks[j])] = sup.get((toks[i], toks[j]), 0) + 1
+    return {e for e, s in sup.items() if s * 100 >= n_docs * 63}
+
+
+def test_triangles_bruteforce(spark):
+    edges = _edges(spark)
+    tri_per_node: dict[str, int] = {}
+    es = sorted(edges)
+    for (a, b) in es:
+        for (b2, c) in es:
+            if b2 == b and (a, c) in edges:
+                for n in (a, b, c):
+                    tri_per_node[n] = tri_per_node.get(n, 0) + 1
+    expect = sorted(
+        tri_per_node.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [
+        (r.node, r.n_tri)
+        for r in QUERIES["graph_triangles"](spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_triangles_plan_semi_join_no_cartesian(spark):
+    plan = plan_of(QUERIES["graph_triangles"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# matrix profile
+# ---------------------------------------------------------------------------
+def test_matrix_profile_bruteforce(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(events, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        series.setdefault(r.event_type, []).append(
+            int(
+                (
+                    Decimal(float(r.value)).quantize(
+                        Decimal("1e-10"), rounding=ROUND_HALF_UP
+                    )
+                    * 1000
+                ).to_integral_value(rounding=ROUND_FLOOR)
+            )
+        )
+    expect = []
+    m = 16
+    for et in sorted(series):
+        vals = series[et]
+        wins = [
+            vals[i * m : (i + 1) * m] for i in range(len(vals) // m)
+        ]
+        for i, wi in enumerate(wins):
+            best = None
+            for j, wj in enumerate(wins):
+                if i == j:
+                    continue
+                d2 = sum((x - y) ** 2 for x, y in zip(wi, wj))
+                if best is None or (d2, j) < best:
+                    best = (d2, j)
+            expect.append((et, i, best[1], best[0]))
+    got = [
+        (r.event_type, r.win, r.nn_win, r.nn_d2)
+        for r in QUERIES["ts_matrix_profile"](spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_matrix_profile_no_python_udf(spark):
+    plan = plan_of(QUERIES["ts_matrix_profile"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# power iteration
+# ---------------------------------------------------------------------------
+def test_power_iter_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    dim = len(emb[0].embedding)
+    y = [0] * dim
+    for r in emb:
+        # replicate the engine's decimal bridge exactly: double ->
+        # decimal(30,10) (half-up), * 1e6, floor
+        q = [
+            int(
+                (
+                    Decimal(float(v)).quantize(
+                        Decimal("1e-10"), rounding=ROUND_HALF_UP
+                    )
+                    * 1_000_000
+                ).to_integral_value(rounding=ROUND_FLOOR)
+            )
+            for v in r.embedding
+        ]
+        s = sum(q)
+        for j in range(dim):
+            y[j] += s * q[j]
+    got = QUERIES["emb_power_iter"](spark, SF).collect()
+    assert [r.dim for r in got] == list(range(1, dim + 1))
+    assert [r.y for r in got] == y
+
+
+def test_power_iter_is_join_free(spark):
+    plan = plan_of(QUERIES["emb_power_iter"](spark, SF))
+    assert "Join" not in plan  # matrix-free: no Gram, no self-join
+    assert "BatchEvalPython" not in plan
