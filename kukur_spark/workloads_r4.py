@@ -169,16 +169,21 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     n_docs = docs.select(
         F.count(F.lit(1)).alias("n_docs")
     )
-    pairs = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
+    # pair generation is fully map-side: per-doc sorted distinct token
+    # arrays, then (x, slice-after-x) explodes — no self-join, no
+    # distinct shuffle; the only exchange is the (x, y) support count
+    toks = docs.select(
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("ta")
+    )
+    e1 = toks.select(F.posexplode("ta").alias("i", "x"), "ta")
+    pair_gen = e1.select(
+        "x",
+        F.explode(
+            F.slice("ta", F.col("i") + 2, F.size("ta"))
+        ).alias("y"),
+    )
     edges = (
-        a.join(b, "doc_id")
-        .filter(F.col("a.token") < F.col("b.token"))
-        .groupBy(
-            F.col("a.token").alias("x"), F.col("b.token").alias("y")
-        )
+        pair_gen.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("sup"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("sup") * 100 >= F.col("n_docs") * 63)
