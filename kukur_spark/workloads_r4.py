@@ -426,3 +426,124 @@ ORDER BY dim
 
 R4_QUERIES["emb_power_iter"] = emb_power_iter
 R4_ORACLES["emb_power_iter"] = EMB_POWER_SQL
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty
+# ---------------------------------------------------------------------------
+def docs_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novel word-trigram share (first-occurrence by doc_id).
+
+    The dedup-adjacent freshness signal used when growing a corpus:
+    a document's trigrams are "novel" if no lower-numbered document
+    contains them.  Trigram generation is map-side (one ``transform``
+    over the token array — no explode-then-window); attribution is one
+    ``min(doc_id)`` aggregate per distinct gram and a join back on the
+    gram, so the shuffle carries (gram, doc) pairs once and the gram
+    space — not the corpus — bounds state, the same shape at 100 TB.
+    The share is integer-exact ppm.
+    """
+    docs = load_table(spark, sf, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                    "array_distinct(transform("
+                    "  sequence(1, size(split(text, ' ')) - 2),"
+                    "  i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000L) div n_grams")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_NOVELTY_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (
+    SELECT doc_id,
+      array_to_string(ta[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS ta FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(ta) - 2)) AS i)
+  )
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  (CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // COUNT(*) AS novelty_ppm
+FROM grams g JOIN first USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+R4_QUERIES["docs_novelty"] = docs_novelty
+R4_ORACLES["docs_novelty"] = DOCS_NOVELTY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+def docs_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampling weights per source at temperature T=2 (w ∝ n^(1/2)).
+
+    The multinomial mixture reweighting used to upsample small domains
+    when composing training data.  One count aggregate, the sqrt on the
+    per-source count (IEEE-correctly-rounded, so bit-identical
+    cross-engine), then an integer share against the broadcast total —
+    no floating division ever reaches the output.
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.withColumn(
+        "w_e6",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast(
+            "long"
+        ),
+    )
+    total = weights.select(F.sum("w_e6").alias("w_total"))
+    return (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "w_e6",
+            F.expr("(w_e6 * 1000000L) div w_total").alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_TEMP_SQL = """
+WITH w AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w_e6
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, w_e6,
+  (w_e6 * 1000000) // (SELECT CAST(SUM(w_e6) AS BIGINT) FROM w)
+    AS share_ppm
+FROM w ORDER BY source
+"""
+
+R4_QUERIES["docs_temperature_mix"] = docs_temperature_mix
+R4_ORACLES["docs_temperature_mix"] = DOCS_TEMP_SQL

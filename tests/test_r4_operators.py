@@ -185,3 +185,41 @@ def test_power_iter_is_join_free(spark):
     plan = plan_of(QUERIES["emb_power_iter"](spark, SF))
     assert "Join" not in plan  # matrix-free: no Gram, no self-join
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# novelty + temperature mix
+# ---------------------------------------------------------------------------
+def test_novelty_first_doc_fully_novel_and_monotone_total(spark):
+    rows = QUERIES["docs_novelty"](spark, SF).collect()
+    first = min(r.doc_id for r in rows)
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[first].novelty_ppm == 1_000_000
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert r.novelty_ppm == (r.n_novel * 1_000_000) // r.n_grams
+    # every gram is attributed exactly once: novel counts sum to the
+    # global distinct-gram count
+    total_novel = sum(r.n_novel for r in rows)
+    from kukur_spark.io import load_table as _lt
+    docs = _lt(spark, SF, "documents").select("text").collect()
+    grams = set()
+    for d in docs:
+        t = d.text.split(" ")
+        grams.update(
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        )
+    assert total_novel == len(grams)
+
+
+def test_temperature_mix_shares(spark):
+    import math as _m
+
+    rows = QUERIES["docs_temperature_mix"](spark, SF).collect()
+    w_total = sum(r.w_e6 for r in rows)
+    for r in rows:
+        assert r.w_e6 == _m.floor(_m.sqrt(r.n_docs) * 1_000_000)
+        assert r.share_ppm == (r.w_e6 * 1_000_000) // w_total
+    # floor-division shares sum to at most 1e6 and within n_sources of it
+    s = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
