@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kukur_spark.io import load_table  # noqa: E402
 from kukur_spark.session import get_spark  # noqa: E402
 
-COPIED = ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]
+COPIED = ["region", "nation", "customer", "supplier", "part"]
 
 
 def replicate(spark, src: str, dst: str, factor: int) -> None:
@@ -53,6 +53,17 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
         "overwrite"
     ).parquet(f"{dst}/events.parquet")
 
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_did = docs.agg(F.max("doc_id")).first()[0]
+    shifted_union(docs, "doc_id", max_did + 1).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_vid = emb.agg(F.max("vec_id")).first()[0]
+    shifted_union(emb, "vec_id", max_vid + 1).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/embeddings.parquet")
+
     for t in COPIED:
         p = f"{dst}/{t}.parquet"
         if os.path.isdir(p):
@@ -76,6 +87,22 @@ def main() -> None:
         "bench.py",
     )
     subprocess.run([sys.executable, bench], env=env, check=True)
+
+    extra = [q for q in os.environ.get("SCALE_PROBE_EXTRA", "").split(",") if q]
+    if extra:
+        import json
+        import time
+
+        from kukur_spark.workloads import QUERIES
+
+        spark = get_spark("scale_probe_extra")
+        times = {}
+        for name in extra:
+            t0 = time.time()
+            QUERIES[name](spark, dst).count()
+            times[name] = round(time.time() - t0, 4)
+        print(json.dumps({"metric": "scale_probe_extra", "factor": factor,
+                          "queries": times}))
 
 
 if __name__ == "__main__":
