@@ -223,3 +223,23 @@ def test_temperature_mix_shares(spark):
     # floor-division shares sum to at most 1e6 and within n_sources of it
     s = sum(r.share_ppm for r in rows)
     assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+def test_banded_mp_never_beats_exact_and_is_subset(spark):
+    exact = {
+        (r.event_type, r.win): r.nn_d2
+        for r in QUERIES["ts_matrix_profile"](spark, SF).collect()
+    }
+    banded = QUERIES["ts_matrix_profile_banded"](spark, SF).collect()
+    assert 0 < len(banded) <= len(exact)
+    for r in banded:
+        # candidates are a subset of all pairs: the banded NN can only
+        # be at or above the true NN distance
+        assert r.nn_d2 >= exact[(r.event_type, r.win)]
+        assert r.n_cand >= 1
+
+
+def test_banded_mp_joins_on_band_not_series(spark):
+    plan = plan_of(QUERIES["ts_matrix_profile_banded"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "band" in plan  # the bucket key is the join partitioner
