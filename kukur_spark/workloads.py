@@ -49,6 +49,7 @@ from kukur_spark.workloads_llm import LLM_ORACLES, LLM_QUERIES
 from kukur_spark.workloads_r2 import R2_ORACLES, R2_QUERIES
 from kukur_spark.workloads_r3 import R3_ORACLES, R3_QUERIES
 from kukur_spark.workloads_r4 import R4_ORACLES, R4_QUERIES
+from kukur_spark.workloads_r5 import R5_ORACLES, R5_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1793,6 +1794,7 @@ QUERIES.update(LLM_QUERIES)
 QUERIES.update(R2_QUERIES)
 QUERIES.update(R3_QUERIES)
 QUERIES.update(R4_QUERIES)
+QUERIES.update(R5_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1855,4 +1857,5 @@ ORACLES: Dict[str, str] = {
     **R2_ORACLES,
     **R3_ORACLES,
     **R4_ORACLES,
+    **R5_ORACLES,
 }

@@ -1,0 +1,399 @@
+"""Round-2 fourth batch: group-wise OLS trend, moving-average
+crossover, skew diagnostics, Bloom filter build+probe.
+
+Beyond-reference operators (the reference gateway has no aggregate/join
+executor — SURVEY §2.3/§2.4); every query carries an exact DuckDB
+oracle.  All hot paths are JVM column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.dedup import md5_long
+
+R5_QUERIES: dict = {}
+R5_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend (exact integer moments)
+# ---------------------------------------------------------------------------
+def ts_linreg_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(series, week) least-squares slope from integer moments.
+
+    One partial-aggregate pass computes the five OLS moments (n, Σx,
+    Σy, Σxy, Σx²) — map-side combinable, so the shuffle carries five
+    longs per group no matter how many points feed it; that is the
+    whole design at 100 TB.  x is hour-of-week (0..167), y is
+    e3-quantized, so ``num = nΣxy − ΣxΣy`` and ``den = nΣx² − (Σx)²``
+    stay inside a long with headroom and the slope is emitted as an
+    integer-exact e6/hour value (sign-split floor keeps Spark's
+    truncating ``div`` and DuckDB's ``//`` in agreement).
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.expr(
+            "date_trunc('week', ts)"
+        ).alias("week"),
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.expr("date_trunc('week', ts)")))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("x"),
+        F.floor(
+            F.col("value").cast("decimal(30,10)") * 1_000
+        ).cast("long").alias("y"),
+    )
+    agg = base.groupBy("event_type", "week").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        agg.withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .select(
+            "event_type",
+            "week",
+            "n",
+            F.expr(
+                "CASE WHEN den = 0 THEN NULL "
+                "WHEN num >= 0 THEN (num * 1000) div den "
+                "ELSE -((-num * 1000) div den) END"
+            ).alias("slope_e6_per_hour"),
+            F.expr("(sy * 1000) div n").alias("mean_e6"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+TS_LINREG_SQL = """
+WITH base AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+    (epoch_us(ts) - epoch_us(date_trunc('week', ts))) // 3600000000 AS x,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type, week, COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY event_type, week
+)
+SELECT event_type, week, n,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       WHEN n * sxy - sx * sy >= 0
+         THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+       ELSE -((-(n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx))
+  END AS slope_e6_per_hour,
+  (sy * 1000) // n AS mean_e6
+FROM agg
+ORDER BY event_type, week
+"""
+
+R5_QUERIES["ts_linreg_trend"] = ts_linreg_trend
+R5_ORACLES["ts_linreg_trend"] = TS_LINREG_SQL
+
+
+# ---------------------------------------------------------------------------
+# Moving-average crossover signals
+# ---------------------------------------------------------------------------
+def ts_ma_crossover(spark: SparkSession, sf: str) -> DataFrame:
+    """Days where the 3-day mean crosses the 10-day mean, per series.
+
+    The classic signal-detection primitive.  Daily pre-aggregation
+    first (map-side combinable), then two trailing ROWS windows over
+    the *daily* panel — window state is days, not raw points, which is
+    what keeps the sort-window cheap at 100 TB.  The crossover test
+    cross-multiplies integer sums (``s3·n10`` vs ``s10·n3``) so no
+    division or float ever enters; direction flips are detected with a
+    lag window.
+    """
+    events = load_table(spark, sf, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("value").cast("decimal(30,10)") * 1_000
+                ).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, 0)
+    )
+    w10 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, 0)
+    )
+    panel = daily.select(
+        "event_type",
+        "day",
+        F.sum("s").over(w3).alias("s3"),
+        F.sum("n").over(w3).alias("n3"),
+        F.sum("s").over(w10).alias("s10"),
+        F.sum("n").over(w10).alias("n10"),
+    ).withColumn(
+        "above",
+        (F.col("s3") * F.col("n10") > F.col("s10") * F.col("n3")).cast(
+            "int"
+        ),
+    )
+    lag_w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        panel.withColumn("prev", F.lag("above").over(lag_w))
+        .filter(
+            F.col("prev").isNotNull() & (F.col("above") != F.col("prev"))
+        )
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("above") == 1, F.lit("golden"))
+            .otherwise(F.lit("death"))
+            .alias("cross"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TS_MA_CROSS_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000) AS BIGINT))
+      AS BIGINT) AS s,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type, day
+),
+panel AS (
+  SELECT event_type, day,
+    CAST(SUM(s) OVER w3 AS BIGINT) AS s3,
+    CAST(SUM(n) OVER w3 AS BIGINT) AS n3,
+    CAST(SUM(s) OVER w10 AS BIGINT) AS s10,
+    CAST(SUM(n) OVER w10 AS BIGINT) AS n10
+  FROM daily
+  WINDOW
+    w3 AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    w10 AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+flags AS (
+  SELECT event_type, day,
+    CASE WHEN s3 * n10 > s10 * n3 THEN 1 ELSE 0 END AS above
+  FROM panel
+)
+SELECT event_type, day,
+  CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS cross
+FROM (
+  SELECT event_type, day, above,
+    lag(above) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM flags
+)
+WHERE prev IS NOT NULL AND above <> prev
+ORDER BY event_type, day
+"""
+
+R5_QUERIES["ts_ma_crossover"] = ts_ma_crossover
+R5_ORACLES["ts_ma_crossover"] = TS_MA_CROSS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew diagnostics
+# ---------------------------------------------------------------------------
+def events_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew report for the (user_id) shuffle key of events.
+
+    The pre-flight check before choosing a salting factor
+    (`operators/scale.py`): per-key counts, then one tiny aggregate of
+    the count distribution — max, exact p50/p99 by rank selection, and
+    the max/mean skew ratio in ppm.  The rank over the counts table
+    (key-cardinality-sized, still potentially huge) uses
+    ``distributed_row_number`` — range repartition + broadcast offsets
+    — never a single-task global window.
+    """
+    from kukur_spark.operators.scale import distributed_row_number
+
+    events = load_table(spark, sf, "events")
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = distributed_row_number(
+        counts, ["cnt", "user_id"], "r"
+    ).select("cnt", "r")
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    pick = (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("r") == F.expr("(n_keys + 1) div 2"))
+            | (F.col("r") == F.expr("greatest(1, (n_keys * 99) div 100)"))
+        )
+        .groupBy("n_keys", "total", "max_cnt")
+        .agg(
+            F.min("cnt").alias("p50_cnt"),
+            F.max("cnt").alias("p99_cnt"),
+        )
+    )
+    return pick.select(
+        "n_keys",
+        "total",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.expr("(max_cnt * n_keys * 1000000L) div total").alias(
+            "skew_ratio_ppm"
+        ),
+    )
+
+
+EVENTS_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cnt,
+    row_number() OVER (ORDER BY cnt, user_id) AS r
+  FROM counts
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+    MAX(cnt) AS max_cnt
+  FROM counts
+)
+SELECT n_keys, total, max_cnt,
+  MIN(cnt) AS p50_cnt, MAX(cnt) AS p99_cnt,
+  (max_cnt * n_keys * 1000000) // total AS skew_ratio_ppm
+FROM ranked, stats
+WHERE r = (n_keys + 1) // 2
+   OR r = GREATEST(1, (n_keys * 99) // 100)
+GROUP BY n_keys, total, max_cnt
+"""
+
+R5_QUERIES["events_skew_report"] = events_skew_report
+R5_ORACLES["events_skew_report"] = EVENTS_SKEW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + probe
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1024
+_BLOOM_K = 3
+
+
+def docs_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Build a Bloom filter over corpus tokens; probe a fixed word list.
+
+    The join-pruning primitive: the filter is the distinct set of
+    ``k=3`` md5-derived bit positions over ``m=1024`` bits — built with
+    one map-side explode + distinct whose state is at most m rows, i.e.
+    a bounded summary of an unbounded corpus (Spark's own runtime
+    bloom-filter pruning uses the identical construction).  Probes
+    check all k positions via a broadcast left-semi count.  Output per
+    probe word: whether the filter claims membership and whether the
+    word is truly present — false positives show up as
+    ``maybe=true, present=false``.
+    """
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    ks = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+    bits = (
+        tokens.select("token", F.explode(ks).alias("k"))
+        .select(
+            F.pmod(
+                md5_long(F.concat(F.col("token"), F.lit("@"), F.col("k"))),
+                F.lit(_BLOOM_M),
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = spark.createDataFrame(
+        [("table",), ("vector",), ("zeppelin",), ("spark",), ("quasar",),
+         ("merge",), ("unicorn",), ("scan",), ("lighthouse",), ("query",)],
+        "word string",
+    )
+    probe_bits = probes.select(
+        "word", F.explode(ks).alias("k")
+    ).select(
+        "word",
+        F.pmod(
+            md5_long(F.concat(F.col("word"), F.lit("@"), F.col("k"))),
+            F.lit(_BLOOM_M),
+        ).alias("bit"),
+    )
+    hit = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    present = (
+        tokens.distinct()
+        .withColumnRenamed("token", "word")
+        .withColumn("present", F.lit(True))
+    )
+    return (
+        probes.join(hit, "word", "left")
+        .join(F.broadcast(present), "word", "left")
+        .select(
+            "word",
+            (F.coalesce(F.col("k_hit"), F.lit(0)) == _BLOOM_K).alias(
+                "maybe"
+            ),
+            F.coalesce(F.col("present"), F.lit(False)).alias("present"),
+        )
+        .orderBy("word")
+    )
+
+
+DOCS_BLOOM_SQL = f"""
+WITH tokens AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(token || '@' || k), 1, 15))::BIGINT
+      % {_BLOOM_M} AS bit
+  FROM tokens, (SELECT unnest(range({_BLOOM_K})) AS k)
+),
+probes AS (
+  SELECT unnest(['table', 'vector', 'zeppelin', 'spark', 'quasar',
+                 'merge', 'unicorn', 'scan', 'lighthouse', 'query'])
+    AS word
+),
+probe_bits AS (
+  SELECT word,
+    ('0x' || substr(md5(word || '@' || k), 1, 15))::BIGINT
+      % {_BLOOM_M} AS bit
+  FROM probes, (SELECT unnest(range({_BLOOM_K})) AS k)
+),
+hit AS (
+  SELECT word, COUNT(*) AS k_hit
+  FROM probe_bits WHERE bit IN (SELECT bit FROM bits)
+  GROUP BY word
+)
+SELECT p.word,
+  COALESCE(k_hit, 0) = {_BLOOM_K} AS maybe,
+  p.word IN (SELECT DISTINCT token FROM tokens) AS present
+FROM probes p LEFT JOIN hit USING (word)
+ORDER BY word
+"""
+
+R5_QUERIES["docs_bloom_probe"] = docs_bloom_probe
+R5_ORACLES["docs_bloom_probe"] = DOCS_BLOOM_SQL

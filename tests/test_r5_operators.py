@@ -1,0 +1,117 @@
+"""Round-2 fourth batch: semantics + plan pins for the r5 workloads."""
+
+from __future__ import annotations
+
+from decimal import ROUND_FLOOR, ROUND_HALF_UP, Decimal
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _e3(v: float) -> int:
+    return int(
+        (
+            Decimal(float(v)).quantize(
+                Decimal("1e-10"), rounding=ROUND_HALF_UP
+            )
+            * 1000
+        ).to_integral_value(rounding=ROUND_FLOOR)
+    )
+
+
+def test_linreg_bruteforce(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    groups: dict = {}
+    for r in events:
+        ts = r.ts
+        # ISO week start (Monday 00:00)
+        week_start = ts.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        from datetime import timedelta
+
+        week_start -= timedelta(days=week_start.weekday())
+        x = int((ts - week_start).total_seconds() // 3600)
+        groups.setdefault((r.event_type, week_start), []).append(
+            (x, _e3(r.value))
+        )
+    expect = {}
+    for key, pts in groups.items():
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            slope = None
+        elif num >= 0:
+            slope = (num * 1000) // den
+        else:
+            slope = -((-num * 1000) // den)
+        expect[key] = (n, slope, (sy * 1000) // n if sy >= 0 else None)
+    got = QUERIES["ts_linreg_trend"](spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r.event_type, r.week.replace(tzinfo=None))
+        n, slope, _ = expect[(r.event_type, r.week)] if (
+            r.event_type, r.week
+        ) in expect else expect[key]
+        assert r.n == n
+        assert r.slope_e6_per_hour == slope
+
+
+def test_ma_crossover_alternates(spark):
+    rows = QUERIES["ts_ma_crossover"](spark, SF).collect()
+    assert rows, "expected at least one crossover"
+    last: dict = {}
+    for r in rows:
+        assert r.cross in ("golden", "death")
+        if r.event_type in last:
+            assert r.cross != last[r.event_type], "crossovers must alternate"
+        last[r.event_type] = r.cross
+
+
+def test_skew_report_bruteforce(spark):
+    events = load_table(spark, SF, "events").select("user_id").collect()
+    counts: dict = {}
+    for r in events:
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n_keys, total = len(ordered), sum(counts.values())
+    p50 = ordered[(n_keys + 1) // 2 - 1][1]
+    p99 = ordered[max(1, (n_keys * 99) // 100) - 1][1]
+    row = QUERIES["events_skew_report"](spark, SF).collect()[0]
+    assert (row.n_keys, row.total, row.max_cnt) == (
+        n_keys,
+        total,
+        max(counts.values()),
+    )
+    assert (row.p50_cnt, row.p99_cnt) == (p50, p99)
+    assert row.skew_ratio_ppm == (
+        max(counts.values()) * n_keys * 1_000_000
+    ) // total
+
+
+def test_bloom_no_false_negatives(spark):
+    rows = QUERIES["docs_bloom_probe"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        if r.present:
+            assert r.maybe, f"false negative for {r.word}"
+
+
+def test_bloom_build_is_bounded_and_broadcast(spark):
+    plan = plan_of(QUERIES["docs_bloom_probe"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
