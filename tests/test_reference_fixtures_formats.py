@@ -224,3 +224,24 @@ def test_inspect_detects_delta_dir(spark):
         os.path.isdir(os.path.join(f"{REF}/delta", d, "_delta_log"))
         for d in os.listdir(f"{REF}/delta")
     ) is False
+
+
+def test_excel_reference_fixture(spark):
+    """The reference's own xlsx fixture through the stdlib reader.
+
+    Reference expectations (tests/source/test_excel.py:12-27): 251 data
+    rows with a header row naming ``series name``/``ts``/``value``; one
+    extra row when the header is treated as data.
+    """
+    from kukur_spark.sources.excel import ExcelSource
+
+    path = f"{REF}/excel/data.xlsx"
+    src = ExcelSource(spark, "xl", {"path": path})
+    df = src._frame()
+    assert df.count() == 251
+    assert set(df.columns) >= {"series name", "ts", "value"}
+
+    no_header = ExcelSource(
+        spark, "xl", {"path": path, "header_row": False}
+    )
+    assert no_header._frame().count() == 252
