@@ -245,3 +245,103 @@ def test_excel_reference_fixture(spark):
         spark, "xl", {"path": path, "header_row": False}
     )
     assert no_header._frame().count() == 252
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake parity: the reference's own Delta tables through the
+# transaction-log replay reader (reference tests/source/test_delta.py)
+# ---------------------------------------------------------------------------
+DELTA_START = datetime(2020, 1, 1, tzinfo=timezone.utc)
+DELTA_END = datetime(2020, 11, 1, tzinfo=timezone.utc)
+
+
+def _delta_source(spark, name, **kw):
+    from kukur_spark.sources.file_source import (
+        FileSource,
+        FileSourceOptions,
+    )
+
+    opts = FileSourceOptions(
+        path=f"{REF}/delta/{name}", file_format="delta", **kw
+    )
+    return FileSource(spark, name, opts)
+
+
+def test_delta_row_reference_fixture(spark):
+    src = _delta_source(
+        spark, "delta-row", column_mapping={"series name": "name"}
+    )
+    sel = SeriesSelector.from_name("delta-row", "test-tag-1")
+    rows = src.get_data(sel, DELTA_START, DELTA_END).orderBy("ts").collect()
+    assert len(rows) == 5
+    assert rows[0].ts == datetime(2020, 1, 1)
+    assert rows[0].value == 1.0
+
+
+def test_delta_row_quality_reference_fixture(spark):
+    from kukur_spark.sources.quality import QualityMapper
+
+    src = _delta_source(
+        spark,
+        "delta-row-quality",
+        column_mapping={"series name": "name"},
+        quality_mapper=QualityMapper.from_config(
+            {"quality_mapping": "opc_mapping_strings"}
+        ),
+    )
+    sel = SeriesSelector.from_name("delta-row-quality", "test-tag-1")
+    df = src.get_data(sel, DELTA_START, DELTA_END)
+    rows = df.orderBy("ts").collect()
+    assert len(rows) == 5
+    assert [f.name for f in df.schema] == ["ts", "value", "quality"]
+    assert rows[0].quality == 1
+
+
+def test_delta_unordered_sorts_by_default(spark):
+    # reference: delta sources sort by timestamp unless configured off
+    # (kukur/source/delta/delta_lake.py:98)
+    src = _delta_source(
+        spark,
+        "delta-unordered",
+        column_mapping={"series name": "name"},
+        sort_by_timestamp=True,
+    )
+    sel = SeriesSelector.from_name("delta-unordered", "test-tag-1")
+    rows = src.get_data(sel, DELTA_START, DELTA_END).collect()
+    assert len(rows) == 5
+    ts = [r.ts for r in rows]
+    assert ts == sorted(ts)
+    assert rows[0].value == 1.0
+
+
+def test_delta_pivot_reference_fixture(spark):
+    src = _delta_source(spark, "delta-pivot", format="pivot")
+    sel = SeriesSelector.from_name("delta-pivot", "test-tag-1")
+    rows = src.get_data(sel, DELTA_START, DELTA_END).orderBy("ts").collect()
+    assert len(rows) == 7
+    assert rows[0].ts == datetime(2020, 1, 1)
+    assert rows[0].value == 1.0
+
+
+def test_delta_pivot_string_series(spark):
+    src = _delta_source(spark, "delta-pivot", format="pivot")
+    sel = SeriesSelector.from_name("delta-pivot", "test-tag-5")
+    rows = src.get_data(sel, DELTA_START, DELTA_END).orderBy("ts").collect()
+    assert len(rows) == 7
+    assert rows[0].value == "A"
+
+
+def test_delta_row_tags_search(spark):
+    src = _delta_source(
+        spark,
+        "delta-row-tags",
+        tag_columns=["location", "plant"],
+        field_columns=["value", "product"],
+        column_mapping={"ts": "date", "plant": "Plant", "value": "Value"},
+    )
+    series = list(src.search(SeriesSearch("delta-row-tags")))
+    sels = [s for s in series if getattr(s, "tags", None) is not None]
+    assert len(sels) == 8
+    combos = {(s.tags["location"], s.tags["plant"], s.field) for s in sels}
+    assert ("Antwerp", "P1", "value") in combos
+    assert ("Antwerp", "P1", "product") in combos
