@@ -135,3 +135,72 @@ def prune_time_partitions(
     if predicate is None:
         return df
     return df.filter(predicate)
+
+
+def timestamp_partition_values(
+    start: datetime,
+    end: datetime,
+    resolution: str,
+    fmt: Optional[str] = None,
+) -> Optional[List[str]]:
+    """Formatted partition values the half-open range touches.
+
+    Reference parity for configured ``[[source.<n>.partitions]]`` entries
+    with ``origin = "timestamp"`` (``kukur/source/delta/delta_lake.py:
+    306-356``): one value per YEAR/MONTH/DAY/HOUR boundary, rendered with
+    the configured strftime ``format`` (defaults: ``%Y`` for YEAR, the
+    bare component number otherwise).  Spans beyond the reference's
+    enumeration caps return ``None`` — pruning is *skipped*, never
+    allowed to drop in-range partitions (the reference instead clips the
+    enumerated range at the cap, reference delta_lake.py:339-343; a
+    correctness-over-pruning deviation, noted deliberately).
+    """
+    from kukur_spark.timeutil import as_utc
+
+    res = resolution.lower()
+    start, end = as_utc(start), as_utc(end)
+    span = end - start
+    caps = {"month": MAX_MONTH_SPAN, "day": MAX_DAY_SPAN, "hour": MAX_HOUR_SPAN}
+    if res in caps and span > caps[res]:
+        return None
+    out: List[str] = []
+    cursor = _truncate(start, res)
+    while cursor < end:
+        if fmt is not None:
+            out.append(cursor.strftime(fmt))
+        elif res == "year":
+            out.append(cursor.strftime("%Y"))
+        elif res == "month":
+            out.append(str(cursor.month))
+        elif res == "day":
+            out.append(str(cursor.day))
+        else:
+            out.append(str(cursor.hour))
+        cursor = _next_boundary(cursor, res)
+    return out
+
+
+def prune_configured_partitions(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    partitions: List[dict],
+) -> DataFrame:
+    """Apply configured timestamp-partition IN filters.
+
+    Tag-origin entries need no work here: the partition column *is* a
+    tag column, so the ordinary tag equality filter already prunes it
+    (Catalyst partition pruning does the file skipping).
+    """
+    for part in partitions:
+        if (part.get("origin") or "tag") != "timestamp":
+            continue
+        values = timestamp_partition_values(
+            start, end, part["key"], part.get("format")
+        )
+        if values is None:
+            continue
+        column = part.get("column") or part["key"]
+        if column in df.columns:
+            df = df.filter(F.col(column).isin(values))
+    return df

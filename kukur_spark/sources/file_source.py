@@ -133,6 +133,10 @@ class FileSourceOptions:
     # ts-derived hive partition columns (subset of year/month/day/hour, in
     # order) — range queries enumerate them into pruning predicates
     timestamp_partition_columns: List[str] = dc_field(default_factory=list)
+    # reference-style [[source.<n>.partitions]] entries: dicts with
+    # origin (tag|timestamp), key, optional column, optional strftime
+    # format (kukur/source/delta/delta_lake.py:298-356)
+    partitions: List[Dict[str, Any]] = dc_field(default_factory=list)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
@@ -188,6 +192,7 @@ class FileSourceOptions:
             timestamp_partition_columns=list(
                 config.get("timestamp_partition_columns", [])
             ),
+            partitions=list(config.get("partitions", [])),
         )
 
 
@@ -620,6 +625,16 @@ class FileSource:
             df = prune_time_partitions(
                 df, start, end, opts.timestamp_partition_columns
             )
+        if opts.partitions:
+            # configured partition entries (reference Delta parity):
+            # timestamp-origin entries become formatted IN filters on the
+            # partition column; tag-origin entries are already covered by
+            # the tag equality filter above
+            from kukur_spark.operators.partitions import (
+                prune_configured_partitions,
+            )
+
+            df = prune_configured_partitions(df, start, end, opts.partitions)
         df = df.select(cols)
         df = df.filter(
             (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))

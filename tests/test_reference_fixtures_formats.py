@@ -345,3 +345,140 @@ def test_delta_row_tags_search(spark):
     combos = {(s.tags["location"], s.tags["plant"], s.field) for s in sels}
     assert ("Antwerp", "P1", "value") in combos
     assert ("Antwerp", "P1", "product") in combos
+
+
+# ---------------------------------------------------------------------------
+# Configured-partition parity: the reference's partitioned Delta tables
+# (reference tests/source/test_delta.py:151-220)
+# ---------------------------------------------------------------------------
+def test_delta_name_partition(spark):
+    src = _delta_source(
+        spark,
+        "partitions/name",
+        sort_by_timestamp=True,
+        partitions=[{"origin": "tag", "key": "series name"}],
+    )
+    sel = SeriesSelector.from_name("partition-name", "test-tag-1")
+    rows = src.get_data(
+        sel,
+        datetime(2023, 1, 1, tzinfo=timezone.utc),
+        datetime(2023, 3, 20, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows) == 12
+
+
+def test_delta_location_name_partition(spark):
+    src = _delta_source(
+        spark,
+        "partitions/location-name",
+        sort_by_timestamp=True,
+        tag_columns=["series name", "location"],
+        column_mapping={"location": "Location", "value": "Value"},
+        partitions=[
+            {"origin": "tag", "key": "location"},
+            {"origin": "tag", "key": "series name"},
+        ],
+    )
+    sel = SeriesSelector(
+        "partition-location-name",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    rows = src.get_data(
+        sel,
+        datetime(2023, 1, 1, tzinfo=timezone.utc),
+        datetime(2023, 3, 20, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows) == 12
+
+
+def test_delta_year_partition(spark):
+    src = _delta_source(
+        spark,
+        "partitions/year",
+        sort_by_timestamp=True,
+        tag_columns=["location", "series name"],
+        partitions=[
+            {"origin": "timestamp", "key": "YEAR", "column": "partition_year"}
+        ],
+    )
+    sel = SeriesSelector(
+        "partition-year",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    rows = src.get_data(
+        sel,
+        datetime(2021, 1, 1, tzinfo=timezone.utc),
+        datetime(2022, 12, 31, 23, 59, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows) == 12
+
+
+def test_delta_year_partition_custom_format(spark):
+    src = _delta_source(
+        spark,
+        "partitions/year-custom",
+        sort_by_timestamp=True,
+        tag_columns=["location", "series name"],
+        partitions=[
+            {
+                "origin": "timestamp",
+                "key": "YEAR",
+                "column": "partition_year",
+                "format": "%y-year",
+            }
+        ],
+    )
+    sel = SeriesSelector(
+        "partition-year-custom",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    rows = src.get_data(
+        sel,
+        datetime(2021, 1, 1, tzinfo=timezone.utc),
+        datetime(2022, 12, 31, 23, 59, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows) == 12
+
+
+def test_delta_month_partition(spark):
+    src = _delta_source(
+        spark,
+        "partitions/month",
+        sort_by_timestamp=True,
+        tag_columns=["location", "series name"],
+        partitions=[
+            {"origin": "timestamp", "key": "MONTH", "format": "%Y-%m"}
+        ],
+    )
+    sel = SeriesSelector(
+        "partition-month",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    rows = src.get_data(
+        sel,
+        datetime(2020, 11, 1, tzinfo=timezone.utc),
+        datetime(2021, 1, 31, 23, 59, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows) == 23
+
+
+def test_delta_partition_filter_reaches_scan(spark):
+    src = _delta_source(
+        spark,
+        "partitions/year",
+        tag_columns=["location", "series name"],
+        partitions=[
+            {"origin": "timestamp", "key": "YEAR", "column": "partition_year"}
+        ],
+    )
+    sel = SeriesSelector(
+        "partition-year",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    df = src.get_data(
+        sel,
+        datetime(2021, 1, 1, tzinfo=timezone.utc),
+        datetime(2022, 12, 31, 23, 59, tzinfo=timezone.utc),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partition_year" in plan  # the IN filter exists and prunes
