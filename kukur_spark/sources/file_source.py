@@ -99,6 +99,18 @@ def _datetime_format_to_spark(fmt: Optional[str]) -> Optional[str]:
     return out
 
 
+
+
+def _resolve_path(path: str) -> str:
+    """Resolve relative config paths against the *Python* working
+    directory at construction time: Spark's JVM resolves relative paths
+    against its own launch directory, which need not match (e.g. tests
+    that chdir into a fixture tree after the session started)."""
+    if not path or "://" in path or os.path.isabs(path):
+        return path
+    return os.path.abspath(path)
+
+
 @dataclass
 class FileSourceOptions:
     """Configuration for a file-backed source (TOML ``[source.<name>]``)."""
@@ -142,8 +154,12 @@ class FileSourceOptions:
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
         return cls(
             # metadata-only sources have no data path (reference
-            # custom-fields-simple config) — data verbs then raise
-            path=config.get("path", ""),
+            # custom-fields-simple config) — data verbs then raise;
+            # Delta configs name the table location ``uri`` (reference
+            # kukur/source/delta/delta_lake.py config surface)
+            path=_resolve_path(
+                config.get("path", config.get("uri", ""))
+            ),
             format=config.get("format", "row"),
             file_format=config.get("type", config.get("file_format", "csv")),
             tag_columns=list(config.get("tag_columns", [SERIES_NAME_TAG])),

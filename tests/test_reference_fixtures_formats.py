@@ -482,3 +482,38 @@ def test_delta_partition_filter_reaches_scan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partition_year" in plan  # the IN filter exists and prunes
+
+
+# ---------------------------------------------------------------------------
+# The reference's 144-source master config through our loader + factory
+# (reference tests/integration/test_flight.py drives the same file)
+# ---------------------------------------------------------------------------
+def test_reference_master_config(spark, monkeypatch):
+    from kukur_spark.config import from_toml
+    from kukur_spark.sources import SourceFactory
+
+    monkeypatch.chdir("/root/reference")
+    cfg = from_toml("tests/test_data/Kukur.toml")
+    sources = cfg.get("source", {})
+    assert len(sources) >= 140  # 144 at time of writing
+    # quality mapping tables from the root fragment survive the merge
+    assert "opc_mapping_strings" in cfg.get("quality_mapping", {})
+
+    fac = SourceFactory(spark, cfg)
+    # a Delta source configured via ``uri`` + column_mapping
+    src = fac.get_source("row-delta")
+    sel = SeriesSelector.from_name("row-delta", "test-tag-1")
+    rows = src.get_data(sel, DELTA_START, DELTA_END).collect()
+    assert len(rows) == 5
+    # a formatted-MONTH partitioned source straight from the config
+    src2 = fac.get_source("partition-month")
+    sel2 = SeriesSelector(
+        "partition-month",
+        {"series name": "test-tag-1", "location": "Antwerp"},
+    )
+    rows2 = src2.get_data(
+        sel2,
+        datetime(2020, 11, 1, tzinfo=timezone.utc),
+        datetime(2021, 1, 31, 23, 59, tzinfo=timezone.utc),
+    ).collect()
+    assert len(rows2) == 23
