@@ -1859,3 +1859,68 @@ ORACLES: Dict[str, str] = {
     **R4_ORACLES,
     **R5_ORACLES,
 }
+
+
+def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against exact brute force.
+
+    The evaluation harness every approximate index needs before it
+    replaces the exact path at scale: both sides are deterministic
+    engine queries, the comparison is two grouped counts and a semi
+    join on (query, neighbor) — all broadcast-sized here, all keyed by
+    query at 100 TB.  Recall is integer-exact ppm.
+    """
+    exact = emb_topk_bruteforce(spark, sf).select(
+        "query_id", "neighbor_id"
+    )
+    ann = emb_lsh_topk_q(spark, sf).select("query_id", "neighbor_id")
+    counts = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    acounts = ann.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ann")
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        counts.join(acounts, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.expr(
+                "(coalesce(n_hit, 0) * 1000000L) div n_exact"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMB_ANN_RECALL_SQL = f"""
+WITH exact AS ({EMB_TOPK_SQL}),
+ann AS ({_emb_lsh_sql()}),
+counts AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+acounts AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN ann a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT c.query_id, n_exact,
+  COALESCE(n_ann, 0) AS n_ann,
+  COALESCE(n_hit, 0) AS n_hit,
+  (COALESCE(n_hit, 0) * 1000000) // n_exact AS recall_ppm
+FROM counts c
+LEFT JOIN acounts USING (query_id)
+LEFT JOIN hit USING (query_id)
+ORDER BY query_id
+"""
+
+QUERIES["emb_ann_recall"] = emb_ann_recall
+ORACLES["emb_ann_recall"] = EMB_ANN_RECALL_SQL
