@@ -1861,19 +1861,9 @@ ORACLES: Dict[str, str] = {
 }
 
 
-def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall@5 of the LSH ANN path against exact brute force.
-
-    The evaluation harness every approximate index needs before it
-    replaces the exact path at scale: both sides are deterministic
-    engine queries, the comparison is two grouped counts and a semi
-    join on (query, neighbor) — all broadcast-sized here, all keyed by
-    query at 100 TB.  Recall is integer-exact ppm.
-    """
-    exact = emb_topk_bruteforce(spark, sf).select(
-        "query_id", "neighbor_id"
-    )
-    ann = emb_lsh_topk_q(spark, sf).select("query_id", "neighbor_id")
+def _recall_against_exact(
+    exact: DataFrame, ann: DataFrame, method: str
+) -> DataFrame:
     counts = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
@@ -1889,6 +1879,7 @@ def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         counts.join(acounts, "query_id", "left")
         .join(hits, "query_id", "left")
         .select(
+            F.lit(method).alias("method"),
             "query_id",
             "n_exact",
             F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
@@ -1897,30 +1888,78 @@ def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
                 "(coalesce(n_hit, 0) * 1000000L) div n_exact"
             ).alias("recall_ppm"),
         )
-        .orderBy("query_id")
     )
 
 
-EMB_ANN_RECALL_SQL = f"""
-WITH exact AS ({EMB_TOPK_SQL}),
-ann AS ({_emb_lsh_sql()}),
-counts AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
-acounts AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1),
-hit AS (
-  SELECT e.query_id, COUNT(*) AS n_hit
-  FROM exact e JOIN ann a
-    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-  GROUP BY e.query_id
-)
-SELECT c.query_id, n_exact,
+def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of every ANN path (LSH, IVF, PQ) against brute force.
+
+    The evaluation harness an approximate index needs before it
+    replaces the exact path at scale: all four sides are deterministic
+    engine queries, each comparison is two grouped counts and a semi
+    join on (query, neighbor) — broadcast-sized here, keyed by query at
+    100 TB.  Recall is integer-exact ppm; one row per (method, query).
+    """
+    exact = emb_topk_bruteforce(spark, sf).select(
+        "query_id", "neighbor_id"
+    )
+    parts = [
+        _recall_against_exact(
+            exact,
+            emb_lsh_topk_q(spark, sf).select("query_id", "neighbor_id"),
+            "lsh",
+        ),
+        _recall_against_exact(
+            exact,
+            emb_ivf_topk_q(spark, sf).select("query_id", "neighbor_id"),
+            "ivf",
+        ),
+        _recall_against_exact(
+            exact,
+            QUERIES["emb_pq_topk"](spark, sf).select(
+                "query_id", "neighbor_id"
+            ),
+            "pq",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "query_id")
+
+
+def _ann_recall_sql() -> str:
+    from kukur_spark.workloads_llm import LLM_ORACLES
+
+    methods = {
+        "lsh": _emb_lsh_sql(),
+        "ivf": EMB_IVF_SQL,
+        "pq": LLM_ORACLES["emb_pq_topk"],
+    }
+    blocks = []
+    for method, sql in methods.items():
+        blocks.append(f"""
+SELECT '{method}' AS method, c.query_id, n_exact,
   COALESCE(n_ann, 0) AS n_ann,
   COALESCE(n_hit, 0) AS n_hit,
   (COALESCE(n_hit, 0) * 1000000) // n_exact AS recall_ppm
-FROM counts c
-LEFT JOIN acounts USING (query_id)
-LEFT JOIN hit USING (query_id)
-ORDER BY query_id
-"""
+FROM (SELECT query_id, COUNT(*) AS n_exact
+      FROM ({EMB_TOPK_SQL}) GROUP BY 1) c
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_ann
+           FROM ({sql}) GROUP BY 1) a USING (query_id)
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM ({EMB_TOPK_SQL}) e JOIN ({sql}) x
+    ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
+  GROUP BY e.query_id
+) h USING (query_id)""")
+    return (
+        " UNION ALL ".join(f"({b})" for b in blocks)
+        + " ORDER BY method, query_id"
+    )
+
+
+EMB_ANN_RECALL_SQL = _ann_recall_sql()
 
 QUERIES["emb_ann_recall"] = emb_ann_recall
 ORACLES["emb_ann_recall"] = EMB_ANN_RECALL_SQL
