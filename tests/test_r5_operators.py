@@ -115,3 +115,28 @@ def test_bloom_build_is_bounded_and_broadcast(spark):
     plan = plan_of(QUERIES["docs_bloom_probe"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_perfect_for_exact_subset(spark):
+    rows = QUERIES["emb_ann_recall"](spark, SF).collect()
+    methods = {r.method for r in rows}
+    assert methods == {"lsh", "ivf", "pq"}
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_ppm == (r.n_hit * 1_000_000) // r.n_exact
+
+
+def test_linreg_single_aggregation_no_join(spark):
+    plan = plan_of(QUERIES["ts_linreg_trend"](spark, SF))
+    assert "Join" not in plan  # five moments, one grouped aggregate
+    assert "BatchEvalPython" not in plan
+
+
+def test_ma_crossover_windows_are_partitioned(spark):
+    plan = plan_of(QUERIES["ts_ma_crossover"](spark, SF))
+    # every window spec carries the series partitioner — no global window
+    assert "Window" in plan
+    import re
+
+    for frag in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert "event_type" in frag
