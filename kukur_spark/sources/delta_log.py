@@ -66,8 +66,16 @@ def _reject_unsupported(protocol: dict) -> None:
         )
 
 
-def read_snapshot(table_path: str) -> DeltaSnapshot:
-    """Replay the transaction log into the current file snapshot."""
+def read_snapshot(
+    table_path: str, version: Optional[int] = None
+) -> DeltaSnapshot:
+    """Replay the transaction log into a file snapshot.
+
+    ``version`` pins time travel (``VERSION AS OF``): replay stops after
+    that commit.  Requesting a version older than the oldest available
+    checkpoint (log truncated by retention) or newer than the log fails
+    loudly rather than returning a wrong snapshot.
+    """
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
@@ -78,7 +86,20 @@ def read_snapshot(table_path: str) -> DeltaSnapshot:
     partition_columns: List[str] = []
 
     last_checkpoint = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_checkpoint):
+    if os.path.exists(last_checkpoint) and version is not None:
+        with open(last_checkpoint) as handle:
+            if int(json.load(handle)["version"]) > version:
+                # the checkpoint is already past the pinned version; a
+                # full replay from 0 works only if commit 0 still exists
+                if not os.path.exists(
+                    os.path.join(log_dir, f"{0:020d}.json")
+                ):
+                    raise ValueError(
+                        f"version {version} predates the oldest "
+                        "replayable state (log truncated)"
+                    )
+                last_checkpoint = ""
+    if last_checkpoint and os.path.exists(last_checkpoint):
         import pyarrow.parquet as pq
 
         with open(last_checkpoint) as handle:
@@ -103,13 +124,15 @@ def read_snapshot(table_path: str) -> DeltaSnapshot:
                     adds.pop(remove["path"], None)
         start_version = cp_version + 1
 
-    version = start_version - 1
+    current = start_version - 1
     v = start_version
     while True:
+        if version is not None and v > version:
+            break
         commit = os.path.join(log_dir, f"{v:020d}.json")
         if not os.path.exists(commit):
             break
-        version = v
+        current = v
         with open(commit) as handle:
             for line in handle:
                 line = line.strip()
@@ -137,8 +160,12 @@ def read_snapshot(table_path: str) -> DeltaSnapshot:
                 if "remove" in action:
                     adds.pop(action["remove"]["path"], None)
         v += 1
-    if version < 0:
+    if current < 0:
         raise FileNotFoundError(f"no Delta commits found in {log_dir}")
+    if version is not None and current != version:
+        raise ValueError(
+            f"version {version} not found (latest replayable: {current})"
+        )
 
     files = []
     partition_values = {}
@@ -148,7 +175,7 @@ def read_snapshot(table_path: str) -> DeltaSnapshot:
         partition_values[abs_path] = pvals
     files.sort()
     return DeltaSnapshot(
-        version=version,
+        version=current,
         files=files,
         partition_values=partition_values,
         schema_json=schema_json,
@@ -156,8 +183,12 @@ def read_snapshot(table_path: str) -> DeltaSnapshot:
     )
 
 
-def read_delta(spark, table_path: str):
-    """Read the current snapshot of a Delta table as a DataFrame.
+def read_delta(spark, table_path: str, version: Optional[int] = None):
+    """Read a snapshot of a Delta table as a DataFrame.
+
+    ``version`` gives time travel (VERSION AS OF) — a Spark-side
+    extension over the reference reader (kukur delta_lake.py reads only
+    the latest snapshot).
 
     Live files are handed to the parquet reader with ``basePath`` so
     hive-style partition directories (Delta's physical layout for
@@ -169,7 +200,7 @@ def read_delta(spark, table_path: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    snapshot = read_snapshot(table_path)
+    snapshot = read_snapshot(table_path, version)
     if not snapshot.files:
         schema = (
             T.StructType.fromJson(json.loads(snapshot.schema_json))

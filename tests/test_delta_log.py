@@ -295,3 +295,19 @@ def test_delta_timestamp_partition_pruning(spark, tmp_path):
     plan = data._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "month" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_time_travel_version_as_of(spark, tmp_path):
+    """VERSION AS OF: each commit's snapshot is reconstructible."""
+    root = str(tmp_path / "tt")
+    _make_unpartitioned(spark, root)
+    # v0 = {a, b}; v1 removes b, adds c
+    v0 = read_delta(spark, root, version=0)
+    assert sorted(r.value for r in v0.collect()) == [1.0, 99.0]
+    v1 = read_delta(spark, root, version=1)
+    assert sorted(r.value for r in v1.collect()) == [1.0, 3.0]
+    assert read_snapshot(root, 0).version == 0
+    assert read_snapshot(root).version == 1
+
+    with pytest.raises(ValueError, match="not found"):
+        read_snapshot(root, 7)
