@@ -149,6 +149,8 @@ class FileSourceOptions:
     # origin (tag|timestamp), key, optional column, optional strftime
     # format (kukur/source/delta/delta_lake.py:298-356)
     partitions: List[Dict[str, Any]] = dc_field(default_factory=list)
+    # Delta VERSION AS OF (Spark extension; None = latest snapshot)
+    delta_version: Optional[int] = None
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
@@ -209,6 +211,9 @@ class FileSourceOptions:
                 config.get("timestamp_partition_columns", [])
             ),
             partitions=list(config.get("partitions", [])),
+            delta_version=(
+                int(config["version"]) if "version" in config else None
+            ),
         )
 
 
@@ -257,7 +262,12 @@ class FileSource:
             return self._read_arrow_ipc(path, fmt)
         if fmt == "delta":
             try:
-                return self.spark.read.format("delta").load(path)
+                reader = self.spark.read.format("delta")
+                if self.options.delta_version is not None:
+                    reader = reader.option(
+                        "versionAsOf", self.options.delta_version
+                    )
+                return reader.load(path)
             except Exception:
                 # delta-spark jar not on the classpath: replay the open
                 # transaction-log protocol engine-side (JSON commits +
@@ -266,7 +276,9 @@ class FileSource:
                 # reads via deltalake-python the same way)
                 from kukur_spark.sources.delta_log import read_delta
 
-                return read_delta(self.spark, path)
+                return read_delta(
+                    self.spark, path, self.options.delta_version
+                )
         raise ValueError(f"unknown file format: {fmt}")
 
     def _read_arrow_ipc(self, path: str, fmt: str) -> DataFrame:

@@ -311,3 +311,18 @@ def test_time_travel_version_as_of(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not found"):
         read_snapshot(root, 7)
+
+
+def test_time_travel_through_file_source_config(spark, tmp_path):
+    root = str(tmp_path / "ttc")
+    _make_unpartitioned(spark, root)
+    src = FileSource(
+        spark,
+        "tt",
+        FileSourceOptions(
+            path=root, file_format="delta", delta_version=0
+        ),
+    )
+    sel = SeriesSelector.from_name("tt", "s1")
+    rows = src.get_data(sel, START, END).collect()
+    assert sorted(r.value for r in rows) == [1.0, 99.0]
