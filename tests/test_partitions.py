@@ -82,3 +82,68 @@ def test_file_source_partition_pruned_scan(spark, tmp_path):
     # the enumerated predicates reach PartitionFilters → directory skipping
     assert "PartitionFilters: [" in plan
     assert "month" in plan.split("PartitionFilters")[1][:200]
+
+
+# ---------------------------------------------------------------------------
+# configured-partition enumeration: never prunes an in-range partition
+# ---------------------------------------------------------------------------
+from datetime import timedelta, timezone as _tz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.operators.partitions import timestamp_partition_values
+
+_BASE = datetime(2020, 1, 1, tzinfo=_tz.utc)
+
+
+# formats must not be finer than the resolution: strftime renders the
+# *truncated* cursor (reference delta_lake.py:345-348), so e.g. a YEAR
+# partition with a "%Y-%m-%d" format would only ever produce Jan 1
+_RES_FMT = st.one_of(
+    st.tuples(st.just("YEAR"), st.sampled_from([None, "%Y", "%y-year"])),
+    st.tuples(st.just("MONTH"), st.sampled_from([None, "%Y-%m"])),
+    st.tuples(st.just("DAY"), st.sampled_from([None, "%Y-%m-%d"])),
+    st.tuples(st.just("HOUR"), st.just(None)),
+)
+
+
+@given(
+    start_off=st.integers(0, 400 * 24),
+    span_h=st.integers(1, 1000),
+    res_fmt=_RES_FMT,
+)
+@settings(max_examples=200, deadline=None)
+def test_partition_values_cover_range(start_off, span_h, res_fmt):
+    res, fmt = res_fmt
+    start = _BASE + timedelta(hours=start_off)
+    end = start + timedelta(hours=span_h)
+    values = timestamp_partition_values(start, end, res, fmt)
+    if values is None:
+        # only permissible when the span exceeds the enumeration cap
+        caps = {
+            "MONTH": timedelta(days=366),
+            "DAY": timedelta(days=31),
+            "HOUR": timedelta(hours=24),
+        }
+        assert res in caps and end - start > caps[res]
+        return
+    # every sampled in-range instant's partition value must be listed
+    probe = start
+    while probe < end:
+        if fmt is not None:
+            expected = probe.strftime(fmt)
+        elif res == "YEAR":
+            expected = probe.strftime("%Y")
+        elif res == "MONTH":
+            expected = str(probe.month)
+        elif res == "DAY":
+            expected = str(probe.day)
+        else:
+            expected = str(probe.hour)
+        assert expected in values, (probe, res, fmt, values)
+        probe += timedelta(minutes=137)
+    # boundary instants: the last in-range microsecond
+    last = end - timedelta(microseconds=1)
+    if fmt is not None:
+        assert last.strftime(fmt) in values
