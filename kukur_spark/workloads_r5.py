@@ -397,3 +397,176 @@ ORDER BY word
 
 R5_QUERIES["docs_bloom_probe"] = docs_bloom_probe
 R5_ORACLES["docs_bloom_probe"] = DOCS_BLOOM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Simpson (Gini) token diversity per document
+# ---------------------------------------------------------------------------
+def text_gini_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token diversity as an exact Simpson index (ppm).
+
+    The repetition/diversity quality signal without logarithms:
+    ``1 − Σc_i²/n²`` in integer math — no float, so cross-engine exact
+    (entropy needs ``log``, whose last-ulp behavior is libm-specific).
+    One (doc, token) count aggregate and one per-doc fold; both
+    partial-aggregate map-side, shuffle keyed by doc.
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr(
+                "1000000L - (sum_c2 * 1000000L) div (n * n)"
+            ).alias("simpson_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_GINI_SQL = """
+WITH counts AS (
+  SELECT doc_id, token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+  1000000 - (CAST(SUM(c * c) AS BIGINT) * 1000000)
+    // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS simpson_ppm
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+R5_QUERIES["text_gini_diversity"] = text_gini_diversity
+R5_ORACLES["text_gini_diversity"] = TEXT_GINI_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival moments per series
+# ---------------------------------------------------------------------------
+def ts_interarrival_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact inter-arrival moments per series (irregularity fingerprint).
+
+    Gaps in whole seconds via a lag window, then one five-moment
+    aggregate: mean in ms by integer division, variance as the exact
+    rational ``(nΣd² − (Σd)²) / n²`` — numerator and denominator
+    emitted separately so no engine ever divides floats.  Window state
+    is one row; the aggregate is map-side combinable.
+    """
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            "ts",
+            F.expr("unix_micros(ts) div 1000000").alias("t"),
+            "event_id",
+        )
+        .withColumn("d", F.col("t") - F.lag("t").over(w))
+        .filter(F.col("d").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("sd"),
+            F.sum(F.col("d") * F.col("d")).alias("sd2"),
+            F.max("d").alias("max_gap_s"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.expr("(sd * 1000) div n").alias("mean_gap_ms"),
+            F.expr("n * sd2 - sd * sd").alias("var_num"),
+            F.expr("n * n").alias("var_den"),
+            "max_gap_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+    epoch_us(ts) // 1000000
+      - lag(epoch_us(ts) // 1000000) OVER (
+          PARTITION BY event_type ORDER BY ts, event_id) AS d
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+  (CAST(SUM(d) AS BIGINT) * 1000) // COUNT(*) AS mean_gap_ms,
+  COUNT(*) * CAST(SUM(d * d) AS BIGINT)
+    - CAST(SUM(d) AS BIGINT) * CAST(SUM(d) AS BIGINT) AS var_num,
+  COUNT(*) * COUNT(*) AS var_den,
+  MAX(d) AS max_gap_s
+FROM gaps WHERE d IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+R5_QUERIES["ts_interarrival_stats"] = ts_interarrival_stats
+R5_ORACLES["ts_interarrival_stats"] = TS_INTERARRIVAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit distribution
+# ---------------------------------------------------------------------------
+def orders_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-digit distribution of order totals (fraud/synthetic-data
+    screen).
+
+    The digit is extracted with pure string ops on the integer cent
+    value — no float log10 — and the distribution is one 9-row
+    aggregate with map-side combine.
+    """
+    orders = load_table(spark, sf, "orders")
+    cents = F.floor(
+        F.col("o_totalprice").cast("decimal(30,10)") * 100
+    ).cast("long")
+    digit = F.substring(F.abs(cents).cast("string"), 1, 1).cast("long")
+    total = orders.select(F.count(F.lit(1)).alias("total"))
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000L) div total").alias("share_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORDERS_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(ABS(CAST(FLOOR(
+      CAST(o_totalprice AS DECIMAL(30,10)) * 100) AS BIGINT)) AS VARCHAR),
+      1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+t AS (SELECT COUNT(*) AS total FROM orders)
+SELECT digit, COUNT(*) AS n,
+  (COUNT(*) * 1000000) // (SELECT total FROM t) AS share_ppm
+FROM d
+GROUP BY digit
+ORDER BY digit
+"""
+
+R5_QUERIES["orders_benford"] = orders_benford
+R5_ORACLES["orders_benford"] = ORDERS_BENFORD_SQL

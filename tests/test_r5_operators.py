@@ -140,3 +140,36 @@ def test_ma_crossover_windows_are_partitioned(spark):
 
     for frag in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
         assert "event_type" in frag
+
+
+def test_gini_diversity_bounds_and_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        n = len(toks)
+        c2 = sum(c * c for c in __import__("collections").Counter(toks).values())
+        expect[r.doc_id] = (n, 1_000_000 - (c2 * 1_000_000) // (n * n))
+    got = {
+        r.doc_id: (r.n, r.simpson_ppm)
+        for r in QUERIES["text_gini_diversity"](spark, SF).collect()
+    }
+    assert got == expect
+    assert all(0 <= v[1] < 1_000_000 for v in got.values())
+
+
+def test_interarrival_telescoping_sum(spark):
+    rows = QUERIES["ts_interarrival_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # variance numerator non-negative (Cauchy–Schwarz), den = n²
+        assert r.var_num >= 0
+        assert r.var_den == r.n * r.n
+        assert r.max_gap_s * 1000 >= r.mean_gap_ms
+
+
+def test_benford_shares_sum(spark):
+    rows = QUERIES["orders_benford"](spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
