@@ -418,3 +418,99 @@ def stream_stream_window_join(
         F.col("r.ts").alias("right_ts"),
         F.col("r.value").alias("right_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min heavy hitters (bounded-state sketch)
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_TOPK = 5
+
+_CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("cand_tokens", T.ArrayType(T.StringType())),
+        T.StructField("cand_counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+_CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("rank", T.LongType()),
+    ]
+)
+
+
+def _cms_buckets(token: str) -> List[int]:
+    import hashlib
+
+    out = []
+    for depth in range(_CMS_DEPTH):
+        digest = hashlib.md5(f"{token}#{depth}".encode()).hexdigest()
+        out.append(int(digest[:15], 16) % _CMS_WIDTH)
+    return out
+
+
+def _update_cms(key, frames: Iterable[pd.DataFrame], state: GroupState):
+    if state.exists:
+        cells, cand_tokens, cand_counts = state.get
+        cells = list(cells)
+        cand = dict(zip(cand_tokens, cand_counts))
+    else:
+        cells = [0] * (_CMS_DEPTH * _CMS_WIDTH)
+        cand = {}
+    for frame in frames:
+        for token in frame["token"]:
+            for depth, bucket in enumerate(_cms_buckets(token)):
+                cells[depth * _CMS_WIDTH + bucket] += 1
+            cand[token] = cand.get(token, 0) + 1
+    # the candidate map is capped: keep the tokens with the highest CMS
+    # estimates (ties broken lexicographically for determinism)
+    def est(token: str) -> int:
+        return min(
+            cells[depth * _CMS_WIDTH + bucket]
+            for depth, bucket in enumerate(_cms_buckets(token))
+        )
+
+    ranked = sorted(cand, key=lambda t: (-est(t), t))[: _CMS_TOPK * 4]
+    cand = {t: cand[t] for t in ranked}
+    state.update((cells, list(cand), [cand[t] for t in cand]))
+    top = ranked[:_CMS_TOPK]
+    yield pd.DataFrame(
+        {
+            "group": [key[0]] * len(top),
+            "token": top,
+            "est": [est(t) for t in top],
+            "rank": list(range(1, len(top) + 1)),
+        }
+    )
+
+
+def streaming_cms_heavy_hitters(
+    df: DataFrame, group_column: str, token_column: str
+) -> DataFrame:
+    """Streaming heavy hitters with a bounded count-min sketch per group.
+
+    The streaming twin of the batch ``text_cms_topk`` workload: state
+    per group is exactly ``d*w`` (=256) cells plus a small candidate
+    ring — O(1) regardless of stream length, the property that makes a
+    sketch the right answer when exact per-token counts would grow
+    state without bound.  Hashes are the same md5 derivation as the
+    batch operator, so batch and stream agree on every bucket.  Each
+    micro-batch emits the current top-5 per group.
+    """
+    prepared = df.select(
+        F.col(group_column).cast("string").alias("group"),
+        F.col(token_column).cast("string").alias("token"),
+    )
+    return prepared.groupBy("group").applyInPandasWithState(
+        _update_cms,
+        outputStructType=_CMS_OUTPUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

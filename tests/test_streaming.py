@@ -344,3 +344,41 @@ def test_stream_stream_window_join_bounds_matches(spark, tmp_path):
     ).collect()
     got = [(r["left_value"], r["right_value"]) for r in rows]
     assert got == [(100.0, 1.0), (100.0, 2.0), (200.0, 3.0)]
+
+
+def test_streaming_cms_heavy_hitters_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_cms_heavy_hitters
+
+    path = str(tmp_path / "cms")
+    schema = "grp string, token string"
+    batch1 = [("g", t) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 1]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path)
+    stream = (
+        spark.readStream.schema(schema).parquet(path)
+    )
+    out = streaming_cms_heavy_hitters(stream, "grp", "token")
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    first = spark.sql(
+        f"SELECT * FROM {name} ORDER BY rank"
+    ).collect()
+    assert [r.token for r in first[:2]] == ["a", "b"]
+    assert first[0].est >= 5  # CMS never undercounts
+
+    # batch 2: "b" overtakes "a"; sketch state survives the boundary
+    batch2 = [("g", "b")] * 6
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    # the memory sink accumulates batches; the batch-2 snapshot is the
+    # rank-1 row whose estimate includes the 6 new "b" arrivals
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert any(r.token == "b" and r.rank == 1 and r.est >= 9 for r in rows)
