@@ -570,3 +570,59 @@ ORDER BY digit
 
 R5_QUERIES["orders_benford"] = orders_benford
 R5_ORACLES["orders_benford"] = ORDERS_BENFORD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings summary
+# ---------------------------------------------------------------------------
+def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build: per token df, total tf, capped posting list.
+
+    The IR-side primitive behind retrieval corpora: one (doc, token)
+    aggregate for tf, then a token-keyed aggregate that carries df, the
+    summed tf, and the first five doc ids as a deterministic
+    comma-joined posting preview (sorted set → slice — the cap is what
+    keeps row width bounded when one token appears in millions of
+    docs; full postings would shard by (token, bucket) instead).
+    """
+    docs = load_table(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.array_sort(F.collect_list("doc_id")), 1, 5
+                ).cast("array<string>"),
+            ).alias("postings_head"),
+        )
+        .orderBy("token")
+    )
+
+
+TEXT_INVERTED_SQL = """
+WITH tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY token, doc_id
+)
+SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+  array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',')
+    AS postings_head
+FROM tf
+GROUP BY token
+ORDER BY token
+"""
+
+R5_QUERIES["text_inverted_index"] = text_inverted_index
+R5_ORACLES["text_inverted_index"] = TEXT_INVERTED_SQL
