@@ -37,6 +37,11 @@ def connected_components(
         )
         .distinct()
     )
+    # materialize the edge set once: the loop below reads it 2x per
+    # round, and the caller's edge lineage is often an expensive pair
+    # join (blocked Jaccard, LSH verify) that must not re-execute every
+    # iteration
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

@@ -1086,7 +1086,7 @@ def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    )
+    ).repartition(32, "source")
     pairs = (
         base.alias("a")
         .join(
@@ -1616,9 +1616,14 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         _as_double(F.col("embedding")).alias("v"),
     ).withColumn("n", norm(F.col("v")))
+    # the corpus arrives as one parquet file; without an explicit
+    # repartition the < join runs as a single-task nested loop —
+    # spreading the streamed side is what makes the O(n²) verify
+    # baseline use every core (the LSH/IVF paths are the scale answer)
+    streamed = base.repartition(32)
     pairs = (
-        base.alias("a")
-        .join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        streamed.alias("a")
+        .join(F.broadcast(base.alias("b")), F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
