@@ -26,7 +26,7 @@ from typing import Callable, Dict
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kukur_spark.io import load_table
+from kukur_spark.io import load_table, persist_once
 from kukur_spark.operators.asof import asof_join
 from kukur_spark.operators.dedup import (
     exact_dedup,
@@ -1905,8 +1905,10 @@ def emb_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     join on (query, neighbor) — broadcast-sized here, keyed by query at
     100 TB.  Recall is integer-exact ppm; one row per (method, query).
     """
-    exact = emb_topk_bruteforce(spark, sf).select(
-        "query_id", "neighbor_id"
+    # the exact side feeds three semi joins and three count aggregates;
+    # persist the 50-row result instead of re-running brute force 6x
+    exact = persist_once(
+        emb_topk_bruteforce(spark, sf).select("query_id", "neighbor_id")
     )
     parts = [
         _recall_against_exact(

@@ -458,6 +458,11 @@ def docs_novelty(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("gram"),
         )
     )
+    # grams feed both the min aggregate and the join back — persist the
+    # exploded frame so the trigram generation runs once, not twice
+    from kukur_spark.io import persist_once
+
+    grams = persist_once(grams)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first, "gram")
