@@ -1,0 +1,40 @@
+"""Time every registered workload query at one scale factor.
+
+Usage: python scripts/sweep.py [sf_dir]
+
+Prints one JSON line {query: seconds}. The tail of the sorted output is
+the perf worklist — see PERFORMANCE.md's "Full-registry sweep" section
+for what it has already caught (single-task nested-loop joins,
+per-iteration lineage re-execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kukur_spark.session import get_spark  # noqa: E402
+from kukur_spark.workloads import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("sweep")
+    QUERIES["dedup_exact"](spark, sf).count()  # warm schemas/session
+    times = {}
+    for name in sorted(QUERIES):
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            times[name] = f"ERR {exc}"
+    print(json.dumps(times))
+
+
+if __name__ == "__main__":
+    main()
