@@ -44,6 +44,12 @@ class SparkSqlSource:
     def _register(self) -> None:
         if self._registered:
             return
+        # user SQL gets the engine's scalar vocabulary (ku_bucket,
+        # ku_selector_*, ku_md5_long, …) — SQL-body functions inline
+        # into the query plan, no Python boundary
+        from kukur_spark.sql_functions import register_sql_functions
+
+        register_sql_functions(self.spark)
         for table in self.config.get("tables", []):
             fmt = table.get("type", "parquet")
             reader = self.spark.read

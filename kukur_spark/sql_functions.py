@@ -1,0 +1,86 @@
+"""Engine scalar vocabulary as Spark SQL UDFs (SQL-body functions).
+
+SURVEY §2.10: the reference exposes no in-query function surface — its
+extension points are sources, metadata fields, and user SQL strings.
+This module is the Spark-native upgrade: the engine's scalar families
+(§2.8 — selector strings, quality mapping, plot buckets, portable
+hashes, GPX math, set similarity) registered as **SQL-body functions**
+(``CREATE FUNCTION … RETURN <expr>``, Spark 4) so config SQL sources
+(`sources/spark_sql.py`) and ad-hoc ``spark.sql`` users get them
+JVM-side — the body inlines into the caller's plan and stays inside
+whole-stage codegen, unlike a Python UDF.
+
+Reference semantics mirrored per function:
+- ``ku_selector_name`` / ``ku_selector_field`` — ``kukur/base.py:106-142``
+  name syntax ``k=v,k2=v2::field`` (keys sorted for determinism; SQL
+  maps are unordered, the reference relies on dict order).
+- ``ku_opc_good`` — OPC quality convention (``kukur/source/quality.py``):
+  the top quality bits >= 192 mean GOOD → 1, else 0.
+- ``ku_bucket`` — plot-interval bucketing (``get_plot_data`` W2).
+- ``ku_md5_long`` — the cross-engine 60-bit hash used by every
+  md5-oracle operator (`operators/dedup.py::md5_long`).
+- ``ku_haversine_m`` — GPX great-circle distance
+  (``kukur/source/gpx/__init__.py:98-102``).
+- ``ku_jaccard_e6`` — integer-exact set similarity (ppm) as used by the
+  dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_FUNCTIONS = {
+    "ku_bucket": (
+        "(ts TIMESTAMP, start TIMESTAMP, width_us BIGINT) RETURNS BIGINT "
+        "RETURN (unix_micros(ts) - unix_micros(start)) div width_us"
+    ),
+    "ku_md5_long": (
+        "(s STRING) RETURNS BIGINT "
+        "RETURN conv(substring(md5(s), 1, 15), 16, 10)"
+    ),
+    "ku_opc_good": (
+        "(q BIGINT) RETURNS TINYINT "
+        "RETURN CASE WHEN q >= 192 THEN CAST(1 AS TINYINT) "
+        "ELSE CAST(0 AS TINYINT) END"
+    ),
+    "ku_selector_name": (
+        "(tags MAP<STRING, STRING>, field STRING) RETURNS STRING "
+        "RETURN concat_ws('::', "
+        "  array_join(transform(array_sort(map_keys(tags)), "
+        "    k -> concat(k, '=', tags[k])), ','), "
+        "  CASE WHEN field = 'value' THEN NULL ELSE field END)"
+    ),
+    "ku_selector_field": (
+        "(name STRING) RETURNS STRING "
+        "RETURN CASE WHEN name LIKE '%::%' "
+        "THEN substring_index(name, '::', -1) ELSE 'value' END"
+    ),
+    "ku_selector_tags": (
+        "(name STRING) RETURNS MAP<STRING, STRING> "
+        "RETURN CASE WHEN substring_index(name, '::', 1) LIKE '%=%' "
+        "THEN str_to_map(substring_index(name, '::', 1), ',', '=') "
+        "ELSE map('series name', substring_index(name, '::', 1)) END"
+    ),
+    "ku_haversine_m": (
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+        "RETURNS DOUBLE RETURN 2 * 6371000.0 * asin(sqrt("
+        "  pow(sin(radians(lat2 - lat1) / 2), 2) + "
+        "  cos(radians(lat1)) * cos(radians(lat2)) * "
+        "  pow(sin(radians(lon2 - lon1) / 2), 2)))"
+    ),
+    "ku_jaccard_e6": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BIGINT "
+        "RETURN (CAST(size(array_intersect(a, b)) AS BIGINT) * 1000000) "
+        "div CAST(size(array_union(a, b)) AS BIGINT)"
+    ),
+}
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Install the ``ku_*`` SQL functions into the session catalog."""
+    for name, body in _FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+
+
+def registered_names() -> list:
+    return sorted(_FUNCTIONS)

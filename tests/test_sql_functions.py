@@ -1,0 +1,122 @@
+"""The ku_* SQL function surface matches the engine's own semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kukur_spark.base import SeriesSelector
+from kukur_spark.sql_functions import register_sql_functions, registered_names
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sql_functions(spark)
+
+
+def test_bucket_matches_plot_operator_math(spark):
+    row = spark.sql(
+        "SELECT ku_bucket(timestamp'2024-01-01 00:59:59.999999',"
+        " timestamp'2024-01-01', 600000000) AS b,"
+        " ku_bucket(timestamp'2024-01-01 01:00:00',"
+        " timestamp'2024-01-01', 600000000) AS b2"
+    ).first()
+    assert (row.b, row.b2) == (5, 6)
+
+
+def test_md5_long_matches_operator(spark):
+    from kukur_spark.operators.dedup import md5_long
+
+    df = spark.createDataFrame([("abc",), ("",), ("tok 1",)], "s string")
+    rows = df.select(
+        md5_long(F.col("s")).alias("py"),
+        F.expr("ku_md5_long(s)").alias("sql"),
+    ).collect()
+    for r in rows:
+        assert r.py == r.sql
+
+
+def test_selector_name_round_trip(spark):
+    sel = SeriesSelector(
+        "src", {"location": "Antwerp", "plant": "P1"}, "product"
+    )
+    row = spark.sql(
+        "SELECT ku_selector_name(map('location', 'Antwerp',"
+        " 'plant', 'P1'), 'product') AS name"
+    ).first()
+    assert row.name == "location=Antwerp,plant=P1::product"
+    parsed = SeriesSelector.from_name("src", row.name)
+    assert parsed.tags == sel.tags and parsed.field == sel.field
+
+    back = spark.sql(
+        f"SELECT ku_selector_tags('{row.name}') AS tags,"
+        f" ku_selector_field('{row.name}') AS field"
+    ).first()
+    assert dict(back.tags) == sel.tags
+    assert back.field == "product"
+
+
+def test_selector_bare_name(spark):
+    row = spark.sql(
+        "SELECT ku_selector_tags('test-tag-1') AS tags,"
+        " ku_selector_field('test-tag-1') AS field,"
+        " ku_selector_name(map('series name', 's1'), 'value') AS simple"
+    ).first()
+    assert dict(row.tags) == {"series name": "test-tag-1"}
+    assert row.field == "value"
+    assert row.simple == "series name=s1"
+
+
+def test_opc_good_boundary(spark):
+    rows = spark.sql(
+        "SELECT q, ku_opc_good(q) AS g FROM VALUES (0), (191), (192),"
+        " (255) AS t(q)"
+    ).collect()
+    assert [(r.q, r.g) for r in rows] == [
+        (0, 0), (191, 0), (192, 1), (255, 1)
+    ]
+
+
+def test_haversine_matches_gpx_math(spark):
+    # Brussels -> Antwerp ≈ 41.5 km
+    row = spark.sql(
+        "SELECT ku_haversine_m(50.8503, 4.3517, 51.2194, 4.4025) AS m"
+    ).first()
+    assert row.m == pytest.approx(41500, rel=0.02)
+    # zero distance exactly
+    assert (
+        spark.sql("SELECT ku_haversine_m(1.0, 2.0, 1.0, 2.0) AS m").first().m
+        == 0.0
+    )
+
+
+def test_jaccard_e6_integer_exact(spark):
+    row = spark.sql(
+        "SELECT ku_jaccard_e6(array('a','b','c'), array('b','c','d')) AS j"
+    ).first()
+    assert row.j == (2 * 1_000_000) // 4
+
+
+def test_sql_functions_inline_no_python(spark):
+    df = spark.sql(
+        "SELECT ku_md5_long(CAST(id AS STRING)) AS h FROM range(10)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_registered_names_stable(spark):
+    assert registered_names() == [
+        "ku_bucket",
+        "ku_haversine_m",
+        "ku_jaccard_e6",
+        "ku_md5_long",
+        "ku_opc_good",
+        "ku_selector_field",
+        "ku_selector_name",
+        "ku_selector_tags",
+    ]
