@@ -157,6 +157,13 @@ if HAS_FLIGHT:
         def do_get(self, context, ticket):
             request = json.loads(ticket.ticket.decode())
             query = request.get("query", "get_data")
+            if query == "sql":
+                # fifth verb (Spark extension): arbitrary SQL over the
+                # configured sources, streamed back as Arrow
+                df = self.engine.sql(
+                    request["statement"], request.get("sources")
+                )
+                return fl.RecordBatchStream(df.toArrow())
             selector = _selector_from_data(request["selector"])
             start = _parse_date(request["start_date"])
             end = _parse_date(request["end_date"])
@@ -352,6 +359,13 @@ if HAS_FLIGHT:
                     "end_date": end.isoformat(),
                 }
             )
+
+        def sql(self, statement: str, sources=None):
+            """Run SQL on the server; returns a pyarrow Table."""
+            request = {"query": "sql", "statement": statement}
+            if sources is not None:
+                request["sources"] = list(sources)
+            return self._read(request)
 
         def get_plot_data(
             self,

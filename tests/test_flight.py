@@ -110,3 +110,31 @@ def test_get_plot_data(flight_client):
     assert 0 < table.num_rows <= 4
     values = table.column("value").to_pylist()
     assert 1.0 in values and 3.0 in values
+
+
+def test_sql_verb_over_flight(flight_client):
+    """Fifth verb (Spark extension): SQL over configured sources,
+    streamed back as Arrow — the reference gateway has no executor to
+    offer this."""
+    table = flight_client.sql(
+        "SELECT `series name` AS s, COUNT(*) AS n, SUM(value) AS total"
+        " FROM demo GROUP BY 1 ORDER BY 1",
+        sources=["demo"],
+    )
+    assert table.column_names == ["s", "n", "total"]
+    assert table.to_pylist() == [
+        {"s": "s1", "n": 3, "total": 6.0},
+        {"s": "s2", "n": 1, "total": 10.0},
+    ]
+
+
+def test_sql_verb_uses_ku_functions(flight_client):
+    table = flight_client.sql(
+        "SELECT ku_selector_name(map('series name', `series name`),"
+        " 'value') AS name FROM demo GROUP BY 1 ORDER BY 1",
+        sources=["demo"],
+    )
+    assert [r["name"] for r in table.to_pylist()] == [
+        "series name=s1",
+        "series name=s2",
+    ]
