@@ -41,6 +41,19 @@ def cmd_flight(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Run SQL over configured sources and print the rows (the engine's
+    fifth verb — a Spark extension; the reference has no executor)."""
+    from kukur_spark.app import Engine
+
+    engine = Engine(from_toml(args.config))
+    sources = args.sources.split(",") if args.sources else None
+    df = engine.sql(args.statement, sources)
+    for row in df.limit(args.limit).collect():
+        print(row.asDict())
+    return 0
+
+
 def cmd_test(args) -> int:
     """Print search/metadata/data for a source (reference
     kukur/subcommands/test_source.py)."""
@@ -142,6 +155,13 @@ def main(argv=None) -> int:
     p_test.add_argument("--data", action="store_true")
     p_test.add_argument("--limit", type=int, default=10)
     p_test.set_defaults(fn=cmd_test)
+
+    p_sql = sub.add_parser("sql", help="run SQL over configured sources")
+    p_sql.add_argument("--config", required=True)
+    p_sql.add_argument("--sources", default="", help="comma-separated source names (default: all)")
+    p_sql.add_argument("--limit", type=int, default=100)
+    p_sql.add_argument("statement")
+    p_sql.set_defaults(fn=cmd_sql)
 
     p_inspect = sub.add_parser("inspect", help="list or preview data resources")
     p_inspect.add_argument("--path", default=".")

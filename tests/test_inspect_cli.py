@@ -119,3 +119,27 @@ def test_preview_excel(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2
     assert {r["series name"] for r in rows} == {"alpha", "beta"}
+
+
+def test_cli_sql_subcommand(spark, tmp_path, capsys):
+    from kukur_spark import cli
+
+    (tmp_path / "d.csv").write_text(
+        "s1,2024-01-01T00:00:00Z,1.0\ns2,2024-01-02T00:00:00Z,2.5\n"
+    )
+    (tmp_path / "c.toml").write_text(
+        f'[source.sqldemo]\ntype = "csv"\npath = "{tmp_path}/d.csv"\n'
+    )
+    rc = cli.main(
+        [
+            "sql",
+            "--config",
+            str(tmp_path / "c.toml"),
+            "--sources",
+            "sqldemo",
+            "SELECT COUNT(*) AS n, SUM(value) AS t FROM sqldemo",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'n': 2" in out and "'t': 3.5" in out
