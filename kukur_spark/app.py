@@ -62,7 +62,12 @@ class Engine:
         )
 
     # -- SQL (Spark extension: the gateway is also a query engine) ---------
-    def sql(self, statement: str, sources: Optional[List[str]] = None) -> DataFrame:
+    def sql(
+        self,
+        statement: str,
+        sources: Optional[List[str]] = None,
+        args: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
         """Run SQL over configured sources registered as temp views.
 
         A fifth verb the reference cannot offer (it has no executor):
@@ -91,7 +96,8 @@ class Engine:
                 continue
             view = _re.sub(r"\W", "_", name)
             frame().createOrReplaceTempView(view)
-        return self.spark.sql(statement)
+        # named parameters (:name) bind server-side — no string splicing
+        return self.spark.sql(statement, args=args) if args else self.spark.sql(statement)
 
     # -- introspection -----------------------------------------------------
     def list_sources(self) -> List[str]:

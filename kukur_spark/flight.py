@@ -161,7 +161,9 @@ if HAS_FLIGHT:
                 # fifth verb (Spark extension): arbitrary SQL over the
                 # configured sources, streamed back as Arrow
                 df = self.engine.sql(
-                    request["statement"], request.get("sources")
+                    request["statement"],
+                    request.get("sources"),
+                    request.get("args"),
                 )
                 return fl.RecordBatchStream(df.toArrow())
             selector = _selector_from_data(request["selector"])
@@ -360,11 +362,16 @@ if HAS_FLIGHT:
                 }
             )
 
-        def sql(self, statement: str, sources=None):
-            """Run SQL on the server; returns a pyarrow Table."""
+        def sql(self, statement: str, sources=None, args=None):
+            """Run SQL on the server; returns a pyarrow Table.
+
+            ``args`` binds named ``:params`` server-side — send values,
+            never spliced strings."""
             request = {"query": "sql", "statement": statement}
             if sources is not None:
                 request["sources"] = list(sources)
+            if args:
+                request["args"] = args
             return self._read(request)
 
         def get_plot_data(

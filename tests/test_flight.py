@@ -138,3 +138,12 @@ def test_sql_verb_uses_ku_functions(flight_client):
         "series name=s1",
         "series name=s2",
     ]
+
+
+def test_sql_verb_named_parameters(flight_client):
+    table = flight_client.sql(
+        "SELECT COUNT(*) AS n FROM demo WHERE `series name` = :s",
+        sources=["demo"],
+        args={"s": "s1"},
+    )
+    assert table.to_pylist() == [{"n": 3}]
