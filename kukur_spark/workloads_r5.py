@@ -626,3 +626,123 @@ ORDER BY token
 
 R5_QUERIES["text_inverted_index"] = text_inverted_index
 R5_ORACLES["text_inverted_index"] = TEXT_INVERTED_SQL
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness
+# ---------------------------------------------------------------------------
+def events_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily + trailing-7-day active users and the stickiness ratio.
+
+    WAU cannot be summed from daily distincts; each (user, active-day)
+    pair is instead exploded onto the 7 report days it supports (a
+    bounded map-side fan-out), then two distinct aggregates produce the
+    exact counts.  Stickiness is integer ppm.  Report days are clipped
+    to days that actually have events so every row is grounded.
+    """
+    events = load_table(spark, sf, "events")
+    pairs = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    support = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).distinct()
+    wau = (
+        support.join(F.broadcast(dau.select("day")), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000L) div wau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+support AS (
+  SELECT DISTINCT user_id, day + INTERVAL (o) DAY AS day
+  FROM pairs, (SELECT unnest(range(7)) AS o)
+),
+wau AS (
+  SELECT day, COUNT(*) AS wau FROM support
+  WHERE day IN (SELECT day FROM dau)
+  GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+  (d.dau * 1000000) // w.wau AS stickiness_ppm
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""
+
+R5_QUERIES["events_dau_wau"] = events_dau_wau
+R5_ORACLES["events_dau_wau"] = EVENTS_DAU_WAU_SQL
+
+
+# ---------------------------------------------------------------------------
+# Series staleness report
+# ---------------------------------------------------------------------------
+def ts_staleness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series last-point age against the corpus watermark.
+
+    The monitoring question every historian answers first: which series
+    stopped updating?  "Now" is the global max timestamp (deterministic
+    — wall clocks don't belong in oracle-checked queries); one grouped
+    max per series plus a broadcast of the single watermark row.
+    """
+    events = load_table(spark, sf, "events")
+    last = events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    watermark = events.select(F.max("ts").alias("now_ts"))
+    return (
+        last.crossJoin(F.broadcast(watermark))
+        .select(
+            "event_type",
+            "last_ts",
+            "n_points",
+            F.expr(
+                "(unix_micros(now_ts) - unix_micros(last_ts)) div 1000000"
+            ).alias("age_s"),
+            (
+                F.unix_micros("now_ts") - F.unix_micros("last_ts")
+                > 86_400_000_000
+            ).alias("stale_1d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_STALENESS_SQL = """
+WITH last AS (
+  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_points
+  FROM events GROUP BY event_type
+),
+wm AS (SELECT MAX(ts) AS now_ts FROM events)
+SELECT event_type, last_ts, n_points,
+  (epoch_us(now_ts) - epoch_us(last_ts)) // 1000000 AS age_s,
+  epoch_us(now_ts) - epoch_us(last_ts) > 86400000000 AS stale_1d
+FROM last, wm
+ORDER BY event_type
+"""
+
+R5_QUERIES["ts_staleness"] = ts_staleness
+R5_ORACLES["ts_staleness"] = TS_STALENESS_SQL

@@ -173,3 +173,20 @@ def test_benford_shares_sum(spark):
     assert {r.digit for r in rows} <= set(range(1, 10))
     total_ppm = sum(r.share_ppm for r in rows)
     assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+
+
+def test_dau_wau_invariants(spark):
+    rows = QUERIES["events_dau_wau"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau  # a day's actives are a subset of the week's
+        assert r.stickiness_ppm == (r.dau * 1_000_000) // r.wau
+        assert 0 < r.stickiness_ppm <= 1_000_000
+
+
+def test_staleness_watermark_row_is_zero_age(spark):
+    rows = QUERIES["ts_staleness"](spark, SF).collect()
+    assert rows
+    assert min(r.age_s for r in rows) == 0  # the watermark series itself
+    for r in rows:
+        assert r.stale_1d == (r.age_s > 86_400)
