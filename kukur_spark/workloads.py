@@ -1970,3 +1970,153 @@ EMB_ANN_RECALL_SQL = _ann_recall_sql()
 
 QUERIES["emb_ann_recall"] = emb_ann_recall
 ORACLES["emb_ann_recall"] = EMB_ANN_RECALL_SQL
+
+
+def docs_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix + per-cell share of the truth row.
+
+    Evaluation harness for ``text_langid`` against the labeled ``lang``
+    column: one join of predictions to labels (both derived from the
+    same scan — Catalyst collapses it), one (truth, pred) aggregate,
+    shares in exact ppm against the broadcast truth-row totals.
+    """
+    docs = load_table(spark, sf, "documents")
+    pred = language_id(docs.select("doc_id", "text")).select(
+        "doc_id", "pred_lang"
+    )
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("(n * 1000000L) div row_total").alias("share_ppm"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_LANGID_BODY = TEXT_LANGID_SQL.replace("ORDER BY doc_id", "")
+
+DOCS_LANG_CONFUSION_SQL = f"""
+WITH pred AS ({_LANGID_BODY}),
+cells AS (
+  SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.pred_lang
+),
+totals AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM cells GROUP BY true_lang
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+  (c.n * 1000000) // t.row_total AS share_ppm
+FROM cells c JOIN totals t USING (true_lang)
+ORDER BY true_lang, pred_lang
+"""
+
+QUERIES["docs_lang_confusion"] = docs_lang_confusion
+ORACLES["docs_lang_confusion"] = DOCS_LANG_CONFUSION_SQL
+
+
+def emb_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy per class.
+
+    The standard embedding-quality evaluation: every vector is
+    classified by its nearest other vector's label under cosine.  The
+    all-pairs search is the exact verify baseline (repartitioned so the
+    nested-loop join uses every core — same shape as
+    ``emb_neardup_pairs``); the ANN indexes are the scale path, and
+    `emb_ann_recall` measures exactly how much of this accuracy they
+    retain.  Accuracy is integer ppm.
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lbl"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    streamed = base.repartition(32)
+    scored = (
+        streamed.alias("a")
+        .join(F.broadcast(base.alias("b")), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("a.lbl").alias("true_label"),
+            F.col("b.lbl").alias("nn_label"),
+            F.col("b.id").alias("nn_id"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.n") * F.col("b.n"))
+            ).alias("cos_sim"),
+        )
+    )
+    nearest = (
+        scored.groupBy("id", "true_label")
+        .agg(
+            F.max_by(
+                F.struct("nn_label"),
+                F.struct("cos_sim", (-F.col("nn_id")).alias("tie")),
+            ).alias("nn"),
+        )
+        .select("id", "true_label", F.col("nn.nn_label").alias("nn_label"))
+    )
+    return (
+        nearest.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("true_label") == F.col("nn_label"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .withColumn("acc_ppm", F.expr("(n_correct * 1000000L) div n"))
+        .orderBy("label")
+    )
+
+
+EMB_KNN_ACC_SQL = """
+WITH base AS (
+  SELECT vec_id AS id, label AS lbl, embedding AS v,
+    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      AS n
+  FROM embeddings
+),
+scored AS (
+  SELECT a.id, a.lbl AS true_label, b.lbl AS nn_label, b.id AS nn_id,
+    list_sum(list_transform(range(1, len(a.v) + 1),
+      i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+      / (a.n * b.n) AS cos_sim
+  FROM base a JOIN base b ON a.id <> b.id
+),
+nearest AS (
+  SELECT id, true_label, nn_label
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY id
+                             ORDER BY cos_sim DESC, nn_id ASC) = 1
+)
+SELECT true_label AS label, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN true_label = nn_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  (CAST(SUM(CASE WHEN true_label = nn_label THEN 1 ELSE 0 END) AS BIGINT)
+    * 1000000) // COUNT(*) AS acc_ppm
+FROM nearest
+GROUP BY true_label
+ORDER BY label
+"""
+
+QUERIES["emb_knn_accuracy"] = emb_knn_accuracy
+ORACLES["emb_knn_accuracy"] = EMB_KNN_ACC_SQL

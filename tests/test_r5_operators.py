@@ -190,3 +190,23 @@ def test_staleness_watermark_row_is_zero_age(spark):
     assert min(r.age_s for r in rows) == 0  # the watermark series itself
     for r in rows:
         assert r.stale_1d == (r.age_s > 86_400)
+
+
+def test_lang_confusion_rows_sum_to_truth_counts(spark):
+    rows = QUERIES["docs_lang_confusion"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("lang").collect()
+    truth_counts: dict = {}
+    for r in docs:
+        truth_counts[r.lang] = truth_counts.get(r.lang, 0) + 1
+    by_truth: dict = {}
+    for r in rows:
+        by_truth[r.true_lang] = by_truth.get(r.true_lang, 0) + r.n
+    assert by_truth == truth_counts
+
+
+def test_knn_accuracy_bounds(spark):
+    rows = QUERIES["emb_knn_accuracy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n
+        assert r.acc_ppm == (r.n_correct * 1_000_000) // r.n
