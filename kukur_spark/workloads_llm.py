@@ -537,6 +537,13 @@ def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if len(seed_rows) < _PQ_CODES:
+        # degenerate corpus (fewer vectors than codebook entries): an
+        # empty result with the output schema, not a driver crash
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, adc double, rank long",
+        )
     # cb[s][c][d]: python floats -> literal columns
     cb = [
         [

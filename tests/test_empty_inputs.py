@@ -1,0 +1,35 @@
+"""Degenerate-input sweep: every registered query must survive empty
+tables (schema-only parquet) without raising — at 100 TB a partition or
+time-slice of nothing is routine, not exceptional.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kukur_spark.io import TABLES
+from kukur_spark.workloads import QUERIES
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    return dst
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf):
+    fails = []
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, empty_sf).count()
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            fails.append((name, str(exc).split("\n")[0][:120]))
+    assert not fails, fails
