@@ -1943,25 +1943,30 @@ def _ann_recall_sql() -> str:
         "ivf": EMB_IVF_SQL,
         "pq": LLM_ORACLES["emb_pq_topk"],
     }
-    blocks = []
+    # MATERIALIZED: each expensive side evaluates once, not per join arm
+    ctes = [f"exact AS MATERIALIZED ({EMB_TOPK_SQL})"]
     for method, sql in methods.items():
+        ctes.append(f"ann_{method} AS MATERIALIZED ({sql})")
+    blocks = []
+    for method in methods:
         blocks.append(f"""
 SELECT '{method}' AS method, c.query_id, n_exact,
   COALESCE(n_ann, 0) AS n_ann,
   COALESCE(n_hit, 0) AS n_hit,
   (COALESCE(n_hit, 0) * 1000000) // n_exact AS recall_ppm
 FROM (SELECT query_id, COUNT(*) AS n_exact
-      FROM ({EMB_TOPK_SQL}) GROUP BY 1) c
+      FROM exact GROUP BY 1) c
 LEFT JOIN (SELECT query_id, COUNT(*) AS n_ann
-           FROM ({sql}) GROUP BY 1) a USING (query_id)
+           FROM ann_{method} GROUP BY 1) a USING (query_id)
 LEFT JOIN (
   SELECT e.query_id, COUNT(*) AS n_hit
-  FROM ({EMB_TOPK_SQL}) e JOIN ({sql}) x
+  FROM exact e JOIN ann_{method} x
     ON e.query_id = x.query_id AND e.neighbor_id = x.neighbor_id
   GROUP BY e.query_id
 ) h USING (query_id)""")
     return (
-        " UNION ALL ".join(f"({b})" for b in blocks)
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(f"({b})" for b in blocks)
         + " ORDER BY method, query_id"
     )
 
