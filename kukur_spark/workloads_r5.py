@@ -746,3 +746,82 @@ ORDER BY event_type
 
 R5_QUERIES["ts_staleness"] = ts_staleness
 R5_ORACLES["ts_staleness"] = TS_STALENESS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation report (Deequ-style, one fused pass)
+# ---------------------------------------------------------------------------
+def lineitem_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative validation of lineitem: 7 rules, one scan + one FK
+    anti-join.
+
+    `operators/validate.py` compiles the scalar rules (nulls, ranges,
+    vocabulary, regex) into a single aggregate pass — rule count does
+    not multiply scans — and the orders foreign key into one anti-join
+    count.  The report row per rule is the contract a 100 TB ingest
+    gate actually enforces.
+    """
+    from kukur_spark.operators import validate as V
+
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    rules = [
+        V.not_null("l_orderkey"),
+        V.non_negative("l_extendedprice"),
+        V.in_range("l_discount", 0.0, 1.0),
+        V.in_range("l_quantity", 1.0, 50.0),
+        V.in_set("l_returnflag", ["A", "N", "R"]),
+        V.unique("l_orderkey", "l_linenumber"),
+        V.foreign_key(["l_orderkey"], orders, ["o_orderkey"]),
+    ]
+    return V.validate(lineitem, rules)
+
+
+LINEITEM_QUALITY_SQL = """
+WITH scalar AS (
+  SELECT COUNT(*) AS n_rows,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_notnull,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS v_nonneg,
+    CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+      OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+      OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+      OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+  FROM lineitem
+),
+uniq AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      AS n_violations
+  FROM lineitem
+),
+fk AS (
+  SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+    COUNT(*) AS n_violations
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null(l_orderkey)' AS rule, n_rows, v_notnull
+    AS n_violations FROM scalar
+  UNION ALL SELECT 'non_negative(l_extendedprice)', n_rows, v_nonneg
+    FROM scalar
+  UNION ALL SELECT 'in_range(l_discount,0.0,1.0)', n_rows, v_disc
+    FROM scalar
+  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', n_rows, v_qty
+    FROM scalar
+  UNION ALL SELECT 'in_set(l_returnflag)', n_rows, v_flag FROM scalar
+  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n_rows,
+    CAST(n_violations AS BIGINT) FROM uniq
+  UNION ALL SELECT 'foreign_key(l_orderkey)', n_rows,
+    CAST(n_violations AS BIGINT) FROM fk
+)
+ORDER BY rule
+"""
+
+R5_QUERIES["lineitem_quality_report"] = lineitem_quality_report
+R5_ORACLES["lineitem_quality_report"] = LINEITEM_QUALITY_SQL
