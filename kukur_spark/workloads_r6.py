@@ -1,0 +1,403 @@
+"""Round-2 sixth batch: lexical retrieval and corpus LM scoring.
+
+Training-data / retrieval operators beyond the reference surface
+(the Kukur gateway has no text executor — SURVEY §2 documents scans
+and policy wrappers only):
+
+- ``docs_bm25_topk``     — Okapi BM25 top-k over an inverted term view;
+- ``docs_hybrid_rrf``    — reciprocal-rank fusion of BM25 and cosine ANN;
+- ``docs_unigram_logprob`` — corpus-unigram surprisal (perplexity proxy)
+  quality score, the KenLM-style filter of C4/RefinedWeb pipelines.
+
+Exactness strategy: every floating contribution is quantized to an e6
+integer (``floor(x * 1e6)``) *per row* before any group summation, so
+sums are order-free integer monoids and rank ties are impossible to
+flip cross-engine.  All hot paths are JVM column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.text import tokens
+
+R6_QUERIES: dict = {}
+R6_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+# (query_id, term) — a literal retrieval workload; at scale this is a
+# driver-side constant broadcast against the corpus.
+_BM25_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["hash", "table", "scan"]),
+    (2, ["window", "agg", "fast"]),
+]
+
+
+def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(query_id, doc_id, bm25_e6) for every doc matching ≥1 query term.
+
+    Plan shape, built for the 100 TB corpus case:
+
+    - the corpus is tokenized ONCE (explode) and immediately filtered to
+      the query-term set (a tiny ``isin`` literal — Catalyst folds it to
+      a scan-side predicate on the exploded view), so the tf aggregate
+      only ever shuffles (doc, matched-term) rows, not the corpus;
+    - document length and N come from one map-side count aggregate whose
+      shuffle carries one long per doc;
+    - df/avgdl/N are tiny aggregates broadcast back;
+    - per-(doc, term) contributions are e6-floored BEFORE the per-doc
+      sum, making the score an order-free integer and the ranking
+      deterministic across engines and partitionings.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doclen = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+
+    matched = toks.filter(F.col("term").isin(all_terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    norm = F.expr(
+        f"{_BM25_K1} * (1 - {_BM25_B})"
+    ) + F.expr(f"{_BM25_K1} * {_BM25_B}") * F.col("dl") / avgdl
+    contrib = idf * (
+        F.col("tf") * F.expr(f"{_BM25_K1} + 1")
+        / (F.col("tf") + norm)
+    )
+    return (
+        scored.withColumn("c_e6", F.floor(contrib * 1_000_000).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_e6").alias("bm25_e6"))
+    )
+
+
+def docs_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 documents per query by Okapi BM25 (k1=1.2, b=0.75)."""
+    scores = _bm25_scores(spark, sf)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "bm25_e6", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql_cte() -> str:
+    """Shared DuckDB CTEs computing bm25_e6 per (query_id, doc_id)."""
+    qvalues = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+qterms(query_id, term) AS (VALUES {qvalues}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl FROM doclen
+),
+matched AS (
+  SELECT doc_id, term FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM matched GROUP BY doc_id, term
+),
+df_tbl AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM matched GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(FLOOR(
+      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (tf.tf * ({_BM25_K1} + 1)
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B})
+            + {_BM25_K1} * {_BM25_B} * l.dl
+              / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))
+      * 1000000) AS BIGINT) AS c_e6
+  FROM tf
+  JOIN df_tbl d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS bm25_e6
+  FROM contrib GROUP BY query_id, doc_id
+)"""
+
+
+DOCS_BM25_SQL = f"""
+WITH {_bm25_sql_cte()},
+ranked AS (
+  SELECT query_id, doc_id, bm25_e6,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM bm25
+)
+SELECT query_id, doc_id, bm25_e6, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+R6_QUERIES["docs_bm25_topk"] = docs_bm25_topk
+R6_ORACLES["docs_bm25_topk"] = DOCS_BM25_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine ANN
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_QUERY_VEC = 0  # embeddings.vec_id used as the dense query
+_RRF_QUERY_ID = 2  # _BM25_QUERIES entry used as the lexical query
+
+
+def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 docs by reciprocal-rank fusion of two retrieval paths.
+
+    Lexical leg: BM25 top-50 for query 2 (window/agg/fast).  Dense leg:
+    cosine top-50 around the embedding of ``vec_id`` 0 (doc_id aligns
+    with vec_id in the testdata).  Fusion: RRF with k=60, computed as
+    ``div(1e9, k + rank)`` — integer division on integer ranks, so the
+    fused score is exact and order-free.  Docs appearing in only one
+    list contribute that one leg (the standard RRF convention).
+
+    Scale: each leg ends in a k-bounded top-k (50 rows); the fusion is
+    a full outer join of two 50-row tables — driver-free, broadcast by
+    AQE.  The legs themselves are the scale-safe BM25/brute-force plans
+    documented on their own queries.
+    """
+    scores = _bm25_scores(spark, sf).filter(
+        F.col("query_id") == _RRF_QUERY_ID
+    )
+    wb = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
+    lex = (
+        scores.withColumn("rank_b", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank_b") <= _RRF_DEPTH)
+        .select("doc_id", "rank_b")
+    )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qv"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqnorm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (
+        F.sqrt(sqnorm(F.col("embedding"))) * F.sqrt(sqnorm(F.col("qv")))
+    )
+    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    dense = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank_c", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank_c") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rank_c")
+    )
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_e9",
+            F.coalesce(
+                F.expr(f"div(1000000000, {_RRF_K} + rank_b)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"div(1000000000, {_RRF_K} + rank_c)"), F.lit(0)
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rank_b", "rank_c", "rrf_e9", "rank")
+        .orderBy("rank")
+    )
+
+
+DOCS_HYBRID_RRF_SQL = f"""
+WITH {_bm25_sql_cte()},
+lex AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id ASC)
+           AS BIGINT) AS rank_b
+    FROM bm25 WHERE query_id = {_RRF_QUERY_ID}
+  ) WHERE rank_b <= {_RRF_DEPTH}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE)
+             * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+    AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {_RRF_QUERY_VEC}
+),
+dense AS (
+  SELECT doc_id, rank_c FROM (
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+           AS BIGINT) AS rank_c
+    FROM scored
+  ) WHERE rank_c <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, rank_b, rank_c,
+    COALESCE(1000000000 // ({_RRF_K} + rank_b), 0)
+    + COALESCE(1000000000 // ({_RRF_K} + rank_c), 0) AS rrf_e9
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, rank_b, rank_c, rrf_e9, rank FROM (
+  SELECT doc_id, rank_b, rank_c, rrf_e9,
+    CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
+         AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+R6_QUERIES["docs_hybrid_rrf"] = docs_hybrid_rrf
+R6_ORACLES["docs_hybrid_rrf"] = DOCS_HYBRID_RRF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Corpus-unigram surprisal (perplexity-proxy quality score)
+# ---------------------------------------------------------------------------
+def docs_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean unigram surprisal, the KenLM-filter stand-in.
+
+    surprisal(token) = ln(T / cf) where cf is the token's corpus count
+    and T the corpus token total; a document's score is the mean over
+    its token instances.  High score = improbable tokens = the tail
+    that quality filters cut.
+
+    Each instance's surprisal is e6-floored before the per-doc sum
+    (order-free integer), and the mean is an integer ``div`` — the
+    emitted ``surprisal_e6`` is bit-exact cross-engine.
+
+    Scale: the vocabulary aggregate is map-side combinable (shuffle
+    carries one long per distinct term per partition); the freq join is
+    keyed on term — AQE broadcasts it while the vocab is small and
+    shuffles it when it is not.  No driver materialization.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = freq.agg(F.sum("cf").alias("t_total"))
+    inst = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "s_e6",
+            F.floor(
+                F.log(
+                    F.col("t_total").cast("double") / F.col("cf")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        inst.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("s_e6").alias("sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("div(sum_e6, n_tokens)").alias("surprisal_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY term
+),
+total AS (SELECT CAST(SUM(cf) AS BIGINT) AS t_total FROM freq),
+inst AS (
+  SELECT toks.doc_id,
+    CAST(FLOOR(ln(CAST(t.t_total AS DOUBLE) / f.cf) * 1000000)
+         AS BIGINT) AS s_e6
+  FROM toks JOIN freq f USING (term) CROSS JOIN total t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS surprisal_e6
+FROM inst GROUP BY doc_id ORDER BY doc_id
+"""
+
+R6_QUERIES["docs_unigram_logprob"] = docs_unigram_logprob
+R6_ORACLES["docs_unigram_logprob"] = DOCS_UNIGRAM_SQL

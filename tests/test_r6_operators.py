@@ -1,0 +1,109 @@
+"""Round-2 sixth batch: semantics + plan pins for the retrieval workloads."""
+
+from __future__ import annotations
+
+import math
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+from kukur_spark.workloads_r6 import _BM25_QUERIES, _RRF_K
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bm25_bruteforce(docs: list) -> dict:
+    """Pure-Python Okapi BM25 (k1=1.2, b=0.75), e6-floored per term."""
+    k1, b = 1.2, 0.75
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    out: dict = {}
+    for qid, terms in _BM25_QUERIES:
+        df = {
+            t: sum(1 for d in toks.values() if t in d) for t in terms
+        }
+        for doc_id, d in toks.items():
+            s = 0
+            for t in terms:
+                tf = d.count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log(
+                    1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+                )
+                c = idf * (
+                    tf * (k1 + 1)
+                    / (tf + k1 * (1 - b) + k1 * b * len(d) / avgdl)
+                )
+                s += math.floor(c * 1_000_000)
+            if s:
+                out[(qid, doc_id)] = s
+    return out
+
+
+def test_bm25_matches_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    expect = _bm25_bruteforce(docs)
+    rows = QUERIES["docs_bm25_topk"](spark, SF).collect()
+    assert rows, "bm25 returned no rows"
+    for r in rows:
+        assert expect[(r.query_id, r.doc_id)] == r.bm25_e6
+    # per-query ranking is the sorted order of the brute-force scores
+    for qid, _terms in _BM25_QUERIES:
+        ranked = sorted(
+            (
+                (s, doc)
+                for (q, doc), s in expect.items()
+                if q == qid
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        got = [r.doc_id for r in rows if r.query_id == qid]
+        assert got == [doc for _s, doc in ranked[: len(got)]]
+
+
+def test_bm25_plan_prunes_before_aggregate(spark):
+    plan = plan_of(QUERIES["docs_bm25_topk"](spark, SF))
+    # the isin(query terms) filter must exist (corpus pruned before tf agg)
+    assert " IN (" in plan or "isin" in plan.lower(), plan
+    assert "EvalPython" not in plan, "Python crept into the BM25 path"
+
+
+def test_hybrid_rrf_consistent_with_ranks(spark):
+    rows = QUERIES["docs_hybrid_rrf"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        exp = 0
+        if r.rank_b is not None:
+            exp += 1_000_000_000 // (_RRF_K + r.rank_b)
+        if r.rank_c is not None:
+            exp += 1_000_000_000 // (_RRF_K + r.rank_c)
+        assert r.rrf_e9 == exp
+    # ranks strictly ordered by fused score then doc_id
+    scores = [(r.rrf_e9, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_unigram_logprob_bruteforce(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    corpus: dict = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            corpus[t] = corpus.get(t, 0) + 1
+    total = sum(corpus.values())
+    rows = QUERIES["docs_unigram_logprob"](spark, SF).collect()
+    assert len(rows) == len(docs)
+    by_id = {r.doc_id: r for r in rows}
+    for d in docs:
+        toks = d.text.split(" ")
+        s = sum(
+            math.floor(math.log(total / corpus[t]) * 1_000_000)
+            for t in toks
+        )
+        r = by_id[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.surprisal_e6 == s // len(toks)
