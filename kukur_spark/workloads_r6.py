@@ -401,3 +401,215 @@ FROM inst GROUP BY doc_id ORDER BY doc_id
 
 R6_QUERIES["docs_unigram_logprob"] = docs_unigram_logprob
 R6_ORACLES["docs_unigram_logprob"] = DOCS_UNIGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-split into context windows)
+# ---------------------------------------------------------------------------
+_PACK_LEN = 256  # tokens per packed training sequence
+
+
+def docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concatenate-and-split packing manifest: doc → context windows.
+
+    The standard LLM pretraining packer: within each source shard,
+    documents are laid out in doc_id order as one token stream and cut
+    every ``_PACK_LEN`` tokens.  Emitted per doc: its token offset in
+    the shard stream, the first/last pack (window) it lands in, and how
+    many packs it spans — everything a loader needs to materialize
+    packed sequences without re-tokenizing.
+
+    Scale: packing is per-``source`` (partitionBy window, one exchange
+    on the shard key) — shards pack in parallel and the cumsum state is
+    one long per row.  Pure integer arithmetic end to end.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "start_off",
+            F.expr(f"div(start_off, {_PACK_LEN})").alias("first_pack"),
+            F.expr(f"div(end_off - 1, {_PACK_LEN})").alias("last_pack"),
+            (
+                F.expr(f"div(end_off - 1, {_PACK_LEN})")
+                - F.expr(f"div(start_off, {_PACK_LEN})")
+                + 1
+            ).alias("n_packs"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+DOCS_PACK_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS end_off
+  FROM lens
+)
+SELECT doc_id, source, n_tokens,
+  end_off - n_tokens AS start_off,
+  (end_off - n_tokens) // {_PACK_LEN} AS first_pack,
+  (end_off - 1) // {_PACK_LEN} AS last_pack,
+  (end_off - 1) // {_PACK_LEN} - (end_off - n_tokens) // {_PACK_LEN} + 1
+    AS n_packs
+FROM offs ORDER BY source, doc_id
+"""
+
+R6_QUERIES["docs_pack_sequences"] = docs_pack_sequences
+R6_ORACLES["docs_pack_sequences"] = DOCS_PACK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced deterministic downsample
+# ---------------------------------------------------------------------------
+def docs_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language balanced subset: every lang capped to the min count.
+
+    The class-balancing step of multilingual corpus prep.  Within each
+    lang, docs are ranked by a salted md5 (deterministic, engine-
+    portable — no RNG state) and the smallest-hash ``cap`` survive,
+    where cap = min docs per lang across the corpus.  Emits the kept
+    docs with their selection rank.
+
+    Scale: one partial-agg for the per-lang counts (broadcast back),
+    one rank window partitioned by lang — lang cardinality bounds the
+    skew, and hot langs can be salted through ``operators.scale`` if a
+    single lang dominates.
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    cap = counts.agg(F.min("n_lang").alias("cap"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal1:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("sel_rank") <= F.col("cap"))
+        .select("doc_id", "lang", "sel_rank")
+        .orderBy("lang", "sel_rank")
+    )
+
+
+DOCS_BALANCED_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang
+),
+cap AS (SELECT MIN(n_lang) AS cap FROM counts),
+hashed AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5('bal1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC)
+         AS BIGINT) AS sel_rank
+  FROM hashed
+)
+SELECT doc_id, lang, sel_rank
+FROM ranked CROSS JOIN cap
+WHERE sel_rank <= cap
+ORDER BY lang, sel_rank
+"""
+
+R6_QUERIES["docs_balanced_sample"] = docs_balanced_sample
+R6_ORACLES["docs_balanced_sample"] = DOCS_BALANCED_SQL
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (mT5/XLM-style sampling)
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = "0.7"  # temperature exponent
+
+
+def docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language sampling weights ∝ token_count^0.7, as exact ppm.
+
+    The temperature-sampling formula of multilingual pretraining
+    (mT5/XLM-R): raising counts to α < 1 upweights low-resource
+    languages.  Each language's ``count^α`` is e6-floored to an integer
+    *before* the normalizing sum, so shares are order-free integer
+    ratios (ppm via integer div) — bit-exact cross-engine.
+
+    Scale: a single map-side token-count aggregate (one long per lang
+    per partition on the wire) and a lang-cardinality-sized broadcast
+    for the total.  Nothing else moves.
+    """
+    docs = load_table(spark, sf, "documents")
+    by_lang = (
+        docs.select("lang", F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("lang_tokens"))
+        .withColumn(
+            "w_e6",
+            F.floor(
+                F.pow(F.col("lang_tokens").cast("double"), F.expr(_MIX_ALPHA))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    total = by_lang.agg(F.sum("w_e6").alias("total_w"))
+    return (
+        by_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "lang_tokens",
+            "w_e6",
+            F.expr("div(w_e6 * 1000000, total_w)").alias("share_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_MIXTURE_SQL = f"""
+WITH by_lang AS (
+  SELECT lang,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+weighted AS (
+  SELECT lang, lang_tokens,
+    CAST(FLOOR(pow(CAST(lang_tokens AS DOUBLE), {_MIX_ALPHA}) * 1000000)
+         AS BIGINT) AS w_e6
+  FROM by_lang
+),
+total AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS total_w FROM weighted)
+SELECT lang, lang_tokens, w_e6,
+  (w_e6 * 1000000) // total_w AS share_ppm
+FROM weighted CROSS JOIN total
+ORDER BY lang
+"""
+
+R6_QUERIES["docs_mixture_weights"] = docs_mixture_weights
+R6_ORACLES["docs_mixture_weights"] = DOCS_MIXTURE_SQL

@@ -88,6 +88,60 @@ def test_hybrid_rrf_consistent_with_ranks(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_pack_sequences_bruteforce(spark):
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    rows = QUERIES["docs_pack_sequences"](spark, SF).collect()
+    by_id = {r.doc_id: r for r in rows}
+    streams: dict = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        n = len(d.text.split(" "))
+        off = streams.get(d.source, 0)
+        r = by_id[d.doc_id]
+        assert (r.n_tokens, r.start_off) == (n, off)
+        assert r.first_pack == off // 256
+        assert r.last_pack == (off + n - 1) // 256
+        assert r.n_packs == r.last_pack - r.first_pack + 1
+        streams[d.source] = off + n
+    # windows tile the stream: consecutive docs in a shard are contiguous
+    assert len(rows) == len(docs)
+
+
+def test_balanced_sample_caps_every_lang(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    from collections import Counter
+
+    counts = Counter(d.lang for d in docs)
+    cap = min(counts.values())
+    rows = QUERIES["docs_balanced_sample"](spark, SF).collect()
+    got = Counter(r.lang for r in rows)
+    assert set(got) == set(counts)
+    assert all(v == cap for v in got.values()), got
+    # determinism: same subset on a second run
+    again = QUERIES["docs_balanced_sample"](spark, SF).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_mixture_weights_sum_and_monotonicity(spark):
+    rows = QUERIES["docs_mixture_weights"](spark, SF).collect()
+    assert rows
+    # shares are ≤1e6 in total (integer floor) and within 1 ppm per lang
+    assert 0 < sum(r.share_ppm for r in rows) <= 1_000_000
+    # α<1 compresses: larger token counts never get a smaller weight,
+    # and weight ratios are flatter than count ratios
+    srt = sorted(rows, key=lambda r: r.lang_tokens)
+    for a, b in zip(srt, srt[1:]):
+        assert b.w_e6 >= a.w_e6
+        if a.lang_tokens > 0 and a.w_e6 > 0:
+            assert (
+                b.w_e6 / a.w_e6
+                <= b.lang_tokens / a.lang_tokens + 1e-9
+            )
+
+
 def test_unigram_logprob_bruteforce(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
     corpus: dict = {}
