@@ -199,31 +199,21 @@ _RRF_QUERY_VEC = 0  # embeddings.vec_id used as the dense query
 _RRF_QUERY_ID = 2  # _BM25_QUERIES entry used as the lexical query
 
 
-def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-10 docs by reciprocal-rank fusion of two retrieval paths.
-
-    Lexical leg: BM25 top-50 for query 2 (window/agg/fast).  Dense leg:
-    cosine top-50 around the embedding of ``vec_id`` 0 (doc_id aligns
-    with vec_id in the testdata).  Fusion: RRF with k=60, computed as
-    ``div(1e9, k + rank)`` — integer division on integer ranks, so the
-    fused score is exact and order-free.  Docs appearing in only one
-    list contribute that one leg (the standard RRF convention).
-
-    Scale: each leg ends in a k-bounded top-k (50 rows); the fusion is
-    a full outer join of two 50-row tables — driver-free, broadcast by
-    AQE.  The legs themselves are the scale-safe BM25/brute-force plans
-    documented on their own queries.
-    """
+def _lex_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-``_RRF_DEPTH`` (doc_id, rank_b) for the fused query."""
     scores = _bm25_scores(spark, sf).filter(
         F.col("query_id") == _RRF_QUERY_ID
     )
     wb = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
-    lex = (
+    return (
         scores.withColumn("rank_b", F.row_number().over(wb).cast("long"))
         .filter(F.col("rank_b") <= _RRF_DEPTH)
         .select("doc_id", "rank_b")
     )
 
+
+def _dense_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine top-``_RRF_DEPTH`` (doc_id, rank_c) around the query vector."""
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         F.col("embedding").alias("qv")
@@ -246,7 +236,7 @@ def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.sqrt(sqnorm(F.col("embedding"))) * F.sqrt(sqnorm(F.col("qv")))
     )
     wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    dense = (
+    return (
         emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
         .crossJoin(F.broadcast(qv))
         .withColumn("cos_sim", cos)
@@ -255,6 +245,24 @@ def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), "rank_c")
     )
 
+
+def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 docs by reciprocal-rank fusion of two retrieval paths.
+
+    Lexical leg: BM25 top-50 for query 2 (window/agg/fast).  Dense leg:
+    cosine top-50 around the embedding of ``vec_id`` 0 (doc_id aligns
+    with vec_id in the testdata).  Fusion: RRF with k=60, computed as
+    ``div(1e9, k + rank)`` — integer division on integer ranks, so the
+    fused score is exact and order-free.  Docs appearing in only one
+    list contribute that one leg (the standard RRF convention).
+
+    Scale: each leg ends in a k-bounded top-k (50 rows); the fusion is
+    a full outer join of two 50-row tables — driver-free, broadcast by
+    AQE.  The legs themselves are the scale-safe BM25/brute-force plans
+    documented on their own queries.
+    """
+    lex = _lex_ranks(spark, sf)
+    dense = _dense_ranks(spark, sf)
     fused = (
         lex.join(dense, "doc_id", "full_outer")
         .withColumn(
@@ -276,8 +284,7 @@ def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DOCS_HYBRID_RRF_SQL = f"""
-WITH {_bm25_sql_cte()},
+_HYBRID_CTES = f"""{_bm25_sql_cte()},
 lex AS (
   SELECT doc_id, rank_b FROM (
     SELECT doc_id,
@@ -313,7 +320,10 @@ fused AS (
     COALESCE(1000000000 // ({_RRF_K} + rank_b), 0)
     + COALESCE(1000000000 // ({_RRF_K} + rank_c), 0) AS rrf_e9
   FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
-)
+)"""
+
+DOCS_HYBRID_RRF_SQL = f"""
+WITH {_HYBRID_CTES}
 SELECT doc_id, rank_b, rank_c, rrf_e9, rank FROM (
   SELECT doc_id, rank_b, rank_c, rrf_e9,
     CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
@@ -613,3 +623,267 @@ ORDER BY lang
 
 R6_QUERIES["docs_mixture_weights"] = docs_mixture_weights
 R6_ORACLES["docs_mixture_weights"] = DOCS_MIXTURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@10 of the hybrid ranking vs the dense truth
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+def retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@10 of the RRF-fused ranking against cosine-top-10 truth.
+
+    Joins the evaluation-harness family (ANN recall@k, 1-NN label
+    accuracy): quantifies how far lexical fusion perturbs the dense
+    ranking.  Truth gains are graded (rank r → rel 11−r); each DCG
+    contribution ``rel / log2(pos+1)`` is e6-floored per position
+    before the sum, and nDCG is an integer ppm division — bit-exact
+    cross-engine.
+
+    Scale: both inputs are k-bounded (10 rows); everything after the
+    retrieval legs is constant-size.
+    """
+    system = (
+        docs_hybrid_rrf(spark, sf)
+        .select("doc_id", F.col("rank").alias("pos"))
+    )
+    truth = (
+        _dense_ranks(spark, sf)
+        .filter(F.col("rank_c") <= _NDCG_K)
+        .select(
+            "doc_id", (F.lit(_NDCG_K + 1) - F.col("rank_c")).alias("rel")
+        )
+    )
+    dcg_rows = (
+        system.join(truth, "doc_id", "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn(
+            "c_e6",
+            F.floor(
+                F.col("rel") * 1_000_000
+                / F.log2(F.col("pos").cast("double") + 1)
+            ).cast("long"),
+        )
+    )
+    wi = Window.orderBy(F.col("rel").desc())
+    ideal_rows = truth.withColumn(
+        "pos", F.row_number().over(wi).cast("long")
+    ).withColumn(
+        "c_e6",
+        F.floor(
+            F.col("rel") * 1_000_000
+            / F.log2(F.col("pos").cast("double") + 1)
+        ).cast("long"),
+    )
+    dcg = dcg_rows.agg(
+        F.sum("c_e6").alias("dcg_e6"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_overlap"),
+    )
+    idcg = ideal_rows.agg(F.sum("c_e6").alias("idcg_e6"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "n_overlap",
+            "dcg_e6",
+            "idcg_e6",
+            F.expr("div(dcg_e6 * 1000000, idcg_e6)").alias("ndcg_ppm"),
+        )
+    )
+
+
+RETRIEVAL_NDCG_SQL = f"""
+WITH {_HYBRID_CTES},
+system AS (
+  SELECT doc_id, rank AS pos FROM (
+    SELECT doc_id, rrf_e9,
+      CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
+           AS BIGINT) AS rank
+    FROM fused
+  ) WHERE rank <= 10
+),
+truth AS (
+  SELECT doc_id, CAST({_NDCG_K + 1} - rank_c AS BIGINT) AS rel
+  FROM dense WHERE rank_c <= {_NDCG_K}
+),
+dcg_rows AS (
+  SELECT s.pos, COALESCE(t.rel, 0) AS rel,
+    CAST(FLOOR(COALESCE(t.rel, 0) * 1000000
+               / log2(CAST(s.pos AS DOUBLE) + 1)) AS BIGINT) AS c_e6
+  FROM system s LEFT JOIN truth t USING (doc_id)
+),
+ideal_rows AS (
+  SELECT rel,
+    CAST(FLOOR(rel * 1000000 / log2(CAST(pos AS DOUBLE) + 1))
+         AS BIGINT) AS c_e6
+  FROM (
+    SELECT rel,
+      CAST(ROW_NUMBER() OVER (ORDER BY rel DESC) AS BIGINT) AS pos
+    FROM truth
+  )
+),
+d AS (
+  SELECT CAST(SUM(c_e6) AS BIGINT) AS dcg_e6,
+    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM dcg_rows
+),
+i AS (SELECT CAST(SUM(c_e6) AS BIGINT) AS idcg_e6 FROM ideal_rows)
+SELECT n_overlap, dcg_e6, idcg_e6,
+  (dcg_e6 * 1000000) // idcg_e6 AS ndcg_ppm
+FROM d CROSS JOIN i
+"""
+
+R6_QUERIES["retrieval_ndcg"] = retrieval_ndcg
+R6_ORACLES["retrieval_ndcg"] = RETRIEVAL_NDCG_SQL
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from mergeable HLL sketches
+# ---------------------------------------------------------------------------
+def join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join key-cardinality estimate: |keys(A)|, |keys(B)|, |A∩B|.
+
+    The planner-side question before any big join — how many distinct
+    keys does each side carry, and how large is the overlap — answered
+    from 256-register HLL sketches instead of distinct scans.  The
+    union sketch is the per-bucket ``max`` of the two sides' registers
+    (the whole point of HLL: sketches merge without revisiting data),
+    and the intersection estimate is inclusion–exclusion on the three
+    already-floored integer estimates.  Exact counts ride along to
+    expose the sketch error.
+
+    Scale: each side contributes one distinct-hash pass (map-side
+    combinable) collapsing to ≤256 rows; the merge and estimates touch
+    only register tables.  At 100 TB the sketches would be maintained
+    incrementally per partition and merged at plan time.
+    """
+    from kukur_spark.operators.sketch import (
+        ALPHA_MM_POW2_53,
+        HLL_M,
+        POW2_53,
+        hll_rho,
+    )
+
+    def registers(df: DataFrame, key) -> DataFrame:
+        bucket, rho = hll_rho(F.col("k").cast("string"))
+        return (
+            df.select(key.alias("k"))
+            .distinct()
+            .select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        summary = regs.agg(
+            F.count(F.lit(1)).alias("m_nonzero"),
+            (
+                F.sum(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"
+                    )
+                )
+                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(POW2_53)
+            ).alias("harmonic_num"),
+        )
+        raw_est = F.floor(
+            F.lit(ALPHA_MM_POW2_53) / F.col("harmonic_num").cast("double")
+        )
+        m_zero = F.lit(HLL_M) - F.col("m_nonzero")
+        lc_est = F.floor(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
+        )
+        est = F.when(
+            (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
+        ).otherwise(raw_est)
+        return summary.select(est.cast("long").alias(name))
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    left = registers(cust, F.col("c_custkey"))
+    right = registers(orders, F.col("o_custkey"))
+    union = (
+        left.unionByName(right)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+    est_l = estimate(left, "est_left")
+    est_r = estimate(right, "est_right")
+    est_u = estimate(union, "est_union")
+    exact = cust.select(F.col("c_custkey").alias("k")).intersect(
+        orders.select(F.col("o_custkey").alias("k"))
+    ).agg(F.count(F.lit(1)).alias("exact_intersection"))
+
+    return (
+        est_l.crossJoin(F.broadcast(est_r))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_left",
+            "est_right",
+            "est_union",
+            (
+                F.col("est_left") + F.col("est_right") - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
+def _hll_est_sql(regs_cte: str, name: str) -> str:
+    """DuckDB estimate over a (bucket, rho) register CTE."""
+    from kukur_spark.operators.sketch import ALPHA_MM_POW2_53, POW2_53
+
+    return f"""
+  SELECT CAST(CASE
+    WHEN (256 - COUNT(*)) > 0
+     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(
+       SUM(1::BIGINT << (53 - rho)) + (256 - COUNT(*)) * {POW2_53}
+       AS DOUBLE)) <= 640
+    THEN FLOOR(256.0 * ln(256.0 / CAST(256 - COUNT(*) AS DOUBLE)))
+    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(
+      SUM(1::BIGINT << (53 - rho)) + (256 - COUNT(*)) * {POW2_53}
+      AS DOUBLE))
+  END AS BIGINT) AS {name} FROM {regs_cte}"""
+
+
+def _join_card_sql() -> str:
+    def regs(src: str, key: str) -> str:
+        return f"""
+  SELECT bucket, MAX(rho) AS rho FROM (
+    SELECT
+      CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
+      CASE
+        WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
+        ELSE 53 - length(bin(CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
+      END AS rho
+    FROM (SELECT DISTINCT CAST({key} AS VARCHAR) AS _k FROM {src})
+  ) GROUP BY bucket"""
+
+    return f"""
+WITH lreg AS ({regs('customer', 'c_custkey')}),
+rreg AS ({regs('orders', 'o_custkey')}),
+ureg AS (
+  SELECT bucket, MAX(rho) AS rho
+  FROM (SELECT * FROM lreg UNION ALL SELECT * FROM rreg) GROUP BY bucket
+),
+el AS ({_hll_est_sql('lreg', 'est_left')}),
+er AS ({_hll_est_sql('rreg', 'est_right')}),
+eu AS ({_hll_est_sql('ureg', 'est_union')}),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT c_custkey FROM customer
+    INTERSECT SELECT o_custkey FROM orders
+  )
+)
+SELECT est_left, est_right, est_union,
+  est_left + est_right - est_union AS est_intersection,
+  exact_intersection
+FROM el CROSS JOIN er CROSS JOIN eu CROSS JOIN ex
+"""
+
+
+R6_QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
+R6_ORACLES["join_cardinality_estimate"] = _join_card_sql()

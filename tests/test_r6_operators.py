@@ -142,6 +142,37 @@ def test_mixture_weights_sum_and_monotonicity(spark):
             )
 
 
+def test_retrieval_ndcg_bounds_and_overlap(spark):
+    row = QUERIES["retrieval_ndcg"](spark, SF).collect()[0]
+    assert 0 <= row.n_overlap <= 10
+    assert 0 <= row.ndcg_ppm <= 1_000_000
+    assert row.idcg_e6 > 0
+    # perfect agreement iff the fused ranking equals the dense truth order
+    if row.n_overlap == 10 and row.ndcg_ppm == 1_000_000:
+        assert row.dcg_e6 == row.idcg_e6
+
+
+def test_join_cardinality_estimate_sane(spark):
+    from kukur_spark.io import load_table as lt
+
+    row = QUERIES["join_cardinality_estimate"](spark, SF).collect()[0]
+    n_cust = (
+        lt(spark, SF, "customer").select("c_custkey").distinct().count()
+    )
+    n_ocust = (
+        lt(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    # HLL with m=256 has ~6.5% standard error; allow 4 sigma
+    assert abs(row.est_left - n_cust) <= max(10, 0.26 * n_cust)
+    assert abs(row.est_right - n_ocust) <= max(10, 0.26 * n_ocust)
+    # inclusion-exclusion identity holds exactly on the emitted integers
+    assert (
+        row.est_intersection
+        == row.est_left + row.est_right - row.est_union
+    )
+    assert row.exact_intersection <= min(n_cust, n_ocust)
+
+
 def test_unigram_logprob_bruteforce(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
     corpus: dict = {}
