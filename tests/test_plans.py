@@ -384,3 +384,47 @@ def test_kmeans_iter2_rounds_broadcast_corpus_never_shuffled(spark):
     assert plan.count("BroadcastExchange") >= 2  # one per round
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_prunes_corpus_and_broadcasts_stats(spark):
+    """BM25: the exploded token stream is filtered to the query-term set
+    BEFORE the tf aggregate (the shuffle carries matched rows only), the
+    tiny df/query-term/stat tables are broadcast, and everything stays in
+    the JVM with map-side partial aggregation."""
+    plan = plan_of(QUERIES["docs_bm25_topk"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # term IN (...) literal filter present (pre-aggregate pruning)
+    assert " IN " in plan or "term#" in plan and "Filter" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Packing is one window per shard: a single hashpartitioning
+    exchange on source, integer-only expressions, no joins."""
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, SF))
+    assert "hashpartitioning(source" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_join_cardinality_registers_stay_bounded(spark):
+    """Join-cardinality sketch: register aggregates reduce with map-side
+    combine; the only joins are broadcasts of one-row estimates (plus the
+    exact-intersection check); nothing leaves the JVM."""
+    plan = plan_of(QUERIES["join_cardinality_estimate"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mixture_weights_single_aggregate_chain(spark):
+    """Mixture weights: one map-side token-count aggregate per lang and a
+    one-row broadcast total; no window, no Python."""
+    plan = plan_of(QUERIES["docs_mixture_weights"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
