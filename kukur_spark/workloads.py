@@ -51,6 +51,7 @@ from kukur_spark.workloads_r3 import R3_ORACLES, R3_QUERIES
 from kukur_spark.workloads_r4 import R4_ORACLES, R4_QUERIES
 from kukur_spark.workloads_r5 import R5_ORACLES, R5_QUERIES
 from kukur_spark.workloads_r6 import R6_ORACLES, R6_QUERIES
+from kukur_spark.workloads_r7 import R7_ORACLES, R7_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1802,6 +1803,7 @@ QUERIES.update(R3_QUERIES)
 QUERIES.update(R4_QUERIES)
 QUERIES.update(R5_QUERIES)
 QUERIES.update(R6_QUERIES)
+QUERIES.update(R7_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1866,6 +1868,7 @@ ORACLES: Dict[str, str] = {
     **R4_ORACLES,
     **R5_ORACLES,
     **R6_ORACLES,
+    **R7_ORACLES,
 }
 
 

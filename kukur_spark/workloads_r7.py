@@ -1,0 +1,190 @@
+"""Round-2 seventh batch: sequential recursions as distributed array folds.
+
+Operators whose textbook definition is a per-key *sequential* recursion —
+exponential smoothing, finite-state machines — expressed without UDFs,
+driver loops, or iterative jobs: each key's ordered history is folded
+with ``F.aggregate`` (DuckDB twin: ``list_reduce``), so the recursion
+runs inside whole-stage codegen, one key per task, embarrassingly
+parallel across keys.
+
+State per group is the group's own history (bounded by the day/user
+granularity), the fold itself is O(n) with O(1) carry — the same state
+bound ``applyInPandasWithState`` would give a streaming twin.
+
+Exactness: values ride the decimal(30,10) → e6-integer bridge and the
+smoothing step is an arithmetic shift (``(acc + x) >> 1``) — floor
+semantics agree between Spark ``shiftright`` and DuckDB ``>>``, so the
+whole recursion is integer-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R7_QUERIES: dict = {}
+R7_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Exponential smoothing (α = 1/2) as an integer fold
+# ---------------------------------------------------------------------------
+def ts_exp_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(series, day) exponentially smoothed close: ℓ₀=v₀, ℓₜ=(vₜ+ℓₜ₋₁)>>1.
+
+    α=1/2 smoothing over the day's values in (ts, value) order.  The
+    fold's carry is one long; a day's history is the only materialized
+    state, and days × series fold independently — the plan is a single
+    hash aggregate (collect_list) per group, no window, no UDF, no
+    iteration barrier.
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    grouped = base.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "v_e6"))
+        ).alias("pts"),
+    )
+    vals = F.transform(F.col("pts"), lambda p: p.getField("v_e6"))
+    smooth = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.shiftright(acc + x, 1),
+    )
+    return (
+        grouped.select(
+            "event_type", "day_us", "n", smooth.alias("smooth_e6")
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+# NOTE: the natural DuckDB twin is list_reduce(list(... ORDER BY ...)),
+# but DuckDB 1.0.0's list_reduce returns wrong results for some rows when
+# evaluated over multi-row batches of aggregate-built lists (verified:
+# the same row filtered to a 1-row batch folds correctly, and a Python
+# replay of the stored list agrees with the 1-row result).  The oracles
+# therefore step the recursion with a recursive CTE — one iteration per
+# sequence position, exact in both engines.
+TS_EXP_SMOOTH_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_type,
+    epoch_us(date_trunc('day', ts)) AS day_us,
+    epoch_us(ts) AS ts_us,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events
+),
+seqs AS (
+  SELECT event_type, day_us,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    list(v_e6 ORDER BY ts_us, v_e6) AS seq
+  FROM base GROUP BY event_type, day_us
+),
+walk AS (
+  SELECT event_type, day_us, n, seq, 1 AS i, seq[1] AS st FROM seqs
+  UNION ALL
+  SELECT event_type, day_us, n, seq, i + 1, (st + seq[i + 1]) >> 1
+  FROM walk WHERE i < len(seq)
+)
+SELECT event_type, day_us, n, st AS smooth_e6
+FROM walk WHERE i = len(seq)
+ORDER BY event_type, day_us
+"""
+
+R7_QUERIES["ts_exp_smooth"] = ts_exp_smooth
+R7_ORACLES["ts_exp_smooth"] = TS_EXP_SMOOTH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-user finite-state machine over the event stream
+# ---------------------------------------------------------------------------
+# Lifecycle DFA: 0 new → (signup) → 1 active → (purchase) → 2 customer;
+# error knocks an active/customer user to 3 at-risk; a purchase recovers
+# an at-risk user to 2. Everything else is a self-loop.
+_FSM_CASE = """CASE
+  WHEN x = 'signup'   AND acc = '0'              THEN '1'
+  WHEN x = 'purchase' AND acc IN ('1', '3')      THEN '2'
+  WHEN x = 'error'    AND acc IN ('1', '2')      THEN '3'
+  ELSE acc END"""
+
+
+def events_state_machine(spark: SparkSession, sf: str) -> DataFrame:
+    """Final lifecycle-DFA state per user after replaying their events.
+
+    The classic "needs imperative code" operator — a state machine over
+    an ordered per-key stream — as a distributed fold: events are
+    collected per user in (ts, event_id) order and reduced through the
+    transition CASE.  No UDF, no ``collect``, no recursion depth limit;
+    per-user history is the only state, users fold in parallel.  The
+    streaming twin (``applyInPandasWithState``) would keep just the
+    1-char carry between micro-batches.
+    """
+    events = load_table(spark, sf, "events")
+    grouped = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list("e")).alias("seq"),
+        )
+    )
+    ets = F.transform(F.col("seq"), lambda e: e.getField("et"))
+    final_state = F.aggregate(
+        ets,
+        F.lit("0"),
+        lambda acc, x: F.when((x == "signup") & (acc == "0"), F.lit("1"))
+        .when((x == "purchase") & acc.isin("1", "3"), F.lit("2"))
+        .when((x == "error") & acc.isin("1", "2"), F.lit("3"))
+        .otherwise(acc),
+    )
+    return (
+        grouped.select(
+            "user_id",
+            "n_events",
+            final_state.cast("long").alias("final_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FSM_STEP = _FSM_CASE.replace("x ", "seq[i + 1] ").replace(
+    "acc ", "st "
+).replace("ELSE acc", "ELSE st")
+
+EVENTS_FSM_SQL = f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, n_events, seq, 0 AS i, '0' AS st FROM seqs
+  UNION ALL
+  SELECT user_id, n_events, seq, i + 1, {_FSM_STEP}
+  FROM walk WHERE i < len(seq)
+)
+SELECT user_id, n_events, CAST(st AS BIGINT) AS final_state
+FROM walk WHERE i = len(seq)
+ORDER BY user_id
+"""
+
+R7_QUERIES["events_state_machine"] = events_state_machine
+R7_ORACLES["events_state_machine"] = EVENTS_FSM_SQL

@@ -1,0 +1,84 @@
+"""Round-2 seventh batch: fold-recursion operators vs Python replays."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _e6(v: float) -> int:
+    # decimal(30,10) bridge then e6 floor — mirrors the operators
+    import math
+
+    return math.floor(Decimal(str(float(v))).quantize(Decimal("1e-10")) * 1_000_000)
+
+
+def test_exp_smooth_matches_python_replay(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    groups: dict = {}
+    for r in events:
+        day = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        groups.setdefault((r.event_type, day), []).append(
+            (r.ts, _e6(r.value))
+        )
+    rows = QUERIES["ts_exp_smooth"](spark, SF).collect()
+    assert rows
+    from datetime import timezone
+
+    by_key = {(r.event_type, r.day_us): r for r in rows}
+    for (et, day), pts in groups.items():
+        pts.sort()
+        st = pts[0][1]
+        for _, v in pts[1:]:
+            st = (st + v) >> 1
+        day_us = int(day.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        r = by_key[(et, day_us)]
+        assert (r.n, r.smooth_e6) == (len(pts), st), (et, day)
+
+
+def test_state_machine_matches_python_dfa(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in events:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    rows = QUERIES["events_state_machine"](spark, SF).collect()
+    assert len(rows) == len(seqs)
+    by_user = {r.user_id: r for r in rows}
+    for uid, seq in seqs.items():
+        seq.sort()
+        st = "0"
+        for _, _, x in seq:
+            if x == "signup" and st == "0":
+                st = "1"
+            elif x == "purchase" and st in ("1", "3"):
+                st = "2"
+            elif x == "error" and st in ("1", "2"):
+                st = "3"
+        r = by_user[uid]
+        assert (r.n_events, r.final_state) == (len(seq), int(st)), uid
+
+
+def test_fold_operators_stay_jvm_side_single_aggregate(spark):
+    for name in ("ts_exp_smooth", "events_state_machine"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Window" not in plan, name
+        assert "Join" not in plan, name
+        # one partial+final aggregate pair, keyed exchange only
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
