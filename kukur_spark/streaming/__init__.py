@@ -514,3 +514,83 @@ def streaming_cms_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lifecycle state machine (twin of workloads_r7.events_state_machine)
+# ---------------------------------------------------------------------------
+_FSM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("final_state", T.LongType()),
+    ]
+)
+
+_FSM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("st", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _fsm_step(st: str, x) -> str:
+    if x == "signup" and st == "0":
+        return "1"
+    if x == "purchase" and st in ("1", "3"):
+        return "2"
+    if x == "error" and st in ("1", "2"):
+        return "3"
+    return st
+
+
+def _update_state_machine(
+    key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    st, n = state.get if state.exists else ("0", 0)
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["ts_us"])
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        n += len(pdf)
+        for x in pdf["event_type"]:
+            st = _fsm_step(st, x)
+    state.update((st, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "final_state": [int(st)],
+        }
+    )
+
+
+def streaming_state_machine(df: DataFrame) -> DataFrame:
+    """Per-user lifecycle DFA over a stream — the batch fold's twin.
+
+    Carries exactly the state the batch fold proves sufficient: the
+    1-char DFA state plus an event counter per user — O(1) state per
+    key regardless of history length, which is the entire argument for
+    running this on an unbounded stream.  Events are replayed in
+    (ts, event_id) order *within* each micro-batch; like any stateful
+    stream it equals the batch answer when arrival order respects event
+    time (cross-batch reordering is the watermark trade-off, same as
+    ``streaming_counter_delta``).
+
+    Input columns: ``user_id, ts, event_id, event_type``.
+    """
+    prepared = df.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_state_machine,
+        outputStructType=_FSM_OUTPUT_SCHEMA,
+        stateStructType=_FSM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

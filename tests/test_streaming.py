@@ -382,3 +382,58 @@ def test_streaming_cms_heavy_hitters_across_batches(spark, tmp_path):
     # rank-1 row whose estimate includes the 6 new "b" arrivals
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert any(r.token == "b" and r.rank == 1 and r.est >= 9 for r in rows)
+
+
+def test_streaming_state_machine_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_state_machine
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = str(tmp_path / "fsm")
+    # u1: signup → purchase spans the batch boundary; u2 never signs up
+    batch1 = [
+        (1, ts(0), 1, "view"),
+        (1, ts(1), 2, "signup"),
+        (2, ts(2), 3, "purchase"),  # ignored from state 0
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, schema)
+    out = streaming_state_machine(df)
+    name = f"fsm_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    mid = {
+        r["user_id"]: r
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert mid[1]["final_state"] == 1 and mid[1]["n_events"] == 2
+    assert mid[2]["final_state"] == 0
+    # batch 2: u1 purchase (1→2) then error (2→3); u2 signup (0→1);
+    # out-of-order within the batch is replayed in (ts, event_id) order
+    batch2 = [
+        (1, ts(9), 6, "error"),
+        (1, ts(5), 5, "purchase"),
+        (2, ts(6), 7, "signup"),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {}
+    for r in rows:  # update mode: last emission per user wins
+        final[r["user_id"]] = r
+    assert final[1]["final_state"] == 3 and final[1]["n_events"] == 4
+    assert final[2]["final_state"] == 1 and final[2]["n_events"] == 2
