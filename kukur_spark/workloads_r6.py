@@ -390,8 +390,7 @@ def docs_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DOCS_UNIGRAM_SQL = """
-WITH toks AS (
+_UNIGRAM_CTES = """toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 freq AS (
@@ -403,7 +402,10 @@ inst AS (
     CAST(FLOOR(ln(CAST(t.t_total AS DOUBLE) / f.cf) * 1000000)
          AS BIGINT) AS s_e6
   FROM toks JOIN freq f USING (term) CROSS JOIN total t
-)
+)"""
+
+DOCS_UNIGRAM_SQL = f"""
+WITH {_UNIGRAM_CTES}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
   CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS surprisal_e6
 FROM inst GROUP BY doc_id ORDER BY doc_id
@@ -887,3 +889,131 @@ FROM el CROSS JOIN er CROSS JOIN eu CROSS JOIN ex
 
 R6_QUERIES["join_cardinality_estimate"] = join_cardinality_estimate
 R6_ORACLES["join_cardinality_estimate"] = _join_card_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-Res, deterministic)
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 50
+
+
+def docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-``k`` A-Res weighted sample: longer docs proportionally likelier.
+
+    Efraimidis–Spirakis reservoir keys ``u^(1/w)`` with ``u`` drawn from
+    a salted md5 (RNG-free, reproducible) and ``w = n_chars``; the k
+    largest keys are the sample.  Keys are e9-floored before ranking so
+    the selection is deterministic cross-engine (ties broken by doc_id).
+
+    Scale: the key is a pure map-side projection; top-k is a mergeable
+    per-partition heap (Spark's TakeOrdered / window over a k-bounded
+    survivor set) — no global sort of the corpus is materialized beyond
+    the rank window, and at 10⁹ docs the same key feeds an
+    ``approx``-free exact top-k via repeated partial limits.
+    """
+    docs = load_table(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("wres1:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(key * 1_000_000_000).cast("long").alias("key_e9"),
+    )
+    w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _WSAMPLE_K)
+        .select("doc_id", "n_chars", "key_e9", "rank")
+        .orderBy("rank")
+    )
+
+
+DOCS_WSAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+    CAST(FLOOR(
+      pow((CAST('0x' || substr(md5('wres1:' || CAST(doc_id AS VARCHAR)),
+                 1, 8) AS BIGINT) + 0.5) / 4294967296.0,
+          1.0 / n_chars)
+      * 1000000000) AS BIGINT) AS key_e9
+  FROM documents
+)
+SELECT doc_id, n_chars, key_e9, rank FROM (
+  SELECT doc_id, n_chars, key_e9,
+    CAST(ROW_NUMBER() OVER (ORDER BY key_e9 DESC, doc_id ASC)
+         AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {_WSAMPLE_K} ORDER BY rank
+"""
+
+R6_QUERIES["docs_weighted_sample"] = docs_weighted_sample
+R6_ORACLES["docs_weighted_sample"] = DOCS_WSAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Curriculum buckets: quality-quartile assignment over the surprisal score
+# ---------------------------------------------------------------------------
+def docs_curriculum_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Quartile curriculum over the unigram-surprisal quality score.
+
+    Curriculum-learning prep: rank documents by mean surprisal (see
+    ``docs_unigram_logprob``) and cut into 4 equal-frequency stages
+    (``ntile``), emitting per-stage counts and score boundaries — the
+    manifest a staged training loader consumes.  The tile assignment
+    orders by (surprisal_e6, doc_id), so ties are deterministic.
+
+    Scale: the score is the linear unigram plan; ntile is one global
+    rank window over scalar rows (id + score only).  At 10⁹ docs the
+    window would ride the range-partitioned sort Spark already uses for
+    global windows — no driver materialization anywhere.
+    """
+    scored = docs_unigram_logprob(spark, sf)
+    w = Window.orderBy(F.col("surprisal_e6").asc(), F.col("doc_id").asc())
+    tiled = scored.withColumn("stage", F.ntile(4).over(w).cast("long"))
+    return (
+        tiled.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("surprisal_e6").alias("min_surprisal_e6"),
+            F.max("surprisal_e6").alias("max_surprisal_e6"),
+            F.sum("n_tokens").alias("stage_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+DOCS_CURRICULUM_SQL = f"""
+WITH {_UNIGRAM_CTES},
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS surprisal_e6
+  FROM inst GROUP BY doc_id
+),
+tiled AS (
+  SELECT doc_id, n_tokens, surprisal_e6,
+    CAST(NTILE(4) OVER (ORDER BY surprisal_e6 ASC, doc_id ASC)
+         AS BIGINT) AS stage
+  FROM scored
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(surprisal_e6) AS min_surprisal_e6,
+  MAX(surprisal_e6) AS max_surprisal_e6,
+  CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
+FROM tiled GROUP BY stage ORDER BY stage
+"""
+
+R6_QUERIES["docs_curriculum_buckets"] = docs_curriculum_buckets
+R6_ORACLES["docs_curriculum_buckets"] = DOCS_CURRICULUM_SQL

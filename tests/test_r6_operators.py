@@ -173,6 +173,38 @@ def test_join_cardinality_estimate_sane(spark):
     assert row.exact_intersection <= min(n_cust, n_ocust)
 
 
+def test_weighted_sample_matches_bruteforce(spark):
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    keys = {}
+    for d in docs:
+        h = int(
+            hashlib.md5(f"wres1:{d.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        keys[d.doc_id] = math.floor(u ** (1.0 / d.n_chars) * 1_000_000_000)
+    expect = sorted(keys.items(), key=lambda p: (-p[1], p[0]))[:50]
+    rows = QUERIES["docs_weighted_sample"](spark, SF).collect()
+    assert [(r.doc_id, r.key_e9) for r in rows] == expect
+    # bias sanity: the weighted sample skews long — its mean n_chars
+    # exceeds the corpus mean
+    mean_all = sum(d.n_chars for d in docs) / len(docs)
+    mean_sample = sum(r.n_chars for r in rows) / len(rows)
+    assert mean_sample > mean_all
+
+
+def test_curriculum_buckets_partition_the_corpus(spark):
+    rows = QUERIES["docs_curriculum_buckets"](spark, SF).collect()
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    # stages are ordered, non-overlapping score bands
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_surprisal_e6 <= b.min_surprisal_e6
+
+
 def test_unigram_logprob_bruteforce(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
     corpus: dict = {}
