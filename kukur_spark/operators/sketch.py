@@ -111,6 +111,79 @@ def hll_sketch(
     )
 
 
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """Global (bucket, rho) register table for one key expression.
+
+    One distinct-hash pass (map-side combinable) collapsing to ≤ m rows;
+    register tables merge with a per-bucket ``max`` union — see
+    :func:`hll_estimate`.
+    """
+    bucket, rho = hll_rho(F.col("_k").cast("string"))
+    return (
+        df.select(key.alias("_k"))
+        .distinct()
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, name: str) -> DataFrame:
+    """1-row BIGINT cardinality estimate from a register table.
+
+    Same harmonic + linear-counting math as :func:`hll_sketch`, with the
+    small-range threshold derived from ``HLL_M`` (5m/2)."""
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("m_nonzero"),
+        (
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(POW2_53)
+        ).alias("harmonic_num"),
+    )
+    raw_est = F.floor(
+        F.lit(ALPHA_MM_POW2_53) / F.col("harmonic_num").cast("double") * F.lit(1.0)
+    )
+    m_zero = F.lit(HLL_M) - F.col("m_nonzero")
+    lc_est = F.floor(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
+    )
+    est = F.when(
+        (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
+    ).otherwise(raw_est)
+    return summary.select(est.cast("long").alias(name))
+
+
+def hll_registers_sql(src: str, key_expr: str) -> str:
+    """DuckDB register-table CTE body mirroring :func:`hll_registers`."""
+    return f"""
+  SELECT bucket, MAX(rho) AS rho FROM (
+    SELECT
+      CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
+      CASE
+        WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
+        ELSE 53 - length(bin(CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
+      END AS rho
+    FROM (SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS _k FROM {src})
+  ) GROUP BY bucket"""
+
+
+def hll_estimate_sql(regs_cte: str, name: str) -> str:
+    """DuckDB estimate-over-registers SELECT mirroring :func:`hll_estimate`."""
+    return f"""
+  SELECT CAST(CASE
+    WHEN ({HLL_M} - COUNT(*)) > 0
+     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(
+       SUM(1::BIGINT << (53 - rho)) + ({HLL_M} - COUNT(*)) * {POW2_53}
+       AS DOUBLE) * 1.0) <= {5 * HLL_M // 2}
+    THEN FLOOR({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - COUNT(*) AS DOUBLE)))
+    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(
+      SUM(1::BIGINT << (53 - rho)) + ({HLL_M} - COUNT(*)) * {POW2_53}
+      AS DOUBLE) * 1.0)
+  END AS BIGINT) AS {name} FROM {regs_cte}"""
+
+
 def hll_sketch_sql(
     table_expr: str, group_cols: List[str], item_expr: str
 ) -> str:

@@ -213,28 +213,19 @@ def _lex_ranks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _dense_ranks(spark: SparkSession, sf: str) -> DataFrame:
-    """Cosine top-``_RRF_DEPTH`` (doc_id, rank_c) around the query vector."""
+    """Cosine top-``_RRF_DEPTH`` (doc_id, rank_c) around the query vector.
+
+    Reuses ``operators.similarity`` dot/norm; the query vector's norm is
+    computed once on the broadcast side (not re-folded per corpus row).
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
-        F.col("embedding").alias("qv")
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("qv"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sqnorm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (
-        F.sqrt(sqnorm(F.col("embedding"))) * F.sqrt(sqnorm(F.col("qv")))
-    )
+        _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    ev = _as_double(F.col("embedding"))
+    cos = dot(ev, F.col("qv")) / (norm(ev) * F.col("qn"))
     wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
@@ -261,8 +252,11 @@ def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     AQE.  The legs themselves are the scale-safe BM25/brute-force plans
     documented on their own queries.
     """
-    lex = _lex_ranks(spark, sf)
-    dense = _dense_ranks(spark, sf)
+    return _fused_top10(_lex_ranks(spark, sf), _dense_ranks(spark, sf))
+
+
+def _fused_top10(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion of two rank tables → top-10 with leg ranks."""
     fused = (
         lex.join(dense, "doc_id", "full_outer")
         .withColumn(
@@ -592,13 +586,19 @@ def docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     total = by_lang.agg(F.sum("w_e6").alias("total_w"))
+    # decimal(38,0) keeps w_e6 * 1e6 exact far past BIGINT (a >8.8e9-token
+    # language would overflow the long product); div on decimals is still
+    # the exact integral quotient, matching DuckDB's HUGEINT `//`.
     return (
         by_lang.crossJoin(F.broadcast(total))
         .select(
             "lang",
             "lang_tokens",
             "w_e6",
-            F.expr("div(w_e6 * 1000000, total_w)").alias("share_ppm"),
+            F.expr(
+                "div(CAST(w_e6 AS DECIMAL(38,0)) * 1000000,"
+                " CAST(total_w AS DECIMAL(38,0)))"
+            ).alias("share_ppm"),
         )
         .orderBy("lang")
     )
@@ -618,7 +618,7 @@ weighted AS (
 ),
 total AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS total_w FROM weighted)
 SELECT lang, lang_tokens, w_e6,
-  (w_e6 * 1000000) // total_w AS share_ppm
+  CAST((CAST(w_e6 AS HUGEINT) * 1000000) // total_w AS BIGINT) AS share_ppm
 FROM weighted CROSS JOIN total
 ORDER BY lang
 """
@@ -644,15 +644,19 @@ def retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     cross-engine.
 
     Scale: both inputs are k-bounded (10 rows); everything after the
-    retrieval legs is constant-size.
+    retrieval legs is constant-size.  The dense leg is computed once
+    and shared (persisted) between the fused system ranking and the
+    truth gains — it is the expensive corpus-scan side.
     """
+    from kukur_spark.io import persist_once
+
+    dense = persist_once(_dense_ranks(spark, sf))
     system = (
-        docs_hybrid_rrf(spark, sf)
+        _fused_top10(_lex_ranks(spark, sf), dense)
         .select("doc_id", F.col("rank").alias("pos"))
     )
     truth = (
-        _dense_ranks(spark, sf)
-        .filter(F.col("rank_c") <= _NDCG_K)
+        dense.filter(F.col("rank_c") <= _NDCG_K)
         .select(
             "doc_id", (F.lit(_NDCG_K + 1) - F.col("rank_c")).alias("rel")
         )
@@ -759,61 +763,21 @@ def join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
     only register tables.  At 100 TB the sketches would be maintained
     incrementally per partition and merged at plan time.
     """
-    from kukur_spark.operators.sketch import (
-        ALPHA_MM_POW2_53,
-        HLL_M,
-        POW2_53,
-        hll_rho,
-    )
-
-    def registers(df: DataFrame, key) -> DataFrame:
-        bucket, rho = hll_rho(F.col("k").cast("string"))
-        return (
-            df.select(key.alias("k"))
-            .distinct()
-            .select(bucket.alias("bucket"), rho.alias("rho"))
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("rho"))
-        )
-
-    def estimate(regs: DataFrame, name: str) -> DataFrame:
-        summary = regs.agg(
-            F.count(F.lit(1)).alias("m_nonzero"),
-            (
-                F.sum(
-                    F.expr(
-                        "shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))"
-                    )
-                )
-                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(POW2_53)
-            ).alias("harmonic_num"),
-        )
-        raw_est = F.floor(
-            F.lit(ALPHA_MM_POW2_53) / F.col("harmonic_num").cast("double")
-        )
-        m_zero = F.lit(HLL_M) - F.col("m_nonzero")
-        lc_est = F.floor(
-            F.lit(float(HLL_M))
-            * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
-        )
-        est = F.when(
-            (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
-        ).otherwise(raw_est)
-        return summary.select(est.cast("long").alias(name))
+    from kukur_spark.operators.sketch import hll_estimate, hll_registers
 
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    left = registers(cust, F.col("c_custkey"))
-    right = registers(orders, F.col("o_custkey"))
+    left = hll_registers(cust, F.col("c_custkey"))
+    right = hll_registers(orders, F.col("o_custkey"))
     union = (
         left.unionByName(right)
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
-    est_l = estimate(left, "est_left")
-    est_r = estimate(right, "est_right")
-    est_u = estimate(union, "est_union")
+    est_l = hll_estimate(left, "est_left")
+    est_r = hll_estimate(right, "est_right")
+    est_u = hll_estimate(union, "est_union")
     exact = cust.select(F.col("c_custkey").alias("k")).intersect(
         orders.select(F.col("o_custkey").alias("k"))
     ).agg(F.count(F.lit(1)).alias("exact_intersection"))
@@ -834,46 +798,22 @@ def join_cardinality_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _hll_est_sql(regs_cte: str, name: str) -> str:
-    """DuckDB estimate over a (bucket, rho) register CTE."""
-    from kukur_spark.operators.sketch import ALPHA_MM_POW2_53, POW2_53
-
-    return f"""
-  SELECT CAST(CASE
-    WHEN (256 - COUNT(*)) > 0
-     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(
-       SUM(1::BIGINT << (53 - rho)) + (256 - COUNT(*)) * {POW2_53}
-       AS DOUBLE)) <= 640
-    THEN FLOOR(256.0 * ln(256.0 / CAST(256 - COUNT(*) AS DOUBLE)))
-    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(
-      SUM(1::BIGINT << (53 - rho)) + (256 - COUNT(*)) * {POW2_53}
-      AS DOUBLE))
-  END AS BIGINT) AS {name} FROM {regs_cte}"""
-
-
 def _join_card_sql() -> str:
-    def regs(src: str, key: str) -> str:
-        return f"""
-  SELECT bucket, MAX(rho) AS rho FROM (
-    SELECT
-      CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
-      CASE
-        WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
-        ELSE 53 - length(bin(CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
-      END AS rho
-    FROM (SELECT DISTINCT CAST({key} AS VARCHAR) AS _k FROM {src})
-  ) GROUP BY bucket"""
+    from kukur_spark.operators.sketch import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
 
     return f"""
-WITH lreg AS ({regs('customer', 'c_custkey')}),
-rreg AS ({regs('orders', 'o_custkey')}),
+WITH lreg AS ({hll_registers_sql('customer', 'c_custkey')}),
+rreg AS ({hll_registers_sql('orders', 'o_custkey')}),
 ureg AS (
   SELECT bucket, MAX(rho) AS rho
   FROM (SELECT * FROM lreg UNION ALL SELECT * FROM rreg) GROUP BY bucket
 ),
-el AS ({_hll_est_sql('lreg', 'est_left')}),
-er AS ({_hll_est_sql('rreg', 'est_right')}),
-eu AS ({_hll_est_sql('ureg', 'est_union')}),
+el AS ({hll_estimate_sql('lreg', 'est_left')}),
+er AS ({hll_estimate_sql('rreg', 'est_right')}),
+eu AS ({hll_estimate_sql('ureg', 'est_union')}),
 ex AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
     SELECT c_custkey FROM customer
@@ -927,7 +867,9 @@ def docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
     key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
-    scored = docs.select(
+    # zero-weight docs can never be drawn in A-Res (and 1/0 diverges
+    # cross-engine: Spark pow(u, inf)=0 vs SQL NULL) — exclude explicitly
+    scored = docs.filter(F.col("n_chars") > 0).select(
         "doc_id",
         "n_chars",
         F.floor(key * 1_000_000_000).cast("long").alias("key_e9"),
@@ -949,7 +891,7 @@ WITH scored AS (
                  1, 8) AS BIGINT) + 0.5) / 4294967296.0,
           1.0 / n_chars)
       * 1000000000) AS BIGINT) AS key_e9
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, key_e9, rank FROM (
   SELECT doc_id, n_chars, key_e9,

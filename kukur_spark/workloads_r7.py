@@ -129,7 +129,12 @@ def events_state_machine(spark: SparkSession, sf: str) -> DataFrame:
     streaming twin (``applyInPandasWithState``) would keep just the
     1-char carry between micro-batches.
     """
-    events = load_table(spark, sf, "events")
+    events = load_table(spark, sf, "events").filter(
+        # null-timestamp events have no place in an ordered replay;
+        # excluded here and in the streaming twin (which drops them in
+        # its per-batch sort) so both paths agree
+        F.col("ts").isNotNull()
+    )
     grouped = (
         events.select(
             "user_id",
@@ -173,7 +178,7 @@ WITH RECURSIVE seqs AS (
   SELECT user_id,
     CAST(COUNT(*) AS BIGINT) AS n_events,
     list(event_type ORDER BY epoch_us(ts), event_id) AS seq
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ),
 walk AS (
   SELECT user_id, n_events, seq, 0 AS i, '0' AS st FROM seqs
