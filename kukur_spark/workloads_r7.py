@@ -49,6 +49,11 @@ def ts_exp_smooth(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("v_e6"),
     )
+    return fold_exp_smooth(base).orderBy("event_type", "day_us")
+
+
+def fold_exp_smooth(base: DataFrame) -> DataFrame:
+    """Core fold on (event_type, day_us, ts_us, v_e6) rows."""
     grouped = base.groupBy("event_type", "day_us").agg(
         F.count(F.lit(1)).alias("n"),
         F.array_sort(
@@ -61,11 +66,8 @@ def ts_exp_smooth(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(vals, 1),
         lambda acc, x: F.shiftright(acc + x, 1),
     )
-    return (
-        grouped.select(
-            "event_type", "day_us", "n", smooth.alias("smooth_e6")
-        )
-        .orderBy("event_type", "day_us")
+    return grouped.select(
+        "event_type", "day_us", "n", smooth.alias("smooth_e6")
     )
 
 
@@ -135,11 +137,22 @@ def events_state_machine(spark: SparkSession, sf: str) -> DataFrame:
         # its per-batch sort) so both paths agree
         F.col("ts").isNotNull()
     )
+    prepared = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return fold_state_machine(prepared).orderBy("user_id")
+
+
+def fold_state_machine(events: DataFrame) -> DataFrame:
+    """Core DFA fold on (user_id, ts_us, event_id, event_type) rows."""
     grouped = (
         events.select(
             "user_id",
             F.struct(
-                F.unix_micros("ts").alias("ts_us"),
+                F.col("ts_us"),
                 F.col("event_id").alias("eid"),
                 F.col("event_type").alias("et"),
             ).alias("e"),
@@ -159,13 +172,10 @@ def events_state_machine(spark: SparkSession, sf: str) -> DataFrame:
         .when((x == "error") & acc.isin("1", "2"), F.lit("3"))
         .otherwise(acc),
     )
-    return (
-        grouped.select(
-            "user_id",
-            "n_events",
-            final_state.cast("long").alias("final_state"),
-        )
-        .orderBy("user_id")
+    return grouped.select(
+        "user_id",
+        "n_events",
+        final_state.cast("long").alias("final_state"),
     )
 
 

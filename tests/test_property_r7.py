@@ -1,0 +1,112 @@
+"""Property differentials for the fold-recursion operators.
+
+Hypothesis drives small adversarial inputs — timestamp ties, single-point
+days, repeated values — through the distributed folds and checks them
+against direct Python recursions.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from kukur_spark.workloads_r7 import fold_exp_smooth, fold_state_machine
+
+# (event_type idx, day, ts, v_e6) — tiny domains force collisions/ties
+smooth_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.integers(0, 1),
+        st.integers(0, 3),
+        st.integers(-(10**12), 10**12),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_SMOOTH_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("day_us", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("v_e6", T.LongType()),
+    ]
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(smooth_rows)
+def test_fold_exp_smooth_matches_python(spark, rows):
+    data = [(f"e{e}", d, ts, v) for e, d, ts, v in rows]
+    out = fold_exp_smooth(
+        spark.createDataFrame(data, _SMOOTH_SCHEMA)
+    ).collect()
+    groups: dict = {}
+    for et, d, ts, v in data:
+        groups.setdefault((et, d), []).append((ts, v))
+    assert len(out) == len(groups)
+    for r in out:
+        pts = sorted(groups[(r.event_type, r.day_us)])
+        st_ = pts[0][1]
+        for _, v in pts[1:]:
+            st_ = (st_ + v) >> 1
+        assert (r.n, r.smooth_e6) == (len(pts), st_)
+
+
+# (user, ts, event_id, event_type idx) — ts ties broken by event_id
+fsm_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 3),
+        st.integers(0, 50),
+        st.integers(0, 4),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[2],  # event_id unique, like the real table
+)
+
+_FSM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+_ETS = ["signup", "purchase", "error", "view", "click"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(fsm_rows)
+def test_fold_state_machine_matches_python(spark, rows):
+    data = [(u, ts, eid, _ETS[e]) for u, ts, eid, e in rows]
+    out = fold_state_machine(
+        spark.createDataFrame(data, _FSM_SCHEMA)
+    ).collect()
+    seqs: dict = {}
+    for u, ts, eid, et in data:
+        seqs.setdefault(u, []).append((ts, eid, et))
+    assert len(out) == len(seqs)
+    for r in out:
+        seq = sorted(seqs[r.user_id])
+        st_ = "0"
+        for _, _, x in seq:
+            if x == "signup" and st_ == "0":
+                st_ = "1"
+            elif x == "purchase" and st_ in ("1", "3"):
+                st_ = "2"
+            elif x == "error" and st_ in ("1", "2"):
+                st_ = "3"
+        assert (r.n_events, r.final_state) == (len(seq), int(st_))
