@@ -428,3 +428,36 @@ def test_mixture_weights_single_aggregate_chain(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's InjectRuntimeFilter builds a bloom filter from the filtered
+    dimension side and applies it to the fact scan before the shuffle —
+    the engine's answer to semi-join pushdown at 100 TB. Local data sits
+    under the size thresholds, so the test lowers them to prove the
+    plumbing; production defaults trigger on real table sizes."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
+        j.collect()
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
