@@ -19,7 +19,7 @@ whole recursion is integer-exact cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
@@ -203,3 +203,78 @@ ORDER BY user_id
 
 R7_QUERIES["events_state_machine"] = events_state_machine
 R7_ORACLES["events_state_machine"] = EVENTS_FSM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event streams
+# ---------------------------------------------------------------------------
+def events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of the event-type stream.
+
+    User-flow analysis: for every ordered pair of consecutive events of
+    the same user, count ``prev_type → event_type`` and emit row-
+    normalized transition probabilities in exact ppm (integer div of
+    integer counts — no float path at all).
+
+    Scale: one ``lag`` window keyed on user (single exchange; per-user
+    state is one row), then a 25-cell aggregate — the transition matrix
+    is event-type² no matter the corpus size, and the row-sum join is a
+    broadcast of that same tiny table.
+    """
+    events = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            # decimal(38,0) keeps n * 1e6 exact past BIGINT at 100 TB counts
+            F.expr(
+                "div(CAST(n AS DECIMAL(38,0)) * 1000000,"
+                " CAST(row_n AS DECIMAL(38,0)))"
+            ).alias("p_ppm"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS prev_type,
+    event_type
+  FROM events WHERE ts IS NOT NULL
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n
+  FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.event_type, c.n,
+  CAST((CAST(c.n AS HUGEINT) * 1000000) // t.row_n AS BIGINT) AS p_ppm
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY c.prev_type, c.event_type
+"""
+
+R7_QUERIES["events_markov_transitions"] = events_markov_transitions
+R7_ORACLES["events_markov_transitions"] = EVENTS_MARKOV_SQL

@@ -74,6 +74,23 @@ def test_state_machine_matches_python_dfa(spark):
         assert (r.n_events, r.final_state) == (len(seq), int(st)), uid
 
 
+def test_markov_transitions_rows_normalize(spark):
+    rows = QUERIES["events_markov_transitions"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r.prev_type].append(r)
+    for prev, cells in by_prev.items():
+        row_n = sum(c.n for c in cells)
+        # ppm floor: row sums to 1e6 minus at most (cells-1) ulps
+        total_ppm = sum(c.p_ppm for c in cells)
+        assert 1_000_000 - len(cells) < total_ppm <= 1_000_000, prev
+        for c in cells:
+            assert c.p_ppm == c.n * 1_000_000 // row_n
+
+
 def test_fold_operators_stay_jvm_side_single_aggregate(spark):
     for name in ("ts_exp_smooth", "events_state_machine"):
         plan = plan_of(QUERIES[name](spark, SF))
