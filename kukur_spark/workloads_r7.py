@@ -278,3 +278,180 @@ ORDER BY c.prev_type, c.event_type
 
 R7_QUERIES["events_markov_transitions"] = events_markov_transitions
 R7_ORACLES["events_markov_transitions"] = EVENTS_MARKOV_SQL
+
+
+# ---------------------------------------------------------------------------
+# SAX motif mining: recurring 4-symbol words per series
+# ---------------------------------------------------------------------------
+def ts_sax_motifs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 recurring SAX 4-grams per series — classic motif discovery.
+
+    Builds on ``ts_paa_sax`` (64 z-normalized segments symbolized with
+    Gaussian breakpoints): sliding 4-symbol words via three ``lead``s
+    over the segment order, then a count aggregate and a per-series
+    top-3.  A recurring word = a recurring intraday shape.
+
+    Scale: the symbol table is 64 rows per series regardless of corpus
+    size (the PAA already collapsed the points), so the word window,
+    count and top-k all run on series-count × 64 rows.
+    """
+    from kukur_spark.workloads_ts import ts_paa_sax
+
+    sax = ts_paa_sax(spark, sf).select("event_type", "seg", "sax")
+    w = Window.partitionBy("event_type").orderBy("seg")
+    words = sax.withColumn(
+        "word",
+        F.concat(
+            "sax",
+            F.lead("sax", 1).over(w),
+            F.lead("sax", 2).over(w),
+            F.lead("sax", 3).over(w),
+        ),
+    ).filter(F.col("word").isNotNull())
+    counts = words.groupBy("event_type", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("word").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(r).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "word", "n", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+def _sax_motifs_sql() -> str:
+    from kukur_spark.workloads_ts import TS_PAA_SAX_SQL
+
+    return f"""
+WITH sax AS (
+  SELECT event_type, seg, sax FROM ({TS_PAA_SAX_SQL}) t
+),
+words AS (
+  SELECT event_type,
+    sax || LEAD(sax, 1) OVER w || LEAD(sax, 2) OVER w
+        || LEAD(sax, 3) OVER w AS word
+  FROM sax WINDOW w AS (PARTITION BY event_type ORDER BY seg)
+),
+counts AS (
+  SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE word IS NOT NULL GROUP BY event_type, word
+)
+SELECT event_type, word, n, rank FROM (
+  SELECT event_type, word, n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY n DESC, word ASC) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 3 ORDER BY event_type, rank
+"""
+
+
+R7_QUERIES["ts_sax_motifs"] = ts_sax_motifs
+R7_ORACLES["ts_sax_motifs"] = _sax_motifs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection: mean k-NN distance
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+_OUTLIER_CAP = 1000  # exact-verify subset; ANN indexes are the scale path
+
+
+def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 embedding outliers by summed 5-NN cosine distance.
+
+    The k-NN outlier score of Ramaswamy et al.: vectors whose nearest
+    neighbors are all far away are isolated — mislabeled or novel
+    samples in an embedding-curation pass.  Per-pair cosines are
+    e6-floored, so the per-vector score (sum of the 5 smallest
+    distances) is an order-free integer and the outlier ranking is
+    deterministic.
+
+    Scale: this exact all-pairs form runs on a capped subset (the
+    verify harness); the production path swaps the pair source for the
+    LSH/IVF candidate join (``operators/similarity.py``) with the same
+    scoring tail.  The query side is broadcast; the corpus is never
+    shuffled.
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < _OUTLIER_CAP)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", norm(F.col("v")))
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.lit(1_000_000) - F.floor(cos * 1_000_000).cast("long")).alias(
+                "dist_e6"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dist_e6").asc(), F.col("vec_id").asc()
+    )
+    knn = (
+        pairs.withColumn("nn", F.row_number().over(wk))
+        .filter(F.col("nn") <= _KNN_K)
+        .groupBy("query_id")
+        .agg(F.sum("dist_e6").alias("score_e6"))
+    )
+    wo = Window.orderBy(F.col("score_e6").desc(), F.col("query_id").asc())
+    return (
+        knn.withColumn("rank", F.row_number().over(wo).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("query_id").alias("vec_id"), "score_e6", "rank")
+        .orderBy("rank")
+    )
+
+
+EMB_OUTLIER_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_OUTLIER_CAP}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+    1000000 - CAST(FLOOR(
+      list_sum(list_transform(range(1, len(c.embedding) + 1),
+        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+          i -> CAST(c.embedding[i] AS DOUBLE)
+               * CAST(c.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+          i -> CAST(q.embedding[i] AS DOUBLE)
+               * CAST(q.embedding[i] AS DOUBLE)))))
+      * 1000000) AS BIGINT) AS dist_e6
+  FROM emb c CROSS JOIN emb q
+  WHERE c.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT query_id, CAST(SUM(dist_e6) AS BIGINT) AS score_e6 FROM (
+    SELECT query_id, dist_e6,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dist_e6 ASC, vec_id ASC) AS nn
+    FROM pairs
+  ) WHERE nn <= {_KNN_K} GROUP BY query_id
+)
+SELECT vec_id, score_e6, rank FROM (
+  SELECT query_id AS vec_id, score_e6,
+    CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, query_id ASC)
+         AS BIGINT) AS rank
+  FROM knn
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+R7_QUERIES["emb_outlier_knn"] = emb_outlier_knn
+R7_ORACLES["emb_outlier_knn"] = EMB_OUTLIER_SQL

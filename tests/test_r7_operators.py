@@ -91,6 +91,57 @@ def test_markov_transitions_rows_normalize(spark):
             assert c.p_ppm == c.n * 1_000_000 // row_n
 
 
+def test_sax_motifs_words_from_symbol_stream(spark):
+    from kukur_spark.workloads_ts import ts_paa_sax
+
+    sym = ts_paa_sax(spark, SF).select("event_type", "seg", "sax").collect()
+    streams: dict = {}
+    for r in sorted(sym, key=lambda r: (r.event_type, r.seg)):
+        streams.setdefault(r.event_type, []).append(r.sax)
+    rows = QUERIES["ts_sax_motifs"](spark, SF).collect()
+    assert rows
+    from collections import Counter
+
+    for et, syms in streams.items():
+        words = Counter(
+            "".join(syms[i : i + 4]) for i in range(len(syms) - 3)
+        )
+        expect = sorted(words.items(), key=lambda p: (-p[1], p[0]))[:3]
+        got = [(r.word, r.n) for r in rows if r.event_type == et]
+        assert got == expect, et
+
+
+def test_emb_outlier_knn_matches_bruteforce(spark):
+    import math
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .filter("vec_id < 1000")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    norms = {i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()}
+    scores = {}
+    for i, v in vecs.items():
+        dists = sorted(
+            (
+                1_000_000
+                - math.floor(
+                    sum(a * b for a, b in zip(v, vecs[j]))
+                    / (norms[i] * norms[j])
+                    * 1_000_000
+                ),
+                j,
+            )
+            for j in vecs
+            if j != i
+        )
+        scores[i] = sum(d for d, _ in dists[:5])
+    expect = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:10]
+    rows = QUERIES["emb_outlier_knn"](spark, SF).collect()
+    assert [(r.vec_id, r.score_e6) for r in rows] == expect
+
+
 def test_fold_operators_stay_jvm_side_single_aggregate(spark):
     for name in ("ts_exp_smooth", "events_state_machine"):
         plan = plan_of(QUERIES[name](spark, SF))
