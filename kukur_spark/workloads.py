@@ -52,6 +52,7 @@ from kukur_spark.workloads_r4 import R4_ORACLES, R4_QUERIES
 from kukur_spark.workloads_r5 import R5_ORACLES, R5_QUERIES
 from kukur_spark.workloads_r6 import R6_ORACLES, R6_QUERIES
 from kukur_spark.workloads_r7 import R7_ORACLES, R7_QUERIES
+from kukur_spark.workloads_r8 import R8_ORACLES, R8_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1804,6 +1805,7 @@ QUERIES.update(R4_QUERIES)
 QUERIES.update(R5_QUERIES)
 QUERIES.update(R6_QUERIES)
 QUERIES.update(R7_QUERIES)
+QUERIES.update(R8_QUERIES)
 
 ORACLES: Dict[str, str] = {
     "tpch_q1": TPCH_Q1_SQL,
@@ -1869,6 +1871,7 @@ ORACLES: Dict[str, str] = {
     **R5_ORACLES,
     **R6_ORACLES,
     **R7_ORACLES,
+    **R8_ORACLES,
 }
 
 

@@ -1,0 +1,232 @@
+"""Round-2 eighth batch: behavioral and corpus-drift diagnostics.
+
+- ``sessions_entry_exit``  — entry/exit event analysis over gap-split
+  sessions (the bounce/landing report of product analytics);
+- ``docs_vocab_drift``     — vocabulary distribution drift between two
+  corpus shards (the "did the crawl change under me" check of corpus
+  curation), as exact ppm share deltas.
+
+Everything is integer-exact: counts, running session indexes, and ppm
+shares via integer division — no float path anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R8_QUERIES: dict = {}
+R8_ORACLES: dict = {}
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessions_entry_exit(spark: SparkSession, sf: str) -> DataFrame:
+    """Session entry/exit matrix: how flows start and how they end.
+
+    Sessions split on the same 30-minute inactivity gap as
+    ``sessionize``; each session contributes its first and last event
+    type ((ts, event_id)-deterministic), and the output counts sessions
+    per (entry, exit) pair — the landing/bounce table.
+
+    Scale: two windows over the same (user, time) clustering — Spark
+    reuses one sort/exchange for both (single ``Exchange
+    hashpartitioning(user_id)``), then a 25-cell aggregate.  Per-user
+    window state is O(1).
+    """
+    events = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(wu)
+    sessed = base.withColumn(
+        "session_idx",
+        F.sum(
+            F.when(gap > _SESSION_GAP_US, 1).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts_us", "event_id"
+    )
+    wsd = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    marked = sessed.withColumn(
+        "rn_a", F.row_number().over(ws)
+    ).withColumn("rn_d", F.row_number().over(wsd))
+    per_session = marked.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+SESSIONS_ENTRY_EXIT_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+gapped AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    CASE WHEN ts_us - LAG(ts_us)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM base
+),
+sessed AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    SUM(new_session)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM gapped
+),
+marked AS (
+  SELECT user_id, session_idx, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                       ORDER BY ts_us, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                       ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM sessed
+),
+per_session AS (
+  SELECT user_id, session_idx,
+    MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+    MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM marked GROUP BY user_id, session_idx
+)
+SELECT entry_type, exit_type,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_session GROUP BY entry_type, exit_type
+ORDER BY entry_type, exit_type
+"""
+
+R8_QUERIES["sessions_entry_exit"] = sessions_entry_exit
+R8_ORACLES["sessions_entry_exit"] = SESSIONS_ENTRY_EXIT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between corpus shards
+# ---------------------------------------------------------------------------
+_DRIFT_A = "src0"
+_DRIFT_B = "src1"
+
+
+def docs_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 tokens by share drift between two corpus shards.
+
+    Corpus-curation check: per-token frequency share (exact ppm of each
+    shard's token total) in shard A vs shard B, ranked by absolute
+    drift.  A crawl/source change shows up as mass moving between
+    tokens; the L1 sum of these deltas is total-variation distance.
+
+    Scale: one token-count aggregate per shard (map-side combinable,
+    vocabulary-sized output), a full-outer join on term keyed by the
+    same hash, and a k-bounded top-10.  Integer-exact throughout
+    (decimal div for the ppm shares).
+    """
+    from kukur_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B)
+    )
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    shares = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "term",
+        F.expr(
+            "div(CAST(n AS DECIMAL(38,0)) * 1000000,"
+            " CAST(total AS DECIMAL(38,0)))"
+        ).alias("share_ppm"),
+    )
+    a = shares.filter(F.col("source") == _DRIFT_A).select(
+        "term", F.col("share_ppm").alias("share_a")
+    )
+    b = shares.filter(F.col("source") == _DRIFT_B).select(
+        "term", F.col("share_ppm").alias("share_b")
+    )
+    joined = (
+        a.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("share_a", F.lit(0)).alias("share_a_ppm"),
+            F.coalesce("share_b", F.lit(0)).alias("share_b_ppm"),
+        )
+        .withColumn(
+            "drift_ppm",
+            F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")),
+        )
+    )
+    w = Window.orderBy(F.col("drift_ppm").desc(), F.col("term").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("term", "share_a_ppm", "share_b_ppm", "drift_ppm", "rank")
+        .orderBy("rank")
+    )
+
+
+DOCS_VOCAB_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}')
+),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY source, term
+),
+totals AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM counts GROUP BY source
+),
+shares AS (
+  SELECT c.source, c.term,
+    CAST((CAST(c.n AS HUGEINT) * 1000000) // t.total AS BIGINT)
+      AS share_ppm
+  FROM counts c JOIN totals t USING (source)
+),
+joined AS (
+  SELECT COALESCE(a.term, b.term) AS term,
+    COALESCE(a.share_ppm, 0) AS share_a_ppm,
+    COALESCE(b.share_ppm, 0) AS share_b_ppm,
+    ABS(COALESCE(a.share_ppm, 0) - COALESCE(b.share_ppm, 0)) AS drift_ppm
+  FROM (SELECT term, share_ppm FROM shares WHERE source = '{_DRIFT_A}') a
+  FULL OUTER JOIN
+       (SELECT term, share_ppm FROM shares WHERE source = '{_DRIFT_B}') b
+  ON a.term = b.term
+)
+SELECT term, share_a_ppm, share_b_ppm, drift_ppm, rank FROM (
+  SELECT term, share_a_ppm, share_b_ppm, drift_ppm,
+    CAST(ROW_NUMBER() OVER (ORDER BY drift_ppm DESC, term ASC)
+         AS BIGINT) AS rank
+  FROM joined
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+R8_QUERIES["docs_vocab_drift"] = docs_vocab_drift
+R8_ORACLES["docs_vocab_drift"] = DOCS_VOCAB_DRIFT_SQL

@@ -1,0 +1,83 @@
+"""Round-2 eighth batch: behavioral/diagnostic workload tests."""
+
+from __future__ import annotations
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessions_entry_exit_matches_python(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in events:
+        per_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    ev_counts: Counter = Counter()
+    gap = 30 * 60
+    for seq in per_user.values():
+        seq.sort()
+        sessions, cur = [], [seq[0]]
+        for prev, nxt in zip(seq, seq[1:]):
+            if (nxt[0] - prev[0]).total_seconds() > gap:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            key = (s[0][2], s[-1][2])
+            pairs[key] += 1
+            ev_counts[key] += len(s)
+    rows = QUERIES["sessions_entry_exit"](spark, SF).collect()
+    got = {(r.entry_type, r.exit_type): (r.n_sessions, r.n_events) for r in rows}
+    assert got == {k: (pairs[k], ev_counts[k]) for k in pairs}
+
+
+def test_sessions_entry_exit_single_user_exchange(spark):
+    plan = plan_of(QUERIES["sessions_entry_exit"](spark, SF))
+    # both session windows and the session aggregate cluster on user_id:
+    # exactly one user-keyed exchange feeds them all
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_drift_matches_python(spark):
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter("source IN ('src0', 'src1')")
+        .select("source", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    counts = {"src0": Counter(), "src1": Counter()}
+    for d in docs:
+        counts[d.source].update(d.text.split(" "))
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    terms = set(counts["src0"]) | set(counts["src1"])
+    drift = {}
+    for t in terms:
+        a = counts["src0"][t] * 1_000_000 // totals["src0"]
+        b = counts["src1"][t] * 1_000_000 // totals["src1"]
+        drift[t] = (a, b, abs(a - b))
+    expect = sorted(
+        ((v[2], t) for t, v in drift.items()), key=lambda p: (-p[0], p[1])
+    )[:10]
+    rows = QUERIES["docs_vocab_drift"](spark, SF).collect()
+    assert [(r.drift_ppm, r.term) for r in rows] == expect
+    for r in rows:
+        a, b, d = drift[r.term]
+        assert (r.share_a_ppm, r.share_b_ppm) == (a, b)
