@@ -172,3 +172,58 @@ def list_catalog(spark: SparkSession) -> List[dict]:
                 {"database": db.name, "table": table.name, "type": table.tableType}
             )
     return out
+
+
+def schema_report(
+    spark: SparkSession, path: str, pattern: str = "*.parquet"
+) -> DataFrame:
+    """Schema-drift report over a directory of parquet files.
+
+    The "did yesterday's export change shape" check: reads only the
+    parquet FOOTERS (no data IO) of every file matching ``pattern`` and
+    returns one row per (column, type) observation with presence counts
+    and drift flags:
+
+    - ``in_all_files`` False → the column appeared or disappeared;
+    - a column name occurring with two different ``dtype`` values →
+      type drift (two rows share the name).
+
+    Driver-side footer reads mirror the reference's inspect family
+    (metadata-only, file-count bounded — the same budget as listing);
+    the result is a DataFrame so drift checks compose with the engine.
+    """
+    import fnmatch
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if fnmatch.fnmatch(f, pattern)
+    )
+    if not files:
+        raise ValueError(f"no files matching {pattern!r} under {path!r}")
+    obs: dict = {}
+    for fp in files:
+        schema = pq.read_schema(fp)
+        for name, typ in zip(schema.names, schema.types):
+            key = (name, str(typ))
+            entry = obs.setdefault(
+                key, {"n_files": 0, "first_file": os.path.basename(fp)}
+            )
+            entry["n_files"] += 1
+    rows = [
+        (
+            name,
+            dtype,
+            int(v["n_files"]),
+            v["first_file"],
+            v["n_files"] == len(files),
+        )
+        for (name, dtype), v in sorted(obs.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, dtype string, n_files long,"
+        " first_file string, in_all_files boolean",
+    )
