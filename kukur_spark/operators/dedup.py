@@ -277,31 +277,16 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_lsh_pairs_md5(
+def _md5_base(
     df: DataFrame,
-    text_column: str = "text",
-    id_column: str = "doc_id",
-    shingle_size: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    jaccard_ppm_threshold: int = 500_000,
+    text_column: str,
+    id_column: str,
+    shingle_size: int,
+    num_hashes: int,
 ) -> DataFrame:
-    """MinHash banding with md5-derived hashes and integer-exact Jaccard.
-
-    Same plan shape as :func:`minhash_lsh_pairs` (map-side signatures →
-    skinny (id, band, bucket) self-join → exact verify on surviving
-    candidates) but every hash is ``md5``-derived and the Jaccard is
-    reported in exact parts-per-million, so DuckDB reproduces the result
-    bit-for-bit. Returns ``id_a, id_b, jaccard_ppm``.
-
-    Use :func:`minhash_lsh_pairs` in production — xxhash64 is ~5× cheaper
-    than md5; this variant exists as correctness evidence for the pipeline.
-    """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
+    """(id, hs, sig) projection with md5-derived shingle hashes/minima."""
     sh = shingles(F.col(text_column), shingle_size)
-    base = (
+    return (
         _spread(df, id_column)
         .select(F.col(id_column).alias("id"), sh.alias("sh"))
         .select(
@@ -322,8 +307,11 @@ def minhash_lsh_pairs_md5(
             ).alias("sig"),
         )
     )
-    base = persist_once(base)
-    banded = base.select(
+
+
+def _md5_banded(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) banding of an ``_md5_base`` signature table."""
+    return base.select(
         "id",
         F.explode(
             F.array(
@@ -350,6 +338,35 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """MinHash banding with md5-derived hashes and integer-exact Jaccard.
+
+    Same plan shape as :func:`minhash_lsh_pairs` (map-side signatures →
+    skinny (id, band, bucket) self-join → exact verify on surviving
+    candidates) but every hash is ``md5``-derived and the Jaccard is
+    reported in exact parts-per-million, so DuckDB reproduces the result
+    bit-for-bit. Returns ``id_a, id_b, jaccard_ppm``.
+
+    Use :func:`minhash_lsh_pairs` in production — xxhash64 is ~5× cheaper
+    than md5; this variant exists as correctness evidence for the pipeline.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    base = persist_once(
+        _md5_base(df, text_column, id_column, shingle_size, num_hashes)
+    )
+    banded = _md5_banded(base, bands, rows_per_band)
     pairs = _band_candidates(banded)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
@@ -360,6 +377,90 @@ def minhash_lsh_pairs_md5(
         .withColumn("jaccard_ppm", F.expr("inter * 1000000L div uni"))
         .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
         .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def minhash_incremental_md5(
+    df: DataFrame,
+    new_predicate: Column,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Incremental near-dup: the new batch checks ONLY against history.
+
+    The realistic 100 TB dedup shape — yesterday's corpus is already
+    deduplicated and its (id, band, bucket) index persisted; today's
+    batch computes signatures for its own rows and bucket-joins against
+    the history index.  No new×new or history×history pairs are ever
+    generated, so incremental cost ∝ batch × collision rate, not corpus².
+
+    ``new_predicate`` splits the frame (True = new batch).  Returns one
+    row per flagged new doc with its best-matching history doc:
+    ``new_id, hist_id, jaccard_ppm`` (max ppm, ties to the smallest
+    hist_id).
+    """
+    from pyspark.sql import Window
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    base = persist_once(
+        _md5_base(df, text_column, id_column, shingle_size, num_hashes).join(
+            df.select(
+                F.col(id_column).alias("id"), new_predicate.alias("_new")
+            ),
+            "id",
+        )
+    )
+    banded = _md5_banded(base, bands, rows_per_band).join(
+        base.select("id", "_new"), "id"
+    )
+    cand = (
+        banded.filter(F.col("_new")).alias("n")
+        .join(
+            banded.filter(~F.col("_new")).alias("h"),
+            on=[
+                F.col("n.band") == F.col("h.band"),
+                F.col("n.bucket") == F.col("h.bucket"),
+            ],
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("h.id").alias("hist_id")
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    sets = base.select("id", "hs")
+    verified = cand.join(
+        sets.withColumnRenamed("id", "new_id").withColumnRenamed("hs", "hs_n"),
+        "new_id",
+    ).join(
+        sets.withColumnRenamed("id", "hist_id").withColumnRenamed(
+            "hs", "hs_h"
+        ),
+        "hist_id",
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_h")).cast("long")
+    tot = (F.size("hs_n") + F.size("hs_h")).cast("long")
+    scored = (
+        verified.withColumn("_inter", inter)
+        .withColumn("_union", tot - inter)
+        .withColumn(
+            "jaccard_ppm", F.expr("div(_inter * 1000000, _union)")
+        )
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("hist_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "hist_id", "jaccard_ppm")
+        .orderBy("new_id")
     )
 
 

@@ -230,3 +230,95 @@ SELECT term, share_a_ppm, share_b_ppm, drift_ppm, rank FROM (
 
 R8_QUERIES["docs_vocab_drift"] = docs_vocab_drift
 R8_ORACLES["docs_vocab_drift"] = DOCS_VOCAB_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs deduplicated history
+# ---------------------------------------------------------------------------
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """New-batch near-dup check against corpus history via LSH buckets.
+
+    Docs with ``doc_id % 5 == 0`` play today's batch; the rest are the
+    already-deduplicated history.  Only new×history bucket collisions
+    are generated (see ``operators.dedup.minhash_incremental_md5``) —
+    the incremental cost a 100 TB pipeline actually pays, with the
+    history banding standing in for a persisted index.
+    """
+    from kukur_spark.operators.dedup import minhash_incremental_md5
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_incremental_md5(docs, (F.col("doc_id") % 5) == 0)
+
+
+def _dedup_incr_sql(
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> str:
+    """DuckDB twin of :func:`dedup_incremental` — generated from the same
+    constants as ``minhash_md5_oracle_sql`` so the pipelines cannot
+    drift."""
+    rows_per_band = num_hashes // bands
+    k = shingle_size
+    sig_entries = ",\n      ".join(
+        "list_min(list_transform(sh, "
+        f"s -> ('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT))"
+        for j in range(num_hashes)
+    )
+    bucket_exprs = "\n    UNION ALL\n".join(
+        "    SELECT id, {b} AS band, ('0x' || substr(md5({concat} || '|{b}'), 1, 15))::BIGINT AS bucket FROM sigs".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"sig[{b * rows_per_band + r + 1}]::VARCHAR"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT id,
+    CASE WHEN len(t) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
+           i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')))
+      ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), sigs AS (
+  SELECT id,
+    list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs,
+    [ {sig_entries} ] AS sig
+  FROM sh
+), banded AS (
+{bucket_exprs}
+), cand AS (
+  SELECT DISTINCT n.id AS new_id, h.id AS hist_id
+  FROM banded n JOIN banded h
+    ON n.band = h.band AND n.bucket = h.bucket
+  WHERE n.id % 5 = 0 AND h.id % 5 <> 0
+), verified AS (
+  SELECT new_id, hist_id,
+    len(list_intersect(hn.hs, hh.hs))::BIGINT AS inter,
+    len(hn.hs)::BIGINT + len(hh.hs)::BIGINT AS tot
+  FROM cand
+  JOIN sigs hn ON hn.id = cand.new_id
+  JOIN sigs hh ON hh.id = cand.hist_id
+), scored AS (
+  SELECT new_id, hist_id,
+    inter * 1000000 // (tot - inter) AS jaccard_ppm
+  FROM verified
+  WHERE inter * 1000000 // (tot - inter) >= {jaccard_ppm_threshold}
+)
+SELECT new_id, hist_id, jaccard_ppm FROM (
+  SELECT new_id, hist_id, jaccard_ppm,
+    ROW_NUMBER() OVER (PARTITION BY new_id
+      ORDER BY jaccard_ppm DESC, hist_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY new_id
+"""
+
+
+R8_QUERIES["dedup_incremental"] = dedup_incremental
+R8_ORACLES["dedup_incremental"] = _dedup_incr_sql()

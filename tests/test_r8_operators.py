@@ -54,6 +54,36 @@ def test_sessions_entry_exit_single_user_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dedup_incremental_no_intra_batch_pairs(spark):
+    rows = QUERIES["dedup_incremental"](spark, SF).collect()
+    for r in rows:
+        assert r.new_id % 5 == 0, "flagged id is not from the new batch"
+        assert r.hist_id % 5 != 0, "match is not from history"
+        assert r.jaccard_ppm >= 500_000
+    # one row per flagged new doc (best match only)
+    ids = [r.new_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_dedup_incremental_consistent_with_full_pairs(spark):
+    """Every incremental flag must appear in the full pairwise md5 run
+    (same constants), restricted to cross-side pairs."""
+    full = QUERIES["minhash_lsh_md5"](spark, SF).collect()
+    cross = {}
+    for r in full:
+        for a, b in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if a % 5 == 0 and b % 5 != 0:
+                cur = cross.get(a)
+                cand = (r.jaccard_ppm, -b)
+                if cur is None or cand > cur:
+                    cross[a] = cand
+    inc = {
+        r.new_id: (r.jaccard_ppm, -r.hist_id)
+        for r in QUERIES["dedup_incremental"](spark, SF).collect()
+    }
+    assert inc == cross
+
+
 def test_vocab_drift_matches_python(spark):
     docs = (
         load_table(spark, SF, "documents")
