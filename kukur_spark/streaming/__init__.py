@@ -594,3 +594,67 @@ def streaming_state_machine(df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exponential smoothing (twin of workloads_r7.ts_exp_smooth)
+# ---------------------------------------------------------------------------
+_SMOOTH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("smooth_e6", T.LongType()),
+    ]
+)
+
+_SMOOTH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("smooth_e6", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _update_exp_smooth(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    smooth, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["ts_us"])
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts_us", "v_e6"])
+        n += len(pdf)
+        for v in pdf["v_e6"]:
+            v = int(v)
+            smooth = v if smooth is None else (smooth + v) >> 1
+    state.update((smooth, n))
+    yield pd.DataFrame(
+        {"series": [key[0]], "n": [n], "smooth_e6": [smooth]}
+    )
+
+
+def streaming_exp_smooth(df: DataFrame, series_column: str = "series") -> DataFrame:
+    """Running α=1/2 exponential smoothing per series — the batch fold's
+    streaming twin.
+
+    State is exactly the fold's carry: one long (plus a counter) per
+    series, which is why the recursion streams at all.  Values ride the
+    same decimal→e6 bridge and arithmetic-shift halving as the batch
+    operator, so for in-order arrival the running value equals the
+    batch fold over the same prefix.
+    """
+    prepared = df.select(
+        F.col(series_column).alias("series"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+        F.floor(F.col(VALUE_COLUMN).cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _update_exp_smooth,
+        outputStructType=_SMOOTH_OUTPUT_SCHEMA,
+        stateStructType=_SMOOTH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -437,3 +437,37 @@ def test_streaming_state_machine_across_batches(spark, tmp_path):
         final[r["user_id"]] = r
     assert final[1]["final_state"] == 3 and final[1]["n_events"] == 4
     assert final[2]["final_state"] == 1 and final[2]["n_events"] == 2
+
+
+def test_streaming_exp_smooth_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_exp_smooth
+
+    path = str(tmp_path / "smooth")
+    batch1 = [("s1", ts(0), 100.0), ("s1", ts(1), 50.0), ("s2", ts(0), 8.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, SCHEMA)
+    out = streaming_exp_smooth(df)
+    name = f"smooth_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    # batch 2 continues the fold from the carried state
+    batch2 = [("s1", ts(5), 10.0), ("s2", ts(6), 4.0)]
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {}
+    for r in rows:  # update mode: last emission per series wins
+        final[r["series"]] = r
+    # s1: 100e6 → (100e6+50e6)>>1 = 75e6 → (75e6+10e6)>>1 = 42.5e6
+    assert final["s1"]["smooth_e6"] == (75_000_000 + 10_000_000) >> 1
+    assert final["s1"]["n"] == 3
+    # s2: 8e6 → (8e6+4e6)>>1 = 6e6
+    assert final["s2"]["smooth_e6"] == 6_000_000 and final["s2"]["n"] == 2
