@@ -322,3 +322,131 @@ SELECT new_id, hist_id, jaccard_ppm FROM (
 
 R8_QUERIES["dedup_incremental"] = dedup_incremental
 R8_ORACLES["dedup_incremental"] = _dedup_incr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-quality eval: per-label centroid margin
+# ---------------------------------------------------------------------------
+def emb_class_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label separation: own-centroid vs best-other-centroid cosine.
+
+    The embedding-space health check behind label-noise triage: each
+    vector's margin is ``cos(v, centroid_own) − max_other cos(v,
+    centroid_other)``; a label whose mean margin hugs zero is entangled
+    with another class.  Centroid components are integer-exact
+    (decimal-bridged per-dimension sums, the ``emb_centroid_per_label``
+    construction) and each margin is e6-floored per vector, so the
+    per-label means are order-free integers.
+
+    Scale: centroids are a label-count-sized broadcast; the corpus is
+    scanned once and never shuffled except the final label-keyed
+    partial aggregate.
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
+                * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label", "pos", F.expr("sum_e6 div cnt").alias("c_e6")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_e6"))),
+                lambda s: s.getField("c_e6").cast("double") / 1_000_000,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    v = _as_double(F.col("embedding"))
+    cos = dot(v, F.col("cv")) / (norm(v) * norm(F.col("cv")))
+    pairs = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cos)
+    )
+    per_vec = pairs.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("cos_c"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("c_label") != F.col("label"), F.col("cos_c"))).alias(
+            "other"
+        ),
+    )
+    margins = per_vec.select(
+        "label",
+        F.floor((F.col("own") - F.col("other")) * 1_000_000)
+        .cast("long")
+        .alias("margin_e6"),
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "div(CAST(SUM(margin_e6) AS DECIMAL(38,0)),"
+                " CAST(COUNT(*) AS DECIMAL(38,0)))"
+            ).alias("mean_margin_e6"),
+            F.sum((F.col("margin_e6") > 0).cast("long")).alias("n_separated"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CLASS_MARGIN_SQL = """
+WITH dims AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings
+),
+cent_dims AS (
+  SELECT label, dim,
+    CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE)
+        AS DECIMAL(30,10))) * 1000000) AS BIGINT) // COUNT(*) AS c_e6
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS c_label,
+    list(CAST(c_e6 AS DOUBLE) / 1000000 ORDER BY dim) AS cv
+  FROM cent_dims GROUP BY label
+),
+pairs AS (
+  SELECT e.vec_id, e.label, c.c_label,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]))
+    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE)
+             * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+        i -> c.cv[i] * c.cv[i])))) AS cos_c
+  FROM embeddings e CROSS JOIN cent c
+),
+per_vec AS (
+  SELECT vec_id, label,
+    MAX(CASE WHEN c_label = label THEN cos_c END) AS own,
+    MAX(CASE WHEN c_label <> label THEN cos_c END) AS other
+  FROM pairs GROUP BY vec_id, label
+),
+margins AS (
+  SELECT label,
+    CAST(FLOOR((own - other) * 1000000) AS BIGINT) AS margin_e6
+  FROM per_vec
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CAST(SUM(margin_e6) AS HUGEINT)
+       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS mean_margin_e6,
+  CAST(SUM(CASE WHEN margin_e6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_separated
+FROM margins GROUP BY label ORDER BY label
+"""
+
+R8_QUERIES["emb_class_margin"] = emb_class_margin
+R8_ORACLES["emb_class_margin"] = EMB_CLASS_MARGIN_SQL

@@ -84,6 +84,58 @@ def test_dedup_incremental_consistent_with_full_pairs(spark):
     assert inc == cross
 
 
+def test_emb_class_margin_matches_bruteforce(spark):
+    import math
+    from decimal import Decimal
+
+    emb = load_table(spark, SF, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [float(x) for x in r.embedding]
+        )
+    cents = {}
+    for lbl, vs in by_label.items():
+        c = []
+        for d in range(len(vs[0])):
+            s_e6 = math.floor(
+                sum(
+                    (Decimal(str(v[d])).quantize(Decimal("1e-10")))
+                    for v in vs
+                )
+                * 1_000_000
+            )
+            q = s_e6 // len(vs) if s_e6 >= 0 else -((-s_e6) // len(vs))
+            c.append(q / 1_000_000)
+        cents[lbl] = c
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    margins: dict = {}
+    for r in emb:
+        v = [float(x) for x in r.embedding]
+        own = cos(v, cents[r.label])
+        other = max(cos(v, c) for l, c in cents.items() if l != r.label)
+        margins.setdefault(r.label, []).append(
+            math.floor((own - other) * 1_000_000)
+        )
+    rows = QUERIES["emb_class_margin"](spark, SF).collect()
+    assert sum(r.n for r in rows) == len(emb)
+    for r in rows:
+        ms = margins[r.label]
+        s = sum(ms)
+        mean = s // len(ms) if s >= 0 else -((-s) // len(ms))
+        assert (r.n, r.mean_margin_e6, r.n_separated) == (
+            len(ms),
+            mean,
+            sum(1 for m in ms if m > 0),
+        ), r.label
+
+
 def test_vocab_drift_matches_python(spark):
     docs = (
         load_table(spark, SF, "documents")
