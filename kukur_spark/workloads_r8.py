@@ -450,3 +450,89 @@ FROM margins GROUP BY label ORDER BY label
 
 R8_QUERIES["emb_class_margin"] = emb_class_margin
 R8_ORACLES["emb_class_margin"] = EMB_CLASS_MARGIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (weighted-quantile family)
+# ---------------------------------------------------------------------------
+def lineitem_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag.
+
+    The lower weighted median: the smallest price whose running quantity
+    mass reaches half the group's total — all integer (price bridged to
+    e2 cents, quantities summed as longs), ties broken by the full key
+    so the cumsum path is deterministic.
+
+    Scale: one cumsum window and the totals aggregate share the same
+    group clustering; the qualifying-row reduction is a min aggregate.
+    Exactly the plan of any percentile-by-sort, with weights riding
+    along for free.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice").cast("decimal(30,10)") * 100)
+        .cast("long")
+        .alias("price_e2"),
+        F.col("l_quantity").cast("decimal(30,10)").alias("qty_dec"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "l_returnflag",
+        "price_e2",
+        F.floor(F.col("qty_dec")).cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "price_e2", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = li.withColumn("cum_qty", F.sum("qty").over(w))
+    totals = li.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_e2").alias("wmedian_price_e2"),
+            F.max("total_qty").alias("total_qty"),
+            F.max("n_rows").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_WMEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(30,10)) * 100) AS BIGINT)
+      AS price_e2,
+    CAST(FLOOR(CAST(l_quantity AS DECIMAL(30,10))) AS BIGINT) AS qty,
+    l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_e2, qty,
+    CAST(SUM(qty) OVER (PARTITION BY l_returnflag
+      ORDER BY price_e2, l_orderkey, l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_qty
+  FROM base
+),
+totals AS (
+  SELECT l_returnflag, CAST(SUM(qty) AS BIGINT) AS total_qty,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+  MIN(c.price_e2) AS wmedian_price_e2,
+  MAX(t.total_qty) AS total_qty,
+  MAX(t.n_rows) AS n_rows
+FROM cum c JOIN totals t USING (l_returnflag)
+WHERE c.cum_qty * 2 >= t.total_qty
+GROUP BY c.l_returnflag ORDER BY c.l_returnflag
+"""
+
+R8_QUERIES["lineitem_weighted_median"] = lineitem_weighted_median
+R8_ORACLES["lineitem_weighted_median"] = LINEITEM_WMEDIAN_SQL

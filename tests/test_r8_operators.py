@@ -136,6 +136,42 @@ def test_emb_class_margin_matches_bruteforce(spark):
         ), r.label
 
 
+def test_weighted_median_matches_python(spark):
+    import math
+    from decimal import Decimal
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        p_e2 = math.floor(Decimal(str(float(r.l_extendedprice))) * 100)
+        q = math.floor(Decimal(str(float(r.l_quantity))))
+        groups.setdefault(r.l_returnflag, []).append(
+            (p_e2, r.l_orderkey, r.l_linenumber, q)
+        )
+    out = {
+        r.l_returnflag: r
+        for r in QUERIES["lineitem_weighted_median"](spark, SF).collect()
+    }
+    assert set(out) == set(groups)
+    for flag, items in groups.items():
+        items.sort()
+        total = sum(q for *_k, q in items)
+        cum = 0
+        for p_e2, _ok, _ln, q in items:
+            cum += q
+            if 2 * cum >= total:
+                assert out[flag].wmedian_price_e2 == p_e2, flag
+                break
+        assert out[flag].total_qty == total
+
+
 def test_vocab_drift_matches_python(spark):
     docs = (
         load_table(spark, SF, "documents")
