@@ -461,3 +461,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_incremental_no_intra_side_join(spark):
+    """Incremental dedup joins new-batch buckets against history buckets
+    only; the verify joins are keyed equi-joins, never nested loops."""
+    plan = plan_of(QUERIES["dedup_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_class_margin_broadcasts_centroids(spark):
+    """The corpus joins a label-sized centroid table: broadcast, with the
+    corpus itself never shuffled before the final label aggregate."""
+    plan = plan_of(QUERIES["emb_class_margin"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_median_single_group_clustering(spark):
+    """Cumsum window and totals ride the same returnflag clustering."""
+    plan = plan_of(QUERIES["lineitem_weighted_median"](spark, SF))
+    assert "hashpartitioning(l_returnflag" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
