@@ -196,8 +196,22 @@ def schema_report(
 
     import pyarrow.parquet as pq
 
+    def footer_of(entry_path: str) -> str:
+        """A plain file reads directly; a directory dataset (Spark's own
+        ``name.parquet/part-*.parquet`` layout) reads its first part."""
+        if os.path.isfile(entry_path):
+            return entry_path
+        parts = sorted(
+            os.path.join(entry_path, p)
+            for p in os.listdir(entry_path)
+            if p.endswith(".parquet") and not p.startswith(("_", "."))
+        )
+        if not parts:
+            raise ValueError(f"no parquet parts under {entry_path!r}")
+        return parts[0]
+
     files = sorted(
-        os.path.join(path, f)
+        footer_of(os.path.join(path, f))
         for f in os.listdir(path)
         if fnmatch.fnmatch(f, pattern)
     )
@@ -206,10 +220,14 @@ def schema_report(
     obs: dict = {}
     for fp in files:
         schema = pq.read_schema(fp)
-        for name, typ in zip(schema.names, schema.types):
-            key = (name, str(typ))
+        # parquet permits duplicate field names: count per-file PRESENCE,
+        # or a doubled column could mask a disappeared-column drift
+        for name, typ in {
+            (n, str(t)) for n, t in zip(schema.names, schema.types)
+        }:
             entry = obs.setdefault(
-                key, {"n_files": 0, "first_file": os.path.basename(fp)}
+                (name, typ),
+                {"n_files": 0, "first_file": os.path.basename(fp)},
             )
             entry["n_files"] += 1
     rows = [

@@ -309,10 +309,16 @@ def _md5_base(
     )
 
 
-def _md5_banded(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """(id, band, bucket) banding of an ``_md5_base`` signature table."""
+def _md5_banded(
+    base: DataFrame, bands: int, rows_per_band: int, carry: tuple = ()
+) -> DataFrame:
+    """(id, band, bucket) banding of an ``_md5_base`` signature table.
+
+    ``carry`` columns ride along the explode (cheaper than joining them
+    back onto the exploded table afterwards)."""
     return base.select(
         "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -337,7 +343,7 @@ def _md5_banded(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *carry, "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs_md5(
@@ -416,9 +422,7 @@ def minhash_incremental_md5(
             "id",
         )
     )
-    banded = _md5_banded(base, bands, rows_per_band).join(
-        base.select("id", "_new"), "id"
-    )
+    banded = _md5_banded(base, bands, rows_per_band, carry=("_new",))
     cand = (
         banded.filter(F.col("_new")).alias("n")
         .join(
@@ -464,19 +468,18 @@ def minhash_incremental_md5(
     )
 
 
-def minhash_md5_oracle_sql(
+def md5_sig_ctes_sql(
     table: str = "documents",
     text_column: str = "text",
     id_column: str = "doc_id",
     shingle_size: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    jaccard_ppm_threshold: int = 500_000,
 ) -> str:
-    """DuckDB SQL computing exactly :func:`minhash_lsh_pairs_md5`.
-
-    Generated from the same constants so the two can never drift apart.
-    """
+    """Shared DuckDB CTE chain ``toks → sh → sigs → banded`` mirroring
+    :func:`_md5_base` + :func:`_md5_banded` — every md5-LSH oracle
+    (full-pairs twin, incremental) composes on this one generator so
+    the signature scheme cannot drift between them."""
     rows_per_band = num_hashes // bands
     k = shingle_size
     sig_entries = ",\n      ".join(
@@ -494,8 +497,7 @@ def minhash_md5_oracle_sql(
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_column} AS id, string_split({text_column}, ' ') AS t
   FROM {table}
 ), sh AS (
@@ -512,7 +514,24 @@ WITH toks AS (
   FROM sh
 ), banded AS (
 {bucket_exprs}
-), cand AS (
+)"""
+
+
+def minhash_md5_oracle_sql(
+    table: str = "documents",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_ppm_threshold: int = 500_000,
+) -> str:
+    """DuckDB SQL computing exactly :func:`minhash_lsh_pairs_md5`.
+
+    Generated from the same constants so the two can never drift apart.
+    """
+    return f"""
+WITH {md5_sig_ctes_sql(table, text_column, id_column, shingle_size, num_hashes, bands)}, cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id

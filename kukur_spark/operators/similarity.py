@@ -328,3 +328,45 @@ def ivf_topk(
     )
     lists = assignments.withColumn("vn", norm(F.col("v")))
     return score_probed_lists(lists, probes, k, id_column)
+
+
+def centroid_dims_e6(
+    df: DataFrame,
+    label_column: str = "label",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Integer-exact per-(label, pos) centroid components.
+
+    posexplode → decimal-bridged e6 sums → bigint division; ``pos`` is
+    0-based. The single construction behind ``emb_centroid_per_label``
+    and ``emb_class_margin`` — the quantization convention lives here
+    only.
+    """
+    dims = df.select(
+        F.col(label_column).alias("label"),
+        F.posexplode(vector_column).alias("pos", "v"),
+    )
+    return (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
+                * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("label", "pos", F.expr("sum_e6 div cnt").alias("c_e6"))
+    )
+
+
+# DuckDB twin of :func:`centroid_dims_e6` (1-based ``dim``).
+CENTROID_DIMS_SQL_CTE = """dims AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS dim, embedding
+  FROM embeddings
+),
+cent_dims AS (
+  SELECT label, dim,
+    CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE)
+        AS DECIMAL(30,10))) * 1000000) AS BIGINT) // COUNT(*) AS c_e6
+  FROM dims GROUP BY label, dim
+)"""

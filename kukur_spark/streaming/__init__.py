@@ -549,11 +549,12 @@ def _update_state_machine(
     key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
 ):
     st, n = state.get if state.exists else ("0", 0)
-    for pdf in pdfs:
-        pdf = pdf.dropna(subset=["ts_us"])
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # a group's trigger data may arrive as several Arrow chunks; the fold
+    # is order-dependent, so sort the WHOLE micro-batch, not each chunk
+    chunks = [pdf.dropna(subset=["ts_us"]) for pdf in pdfs]
+    chunks = [c for c in chunks if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
         n += len(pdf)
         for x in pdf["event_type"]:
             st = _fsm_step(st, x)
@@ -619,11 +620,13 @@ def _update_exp_smooth(
     key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
 ):
     smooth, n = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        pdf = pdf.dropna(subset=["ts_us"])
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts_us", "v_e6"])
+    # concat before sorting (the fold is order-dependent across chunks);
+    # null values would arrive as NaN in the long column — drop them like
+    # null timestamps, they carry no fold contribution
+    chunks = [pdf.dropna(subset=["ts_us", "v_e6"]) for pdf in pdfs]
+    chunks = [c for c in chunks if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "v_e6"])
         n += len(pdf)
         for v in pdf["v_e6"]:
             v = int(v)

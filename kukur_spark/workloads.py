@@ -1449,42 +1449,34 @@ def emb_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
     """Class prototypes: the per-label mean of each embedding dimension.
 
     posexplode → two-key aggregate; the mean is integer-exact (e6-scaled
-    decimal-bridged sum, bigint division). One row per (label, dim) so
-    the oracle compare needs no array assembly."""
+    decimal-bridged sum, bigint division — the shared
+    ``operators.similarity.centroid_dims_e6`` construction). One row per
+    (label, dim) so the oracle compare needs no array assembly."""
+    from kukur_spark.operators.similarity import centroid_dims_e6
+
     emb = load_table(spark, sf, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "v")
-    )
     return (
-        dims.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
-        .agg(
-            F.floor(
-                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
-                * 1_000_000
-            ).cast("long").alias("sum_e6"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+        centroid_dims_e6(emb)
         .select(
             "label",
-            "dim",
-            F.expr("sum_e6 div cnt").alias("centroid_e6"),
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("c_e6").alias("centroid_e6"),
         )
         .orderBy("label", "dim")
     )
 
 
-EMB_CENTROID_SQL = """
-WITH dims AS (
-  SELECT label, unnest(generate_series(1, len(embedding))) AS dim, embedding
-  FROM embeddings
-)
-SELECT label, dim,
-  CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE) AS DECIMAL(30,10))) * 1000000) AS BIGINT)
-    // COUNT(*) AS centroid_e6
-FROM dims
-GROUP BY label, dim
-ORDER BY label, dim
+def _emb_centroid_sql() -> str:
+    from kukur_spark.operators.similarity import CENTROID_DIMS_SQL_CTE
+
+    return f"""
+WITH {CENTROID_DIMS_SQL_CTE}
+SELECT label, dim, c_e6 AS centroid_e6
+FROM cent_dims ORDER BY label, dim
 """
+
+
+EMB_CENTROID_SQL = _emb_centroid_sql()
 
 
 def orders_with_shipments_semi(spark: SparkSession, sf: str) -> DataFrame:

@@ -256,44 +256,13 @@ def _dedup_incr_sql(
     bands: int = 4,
     jaccard_ppm_threshold: int = 500_000,
 ) -> str:
-    """DuckDB twin of :func:`dedup_incremental` — generated from the same
-    constants as ``minhash_md5_oracle_sql`` so the pipelines cannot
-    drift."""
-    rows_per_band = num_hashes // bands
-    k = shingle_size
-    sig_entries = ",\n      ".join(
-        "list_min(list_transform(sh, "
-        f"s -> ('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT))"
-        for j in range(num_hashes)
-    )
-    bucket_exprs = "\n    UNION ALL\n".join(
-        "    SELECT id, {b} AS band, ('0x' || substr(md5({concat} || '|{b}'), 1, 15))::BIGINT AS bucket FROM sigs".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"sig[{b * rows_per_band + r + 1}]::VARCHAR"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
+    """DuckDB twin of :func:`dedup_incremental` — composes on the SAME
+    CTE generator as ``minhash_md5_oracle_sql`` (``md5_sig_ctes_sql``)
+    so the signature pipelines cannot drift."""
+    from kukur_spark.operators.dedup import md5_sig_ctes_sql
+
     return f"""
-WITH toks AS (
-  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
-), sh AS (
-  SELECT id,
-    CASE WHEN len(t) >= {k}
-      THEN list_distinct(list_transform(generate_series(1, len(t) - {k - 1}),
-           i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')))
-      ELSE [array_to_string(t, ' ')] END AS sh
-  FROM toks
-), sigs AS (
-  SELECT id,
-    list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs,
-    [ {sig_entries} ] AS sig
-  FROM sh
-), banded AS (
-{bucket_exprs}
-), cand AS (
+WITH {md5_sig_ctes_sql("documents", "text", "doc_id", shingle_size, num_hashes, bands)}, cand AS (
   SELECT DISTINCT n.id AS new_id, h.id AS hist_id
   FROM banded n JOIN banded h
     ON n.band = h.band AND n.bucket = h.bucket
@@ -342,22 +311,16 @@ def emb_class_margin(spark: SparkSession, sf: str) -> DataFrame:
     scanned once and never shuffled except the final label-keyed
     partial aggregate.
     """
-    from kukur_spark.operators.similarity import _as_double, dot, norm
+    from kukur_spark.operators.similarity import (
+        _as_double,
+        centroid_dims_e6,
+        dot,
+        norm,
+    )
 
     emb = load_table(spark, sf, "embeddings")
-    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
-        dims.groupBy("label", "pos")
-        .agg(
-            F.floor(
-                F.sum(F.col("v").cast("double").cast("decimal(30,10)"))
-                * 1_000_000
-            ).cast("long").alias("sum_e6"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .select(
-            "label", "pos", F.expr("sum_e6 div cnt").alias("c_e6")
-        )
+        centroid_dims_e6(emb)
         .groupBy("label")
         .agg(
             F.transform(
@@ -402,17 +365,11 @@ def emb_class_margin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-EMB_CLASS_MARGIN_SQL = """
-WITH dims AS (
-  SELECT label, unnest(generate_series(1, len(embedding))) AS dim, embedding
-  FROM embeddings
-),
-cent_dims AS (
-  SELECT label, dim,
-    CAST(FLOOR(SUM(CAST(CAST(embedding[dim] AS DOUBLE)
-        AS DECIMAL(30,10))) * 1000000) AS BIGINT) // COUNT(*) AS c_e6
-  FROM dims GROUP BY label, dim
-),
+def _emb_class_margin_sql() -> str:
+    from kukur_spark.operators.similarity import CENTROID_DIMS_SQL_CTE
+
+    return f"""
+WITH {CENTROID_DIMS_SQL_CTE},
 cent AS (
   SELECT label AS c_label,
     list(CAST(c_e6 AS DOUBLE) / 1000000 ORDER BY dim) AS cv
@@ -448,8 +405,9 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
 FROM margins GROUP BY label ORDER BY label
 """
 
+
 R8_QUERIES["emb_class_margin"] = emb_class_margin
-R8_ORACLES["emb_class_margin"] = EMB_CLASS_MARGIN_SQL
+R8_ORACLES["emb_class_margin"] = _emb_class_margin_sql()
 
 
 # ---------------------------------------------------------------------------

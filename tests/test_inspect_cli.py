@@ -154,15 +154,9 @@ def test_schema_report_flags_drift(spark, tmp_path):
     spark.createDataFrame(
         [(2, 3.5)], "id long, score double"
     ).coalesce(1).write.parquet(str(tmp_path / "d2.parquet"))
-    # directory-of-parquet layout: point the report at the part files
-    import glob, shutil
-
-    out = tmp_path / "flat"
-    out.mkdir()
-    for i, d in enumerate(("d1.parquet", "d2.parquet")):
-        src = glob.glob(str(tmp_path / d / "part-*.parquet"))[0]
-        shutil.copy(src, out / f"export_{i}.parquet")
-    rows = schema_report(spark, str(out)).collect()
+    # Spark's own directory-dataset layout is read directly (first part
+    # file per export directory)
+    rows = schema_report(spark, str(tmp_path)).collect()
     by_col = {}
     for r in rows:
         by_col.setdefault(r.column, []).append(r)
