@@ -33,3 +33,27 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001 — collecting all failures
             fails.append((name, str(exc).split("\n")[0][:120]))
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark, tmp_path_factory):
+    """One-row tables: the other degenerate regime (div-by-zero /
+    single-element folds / empty 'other side' of splits)."""
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_tiny"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.limit(1).coalesce(1).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    return dst
+
+
+def test_every_query_survives_single_row_tables(spark, tiny_sf):
+    fails = []
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name](spark, tiny_sf).count()
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            fails.append((name, str(exc).split("\n")[0][:120]))
+    assert not fails, fails
