@@ -416,37 +416,36 @@ R8_ORACLES["emb_class_margin"] = _emb_class_margin_sql()
 def lineitem_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag.
 
-    The lower weighted median: the smallest price whose running quantity
-    mass reaches half the group's total — all integer (price bridged to
-    e2 cents, quantities summed as longs), ties broken by the full key
-    so the cumsum path is deterministic.
+    The lower weighted median: the smallest price whose cumulative
+    quantity mass reaches half the group's total — all integer (price
+    bridged to e2 cents, quantities summed as longs).
 
-    Scale: one cumsum window and the totals aggregate share the same
-    group clustering; the qualifying-row reduction is a min aggregate.
-    Exactly the plan of any percentile-by-sort, with weights riding
-    along for free.
+    Scale: the mass is aggregated per (group, price level) FIRST — a
+    fully parallel map-side-combinable groupBy — so the sequential
+    cumsum window runs over distinct price levels, not raw rows.  With
+    3 return flags a raw-row cumsum would sort everything in 3 tasks
+    (measured 8.9 s at the 10× probe); the aggregated form keeps the
+    heavy pass parallel and the per-group window tiny.
     """
     li = load_table(spark, sf, "lineitem").select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice").cast("decimal(30,10)") * 100)
         .cast("long")
         .alias("price_e2"),
-        F.col("l_quantity").cast("decimal(30,10)").alias("qty_dec"),
-        "l_orderkey",
-        "l_linenumber",
-    ).select(
-        "l_returnflag",
-        "price_e2",
-        F.floor(F.col("qty_dec")).cast("long").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
+        F.floor(F.col("l_quantity").cast("decimal(30,10)"))
+        .cast("long")
+        .alias("qty"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "price_e2", "l_orderkey", "l_linenumber"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = li.withColumn("cum_qty", F.sum("qty").over(w))
-    totals = li.groupBy("l_returnflag").agg(
-        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_rows")
+    mass = li.groupBy("l_returnflag", "price_e2").agg(
+        F.sum("qty").alias("level_qty"), F.count(F.lit(1)).alias("level_rows")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("price_e2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = mass.withColumn("cum_qty", F.sum("level_qty").over(w))
+    totals = mass.groupBy("l_returnflag").agg(
+        F.sum("level_qty").alias("total_qty"),
+        F.sum("level_rows").alias("n_rows"),
     )
     return (
         cum.join(F.broadcast(totals), "l_returnflag")
@@ -466,22 +465,27 @@ WITH base AS (
   SELECT l_returnflag,
     CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(30,10)) * 100) AS BIGINT)
       AS price_e2,
-    CAST(FLOOR(CAST(l_quantity AS DECIMAL(30,10))) AS BIGINT) AS qty,
-    l_orderkey, l_linenumber
+    CAST(FLOOR(CAST(l_quantity AS DECIMAL(30,10))) AS BIGINT) AS qty
   FROM lineitem
 ),
+mass AS (
+  SELECT l_returnflag, price_e2,
+    CAST(SUM(qty) AS BIGINT) AS level_qty,
+    CAST(COUNT(*) AS BIGINT) AS level_rows
+  FROM base GROUP BY l_returnflag, price_e2
+),
 cum AS (
-  SELECT l_returnflag, price_e2, qty,
-    CAST(SUM(qty) OVER (PARTITION BY l_returnflag
-      ORDER BY price_e2, l_orderkey, l_linenumber
+  SELECT l_returnflag, price_e2,
+    CAST(SUM(level_qty) OVER (PARTITION BY l_returnflag
+      ORDER BY price_e2
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       AS cum_qty
-  FROM base
+  FROM mass
 ),
 totals AS (
-  SELECT l_returnflag, CAST(SUM(qty) AS BIGINT) AS total_qty,
-    CAST(COUNT(*) AS BIGINT) AS n_rows
-  FROM base GROUP BY l_returnflag
+  SELECT l_returnflag, CAST(SUM(level_qty) AS BIGINT) AS total_qty,
+    CAST(SUM(level_rows) AS BIGINT) AS n_rows
+  FROM mass GROUP BY l_returnflag
 )
 SELECT c.l_returnflag,
   MIN(c.price_e2) AS wmedian_price_e2,
