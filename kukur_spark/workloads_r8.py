@@ -498,3 +498,316 @@ GROUP BY c.l_returnflag ORDER BY c.l_returnflag
 
 R8_QUERIES["lineitem_weighted_median"] = lineitem_weighted_median
 R8_ORACLES["lineitem_weighted_median"] = LINEITEM_WMEDIAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Composed flagship: RAG indexing + hybrid query in one DAG
+# ---------------------------------------------------------------------------
+_RAG_CH_SIZE = 40  # tokens per chunk
+_RAG_CH_STRIDE = 30
+_RAG_MIN_TOKENS = 20
+_RAG_MAX_TOKENS = 400
+_RAG_TERMS = ["window", "agg", "fast"]
+_RAG_QVEC = 0
+_RAG_DEPTH = 50
+_RAG_K = 60
+
+
+def docs_rag_query(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end RAG pipeline: quality gate → exact dedup → token
+    chunking → chunk-level BM25 → doc-level dense ranks → RRF fusion.
+
+    The whole retrieval stack as ONE lazy DAG — what an indexing+query
+    service actually executes:
+
+    1. quality gate: 20–400 tokens (the C4-style length filter);
+    2. exact dedup: one doc per md5(text), smallest doc_id wins;
+    3. chunking: 40-token windows, stride 30 (pure explode+slice —
+       zero exchange, like ``docs_chunks``);
+    4. lexical leg: Okapi BM25 over CHUNKS (passage retrieval), a doc
+       scored by its best passage;
+    5. dense leg: cosine ranks of the kept docs' embeddings around the
+       query vector;
+    6. fusion: integer RRF (k=60) over the two doc rankings, top-10
+       with the winning passage attached.
+
+    Every float is e6-floored before any sum (order-free integers);
+    all the stage plans are the individually-proven ones — this query
+    pins their composition.
+    """
+    from kukur_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    gated = docs.filter(
+        (F.col("n_tokens") >= _RAG_MIN_TOKENS)
+        & (F.col("n_tokens") <= _RAG_MAX_TOKENS)
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        gated.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    n_extra = F.when(
+        F.col("n_tokens") > _RAG_CH_SIZE,
+        F.expr(
+            f"div(n_tokens - {_RAG_CH_SIZE - _RAG_CH_STRIDE + 1},"
+            f" {_RAG_CH_STRIDE})"
+        ),
+    ).otherwise(F.lit(0))
+    chunks = (
+        kept.withColumn("n_extra", n_extra)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_extra"))
+            ).alias("chunk_idx"),
+            F.slice(
+                tokens(F.col("text")),
+                F.col("chunk_idx").cast("int") * _RAG_CH_STRIDE + 1,
+                _RAG_CH_SIZE,
+            ).alias("ctoks"),
+        )
+        .withColumn("dl", F.size("ctoks").cast("long"))
+    )
+
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("dl").alias("total_dl"),
+    )
+    matched = chunks.select(
+        "doc_id", "chunk_idx", "dl", F.explode("ctoks").alias("term")
+    ).filter(F.col("term").isin(_RAG_TERMS))
+    tf = matched.groupBy("doc_id", "chunk_idx", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = (
+        matched.select("doc_id", "chunk_idx", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_chunks") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_chunks")
+    norm = F.expr("1.2 * 0.25") + F.expr("1.2 * 0.75") * F.col("dl") / avgdl
+    contrib = idf * (F.col("tf") * 2.2 / (F.col("tf") + norm))
+    chunk_scores = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c_e6", F.floor(contrib * 1_000_000).cast("long"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("c_e6").alias("chunk_bm25_e6"))
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("chunk_bm25_e6").desc(), F.col("chunk_idx").asc()
+    )
+    best = (
+        chunk_scores.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "chunk_idx", "chunk_bm25_e6")
+    )
+    wlex = Window.orderBy(
+        F.col("chunk_bm25_e6").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        best.withColumn("rank_b", F.row_number().over(wlex).cast("long"))
+        .filter(F.col("rank_b") <= _RAG_DEPTH)
+        .select("doc_id", "chunk_idx", "chunk_bm25_e6", "rank_b")
+    )
+
+    from kukur_spark.operators.similarity import _as_double, dot, norm as vnorm
+
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .join(
+            kept.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        .select("vec_id", "embedding")
+    )
+    qv = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == _RAG_QVEC)
+        .select(_as_double(F.col("embedding")).alias("qv"))
+        .withColumn("qn", vnorm(F.col("qv")))
+    )
+    ev = _as_double(F.col("embedding"))
+    cos = dot(ev, F.col("qv")) / (vnorm(ev) * F.col("qn"))
+    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    dense = (
+        emb.filter(F.col("vec_id") != _RAG_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank_c", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank_c") <= _RAG_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rank_c")
+    )
+
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_e9",
+            F.coalesce(
+                F.expr(f"div(1000000000, {_RAG_K} + rank_b)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"div(1000000000, {_RAG_K} + rank_c)"), F.lit(0)
+            ),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").alias("best_chunk_idx"),
+            "chunk_bm25_e6",
+            "rank_b",
+            "rank_c",
+            "rrf_e9",
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+DOCS_RAG_SQL = f"""
+WITH docs_t AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+gated AS (
+  SELECT * FROM docs_t
+  WHERE n_tokens BETWEEN {_RAG_MIN_TOKENS} AND {_RAG_MAX_TOKENS}
+),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT doc_id, text, n_tokens,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+    list_slice(string_split(text, ' '),
+      chunk_idx * {_RAG_CH_STRIDE} + 1,
+      chunk_idx * {_RAG_CH_STRIDE} + {_RAG_CH_SIZE}) AS ctoks
+  FROM (
+    SELECT doc_id, text,
+      unnest(generate_series(0,
+        CASE WHEN n_tokens > {_RAG_CH_SIZE}
+          THEN (n_tokens - {_RAG_CH_SIZE - _RAG_CH_STRIDE + 1})
+               // {_RAG_CH_STRIDE}
+          ELSE 0 END)) AS chunk_idx
+    FROM kept
+  )
+),
+chunks_dl AS (
+  SELECT doc_id, chunk_idx, ctoks,
+    CAST(len(ctoks) AS BIGINT) AS dl
+  FROM chunks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+    CAST(SUM(dl) AS BIGINT) AS total_dl
+  FROM chunks_dl
+),
+matched AS (
+  SELECT doc_id, chunk_idx, dl, unnest(ctoks) AS term FROM chunks_dl
+),
+matched_f AS (
+  SELECT * FROM matched
+  WHERE term IN ({", ".join(repr(t) for t in _RAG_TERMS)})
+),
+tf AS (
+  SELECT doc_id, chunk_idx, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM matched_f GROUP BY doc_id, chunk_idx, dl, term
+),
+df_tbl AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id, chunk_idx, term FROM matched_f
+  ) GROUP BY term
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx,
+    CAST(SUM(CAST(FLOOR(
+      ln(1.0 + (s.n_chunks - d.df + 0.5) / (d.df + 0.5))
+      * (tf.tf * 2.2
+         / (tf.tf + 1.2 * 0.25
+            + 1.2 * 0.75 * tf.dl
+              / (CAST(s.total_dl AS DOUBLE) / s.n_chunks)))
+      * 1000000) AS BIGINT)) AS BIGINT) AS chunk_bm25_e6
+  FROM tf JOIN df_tbl d USING (term) CROSS JOIN stats s
+  GROUP BY doc_id, chunk_idx
+),
+best AS (
+  SELECT doc_id, chunk_idx, chunk_bm25_e6 FROM (
+    SELECT doc_id, chunk_idx, chunk_bm25_e6,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY chunk_bm25_e6 DESC, chunk_idx ASC) AS rn
+    FROM chunk_scores
+  ) WHERE rn = 1
+),
+lex AS (
+  SELECT doc_id, chunk_idx, chunk_bm25_e6, rank_b FROM (
+    SELECT doc_id, chunk_idx, chunk_bm25_e6,
+      CAST(ROW_NUMBER() OVER (ORDER BY chunk_bm25_e6 DESC, doc_id ASC)
+           AS BIGINT) AS rank_b
+    FROM best
+  ) WHERE rank_b <= {_RAG_DEPTH}
+),
+kept_emb AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE e.vec_id IN (SELECT doc_id FROM kept)
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RAG_QVEC}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE)
+             * CAST(e.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+    AS cos_sim
+  FROM kept_emb e CROSS JOIN q
+  WHERE e.vec_id <> {_RAG_QVEC}
+),
+dense AS (
+  SELECT doc_id, rank_c FROM (
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+           AS BIGINT) AS rank_c
+    FROM scored
+  ) WHERE rank_c <= {_RAG_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+    lex.chunk_idx AS best_chunk_idx, lex.chunk_bm25_e6,
+    rank_b, rank_c,
+    COALESCE(1000000000 // ({_RAG_K} + rank_b), 0)
+    + COALESCE(1000000000 // ({_RAG_K} + rank_c), 0) AS rrf_e9
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, best_chunk_idx, chunk_bm25_e6, rank_b, rank_c, rrf_e9,
+       rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id ASC)
+                 AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+R8_QUERIES["docs_rag_query"] = docs_rag_query
+R8_ORACLES["docs_rag_query"] = DOCS_RAG_SQL

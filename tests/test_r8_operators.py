@@ -199,3 +199,41 @@ def test_vocab_drift_matches_python(spark):
     for r in rows:
         a, b, d = drift[r.term]
         assert (r.share_a_ppm, r.share_b_ppm) == (a, b)
+
+
+def test_rag_query_stage_consistency(spark):
+    """The composed pipeline agrees with its stages: every returned doc
+    passed the quality gate + dedup, and leg ranks are consistent with
+    the fused ordering."""
+    rows = QUERIES["docs_rag_query"](spark, SF).collect()
+    assert rows
+    docs = load_table(spark, SF, "documents").collect()
+    toks = {d.doc_id: d.text.split(" ") for d in docs}
+    # quality gate + exact-dedup survivors
+    by_md5: dict = {}
+    import hashlib
+
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        if not (20 <= len(toks[d.doc_id]) <= 400):
+            continue
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        by_md5.setdefault(h, d.doc_id)
+    kept = set(by_md5.values())
+    for r in rows:
+        assert r.doc_id in kept
+        assert r.rrf_e9 == (
+            (1_000_000_000 // (60 + r.rank_b) if r.rank_b else 0)
+            + (1_000_000_000 // (60 + r.rank_c) if r.rank_c else 0)
+        )
+        if r.rank_b is not None:
+            # the winning passage must actually contain a query term
+            ct = toks[r.doc_id][r.best_chunk_idx * 30 :][:40]
+            assert set(ct) & {"window", "agg", "fast"}, r
+    fused = [(r.rrf_e9, -r.doc_id) for r in rows]
+    assert fused == sorted(fused, reverse=True)
+
+
+def test_rag_query_no_python_no_cartesian(spark):
+    plan = plan_of(QUERIES["docs_rag_query"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
