@@ -114,15 +114,16 @@ def hll_sketch(
 def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     """Global (bucket, rho) register table for one key expression.
 
-    One distinct-hash pass (map-side combinable) collapsing to ≤ m rows;
-    register tables merge with a per-bucket ``max`` union — see
-    :func:`hll_estimate`.
+    NO distinct pass: md5 is deterministic per key, so duplicate keys
+    land on an identical (bucket, rho) and the per-bucket ``max`` —
+    map-side combinable, ≤ m rows per partition on the wire — absorbs
+    them for free.  (An exact distinct here would shuffle every unique
+    key, the precise cost the sketch exists to avoid.)  Register tables
+    merge with a per-bucket ``max`` union — see :func:`hll_estimate`.
     """
-    bucket, rho = hll_rho(F.col("_k").cast("string"))
+    bucket, rho = hll_rho(key.cast("string"))
     return (
-        df.select(key.alias("_k"))
-        .distinct()
-        .select(bucket.alias("bucket"), rho.alias("rho"))
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )

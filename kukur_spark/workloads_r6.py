@@ -63,8 +63,11 @@ def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    doclen = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    # doclen derives from the SAME exploded stream (map-side-combinable
+    # count, one long per doc on the wire) — the corpus text really is
+    # read and tokenized once
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
     )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -212,15 +215,21 @@ def _lex_ranks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _dense_ranks(spark: SparkSession, sf: str) -> DataFrame:
+def _dense_ranks(
+    spark: SparkSession, sf: str, keep: DataFrame | None = None
+) -> DataFrame:
     """Cosine top-``_RRF_DEPTH`` (doc_id, rank_c) around the query vector.
 
     Reuses ``operators.similarity`` dot/norm; the query vector's norm is
     computed once on the broadcast side (not re-folded per corpus row).
+    ``keep`` (one ``vec_id`` column) restricts the corpus by semi-join —
+    the RAG pipeline passes its quality/dedup survivors.
     """
     from kukur_spark.operators.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    if keep is not None:
+        emb = emb.join(keep, "vec_id", "left_semi")
     qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -255,8 +264,13 @@ def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     return _fused_top10(_lex_ranks(spark, sf), _dense_ranks(spark, sf))
 
 
-def _fused_top10(lex: DataFrame, dense: DataFrame) -> DataFrame:
-    """RRF fusion of two rank tables → top-10 with leg ranks."""
+def _fused_top10(
+    lex: DataFrame, dense: DataFrame, carry: tuple = ()
+) -> DataFrame:
+    """RRF fusion of two rank tables → top-10 with leg ranks.
+
+    ``carry`` columns of the lexical side ride through the fusion (the
+    RAG flagship carries its winning passage)."""
     fused = (
         lex.join(dense, "doc_id", "full_outer")
         .withColumn(
@@ -273,7 +287,7 @@ def _fused_top10(lex: DataFrame, dense: DataFrame) -> DataFrame:
     return (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= 10)
-        .select("doc_id", "rank_b", "rank_c", "rrf_e9", "rank")
+        .select("doc_id", *carry, "rank_b", "rank_c", "rrf_e9", "rank")
         .orderBy("rank")
     )
 

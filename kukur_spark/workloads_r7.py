@@ -40,7 +40,12 @@ def ts_exp_smooth(spark: SparkSession, sf: str) -> DataFrame:
     hash aggregate (collect_list) per group, no window, no UDF, no
     iteration barrier.
     """
-    events = load_table(spark, sf, "events")
+    events = load_table(spark, sf, "events").filter(
+        # null ts/value rows carry no fold contribution — excluded here
+        # AND in the streaming twin (its dropna) so the pair agrees on
+        # both n and the smoothed value
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     base = events.select(
         "event_type",
         F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
@@ -84,7 +89,7 @@ WITH RECURSIVE base AS (
     epoch_us(date_trunc('day', ts)) AS day_us,
     epoch_us(ts) AS ts_us,
     CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 seqs AS (
   SELECT event_type, day_us,
@@ -113,11 +118,14 @@ R7_ORACLES["ts_exp_smooth"] = TS_EXP_SMOOTH_SQL
 # Lifecycle DFA: 0 new → (signup) → 1 active → (purchase) → 2 customer;
 # error knocks an active/customer user to 3 at-risk; a purchase recovers
 # an at-risk user to 2. Everything else is a self-loop.
-_FSM_CASE = """CASE
-  WHEN x = 'signup'   AND acc = '0'              THEN '1'
-  WHEN x = 'purchase' AND acc IN ('1', '3')      THEN '2'
-  WHEN x = 'error'    AND acc IN ('1', '2')      THEN '3'
-  ELSE acc END"""
+def _fsm_case_sql(acc: str, x: str) -> str:
+    """The DFA transition as SQL over explicit state/input expressions —
+    no placeholder surgery, so renames cannot silently break it."""
+    return f"""CASE
+  WHEN {x} = 'signup'   AND {acc} = '0'              THEN '1'
+  WHEN {x} = 'purchase' AND {acc} IN ('1', '3')      THEN '2'
+  WHEN {x} = 'error'    AND {acc} IN ('1', '2')      THEN '3'
+  ELSE {acc} END"""
 
 
 def events_state_machine(spark: SparkSession, sf: str) -> DataFrame:
@@ -179,9 +187,7 @@ def fold_state_machine(events: DataFrame) -> DataFrame:
     )
 
 
-_FSM_STEP = _FSM_CASE.replace("x ", "seq[i + 1] ").replace(
-    "acc ", "st "
-).replace("ELSE acc", "ELSE st")
+_FSM_STEP = _fsm_case_sql("st", "seq[i + 1]")
 
 EVENTS_FSM_SQL = f"""
 WITH RECURSIVE seqs AS (

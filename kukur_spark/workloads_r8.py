@@ -359,7 +359,12 @@ def emb_class_margin(spark: SparkSession, sf: str) -> DataFrame:
                 "div(CAST(SUM(margin_e6) AS DECIMAL(38,0)),"
                 " CAST(COUNT(*) AS DECIMAL(38,0)))"
             ).alias("mean_margin_e6"),
-            F.sum((F.col("margin_e6") > 0).cast("long")).alias("n_separated"),
+            # when(...)​.otherwise(0) so a NULL margin (single-label
+            # regime: no "other" centroid) counts 0, like the oracle's
+            # CASE — a bare (x > 0).cast sum would be NULL there
+            F.sum(
+                F.when(F.col("margin_e6") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_separated"),
         )
         .orderBy("label")
     )
@@ -503,14 +508,17 @@ R8_ORACLES["lineitem_weighted_median"] = LINEITEM_WMEDIAN_SQL
 # ---------------------------------------------------------------------------
 # Composed flagship: RAG indexing + hybrid query in one DAG
 # ---------------------------------------------------------------------------
+from kukur_spark.workloads_r6 import (  # noqa: E402 — shared RRF wiring
+    _RRF_DEPTH as _RAG_DEPTH,
+    _RRF_K as _RAG_K,
+    _RRF_QUERY_VEC as _RAG_QVEC,
+)
+
 _RAG_CH_SIZE = 40  # tokens per chunk
 _RAG_CH_STRIDE = 30
 _RAG_MIN_TOKENS = 20
 _RAG_MAX_TOKENS = 400
 _RAG_TERMS = ["window", "agg", "fast"]
-_RAG_QVEC = 0
-_RAG_DEPTH = 50
-_RAG_K = 60
 
 
 def docs_rag_query(spark: SparkSession, sf: str) -> DataFrame:
@@ -622,62 +630,17 @@ def docs_rag_query(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "chunk_bm25_e6", "rank_b")
     )
 
-    from kukur_spark.operators.similarity import _as_double, dot, norm as vnorm
+    # dense leg + fusion are the r6 helpers — one implementation of the
+    # cosine ranking and the RRF wiring serves both the standalone
+    # hybrid query and this flagship (same _RRF_K/_RRF_DEPTH constants)
+    from kukur_spark.workloads_r6 import _dense_ranks, _fused_top10
 
-    emb = (
-        load_table(spark, sf, "embeddings")
-        .join(
-            kept.select(F.col("doc_id").alias("vec_id")),
-            "vec_id",
-            "left_semi",
-        )
-        .select("vec_id", "embedding")
+    dense = _dense_ranks(
+        spark, sf, keep=kept.select(F.col("doc_id").alias("vec_id"))
     )
-    qv = (
-        load_table(spark, sf, "embeddings")
-        .filter(F.col("vec_id") == _RAG_QVEC)
-        .select(_as_double(F.col("embedding")).alias("qv"))
-        .withColumn("qn", vnorm(F.col("qv")))
-    )
-    ev = _as_double(F.col("embedding"))
-    cos = dot(ev, F.col("qv")) / (vnorm(ev) * F.col("qn"))
-    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    dense = (
-        emb.filter(F.col("vec_id") != _RAG_QVEC)
-        .crossJoin(F.broadcast(qv))
-        .withColumn("cos_sim", cos)
-        .withColumn("rank_c", F.row_number().over(wc).cast("long"))
-        .filter(F.col("rank_c") <= _RAG_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), "rank_c")
-    )
-
-    fused = (
-        lex.join(dense, "doc_id", "full_outer")
-        .withColumn(
-            "rrf_e9",
-            F.coalesce(
-                F.expr(f"div(1000000000, {_RAG_K} + rank_b)"), F.lit(0)
-            )
-            + F.coalesce(
-                F.expr(f"div(1000000000, {_RAG_K} + rank_c)"), F.lit(0)
-            ),
-        )
-    )
-    wf = Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "doc_id",
-            F.col("chunk_idx").alias("best_chunk_idx"),
-            "chunk_bm25_e6",
-            "rank_b",
-            "rank_c",
-            "rrf_e9",
-            "rank",
-        )
-        .orderBy("rank")
-    )
+    return _fused_top10(
+        lex, dense, carry=("chunk_idx", "chunk_bm25_e6")
+    ).withColumnRenamed("chunk_idx", "best_chunk_idx")
 
 
 DOCS_RAG_SQL = f"""
