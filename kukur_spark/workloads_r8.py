@@ -774,3 +774,139 @@ FROM (
 
 R8_QUERIES["docs_rag_query"] = docs_rag_query
 R8_ORACLES["docs_rag_query"] = DOCS_RAG_SQL
+
+
+# ---------------------------------------------------------------------------
+# Duplication-rate report per source
+# ---------------------------------------------------------------------------
+def docs_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact-duplicate pressure, in exact ppm.
+
+    For each source: how many of its docs share an md5(text) with ANY
+    doc in the corpus (cross-source dupes count — the crawl-overlap
+    signal), and how many would be dropped by keep-smallest-doc_id
+    dedup.  Two map-side-combinable aggregates over the fingerprint;
+    the fingerprint table is vocabulary-of-texts sized.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    fps = docs.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("fp_n"),
+        F.min("doc_id").alias("fp_keeper"),
+    )
+    joined = docs.join(fps, "fp")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("fp_n") > 1, 1).otherwise(0)
+            ).cast("long").alias("n_duplicated"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("fp_keeper"), 1).otherwise(0)
+            ).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_duplicated",
+            "n_dropped",
+            F.expr("div(n_duplicated * 1000000, n_docs)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_DUP_RATE_SQL = """
+WITH fps AS (
+  SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS fp_n,
+    MIN(doc_id) AS fp_keeper
+  FROM documents GROUP BY md5(text)
+),
+joined AS (
+  SELECT d.source, d.doc_id, f.fp_n, f.fp_keeper
+  FROM documents d JOIN fps f ON md5(d.text) = f.fp
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_duplicated,
+  CAST(SUM(CASE WHEN doc_id <> fp_keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  (SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+    AS dup_ppm
+FROM joined GROUP BY source ORDER BY source
+"""
+
+R8_QUERIES["docs_dup_rate_by_source"] = docs_dup_rate_by_source
+R8_ORACLES["docs_dup_rate_by_source"] = DOCS_DUP_RATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Error-burst detection (max events in any sliding hour)
+# ---------------------------------------------------------------------------
+def events_error_burst(spark: SparkSession, sf: str) -> DataFrame:
+    """Worst 1-hour error burst per user: max errors inside any sliding
+    60-minute window anchored at an error.
+
+    Incident triage: a RANGE window (59m59.999999s preceding → current)
+    counts errors per anchor; the per-user max is the burst depth, with
+    the anchoring timestamp of the first worst burst.  Exact integers
+    end to end.
+
+    Scale: one user-keyed exchange; RANGE window state is bounded by
+    events-per-hour-per-user.
+    """
+    errors = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-(hour_us - 1), 0)
+    )
+    burst = errors.withColumn(
+        "burst_n", F.count(F.lit(1)).over(w).cast("long")
+    )
+    wmax = Window.partitionBy("user_id").orderBy(
+        F.col("burst_n").desc(), F.col("ts_us").asc()
+    )
+    return (
+        burst.withColumn("_rn", F.row_number().over(wmax))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "burst_n",
+            F.col("ts_us").alias("burst_end_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ERROR_BURST_SQL = """
+WITH errors AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'error'
+),
+burst AS (
+  SELECT user_id, ts_us,
+    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS burst_n
+  FROM errors
+)
+SELECT user_id, burst_n, burst_end_us FROM (
+  SELECT user_id, burst_n, ts_us AS burst_end_us,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY burst_n DESC, ts_us ASC) AS rn
+  FROM burst
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+R8_QUERIES["events_error_burst"] = events_error_burst
+R8_ORACLES["events_error_burst"] = EVENTS_ERROR_BURST_SQL

@@ -237,3 +237,55 @@ def test_rag_query_no_python_no_cartesian(spark):
     plan = plan_of(QUERIES["docs_rag_query"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_rate_consistent_with_exact_dedup(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    import hashlib
+    from collections import Counter, defaultdict
+
+    fp_n: Counter = Counter()
+    keeper: dict = {}
+    for d in docs:
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        fp_n[h] += 1
+        keeper[h] = min(keeper.get(h, d.doc_id), d.doc_id)
+    expect = defaultdict(lambda: [0, 0, 0])
+    for d in docs:
+        h = hashlib.md5(d.text.encode()).hexdigest()
+        e = expect[d.source]
+        e[0] += 1
+        e[1] += fp_n[h] > 1
+        e[2] += d.doc_id != keeper[h]
+    rows = QUERIES["docs_dup_rate_by_source"](spark, SF).collect()
+    got = {r.source: [r.n_docs, r.n_duplicated, r.n_dropped] for r in rows}
+    assert got == dict(expect)
+    for r in rows:
+        assert r.dup_ppm == r.n_duplicated * 1_000_000 // r.n_docs
+
+
+def test_error_burst_matches_python(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .filter("event_type = 'error'")
+        .select("user_id", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in events:
+        per_user[r.user_id].append(
+            int(r.ts.timestamp() * 1_000_000)
+        )
+    rows = QUERIES["events_error_burst"](spark, SF).collect()
+    assert len(rows) == len(per_user)
+    hour = 3_600_000_000
+    for r in rows:
+        ts = sorted(per_user[r.user_id])
+        best = max(
+            (sum(1 for u in ts if t - hour < u <= t), -t) for t in ts
+        )
+        assert (r.burst_n, -r.burst_end_us) == best, r.user_id
