@@ -910,3 +910,90 @@ SELECT user_id, burst_n, burst_end_us FROM (
 
 R8_QUERIES["events_error_burst"] = events_error_burst
 R8_ORACLES["events_error_burst"] = EVENTS_ERROR_BURST_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest above-threshold streak per series
+# ---------------------------------------------------------------------------
+_STREAK_THR_E6 = 50_000_000  # value > 50.0, on the e6 bridge
+
+
+def ts_threshold_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive above-threshold run per series — the classic
+    gaps-and-islands rewrite.
+
+    Island id = (row_number over all rows) − (row_number over qualifying
+    rows): constant within each unbroken run, so runs reduce with one
+    count aggregate.  Emits the longest streak's length and start/end
+    timestamps (ties → earliest start).  Threshold compares on the e6
+    integer bridge, so qualification cannot flip cross-engine.
+
+    Scale: both window passes and the island aggregate cluster on the
+    series key — one exchange; window state is O(1) per row.
+    """
+    events = load_table(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    w_all = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    w_hit = Window.partitionBy("event_type", "hit").orderBy(
+        "ts_us", "event_id"
+    )
+    marked = (
+        events.withColumn("hit", F.col("v_e6") > _STREAK_THR_E6)
+        .withColumn("rn_all", F.row_number().over(w_all))
+        .withColumn("rn_hit", F.row_number().over(w_hit))
+        .filter(F.col("hit"))
+        .withColumn("island", F.col("rn_all") - F.col("rn_hit"))
+    )
+    islands = marked.groupBy("event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("streak_len").desc(), F.col("start_us").asc()
+    )
+    return (
+        islands.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "streak_len", "start_us", "end_us")
+        .orderBy("event_type")
+    )
+
+
+TS_STREAKS_SQL = f"""
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events
+),
+marked AS (
+  SELECT event_type, ts_us, event_id,
+    v_e6 > {_STREAK_THR_E6} AS hit,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY ts_us, event_id) AS rn_all,
+    ROW_NUMBER() OVER (PARTITION BY event_type, v_e6 > {_STREAK_THR_E6}
+      ORDER BY ts_us, event_id) AS rn_hit
+  FROM base
+),
+islands AS (
+  SELECT event_type, rn_all - rn_hit AS island,
+    CAST(COUNT(*) AS BIGINT) AS streak_len,
+    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+  FROM marked WHERE hit GROUP BY event_type, rn_all - rn_hit
+)
+SELECT event_type, streak_len, start_us, end_us FROM (
+  SELECT event_type, streak_len, start_us, end_us,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY streak_len DESC, start_us ASC) AS rn
+  FROM islands
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+R8_QUERIES["ts_threshold_streaks"] = ts_threshold_streaks
+R8_ORACLES["ts_threshold_streaks"] = TS_STREAKS_SQL

@@ -289,3 +289,44 @@ def test_error_burst_matches_python(spark):
             (sum(1 for u in ts if t - hour < u <= t), -t) for t in ts
         )
         assert (r.burst_n, -r.burst_end_us) == best, r.user_id
+
+
+def test_threshold_streaks_match_python(spark):
+    import math
+    from decimal import Decimal
+
+    events = (
+        load_table(spark, SF, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in events:
+        v_e6 = math.floor(Decimal(str(float(r.value))).quantize(
+            Decimal("1e-10")) * 1_000_000)
+        seqs[r.event_type].append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id, v_e6)
+        )
+    rows = {r.event_type: r for r in
+            QUERIES["ts_threshold_streaks"](spark, SF).collect()}
+    for et, seq in seqs.items():
+        seq.sort()
+        best = (0, None, None)
+        cur, start = 0, None
+        for ts, _eid, v in seq + [(None, None, -10**18)]:
+            if v > 50_000_000:
+                if cur == 0:
+                    start = ts
+                cur += 1
+                end = ts
+            else:
+                if cur > best[0]:
+                    best = (cur, start, end)
+                cur = 0
+        if best[0] == 0:
+            assert et not in rows
+        else:
+            r = rows[et]
+            assert (r.streak_len, r.start_us, r.end_us) == best, et
