@@ -997,3 +997,135 @@ SELECT event_type, streak_len, start_us, end_us FROM (
 
 R8_QUERIES["ts_threshold_streaks"] = ts_threshold_streaks
 R8_ORACLES["ts_threshold_streaks"] = TS_STREAKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Conversion lag by signup cohort
+# ---------------------------------------------------------------------------
+def events_conversion_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup→purchase funnel lag per weekly signup cohort.
+
+    Per user: first signup, then first purchase at-or-after it; per
+    weekly cohort: signup count, converter count, and the exact lower
+    median of the day-lag (integer rank pick — no float percentile).
+
+    Scale: two filtered min-aggregates keyed on user (map-side
+    combinable), a user-keyed join, then cohort-sized aggregates; the
+    median rank window runs per cohort over converter counts.
+    """
+    events = load_table(spark, sf, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+    )
+    # the >= predicate lives in the JOIN condition: a user whose only
+    # purchases precede the signup must still surface (unconverted),
+    # which a post-join filter would silently drop
+    conv = (
+        signups.alias("s")
+        .join(
+            purchases.alias("p"),
+            on=[
+                F.col("s.user_id") == F.col("p.user_id"),
+                F.col("p.p_us") >= F.col("s.s_us"),
+            ],
+            how="left",
+        )
+        .groupBy(F.col("s.user_id").alias("user_id"), "s_us")
+        .agg(F.min("p_us").alias("first_p_us"))
+    )
+    cohorted = conv.select(
+        "user_id",
+        F.unix_micros(
+            F.date_trunc("week", F.timestamp_micros(F.col("s_us")))
+        ).alias("cohort_us"),
+        F.when(
+            F.col("first_p_us").isNotNull(),
+            F.expr("div(first_p_us - s_us, 86400000000)"),
+        ).alias("lag_days"),
+    )
+    wmed = Window.partitionBy("cohort_us").orderBy(
+        F.col("lag_days").asc(), F.col("user_id").asc()
+    )
+    converted = cohorted.filter(F.col("lag_days").isNotNull()).withColumn(
+        "rn", F.row_number().over(wmed)
+    )
+    n_conv = converted.groupBy("cohort_us").agg(
+        F.count(F.lit(1)).alias("n_converted")
+    )
+    median = (
+        converted.join(F.broadcast(n_conv), "cohort_us")
+        .filter(F.col("rn") == F.expr("div(n_converted + 1, 2)"))
+        .select("cohort_us", F.col("lag_days").alias("median_lag_days"))
+    )
+    totals = cohorted.groupBy("cohort_us").agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    return (
+        totals.join(n_conv, "cohort_us", "left")
+        .join(median, "cohort_us", "left")
+        .select(
+            "cohort_us",
+            "n_signups",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+            "median_lag_days",
+        )
+        .orderBy("cohort_us")
+    )
+
+
+EVENTS_CONVERSION_SQL = """
+WITH signups AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT s.user_id, s.s_us, MIN(p.p_us) AS first_p_us
+  FROM signups s LEFT JOIN (
+    SELECT user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+  ) p ON p.user_id = s.user_id AND p.p_us >= s.s_us
+  GROUP BY s.user_id, s.s_us
+),
+cohorted AS (
+  SELECT user_id,
+    epoch_us(date_trunc('week', make_timestamp(s_us))) AS cohort_us,
+    CASE WHEN first_p_us IS NOT NULL
+      THEN (first_p_us - s_us) // 86400000000 END AS lag_days
+  FROM conv
+),
+converted AS (
+  SELECT cohort_us, user_id, lag_days,
+    ROW_NUMBER() OVER (PARTITION BY cohort_us
+      ORDER BY lag_days ASC, user_id ASC) AS rn
+  FROM cohorted WHERE lag_days IS NOT NULL
+),
+n_conv AS (
+  SELECT cohort_us, CAST(COUNT(*) AS BIGINT) AS n_converted
+  FROM converted GROUP BY cohort_us
+),
+median AS (
+  SELECT c.cohort_us, c.lag_days AS median_lag_days
+  FROM converted c JOIN n_conv n USING (cohort_us)
+  WHERE c.rn = (n.n_converted + 1) // 2
+),
+totals AS (
+  SELECT cohort_us, CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM cohorted GROUP BY cohort_us
+)
+SELECT t.cohort_us, t.n_signups,
+  COALESCE(n.n_converted, 0) AS n_converted,
+  m.median_lag_days
+FROM totals t
+LEFT JOIN n_conv n USING (cohort_us)
+LEFT JOIN median m USING (cohort_us)
+ORDER BY t.cohort_us
+"""
+
+R8_QUERIES["events_conversion_lag"] = events_conversion_lag
+R8_ORACLES["events_conversion_lag"] = EVENTS_CONVERSION_SQL

@@ -330,3 +330,56 @@ def test_threshold_streaks_match_python(spark):
         else:
             r = rows[et]
             assert (r.streak_len, r.start_us, r.end_us) == best, et
+
+
+def test_conversion_lag_matches_python(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    s_first: dict = {}
+    purchases = defaultdict(list)
+    for r in events:
+        if r.event_type == "signup":
+            s_first[r.user_id] = min(
+                s_first.get(r.user_id, r.ts), r.ts
+            )
+        elif r.event_type == "purchase":
+            purchases[r.user_id].append(r.ts)
+    cohorts = defaultdict(list)  # cohort -> list of (lag_days or None, uid)
+    for uid, s in s_first.items():
+        after = [p for p in purchases[uid] if p >= s]
+        lag = (
+            int((min(after) - s).total_seconds() * 1_000_000)
+            // 86_400_000_000
+            if after
+            else None
+        )
+        week = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        week -= timedelta(days=week.weekday())
+        cohorts[week].append((lag, uid))
+    rows = QUERIES["events_conversion_lag"](spark, SF).collect()
+    assert len(rows) == len(cohorts)
+    from datetime import timezone
+
+    for r in rows:
+        week = [
+            w
+            for w in cohorts
+            if int(w.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+            == r.cohort_us
+        ][0]
+        entries = cohorts[week]
+        conv = sorted(
+            (lag, uid) for lag, uid in entries if lag is not None
+        )
+        assert r.n_signups == len(entries)
+        assert r.n_converted == len(conv)
+        if conv:
+            assert r.median_lag_days == conv[(len(conv) + 1) // 2 - 1][0]
+        else:
+            assert r.median_lag_days is None
