@@ -661,3 +661,99 @@ def streaming_exp_smooth(df: DataFrame, series_column: str = "series") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization with event-time timeout (closed-session emission)
+# ---------------------------------------------------------------------------
+_SESS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _update_session_close(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "series": [key[0]],
+                "session_start_us": [start_us],
+                "session_end_us": [end_us],
+                "n_events": [n],
+            }
+        )
+        return
+    chunks = [pdf.dropna(subset=["ts_us"]) for pdf in pdfs]
+    chunks = [c for c in chunks if len(c)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values("ts_us")
+    start_us, end_us, n = (
+        state.get if state.exists else (None, None, 0)
+    )
+    for ts_us in pdf["ts_us"]:
+        ts_us = int(ts_us)
+        if end_us is not None and ts_us - end_us > _SESSION_GAP_MS * 1000:
+            # gap inside the arriving data: close the previous session
+            # immediately (no need to wait for the timeout)
+            yield pd.DataFrame(
+                {
+                    "series": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            start_us, end_us, n = None, None, 0
+        if start_us is None:
+            start_us = ts_us
+        end_us = ts_us
+        n += 1
+    state.update((start_us, end_us, n))
+    # close when the event-time watermark passes last-seen + gap
+    state.setTimeoutTimestamp(end_us // 1000 + _SESSION_GAP_MS)
+
+
+def streaming_session_close(
+    df: DataFrame, series_column: str = "series", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Emit CLOSED sessions via event-time timeout — the sessionize twin
+    that an unbounded stream needs.
+
+    State per key is one (start, end, count) triple; a session closes
+    either when a later event of the same key arrives past the
+    30-minute gap, or when the event-time watermark passes
+    ``last_event + gap`` (``GroupStateTimeout.EventTimeTimeout`` —
+    no wall clock involved, so replays are deterministic).  Late rows
+    behind the watermark are the standard watermark trade-off.
+    """
+    prepared = df.withWatermark(TS_COLUMN, watermark).select(
+        F.col(series_column).alias("series"),
+        F.col(TS_COLUMN).alias("ts"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _update_session_close,
+        outputStructType=_SESS_OUTPUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

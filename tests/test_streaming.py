@@ -471,3 +471,49 @@ def test_streaming_exp_smooth_across_batches(spark, tmp_path):
     assert final["s1"]["n"] == 3
     # s2: 8e6 → (8e6+4e6)>>1 = 6e6
     assert final["s2"]["smooth_e6"] == 6_000_000 and final["s2"]["n"] == 2
+
+
+def test_streaming_session_close_event_time_timeout(spark, tmp_path):
+    from kukur_spark.streaming import streaming_session_close
+
+    path = str(tmp_path / "sessclose")
+    # u1: two events 2 min apart (one session); s2: single event
+    batch1 = [
+        ("s1", ts(0), 1.0),
+        ("s1", ts(2), 2.0),
+        ("s2", ts(1), 5.0),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, SCHEMA)
+    out = streaming_session_close(df, watermark="5 minutes")
+    name = f"sc_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    assert spark.sql(f"SELECT * FROM {name}").count() == 0  # nothing closed
+    # batch 2: an s1 event 90 min later closes s1's first session via the
+    # in-data gap; its own session stays open. The late timestamp also
+    # advances the watermark far past s2's last event + 30 min gap, so
+    # s2's session closes via the EVENT-TIME TIMEOUT on the next trigger.
+    batch2 = [("s1", datetime(2020, 1, 1, 1, 30, tzinfo=timezone.utc), 3.0)]
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    # one more (empty-data) trigger lets pending timeouts fire
+    spark.createDataFrame(
+        [("s3", datetime(2020, 1, 1, 3, 0, tzinfo=timezone.utc), 0.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    closed = {(r.series, r.session_start_us, r.n_events) for r in rows}
+    t0 = int(ts(0).timestamp() * 1_000_000)
+    t1 = int(ts(1).timestamp() * 1_000_000)
+    assert ("s1", t0, 2) in closed  # closed by in-data gap
+    assert ("s2", t1, 1) in closed  # closed by event-time timeout
