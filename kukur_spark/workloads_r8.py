@@ -1129,3 +1129,147 @@ ORDER BY t.cohort_us
 
 R8_QUERIES["events_conversion_lag"] = events_conversion_lag
 R8_ORACLES["events_conversion_lag"] = EVENTS_CONVERSION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase analysis per market segment
+# ---------------------------------------------------------------------------
+def orders_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-customer rate and median inter-order gap per segment.
+
+    Per market segment: customers with ≥2 orders as exact ppm of
+    ordering customers, plus the exact lower median of per-customer
+    median inter-order day gaps (lag window → per-customer median rank
+    pick → per-segment median rank pick — integers all the way).
+
+    Scale: the order stream shuffles once on customer for the lag
+    window; everything after runs on customer-count-sized rows.
+    """
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od")
+    gaps = (
+        orders.withColumn("prev", F.lag("od").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey", F.datediff("od", "prev").cast("long").alias("gap_d")
+        )
+    )
+    wg = Window.partitionBy("o_custkey").orderBy(F.col("gap_d").asc())
+    ng = gaps.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_gaps"))
+    cust_med = (
+        gaps.withColumn("rn", F.row_number().over(wg))
+        .join(F.broadcast(ng), "o_custkey")
+        .filter(F.col("rn") == F.expr("div(n_gaps + 1, 2)"))
+        .select("o_custkey", F.col("gap_d").alias("cust_med_gap"))
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, "o_custkey")
+        .join(cust_med, "o_custkey", "left")
+    )
+    wseg = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cust_med_gap").asc(), F.col("o_custkey").asc()
+    )
+    repeaters = per_cust.filter(F.col("n_orders") >= 2).withColumn(
+        "rn", F.row_number().over(wseg)
+    )
+    nrep = repeaters.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_repeat")
+    )
+    seg_med = (
+        repeaters.join(F.broadcast(nrep), "c_mktsegment")
+        .filter(F.col("rn") == F.expr("div(n_repeat + 1, 2)"))
+        .select(
+            "c_mktsegment", F.col("cust_med_gap").alias("median_gap_days")
+        )
+    )
+    totals = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        totals.join(nrep, "c_mktsegment", "left")
+        .join(seg_med, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_repeat", F.lit(0)).alias("n_repeat"),
+            F.expr(
+                "div(COALESCE(n_repeat, 0) * 1000000, n_customers)"
+            ).alias("repeat_ppm"),
+            "median_gap_days",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDERS_REPEAT_SQL = """
+WITH orders_d AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', prev, od) AS BIGINT) AS gap_d
+  FROM (
+    SELECT o_custkey, od,
+      LAG(od) OVER (PARTITION BY o_custkey ORDER BY od) AS prev
+    FROM orders_d
+  ) WHERE prev IS NOT NULL
+),
+ng AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM gaps GROUP BY o_custkey
+),
+cust_med AS (
+  SELECT g.o_custkey, g.gap_d AS cust_med_gap FROM (
+    SELECT o_custkey, gap_d,
+      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap_d ASC) AS rn
+    FROM gaps
+  ) g JOIN ng USING (o_custkey)
+  WHERE g.rn = (ng.n_gaps + 1) // 2
+),
+per_cust AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    MAX(m.cust_med_gap) AS cust_med_gap
+  FROM orders_d o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  LEFT JOIN cust_med m ON m.o_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+),
+repeaters AS (
+  SELECT c_mktsegment, o_custkey, cust_med_gap,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      ORDER BY cust_med_gap ASC, o_custkey ASC) AS rn
+  FROM per_cust WHERE n_orders >= 2
+),
+nrep AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_repeat
+  FROM repeaters GROUP BY c_mktsegment
+),
+seg_med AS (
+  SELECT r.c_mktsegment, r.cust_med_gap AS median_gap_days
+  FROM repeaters r JOIN nrep n USING (c_mktsegment)
+  WHERE r.rn = (n.n_repeat + 1) // 2
+),
+totals AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM per_cust GROUP BY c_mktsegment
+)
+SELECT t.c_mktsegment, t.n_customers,
+  COALESCE(n.n_repeat, 0) AS n_repeat,
+  (COALESCE(n.n_repeat, 0) * 1000000) // t.n_customers AS repeat_ppm,
+  s.median_gap_days
+FROM totals t
+LEFT JOIN nrep n USING (c_mktsegment)
+LEFT JOIN seg_med s USING (c_mktsegment)
+ORDER BY t.c_mktsegment
+"""
+
+R8_QUERIES["orders_repeat_rate"] = orders_repeat_rate
+R8_ORACLES["orders_repeat_rate"] = ORDERS_REPEAT_SQL
