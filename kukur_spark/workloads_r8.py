@@ -1273,3 +1273,107 @@ ORDER BY t.c_mktsegment
 
 R8_QUERIES["orders_repeat_rate"] = orders_repeat_rate
 R8_ORACLES["orders_repeat_rate"] = ORDERS_REPEAT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Daily-profile anomaly: the day that least resembles the series' shape
+# ---------------------------------------------------------------------------
+def ts_profile_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Most anomalous day per series by L1 distance between that day's
+    hourly profile and the series' overall hourly profile.
+
+    Seasonal-shape anomaly detection: each (series, date, hour) mean and
+    each (series, hour) mean are integer-exact (decimal-bridged e6 sums,
+    bigint division); a day's score is the summed |day mean − overall
+    mean| over the hours it has data for, normalized per hour count in
+    exact ppm-of-e6.  The winner is the max-score date (ties → earliest).
+
+    Scale: two partial-agg passes keyed on (series, hour[, date]) and a
+    24-row-per-series broadcast join; no raw points ever re-shuffle.
+    """
+    events = load_table(spark, sf, "events")
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    day_hour = base.groupBy("event_type", "d", "h").agg(
+        F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type", "d", "h", F.expr("div(s, n)").alias("dh_mean_e6")
+    )
+    overall = base.groupBy("event_type", "h").agg(
+        F.sum("v_e6").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select("event_type", "h", F.expr("div(s, n)").alias("oh_mean_e6"))
+    scored = (
+        day_hour.join(F.broadcast(overall), ["event_type", "h"])
+        .withColumn(
+            "dev_e6", F.abs(F.col("dh_mean_e6") - F.col("oh_mean_e6"))
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("dev_e6").alias("sum_dev_e6"),
+        )
+        .select(
+            "event_type",
+            "d",
+            "n_hours",
+            F.expr("div(sum_dev_e6, n_hours)").alias("mean_dev_e6"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mean_dev_e6").desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("anomalous_date"),
+            "n_hours",
+            "mean_dev_e6",
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_PROFILE_ANOMALY_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    EXTRACT(hour FROM ts) AS h,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events
+),
+day_hour AS (
+  SELECT event_type, d, h,
+    CAST(SUM(v_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS dh_mean_e6
+  FROM base GROUP BY event_type, d, h
+),
+overall AS (
+  SELECT event_type, h,
+    CAST(SUM(v_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS oh_mean_e6
+  FROM base GROUP BY event_type, h
+),
+scored AS (
+  SELECT dh.event_type, dh.d,
+    CAST(COUNT(*) AS BIGINT) AS n_hours,
+    CAST(SUM(ABS(dh.dh_mean_e6 - o.oh_mean_e6)) AS BIGINT)
+      // CAST(COUNT(*) AS BIGINT) AS mean_dev_e6
+  FROM day_hour dh JOIN overall o USING (event_type, h)
+  GROUP BY dh.event_type, dh.d
+)
+SELECT event_type, anomalous_date, n_hours, mean_dev_e6 FROM (
+  SELECT event_type, CAST(d AS VARCHAR) AS anomalous_date, n_hours,
+    mean_dev_e6,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY mean_dev_e6 DESC, d ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+R8_QUERIES["ts_profile_anomaly"] = ts_profile_anomaly
+R8_ORACLES["ts_profile_anomaly"] = TS_PROFILE_ANOMALY_SQL
