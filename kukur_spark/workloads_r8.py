@@ -1377,3 +1377,86 @@ SELECT event_type, anomalous_date, n_hours, mean_dev_e6 FROM (
 
 R8_QUERIES["ts_profile_anomaly"] = ts_profile_anomaly
 R8_ORACLES["ts_profile_anomaly"] = TS_PROFILE_ANOMALY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Supplier lead time (order date → ship date)
+# ---------------------------------------------------------------------------
+def supplier_lead_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier fulfillment speed: line count, mean and exact median
+    lead days (order date → ship date), and the late share (>90 days)
+    in exact ppm.
+
+    Scale: the fact join is lineitem ⋈ orders on orderkey (the big
+    co-partitioned pair — AQE picks the strategy), then supplier-keyed
+    partial aggregates; the median is an integer rank pick per supplier.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    lead = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_suppkey", F.datediff("sd", "od").cast("long").alias("lead_d")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("lead_d").asc())
+    n_tbl = lead.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("lead_d").alias("sum_lead"),
+        F.sum(F.when(F.col("lead_d") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+    )
+    med = (
+        lead.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(n_tbl.select("l_suppkey", "n_lines")), "l_suppkey")
+        .filter(F.col("rn") == F.expr("div(n_lines + 1, 2)"))
+        .select("l_suppkey", F.col("lead_d").alias("median_lead_d"))
+    )
+    return (
+        n_tbl.join(med, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "n_lines",
+            F.expr("div(sum_lead, n_lines)").alias("mean_lead_d"),
+            "median_lead_d",
+            F.expr("div(n_late * 1000000, n_lines)").alias("late_ppm"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+SUPPLIER_LEAD_SQL = """
+WITH lead AS (
+  SELECT l.l_suppkey,
+    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lead_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+n_tbl AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+    CAST(SUM(lead_d) AS BIGINT) AS sum_lead,
+    CAST(SUM(CASE WHEN lead_d > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM lead GROUP BY l_suppkey
+),
+med AS (
+  SELECT r.l_suppkey, r.lead_d AS median_lead_d FROM (
+    SELECT l_suppkey, lead_d,
+      ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY lead_d ASC) AS rn
+    FROM lead
+  ) r JOIN n_tbl n USING (l_suppkey)
+  WHERE r.rn = (n.n_lines + 1) // 2
+)
+SELECT n.l_suppkey, n.n_lines,
+  n.sum_lead // n.n_lines AS mean_lead_d,
+  m.median_lead_d,
+  (n.n_late * 1000000) // n.n_lines AS late_ppm
+FROM n_tbl n JOIN med m USING (l_suppkey)
+ORDER BY n.l_suppkey
+"""
+
+R8_QUERIES["supplier_lead_time"] = supplier_lead_time
+R8_ORACLES["supplier_lead_time"] = SUPPLIER_LEAD_SQL
