@@ -1460,3 +1460,150 @@ ORDER BY n.l_suppkey
 
 R8_QUERIES["supplier_lead_time"] = supplier_lead_time
 R8_ORACLES["supplier_lead_time"] = SUPPLIER_LEAD_SQL
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (best-lag discovery)
+# ---------------------------------------------------------------------------
+_LL_A = "click"
+_LL_B = "view"
+_LL_LAGS = list(range(-3, 4))  # hours
+
+
+def ts_leadlag_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation of click vs view at hourly lags −3..+3 —
+    lead–lag discovery between two series.
+
+    Alignment grid: integer-exact hourly means (the ``ts_corr_pairs``
+    bridge); for each candidate lag the b-series grid is shifted by
+    lag·1h and the moments re-aggregated.  Correlations ship as ppm
+    with a rank by |r| (rank 1 = the lag that best explains the pair).
+
+    Scale: the hourly grid is tiny (hours × series); all 7 lag joins
+    run on it, never on raw points.
+    """
+    events = load_table(spark, sf, "events")
+    hourly = (
+        events.filter(F.col("event_type").isin(_LL_A, _LL_B))
+        .groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h_us"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+            ).cast("long").alias("sum_e6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type", "h_us", F.expr("sum_e6 div cnt").alias("avg_e6")
+        )
+    )
+    a = hourly.filter(F.col("event_type") == _LL_A).select(
+        F.col("h_us").alias("ah_us"), F.col("avg_e6").alias("a_e6")
+    )
+    b = hourly.filter(F.col("event_type") == _LL_B).select(
+        F.col("h_us").alias("bh_us"), F.col("avg_e6").alias("b_e6")
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _LL_LAGS], "lag_h long"
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("ah_us")
+            == F.col("bh_us") + F.col("lag_h") * F.lit(3_600_000_000),
+        )
+        .select(
+            "lag_h",
+            (F.col("a_e6").cast("double") / 1e6).alias("x"),
+            (F.col("b_e6").cast("double") / 1e6).alias("y"),
+        )
+    )
+    agg = pairs.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(F.col("x").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sx_e6"),
+        F.floor(F.sum(F.col("y").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sxx_e6"),
+        F.floor(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("syy_e6"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_e6").cast("double") / 1e6
+    sy = F.col("sy_e6").cast("double") / 1e6
+    sxy = F.col("sxy_e6").cast("double") / 1e6
+    sxx = F.col("sxx_e6").cast("double") / 1e6
+    syy = F.col("syy_e6").cast("double") / 1e6
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(den2)
+    scored = agg.filter(den2 > 0).select(
+        "lag_h", "n", F.floor(r * 1_000_000).cast("long").alias("r_ppm")
+    )
+    w = Window.orderBy(F.abs(F.col("r_ppm")).desc(), F.col("lag_h").asc())
+    return (
+        scored.withColumn("best_rank", F.row_number().over(w).cast("long"))
+        .orderBy("lag_h")
+    )
+
+
+TS_LEADLAG_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h_us,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      // COUNT(*) AS avg_e6
+  FROM events WHERE event_type IN ('{_LL_A}', '{_LL_B}')
+  GROUP BY event_type, h_us
+),
+pairs AS (
+  SELECT l.lag_h,
+    CAST(a.avg_e6 AS DOUBLE) / 1e6 AS x,
+    CAST(b.avg_e6 AS DOUBLE) / 1e6 AS y
+  FROM (SELECT unnest([{", ".join(str(v) for v in _LL_LAGS)}]) AS lag_h) l
+  CROSS JOIN (SELECT h_us AS ah_us, avg_e6 FROM hourly
+              WHERE event_type = '{_LL_A}') a(ah_us, avg_e6)
+  JOIN (SELECT h_us AS bh_us, avg_e6 FROM hourly
+        WHERE event_type = '{_LL_B}') b
+    ON a.ah_us = b.bh_us + l.lag_h * 3600000000
+),
+agg AS (
+  SELECT lag_h, COUNT(*) AS n,
+    CAST(FLOOR(SUM(CAST(x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sx_e6,
+    CAST(FLOOR(SUM(CAST(y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sy_e6,
+    CAST(FLOOR(SUM(CAST(x * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxy_e6,
+    CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxx_e6,
+    CAST(FLOOR(SUM(CAST(y * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS syy_e6
+  FROM pairs GROUP BY lag_h
+),
+scored AS (
+  SELECT CAST(lag_h AS BIGINT) AS lag_h, CAST(n AS BIGINT) AS n,
+    CAST(FLOOR(
+      (CAST(n AS DOUBLE) * (CAST(sxy_e6 AS DOUBLE) / 1e6)
+       - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6))
+      / sqrt((CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+              - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+             * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+                - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)))
+      * 1000000) AS BIGINT) AS r_ppm
+  FROM agg
+  WHERE (CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+         - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+        * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+           - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)) > 0
+)
+SELECT lag_h, n, r_ppm,
+  CAST(ROW_NUMBER() OVER (ORDER BY ABS(r_ppm) DESC, lag_h ASC) AS BIGINT)
+    AS best_rank
+FROM scored ORDER BY lag_h
+"""
+
+R8_QUERIES["ts_leadlag_corr"] = ts_leadlag_corr
+R8_ORACLES["ts_leadlag_corr"] = TS_LEADLAG_SQL
