@@ -1607,3 +1607,99 @@ FROM scored ORDER BY lag_h
 
 R8_QUERIES["ts_leadlag_corr"] = ts_leadlag_corr
 R8_ORACLES["ts_leadlag_corr"] = TS_LEADLAG_SQL
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary overlap (pairwise Jaccard)
+# ---------------------------------------------------------------------------
+def docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources, in exact ppm.
+
+    The crawl-dedup planning view: which shards share vocabulary (and
+    are near-dup candidates worth cross-checking) vs genuinely novel.
+    |A∩B| via a self-join of the distinct (source, term) table on term;
+    |A∪B| = |A|+|B|−|A∩B| — integers throughout.
+
+    Scale: the distinct-term table is vocabulary-sized per source; the
+    intersection join is term-keyed, source-pair output is sources².
+    """
+    from kukur_spark.operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v_size")
+    )
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col("a.source") < F.col("b.source"),
+            ],
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                        .withColumnRenamed("v_size", "size_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                        .withColumnRenamed("v_size", "size_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.expr(
+                "div(n_common * 1000000, size_a + size_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+DOCS_SOURCE_OVERLAP_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v_size
+  FROM vocab GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_common,
+  sa.v_size AS size_a, sb.v_size AS size_b,
+  (i.n_common * 1000000) // (sa.v_size + sb.v_size - i.n_common)
+    AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY i.source_a, i.source_b
+"""
+
+R8_QUERIES["docs_source_overlap"] = docs_source_overlap
+R8_ORACLES["docs_source_overlap"] = DOCS_SOURCE_OVERLAP_SQL
