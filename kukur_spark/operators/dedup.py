@@ -286,6 +286,15 @@ def _md5_base(
 ) -> DataFrame:
     """(id, hs, sig) projection with md5-derived shingle hashes/minima."""
     sh = shingles(F.col(text_column), shingle_size)
+
+    def perm(j: int):
+        # MUST be a one-parameter lambda: F.transform calls a TWO-param
+        # lambda with (element, index), which would rebind j to the index
+        # Column — its repr then leaks into the hashed string, producing
+        # wrong (and build-varying) signatures. Caught at sf0.1 by the
+        # incremental-dedup oracle losing a candidate intermittently.
+        return lambda s: md5_long(F.concat(s, F.lit(f"#{j}")))
+
     return (
         _spread(df, id_column)
         .select(F.col(id_column).alias("id"), sh.alias("sh"))
@@ -294,14 +303,7 @@ def _md5_base(
             F.array_distinct(F.transform(F.col("sh"), md5_long)).alias("hs"),
             F.array(
                 *[
-                    F.array_min(
-                        F.transform(
-                            F.col("sh"),
-                            lambda s, j=j: md5_long(
-                                F.concat(s, F.lit(f"#{j}"))
-                            ),
-                        )
-                    )
+                    F.array_min(F.transform(F.col("sh"), perm(j)))
                     for j in range(num_hashes)
                 ]
             ).alias("sig"),

@@ -383,3 +383,30 @@ def test_conversion_lag_matches_python(spark):
             assert r.median_lag_days == conv[(len(conv) + 1) // 2 - 1][0]
         else:
             assert r.median_lag_days is None
+
+
+def test_md5_signatures_match_hashlib_ground_truth(spark):
+    """Regression: F.transform with a TWO-param lambda receives
+    (element, index) — a `lambda s, j=j:` there silently rebinds j to
+    the index Column and hashes its repr (wrong + build-varying).
+    Pin the signatures to an independent hashlib computation."""
+    import hashlib
+
+    from kukur_spark.operators.dedup import _md5_base
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "xx yy")], "id long, text string"
+    )
+    rows = {r.id: r for r in _md5_base(df, "text", "id", 3, 4).collect()}
+
+    def ml(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sh1 = ["aa bb cc", "bb cc dd", "cc dd ee"]
+    assert list(rows[1].sig) == [
+        min(ml(s + f"#{j}") for s in sh1) for j in range(4)
+    ]
+    sh2 = ["xx yy"]  # short doc: single full-text shingle
+    assert list(rows[2].sig) == [
+        min(ml(s + f"#{j}") for s in sh2) for j in range(4)
+    ]
