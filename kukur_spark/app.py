@@ -8,6 +8,8 @@ at the API edge, e.g. the Flight server).
 
 from __future__ import annotations
 
+import re
+
 from datetime import datetime, timedelta, timezone
 from typing import Any, Dict, Iterator, List, Optional
 
@@ -79,12 +81,12 @@ class Engine:
         ``sources=None`` registers every source whose raw frame is
         DataFrame-backed; name the sources to keep registration lazy.
         """
-        import re as _re
-
         from kukur_spark.sql_functions import register_sql_functions
 
+        _check_sql_statement(statement)
         register_sql_functions(self.spark)
         names = sources if sources is not None else self.factory.source_names()
+        views: Dict[str, str] = {}
         for name in names:
             source = self.factory.get_source(name)
             frame = getattr(source.source, "data_frame", None)
@@ -94,7 +96,16 @@ class Engine:
                         f"source {name!r} has no DataFrame-backed view"
                     )
                 continue
-            view = _re.sub(r"\W", "_", name)
+            view = _view_name(name)
+            if view in views and views[view] != name:
+                # 'a.b' and 'a_b' both sanitize to 'a_b' — shadowing one
+                # silently would answer the query from the wrong table
+                raise ValueError(
+                    f"sources {views[view]!r} and {name!r} both map to "
+                    f"view {view!r}; rename one or pass `sources` "
+                    "explicitly to register only the one you mean"
+                )
+            views[view] = name
             frame().createOrReplaceTempView(view)
         # named parameters (:name) bind server-side — no string splicing
         return self.spark.sql(statement, args=args) if args else self.spark.sql(statement)
@@ -107,6 +118,49 @@ class Engine:
         self, search: SeriesSearch
     ) -> Optional[SourceStructure]:
         return self.factory.get_source(search.source).get_source_structure(search)
+
+
+_FORBIDDEN_SQL = re.compile(
+    r"(?i)(?:\b(insert|update|delete|drop|create|alter|truncate|merge|"
+    r"grant|revoke|refresh|cache|uncache|load|analyze|msck|overwrite)\b"
+    r"|\b(?:parquet|csv|json|orc|avro|text|binaryfile|delta)\s*\.\s*`)"
+)
+
+
+def _check_sql_statement(statement: str) -> None:
+    """SELECT-only guard for the engine's sql verb.
+
+    The verb exists to query the *registered source views*, not the
+    server's filesystem: reject DML/DDL keywords and path-based table
+    syntax (``SELECT * FROM parquet.`/any/path```) outright.  The check
+    is a deny-list on the raw text — deliberately blunt: a quoted string
+    containing 'delete' is rejected too, which is an acceptable cost for
+    a server-side guard (the error says what to change)."""
+    stripped = statement.lstrip()
+    first = stripped.split(None, 1)[0].lower() if stripped else ""
+    if first not in ("select", "with", "values", "(", "table"):
+        raise ValueError(
+            f"only SELECT statements are allowed, got {first!r}"
+        )
+    match = _FORBIDDEN_SQL.search(statement)
+    if match:
+        raise ValueError(
+            "statement rejected: contains forbidden token "
+            f"{match.group(0)!r} (DML/DDL and path-based table access "
+            "are not allowed through the sql verb)"
+        )
+
+
+def _view_name(name: str) -> str:
+    """Sanitize a source name into a SQL view identifier.
+
+    Non-identifier characters become ``_``; a leading digit gets a
+    ``v_`` prefix so the result is always a valid bare identifier.
+    The mapping is lossy — Engine.sql detects and rejects collisions."""
+    view = re.sub(r"\W", "_", name)
+    if view and view[0].isdigit():
+        view = f"v_{view}"
+    return view
 
 
 def _default_range(

@@ -129,6 +129,7 @@ if HAS_FLIGHT:
             location: str = "grpc://0.0.0.0:8081",
             api_keys=None,
             repository=None,
+            enable_sql: bool = False,
         ):
             middleware = {}
             auth_handler = None
@@ -152,14 +153,29 @@ if HAS_FLIGHT:
             )
             self.engine = engine
             self.location = location
+            # the sql verb is a privilege expansion over the reference's
+            # fixed verbs: it requires BOTH an explicit opt-in
+            # (flight.enable_sql) and configured authentication — an
+            # anonymous server never executes client SQL
+            self.sql_enabled = bool(enable_sql) and (
+                bool(api_keys) or repository is not None
+            )
 
         # -- data ---------------------------------------------------------
         def do_get(self, context, ticket):
             request = json.loads(ticket.ticket.decode())
             query = request.get("query", "get_data")
             if query == "sql":
-                # fifth verb (Spark extension): arbitrary SQL over the
-                # configured sources, streamed back as Arrow
+                # fifth verb (Spark extension): SELECT-only SQL over the
+                # registered source views, streamed back as Arrow.
+                # Requires the explicit enable_sql opt-in plus configured
+                # auth; Engine.sql additionally rejects DML/DDL and
+                # path-based table syntax (see app.py)
+                if not self.sql_enabled:
+                    raise fl.FlightServerError(
+                        "sql verb disabled: set flight.enable_sql and "
+                        "configure api keys to allow server-side SQL"
+                    )
                 df = self.engine.sql(
                     request["statement"],
                     request.get("sources"),
@@ -414,7 +430,15 @@ def serve(
 
         repository = ApiKeyRepository(config["api_key_db"])
     server = KukurFlightServer(
-        engine, f"grpc://0.0.0.0:{port}", api_keys, repository
+        engine,
+        f"grpc://0.0.0.0:{port}",
+        api_keys,
+        repository,
+        enable_sql=bool(
+            config.get("flight", {}).get("enable_sql", False)
+            if isinstance(config.get("flight"), dict)
+            else config.get("enable_sql", False)
+        ),
     )
     if background:
         thread = threading.Thread(target=server.serve, daemon=True)

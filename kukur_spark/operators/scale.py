@@ -135,6 +135,39 @@ def bucketed_join_ready(
     return joined, "Exchange hashpartitioning" not in plan
 
 
+def bounded_rank(
+    df: DataFrame,
+    order: List,
+    k: int,
+    output_column: str = "rank",
+) -> DataFrame:
+    """Exact global top-``k`` with rank positions, scale-safe.
+
+    A bare ``row_number() OVER (ORDER BY …)`` followed by ``rank <= k``
+    moves the ENTIRE input through one window task before discarding all
+    but ``k`` rows.  This computes the identical result in two phases:
+
+    1. ``orderBy(order).limit(k)`` — Spark plans TakeOrderedAndProject,
+       a distributed partial top-k: every task keeps at most ``k`` rows
+       and only ``k × tasks`` candidate rows reach the final merge.
+    2. rank the ≤``k`` survivors with a global window — the window IS
+       single-partition, but its input is limit-bounded by construction
+       (the plan audit distinguishes limit-fed global windows from
+       corpus-sized ones for exactly this pattern).
+
+    ``order`` must be a total order (include a unique tiebreaker column)
+    — otherwise the boundary row at position ``k`` is nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    top = df.orderBy(*cols).limit(k)
+    w = Window.orderBy(*cols)
+    return top.withColumn(
+        output_column, F.row_number().over(w).cast("long")
+    )
+
+
 def distributed_row_number(
     df: DataFrame,
     order_columns: List[str],

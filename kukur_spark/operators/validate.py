@@ -167,6 +167,11 @@ def validate(df: DataFrame, rules: List[Rule]) -> DataFrame:
                     "n_violations",
                 )
             )
+    if not parts:
+        raise ValueError(
+            "validate() needs at least one rule — an empty rule list "
+            "would silently report nothing as validated"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

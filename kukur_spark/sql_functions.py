@@ -14,8 +14,13 @@ Reference semantics mirrored per function:
 - ``ku_selector_name`` / ``ku_selector_field`` — ``kukur/base.py:106-142``
   name syntax ``k=v,k2=v2::field`` (keys sorted for determinism; SQL
   maps are unordered, the reference relies on dict order).
-- ``ku_opc_good`` — OPC quality convention (``kukur/source/quality.py``):
-  the top quality bits >= 192 mean GOOD → 1, else 0.
+- ``ku_opc_good`` — the OPC-DA quality-byte convention itself (the two
+  top bits set, i.e. q >= 192, mean GOOD → 1, else 0).  Note this is
+  NOT a reference-parity claim: the reference's QualityMapper
+  (``kukur/source/quality.py``) is purely config-driven with no such
+  constant — configured sources should use the M6 quality mapping
+  (``sources/quality.py``); this function is a convenience for ad-hoc
+  SQL over raw OPC-DA quality columns.
 - ``ku_bucket`` — plot-interval bucketing (``get_plot_data`` W2).
 - ``ku_md5_long`` — the cross-engine 60-bit hash used by every
   md5-oracle operator (`operators/dedup.py::md5_long`).
@@ -43,11 +48,21 @@ _FUNCTIONS = {
         "RETURN CASE WHEN q >= 192 THEN CAST(1 AS TINYINT) "
         "ELSE CAST(0 AS TINYINT) END"
     ),
+    # mirrors base._format_name: a sole 'series name' tag renders as the
+    # bare value (matching the reference's SeriesSelector.name); when
+    # mixed with other tags it is emitted first, the rest sorted (SQL
+    # maps are unordered — the reference relies on dict order)
     "ku_selector_name": (
         "(tags MAP<STRING, STRING>, field STRING) RETURNS STRING "
         "RETURN concat_ws('::', "
-        "  array_join(transform(array_sort(map_keys(tags)), "
-        "    k -> concat(k, '=', tags[k])), ','), "
+        "  CASE WHEN map_keys(tags) = array('series name') "
+        "    THEN tags['series name'] "
+        "  ELSE array_join(transform("
+        "    CASE WHEN array_contains(map_keys(tags), 'series name') "
+        "      THEN concat(array('series name'), "
+        "        array_sort(filter(map_keys(tags), k -> k != 'series name')))"
+        "      ELSE array_sort(map_keys(tags)) END, "
+        "    k -> concat(k, '=', tags[k])), ',') END, "
         "  CASE WHEN field = 'value' THEN NULL ELSE field END)"
     ),
     "ku_selector_field": (

@@ -207,12 +207,14 @@ def _lex_ranks(spark: SparkSession, sf: str) -> DataFrame:
     scores = _bm25_scores(spark, sf).filter(
         F.col("query_id") == _RRF_QUERY_ID
     )
-    wb = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc())
-    return (
-        scores.withColumn("rank_b", F.row_number().over(wb).cast("long"))
-        .filter(F.col("rank_b") <= _RRF_DEPTH)
-        .select("doc_id", "rank_b")
-    )
+    from kukur_spark.operators.scale import bounded_rank
+
+    return bounded_rank(
+        scores,
+        [F.col("bm25_e6").desc(), F.col("doc_id").asc()],
+        _RRF_DEPTH,
+        "rank_b",
+    ).select("doc_id", "rank_b")
 
 
 def _dense_ranks(
@@ -233,17 +235,21 @@ def _dense_ranks(
     qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
+    from kukur_spark.operators.scale import bounded_rank
+
     ev = _as_double(F.col("embedding"))
     cos = dot(ev, F.col("qv")) / (norm(ev) * F.col("qn"))
-    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
+    scored = (
         emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
         .crossJoin(F.broadcast(qv))
         .withColumn("cos_sim", cos)
-        .withColumn("rank_c", F.row_number().over(wc).cast("long"))
-        .filter(F.col("rank_c") <= _RRF_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), "rank_c")
     )
+    return bounded_rank(
+        scored,
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        _RRF_DEPTH,
+        "rank_c",
+    ).select(F.col("vec_id").alias("doc_id"), "rank_c")
 
 
 def docs_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
@@ -283,10 +289,15 @@ def _fused_top10(
             ),
         )
     )
-    wf = Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+    from kukur_spark.operators.scale import bounded_rank
+
     return (
-        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
-        .filter(F.col("rank") <= 10)
+        bounded_rank(
+            fused,
+            [F.col("rrf_e9").desc(), F.col("doc_id").asc()],
+            10,
+            "rank",
+        )
         .select("doc_id", *carry, "rank_b", "rank_c", "rrf_e9", "rank")
         .orderBy("rank")
     )
@@ -888,10 +899,15 @@ def docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         F.floor(key * 1_000_000_000).cast("long").alias("key_e9"),
     )
-    w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id").asc())
+    from kukur_spark.operators.scale import bounded_rank
+
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _WSAMPLE_K)
+        bounded_rank(
+            scored,
+            [F.col("key_e9").desc(), F.col("doc_id").asc()],
+            _WSAMPLE_K,
+            "rank",
+        )
         .select("doc_id", "n_chars", "key_e9", "rank")
         .orderBy("rank")
     )
@@ -931,14 +947,20 @@ def docs_curriculum_buckets(spark: SparkSession, sf: str) -> DataFrame:
     manifest a staged training loader consumes.  The tile assignment
     orders by (surprisal_e6, doc_id), so ties are deterministic.
 
-    Scale: the score is the linear unigram plan; ntile is one global
-    rank window over scalar rows (id + score only).  At 10⁹ docs the
-    window would ride the range-partitioned sort Spark already uses for
-    global windows — no driver materialization anywhere.
+    Scale: the score is the linear unigram plan; the quartile cut is
+    ``operators.scale.distributed_ntile`` — range-repartition on the
+    score, rank locally per partition, add broadcast offsets, apply the
+    SQL NTILE bucket rule.  (A bare ``ntile(4) OVER (ORDER BY …)`` would
+    move every scored row through ONE window task; Spark does not
+    range-partition unpartitioned windows, and no limit-pushdown rewrite
+    applies because every row keeps its tile.)
     """
+    from kukur_spark.operators.scale import distributed_ntile
+
     scored = docs_unigram_logprob(spark, sf)
-    w = Window.orderBy(F.col("surprisal_e6").asc(), F.col("doc_id").asc())
-    tiled = scored.withColumn("stage", F.ntile(4).over(w).cast("long"))
+    tiled = distributed_ntile(
+        scored, 4, ["surprisal_e6", "doc_id"], "stage"
+    ).withColumn("stage", F.col("stage").cast("long"))
     return (
         tiled.groupBy("stage")
         .agg(

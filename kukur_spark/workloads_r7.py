@@ -415,10 +415,15 @@ def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum("dist_e6").alias("score_e6"))
     )
-    wo = Window.orderBy(F.col("score_e6").desc(), F.col("query_id").asc())
+    from kukur_spark.operators.scale import bounded_rank
+
     return (
-        knn.withColumn("rank", F.row_number().over(wo).cast("long"))
-        .filter(F.col("rank") <= 10)
+        bounded_rank(
+            knn,
+            [F.col("score_e6").desc(), F.col("query_id").asc()],
+            10,
+            "rank",
+        )
         .select(F.col("query_id").alias("vec_id"), "score_e6", "rank")
         .orderBy("rank")
     )

@@ -183,10 +183,15 @@ def docs_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")),
         )
     )
-    w = Window.orderBy(F.col("drift_ppm").desc(), F.col("term").asc())
+    from kukur_spark.operators.scale import bounded_rank
+
     return (
-        joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        bounded_rank(
+            joined,
+            [F.col("drift_ppm").desc(), F.col("term").asc()],
+            10,
+            "rank",
+        )
         .select("term", "share_a_ppm", "share_b_ppm", "drift_ppm", "rank")
         .orderBy("rank")
     )
@@ -621,14 +626,14 @@ def docs_rag_query(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "chunk_idx", "chunk_bm25_e6")
     )
-    wlex = Window.orderBy(
-        F.col("chunk_bm25_e6").desc(), F.col("doc_id").asc()
-    )
-    lex = (
-        best.withColumn("rank_b", F.row_number().over(wlex).cast("long"))
-        .filter(F.col("rank_b") <= _RAG_DEPTH)
-        .select("doc_id", "chunk_idx", "chunk_bm25_e6", "rank_b")
-    )
+    from kukur_spark.operators.scale import bounded_rank
+
+    lex = bounded_rank(
+        best,
+        [F.col("chunk_bm25_e6").desc(), F.col("doc_id").asc()],
+        _RAG_DEPTH,
+        "rank_b",
+    ).select("doc_id", "chunk_idx", "chunk_bm25_e6", "rank_b")
 
     # dense leg + fusion are the r6 helpers — one implementation of the
     # cosine ranking and the RRF wiring serves both the standalone

@@ -112,11 +112,44 @@ def test_get_plot_data(flight_client):
     assert 1.0 in values and 3.0 in values
 
 
-def test_sql_verb_over_flight(flight_client):
+@pytest.fixture(scope="module")
+def sql_flight_client(spark, tmp_path_factory):
+    """Server with the sql verb enabled: explicit opt-in + api keys —
+    the verb executes arbitrary SELECTs server-side, so an anonymous or
+    non-opted-in server must refuse it (see test_sql_verb_gated)."""
+    tmp = tmp_path_factory.mktemp("flight_sql")
+    (tmp / "data.csv").write_text(
+        "s1,2020-01-01T00:00:00Z,1\n"
+        "s1,2020-02-01T00:00:00Z,2\n"
+        "s1,2020-03-01T00:00:00Z,3\n"
+        "s2,2020-01-01T00:00:00Z,10\n"
+    )
+    config = {
+        "source": {
+            "demo": {"type": "csv", "path": str(tmp / "data.csv")}
+        },
+        "api_keys": ["sql-key"],
+        "flight": {"enable_sql": True},
+    }
+    engine = Engine(config, spark)
+    server = serve(engine, port=18083, background=True)
+    yield FlightClient("localhost", 18083, api_key="sql-key")
+    server.shutdown()
+
+
+def test_sql_verb_gated(flight_client):
+    """The default server (no opt-in, no keys) refuses the sql verb."""
+    import pyarrow.flight as fl
+
+    with pytest.raises(fl.FlightServerError, match="sql verb disabled"):
+        flight_client.sql("SELECT 1 AS one", sources=[])
+
+
+def test_sql_verb_over_flight(sql_flight_client):
     """Fifth verb (Spark extension): SQL over configured sources,
     streamed back as Arrow — the reference gateway has no executor to
-    offer this."""
-    table = flight_client.sql(
+    offer this.  Requires flight.enable_sql + authentication."""
+    table = sql_flight_client.sql(
         "SELECT `series name` AS s, COUNT(*) AS n, SUM(value) AS total"
         " FROM demo GROUP BY 1 ORDER BY 1",
         sources=["demo"],
@@ -128,20 +161,32 @@ def test_sql_verb_over_flight(flight_client):
     ]
 
 
-def test_sql_verb_uses_ku_functions(flight_client):
-    table = flight_client.sql(
+def test_sql_verb_uses_ku_functions(sql_flight_client):
+    table = sql_flight_client.sql(
         "SELECT ku_selector_name(map('series name', `series name`),"
         " 'value') AS name FROM demo GROUP BY 1 ORDER BY 1",
         sources=["demo"],
     )
-    assert [r["name"] for r in table.to_pylist()] == [
-        "series name=s1",
-        "series name=s2",
-    ]
+    # a sole 'series name' tag renders as the bare value, matching the
+    # reference's SeriesSelector.name
+    assert [r["name"] for r in table.to_pylist()] == ["s1", "s2"]
 
 
-def test_sql_verb_named_parameters(flight_client):
-    table = flight_client.sql(
+def test_sql_verb_rejects_ddl_and_paths(sql_flight_client):
+    # the ValueError from Engine.sql crosses gRPC as an ArrowInvalid —
+    # match on the guard's message, not the wrapper type
+    with pytest.raises(Exception, match="forbidden token"):
+        sql_flight_client.sql(
+            "SELECT * FROM parquet.`/etc/passwd`", sources=[]
+        )
+    with pytest.raises(Exception, match="only SELECT"):
+        sql_flight_client.sql(
+            "INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1", sources=[]
+        )
+
+
+def test_sql_verb_named_parameters(sql_flight_client):
+    table = sql_flight_client.sql(
         "SELECT COUNT(*) AS n FROM demo WHERE `series name` = :s",
         sources=["demo"],
         args={"s": "s1"},

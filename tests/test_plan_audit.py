@@ -1,0 +1,102 @@
+"""Full-registry logical-plan audit: no 100 TB plan killers may appear.
+
+Every registered query's *optimized logical plan* is scanned for the two
+shapes that turn a correct query into a one-task bottleneck at scale:
+
+- a global (no PARTITION BY) window whose input is not limit-bounded —
+  the whole input moves through ONE window task;
+- a cross-shaped join where neither side is row-bounded (a Limit, a
+  singleton aggregate, or a literal relation) — O(n·m) work.
+
+``kukur_spark.planaudit`` walks plans without executing them, follows
+``persist_once`` caches into their physical plans, and understands the
+two sanctioned bounded shapes: ``orderBy().limit(k)`` before a
+rank-of-survivors window (``operators.scale.bounded_rank``) and the
+``__pid`` partition-count offset window inside
+``operators.scale.distributed_row_number``.
+
+Queries with a legitimately nonzero count are allowlisted below with the
+reason the shape is safe; every count is pinned exactly, so a regression
+that adds a new killer — or an improvement that removes one — must
+update this file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.scale import bounded_rank
+from kukur_spark.planaudit import audit
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# query -> {killer: allowed count}; unlisted queries are pinned to zero.
+ALLOWED = {
+    # running total over a per-day aggregate: window input is bounded by
+    # calendar days, not by event volume (docstring documents the shape)
+    "events_cumulative_users": {"unbounded_global_windows": 1},
+    # cumulative share over the 101 integer percentile buckets produced
+    # by distributed_row_number — bucket axis, not order rows
+    "orders_cumulative_share": {"unbounded_global_windows": 1},
+    # two-pass interval merge: the global pass-2 window only touches the
+    # pass-1 (per-day merged) reduced interval set
+    "ts_merge_intervals": {"unbounded_global_windows": 2},
+    # rank over the per-lag aggregate (constant lag range); the cross
+    # join pairs the two bounded hourly series arrays
+    "ts_leadlag_corr": {
+        "unbounded_global_windows": 1,
+        "unbounded_cross_joins": 1,
+    },
+    # broadcast side is the 8-seed centroid filter (vec_id < 8)
+    "emb_kmeans_step": {"unbounded_cross_joins": 1},
+    "emb_kmeans_iter2": {"unbounded_cross_joins": 2},
+    # broadcast side is ONE query vector selected by its unique vec_id
+    "docs_hybrid_rrf": {"unbounded_cross_joins": 1},
+    "docs_rag_query": {"unbounded_cross_joins": 1},
+    # documented capped exact-verify subset (vec_id < cap on both sides);
+    # the ANN candidate path is the scale route
+    "emb_outlier_knn": {"unbounded_cross_joins": 1},
+    # broadcast side is the label-count-sized centroid table
+    "emb_class_margin": {"unbounded_cross_joins": 1},
+}
+
+
+def test_detector_flags_global_window_and_clears_bounded_rank(spark):
+    """The audit itself must fire on the bad shape and stay silent on
+    the sanctioned rewrite — guards against detector rot."""
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    assert audit(bad)["unbounded_global_windows"] == 1
+    good = bounded_rank(df, ["v", "id"], 5, "rn")
+    assert audit(good)["unbounded_global_windows"] == 0
+    # filter(rank <= k) is auto-rewritten by LimitPushDownThroughWindow
+    # into the bounded shape — the detector must see through that too
+    rewritten = bad.filter(F.col("rn") <= 5)
+    assert audit(rewritten)["unbounded_global_windows"] == 0
+
+
+def test_detector_flags_unbounded_cross_join(spark):
+    df = spark.range(100)
+    singleton = df.agg(F.sum("id").alias("s"))
+    ok = df.crossJoin(F.broadcast(singleton))
+    assert audit(ok)["unbounded_cross_joins"] == 0
+    bad = df.crossJoin(df.select(F.col("id").alias("id2")))
+    assert audit(bad)["unbounded_cross_joins"] == 1
+
+
+def test_registry_has_no_unexplained_plan_killers(spark):
+    spark.catalog.clearCache()
+    failures = []
+    for name, fn in QUERIES.items():
+        counts = audit(fn(spark, SF))
+        allowed = ALLOWED.get(name, {})
+        for key, n in counts.items():
+            if n != allowed.get(key, 0):
+                failures.append(
+                    f"{name}: {key}={n} (allowed {allowed.get(key, 0)})"
+                )
+    assert not failures, "\n".join(failures)

@@ -67,7 +67,19 @@ def test_selector_bare_name(spark):
     ).first()
     assert dict(row.tags) == {"series name": "test-tag-1"}
     assert row.field == "value"
-    assert row.simple == "series name=s1"
+    # a sole 'series name' tag renders as the bare value — matching
+    # base._format_name and the reference's SeriesSelector.name
+    assert row.simple == "s1"
+
+
+def test_selector_name_series_name_first_when_mixed(spark):
+    row = spark.sql(
+        "SELECT ku_selector_name("
+        "map('location', 'Antwerp', 'series name', 's1'), 'value') AS n,"
+        " ku_selector_name(map('series name', 's1'), 'temp') AS nf"
+    ).first()
+    assert row.n == "series name=s1,location=Antwerp"
+    assert row.nf == "s1::temp"
 
 
 def test_opc_good_boundary(spark):
