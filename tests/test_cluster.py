@@ -33,3 +33,19 @@ def test_dedup_groups_unpaired_docs_self_canonical(spark):
         for r in dedup_groups(docs, pairs).collect()
     }
     assert groups == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_path_graph_converges_log(spark):
+    """Pointer doubling must flatten a 64-node path in O(log n) joins:
+    2 outer rounds and ~8 node-table doubling joins, never ~diameter
+    edge-join rounds (the 1-hop-only propagation failure mode)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = connected_components(pairs, stats=stats).toPandas()
+    assert set(labels.component) == {1}
+    assert len(labels) == 64
+    # log2(63) ≈ 6 doubling joins + fixpoint confirmations
+    assert stats["rounds"] <= 3, stats
+    assert stats["jumps"] <= 10, stats
