@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 from datetime import datetime, timedelta, timezone
+from uuid import uuid4
 from typing import Any, Dict, Iterator, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,68 @@ class Engine:
         return self.factory.get_source(selector.source).get_plot_data(
             selector, start, end, interval_count
         )
+
+    # -- streaming (Spark extension: the reference has no streams) ---------
+    def stream_window(
+        self,
+        source_name: str,
+        window: str = "5 minutes",
+        watermark: str = "10 minutes",
+        tags: Optional[Dict[str, str]] = None,
+    ) -> DataFrame:
+        """Watermarked window aggregate over a file-backed source's
+        stream, materialized through one synchronous micro-batch pass.
+
+        The composition the Flight ``stream_window`` ticket serves:
+        ``readStream`` on the source's path → tag-equality predicates →
+        ``streaming.windowed_stats`` (watermark + event-time windows) →
+        update-mode memory sink → the sink table as a DataFrame (Arrow
+        out at the API edge).  Update mode returns the CURRENT aggregate
+        of every window seen so far; late rows beyond the watermark are
+        dropped by the state store exactly as in a long-running stream.
+
+        Only file-backed sources with a self-describing format stream
+        (parquet/orc/delta); schema comes from a one-off batch read of
+        the same path.
+        """
+        from kukur_spark.streaming import stream_data, windowed_stats
+
+        wrapper = self.factory.get_source(source_name)
+        options = getattr(wrapper.source, "options", None)
+        path = getattr(options, "path", None)
+        file_format = getattr(options, "file_format", None)
+        if not path or file_format not in ("parquet", "orc"):
+            raise ValueError(
+                f"source {source_name!r} is not a streamable file source "
+                "(parquet/orc path required)"
+            )
+        schema = self.spark.read.format(file_format).load(path).schema
+        stream = stream_data(
+            self.spark, path, schema, file_format=file_format, tags=tags
+        )
+        group_columns = [
+            c
+            for c in getattr(options, "tag_columns", [])
+            if c in stream.columns
+        ]
+        aggregated = windowed_stats(
+            stream,
+            window=window,
+            watermark=watermark,
+            group_columns=group_columns,
+        )
+        name = f"stream_win_{uuid4().hex[:8]}"
+        query = (
+            aggregated.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return self.spark.table(name)
 
     # -- SQL (Spark extension: the gateway is also a query engine) ---------
     def sql(

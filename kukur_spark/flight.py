@@ -182,6 +182,17 @@ if HAS_FLIGHT:
                     request.get("args"),
                 )
                 return fl.RecordBatchStream(df.toArrow())
+            if query == "stream_window":
+                # streaming extension: watermarked window aggregate over
+                # a file-backed source's stream, one synchronous
+                # micro-batch pass, current state out as Arrow
+                df = self.engine.stream_window(
+                    request["source"],
+                    window=request.get("window", "5 minutes"),
+                    watermark=request.get("watermark", "10 minutes"),
+                    tags=request.get("tags"),
+                )
+                return fl.RecordBatchStream(df.toArrow())
             selector = _selector_from_data(request["selector"])
             start = _parse_date(request["start_date"])
             end = _parse_date(request["end_date"])
@@ -377,6 +388,25 @@ if HAS_FLIGHT:
                     "end_date": end.isoformat(),
                 }
             )
+
+        def stream_window(
+            self,
+            source: str,
+            window: str = "5 minutes",
+            watermark: str = "10 minutes",
+            tags=None,
+        ):
+            """Watermarked streaming window aggregate served as Arrow —
+            the streaming extension composed through the API surface."""
+            request: Dict[str, Any] = {
+                "query": "stream_window",
+                "source": source,
+                "window": window,
+                "watermark": watermark,
+            }
+            if tags:
+                request["tags"] = dict(tags)
+            return self._read(request)
 
         def sql(self, statement: str, sources=None, args=None):
             """Run SQL on the server; returns a pyarrow Table.

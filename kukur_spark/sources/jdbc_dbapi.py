@@ -1,0 +1,147 @@
+"""Minimal DB-API 2.0 shim over ``java.sql`` via the Spark JVM gateway.
+
+Lets :class:`~kukur_spark.sources.sql_source.SqlSource`'s row-oriented
+verbs (``list_query`` / ``metadata_query`` / ``dictionary_query`` /
+``data_query``) execute against any JDBC database whose driver ships on
+Spark's classpath — embedded Derby in this repo's tests — using the same
+``qmark`` paramstyle as ``sqlite3``.  This makes every SQL template path
+runnable end-to-end on a real database engine without a native Python
+driver (reference parity: ``kukur/source/sql.py`` runs the same four
+templates through each dialect's DB-API driver).
+
+Only the slice of DB-API that ``SqlSource`` uses is implemented:
+``connect() -> connection``, ``connection.cursor()``, ``cursor.execute
+(query, params)``, ``cursor.fetchall()``, ``connection.close()``.
+
+Scale note: these verbs are metadata-sized by contract (series lists,
+dictionaries, per-series metadata rows); bulk data reads should use the
+``jdbc_url`` executor path (``spark.read.jdbc``), which parallelizes the
+scan across executors — this shim runs on the driver by design.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, List, Sequence, Tuple
+
+# java.sql.Types constants needed for result conversion
+_TYPE_TIMESTAMP = 93
+_TYPE_DATE = 91
+
+
+def _to_python(rs, meta, index: int) -> Any:
+    """Convert one result-set column to the Python value a DB-API driver
+    would return (py4j auto-converts primitives; temporal and decimal
+    types need explicit handling)."""
+    sql_type = meta.getColumnType(index)
+    if sql_type == _TYPE_TIMESTAMP:
+        ts = rs.getTimestamp(index)
+        if ts is None:
+            return None
+        # java.sql.Timestamp.toString(): "2020-01-01 00:00:00.0"
+        return dt.datetime.fromisoformat(str(ts.toString()).replace(" ", "T"))
+    if sql_type == _TYPE_DATE:
+        d = rs.getDate(index)
+        return None if d is None else dt.date.fromisoformat(str(d.toString()))
+    value = rs.getObject(index)
+    if value is None or isinstance(value, (bool, int, float, str, bytes)):
+        return value
+    # BigDecimal and friends arrive as py4j JavaObjects
+    text = str(value)
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return text
+
+
+class _JdbcCursor:
+    def __init__(self, jconn):
+        self._jconn = jconn
+        self._rows: List[Tuple[Any, ...]] = []
+
+    def execute(self, query: str, params: Sequence[Any] = ()) -> None:
+        statement = self._jconn.prepareStatement(query)
+        try:
+            for i, param in enumerate(params, start=1):
+                if param is None:
+                    statement.setNull(i, 12)  # VARCHAR
+                elif isinstance(param, bool):
+                    statement.setBoolean(i, param)
+                elif isinstance(param, int):
+                    statement.setLong(i, param)
+                elif isinstance(param, float):
+                    statement.setDouble(i, param)
+                elif isinstance(param, dt.datetime):
+                    jvm = self._jvm()
+                    statement.setTimestamp(
+                        i,
+                        jvm.java.sql.Timestamp.valueOf(
+                            param.astimezone(dt.timezone.utc)
+                            .replace(tzinfo=None)
+                            .isoformat(sep=" ", timespec="microseconds")
+                        ),
+                    )
+                else:
+                    statement.setString(i, str(param))
+            if statement.execute():
+                rs = statement.getResultSet()
+                meta = rs.getMetaData()
+                width = meta.getColumnCount()
+                rows = []
+                while rs.next():
+                    rows.append(
+                        tuple(
+                            _to_python(rs, meta, c)
+                            for c in range(1, width + 1)
+                        )
+                    )
+                self._rows = rows
+            else:
+                self._rows = []
+        finally:
+            statement.close()
+
+    def _jvm(self):
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()._jvm
+
+    def fetchall(self) -> List[Tuple[Any, ...]]:
+        return self._rows
+
+    def close(self) -> None:  # pragma: no cover - symmetry
+        self._rows = []
+
+
+class _JdbcConnection:
+    def __init__(self, jconn):
+        self._jconn = jconn
+
+    def cursor(self) -> _JdbcCursor:
+        return _JdbcCursor(self._jconn)
+
+    def close(self) -> None:
+        self._jconn.close()
+
+
+def connect(url: str, driver: str | None = None) -> _JdbcConnection:
+    """Open a JDBC connection through the active Spark session's JVM.
+
+    ``url`` is a full JDBC URL (``jdbc:derby:/path;create=true``);
+    ``driver`` optionally names the driver class to pre-load.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "jdbc_dbapi.connect needs an active SparkSession (the JDBC "
+            "driver lives on the Spark JVM classpath)"
+        )
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    return _JdbcConnection(jvm.java.sql.DriverManager.getConnection(url))

@@ -63,6 +63,13 @@ _DIALECT_DRIVERS = {
 def _connect(config: Dict[str, Any]):
     """Open a DB-API connection for the configured dialect."""
     dialect = config.get("type", "sqlite")
+    connection_string = str(config.get("connection_string", ""))
+    if connection_string.startswith("jdbc:"):
+        # route the row-oriented verbs through the JVM's JDBC driver —
+        # any engine on Spark's classpath works without a Python driver
+        from kukur_spark.sources.jdbc_dbapi import connect as jdbc_connect
+
+        return jdbc_connect(connection_string, config.get("jdbc_driver"))
     if dialect in ("sqlite", "sql"):
         import sqlite3
 

@@ -192,3 +192,48 @@ def test_sql_verb_named_parameters(sql_flight_client):
         args={"s": "s1"},
     )
     assert table.to_pylist() == [{"n": 3}]
+
+
+def test_stream_window_over_flight(spark, tmp_path_factory):
+    """Streaming composes with the API surface: a watermarked window
+    aggregate (readStream → windowed_stats → micro-batch memory sink)
+    served over Flight as one Arrow stream."""
+    from datetime import datetime, timezone
+
+    tmp = tmp_path_factory.mktemp("flight_stream")
+    rows = [
+        ("s1", datetime(2020, 1, 1, 0, 0, tzinfo=timezone.utc), 1.0),
+        ("s1", datetime(2020, 1, 1, 0, 2, tzinfo=timezone.utc), 2.0),
+        ("s1", datetime(2020, 1, 1, 0, 7, tzinfo=timezone.utc), 3.0),
+        ("s2", datetime(2020, 1, 1, 0, 1, tzinfo=timezone.utc), 10.0),
+    ]
+    spark.createDataFrame(
+        rows, "`series name` string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(str(tmp / "stream"))
+    config = {
+        "source": {
+            "sdemo": {
+                "type": "parquet",
+                "format": "row",
+                "path": str(tmp / "stream"),
+            }
+        }
+    }
+    engine = Engine(config, spark)
+    server = serve(engine, port=18084, background=True)
+    try:
+        client = FlightClient("localhost", 18084)
+        table = client.stream_window(
+            "sdemo", window="5 minutes", tags={"series name": "s1"}
+        )
+        by_start = {
+            r["window_start"].minute: r for r in table.to_pylist()
+        }
+        assert by_start[0]["n"] == 2
+        assert by_start[0]["sum_value"] == 3.0
+        assert by_start[0]["first_value"] == 1.0
+        assert by_start[0]["last_value"] == 2.0
+        assert by_start[5]["n"] == 1
+        assert all(r["series name"] == "s1" for r in table.to_pylist())
+    finally:
+        server.shutdown()

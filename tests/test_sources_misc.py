@@ -408,3 +408,76 @@ def test_unknown_dialect_rejected(spark):
             spark, "x", {"type": "no-such-db", "connection_string": "x",
                          "data_query": "SELECT 1"},
         ).get_data(SeriesSelector.from_name("x", "s"), START, END)
+
+
+def test_all_sql_templates_on_embedded_derby(spark, tmp_path):
+    """S7 end-to-end on a real database engine: every SqlSource template
+    path — list_query, metadata_query, dictionary_query, data_query —
+    executes against embedded Derby through the JDBC DB-API shim
+    (qmark params, same templates the DB-API dialects use), not a
+    recording fake.  Reference parity: kukur/source/sql.py runs the
+    identical four templates per dialect."""
+    db = str(tmp_path / "derbydb3")
+    _derby_seed(spark, db)
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db}")
+    st = con.createStatement()
+    st.execute(
+        "CREATE TABLE series_meta (name VARCHAR(64), "
+        "description VARCHAR(128), unit VARCHAR(16), "
+        "dictionary_name VARCHAR(64))"
+    )
+    st.execute(
+        "INSERT INTO series_meta VALUES "
+        "('s1', 'Derby series', 'm', 'states')"
+    )
+    st.execute(
+        "CREATE TABLE dictionary_data (name VARCHAR(64), "
+        "v INT, label VARCHAR(32))"
+    )
+    st.execute("INSERT INTO dictionary_data VALUES ('states', 0, 'OFF')")
+    st.execute("INSERT INTO dictionary_data VALUES ('states', 1, 'ON')")
+    st.close()
+    con.close()
+
+    source = SqlSource(
+        spark,
+        "derby",
+        {
+            "type": "sql",
+            "connection_string": f"jdbc:derby:{db}",
+            "jdbc_driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "list_query": "SELECT DISTINCT name FROM series_data",
+            "metadata_query": (
+                "SELECT description, unit, dictionary_name "
+                "FROM series_meta WHERE name = ?"
+            ),
+            "metadata_columns": ["description", "unit", "dictionary name"],
+            "dictionary_query": (
+                "SELECT v, label FROM dictionary_data WHERE name = ?"
+            ),
+            "data_query": (
+                'SELECT "ts", "value" FROM series_data '
+                'WHERE name = ? AND "ts" >= ? AND "ts" < ?'
+            ),
+        },
+    )
+    # list_query
+    names = sorted(
+        s.tags["series name"] for s in source.search(SeriesSearch("derby"))
+    )
+    assert names == ["other", "s1"]
+    # metadata_query + dictionary_query
+    metadata = source.get_metadata(SeriesSelector.from_name("derby", "s1"))
+    assert metadata.get_field_by_name("description") == "Derby series"
+    assert metadata.get_field_by_name("unit") == "m"
+    dictionary = metadata.get_field_by_name("dictionary")
+    assert dictionary.mapping == {0: "OFF", 1: "ON"}
+    # data_query (row-oriented DB-API path, not spark.read.jdbc)
+    rows = source.get_data(
+        SeriesSelector.from_name("derby", "s1"),
+        START,
+        datetime(2020, 1, 4, tzinfo=timezone.utc),
+    ).orderBy("ts").collect()
+    assert [r["value"] for r in rows] == [1.5, 2.5, 3.5]
+    assert rows[0]["ts"] == datetime(2020, 1, 1)
