@@ -182,6 +182,14 @@ def minhash_signature(hash_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+# canonical banding parameters for the md5-LSH *edge generator* used by
+# the dedup cluster/kept/recall workloads (2 rows/band: P(candidate) =
+# 1-(1-s²)⁸ for shingle-Jaccard s) — one definition so the Spark plans
+# and every DuckDB oracle derive from the same scheme
+EDGE_HASHES = 16
+EDGE_BANDS = 8
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_column: str = "text",

@@ -53,6 +53,7 @@ from kukur_spark.workloads_r5 import R5_ORACLES, R5_QUERIES
 from kukur_spark.workloads_r6 import R6_ORACLES, R6_QUERIES
 from kukur_spark.workloads_r7 import R7_ORACLES, R7_QUERIES
 from kukur_spark.workloads_r8 import R8_ORACLES, R8_QUERIES
+from kukur_spark.workloads_r9 import R9_ORACLES, R9_QUERIES
 
 # events table time range (driver synthetic data, TESTDATA.md)
 EVENTS_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1133,8 +1134,10 @@ ORDER BY id_a, id_b
 """
 
 
-_EDGE_HASHES = 16
-_EDGE_BANDS = 8  # 2 rows/band: P(candidate) = 1-(1-s²)⁸ for shingle-Jaccard s
+from kukur_spark.operators.dedup import (  # noqa: E402 — canonical banding
+    EDGE_BANDS as _EDGE_BANDS,
+    EDGE_HASHES as _EDGE_HASHES,
+)
 
 
 def lsh_jaccard_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -1891,6 +1894,7 @@ QUERIES.update(R5_QUERIES)
 QUERIES.update(R6_QUERIES)
 QUERIES.update(R7_QUERIES)
 QUERIES.update(R8_QUERIES)
+QUERIES.update(R9_QUERIES)
 # registry tail: production fast paths whose hash (xxhash64) is not
 # SQL-expressible — each has an oracle-paired md5 twin above running the
 # identical plan; keeping them last keeps the driver's 50-entry
@@ -1963,6 +1967,7 @@ ORACLES: Dict[str, str] = {
     **R6_ORACLES,
     **R7_ORACLES,
     **R8_ORACLES,
+    **R9_ORACLES,
 }
 
 

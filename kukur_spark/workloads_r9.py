@@ -1,0 +1,381 @@
+"""Round-3 batch: corpus-curation diagnostics and dedup evaluation.
+
+- ``docs_bigram_surprisal``  — per-document mean bigram surprisal (the
+  KenLM-style LM filter, one order up from ``docs_unigram_logprob``);
+- ``docs_boilerplate_chunks`` — repeated-chunk detection across docs
+  (header/footer/boilerplate removal, the dedup stage below document
+  granularity);
+- ``docs_blocklist_filter``  — per-source lexicon-filter incidence (the
+  policy/toxicity blocklist pass of a curation pipeline);
+- ``dedup_lsh_recall``       — measured recall of the MinHash banding
+  candidate generator against the exact all-pairs edge set, by
+  similarity decile — the evidence behind the LSH edge source's
+  documented recall curve.
+
+Every operator is integer-exact (e6/ppm floors before order-free sums)
+and oracle-paired; plan killers are pinned at zero by the registry-wide
+audit in ``tests/test_plan_audit.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R9_QUERIES: dict = {}
+R9_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Bigram surprisal (quality filter, LM order 2)
+# ---------------------------------------------------------------------------
+def docs_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus bigram LM.
+
+    s(w1 w2) = ln(c(w1 ·) / c(w1 w2)) — the conditional −ln P(w2|w1)
+    with counts over bigram instances (c(w1 ·) counts w1 as a history,
+    i.e. over non-final token instances).  A document's score is the
+    integer mean of its e6-floored instance surprisals; documents with
+    fewer than two tokens have no bigrams and drop out — the same rule
+    in both engines.
+
+    Scale: bigrams are a pure map-side projection (index transform over
+    the token array — no window, no per-doc shuffle); the bigram
+    frequency join is keyed on the bigram string, AQE chooses broadcast
+    vs shuffle by vocabulary size; everything else is the unigram plan
+    one order up.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bigram_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    inst = docs.select(
+        "doc_id", F.explode(F.expr(bigram_expr)).alias("bigram")
+    ).withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    freq2 = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    hist = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("ch"))
+    scored = (
+        inst.join(freq2, "bigram")
+        .join(hist, "w1")
+        .withColumn(
+            "s_e6",
+            F.floor(
+                F.log(F.col("ch").cast("double") / F.col("c2")) * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s_e6").alias("sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("div(sum_e6, n_bigrams)").alias("surprisal2_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_BIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+inst AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])
+    ELSE [] END) AS bigram
+  FROM t
+),
+wi AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM inst),
+freq2 AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM wi GROUP BY bigram
+),
+hist AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ch FROM wi GROUP BY w1),
+scored AS (
+  SELECT wi.doc_id,
+    CAST(FLOOR(ln(CAST(h.ch AS DOUBLE) / f.c2) * 1000000) AS BIGINT) AS s_e6
+  FROM wi JOIN freq2 f USING (bigram) JOIN hist h USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(s_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS surprisal2_e6
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+R9_QUERIES["docs_bigram_surprisal"] = docs_bigram_surprisal
+R9_ORACLES["docs_bigram_surprisal"] = DOCS_BIGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate chunks (sub-document dedup)
+# ---------------------------------------------------------------------------
+_BP_MIN_DOCS = 2
+_BP_TOPK = 20
+
+
+def docs_boilerplate_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunks repeated across documents — the boilerplate report.
+
+    Reuses the chunking grid of ``docs_chunks`` (500-char windows,
+    stride 400, md5-fingerprinted): a chunk hash appearing in ≥2
+    distinct documents is shared content (near-dup docs, repeated
+    headers/footers); the report lists the top ``_BP_TOPK`` by document
+    reach with the smallest carrier doc as the example.
+
+    Scale: chunking is map-side, the reach count is one hash aggregate
+    on (chunk_md5 → distinct doc) — pre-aggregated per (md5, doc) so no
+    distinct-expand — and the report tail is a ``bounded_rank`` top-k,
+    never a corpus-sized window.
+    """
+    from kukur_spark.operators.scale import bounded_rank
+    from kukur_spark.workloads_r3 import docs_chunks
+
+    chunks = docs_chunks(spark, sf).select("doc_id", "chunk_md5")
+    per_doc = chunks.groupBy("chunk_md5", "doc_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    reach = per_doc.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("example_doc"),
+    )
+    shared = reach.filter(F.col("n_docs") >= _BP_MIN_DOCS)
+    return bounded_rank(
+        shared,
+        [F.col("n_docs").desc(), F.col("chunk_md5").asc()],
+        _BP_TOPK,
+        "rank",
+    ).select("chunk_md5", "n_docs", "example_doc", "rank").orderBy("rank")
+
+
+def _bp_sql() -> str:
+    from kukur_spark.workloads_r3 import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) > {CHUNK_SIZE}
+      THEN (length(text) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+      ELSE 0 END AS n_extra
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE}))
+      AS chunk_md5
+  FROM base, unnest(generate_series(0, n_extra)) AS u(i)
+),
+reach AS (
+  SELECT chunk_md5,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    MIN(doc_id) AS example_doc
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT chunk_md5, n_docs, example_doc,
+  CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, chunk_md5 ASC) AS BIGINT)
+    AS rank
+FROM reach WHERE n_docs >= {_BP_MIN_DOCS}
+ORDER BY rank LIMIT {_BP_TOPK}
+"""
+
+
+R9_QUERIES["docs_boilerplate_chunks"] = docs_boilerplate_chunks
+R9_ORACLES["docs_boilerplate_chunks"] = _bp_sql()
+
+
+# ---------------------------------------------------------------------------
+# Lexicon (blocklist) filter incidence
+# ---------------------------------------------------------------------------
+_BLOCKLIST = ["error", "slow", "fail"]
+
+
+def docs_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source incidence of a policy blocklist — the lexicon-filter
+    pass of a curation pipeline (toxicity/spam word lists at scale).
+
+    Emits per source: total docs, flagged docs (≥1 blocklist token),
+    total hit instances, and the flagged share in exact ppm.  The
+    blocklist ships as an array literal inside the projection — at real
+    scale a large lexicon becomes a broadcast join against the exploded
+    token stream; the per-doc flag/hit computation stays map-side either
+    way (no shuffle before the per-source aggregate).
+    """
+    blocklist = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    docs = load_table(spark, sf, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda x: F.array_contains(blocklist, x),
+            )
+        )
+        .cast("long")
+        .alias("hits"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("long")).alias("n_flagged"),
+            F.sum("hits").alias("n_hits"),
+        )
+        .withColumn(
+            "flagged_ppm", F.expr("n_flagged * 1000000L div n_docs")
+        )
+        .orderBy("source")
+    )
+
+
+_BL_SQL_LIST = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+DOCS_BLOCKLIST_SQL = f"""
+WITH scored AS (
+  SELECT source,
+    CAST(len(list_filter(string_split(text, ' '),
+      x -> list_contains([{_BL_SQL_LIST}], x))) AS BIGINT) AS hits
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(hits) AS BIGINT) AS n_hits,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+    // CAST(COUNT(*) AS BIGINT) AS flagged_ppm
+FROM scored GROUP BY source ORDER BY source
+"""
+
+R9_QUERIES["docs_blocklist_filter"] = docs_blocklist_filter
+R9_ORACLES["docs_blocklist_filter"] = DOCS_BLOCKLIST_SQL
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall vs the exact edge set
+# ---------------------------------------------------------------------------
+_RECALL_CAP = 2000  # docs in the exact-side verify subset (see docstring)
+
+
+def dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall of MinHash banding, by similarity decile.
+
+    For every exact within-source near-dup edge (token Jaccard ≥ 0.2,
+    the ``ngram_jaccard`` verify twin), checks whether the md5-LSH
+    banding candidate generator (16 hashes × 8 bands — the
+    ``lsh_jaccard_edges`` production source) surfaced the pair, and
+    aggregates hit rates per Jaccard decile.  This turns the documented
+    theoretical recall curve (P = 1-(1-s²)⁸ over 3-SHINGLE similarity)
+    into a measured table against a *different* reference criterion.
+
+    Reading the result honestly: on the synthetic corpus the measured
+    recall is near zero in every decile — because token-SET Jaccard over
+    a small shared vocabulary marks word-shuffled, unrelated documents
+    as "similar" (the exact twin produces ~6 k such pairs at sf0.01 and
+    its transitive closure collapses 96 % of the corpus into one
+    component), while banding only surfaces pairs that share shingle
+    STRUCTURE (31 true copies at sf0.01).  The eval is exactly how one
+    discovers that mismatch: low recall against a reference criterion
+    means the two measure different things — here the reference, not
+    the candidate generator, is the wrong near-dup definition.
+
+    Scale: the exact side is all-pairs (quadratic) by definition, so the
+    eval runs on a deterministic ``doc_id < _RECALL_CAP`` subset — the
+    same capped-verify-subset pattern as ``emb_outlier_knn`` (the 10×
+    probe measured the uncapped twin at 204 s vs 6 s; the cap keeps the
+    eval constant-cost at any corpus size while remaining a valid recall
+    sample).  The LSH side is the linear production plan.  The
+    comparison join is keyed on (id_a, id_b).
+    """
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        _band_candidates,
+        _md5_banded,
+        _md5_base,
+    )
+    from kukur_spark.workloads import ngram_jaccard_exact
+
+    exact = (
+        ngram_jaccard_exact(spark, sf)
+        .filter(
+            (F.col("id_a") < _RECALL_CAP) & (F.col("id_b") < _RECALL_CAP)
+        )
+        .select("id_a", "id_b", "jaccard_e6")
+    )
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < _RECALL_CAP
+    )
+    base = _md5_base(docs, "text", "doc_id", 3, EDGE_HASHES)
+    cand = _band_candidates(
+        _md5_banded(base, EDGE_BANDS, EDGE_HASHES // EDGE_BANDS)
+    ).withColumn("hit", F.lit(1).cast("long"))
+    joined = exact.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(F.expr("jaccard_e6 div 100000"), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum("hit").cast("long").alias("n_hit"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hit * 1000000L div n_exact"))
+        .orderBy("decile")
+    )
+
+
+def _lsh_recall_sql() -> str:
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        md5_sig_ctes_sql,
+    )
+
+    capped = (
+        f"(SELECT * FROM documents WHERE doc_id < {_RECALL_CAP}) capped"
+    )
+    return f"""
+WITH {md5_sig_ctes_sql(table=capped, num_hashes=EDGE_HASHES, bands=EDGE_BANDS)},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+tk AS (
+  SELECT source, doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {_RECALL_CAP}
+),
+exact AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+      // CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+      AS jaccard_e6
+  FROM tk a JOIN tk b ON a.source = b.source AND a.id < b.id
+  WHERE (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 1000000)
+      // CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+      >= 200000
+),
+marked AS (
+  SELECT LEAST(e.jaccard_e6 // 100000, 9) AS decile,
+    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(hit) AS BIGINT) AS n_hit,
+  CAST(SUM(hit) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+    AS recall_ppm
+FROM marked GROUP BY decile ORDER BY decile
+"""
+
+
+R9_QUERIES["dedup_lsh_recall"] = dedup_lsh_recall
+R9_ORACLES["dedup_lsh_recall"] = _lsh_recall_sql()

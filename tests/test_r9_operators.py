@@ -1,0 +1,117 @@
+"""Round-3 batch: curation-diagnostic workload tests (Python ground
+truth on sf0.001 + plan-shape pins)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bigram_surprisal_matches_python(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    freq2: Counter = Counter()
+    hist: Counter = Counter()
+    per_doc: dict = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        bigrams = [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ] if len(toks) >= 2 else []
+        per_doc[r.doc_id] = bigrams
+        for bg in bigrams:
+            freq2[bg] += 1
+            hist[bg.split(" ")[0]] += 1
+    expected = {}
+    for doc_id, bigrams in per_doc.items():
+        if not bigrams:
+            continue
+        total = sum(
+            math.floor(math.log(hist[bg.split(" ")[0]] / freq2[bg]) * 1e6)
+            for bg in bigrams
+        )
+        # Spark div / DuckDB // floor toward negative infinity on
+        # non-negative operands == Python //
+        expected[doc_id] = (len(bigrams), total // len(bigrams))
+    rows = QUERIES["docs_bigram_surprisal"](spark, SF).collect()
+    got = {r.doc_id: (r.n_bigrams, r.surprisal2_e6) for r in rows}
+    assert got == expected
+
+
+def test_bigram_surprisal_stays_jvm_side(spark):
+    plan = plan_of(QUERIES["docs_bigram_surprisal"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_chunks_finds_duplicate_doc_chunks(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    reach: dict = {}
+    for r in docs:
+        text = r.text
+        n_extra = (
+            (len(text) - 500 + 399) // 400 if len(text) > 500 else 0
+        )
+        seen = set()
+        for i in range(n_extra + 1):
+            chunk = text[i * 400:i * 400 + 500]
+            digest = hashlib.md5(chunk.encode()).hexdigest()
+            if digest not in seen:
+                seen.add(digest)
+                reach.setdefault(digest, []).append(r.doc_id)
+    shared = {
+        d: ids for d, ids in reach.items() if len(ids) >= 2
+    }
+    rows = QUERIES["docs_boilerplate_chunks"](spark, SF).collect()
+    assert len(rows) == min(len(shared), 20)
+    for r in rows:
+        assert r.chunk_md5 in shared
+        assert r.n_docs == len(shared[r.chunk_md5])
+        assert r.example_doc == min(shared[r.chunk_md5])
+
+
+def test_blocklist_filter_counts(spark):
+    docs = load_table(spark, SF, "documents").select("source", "text").collect()
+    per_source: dict = {}
+    blocklist = {"error", "slow", "fail"}
+    for r in docs:
+        hits = sum(1 for t in r.text.split(" ") if t in blocklist)
+        n_docs, n_flagged, n_hits = per_source.get(r.source, (0, 0, 0))
+        per_source[r.source] = (
+            n_docs + 1,
+            n_flagged + (1 if hits else 0),
+            n_hits + hits,
+        )
+    rows = QUERIES["docs_blocklist_filter"](spark, SF).collect()
+    for r in rows:
+        n_docs, n_flagged, n_hits = per_source[r.source]
+        assert (r.n_docs, r.n_flagged, r.n_hits) == (
+            n_docs, n_flagged, n_hits,
+        )
+        assert r.flagged_ppm == n_flagged * 1_000_000 // n_docs
+
+
+def test_blocklist_filter_is_single_aggregate(spark):
+    plan = plan_of(QUERIES["docs_blocklist_filter"](spark, SF))
+    # map-side flag/hit computation → one keyed aggregate, no joins
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial/final agg pair
+
+
+def test_lsh_recall_hit_counts_are_subset(spark):
+    rows = QUERIES["dedup_lsh_recall"](spark, SF).collect()
+    assert rows, "exact edge set should be non-empty at sf0.001"
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_exact
