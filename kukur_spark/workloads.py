@@ -2230,3 +2230,14 @@ ORDER BY label
 
 QUERIES["emb_knn_accuracy"] = emb_knn_accuracy
 ORACLES["emb_knn_accuracy"] = EMB_KNN_ACC_SQL
+
+
+# IVF-PQ: registered here (not in the R9 dict) because its oracle
+# builder needs _duck_cos from this module — imported lazily after init
+from kukur_spark.workloads_r9 import (  # noqa: E402
+    emb_ivfpq_topk,
+    ivfpq_oracle_sql,
+)
+
+QUERIES["emb_ivfpq_topk"] = emb_ivfpq_topk
+ORACLES["emb_ivfpq_topk"] = ivfpq_oracle_sql()

@@ -513,6 +513,79 @@ _PQ_K = 5
 _PQ_QUERIES = 10
 
 
+def _pq_arr_sql(values) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
+
+
+def _pq_sq_fold_sql(sub_expr: str, ref_expr: str) -> str:
+    """``aggregate(zip_with(...), 0.0, +)`` — 0.0+t1+…+tn == t1+…+tn
+    (squares are non-negative), the oracle's left-associative chain."""
+    return (
+        f"aggregate(zip_with({sub_expr}, {ref_expr}, "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_codebooks(emb: DataFrame):
+    """cb[s][c][d] literal codebooks from the first ``_PQ_CODES`` vectors
+    (the ``v`` column must already be double-cast); ``None`` on a
+    degenerate corpus with fewer vectors than codebook entries."""
+    seed_rows = (
+        emb.filter(F.col("vec_id") < _PQ_CODES).orderBy("vec_id").collect()
+    )
+    if len(seed_rows) < _PQ_CODES:
+        return None
+    return [
+        [
+            [float(row["v"][s * _PQ_DSUB + d]) for d in range(_PQ_DSUB)]
+            for row in seed_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_encode(emb: DataFrame, cb) -> DataFrame:
+    """PQ codes per vector: ``neighbor_id, code0..code{M-1}`` — per
+    subspace argmin over the 16 codebook entries (array_position of the
+    min → ties resolve to the lowest code).  Literal arrays land as one
+    parsed SQL expression per column: per-element ``F.lit`` would cost
+    ~2000 py4j round trips just to build the codebook tree."""
+    enc = emb.select(
+        "vec_id",
+        *[
+            F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"sub{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    code_cols = []
+    for s in range(_PQ_M):
+        dists = (
+            "array("
+            + ", ".join(
+                _pq_sq_fold_sql(f"sub{s}", _pq_arr_sql(cb[s][c]))
+                for c in range(_PQ_CODES)
+            )
+            + ")"
+        )
+        code_cols.append(
+            F.expr(
+                f"cast(array_position({dists}, array_min({dists})) - 1"
+                " as int)"
+            ).alias(f"code{s}")
+        )
+    return enc.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
+
+
+def _pq_cb_sql(cb):
+    """Per-subspace codebook literal (array of 16 sub-vector arrays)."""
+    return [
+        "array("
+        + ", ".join(_pq_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
+        + ")"
+        for s in range(_PQ_M)
+    ]
+
+
 def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN: encode the corpus once, answer queries
     from code lookups (asymmetric distance computation).
@@ -532,89 +605,22 @@ def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    seed_rows = (
-        emb.filter(F.col("vec_id") < _PQ_CODES)
-        .orderBy("vec_id")
-        .collect()
-    )
-    if len(seed_rows) < _PQ_CODES:
+    cb = _pq_codebooks(emb)
+    if cb is None:
         # degenerate corpus (fewer vectors than codebook entries): an
         # empty result with the output schema, not a driver crash
         return spark.createDataFrame(
             [],
             "query_id long, neighbor_id long, adc double, rank long",
         )
-    # cb[s][c][d]: python floats -> literal columns
-    cb = [
-        [
-            [float(row["v"][s * _PQ_DSUB + d]) for d in range(_PQ_DSUB)]
-            for row in seed_rows
-        ]
-        for s in range(_PQ_M)
-    ]
-
-    def _arr_sql(values):
-        return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
-
-    # literal arrays as single parsed SQL expressions: per-element F.lit
-    # would cost ~2000 py4j round trips (~10 s of driver time) just to
-    # build the codebook tree
-    def cb_array(s):
-        return F.expr(
-            "array("
-            + ", ".join(_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
-            + ")"
-        )
-
-    # every expression below lands as ONE parsed SQL string per column:
-    # building the equivalent tree through the Column API costs hundreds
-    # of py4j round trips (F.lit / lambda wrapping) and ~8 s of driver
-    # time per call. The fold is `aggregate(zip_with(...), 0.0, +)` —
-    # 0.0+t1+…+t8 == t1+…+t8 (squares are non-negative), the oracle's
-    # left-associative chain order.
-    def sq_fold_sql(sub_expr, ref_expr):
-        return (
-            f"aggregate(zip_with({sub_expr}, {ref_expr}, "
-            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
-        )
-
-    # encode: per subspace, argmin over the 16 codebook entries
-    # (array_position of the min → ties resolve to the lowest code)
-    enc = emb.select(
-        "vec_id",
-        *[
-            F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"sub{s}")
-            for s in range(_PQ_M)
-        ],
-    )
-    code_cols = []
-    for s in range(_PQ_M):
-        dists = (
-            "array("
-            + ", ".join(
-                sq_fold_sql(f"sub{s}", _arr_sql(cb[s][c]))
-                for c in range(_PQ_CODES)
-            )
-            + ")"
-        )
-        code_cols.append(
-            F.expr(
-                f"cast(array_position({dists}, array_min({dists})) - 1"
-                " as int)"
-            ).alias(f"code{s}")
-        )
-    codes = enc.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
+    codes = _pq_encode(emb, cb)
     queries = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     # reconstruct each neighbor once per subspace (one element_at into the
     # literal codebook), then fold the query diff against that column
-    cb_sql = [
-        "array("
-        + ", ".join(_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
-        + ")"
-        for s in range(_PQ_M)
-    ]
+    cb_sql = _pq_cb_sql(cb)
+    sq_fold_sql = _pq_sq_fold_sql
     joined = (
         codes.join(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -379,3 +379,308 @@ FROM marked GROUP BY decile ORDER BY decile
 
 R9_QUERIES["dedup_lsh_recall"] = dedup_lsh_recall
 R9_ORACLES["dedup_lsh_recall"] = _lsh_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# 13-gram decontamination (GPT-3-style benchmark overlap)
+# ---------------------------------------------------------------------------
+_DECON_N = 13
+
+
+def docs_decontaminate_13gram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination at 13-gram granularity, per source.
+
+    The GPT-3 / PaLM recipe: a training document is contaminated when it
+    shares ANY 13-token n-gram with the held-out benchmark set (here:
+    every 25th doc stands in for the eval set, as in the token-level
+    ``docs_decontaminate``).  13-grams are md5-hashed (no n-gram strings
+    cross an exchange) and matched with a semi join against the
+    benchmark's distinct hash set.
+
+    Scale: the benchmark n-gram index is eval-set-sized (tiny next to
+    the corpus) — AQE broadcasts the semi join; corpus n-grams are a
+    map-side projection.  Contrast with the token-level variant, which
+    measures vocabulary *overlap ratio*; the 13-gram rule is the
+    near-verbatim-leak detector actually used for training-set audits.
+    """
+    from kukur_spark.operators.dedup import md5_long, shingles
+
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("text"), _DECON_N), md5_long
+                )
+            )
+        ).alias("h"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 25 == 0).select("h").distinct()
+    )
+    scanned = docs.filter(F.col("doc_id") % 25 != 0).select(
+        "doc_id", "source"
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .join(bench, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return (
+        scanned.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contaminated_ppm",
+            F.expr("n_contaminated * 1000000L div n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_DECON13_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {_DECON_N} THEN
+      list_distinct(list_transform(generate_series(1, len(t) - {_DECON_N - 1}),
+        i -> ('0x' || substr(md5(array_to_string(
+               list_slice(t, i, i + {_DECON_N - 1}), ' ')), 1, 15))::BIGINT))
+    ELSE [('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))::BIGINT]
+    END) AS h
+  FROM tk
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h)
+  WHERE s.doc_id % 25 <> 0
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    * 1000000 // CAST(COUNT(*) AS BIGINT) AS contaminated_ppm
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 25 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+R9_QUERIES["docs_decontaminate_13gram"] = docs_decontaminate_13gram
+R9_ORACLES["docs_decontaminate_13gram"] = DOCS_DECON13_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer pruning + product-quantized re-rank
+# ---------------------------------------------------------------------------
+def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ top-k: the standard billion-scale ANN layout, composed
+    from the engine's IVF (coarse quantizer, nprobe pruning) and PQ
+    (8×1-byte codes, asymmetric distance) building blocks.
+
+    Per query: probe the 4 nearest of 16 inverted lists (cosine, the
+    ``emb_ivf_topk`` convention), then rank ONLY the probed lists'
+    vectors by PQ asymmetric distance against the query — raw vectors
+    are never touched at query time; candidates are scored from their
+    codes and the broadcast codebooks.
+
+    Scale: at 10⁹+ vectors the inverted lists live hive-partitioned on
+    disk (``operators/ann_index.py``) and queries scan nprobe/C of the
+    codes (~1.5 % of a 1.5 TB code table here); the ADC is a pure
+    column expression over one element_at per subspace.  Every float
+    chain is written in the oracle's left-associative order, so
+    distances are IEEE-identical cross-engine.
+    """
+    from kukur_spark.operators.similarity import (
+        ivf_assign,
+        probe_nearest_centroids,
+    )
+    from kukur_spark.workloads_llm import (
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        _pq_cb_sql,
+        _pq_codebooks,
+        _pq_encode,
+        _pq_sq_fold_sql,
+    )
+
+    emb_raw = load_table(spark, sf, "embeddings")
+    emb = emb_raw.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cb = _pq_codebooks(emb)
+    if cb is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc double, rank long"
+        )
+    codes = _pq_encode(emb, cb)
+    centroids, assignments = ivf_assign(emb_raw, num_centroids=16)
+    probes = probe_nearest_centroids(
+        emb_raw.filter(F.col("vec_id") < 10), centroids, nprobe=4
+    )
+    cands = (
+        probes.join(assignments.select("vec_id", "centroid_id"), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"))
+    )
+    cb_sql = _pq_cb_sql(cb)
+    joined = cands.join(codes, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"qsub{s}")
+            for s in range(_PQ_M)
+        ],
+        *[
+            F.expr(f"element_at({cb_sql[s]}, code{s} + 1)").alias(f"rec{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    adc = F.expr(
+        " + ".join(
+            _pq_sq_fold_sql(f"qsub{s}", f"rec{s}") for s in range(_PQ_M)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_oracle_sql() -> str:
+    """DuckDB oracle for :func:`emb_ivfpq_topk` — the IVF CTE prefix
+    (centroids/assignments/probes, identical to ``EMB_IVF_SQL``) feeding
+    the PQ encode/ADC CTEs (identical to ``_pq_sql``), joined on the
+    probed lists only.  Built lazily (called from ``workloads.py`` after
+    module init) so the ``_duck_cos`` helper can be imported without a
+    cycle."""
+    from kukur_spark.workloads import _duck_cos
+    from kukur_spark.workloads_llm import _PQ_CODES, _PQ_DSUB, _PQ_K, _PQ_M
+
+    m, dsub = _PQ_M, _PQ_DSUB
+
+    def enc_dist(s: int) -> str:
+        return " + ".join(
+            f"(CAST(e.embedding[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(se.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(se.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            for d in range(dsub)
+        )
+
+    enc_unions = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {s} AS s, se.vec_id AS c, {enc_dist(s)} AS dist\n"
+        f"FROM embeddings e, seeds se"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END) AS code{s}" for s in range(m)
+    )
+    seed_joins = "\n".join(
+        f"JOIN seeds s{s} ON s{s}.vec_id = c.code{s}" for s in range(m)
+    )
+    adc = " + ".join(
+        "(" + " + ".join(
+            f"(CAST(p.qv[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(s{s}.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            f" * (CAST(p.qv[{s * dsub + d + 1}] AS DOUBLE)"
+            f" - CAST(s{s}.embedding[{s * dsub + d + 1}] AS DOUBLE))"
+            for d in range(dsub)
+        ) + ")"
+        for s in range(m)
+    )
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id ASC LIMIT 16
+),
+assign_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+    {_duck_cos('e.embedding', 'c.centroid')} AS sim
+  FROM embeddings e, centroids c
+),
+assignments AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 10
+),
+probe_scored AS (
+  SELECT query_id, qv, centroid_id,
+    {_duck_cos('qv', 'centroid')} AS centroid_sim
+  FROM q, centroids
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT query_id, qv, centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY centroid_sim DESC, centroid_id ASC) AS rn
+    FROM probe_scored
+  ) WHERE rn <= 4
+),
+seeds AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_CODES}
+),
+enc_scored AS (
+{enc_unions}
+),
+enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+    FROM enc_scored
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, {code_cols} FROM enc GROUP BY vec_id
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id, {adc} AS adc
+  FROM probes p
+  JOIN assignments a ON a.centroid_id = p.centroid_id
+  JOIN codes c ON c.neighbor_id = a.vec_id
+{seed_joins}
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_PQ_K} ORDER BY query_id, rank
+"""

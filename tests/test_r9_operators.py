@@ -115,3 +115,75 @@ def test_lsh_recall_hit_counts_are_subset(spark):
     for r in rows:
         assert 0 <= r.n_hit <= r.n_exact
         assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_exact
+
+
+def test_decontaminate_13gram_matches_python(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def grams(text):
+        toks = text.split(" ")
+        if len(toks) >= 13:
+            return {
+                " ".join(toks[i:i + 13]) for i in range(len(toks) - 12)
+            }
+        return {" ".join(toks)}
+
+    bench = set()
+    for r in docs:
+        if r.doc_id % 25 == 0:
+            bench |= grams(r.text)
+    expected: dict = {}
+    for r in docs:
+        if r.doc_id % 25 == 0:
+            continue
+        n_docs, n_cont = expected.get(r.source, (0, 0))
+        contaminated = bool(grams(r.text) & bench)
+        expected[r.source] = (n_docs + 1, n_cont + (1 if contaminated else 0))
+    rows = QUERIES["docs_decontaminate_13gram"](spark, SF).collect()
+    got = {r.source: (r.n_docs, r.n_contaminated) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.contaminated_ppm == (
+            r.n_contaminated * 1_000_000 // r.n_docs
+        )
+
+
+def test_ivfpq_neighbors_come_from_probed_lists(spark):
+    """IVF-PQ candidates must respect the coarse quantizer: every
+    returned neighbor shares one of the query's 4 probed lists."""
+    from kukur_spark.operators.similarity import (
+        ivf_assign,
+        probe_nearest_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids, assignments = ivf_assign(emb, num_centroids=16)
+    probes = probe_nearest_centroids(
+        emb.filter(F.col("vec_id") < 10), centroids, nprobe=4
+    )
+    probed = {
+        (r.query_id, r.centroid_id) for r in probes.collect()
+    }
+    assigned = {
+        r.vec_id: r.centroid_id
+        for r in assignments.select("vec_id", "centroid_id").collect()
+    }
+    rows = QUERIES["emb_ivfpq_topk"](spark, SF).collect()
+    assert rows
+    by_query: dict = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert r.adc >= 0.0
+        assert (r.query_id, assigned[r.neighbor_id]) in probed
+        by_query.setdefault(r.query_id, []).append((r.rank, r.adc))
+    for ranked in by_query.values():
+        ranked.sort()
+        assert [rk for rk, _ in ranked] == list(range(1, len(ranked) + 1))
+        assert [a for _, a in ranked] == sorted(a for _, a in ranked)
+
+
+def test_ivfpq_stays_jvm_side(spark):
+    plan = plan_of(QUERIES["emb_ivfpq_topk"](spark, SF))
+    assert "EvalPython" not in plan
