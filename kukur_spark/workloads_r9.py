@@ -684,3 +684,237 @@ SELECT query_id, neighbor_id, round(adc, 6) AS adc,
   CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_PQ_K} ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift over order line items
+# ---------------------------------------------------------------------------
+_BASKET_MIN_SUPPORT = 3
+_BASKET_TOPK = 20
+
+
+def parts_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Top part pairs by lift: which parts sell together beyond chance.
+
+    Classic market-basket association over the order fact: for part
+    pairs co-occurring in ≥``_BASKET_MIN_SUPPORT`` orders, lift =
+    P(a,b) / (P(a)·P(b)) = n_orders·c(ab) / (c(a)·c(b)), reported in
+    exact ppm with the co-count as support.
+
+    Scale: the pair generation is a within-order self-join — quadratic
+    ONLY in items-per-order (≤7 in this schema, bounded by basket size
+    in any retail schema), linear in orders; part marginals are one
+    map-side-combinable aggregate; the order total is a broadcast
+    singleton; the report tail is a ``bounded_rank`` top-k.
+    """
+    from kukur_spark.operators.scale import bounded_rank
+
+    items = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "div(CAST(support AS DECIMAL(38,0)) * n_orders * 1000000,"
+                " CAST(c_a AS DECIMAL(38,0)) * c_b)"
+            ).cast("long"),
+        )
+    )
+    return (
+        bounded_rank(
+            scored,
+            [
+                F.col("lift_ppm").desc(),
+                F.col("part_a").asc(),
+                F.col("part_b").asc(),
+            ],
+            _BASKET_TOPK,
+            "rank",
+        )
+        .select("part_a", "part_b", "support", "lift_ppm", "rank")
+        .orderBy("rank")
+    )
+
+
+PARTS_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM items GROUP BY l_partkey
+),
+totals AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+    AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+scored AS (
+  SELECT part_a, part_b, support,
+    CAST((CAST(support AS HUGEINT) * t.n_orders * 1000000)
+      // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+  FROM pairs
+  JOIN part_counts ca ON ca.l_partkey = pairs.part_a
+  JOIN part_counts cb ON cb.l_partkey = pairs.part_b
+  CROSS JOIN totals t
+)
+SELECT part_a, part_b, support, lift_ppm,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY lift_ppm DESC, part_a ASC, part_b ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY rank LIMIT {_BASKET_TOPK}
+"""
+
+R9_QUERIES["parts_basket_lift"] = parts_basket_lift
+R9_ORACLES["parts_basket_lift"] = PARTS_BASKET_SQL
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (second-order fold)
+# ---------------------------------------------------------------------------
+def ts_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(series, day) Holt double exponential smoothing + forecasts.
+
+    Two-component recursion with α=β=1/2 over the day's values in
+    (ts, value) order:  ℓₜ = (xₜ + ℓ + b) >> 1,  bₜ = (ℓₜ − ℓ + b) >> 1
+    (ℓ₀ = x₀, b₀ = 0) — level tracks the series, trend tracks its slope,
+    and the h-step forecast is ℓ + h·b.  All state is e6 integers and
+    ``>>`` floors identically in both engines, so the recursion is
+    bit-exact.
+
+    Scale: the same shape as ``ts_exp_smooth`` one state-component up —
+    one hash aggregate (collect_list) per (series, day), the fold carries
+    a two-long struct, groups fold independently, no window, no UDF.
+    The struct-state fold is the general template for any fixed-order
+    recursion (Holt-Winters seasonal adds one array component).
+    """
+    events = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    grouped = base.groupBy("event_type", "day_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct("ts_us", "v_e6"))).alias("pts"),
+    )
+    vals = F.transform(F.col("pts"), lambda p: p.getField("v_e6"))
+
+    def step(acc, x):
+        new_level = F.shiftright(
+            x + acc.getField("l") + acc.getField("b"), 1
+        )
+        return F.struct(
+            new_level.alias("l"),
+            F.shiftright(
+                new_level - acc.getField("l") + acc.getField("b"), 1
+            ).alias("b"),
+        )
+
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).alias("l"),
+            F.lit(0).cast("long").alias("b"),
+        ),
+        step,
+    )
+    return (
+        grouped.select(
+            "event_type",
+            "day_us",
+            F.col("n").cast("long").alias("n"),
+            state.getField("l").alias("level_e6"),
+            state.getField("b").alias("trend_e6"),
+        )
+        .withColumn("fcst1_e6", F.col("level_e6") + F.col("trend_e6"))
+        .withColumn(
+            "fcst3_e6", F.col("level_e6") + F.lit(3) * F.col("trend_e6")
+        )
+        .orderBy("event_type", "day_us")
+    )
+
+
+TS_HOLT_SQL = """
+WITH RECURSIVE base AS (
+  SELECT event_type,
+    epoch_us(date_trunc('day', ts)) AS day_us,
+    epoch_us(ts) AS ts_us,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+seqs AS (
+  SELECT event_type, day_us,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    list(v_e6 ORDER BY ts_us, v_e6) AS seq
+  FROM base GROUP BY event_type, day_us
+),
+walk AS (
+  SELECT event_type, day_us, n, seq, 1 AS i,
+    seq[1] AS l, CAST(0 AS BIGINT) AS b
+  FROM seqs
+  UNION ALL
+  SELECT event_type, day_us, n, seq, i + 1,
+    (seq[i + 1] + l + b) >> 1,
+    (((seq[i + 1] + l + b) >> 1) - l + b) >> 1
+  FROM walk WHERE i < len(seq)
+)
+SELECT event_type, day_us, n,
+  l AS level_e6, b AS trend_e6,
+  l + b AS fcst1_e6, l + 3 * b AS fcst3_e6
+FROM walk WHERE i = len(seq)
+ORDER BY event_type, day_us
+"""
+
+R9_QUERIES["ts_holt_trend"] = ts_holt_trend
+R9_ORACLES["ts_holt_trend"] = TS_HOLT_SQL

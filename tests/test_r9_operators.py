@@ -187,3 +187,89 @@ def test_ivfpq_neighbors_come_from_probed_lists(spark):
 def test_ivfpq_stays_jvm_side(spark):
     plan = plan_of(QUERIES["emb_ivfpq_topk"](spark, SF))
     assert "EvalPython" not in plan
+
+
+def test_basket_lift_matches_python(spark):
+    items = {
+        (r.l_orderkey, r.l_partkey)
+        for r in load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    from collections import Counter, defaultdict
+
+    orders = defaultdict(set)
+    part_counts: Counter = Counter()
+    for ok, pk in items:
+        orders[ok].add(pk)
+        part_counts[pk] += 1
+    n_orders = len(orders)
+    pair_counts: Counter = Counter()
+    for parts in orders.values():
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1:]:
+                pair_counts[(a, b)] += 1
+    expected = {}
+    for (a, b), c_ab in pair_counts.items():
+        if c_ab >= 3:
+            expected[(a, b)] = (
+                c_ab,
+                c_ab * n_orders * 1_000_000
+                // (part_counts[a] * part_counts[b]),
+            )
+    rows = QUERIES["parts_basket_lift"](spark, SF).collect()
+    want = sorted(
+        ((lift, a, b, sup) for (a, b), (sup, lift) in expected.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [(r.lift_ppm, r.part_a, r.part_b, r.support) for r in rows]
+    assert got == want
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_holt_trend_matches_python(spark):
+    events = (
+        load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    series = defaultdict(list)
+    for r in events:
+        day = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        # mirror the decimal(30,10) bridge — float*1e6 would drift on
+        # values like 1.1 whose binary expansion rounds past the floor
+        v_e6 = math.floor(Decimal(repr(float(r.value))) * 1_000_000)
+        series[(r.event_type, day)].append(
+            (int(r.ts.timestamp() * 1_000_000), v_e6)
+        )
+    expected = {}
+    for key, pts in series.items():
+        pts.sort()
+        level, trend = pts[0][1], 0
+        for _, x in pts[1:]:
+            new_level = (x + level + trend) >> 1
+            trend = (new_level - level + trend) >> 1
+            level = new_level
+        expected[key] = (len(pts), level, trend)
+    rows = QUERIES["ts_holt_trend"](spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        from datetime import datetime, timezone
+
+        day = datetime.fromtimestamp(r.day_us / 1e6, tz=timezone.utc)
+        n, level, trend = expected[(r.event_type, day.replace(tzinfo=None))]
+        assert (r.n, r.level_e6, r.trend_e6) == (n, level, trend)
+        assert r.fcst1_e6 == level + trend
+        assert r.fcst3_e6 == level + 3 * trend
+
+
+def test_holt_trend_single_aggregate_no_window(spark):
+    plan = plan_of(QUERIES["ts_holt_trend"](spark, SF))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
