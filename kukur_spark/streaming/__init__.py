@@ -757,3 +757,82 @@ def streaming_session_close(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt trend (twin of workloads_r9.ts_holt_trend)
+# ---------------------------------------------------------------------------
+_HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("level_e6", T.LongType()),
+        T.StructField("trend_e6", T.LongType()),
+        T.StructField("fcst1_e6", T.LongType()),
+    ]
+)
+
+_HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("level_e6", T.LongType()),
+        T.StructField("trend_e6", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _update_holt_trend(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    level, trend, n = state.get if state.exists else (None, 0, 0)
+    chunks = [pdf.dropna(subset=["ts_us", "v_e6"]) for pdf in pdfs]
+    chunks = [c for c in chunks if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts_us", "v_e6"])
+        n += len(pdf)
+        for v in pdf["v_e6"]:
+            v = int(v)
+            if level is None:
+                level, trend = v, 0
+            else:
+                new_level = (v + level + trend) >> 1
+                trend = (new_level - level + trend) >> 1
+                level = new_level
+    state.update((level, trend, n))
+    yield pd.DataFrame(
+        {
+            "series": [key[0]],
+            "n": [n],
+            "level_e6": [level],
+            "trend_e6": [trend],
+            "fcst1_e6": [None if level is None else level + trend],
+        }
+    )
+
+
+def streaming_holt_trend(
+    df: DataFrame, series_column: str = "series"
+) -> DataFrame:
+    """Running Holt double exponential smoothing per series — the
+    two-component streaming twin of ``ts_holt_trend``.
+
+    State is exactly the batch fold's carry (level, trend, n — three
+    longs per series); values ride the same decimal→e6 bridge and
+    arithmetic-shift halving, so for in-order arrival the running
+    (level, trend) equals the batch fold over the same prefix — pinned
+    by the cross-batch test against the batch operator's recursion.
+    """
+    prepared = df.select(
+        F.col(series_column).alias("series"),
+        F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
+        F.floor(F.col(VALUE_COLUMN).cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        _update_holt_trend,
+        outputStructType=_HOLT_OUTPUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

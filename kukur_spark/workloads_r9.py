@@ -696,8 +696,9 @@ _BASKET_TOPK = 20
 def parts_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     """Top part pairs by lift: which parts sell together beyond chance.
 
-    Classic market-basket association over the order fact: for part
-    pairs co-occurring in ≥``_BASKET_MIN_SUPPORT`` orders, lift =
+    Statistical upgrade of ``orders_market_basket`` (which reports raw
+    support counts): for part pairs co-occurring in
+    ≥``_BASKET_MIN_SUPPORT`` orders, lift =
     P(a,b) / (P(a)·P(b)) = n_orders·c(ab) / (c(a)·c(b)), reported in
     exact ppm with the co-count as support.
 

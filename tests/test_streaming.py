@@ -517,3 +517,38 @@ def test_streaming_session_close_event_time_timeout(spark, tmp_path):
     t1 = int(ts(1).timestamp() * 1_000_000)
     assert ("s1", t0, 2) in closed  # closed by in-data gap
     assert ("s2", t1, 1) in closed  # closed by event-time timeout
+
+
+def test_streaming_holt_trend_across_batches(spark, tmp_path):
+    from kukur_spark.streaming import streaming_holt_trend
+
+    path = str(tmp_path / "holt")
+    batch1 = [("s1", ts(0), 100.0), ("s1", ts(1), 50.0)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(path)
+    df = stream_data(spark, path, SCHEMA)
+    out = streaming_holt_trend(df)
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    batch2 = [("s1", ts(5), 10.0)]
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {r["series"]: r for r in rows}  # update mode: last wins
+    # replay the batch recursion: l0=100e6,b0=0
+    level, trend = 100_000_000, 0
+    for v in (50_000_000, 10_000_000):
+        new_level = (v + level + trend) >> 1
+        trend = (new_level - level + trend) >> 1
+        level = new_level
+    r = final["s1"]
+    assert (r["level_e6"], r["trend_e6"], r["n"]) == (level, trend, 3)
+    assert r["fcst1_e6"] == level + trend
