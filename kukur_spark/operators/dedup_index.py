@@ -1,0 +1,136 @@
+"""Persisted MinHash banding index: build once, dedup new batches
+against it without touching history text.
+
+``minhash_incremental_md5`` recomputes history signatures per batch —
+right for a one-shot backfill, wrong for the daily-ingest shape where
+yesterday's corpus is already deduplicated and only today's batch is
+new.  This module splits the phases the way a 100 TB deployment would:
+
+- **build**: md5-LSH band/bucket rows plus the hashed shingle sets for
+  the whole history, written ONCE as two bucketed tables:
+  ``<name>_bands (id, band, bucket)`` bucketed+sorted by ``bucket`` and
+  ``<name>_sets (id, hs)`` bucketed by ``id``.  The history's text is
+  never read again.
+- **query**: today's batch computes its own signatures (batch-sized
+  CPU), repartitions on ``bucket`` to meet the index's bucketing, and
+  bucket-joins — the HISTORY side needs NO exchange (hash-partitioning
+  on ``bucket`` satisfies the (band, bucket) clustering requirement; a
+  plan test pins zero Exchange above the index scan).  Surviving
+  candidates verify with exact set Jaccard against the persisted hash
+  sets, keyed on ``id``.
+
+Output contract matches ``minhash_incremental_md5`` (new_id, hist_id,
+jaccard_ppm — best history match per flagged new doc); a test pins
+build+query ≡ the recompute-everything operator on the same split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.dedup import (
+    EDGE_BANDS,
+    EDGE_HASHES,
+    _md5_banded,
+    _md5_base,
+)
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    table_prefix: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = EDGE_HASHES,
+    bands: int = EDGE_BANDS,
+    buckets: int = 8,
+) -> None:
+    """Persist the history's banding rows and hash sets as bucketed
+    tables ``<prefix>_bands`` / ``<prefix>_sets``."""
+    base = _md5_base(docs, text_column, id_column, shingle_size, num_hashes)
+    banded = _md5_banded(base, bands, num_hashes // bands)
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(buckets, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        base.select("id", "hs")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "id")
+        .sortBy("id")
+        .saveAsTable(f"{table_prefix}_sets")
+    )
+
+
+def incremental_neardup_indexed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_prefix: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = EDGE_HASHES,
+    bands: int = EDGE_BANDS,
+    jaccard_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Best history match per new doc, from the persisted index.
+
+    Returns ``new_id, hist_id, jaccard_ppm`` for every new doc whose
+    best match clears the threshold (max ppm, ties to the smallest
+    hist_id) — the contract of ``minhash_incremental_md5`` without the
+    history recompute.
+    """
+    hist_bands = spark.table(f"{table_prefix}_bands")
+    hist_sets = spark.table(f"{table_prefix}_sets")
+    base = _md5_base(
+        new_docs, text_column, id_column, shingle_size, num_hashes
+    )
+    banded = _md5_banded(base, bands, num_hashes // bands)
+    # meet the index's distribution: one exchange on the (small) NEW
+    # side only — hash on bucket satisfies the join's (band, bucket)
+    # clustering for the pre-bucketed history scan
+    cand = (
+        banded.repartition(F.col("bucket"))
+        .alias("n")
+        .join(
+            hist_bands.alias("h"),
+            on=[
+                F.col("n.band") == F.col("h.band"),
+                F.col("n.bucket") == F.col("h.bucket"),
+            ],
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("h.id").alias("hist_id")
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    verified = cand.join(
+        base.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_n")),
+        "new_id",
+    ).join(
+        hist_sets.select(
+            F.col("id").alias("hist_id"), F.col("hs").alias("hs_h")
+        ),
+        "hist_id",
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_h")).cast("long")
+    tot = (F.size("hs_n") + F.size("hs_h")).cast("long")
+    scored = (
+        verified.withColumn("_inter", inter)
+        .withColumn("_union", tot - inter)
+        .withColumn("jaccard_ppm", F.expr("div(_inter * 1000000, _union)"))
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("hist_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "hist_id", "jaccard_ppm")
+        .orderBy("new_id")
+    )

@@ -1155,6 +1155,15 @@ def lsh_jaccard_edges(spark: SparkSession, sf: str) -> DataFrame:
     s=0.2, ≈0.90 at s=0.5, ≈1-3e-7 at s=0.8: borderline pairs may be
     missed, true near-dups essentially never.
     """
+    docs = load_table(spark, sf, "documents")
+    return _lsh_edges_from(docs)
+
+
+def _lsh_edges_from(docs: DataFrame) -> DataFrame:
+    """md5-LSH banded candidates + token-Jaccard verify over any docs
+    frame (``doc_id, text, …``) — the df-level core of
+    :func:`lsh_jaccard_edges`, reused by the curation-funnel
+    composition on its filtered survivor set."""
     from kukur_spark.operators.dedup import (
         _band_candidates,
         _md5_banded,
@@ -1162,7 +1171,6 @@ def lsh_jaccard_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
     from kukur_spark.io import persist_once
 
-    docs = load_table(spark, sf, "documents")
     base = persist_once(
         _md5_base(docs, "text", "doc_id", 3, _EDGE_HASHES)
     )

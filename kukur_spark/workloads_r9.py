@@ -919,3 +919,221 @@ ORDER BY event_type, day_us
 
 R9_QUERIES["ts_holt_trend"] = ts_holt_trend
 R9_ORACLES["ts_holt_trend"] = TS_HOLT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Composed curation funnel: the end-to-end training-data pipeline
+# ---------------------------------------------------------------------------
+_PACK_LEN_FUNNEL = 256
+
+
+def docs_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source yield of the full curation DAG — the second composed
+    flagship next to ``docs_rag_query``.
+
+    Stages, in pipeline order, each feeding the next:
+
+    1. **pool** — training docs (benchmark docs, every 25th, excluded);
+    2. **blocklist** — drop docs with any ``_BLOCKLIST`` token;
+    3. **decontaminate** — drop docs sharing a 13-gram with the
+       benchmark set (hashed n-grams, semi join);
+    4. **dedup** — md5-LSH near-dup edges over the SURVIVORS, connected
+       components, keep canonical (min-id) members;
+    5. **pack** — concatenate-and-split accounting: kept tokens and
+       ceil(tokens/256) training sequences per source.
+
+    Emits per source: ``n_docs, n_after_blocklist, n_after_decon,
+    n_after_dedup, kept_tokens, n_packs`` — the loss report a data lead
+    reads before a training run.
+
+    Scale: every stage is the already-audited plan of its standalone
+    operator (map-side gates, semi joins against eval-sized indexes,
+    banded candidate joins, log-round components); stage composition
+    adds joins of per-source aggregates only.  Running dedup AFTER the
+    gates is the cheap order — edges are computed over the reduced set.
+    """
+    from kukur_spark.operators.cluster import dedup_groups
+    from kukur_spark.operators.dedup import md5_long, shingles
+    from kukur_spark.workloads import _lsh_edges_from
+
+    docs = load_table(spark, sf, "documents")
+    pool = docs.filter(F.col("doc_id") % 25 != 0)
+    blocklist = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    s1 = pool.filter(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda x: F.array_contains(blocklist, x),
+            )
+        )
+        == 0
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(F.col("text"), _DECON_N), md5_long)
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    s1_grams = s1.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), _DECON_N), md5_long)
+            )
+        ).alias("h"),
+    )
+    contaminated = (
+        s1_grams.join(bench, "h", "left_semi").select("doc_id").distinct()
+    )
+    s2 = s1.join(contaminated, "doc_id", "left_anti")
+    groups = dedup_groups(s2, _lsh_edges_from(s2))
+    kept = (
+        groups.filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+        .join(
+            s2.select(
+                "doc_id",
+                "source",
+                F.size(F.split(F.col("text"), " "))
+                .cast("long")
+                .alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+    )
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_dedup"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    return (
+        per_source(pool, "n_docs")
+        .join(per_source(s1, "n_after_blocklist"), "source", "left")
+        .join(per_source(s2, "n_after_decon"), "source", "left")
+        .join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_after_blocklist", F.lit(0)).alias(
+                "n_after_blocklist"
+            ),
+            F.coalesce("n_after_decon", F.lit(0)).alias("n_after_decon"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.expr(
+                f"coalesce((kept_tokens + {_PACK_LEN_FUNNEL - 1})"
+                f" div {_PACK_LEN_FUNNEL}, 0)"
+            ).alias("n_packs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _funnel_sql() -> str:
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        md5_sig_ctes_sql,
+    )
+
+    bl = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+    n = _DECON_N
+    gram_expr = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),"
+        f" i -> ('0x' || substr(md5(array_to_string("
+        f"list_slice(t, i, i + {n - 1}), ' ')), 1, 15))::BIGINT)) "
+        f"ELSE [('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))::BIGINT]"
+        f" END"
+    )
+    return f"""
+WITH RECURSIVE pool AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 25 <> 0
+),
+s1 AS (
+  SELECT doc_id, source, text FROM pool
+  WHERE len(list_filter(string_split(text, ' '),
+        x -> list_contains([{bl}], x))) = 0
+),
+bgrams AS (
+  SELECT DISTINCT unnest({gram_expr}) AS h
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 25 = 0)
+),
+s1grams AS (
+  SELECT doc_id, unnest({gram_expr}) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM s1)
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM s1grams g JOIN bgrams b USING (h)
+),
+s2 AS (
+  SELECT s1.* FROM s1 LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+),
+{md5_sig_ctes_sql(table="s2", num_hashes=EDGE_HASHES, bands=EDGE_BANDS)},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+dtok AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+  FROM s2
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN dtok ta ON ta.id = cand.id_a
+  JOIN dtok tb ON tb.id = cand.id_b
+  WHERE (CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) * 1000000)
+      // CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT)
+      >= 200000
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(src, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT src AS id, MIN(reach) AS component FROM walk GROUP BY src),
+kept AS (
+  SELECT s2.doc_id, s2.source,
+    CAST(len(string_split(s2.text, ' ')) AS BIGINT) AS n_tokens
+  FROM s2 LEFT JOIN comp c ON c.id = s2.doc_id
+  WHERE s2.doc_id = COALESCE(c.component, s2.doc_id)
+),
+agg AS (
+  SELECT p.source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(s1.doc_id) AS BIGINT) AS n_after_blocklist,
+    CAST(COUNT(s2.doc_id) AS BIGINT) AS n_after_decon,
+    CAST(COUNT(k.doc_id) AS BIGINT) AS n_after_dedup,
+    CAST(COALESCE(SUM(k.n_tokens), 0) AS BIGINT) AS kept_tokens
+  FROM pool p
+  LEFT JOIN s1 ON s1.doc_id = p.doc_id
+  LEFT JOIN s2 ON s2.doc_id = p.doc_id
+  LEFT JOIN kept k ON k.doc_id = p.doc_id
+  GROUP BY p.source
+)
+SELECT source, n_docs, n_after_blocklist, n_after_decon, n_after_dedup,
+  kept_tokens,
+  (kept_tokens + {_PACK_LEN_FUNNEL - 1}) // {_PACK_LEN_FUNNEL} AS n_packs
+FROM agg ORDER BY source
+"""
+
+
+R9_QUERIES["docs_curation_funnel"] = docs_curation_funnel
+R9_ORACLES["docs_curation_funnel"] = _funnel_sql()

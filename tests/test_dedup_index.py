@@ -1,0 +1,66 @@
+"""Persisted MinHash index: equivalence with the recompute operator and
+no-exchange-above-index-scan plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.operators.dedup import minhash_incremental_md5
+from kukur_spark.operators.dedup_index import (
+    build_minhash_index,
+    incremental_neardup_indexed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+import shutil
+import uuid
+
+
+def _fresh_prefix(spark) -> str:
+    """Unique per-run table prefix; stale managed-table locations from a
+    previous run would otherwise fail saveAsTable with
+    LOCATION_ALREADY_EXISTS even after the catalog forgot the table."""
+    name = f"idx_{uuid.uuid4().hex[:8]}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(warehouse.removeprefix("file:"), ignore_errors=True)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dedupidx")
+    return f"dedupidx.{name}"
+
+
+PREFIX = {}
+
+
+def test_indexed_incremental_matches_recompute(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    prefix = PREFIX.setdefault("p", _fresh_prefix(spark))
+    build_minhash_index(history, prefix)
+    got = incremental_neardup_indexed(spark, batch, prefix).collect()
+    want = minhash_incremental_md5(
+        docs, new_predicate=F.col("doc_id") % 5 == 0
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got, "the sf0.001 corpus contains near-dup batch docs"
+
+
+def test_indexed_join_no_exchange_on_history(spark):
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    if "p" not in PREFIX:  # standalone run: build the index first
+        PREFIX["p"] = _fresh_prefix(spark)
+        build_minhash_index(docs.filter(F.col("doc_id") % 5 != 0), PREFIX["p"])
+    df = incremental_neardup_indexed(spark, batch, PREFIX["p"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the history scan feeds its joins bucketed: every Exchange in the
+    # plan must sit on the new-batch/verify side, never directly above
+    # the index table scan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "_bands" in line and "FileScan" in line:
+            above = "\n".join(lines[max(0, i - 3):i])
+            assert "Exchange" not in above, above
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan

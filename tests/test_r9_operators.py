@@ -273,3 +273,39 @@ def test_holt_trend_single_aggregate_no_window(spark):
     plan = plan_of(QUERIES["ts_holt_trend"](spark, SF))
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_curation_funnel_stage_monotonicity_and_packs(spark):
+    rows = QUERIES["docs_curation_funnel"](spark, SF).collect()
+    assert rows
+    total_pool = sum(r.n_docs for r in rows)
+    docs = load_table(spark, SF, "documents").count()
+    bench = load_table(spark, SF, "documents").filter(
+        F.expr("doc_id % 25 = 0")
+    ).count()
+    assert total_pool == docs - bench
+    for r in rows:
+        assert r.n_docs >= r.n_after_blocklist >= r.n_after_decon
+        assert r.n_after_decon >= r.n_after_dedup >= 0
+        assert r.n_packs == (r.kept_tokens + 255) // 256
+        if r.n_after_dedup == 0:
+            assert r.kept_tokens == 0
+
+
+def test_curation_funnel_blocklist_stage_matches_standalone(spark):
+    """Stage-1 survivors must equal the standalone blocklist filter's
+    unflagged counts restricted to the non-benchmark pool."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    blocklist = {"error", "slow", "fail"}
+    expected: dict = {}
+    for r in docs:
+        if r.doc_id % 25 == 0:
+            continue
+        clean = not any(t in blocklist for t in r.text.split(" "))
+        n_docs, n_clean = expected.get(r.source, (0, 0))
+        expected[r.source] = (n_docs + 1, n_clean + (1 if clean else 0))
+    rows = QUERIES["docs_curation_funnel"](spark, SF).collect()
+    for r in rows:
+        assert (r.n_docs, r.n_after_blocklist) == expected[r.source]
