@@ -1137,3 +1137,190 @@ FROM agg ORDER BY source
 
 R9_QUERIES["docs_curation_funnel"] = docs_curation_funnel
 R9_ORACLES["docs_curation_funnel"] = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (iterative graph analytics)
+# ---------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_DAMP_NUM = 85  # damping 0.85 as an integer percent
+
+
+def nation_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank importance of nations in the trade-flow graph.
+
+    Graph: supplier nation → customer nation, edge weight = exact
+    revenue (decimal-bridged e6 cents of ``extendedprice·(1−discount)``)
+    aggregated over every lineitem.  Five damped iterations (d=0.85) in
+    pure integer arithmetic: out-shares are precomputed ppb fractions,
+    each contribution floors once through a DECIMAL(38,0) division
+    (identical to DuckDB's HUGEINT ``//``), and the teleport base is the
+    floored constant — so ranks are bit-exact cross-engine.  Dangling
+    nations (no outgoing trade) leak their mass, the standard simplified
+    treatment; the oracle does the same.
+
+    Scale: the rank vector is node-sized and broadcast into the
+    edge-contribution join each round; edges shuffle never (persisted
+    once).  For graphs where the rank vector itself is too big to
+    broadcast, the same loop runs as keyed joins with the
+    ``connected_components`` checkpoint discipline — iteration count is
+    fixed (5), not data-dependent.
+    """
+    from kukur_spark.io import persist_once
+    from kukur_spark.operators.scale import bounded_rank
+    from kukur_spark.workloads import dsum
+
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flows = (
+        lineitem.join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(dsum(disc_price).alias("w_e6"))
+    )
+    out_totals = flows.groupBy("src").agg(F.sum("w_e6").alias("wout_e6"))
+    edges = persist_once(
+        flows.join(out_totals, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "div(CAST(w_e6 AS DECIMAL(38,0)) * 1000000000, wout_e6)"
+            )
+            .cast("long")
+            .alias("share_ppb"),
+        )
+        # nation-pair aggregate: ≤ nations² rows — one partition keeps
+        # each of the 5 iteration rounds at a handful of tasks instead
+        # of 32 near-empty ones
+        .coalesce(1)
+    )
+    nodes = persist_once(nation.select(F.col("n_nationkey").alias("node")))
+    n_nodes = nodes.count()  # node-type cardinality: O(nations), metadata
+    r0 = 1_000_000_000 // n_nodes
+    base = 15 * 1_000_000_000 // (100 * n_nodes)
+    rank_df = nodes.select("node", F.lit(r0).cast("long").alias("r_ppb"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(rank_df),
+                edges.src == rank_df.node,
+            )
+            .select(
+                "dst",
+                F.expr(
+                    f"div(CAST(r_ppb AS DECIMAL(38,0)) * share_ppb"
+                    f" * {_PR_DAMP_NUM}, 100000000000)"
+                )
+                .cast("long")
+                .alias("c_ppb"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c_ppb").alias("in_ppb"))
+        )
+        rank_df = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.coalesce("in_ppb", F.lit(0)))
+            .cast("long")
+            .alias("r_ppb"),
+        )
+    named = rank_df.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("node"), "n_name"
+            )
+        ),
+        "node",
+    )
+    return (
+        bounded_rank(
+            named,
+            [F.col("r_ppb").desc(), F.col("n_name").asc()],
+            25,
+            "rank",
+        )
+        .select(F.col("n_name").alias("nation"), "r_ppb", "rank")
+        .orderBy("rank")
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "it0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+it{i} AS (
+  SELECT n.node,
+    (SELECT base FROM consts)
+    + COALESCE(SUM((CAST(p.r_ppb AS HUGEINT) * e.share_ppb * {_PR_DAMP_NUM})
+                   // 100000000000), 0) AS r_ppb
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY n.node
+)""")
+        prev = f"it{i}"
+    iter_sql = ",".join(iters)
+    return f"""
+WITH flows AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS w_e6
+  FROM lineitem
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN orders o ON o.o_orderkey = l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+),
+out_totals AS (
+  SELECT src, CAST(SUM(w_e6) AS BIGINT) AS wout_e6 FROM flows GROUP BY src
+),
+edges AS (
+  SELECT f.src, f.dst,
+    CAST((CAST(f.w_e6 AS HUGEINT) * 1000000000) // t.wout_e6 AS BIGINT)
+      AS share_ppb
+  FROM flows f JOIN out_totals t ON t.src = f.src
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+consts AS (
+  SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+         CAST(15000000000 // (100 * COUNT(*)) AS BIGINT) AS base
+  FROM nodes
+),
+it0 AS (SELECT node, (SELECT r0 FROM consts) AS r_ppb FROM nodes),
+{iter_sql},
+named AS (
+  SELECT n.n_name AS nation, CAST(p.r_ppb AS BIGINT) AS r_ppb
+  FROM it{_PR_ITERS} p JOIN nation n ON n.n_nationkey = p.node
+)
+SELECT nation, r_ppb,
+  CAST(ROW_NUMBER() OVER (ORDER BY r_ppb DESC, nation ASC) AS BIGINT)
+    AS rank
+FROM named ORDER BY rank LIMIT 25
+"""
+
+
+R9_QUERIES["nation_trade_pagerank"] = nation_trade_pagerank
+R9_ORACLES["nation_trade_pagerank"] = _pagerank_sql()

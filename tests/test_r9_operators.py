@@ -309,3 +309,57 @@ def test_curation_funnel_blocklist_stage_matches_standalone(spark):
     rows = QUERIES["docs_curation_funnel"](spark, SF).collect()
     for r in rows:
         assert (r.n_docs, r.n_after_blocklist) == expected[r.source]
+
+
+def test_nation_pagerank_matches_python(spark):
+    """Replay the integer PageRank recursion in Python on the same
+    exact e6 edge weights."""
+    from decimal import Decimal
+    from collections import defaultdict
+
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    cust_nation = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    supp_nation = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    sums = defaultdict(Decimal)
+    for r in lineitem:
+        src = supp_nation[r.l_suppkey]
+        dst = cust_nation[orders[r.l_orderkey]]
+        product = float(r.l_extendedprice) * (1 - float(r.l_discount))
+        sums[(src, dst)] += Decimal(repr(product))
+    w = {k: int((v * 1_000_000).to_integral_value("ROUND_FLOOR"))
+         for k, v in sums.items()}
+    wout = defaultdict(int)
+    for (src, _), v in w.items():
+        wout[src] += v
+    share = {k: v * 1_000_000_000 // wout[k[0]] for k, v in w.items()}
+    n = len(nations)
+    r0, base = 1_000_000_000 // n, 15_000_000_000 // (100 * n)
+    rank = {node: r0 for node in nations}
+    for _ in range(5):
+        incoming = defaultdict(int)
+        for (src, dst), s in share.items():
+            incoming[dst] += rank[src] * s * 85 // 100_000_000_000
+        rank = {node: base + incoming.get(node, 0) for node in nations}
+    expected = {nations[k]: v for k, v in rank.items()}
+    rows = QUERIES["nation_trade_pagerank"](spark, SF).collect()
+    assert len(rows) == len(nations)
+    got = {r.nation: r.r_ppb for r in rows}
+    assert got == expected
+    order = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r.nation for r in rows] == [k for k, _ in order]
