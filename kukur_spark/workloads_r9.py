@@ -1324,3 +1324,160 @@ FROM named ORDER BY rank LIMIT 25
 
 R9_QUERIES["nation_trade_pagerank"] = nation_trade_pagerank
 R9_ORACLES["nation_trade_pagerank"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+_STRAT_TOTAL = 100  # target sample size across all strata
+
+
+def docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified sample with Neyman allocation over source strata.
+
+    The statistically efficient stratified design: stratum h gets
+    n_h = floor(total · N_h·S_h / Σ N·S) draws, where S_h is the
+    stratum's std of ``n_chars`` — more sample where there is more
+    variance.  S_h is computed exactly: the integer variance numerator
+    N·Σx² − (Σx)² over the integer ``n_chars`` column, then one
+    ``floor(sqrt(·))`` (sqrt is correctly rounded in IEEE, so the floor
+    is bit-identical cross-engine).  Within each stratum the draws are
+    the md5-smallest doc ids — deterministic, order-free, and the same
+    hash recipe as every sampling operator in this repo.
+
+    Scale: stratum moments are one map-side-combinable aggregate; the
+    allocation table is strata-sized and broadcast; the per-stratum
+    take is a partitioned rank window (per-source state, never a global
+    window).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    moments = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    # exact integer variance numerator: N·Σx² − (Σx)²  (≥ 0)
+    weights = moments.select(
+        "source",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("w_h"),  # = N_h·S_h exactly: N·Σx²−(Σx)² = N²σ²
+    )
+    total_w = weights.agg(F.sum("w_h").alias("w_total"))
+    alloc = weights.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "n_h",
+        F.expr(
+            f"div(CAST(w_h AS DECIMAL(38,0)) * {_STRAT_TOTAL}, w_total)"
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    key = F.md5(F.concat(F.lit("strat1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("skey").asc())
+    ranked = (
+        docs.withColumn("skey", key)
+        .withColumn("draw", F.row_number().over(w).cast("long"))
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("draw") <= F.col("alloc"))
+        .select("source", "doc_id", "draw", "alloc")
+        .orderBy("source", "draw")
+    )
+
+
+DOCS_STRAT_SQL = f"""
+WITH moments AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+    CAST(SUM(n_chars) AS BIGINT) AS sx,
+    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_h,
+    CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w_h
+  FROM moments
+),
+totals AS (SELECT CAST(SUM(w_h) AS BIGINT) AS w_total FROM weights),
+alloc AS (
+  SELECT source, n_h,
+    CAST((CAST(w_h AS HUGEINT) * {_STRAT_TOTAL}) // w_total AS BIGINT)
+      AS alloc
+  FROM weights CROSS JOIN totals
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+      ORDER BY md5('strat1:' || CAST(d.doc_id AS VARCHAR)) ASC) AS BIGINT)
+      AS draw
+  FROM documents d
+)
+SELECT r.source, r.doc_id, r.draw, a.alloc
+FROM ranked r JOIN alloc a ON a.source = r.source
+WHERE r.draw <= a.alloc
+ORDER BY r.source, r.draw
+"""
+
+R9_QUERIES["docs_stratified_sample"] = docs_stratified_sample
+R9_ORACLES["docs_stratified_sample"] = DOCS_STRAT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation under the oracle gate
+# ---------------------------------------------------------------------------
+def events_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type counts/sums computed through the two-phase salted
+    aggregate — the skew tool (`operators/scale.py::salted_aggregate`)
+    exercised under the differential gate.
+
+    The events table's type column is low-cardinality (every key is a
+    hot key at scale); salting spreads each key over 16 sub-keys in the
+    map-heavy first shuffle, then merges 16·types partial rows.  The
+    result is identical to a plain GROUP BY — which is exactly what the
+    oracle runs — and the value sum rides the decimal bridge for
+    bit-exactness.
+    """
+    from kukur_spark.operators.scale import salted_aggregate
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    out = salted_aggregate(
+        base, ["event_type"], {"v_e6": "sum", "event_type": "count"}
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_type").cast("long").alias("n"),
+        F.col("sum_v_e6").cast("long").alias("sum_v_e6"),
+    ).orderBy("event_type")
+
+
+EVENTS_SALTED_SQL = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT))
+       AS BIGINT) AS sum_v_e6
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+R9_QUERIES["events_salted_agg"] = events_salted_agg
+R9_ORACLES["events_salted_agg"] = EVENTS_SALTED_SQL

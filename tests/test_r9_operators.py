@@ -363,3 +363,58 @@ def test_nation_pagerank_matches_python(spark):
     assert got == expected
     order = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [r.nation for r in rows] == [k for k, _ in order]
+
+
+def test_stratified_sample_neyman_allocation(spark):
+    """Allocation follows N_h·S_h exactly and the draws are the
+    md5-smallest ids per stratum."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    strata = defaultdict(list)
+    for r in docs:
+        strata[r.source].append((r.doc_id, r.n_chars))
+    w = {}
+    for src, rows_ in strata.items():
+        n = len(rows_)
+        sx = sum(x for _, x in rows_)
+        sxx = sum(x * x for _, x in rows_)
+        w[src] = int(math.sqrt(n * sxx - sx * sx))
+    w_total = sum(w.values())
+    alloc = {src: v * 100 // w_total for src, v in w.items()}
+    rows = QUERIES["docs_stratified_sample"](spark, SF).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r.alloc == alloc[r.source]
+        by_src[r.source].append((r.draw, r.doc_id))
+    for src, drawn in by_src.items():
+        assert len(drawn) == min(alloc[src], len(strata[src]))
+        expected_ids = sorted(
+            (d for d, _ in strata[src]),
+            key=lambda d: hashlib.md5(f"strat1:{d}".encode()).hexdigest(),
+        )[: alloc[src]]
+        assert [d for _, d in sorted(drawn)] == expected_ids
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    got = {
+        r.event_type: (r.n, r.sum_v_e6)
+        for r in QUERIES["events_salted_agg"](spark, SF).collect()
+    }
+    plain = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+            .cast("long")
+            .alias("v_e6"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_e6").alias("s"))
+        .collect()
+    )
+    assert got == {r.event_type: (r.n, r.s) for r in plain}
