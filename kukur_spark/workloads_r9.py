@@ -1481,3 +1481,202 @@ GROUP BY event_type ORDER BY event_type
 
 R9_QUERIES["events_salted_agg"] = events_salted_agg
 R9_ORACLES["events_salted_agg"] = EVENTS_SALTED_SQL
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) over parts
+# ---------------------------------------------------------------------------
+def parts_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto-optimal parts: no other part is cheaper AND bigger.
+
+    Skyline on (minimize ``p_retailprice``, maximize ``p_size``): part p
+    is dominated iff some part has price ≤ p's and size ≥ p's with at
+    least one strict.  Instead of the O(n²) dominance join, the 2-D
+    skyline reduces to price-LEVEL running maxima: aggregate max(size)
+    per distinct price (cents-exact), prefix-max over the price axis,
+    then p is dominated iff prefix_max(price < p) ≥ size or
+    level_max(price = p) > size — one aggregate + one window over the
+    price-level table + one broadcast-ready join back.
+
+    Scale: the level table is bounded by the price DOMAIN (distinct
+    price points), not by row count — the same axis-aggregation trick as
+    ``lineitem_weighted_median``; its prefix window is allowlisted in
+    the plan audit on that ground.  The parts table itself is touched
+    map-side only.
+    """
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    levels = parts.groupBy("price_c").agg(
+        F.max("size").alias("lvl_max")
+    )
+    w = Window.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    level_tbl = levels.select(
+        "price_c",
+        "lvl_max",
+        F.coalesce(F.max("lvl_max").over(w), F.lit(-1)).alias("prefix_max"),
+    )
+    return (
+        parts.join(F.broadcast(level_tbl), "price_c")
+        .filter(
+            ~(
+                (F.col("prefix_max") >= F.col("size"))
+                | (F.col("lvl_max") > F.col("size"))
+            )
+        )
+        .select("p_partkey", "price_c", "size")
+        .orderBy("p_partkey")
+    )
+
+
+PARTS_SKYLINE_SQL = """
+WITH parts AS (
+  SELECT p_partkey,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+    CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+levels AS (
+  SELECT price_c, MAX(size) AS lvl_max FROM parts GROUP BY price_c
+),
+level_tbl AS (
+  SELECT price_c, lvl_max,
+    COALESCE(MAX(lvl_max) OVER (
+      ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), -1) AS prefix_max
+  FROM levels
+)
+SELECT p.p_partkey, p.price_c, p.size
+FROM parts p JOIN level_tbl l ON l.price_c = p.price_c
+WHERE NOT (l.prefix_max >= p.size OR l.lvl_max > p.size)
+ORDER BY p.p_partkey
+"""
+
+R9_QUERIES["parts_skyline"] = parts_skyline
+R9_ORACLES["parts_skyline"] = PARTS_SKYLINE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Session path trigrams (process-mining lite)
+# ---------------------------------------------------------------------------
+_PATH_TOPK = 10
+
+
+def events_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top event-type trigrams along session paths.
+
+    Sessions split on the standard 30-minute inactivity gap per user;
+    each session contributes its consecutive event-type triples
+    ((ts, event_id)-deterministic order), and the report ranks the
+    ``_PATH_TOPK`` most frequent "a>b>c" paths — the process-mining
+    summary of how flows actually run.
+
+    Scale: sessionization is the audited per-user window; the trigram
+    fan-out is a map-side index transform over each session's collected
+    path (bounded by session length); counting is one hash aggregate
+    and the report tail is a ``bounded_rank`` top-k.
+    """
+    from pyspark.sql import Window
+
+    from kukur_spark.operators.scale import bounded_rank
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    base = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(wu)
+    sessed = base.withColumn(
+        "session_idx",
+        F.sum(F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessed.groupBy("user_id", "session_idx").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("path")
+    )
+    trigram_expr = (
+        "CASE WHEN size(path) >= 3 THEN "
+        "transform(sequence(1, size(path) - 2), "
+        "i -> concat_ws('>', element_at(path, i), "
+        "element_at(path, i + 1), element_at(path, i + 2))) "
+        "ELSE array() END"
+    )
+    counts = (
+        paths.select(F.explode(F.expr(trigram_expr)).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        bounded_rank(
+            counts,
+            [F.col("n").desc(), F.col("trigram").asc()],
+            _PATH_TOPK,
+            "rank",
+        )
+        .select("trigram", "n", "rank")
+        .orderBy("rank")
+    )
+
+
+EVENTS_PATH_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    CASE WHEN ts_us - LAG(ts_us) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      THEN 1 ELSE 0 END AS new_sess
+  FROM base
+),
+sessed AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM lagged
+),
+paths AS (
+  SELECT user_id, session_idx,
+    list(event_type ORDER BY ts_us, event_id) AS path
+  FROM sessed GROUP BY user_id, session_idx
+),
+trigrams AS (
+  SELECT unnest(
+    CASE WHEN len(path) >= 3 THEN
+      list_transform(generate_series(1, len(path) - 2),
+        i -> path[i] || '>' || path[i + 1] || '>' || path[i + 2])
+    ELSE [] END) AS trigram
+  FROM paths
+),
+counts AS (
+  SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trigrams GROUP BY trigram
+)
+SELECT trigram, n,
+  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, trigram ASC) AS BIGINT) AS rank
+FROM counts ORDER BY rank LIMIT {_PATH_TOPK}
+"""
+
+R9_QUERIES["events_path_trigrams"] = events_path_trigrams
+R9_ORACLES["events_path_trigrams"] = EVENTS_PATH_SQL

@@ -60,6 +60,9 @@ ALLOWED = {
     "emb_outlier_knn": {"unbounded_cross_joins": 1},
     # broadcast side is the label-count-sized centroid table
     "emb_class_margin": {"unbounded_cross_joins": 1},
+    # prefix-max over the price-LEVEL table: bounded by the distinct
+    # price domain (the weighted-median axis-aggregation shape)
+    "parts_skyline": {"unbounded_global_windows": 1},
 }
 
 

@@ -418,3 +418,59 @@ def test_salted_agg_matches_plain_groupby(spark):
         .collect()
     )
     assert got == {r.event_type: (r.n, r.s) for r in plain}
+
+
+def test_skyline_matches_bruteforce(spark):
+    parts = load_table(spark, SF, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [
+        (r.p_partkey, round(r.p_retailprice * 100), r.p_size) for r in parts
+    ]
+    expected = set()
+    for k, price, size in pts:
+        dominated = any(
+            (q_price <= price and q_size >= size)
+            and (q_price < price or q_size > size)
+            for _, q_price, q_size in pts
+        )
+        if not dominated:
+            expected.add(k)
+    rows = QUERIES["parts_skyline"](spark, SF).collect()
+    assert {r.p_partkey for r in rows} == expected
+    # skyline points must be mutually non-dominating: paying more must
+    # buy MORE size, so sizes strictly increase along the price axis
+    # (exact price+size duplicates aside)
+    srt = sorted({(r.price_c, r.size) for r in rows})
+    sizes = [s for _, s in srt]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+
+
+def test_path_trigrams_match_python(spark):
+    from collections import Counter, defaultdict
+
+    events = load_table(spark, SF, "events").filter(
+        F.col("ts").isNotNull()
+    ).select("user_id", "ts", "event_id", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in events:
+        per_user[r.user_id].append(
+            (int(r.ts.timestamp() * 1e6), r.event_id, r.event_type)
+        )
+    counts: Counter = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        sessions, cur = [], [seq[0]]
+        for prev, nxt in zip(seq, seq[1:]):
+            if nxt[0] - prev[0] > 1800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            path = [t for _, _, t in s]
+            for i in range(len(path) - 2):
+                counts[">".join(path[i:i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = QUERIES["events_path_trigrams"](spark, SF).collect()
+    assert [(r.trigram, r.n) for r in rows] == want
