@@ -1680,3 +1680,321 @@ FROM counts ORDER BY rank LIMIT {_PATH_TOPK}
 
 R9_QUERIES["events_path_trigrams"] = events_path_trigrams
 R9_ORACLES["events_path_trigrams"] = EVENTS_PATH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clusters (embedding-level connected components)
+# ---------------------------------------------------------------------------
+_SEM_TABLES = 4
+_SEM_PLANES = 8  # per table; OR over 4 tables: P(candidate at cos .99) ≈ .99
+
+
+def _sem_bucket_sql(table: int) -> str:
+    """Literal-SQL bucket expression for one LSH table (planes
+    ``table·8 … table·8+7``) — plane components inlined as one parsed
+    array per plane (the PQ-codebook pattern: per-element F.lit would
+    cost thousands of py4j round trips)."""
+    from kukur_spark.operators.similarity import plane_components
+
+    terms = []
+    for j in range(_SEM_PLANES):
+        plane = table * _SEM_PLANES + j
+        arr = (
+            "array("
+            + ", ".join(f"{c!r}D" for c in plane_components(plane, 64))
+            + ")"
+        )
+        proj = (
+            f"aggregate(zip_with(v, {arr}, (x, c) -> x * c), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        terms.append(f"IF({proj} > 0.0D, {1 << j}L, 0L)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def emb_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical vector per semantic near-dup group — bucketed edges.
+
+    Embedding-level dedup one level above the text pipeline (the
+    SemDeDup-style stage of modern curation recipes): candidate pairs
+    share a random-hyperplane LSH bucket in ANY of 4 tables (8 planes
+    each — OR-construction recall ≈ 0.99 at cosine 0.99), survivors
+    verify with the exact cosine ≥ 0.99, and the pairs close under the
+    same pointer-doubling connected components as the text dedup.  The
+    all-pairs enumeration (``emb_neardup_pairs``) stays registered as
+    the exact-recall baseline; this operator is the 100 TB shape — the
+    10× probe measured 186 s for the quadratic edge source vs ~8 s
+    bucketed.
+
+    The 4×64 plane components are md5-derived driver literals, so the
+    DuckDB oracle rebuilds identical buckets and the edge set is
+    bit-stable cross-engine.
+    """
+    from kukur_spark.io import persist_once
+    from kukur_spark.operators.cluster import dedup_groups
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    base = persist_once(
+        emb.repartition(
+            spark.sparkContext.defaultParallelism, F.col("vec_id")
+        ).select(
+            F.col("vec_id").alias("id"),
+            _as_double(F.col("embedding")).alias("v"),
+        ).withColumn("n", norm(F.col("v")))
+    )
+    buckets = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({t} as tbl, {_sem_bucket_sql(t)} as bucket)"
+                    )
+                    for t in range(_SEM_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.tbl", "tb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            on=[
+                F.col("a.tbl") == F.col("b.tbl"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(
+            base.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim", dot("va", "vb") / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b")
+    )
+    return (
+        dedup_groups(emb, pairs, id_column="vec_id")
+        .withColumnRenamed("canonical_id", "canonical_vec")
+        .orderBy("vec_id")
+    )
+
+
+def _sem_oracle_sql() -> str:
+    from kukur_spark.operators.similarity import plane_components
+
+    def bucket_sql(table: int) -> str:
+        terms = []
+        for j in range(_SEM_PLANES):
+            plane = table * _SEM_PLANES + j
+            arr = (
+                "["
+                + ", ".join(repr(c) for c in plane_components(plane, 64))
+                + "]"
+            )
+            proj = (
+                "list_sum(list_transform(range(1, len(v) + 1),"
+                f" i -> CAST(v[i] AS DOUBLE) * ({arr})[i]))"
+            )
+            terms.append(
+                f"(CASE WHEN {proj} > 0.0 THEN {1 << j}::BIGINT"
+                " ELSE 0::BIGINT END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    bucket_unions = "\nUNION ALL\n".join(
+        f"SELECT id, {t} AS tbl, {bucket_sql(t)} AS bucket FROM base"
+        for t in range(_SEM_TABLES)
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id AS id, embedding AS v,
+    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      AS n
+  FROM embeddings
+),
+buckets AS (
+{bucket_unions}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN base ba ON ba.id = c.id_a
+  JOIN base bb ON bb.id = c.id_b
+  WHERE list_sum(list_transform(range(1, len(ba.v) + 1),
+    i -> CAST(ba.v[i] AS DOUBLE) * CAST(bb.v[i] AS DOUBLE)))
+    / (ba.n * bb.n) >= 0.99
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(src, reach) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+),
+comp AS (SELECT src AS id, MIN(reach) AS component FROM walk GROUP BY src)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS canonical_vec
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+EMB_SEMANTIC_SQL = _sem_oracle_sql()
+
+R9_QUERIES["emb_semantic_clusters"] = emb_semantic_clusters
+R9_ORACLES["emb_semantic_clusters"] = EMB_SEMANTIC_SQL
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator error study
+# ---------------------------------------------------------------------------
+def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Signature-only Jaccard estimates vs exact, per similarity decile.
+
+    At 100 TB the first dedup pass scores candidates from SIGNATURES
+    alone (16 longs/doc) — exact set intersections only run on the
+    survivors.  This eval measures what that buys: for every banding
+    candidate pair, the estimator (matching minhash components / 16, in
+    ppm) against the exact shingle-set Jaccard, aggregated per exact
+    decile with the mean absolute estimation error.  The classic
+    MinHash unbiasedness check, as data.
+
+    Scale: candidates come from the banding join (bucket-limited);
+    signatures ride the join — 16 longs per side; exact sets join back
+    for the ERROR MEASUREMENT only (an eval concern — production skips
+    exactly this join).
+    """
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        _band_candidates,
+        _md5_banded,
+        _md5_base,
+    )
+    from kukur_spark.io import persist_once
+
+    docs = load_table(spark, sf, "documents")
+    base = persist_once(
+        _md5_base(docs, "text", "doc_id", 3, EDGE_HASHES)
+    )
+    banded = _md5_banded(base, EDGE_BANDS, EDGE_HASHES // EDGE_BANDS)
+    cand = _band_candidates(banded)
+    sides = cand.join(
+        base.select(
+            F.col("id").alias("id_a"),
+            F.col("hs").alias("hs_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("id").alias("id_b"),
+            F.col("hs").alias("hs_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)),"
+        f" 0L, (acc, x) -> acc + x) * 1000000 div {EDGE_HASHES}"
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    uni = (
+        F.size("hs_a").cast("long") + F.size("hs_b").cast("long") - inter
+    )
+    scored = sides.select(
+        est.alias("est_ppm"),
+        inter.alias("inter"),
+        uni.alias("uni"),
+    ).withColumn(
+        "exact_ppm", F.expr("inter * 1000000 div uni")
+    ).select(
+        F.least(F.expr("exact_ppm div 100000"), F.lit(9))
+        .cast("long")
+        .alias("decile"),
+        "est_ppm",
+        "exact_ppm",
+        F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(est_ppm) div count(1)").alias("mean_est_ppm"),
+            F.expr("sum(exact_ppm) div count(1)").alias("mean_exact_ppm"),
+            F.expr("sum(abs_err) div count(1)").alias("mean_abs_err_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _mh_err_sql() -> str:
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        md5_sig_ctes_sql,
+    )
+
+    return f"""
+WITH {md5_sig_ctes_sql(num_hashes=EDGE_HASHES, bands=EDGE_BANDS)},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sides AS (
+  SELECT c.id_a, c.id_b, sa.hs AS hs_a, sa.sig AS sig_a,
+         sb.hs AS hs_b, sb.sig AS sig_b
+  FROM cand c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b
+),
+scored AS (
+  SELECT
+    CAST(list_sum(list_transform(range(1, {EDGE_HASHES} + 1),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS BIGINT)
+      * 1000000 // {EDGE_HASHES} AS est_ppm,
+    CAST(len(list_intersect(hs_a, hs_b)) AS BIGINT) * 1000000
+      // (CAST(len(hs_a) AS BIGINT) + len(hs_b)
+          - len(list_intersect(hs_a, hs_b))) AS exact_ppm
+  FROM sides
+)
+SELECT CAST(LEAST(exact_ppm // 100000, 9) AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(est_ppm) AS BIGINT) // COUNT(*) AS mean_est_ppm,
+  CAST(SUM(exact_ppm) AS BIGINT) // COUNT(*) AS mean_exact_ppm,
+  CAST(SUM(ABS(est_ppm - exact_ppm)) AS BIGINT) // COUNT(*)
+    AS mean_abs_err_ppm
+FROM scored GROUP BY LEAST(exact_ppm // 100000, 9) ORDER BY decile
+"""
+
+
+R9_QUERIES["minhash_estimate_error"] = minhash_estimate_error
+R9_ORACLES["minhash_estimate_error"] = _mh_err_sql()

@@ -474,3 +474,61 @@ def test_path_trigrams_match_python(spark):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     rows = QUERIES["events_path_trigrams"](spark, SF).collect()
     assert [(r.trigram, r.n) for r in rows] == want
+
+
+def test_semantic_clusters_refine_exact_components(spark):
+    """Bucketed-edge clusters must be a REFINEMENT of the all-pairs
+    closure (LSH can only miss edges, never invent them), with the
+    minimum member as canonical — and at this scale the recall is in
+    fact perfect, so the partitions coincide."""
+    from collections import defaultdict
+
+    from kukur_spark.workloads import emb_neardup_pairs
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in emb_neardup_pairs(spark, SF).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = QUERIES["emb_semantic_clusters"](spark, SF).collect()
+    comp = defaultdict(set)
+    for r in rows:
+        comp[r.canonical_vec].add(r.vec_id)
+    for canonical, members in comp.items():
+        assert canonical == min(members)
+        # refinement: all members of a bucketed cluster share one exact
+        # component
+        assert len({find(m) for m in members}) == 1
+    # and on this corpus the OR-construction recall is perfect
+    exact = defaultdict(set)
+    for r in rows:
+        exact[find(r.vec_id)].add(r.vec_id)
+    assert sorted(map(sorted, comp.values())) == sorted(
+        map(sorted, exact.values())
+    )
+
+
+def test_minhash_estimator_error_bounds(spark):
+    rows = QUERIES["minhash_estimate_error"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.mean_est_ppm <= 1_000_000
+        assert 0 <= r.mean_exact_ppm <= 1_000_000
+        assert 0 <= r.mean_abs_err_ppm <= 1_000_000
+        assert r.n_pairs > 0
+    # banding candidates are dominated by true near-dups: the top decile
+    # must exist and its estimator must be close (within 20pp on average)
+    top = rows[-1]
+    assert top.decile == 9
+    assert top.mean_abs_err_ppm < 200_000
