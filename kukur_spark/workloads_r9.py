@@ -1217,6 +1217,11 @@ def nation_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     nodes = persist_once(nation.select(F.col("n_nationkey").alias("node")))
     n_nodes = nodes.count()  # node-type cardinality: O(nations), metadata
+    if n_nodes == 0:
+        # degenerate corpus: schema-stable empty result, not a crash
+        return spark.createDataFrame(
+            [], "nation string, r_ppb long, rank long"
+        )
     r0 = 1_000_000_000 // n_nodes
     base = 15 * 1_000_000_000 // (100 * n_nodes)
     rank_df = nodes.select("node", F.lit(r0).cast("long").alias("r_ppb"))
@@ -1378,8 +1383,12 @@ def docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     alloc = weights.crossJoin(F.broadcast(total_w)).select(
         "source",
         "n_h",
+        # all-zero weights (single-row / constant strata): allocate 0
+        # rather than divide by zero — the oracle has the same guard
         F.expr(
-            f"div(CAST(w_h AS DECIMAL(38,0)) * {_STRAT_TOTAL}, w_total)"
+            "CASE WHEN w_total = 0 THEN 0L ELSE "
+            f"div(CAST(w_h AS DECIMAL(38,0)) * {_STRAT_TOTAL}, w_total) "
+            "END"
         )
         .cast("long")
         .alias("alloc"),
@@ -1413,8 +1422,9 @@ weights AS (
 totals AS (SELECT CAST(SUM(w_h) AS BIGINT) AS w_total FROM weights),
 alloc AS (
   SELECT source, n_h,
-    CAST((CAST(w_h AS HUGEINT) * {_STRAT_TOTAL}) // w_total AS BIGINT)
-      AS alloc
+    CASE WHEN w_total = 0 THEN 0
+      ELSE CAST((CAST(w_h AS HUGEINT) * {_STRAT_TOTAL}) // w_total AS BIGINT)
+    END AS alloc
   FROM weights CROSS JOIN totals
 ),
 ranked AS (
