@@ -2008,3 +2008,182 @@ FROM scored GROUP BY LEAST(exact_ppm // 100000, 9) ORDER BY decile
 
 R9_QUERIES["minhash_estimate_error"] = minhash_estimate_error
 R9_ORACLES["minhash_estimate_error"] = _mh_err_sql()
+
+
+# ---------------------------------------------------------------------------
+# Concentration analytics: Gini and Herfindahl
+# ---------------------------------------------------------------------------
+def nation_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of supplier revenue inside each nation.
+
+    Inequality of the revenue distribution across a nation's suppliers:
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over the ascending-sorted
+    supplier revenues — reported as exact ppm via one integer division
+    per nation (numerator and denominator kept integral; revenues are
+    decimal-bridged e2 cents).
+
+    Scale: per-supplier revenue is one map-side-combinable aggregate;
+    the sorted index is a window KEYED on the nation (per-group state,
+    never global); the Gini itself is a second keyed aggregate.
+    """
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.floor(
+                F.sum(disc_price.cast("decimal(30,10)")) * 100
+            )
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("rev_c").asc(), F.col("s_suppkey").asc()
+    )
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    per_nation = ranked.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_c").alias("total_c"),
+        F.sum(F.col("i") * F.col("rev_c")).alias("weighted_c"),
+    )
+    # G·1e6 = (2·Σ i·x − (n+1)·Σx) · 1e6 / (n·Σx), floored once
+    gini = F.expr(
+        "div((2 * CAST(weighted_c AS DECIMAL(38,0))"
+        " - (n + 1) * total_c) * 1000000, CAST(n AS DECIMAL(38,0))"
+        " * total_c)"
+    ).cast("long")
+    return (
+        per_nation.join(
+            F.broadcast(
+                load_table(spark, sf, "nation").select(
+                    F.col("n_nationkey").alias("s_nationkey"), "n_name"
+                )
+            ),
+            "s_nationkey",
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n",
+            "total_c",
+            gini.alias("gini_ppm"),
+        )
+        .orderBy("nation")
+    )
+
+
+NATION_GINI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) * 100) AS BIGINT) AS rev_c
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+),
+ranked AS (
+  SELECT s_nationkey, rev_c,
+    CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      ORDER BY rev_c ASC, s_suppkey ASC) AS BIGINT) AS i
+  FROM rev
+),
+per_nation AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(rev_c) AS BIGINT) AS total_c,
+    CAST(SUM(i * rev_c) AS BIGINT) AS weighted_c
+  FROM ranked GROUP BY s_nationkey
+)
+SELECT nt.n_name AS nation, p.n, p.total_c,
+  CAST(((2 * CAST(weighted_c AS HUGEINT) - (n + 1) * total_c) * 1000000)
+    // (CAST(n AS HUGEINT) * total_c) AS BIGINT) AS gini_ppm
+FROM per_nation p JOIN nation nt ON nt.n_nationkey = p.s_nationkey
+ORDER BY nation
+"""
+
+R9_QUERIES["nation_revenue_gini"] = nation_revenue_gini
+R9_ORACLES["nation_revenue_gini"] = NATION_GINI_SQL
+
+
+def parts_brand_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of brand revenue per part type.
+
+    HHI = Σ (share of brand in the type's revenue)², share in ppm —
+    the antitrust-style concentration screen, here over the part
+    catalog's revenue by (type, brand).  Shares floor once to ppm
+    integers and the HHI sums their squares (exact ÷1e6 at the end),
+    so the statistic is integer-deterministic.
+
+    Scale: two map-side-combinable aggregates (brand revenue, type
+    totals) and one broadcast-sized join — no window anywhere.
+    """
+    lineitem = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.floor(F.sum(disc_price.cast("decimal(30,10)")) * 100)
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    totals = brand_rev.groupBy("p_type").agg(
+        F.sum("rev_c").alias("total_c"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    shares = brand_rev.join(F.broadcast(totals), "p_type").select(
+        "p_type",
+        "n_brands",
+        F.expr("div(CAST(rev_c AS DECIMAL(38,0)) * 1000000, total_c)")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("p_type", "n_brands")
+        .agg(
+            F.expr(
+                "CAST(div(sum(share_ppm * share_ppm), 1000000) AS BIGINT)"
+            ).alias("hhi_ppm")
+        )
+        .select("p_type", "n_brands", "hhi_ppm")
+        .orderBy("p_type")
+    )
+
+
+PARTS_HHI_SQL = """
+WITH brand_rev AS (
+  SELECT p.p_type, p.p_brand,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+        AS DECIMAL(30,10))) * 100) AS BIGINT) AS rev_c
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+  GROUP BY p.p_type, p.p_brand
+),
+totals AS (
+  SELECT p_type, CAST(SUM(rev_c) AS BIGINT) AS total_c,
+    CAST(COUNT(*) AS BIGINT) AS n_brands
+  FROM brand_rev GROUP BY p_type
+),
+shares AS (
+  SELECT b.p_type, t.n_brands,
+    CAST((CAST(b.rev_c AS HUGEINT) * 1000000) // t.total_c AS BIGINT)
+      AS share_ppm
+  FROM brand_rev b JOIN totals t ON t.p_type = b.p_type
+)
+SELECT p_type, n_brands,
+  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares GROUP BY p_type, n_brands ORDER BY p_type
+"""
+
+R9_QUERIES["parts_brand_hhi"] = parts_brand_hhi
+R9_ORACLES["parts_brand_hhi"] = PARTS_HHI_SQL

@@ -532,3 +532,59 @@ def test_minhash_estimator_error_bounds(spark):
     top = rows[-1]
     assert top.decile == 9
     assert top.mean_abs_err_ppm < 200_000
+
+
+def test_gini_matches_python(spark):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    supp_nation = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, SF, "supplier").collect()
+    }
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    sums = defaultdict(Decimal)
+    for r in lineitem:
+        product = float(r.l_extendedprice) * (1 - float(r.l_discount))
+        sums[(supp_nation[r.l_suppkey], r.l_suppkey)] += Decimal(
+            repr(product)
+        )
+    rev = defaultdict(list)
+    for (nk, sk), v in sums.items():
+        rev[nk].append(
+            (int((v * 100).to_integral_value("ROUND_FLOOR")), sk)
+        )
+    expected = {}
+    for nk, xs in rev.items():
+        xs.sort()
+        n = len(xs)
+        total = sum(x for x, _ in xs)
+        weighted = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        expected[nations[nk]] = (
+            n,
+            total,
+            (2 * weighted - (n + 1) * total) * 1_000_000 // (n * total),
+        )
+    rows = QUERIES["nation_revenue_gini"](spark, SF).collect()
+    got = {r.nation: (r.n, r.total_c, r.gini_ppm) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_hhi_bounds_and_single_brand_is_monopoly(spark):
+    rows = QUERIES["parts_brand_hhi"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # HHI in (0, 1e6]; a single brand means share 1e6 -> HHI 1e6
+        assert 0 < r.hhi_ppm <= 1_000_000
+        if r.n_brands == 1:
+            assert r.hhi_ppm == 1_000_000
+        # HHI can never undercut the equal-share floor 1e6/n
+        assert r.hhi_ppm >= 1_000_000 // r.n_brands - 1
