@@ -410,6 +410,30 @@ def _register_builtin() -> None:
         "databricks_rest",
         lambda spark, name, config: DatabricksRestSource(spark, name, config),
     )
+    from kukur_spark.sources.piwebapi_af_template import (
+        PIAssetFrameworkTemplateSource,
+    )
+
+    SourceFactory.register_source(
+        "piwebapi_af_template",
+        lambda spark, name, config: PIAssetFrameworkTemplateSource(
+            spark, name, config
+        ),
+    )
+
+    # Reference-parity type-name aliases: the reference registers hyphenated
+    # spellings (kukur/source/__init__.py:67-91). A real Kukur TOML must
+    # resolve unchanged, so accept both. `datafusion` maps to the Spark SQL
+    # source — same role (SQL over registered file views), Spark engine.
+    for alias, target in {
+        "azure-data-explorer": "azure_data_explorer",
+        "databricks-sql": "databricks_sql_odbc",
+        "datafusion": "spark_sql",
+        "piwebapi-da": "piwebapi",
+        "piwebapi-af": "piwebapi_af",
+        "piwebapi-af-template": "piwebapi_af_template",
+    }.items():
+        SourceFactory.register_source(alias, SourceFactory._registry[target])
 
 
 _register_builtin()

@@ -1,0 +1,251 @@
+"""PI AF template source: attributes across all template-instantiated elements.
+
+Parity target: reference
+``kukur/source/piwebapi_af_template/piwebapi_af_template.py:56-80`` and the
+template walk in ``kukur/source/piwebapi_af/pi_asset_framework.py:301-393``:
+
+- discovery runs ONE batched POST per page against the Web API batch
+  controller: ``GetElements`` searches the database's elements by
+  ``templateName`` (full hierarchy, ``startIndex`` paging,
+  ``maxCount = max_returned_metadata_items_per_call``, default 150) and a
+  templated ``GetAttributes`` sub-request fans out over every returned
+  element's ``Links.Attributes`` URL in the same round trip
+  (pi_asset_framework.py:349-371);
+- paging stops when a page returns fewer elements than ``maxCount``
+  (:388-393);
+- batch responses are validated like the reference (:847-875): 207
+  multi-status items are checked individually, a 400 caused by an empty
+  parent selection ends the walk instead of failing;
+- per attribute, only ``allowed_data_references`` plug-ins are kept
+  (default ``["PI Point"]``), ``attribute_names`` filters on the path after
+  the first ``|``, and ``attributes_as_fields`` picks between
+  (series=element, field=attribute) and (series=attribute, element tag)
+  naming (:398-443);
+- data reads reuse the recorded-data pager inherited from
+  ``PIWebAPISource`` (boundary dedup W3, system-state filter F6, Good→
+  quality M6).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from typing import Any, Dict, Iterator, List, Optional
+
+from pyspark.sql import SparkSession
+
+from kukur_spark.base import SERIES_NAME_TAG, SeriesSearch, SeriesSelector
+from kukur_spark.metadata import Metadata
+from kukur_spark.sources.piwebapi import PIWebAPISource
+
+DEFAULT_METADATA_PAGE = 150  # reference pi_asset_framework.py:274-276
+
+_HTTP_MULTI_STATUS = 207
+_HTTP_BAD_REQUEST = 400
+
+
+class BatchRequestFailedException(Exception):
+    """A PI Web API batch sub-request failed."""
+
+
+class PIAssetFrameworkTemplateSource(PIWebAPISource):
+    """Attributes of every element instantiating one AF element template."""
+
+    def __init__(self, spark: SparkSession, name: str, config: Dict[str, Any]):
+        if "element_template" not in config:
+            raise ValueError(
+                'piwebapi-af-template sources require an "element_template" entry'
+            )
+        super().__init__(spark, name, config)
+        self.database_webid = config.get("database_webid", "")
+        self.element_template = config["element_template"]
+        self.element_category = config.get("element_category")
+        self.attribute_names: Optional[List[str]] = config.get("attribute_names")
+        self.attribute_category = config.get("attribute_category")
+        self.allowed_data_references: List[str] = config.get(
+            "allowed_data_references", ["PI Point"]
+        )
+        self.attributes_as_fields = bool(config.get("attributes_as_fields", True))
+        self.metadata_page = int(
+            config.get("max_returned_metadata_items_per_call", DEFAULT_METADATA_PAGE)
+        )
+        # attribute payloads seen during search, keyed by WebId — lets
+        # get_metadata answer without a second round trip
+        self._attribute_cache: Dict[str, Dict[str, Any]] = {}
+
+    def _post(self, path: str, payload: Dict[str, Any]) -> Dict[str, Any]:
+        request = urllib.request.Request(
+            f"{self.url}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(request) as response:
+            return json.load(response)
+
+    def _batch_page(self, start_index: int) -> Optional[Dict[str, Any]]:
+        element_params: Dict[str, Any] = {
+            "templateName": self.element_template,
+            "searchFullHierarchy": "true",
+            "selectedFields": ";".join(
+                [
+                    "Items.Name",
+                    "Items.WebId",
+                    "Items.Description",
+                    "Items.CategoryNames",
+                    "Items.Links.Attributes",
+                ]
+            ),
+            "maxCount": self.metadata_page,
+            "startIndex": start_index,
+        }
+        if self.element_category is not None:
+            element_params["categoryName"] = self.element_category
+        attribute_params: Dict[str, Any] = {
+            "searchFullHierarchy": "true",
+            "selectedFields": ";".join(
+                [
+                    "Items.WebId",
+                    "Items.Name",
+                    "Items.Description",
+                    "Items.Path",
+                    "Items.CategoryNames",
+                    "Items.DataReferencePlugIn",
+                    "Items.Type",
+                    "Items.DefaultUnitsNameAbbreviation",
+                ]
+            ),
+            "maxCount": self.metadata_page,
+        }
+        if self.attribute_category is not None:
+            attribute_params["categoryName"] = self.attribute_category
+        batch_query = {
+            "GetElements": {
+                "Method": "GET",
+                "Resource": (
+                    f"{self.url}/assetdatabases/{self.database_webid}/elements?"
+                    + urllib.parse.urlencode(element_params)
+                ),
+            },
+            "GetAttributes": {
+                "Method": "GET",
+                "RequestTemplate": {
+                    "Resource": "{0}?" + urllib.parse.urlencode(attribute_params),
+                },
+                "Parameters": ["$.GetElements.Content.Items[*].Links.Attributes"],
+                "ParentIds": ["GetElements"],
+            },
+        }
+        return _validate_batch_response(self._post("/batch", batch_query))
+
+    def search(self, search: SeriesSearch) -> Iterator[SeriesSelector]:
+        start_index = 0
+        while True:
+            result = self._batch_page(start_index)
+            if result is None:
+                break
+            elements = result["GetElements"]["Content"].get("Items", [])
+            attribute_pages = result["GetAttributes"]["Content"].get("Items", [])
+            for i, element in enumerate(elements):
+                attributes = (
+                    attribute_pages[i]["Content"].get("Items", [])
+                    if i < len(attribute_pages)
+                    else []
+                )
+                yield from self._element_selectors(search, element, attributes)
+            if len(elements) < self.metadata_page:
+                break
+            start_index += len(elements)
+
+    def _element_selectors(
+        self,
+        search: SeriesSearch,
+        element: Dict[str, Any],
+        attributes: List[Dict[str, Any]],
+    ) -> Iterator[SeriesSelector]:
+        for attribute in attributes:
+            if self.attribute_names is not None:
+                path = str(attribute.get("Path", "")).split("|", maxsplit=1)
+                if len(path) < 2 or path[1] not in self.attribute_names:
+                    continue
+            plugin = attribute.get("DataReferencePlugIn")
+            if plugin not in self.allowed_data_references:
+                continue
+            self._attribute_cache[attribute["WebId"]] = {
+                **attribute,
+                "__element_description__": element.get("Description", ""),
+            }
+            if self.attributes_as_fields:
+                tags = {
+                    SERIES_NAME_TAG: element["Name"],
+                    "__webid__": attribute["WebId"],
+                }
+                field = attribute["Name"]
+            else:
+                tags = {
+                    SERIES_NAME_TAG: attribute["Name"],
+                    "element": element["Name"],
+                    "__webid__": attribute["WebId"],
+                }
+                field = "value"
+            if search.tags and any(
+                tags.get(key) != value
+                for key, value in search.tags.items()
+                if key != "__webid__"
+            ):
+                continue
+            yield SeriesSelector(self.name, tags, field)
+
+    def get_metadata(self, selector: SeriesSelector) -> Metadata:
+        metadata = Metadata(selector)
+        webid = selector.tags.get("__webid__")
+        if not webid:
+            return metadata
+        payload = self._attribute_cache.get(webid)
+        if payload is None:
+            payload = self._get(f"/attributes/{webid}", {})
+        metadata["description"] = payload.get("Description") or payload.get(
+            "__element_description__", ""
+        )
+        metadata["unit"] = payload.get("DefaultUnitsNameAbbreviation", "")
+        return metadata
+
+    # get_data inherited: /streams/{webid}/recorded pager with W3/F6/M6
+
+
+def _validate_batch_response(
+    result: Dict[str, Any],
+) -> Optional[Dict[str, Any]]:
+    """Check a batch controller reply (reference pi_asset_framework.py:847-875).
+
+    200/207 succeed (207 item-wise); a 400 from an empty parent selection
+    returns ``None`` (end of paging); anything else raises.
+    """
+    errors = []
+    for batch_id, batch_response in result.items():
+        status = batch_response.get("Status", 200)
+        if status == _HTTP_MULTI_STATUS:
+            for item in batch_response["Content"].get("Items", []):
+                if item.get("Status", 200) >= _HTTP_BAD_REQUEST:
+                    errors.append((batch_id, _extract_error(item)))
+        elif status >= _HTTP_BAD_REQUEST:
+            message = _extract_error(batch_response)
+            if "Some JSON paths did not select any tokens" in message:
+                return None
+            errors.append((batch_id, message))
+    if errors:
+        raise BatchRequestFailedException(
+            ";".join(f"{batch_id}: {error}" for batch_id, error in errors)
+        )
+    return result
+
+
+def _extract_error(item: Dict[str, Any]) -> str:
+    content = item.get("Content")
+    if isinstance(content, dict):
+        errors = content.get("Errors")
+        if isinstance(errors, list) and errors:
+            return str(errors[0])
+        return json.dumps(content)
+    return str(content)

@@ -245,3 +245,173 @@ def test_pi_paged_read_boundary_dedup_quality(spark, pi_url):
         (2.0, 0),
         (3.0, 1),
     ]
+
+
+class PiAfTemplateHandler(PiHandler):
+    """Batch-controller stub: two element pages of 2, then a short page."""
+
+    batches: list = []
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length))
+        PiAfTemplateHandler.batches.append(body)
+        elements_url = body["GetElements"]["Resource"]
+        query = parse_qs(urlparse(elements_url).query)
+        start_index = int(query.get("startIndex", ["0"])[0])
+        all_elements = [
+            {
+                "Name": f"Pump-{i}",
+                "WebId": f"E{i}",
+                "Description": f"pump {i}",
+                "CategoryNames": [],
+                "Links": {"Attributes": f"http://pi/elements/E{i}/attributes"},
+            }
+            for i in range(3)
+        ]
+        max_count = int(query["maxCount"][0])
+        page = all_elements[start_index : start_index + max_count]
+        attribute_items = [
+            {
+                "Status": 200,
+                "Content": {
+                    "Items": [
+                        {
+                            "WebId": f"W{element['WebId']}",
+                            "Name": "Flow",
+                            "Description": "flow rate",
+                            "Path": f"\\\\srv\\db\\{element['Name']}|Flow",
+                            "CategoryNames": [],
+                            "DataReferencePlugIn": "PI Point",
+                            "Type": "Double",
+                            "DefaultUnitsNameAbbreviation": "m3/h",
+                        },
+                        {
+                            "WebId": f"F{element['WebId']}",
+                            "Name": "Formula",
+                            "Description": "derived",
+                            "Path": f"\\\\srv\\db\\{element['Name']}|Formula",
+                            "CategoryNames": [],
+                            "DataReferencePlugIn": "Formula",
+                            "Type": "Double",
+                            "DefaultUnitsNameAbbreviation": "",
+                        },
+                    ]
+                },
+            }
+            for element in page
+        ]
+        self._reply(
+            {
+                "GetElements": {
+                    "Status": 200,
+                    "Content": {"Items": page},
+                },
+                "GetAttributes": {
+                    "Status": 207,
+                    "Content": {"Items": attribute_items},
+                },
+            }
+        )
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if "/streams/WE0/recorded" in parsed.path:
+            self._reply(
+                {
+                    "Items": [
+                        {"Timestamp": "2024-01-01T00:30:00Z", "Value": 10.0, "Good": True},
+                        {"Timestamp": "2024-01-01T01:30:00Z", "Value": 11.0, "Good": True},
+                    ]
+                }
+            )
+        else:
+            super().do_GET()
+
+
+@pytest.fixture()
+def pi_af_template_url():
+    server = HTTPServer(("localhost", 0), PiAfTemplateHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://localhost:{server.server_port}"
+    server.shutdown()
+
+
+def test_pi_af_template_walk_and_data(spark, pi_af_template_url):
+    from kukur_spark.sources.piwebapi_af_template import (
+        PIAssetFrameworkTemplateSource,
+    )
+
+    PiAfTemplateHandler.batches.clear()
+    source = PIAssetFrameworkTemplateSource(
+        spark,
+        "af-template",
+        {
+            "url": pi_af_template_url,
+            "database_webid": "DB1",
+            "element_template": "PumpTemplate",
+            "max_returned_metadata_items_per_call": 2,
+        },
+    )
+    series = list(source.search(SeriesSearch("af-template")))
+    # 3 elements instantiate the template; the Formula attribute is dropped
+    # (allowed_data_references defaults to ["PI Point"])
+    assert [(s.tags["series name"], s.field) for s in series] == [
+        ("Pump-0", "Flow"),
+        ("Pump-1", "Flow"),
+        ("Pump-2", "Flow"),
+    ]
+    # two batch round trips: full page of 2, then the short page of 1
+    assert len(PiAfTemplateHandler.batches) == 2
+    first = PiAfTemplateHandler.batches[0]
+    assert "templateName=PumpTemplate" in first["GetElements"]["Resource"]
+    assert first["GetAttributes"]["Parameters"] == [
+        "$.GetElements.Content.Items[*].Links.Attributes"
+    ]
+    assert first["GetAttributes"]["ParentIds"] == ["GetElements"]
+    # metadata comes from the walk, no extra round trip
+    metadata = source.get_metadata(series[0])
+    assert metadata["unit"] == "m3/h"
+    assert metadata["description"] == "flow rate"
+    # data reads reuse the inherited recorded-data pager
+    rows = source.get_data(series[0], START, END).collect()
+    assert [r["value"] for r in rows] == [10.0, 11.0]
+
+
+def test_pi_af_template_attribute_names_and_element_tags(
+    spark, pi_af_template_url
+):
+    from kukur_spark.sources.piwebapi_af_template import (
+        PIAssetFrameworkTemplateSource,
+    )
+
+    source = PIAssetFrameworkTemplateSource(
+        spark,
+        "af-template",
+        {
+            "url": pi_af_template_url,
+            "database_webid": "DB1",
+            "element_template": "PumpTemplate",
+            "attributes_as_fields": False,
+            "attribute_names": ["Flow"],
+            "allowed_data_references": ["PI Point", "Formula"],
+        },
+    )
+    series = list(source.search(SeriesSearch("af-template")))
+    # attribute_names filters on the path after '|' (Formula rows excluded
+    # even though its plug-in is allowed); attributes_as_fields=False names
+    # the series after the attribute with an element tag
+    assert [(s.tags["series name"], s.tags["element"], s.field) for s in series] == [
+        ("Flow", "Pump-0", "value"),
+        ("Flow", "Pump-1", "value"),
+        ("Flow", "Pump-2", "value"),
+    ]
+
+
+def test_pi_af_template_requires_template():
+    from kukur_spark.sources.piwebapi_af_template import (
+        PIAssetFrameworkTemplateSource,
+    )
+
+    with pytest.raises(ValueError, match="element_template"):
+        PIAssetFrameworkTemplateSource(None, "bad", {"url": "http://x"})

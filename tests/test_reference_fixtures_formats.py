@@ -517,3 +517,68 @@ def test_reference_master_config(spark, monkeypatch):
         datetime(2021, 1, 31, 23, 59, tzinfo=timezone.utc),
     ).collect()
     assert len(rows2) == 23
+
+
+def test_reference_type_names_all_resolve():
+    """Every source type the reference registers resolves in our factory.
+
+    Mirrors the reference registration map kukur/source/__init__.py:67-91;
+    `integration-test` is the reference's internal test rig and is
+    deliberately unsupported.
+    """
+    from kukur_spark.sources import SourceFactory
+
+    reference_types = [
+        "adodb",
+        "arrows",
+        "cratedb",
+        "csv",
+        "azure-data-explorer",
+        "databricks-sql",
+        "datafusion",
+        "delta",
+        "elasticsearch",
+        "feather",
+        "influxdb",
+        "json",
+        "kukur",
+        "odbc",
+        "parquet",
+        "piwebapi-af",
+        "piwebapi-af-template",
+        "piwebapi-da",
+        "plugin",
+        "postgresql",
+        "redshift",
+        "simulator",
+        "sqlite",
+        "tdengine",
+    ]
+    missing = [t for t in reference_types if t not in SourceFactory._registry]
+    assert missing == []
+
+
+def test_reference_spelling_builds_source(spark):
+    """A TOML fragment using the reference's hyphenated spellings builds."""
+    from kukur_spark.sources import SourceFactory
+
+    cfg = {
+        "source": {
+            "adx": {
+                "type": "azure-data-explorer",
+                "url": "https://adx.example",
+                "database": "db",
+                "table": "events",
+            },
+            "pi": {
+                "type": "piwebapi-da",
+                "url": "https://pi.example/piwebapi",
+            },
+        }
+    }
+    fac = SourceFactory(spark, cfg)
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+    from kukur_spark.sources.piwebapi import PIWebAPISource
+
+    assert isinstance(fac.get_source("adx").source, AzureDataExplorerSource)
+    assert isinstance(fac.get_source("pi").source, PIWebAPISource)
