@@ -238,3 +238,92 @@ def distributed_ntile(
         ).cast("int"),
     )
     return out.drop("__rank", "__gtotal")
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_column: str = "start_us",
+    end_column: str = "end_us",
+    count_column: str = "n_merged",
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals globally, scale-safe.
+
+    The classic sweep — flag a new group when ``start`` exceeds the
+    running ``max(end)`` of all earlier intervals, then prefix-sum the
+    flags into group ids — needs two global scans, and the naive
+    ``Window.orderBy(start)`` form funnels the whole input through one
+    task.  Both scans distribute with the same two-level trick as
+    :func:`distributed_row_number`:
+
+    1. range-repartition on ``(start, end)`` so partition order equals
+       global order;
+    2. per-partition running ``max(end)`` (keyed window), plus an
+       exclusive prefix-max of per-partition maxima across the
+       O(#partitions) summary rows (``__pid``-ordered window — the
+       audit-exempt convention);
+    3. group flags from the combined previous-max, then group ids from a
+       per-partition running flag sum plus an exclusive prefix-sum of
+       per-partition flag totals (second O(#partitions) summary);
+    4. one keyed aggregation per group id emits the merged intervals.
+
+    The only single-task state is the two per-partition summaries —
+    bounded by the partition count, not the data.  ``count_column`` must
+    exist on ``df`` (seed it with ``lit(1)``) and is summed through the
+    merge.
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_column), F.col(end_column)
+    with_pid = df.repartitionByRange(s, e).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+    pref_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefixes = (
+        with_pid.groupBy("__pid")
+        .agg(F.max(e).alias("__pmax"))
+        .select("__pid", F.max("__pmax").over(pref_w).alias("__prefmax"))
+    )
+
+    local_w = Window.partitionBy("__pid").orderBy(start_column, end_column)
+    local_prev_max = F.max(e).over(
+        local_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs: first row of the first partition sees NULL
+    flagged = (
+        with_pid.join(F.broadcast(prefixes), "__pid")
+        .withColumn("__prev", F.greatest(local_prev_max, F.col("__prefmax")))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (s > F.col("__prev")), 1
+            ).otherwise(0),
+        )
+    )
+
+    offsets = (
+        flagged.groupBy("__pid")
+        .agg(F.sum("__new").alias("__ngrp"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__ngrp").over(pref_w), F.lit(0)).alias(
+                "__goff"
+            ),
+        )
+    )
+    gid = F.col("__goff") + F.sum("__new").over(
+        local_w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__gid", gid)
+        .groupBy("__gid")
+        .agg(
+            F.min(s).alias(start_column),
+            F.max(e).alias(end_column),
+            F.sum(count_column).alias(count_column),
+        )
+        .drop("__gid")
+    )

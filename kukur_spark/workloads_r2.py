@@ -406,14 +406,15 @@ def ts_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """Global outage windows: the per-type >1 h silence intervals merged
     across event types wherever they overlap or touch.
 
-    Scale shape: pass 1 merges within day-of-start partitions (parallel,
-    reduces interval cardinality by the local overlap factor); pass 2
-    merges the surviving intervals globally. Two-pass merging is exact —
-    pass-1 outputs are still intervals, and the global pass coalesces
-    anything pass 1 could not see across partition boundaries. The
-    single-partition window only ever touches the *reduced* set. The
-    oracle is the one-pass global sweep in DuckDB.
+    Scale shape: :func:`kukur_spark.operators.scale.merge_intervals` — a
+    fully distributed sweep (range partition → keyed local running max →
+    O(#partitions) boundary summaries → broadcast correction).  No task
+    ever holds more than one range partition of intervals; the earlier
+    two-pass form pushed every pass-1 survivor through a single global
+    window task.  The oracle is the one-pass global sweep in DuckDB.
     """
+    from kukur_spark.operators.scale import merge_intervals
+
     events = load_table(spark, sf, "events")
     base = events.select(
         "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
@@ -428,13 +429,7 @@ def ts_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("end_us") - F.col("start_us") > GAP_US)
         .withColumn("n_merged", F.lit(1).cast("long"))
     )
-    local = _merge_pass(
-        iv.withColumn(
-            "day", (F.col("start_us") / 86_400_000_000).cast("long")
-        ),
-        ["day"],
-    ).drop("day", "gid")
-    merged = _merge_pass(local.withColumn("g", F.lit(0)), ["g"])
+    merged = merge_intervals(iv)
     return merged.select(
         "start_us", "end_us", F.col("n_merged").cast("long").alias("n_merged")
     ).orderBy("start_us")

@@ -40,9 +40,6 @@ ALLOWED = {
     # cumulative share over the 101 integer percentile buckets produced
     # by distributed_row_number — bucket axis, not order rows
     "orders_cumulative_share": {"unbounded_global_windows": 1},
-    # two-pass interval merge: the global pass-2 window only touches the
-    # pass-1 (per-day merged) reduced interval set
-    "ts_merge_intervals": {"unbounded_global_windows": 2},
     # rank over the per-lag aggregate (constant lag range); the cross
     # join pairs the two bounded hourly series arrays
     "ts_leadlag_corr": {

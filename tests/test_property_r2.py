@@ -155,3 +155,34 @@ def test_two_pass_interval_merge_matches_brute_force(spark, iv):
         else:
             want.append((s, e, 1))
     assert got == [tuple(w) for w in want], (iv,)
+
+
+@given(iv=intervals_strategy)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_merge_intervals_matches_brute_force(spark, iv):
+    from kukur_spark.operators.scale import merge_intervals
+
+    rows = [(s, s + d) for s, d in iv if d > 0]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "start_us long, end_us long"
+    ).withColumn("n_merged", F.lit(1).cast("long"))
+    merged = merge_intervals(df)
+    got = sorted(
+        (r["start_us"], r["end_us"], r["n_merged"])
+        for r in merged.collect()
+    )
+
+    want = []
+    for s, e in sorted(rows):
+        if want and s <= want[-1][1]:
+            ps, pe, n = want[-1]
+            want[-1] = (ps, max(pe, e), n + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == [tuple(w) for w in want], (iv,)
