@@ -84,7 +84,7 @@ class Engine:
         dropped by the state store exactly as in a long-running stream.
 
         Only file-backed sources with a self-describing format stream
-        (parquet/orc/delta); schema comes from a one-off batch read of
+        (parquet/orc); schema comes from a one-off batch read of
         the same path.
         """
         from kukur_spark.streaming import stream_data, windowed_stats
@@ -124,7 +124,12 @@ class Engine:
             query.processAllAvailable()
         finally:
             query.stop()
-        return self.spark.table(name)
+        # detach the result from the uuid-named memory-sink view before
+        # dropping it — otherwise every call on a long-running server
+        # leaks a catalog entry pinning its full result in driver memory
+        result = self.spark.table(name).localCheckpoint(eager=True)
+        self.spark.catalog.dropTempView(name)
+        return result
 
     # -- SQL (Spark extension: the gateway is also a query engine) ---------
     def sql(
@@ -170,8 +175,20 @@ class Engine:
                 )
             views[view] = name
             frame().createOrReplaceTempView(view)
-        # named parameters (:name) bind server-side — no string splicing
-        return self.spark.sql(statement, args=args) if args else self.spark.sql(statement)
+        # named parameters (:name) bind server-side — no string splicing.
+        # Analysis resolves the views eagerly, so they can be dropped
+        # before returning — otherwise registrations outlive the call on
+        # a long-lived server and leak into later calls that passed a
+        # narrower `sources` list.
+        try:
+            return (
+                self.spark.sql(statement, args=args)
+                if args
+                else self.spark.sql(statement)
+            )
+        finally:
+            for view in views:
+                self.spark.catalog.dropTempView(view)
 
     # -- introspection -----------------------------------------------------
     def list_sources(self) -> List[str]:
@@ -185,7 +202,11 @@ class Engine:
 
 _FORBIDDEN_SQL = re.compile(
     r"(?i)(?:\b(insert|update|delete|drop|create|alter|truncate|merge|"
-    r"grant|revoke|refresh|cache|uncache|load|analyze|msck|overwrite)\b"
+    r"grant|revoke|refresh|cache|uncache|load|analyze|msck|overwrite"
+    # JVM-reflection builtins: reflect()/java_method() invoke arbitrary
+    # static methods (System.getenv, …) — an escape hatch out of the
+    # registered-views sandbox, so they are denied like DDL
+    r"|reflect|java_method)\b"
     r"|\b(?:parquet|csv|json|orc|avro|text|binaryfile|delta)\s*\.\s*`)"
 )
 

@@ -370,3 +370,47 @@ cent_dims AS (
         AS DECIMAL(30,10))) * 1000000) AS BIGINT) // COUNT(*) AS c_e6
   FROM dims GROUP BY label, dim
 )"""
+
+
+def multi_table_signatures(
+    v: Column,
+    num_planes: int = 3,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> Column:
+    """Array of ``num_tables`` namespaced LSH bucket ids for one vector.
+
+    Classic multi-table LSH: each table hashes with its own
+    ``num_planes`` hyperplanes (plane indices ``t*num_planes + p`` into
+    the shared md5-derived pool, so any engine reproduces them), and a
+    candidate pair is anything sharing a bucket in ANY table.  More
+    tables raise recall, more planes per table cut candidate volume —
+    production tuning grows ``num_planes`` with log(corpus) to hold
+    bucket sizes constant.  Bucket ids are namespaced per table
+    (``t * 2^num_planes + bits``) so one equi-join over the exploded
+    array covers all tables.
+    """
+    v = _as_double(v)
+    tables = []
+    for t in range(num_tables):
+        bits = None
+        for p in range(num_planes):
+            plane = F.array(
+                *[
+                    F.lit(c)
+                    for c in plane_components(t * num_planes + p, dim)
+                ]
+            )
+            proj = F.aggregate(
+                F.zip_with(
+                    v, F.slice(plane, 1, F.size(v)), lambda x, c: x * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(
+                proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
+            bits = bit if bits is None else bits.bitwiseOR(bit)
+        tables.append(bits + F.lit(t * (1 << num_planes)).cast("long"))
+    return F.array(*tables)

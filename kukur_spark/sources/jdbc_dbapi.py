@@ -76,6 +76,11 @@ class _JdbcCursor:
                     statement.setDouble(i, param)
                 elif isinstance(param, dt.datetime):
                     jvm = self._jvm()
+                    # naive datetimes are UTC by repo convention —
+                    # astimezone() alone would first interpret them in
+                    # the host's local zone and shift the query range
+                    if param.tzinfo is None:
+                        param = param.replace(tzinfo=dt.timezone.utc)
                     statement.setTimestamp(
                         i,
                         jvm.java.sql.Timestamp.valueOf(

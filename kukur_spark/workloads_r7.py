@@ -362,25 +362,106 @@ R7_ORACLES["ts_sax_motifs"] = _sax_motifs_sql()
 # Embedding outlier detection: mean k-NN distance
 # ---------------------------------------------------------------------------
 _KNN_K = 5
-_OUTLIER_CAP = 1000  # exact-verify subset; ANN indexes are the scale path
+_OUTLIER_CAP = 1000  # exact-parity subset (see tests/test_r7_operators.py)
+# multi-table LSH: 8 tables of 3 planes each over the 500-vector test
+# corpus; production grows planes with log(corpus) to hold bucket sizes
+_OUTLIER_PLANES = 3
+_OUTLIER_TABLES = 8
+
+
+def _outlier_scoring_tail(pairs: DataFrame) -> DataFrame:
+    """Shared 5-NN outlier tail: sum the 5 smallest e6-floored cosine
+    distances per query (order-free integer monoid → deterministic), then
+    rank the top-10 scores with the limit-bounded global window."""
+    from kukur_spark.operators.scale import bounded_rank
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("dist_e6").asc(), F.col("vec_id").asc()
+    )
+    knn = (
+        pairs.withColumn("nn", F.row_number().over(wk))
+        .filter(F.col("nn") <= _KNN_K)
+        .groupBy("query_id")
+        .agg(F.sum("dist_e6").alias("score_e6"))
+    )
+    return (
+        bounded_rank(
+            knn,
+            [F.col("score_e6").desc(), F.col("query_id").asc()],
+            10,
+            "rank",
+        )
+        .select(F.col("query_id").alias("vec_id"), "score_e6", "rank")
+        .orderBy("rank")
+    )
 
 
 def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-10 embedding outliers by summed 5-NN cosine distance.
+    """Top-10 embedding outliers by summed 5-NN cosine distance, with the
+    neighbor pool drawn from multi-table hyperplane-LSH candidates.
 
     The k-NN outlier score of Ramaswamy et al.: vectors whose nearest
     neighbors are all far away are isolated — mislabeled or novel
-    samples in an embedding-curation pass.  Per-pair cosines are
-    e6-floored, so the per-vector score (sum of the 5 smallest
-    distances) is an order-free integer and the outlier ranking is
-    deterministic.
-
-    Scale: this exact all-pairs form runs on a capped subset (the
-    verify harness); the production path swaps the pair source for the
-    LSH/IVF candidate join (``operators/similarity.py``) with the same
-    scoring tail.  The query side is broadcast; the corpus is never
-    shuffled.
+    samples in an embedding-curation pass.  Candidate pairs come from an
+    equi-join on deterministic multi-table LSH buckets
+    (``operators/similarity.multi_table_signatures``, md5-derived plane
+    literals; a pair qualifies by sharing a bucket in ANY of the 8
+    tables) — cost scales with bucket size, never corpus², and the
+    DuckDB oracle rebuilds the identical buckets so the approximate
+    result is still exactly checkable.  Per-pair cosines are e6-floored,
+    so the per-vector score is an order-free integer and the ranking is
+    deterministic.  The exact all-pairs form survives as the parity
+    harness (``_emb_outlier_knn_exact``).
     """
+    from kukur_spark.operators.similarity import (
+        _as_double,
+        dot,
+        multi_table_signatures,
+        norm,
+    )
+
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("nv", norm(F.col("v")))
+        .withColumn(
+            "bucket",
+            F.explode(
+                multi_table_signatures(
+                    F.col("v"), _OUTLIER_PLANES, _OUTLIER_TABLES, 64
+                )
+            ),
+        )
+    )
+    q = emb.select(
+        F.col("bucket").alias("qbucket"),
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))
+    # a pair sharing buckets in several tables appears once per table —
+    # dist_e6 is deterministic per pair, so distinct() collapses them
+    pairs = (
+        emb.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.lit(1_000_000) - F.floor(cos * 1_000_000).cast("long")).alias(
+                "dist_e6"
+            ),
+        )
+        .distinct()
+    )
+    return _outlier_scoring_tail(pairs)
+
+
+def _emb_outlier_knn_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs twin on a capped subset — the parity harness the
+    registered ANN form is measured against (same scoring tail)."""
     from kukur_spark.operators.similarity import _as_double, dot, norm
 
     emb = (
@@ -406,35 +487,43 @@ def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("dist_e6").asc(), F.col("vec_id").asc()
-    )
-    knn = (
-        pairs.withColumn("nn", F.row_number().over(wk))
-        .filter(F.col("nn") <= _KNN_K)
-        .groupBy("query_id")
-        .agg(F.sum("dist_e6").alias("score_e6"))
-    )
-    from kukur_spark.operators.scale import bounded_rank
+    return _outlier_scoring_tail(pairs)
 
-    return (
-        bounded_rank(
-            knn,
-            [F.col("score_e6").desc(), F.col("query_id").asc()],
-            10,
-            "rank",
+
+def _outlier_buckets_sql(
+    num_planes: int = _OUTLIER_PLANES, num_tables: int = _OUTLIER_TABLES
+) -> str:
+    """DuckDB list of the namespaced multi-table LSH bucket ids —
+    identical md5-derived plane literals as
+    ``similarity.multi_table_signatures``."""
+    from kukur_spark.operators.similarity import plane_components
+
+    def plane_lit(p: int) -> str:
+        return (
+            "[" + ", ".join(repr(c) for c in plane_components(p, 64)) + "]"
         )
-        .select(F.col("query_id").alias("vec_id"), "score_e6", "rank")
-        .orderBy("rank")
-    )
+
+    tables = []
+    for t in range(num_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) "
+            f"* ({plane_lit(t * num_planes + p)})[i])) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+            for p in range(num_planes)
+        )
+        tables.append(f"({bits} + {t * (1 << num_planes)}::BIGINT)")
+    return "[" + ", ".join(tables) + "]"
 
 
 EMB_OUTLIER_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_OUTLIER_CAP}
+WITH sigs AS (
+  SELECT vec_id, embedding,
+    unnest({_outlier_buckets_sql()}) AS bucket
+  FROM embeddings
 ),
 pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id,
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id,
     1000000 - CAST(FLOOR(
       list_sum(list_transform(range(1, len(c.embedding) + 1),
         i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
@@ -445,7 +534,7 @@ pairs AS (
           i -> CAST(q.embedding[i] AS DOUBLE)
                * CAST(q.embedding[i] AS DOUBLE)))))
       * 1000000) AS BIGINT) AS dist_e6
-  FROM emb c CROSS JOIN emb q
+  FROM sigs c JOIN sigs q ON c.bucket = q.bucket
   WHERE c.vec_id <> q.vec_id
 ),
 knn AS (

@@ -237,3 +237,66 @@ def test_stream_window_over_flight(spark, tmp_path_factory):
         assert all(r["series name"] == "s1" for r in table.to_pylist())
     finally:
         server.shutdown()
+
+
+def test_sql_verb_rejects_jvm_reflection(sql_flight_client):
+    """reflect()/java_method() would read server env vars and invoke
+    arbitrary static methods — denied like DDL."""
+    with pytest.raises(Exception, match="forbidden token"):
+        sql_flight_client.sql(
+            "SELECT reflect('java.lang.System', 'getenv', 'PATH')",
+            sources=[],
+        )
+    with pytest.raises(Exception, match="forbidden token"):
+        sql_flight_client.sql(
+            "SELECT java_method('java.lang.System', 'getProperty',"
+            " 'user.dir')",
+            sources=[],
+        )
+
+
+def test_sql_verb_views_do_not_leak_across_calls(spark, tmp_path_factory):
+    """Engine.sql drops the views it registered once the statement is
+    analyzed, so a later call with a narrower `sources` list cannot see
+    tables from an earlier broader call."""
+    tmp = tmp_path_factory.mktemp("sql_views")
+    from datetime import datetime, timezone
+
+    spark.createDataFrame(
+        [("s1", datetime(2020, 1, 1, tzinfo=timezone.utc), 1.0)],
+        "`series name` string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(str(tmp / "demo"))
+    config = {
+        "source": {
+            "demo": {"type": "parquet", "format": "row", "path": str(tmp / "demo")}
+        }
+    }
+    engine = Engine(config, spark)
+    rows = engine.sql("SELECT COUNT(*) AS n FROM demo", sources=["demo"]).collect()
+    assert rows[0]["n"] == 1  # the returned frame outlives the view drop
+    assert not any(t.name == "demo" for t in spark.catalog.listTables())
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        engine.sql("SELECT COUNT(*) AS n FROM demo", sources=[]).collect()
+
+
+def test_stream_window_drops_memory_sink_view(spark, tmp_path_factory):
+    """Each stream_window call materializes through a uuid-named memory
+    sink; the catalog entry must not outlive the call."""
+    from datetime import datetime, timezone
+
+    tmp = tmp_path_factory.mktemp("stream_drop")
+    spark.createDataFrame(
+        [("s1", datetime(2020, 1, 1, tzinfo=timezone.utc), 1.0)],
+        "`series name` string, ts timestamp, value double",
+    ).coalesce(1).write.parquet(str(tmp / "stream"))
+    config = {
+        "source": {
+            "sdemo": {"type": "parquet", "format": "row", "path": str(tmp / "stream")}
+        }
+    }
+    engine = Engine(config, spark)
+    before = {t.name for t in spark.catalog.listTables()}
+    result = engine.stream_window("sdemo", window="5 minutes")
+    assert result.count() == 1  # result survives the view drop
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not [n for n in after - before if n.startswith("stream_win_")]

@@ -52,9 +52,6 @@ ALLOWED = {
     # broadcast side is ONE query vector selected by its unique vec_id
     "docs_hybrid_rrf": {"unbounded_cross_joins": 1},
     "docs_rag_query": {"unbounded_cross_joins": 1},
-    # documented capped exact-verify subset (vec_id < cap on both sides);
-    # the ANN candidate path is the scale route
-    "emb_outlier_knn": {"unbounded_cross_joins": 1},
     # broadcast side is the label-count-sized centroid table
     "emb_class_margin": {"unbounded_cross_joins": 1},
     # prefix-max over the price-LEVEL table: bounded by the distinct

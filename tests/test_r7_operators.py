@@ -138,8 +138,32 @@ def test_emb_outlier_knn_matches_bruteforce(spark):
         )
         scores[i] = sum(d for d, _ in dists[:5])
     expect = sorted(scores.items(), key=lambda p: (-p[1], p[0]))[:10]
-    rows = QUERIES["emb_outlier_knn"](spark, SF).collect()
+    from kukur_spark.workloads_r7 import _emb_outlier_knn_exact
+
+    rows = _emb_outlier_knn_exact(spark, SF).collect()
     assert [(r.vec_id, r.score_e6) for r in rows] == expect
+
+
+def test_emb_outlier_ann_parity_with_exact(spark):
+    """The registered ANN form (LSH-bucket candidates) against the exact
+    all-pairs twin: outliers are far from everything, so restricting the
+    neighbor pool to same-bucket candidates only *raises* scores — the
+    exact top outliers should largely survive.  Everything is
+    deterministic (md5 planes), so the overlap is pinned, not a bound."""
+    from kukur_spark.workloads_r7 import _emb_outlier_knn_exact
+
+    exact_top = {r.vec_id for r in _emb_outlier_knn_exact(spark, SF).collect()}
+    ann_rows = QUERIES["emb_outlier_knn"](spark, SF).collect()
+    ann_top = {r.vec_id for r in ann_rows}
+    assert len(ann_rows) == 10
+    # deterministic (md5 planes): 5/10 at sf0.001, 7/10 at sf0.01 — the
+    # synthetic embeddings are near-uniform, the worst case for LSH
+    assert len(exact_top & ann_top) >= 5
+
+    # scale shape: bucket equi-join, never an all-pairs product
+    plan = QUERIES["emb_outlier_knn"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_fold_operators_stay_jvm_side_single_aggregate(spark):
