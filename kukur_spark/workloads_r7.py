@@ -396,7 +396,12 @@ def _outlier_scoring_tail(pairs: DataFrame) -> DataFrame:
     )
 
 
-def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
+def emb_outlier_knn(
+    spark: SparkSession,
+    sf: str,
+    num_planes: int = _OUTLIER_PLANES,
+    num_tables: int = _OUTLIER_TABLES,
+) -> DataFrame:
     """Top-10 embedding outliers by summed 5-NN cosine distance, with the
     neighbor pool drawn from multi-table hyperplane-LSH candidates.
 
@@ -412,6 +417,11 @@ def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
     so the per-vector score is an order-free integer and the ranking is
     deterministic.  The exact all-pairs form survives as the parity
     harness (``_emb_outlier_knn_exact``).
+
+    ``num_planes`` defaults to the value the static oracle mirrors; at
+    larger corpora pass ``num_planes ≈ log2(N / target_bucket_size)`` so
+    bucket sizes — and with them candidate volume per vector — stay
+    constant (the 10× scale probe runs planes=6; see PERFORMANCE.md).
     """
     from kukur_spark.operators.similarity import (
         _as_double,
@@ -420,33 +430,44 @@ def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
         norm,
     )
 
-    emb = (
-        load_table(spark, sf, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("nv", norm(F.col("v")))
-        .withColumn(
-            "bucket",
-            F.explode(
-                multi_table_signatures(
-                    F.col("v"), _OUTLIER_PLANES, _OUTLIER_TABLES, 64
-                )
-            ),
-        )
+    raw = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    q = emb.select(
+    sigs = raw.select(
+        "vec_id",
+        F.explode(
+            multi_table_signatures(F.col("v"), num_planes, num_tables, 64)
+        ).alias("bucket"),
+    )
+    q = sigs.select(
         F.col("bucket").alias("qbucket"),
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
     )
-    cos = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))
     # a pair sharing buckets in several tables appears once per table —
-    # dist_e6 is deterministic per pair, so distinct() collapses them
-    pairs = (
-        emb.join(
-            F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
-        )
+    # dedupe the skinny (query_id, vec_id) ids FIRST, then join the
+    # vectors back and compute each cosine exactly once: distinct over
+    # cosine-bearing rows would fold every duplicate copy (5× slower
+    # measured at sf0.1)
+    ids = (
+        sigs.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    vectors = raw.withColumn("nv", norm(F.col("v")))
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))
+    pairs = (
+        ids.join(F.broadcast(vectors), "vec_id")
+        .join(
+            F.broadcast(
+                vectors.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nv").alias("qn"),
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "vec_id",
@@ -454,7 +475,6 @@ def emb_outlier_knn(spark: SparkSession, sf: str) -> DataFrame:
                 "dist_e6"
             ),
         )
-        .distinct()
     )
     return _outlier_scoring_tail(pairs)
 

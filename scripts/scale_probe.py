@@ -98,8 +98,17 @@ def main() -> None:
         spark = get_spark("scale_probe_extra")
         times = {}
         for name in extra:
+            # "query:param=1;other=2" passes int kwargs — used to probe
+            # scale-tuned operator parameters (e.g. emb_outlier_knn's
+            # num_planes growing with log2 of the corpus)
+            fn_name, _, kv = name.partition(":")
+            kwargs = {}
+            if kv:
+                for part in kv.split(";"):
+                    key, value = part.split("=")
+                    kwargs[key] = int(value)
             t0 = time.time()
-            QUERIES[name](spark, dst).count()
+            QUERIES[fn_name](spark, dst, **kwargs).count()
             times[name] = round(time.time() - t0, 4)
         print(json.dumps({"metric": "scale_probe_extra", "factor": factor,
                           "queries": times}))

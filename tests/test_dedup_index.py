@@ -37,7 +37,9 @@ def test_indexed_incremental_matches_recompute(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     history = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    prefix = PREFIX.setdefault("p", _fresh_prefix(spark))
+    if "p" not in PREFIX:  # NB: setdefault would eagerly run
+        PREFIX["p"] = _fresh_prefix(spark)  # _fresh_prefix → rmtree!
+    prefix = PREFIX["p"]
     build_minhash_index(history, prefix)
     got = incremental_neardup_indexed(spark, batch, prefix).collect()
     want = minhash_incremental_md5(
@@ -64,3 +66,62 @@ def test_indexed_join_no_exchange_on_history(spark):
             above = "\n".join(lines[max(0, i - 3):i])
             assert "Exchange" not in above, above
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_streaming_neardup_matches_batch_indexed(spark, tmp_path):
+    """The streaming twin (stream-static bucket join against the
+    persisted index) flags exactly the matches the batch operator finds,
+    across two micro-batches."""
+    import uuid as _uuid
+
+    from kukur_spark.streaming import streaming_neardup_vs_index
+
+    docs = load_table(spark, SF, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    if "p" not in PREFIX:  # NB: setdefault would eagerly run
+        PREFIX["p"] = _fresh_prefix(spark)  # _fresh_prefix → rmtree!
+        build_minhash_index(history, PREFIX["p"])
+    prefix = PREFIX["p"]
+
+    stream_path = tmp_path / "doc_stream"
+    stream_path.mkdir()
+    first = batch.filter(F.col("doc_id") % 10 == 0)
+    second = batch.filter(F.col("doc_id") % 10 != 0)
+    first.coalesce(1).write.mode("append").parquet(str(stream_path))
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(str(stream_path))
+    )
+    flagged = streaming_neardup_vs_index(spark, stream, prefix)
+    name = f"neardup_{_uuid.uuid4().hex[:8]}"
+    query = (
+        flagged.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        mid = {r["new_id"] for r in spark.table(name).collect()}
+        second.coalesce(1).write.mode("append").parquet(str(stream_path))
+        query.processAllAvailable()
+        got = sorted(
+            tuple(r)
+            for r in spark.table(name)
+            .select("new_id", "hist_id", "jaccard_ppm")
+            .collect()
+        )
+    finally:
+        query.stop()
+
+    want = sorted(
+        tuple(r)
+        for r in incremental_neardup_indexed(spark, batch, prefix).collect()
+    )
+    assert got == want
+    assert got, "sf0.001 corpus contains near-dup batch docs"
+    # both micro-batches contributed
+    assert mid and len(mid) < len({g[0] for g in got})

@@ -265,11 +265,15 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
-def test_merge_intervals_local_pass_is_partitioned(spark):
-    """Pass 1 merges within day partitions (parallel); only the reduced
-    set reaches the global pass."""
+def test_merge_intervals_distributed_sweep_shape(spark):
+    """The global interval merge runs the two-level prefix scan
+    (scale.merge_intervals): range partition on (start, end), per-``__pid``
+    keyed windows, broadcast boundary summaries — the interval set itself
+    never passes through a single-task global window."""
     plan = plan_of(QUERIES["ts_merge_intervals"](spark, SF))
-    assert "hashpartitioning(day" in plan, plan
+    assert "rangepartitioning(start_us" in plan, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
 
 
 def test_int8_quantize_and_pretokenize_pure_projection(spark):

