@@ -1903,6 +1903,11 @@ QUERIES.update(R6_QUERIES)
 QUERIES.update(R7_QUERIES)
 QUERIES.update(R8_QUERIES)
 QUERIES.update(R9_QUERIES)
+# r10 imports back into this module (DEDUP_CLUSTERS_SQL) — import here,
+# after those names exist, not at the top
+from kukur_spark.workloads_r10 import R10_ORACLES, R10_QUERIES  # noqa: E402
+
+QUERIES.update(R10_QUERIES)
 # registry tail: production fast paths whose hash (xxhash64) is not
 # SQL-expressible — each has an oracle-paired md5 twin above running the
 # identical plan; keeping them last keeps the driver's 50-entry
@@ -1976,6 +1981,7 @@ ORACLES: Dict[str, str] = {
     **R7_ORACLES,
     **R8_ORACLES,
     **R9_ORACLES,
+    **R10_ORACLES,
 }
 
 
