@@ -85,3 +85,36 @@ def ivf_index_topk(
         F.col("centroid_id").isin(probed_ids)
     )
     return score_probed_lists(lists, probes, k, id_column)
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> None:
+    """Fold new vectors into the persisted index (serving-corpus growth).
+
+    New vectors are assigned against the EXISTING centroid table
+    (``probe_nearest_centroids`` with ``nprobe=1`` — the same arg-min
+    and tie rule as the build) and appended into their centroid's hive
+    partition.  Partition pruning on the query path is untouched; no
+    history re-read, O(batch) work.  Centroids drift as the corpus
+    grows — rebuild when recall degrades (the eval queries measure it).
+    """
+    centroids = spark.read.parquet(path + "/centroids")
+    assigned = probe_nearest_centroids(
+        new_vectors, centroids, 1, id_column, vector_column
+    )
+    (
+        assigned.select(
+            F.col("query_id").alias(id_column),
+            F.col("qv").alias("v"),
+            F.col("qn").alias("vn"),
+            "centroid_id",
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path + "/lists")
+    )

@@ -134,3 +134,34 @@ def incremental_neardup_indexed(
         .select("new_id", "hist_id", "jaccard_ppm")
         .orderBy("new_id")
     )
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_prefix: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    shingle_size: int = 3,
+    num_hashes: int = EDGE_HASHES,
+    bands: int = EDGE_BANDS,
+) -> None:
+    """Fold an accepted batch into the persisted index (the daily-ingest
+    maintenance step).
+
+    After a batch is deduplicated against history
+    (:func:`incremental_neardup_indexed`), its surviving documents
+    become history for the NEXT batch: their banding rows and hash sets
+    append into the same bucketed tables.  ``insertInto`` preserves the
+    tables' bucketing spec (Spark buckets each written file by the
+    table's definition), so the query path's zero-exchange property
+    survives appends — no rebuild, no history re-read, O(batch) work.
+    """
+    base = _md5_base(
+        new_docs, text_column, id_column, shingle_size, num_hashes
+    )
+    banded = _md5_banded(base, bands, num_hashes // bands)
+    banded.write.mode("append").insertInto(f"{table_prefix}_bands")
+    base.select("id", "hs").write.mode("append").insertInto(
+        f"{table_prefix}_sets"
+    )

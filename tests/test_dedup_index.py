@@ -125,3 +125,41 @@ def test_streaming_neardup_matches_batch_indexed(spark, tmp_path):
     assert got, "sf0.001 corpus contains near-dup batch docs"
     # both micro-batches contributed
     assert mid and len(mid) < len({g[0] for g in got})
+
+
+def test_append_then_query_matches_full_rebuild(spark):
+    """Index maintenance: history + appended batch answers the next
+    batch identically to an index rebuilt from scratch on the union."""
+    from kukur_spark.operators.dedup_index import append_to_minhash_index
+
+    docs = load_table(spark, SF, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch2 = docs.filter((F.col("doc_id") % 10 == 5))
+
+    if "p" not in PREFIX:  # NB: setdefault would eagerly run
+        PREFIX["p"] = _fresh_prefix(spark)  # _fresh_prefix → rmtree!
+        build_minhash_index(history, PREFIX["p"])
+    prefix = PREFIX["p"]
+
+    append_to_minhash_index(spark, batch1, prefix)
+    got = incremental_neardup_indexed(spark, batch2, prefix).collect()
+
+    rebuilt = f"{prefix}_rb"
+    build_minhash_index(history.unionByName(batch1), rebuilt)
+    want = incremental_neardup_indexed(spark, batch2, rebuilt).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+    assert got, "batch2 should hit near-dups in history+batch1"
+
+    # the appended index still answers with zero Exchange above the
+    # history scan (bucketing spec preserved by insertInto)
+    plan = (
+        incremental_neardup_indexed(spark, batch2, prefix)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bands_scans = [
+        seg for seg in plan.split("Scan ") if f"{prefix.split('.')[-1]}_bands" in seg.split("\n")[0]
+    ]
+    assert bands_scans, "expected a scan of the bands table"

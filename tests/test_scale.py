@@ -340,3 +340,43 @@ def test_table_stats_ignores_hidden_directories(spark, tmp_path):
     stats = table_stats(spark, path)
     assert list(stats) == [()]
     assert stats[()][0] == 1  # only the data file
+
+
+def test_ivf_index_append_matches_rebuild(spark, tmp_path):
+    """Index maintenance: appending a batch against the existing
+    centroids answers queries identically to a full rebuild on the
+    union (batch ids above the centroid-seed range, so both paths use
+    the same centroid set)."""
+    from kukur_spark.io import load_table
+    from kukur_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    history = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    grown = str(tmp_path / "ivf_grown")
+    build_ivf_index(history, grown, num_centroids=16)
+    append_to_ivf_index(spark, batch, grown)
+    got = sorted(
+        map(tuple, ivf_index_topk(spark, grown, queries, k=5, nprobe=4).collect())
+    )
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(emb, rebuilt, num_centroids=16)
+    want = sorted(
+        map(tuple, ivf_index_topk(spark, rebuilt, queries, k=5, nprobe=4).collect())
+    )
+    assert got == want
+    assert len(got) == 50
+    # the appended rows must actually be reachable: at least one result
+    # neighbor comes from the appended batch
+    assert any(g[1] >= 400 for g in got) or all(
+        w[1] < 400 for w in want
+    )
