@@ -210,3 +210,64 @@ ORDER BY g.doc_id""",
 R10_QUERIES["docs_softdedup_weights"] = docs_softdedup_weights
 
 R10_ORACLES["docs_softdedup_weights"] = _softdedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-aware)
+# ---------------------------------------------------------------------------
+def docs_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test assignment that hashes the near-dup CLUSTER, not
+    the document.
+
+    The classic eval-contamination bug: a doc lands in train while its
+    near-duplicate lands in test, and the benchmark silently measures
+    memorization.  Hashing the cluster's canonical id (md5 first
+    nibble, same 12/2/2 rule as ``docs_split_assign``) moves whole
+    components together, so near-dups can never straddle splits — by
+    construction, and asserted on data in
+    ``tests/test_r10_operators.py``.  Clusters are the banded-LSH +
+    exact-Jaccard + pointer-doubling components of ``dedup_clusters``.
+    """
+    from kukur_spark.operators.cluster import dedup_groups
+    from kukur_spark.workloads import lsh_jaccard_edges
+
+    docs = load_table(spark, sf, "documents")
+    groups = dedup_groups(docs, lsh_jaccard_edges(spark, sf))
+    nibble = F.substring(
+        F.md5(F.col("canonical_id").cast("string")), 1, 1
+    )
+    return groups.select(
+        "doc_id",
+        "canonical_id",
+        F.when(nibble < "c", "train")
+        .when(nibble < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def _leakage_safe_split_sql() -> str:
+    from kukur_spark.workloads import DEDUP_CLUSTERS_SQL
+
+    return DEDUP_CLUSTERS_SQL.replace(
+        "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id\n"
+        "ORDER BY d.doc_id",
+        """,
+groups AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, canonical_id,
+  CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1) < 'c'
+         THEN 'train'
+       WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1) < 'e'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM groups
+ORDER BY doc_id""",
+    )
+
+
+R10_QUERIES["docs_leakage_safe_split"] = docs_leakage_safe_split
+R10_ORACLES["docs_leakage_safe_split"] = _leakage_safe_split_sql()

@@ -826,8 +826,16 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("i"),
         F.col("value").alias("v"),
     )
+    # sum the OFFSET from the window start as decimal(38,0): a raw
+    # sum(ts_us) of microsecond epochs (~1.7e15 each) overflows long at
+    # ~5 000 rows/bucket — the 30× scale probe hit it.  The decimal sum
+    # is overflow-proof; the centroid reconstructs as
+    # start + double(sum_dt)/n, bit-identical in both engines (exact
+    # integer → nearest double, then one IEEE divide and add).
     cents = base.groupBy("event_type", "bucket").agg(
-        F.sum("ts_us").alias("sum_ts"),
+        F.sum((F.col("ts_us") - start_us).cast("decimal(38,0)")).alias(
+            "sum_dt"
+        ),
         F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
         .cast("long")
         .alias("sum_val_e6"),
@@ -840,14 +848,21 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     # Spark's ReuseExchange does not fire because column pruning makes each
     # branch's scan structurally different
     wb = Window.partitionBy("event_type").orderBy("bucket")
+    sum_dt_d = F.col("sum_dt").cast("double")
     anchors = (
-        cents.withColumn("ax_us", F.lag("sum_ts").over(wb) / F.lag("n").over(wb))
+        cents.withColumn(
+            "ax_us",
+            F.lit(start_us)
+            + F.lag(sum_dt_d).over(wb) / F.lag("n").over(wb),
+        )
         .withColumn(
             "ay",
             F.lag("sum_val_e6").over(wb) / 1e6 / F.lag("n").over(wb),
         )
         .withColumn(
-            "cx_us", F.lead("sum_ts").over(wb) / F.lead("n").over(wb)
+            "cx_us",
+            F.lit(start_us)
+            + F.lead(sum_dt_d).over(wb) / F.lead("n").over(wb),
         )
         .withColumn(
             "cy",
@@ -923,7 +938,7 @@ WITH base AS (
 ),
 cents AS (
   SELECT event_type, bucket,
-    CAST(SUM(ts_us) AS BIGINT) AS sum_ts,
+    SUM(ts_us - 1704067200000000) AS sum_dt,
     CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
       AS sum_val_e6,
     COUNT(*) AS n
@@ -931,9 +946,11 @@ cents AS (
 ),
 anchors AS (
   SELECT event_type, bucket,
-    LAG(sum_ts) OVER w / LAG(n) OVER w AS ax_us,
+    1704067200000000 + CAST(LAG(sum_dt) OVER w AS DOUBLE)
+      / LAG(n) OVER w AS ax_us,
     LAG(sum_val_e6) OVER w / 1e6 / LAG(n) OVER w AS ay,
-    LEAD(sum_ts) OVER w / LEAD(n) OVER w AS cx_us,
+    1704067200000000 + CAST(LEAD(sum_dt) OVER w AS DOUBLE)
+      / LEAD(n) OVER w AS cx_us,
     LEAD(sum_val_e6) OVER w / 1e6 / LEAD(n) OVER w AS cy
   FROM cents
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket)

@@ -1,0 +1,72 @@
+"""Round-4 batch semantics: DSIR bias, soft-dedup mass, leakage-safe
+splits (and proof the naive split would leak on this corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_top_docs_skew_toward_target_lang(spark):
+    """Importance weights toward the en slice must over-select en docs."""
+    rows = QUERIES["docs_dsir_weights"](spark, SF).collect()
+    assert len(rows) == 100
+    docs = load_table(spark, SF, "documents")
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    top_en = sum(1 for r in rows if langs[r["doc_id"]] == "en") / len(rows)
+    corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert top_en > corpus_en
+
+
+def test_softdedup_cluster_mass_conserved(spark):
+    """Each cluster's weights sum to ~1e6 ppm (floor slack < size)."""
+    rows = QUERIES["docs_softdedup_weights"](spark, SF).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["canonical_id"], []).append(r)
+    for canonical_id, members in by_cluster.items():
+        size = members[0]["cluster_size"]
+        assert len(members) == size
+        total = sum(m["weight_ppm"] for m in members)
+        assert 1_000_000 - size < total <= 1_000_000, canonical_id
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    rows = QUERIES["docs_leakage_safe_split"](spark, SF).collect()
+    splits_per_cluster: dict = {}
+    for r in rows:
+        splits_per_cluster.setdefault(r["canonical_id"], set()).add(
+            r["split"]
+        )
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+    # all three splits are populated
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_naive_split_would_leak_on_this_corpus(spark):
+    """The operator exists because the per-doc hash split DOES put
+    members of the same near-dup cluster into different splits here —
+    the eval-contamination bug the cluster-aware split prevents."""
+    clusters = {
+        r["doc_id"]: r["canonical_id"]
+        for r in QUERIES["dedup_clusters"](spark, SF).collect()
+    }
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["docs_split_assign"](spark, SF).collect()
+    }
+    splits_per_cluster: dict = {}
+    for doc_id, canonical_id in clusters.items():
+        splits_per_cluster.setdefault(canonical_id, set()).add(
+            naive[doc_id]
+        )
+    straddled = [c for c, s in splits_per_cluster.items() if len(s) > 1]
+    assert straddled, "corpus has no multi-split clusters under naive hash"
