@@ -192,12 +192,22 @@ def text_lev_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     blocked = docs.select(
-        F.md5(F.substring(F.col("text"), 1, 40)).alias("block"), "doc_id"
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("block"),
+        "doc_id",
+        F.length("text").alias("len"),
     )
     left = blocked.alias("a")
     right = blocked.alias("b")
+    # length pre-filter: lev(a,b) ≥ |len_a − len_b|, so any pair passing
+    # the ≤10 % threshold must satisfy |len_a − len_b|·10 ≤ min(len) —
+    # checking it on the skinny join prunes pairs BEFORE the O(len²)
+    # Levenshtein, with provably identical results
+    len_band = (
+        F.abs(F.col("a.len") - F.col("b.len")) * 10
+        <= F.least(F.col("a.len"), F.col("b.len"))
+    )
     cand = left.join(right, "block").filter(
-        F.col("a.doc_id") < F.col("b.doc_id")
+        (F.col("a.doc_id") < F.col("b.doc_id")) & len_band
     ).select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),

@@ -23,10 +23,13 @@ from kukur_spark.workloads import QUERIES  # noqa: E402
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    skip = {
+        q for q in os.environ.get("SWEEP_SKIP", "").split(",") if q
+    }
     spark = get_spark("sweep")
     QUERIES["dedup_exact"](spark, sf).count()  # warm schemas/session
     times = {}
-    for name in sorted(QUERIES):
+    for name in sorted(set(QUERIES) - skip):
         t0 = time.time()
         try:
             QUERIES[name](spark, sf).count()
