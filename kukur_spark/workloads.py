@@ -1908,6 +1908,9 @@ QUERIES.update(R9_QUERIES)
 from kukur_spark.workloads_r10 import R10_ORACLES, R10_QUERIES  # noqa: E402
 
 QUERIES.update(R10_QUERIES)
+from kukur_spark.workloads_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
+
+QUERIES.update(R11_QUERIES)
 # registry tail: production fast paths whose hash (xxhash64) is not
 # SQL-expressible — each has an oracle-paired md5 twin above running the
 # identical plan; keeping them last keeps the driver's 50-entry
@@ -1982,6 +1985,7 @@ ORACLES: Dict[str, str] = {
     **R8_ORACLES,
     **R9_ORACLES,
     **R10_ORACLES,
+    **R11_ORACLES,
 }
 
 

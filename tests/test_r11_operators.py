@@ -1,0 +1,130 @@
+"""Round-4 batch #2 semantics: duplicate n-gram spans really duplicate,
+packing respects the context window, epoch shuffles are permutations,
+int8 quantization error is within half a step."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.workloads import QUERIES
+from kukur_spark.workloads_r11 import _EPOCHS, _PACK_C, _SPAN_K
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dup_spans_are_real_cross_document_duplicates(spark):
+    """Every reported span's token substring must literally occur in at
+    least one OTHER document (verified against raw text, not hashes)."""
+    spans = QUERIES["docs_dup_ngram_spans"](spark, SF).collect()
+    assert spans, "synthetic corpus is known to contain duplicated spans"
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in spans[:25]:
+        toks = texts[r["doc_id"]]
+        assert r["span_len"] == r["end_pos"] - r["start_pos"] + 1
+        assert r["span_len"] >= _SPAN_K
+        sub = " ".join(toks[r["start_pos"] - 1 : r["end_pos"]])
+        elsewhere = any(
+            sub in " ".join(other)
+            for doc_id, other in texts.items()
+            if doc_id != r["doc_id"]
+        )
+        assert elsewhere, (r["doc_id"], sub)
+
+
+def test_dup_spans_maximal(spark):
+    """Spans from the same doc never touch or overlap (they'd have been
+    merged into one island)."""
+    spans = QUERIES["docs_dup_ngram_spans"](spark, SF).collect()
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["start_pos"])
+        for a, b in zip(rs, rs[1:]):
+            # adjacent gram positions would have merged; require a gap
+            assert b["start_pos"] > a["end_pos"] - _SPAN_K + 2, doc_id
+
+
+def test_pack_nextfit_covers_every_doc_within_window(spark):
+    rows = QUERIES["docs_pack_nextfit"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert len(rows) == docs.count()
+    # reconstruct each (shard, seq) bin: fits in C, offsets contiguous
+    bins: dict = {}
+    for r in rows:
+        assert 0 < r["n_tokens"] <= _PACK_C
+        bins.setdefault((r["shard"], r["seq_idx"]), []).append(r)
+    for (shard, seq), members in bins.items():
+        members.sort(key=lambda r: r["tok_offset"])
+        fill = 0
+        for m in members:
+            assert m["tok_offset"] == fill, (shard, seq)
+            fill += m["n_tokens"]
+        assert fill <= _PACK_C, (shard, seq)
+
+
+def test_pack_nextfit_is_tight(spark):
+    """Next-fit guarantee: a sequence is only opened when the previous
+    one could not hold the incoming doc (no pathological 1-doc bins for
+    docs that would have fit)."""
+    rows = QUERIES["docs_pack_nextfit"](spark, SF).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        fill = 0
+        seq = 0
+        for r in rs:
+            if r["seq_idx"] > seq:
+                assert r["seq_idx"] == seq + 1
+                assert fill + r["n_tokens"] > _PACK_C, shard
+                seq, fill = r["seq_idx"], 0
+            assert r["tok_offset"] == fill
+            fill += r["n_tokens"]
+
+
+def test_epoch_shards_each_epoch_is_a_permutation(spark):
+    rows = QUERIES["docs_epoch_shards"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == set(range(_EPOCHS))
+    orders = {}
+    for epoch, rs in by_epoch.items():
+        assert len(rs) == n_docs
+        assert len({r["doc_id"] for r in rs}) == n_docs
+        # positions are 1..count within each shard
+        per_shard: dict = {}
+        for r in rs:
+            per_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in per_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        orders[epoch] = [
+            r["doc_id"]
+            for r in sorted(rs, key=lambda r: (r["shard"], r["pos"]))
+        ]
+    # different epochs produce different document orders
+    assert orders[0] != orders[1] != orders[2]
+
+
+def test_int8_quant_error_within_half_step(spark):
+    """|v - dequant(quant(v))| ≤ scale/2 = amax/254 per dimension."""
+    rows = QUERIES["emb_int8_quant_stats"](spark, SF).collect()
+    dims = (
+        load_table(spark, SF, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert len(dims) == 1 and len(rows) == dims[0]["d"]
+    for r in rows:
+        # e9 floors: max_err ≤ amax/254 within 1e-9 slack
+        assert r["max_err_e9"] <= r["amax_e9"] / 254 + 1, r["dim"]
