@@ -144,17 +144,25 @@ _PACK_C = 256  # context window (tokens)
 _PACK_SHARDS = 32
 
 
-def docs_pack_nextfit(spark: SparkSession, sf: str) -> DataFrame:
+def docs_pack_nextfit(
+    spark: SparkSession, sf: str, shards: int = _PACK_SHARDS
+) -> DataFrame:
     """Next-fit packing of documents into ``_PACK_C``-token sequences.
 
-    Documents are md5-bucketed into ``_PACK_SHARDS`` shards; within a
+    Documents are md5-bucketed into ``shards`` shards; within a
     shard they are packed in doc_id order by a greedy next-fit fold
     (close the current sequence when the next document does not fit).
     Exactly-sequential recursions distribute as ``F.aggregate`` folds
     over a sorted per-shard ``collect_list`` — one keyed exchange, no
-    Python, no window.  At 100 TB the shard count scales with the
-    cluster and each fold touches only its shard's document *lengths*
-    (16 B/row), never the text.
+    Python, no window, and each fold touches only its shard's document
+    *lengths* (16 B/row), never the text.
+
+    ``shards`` is the scale knob (same pattern as ``emb_outlier_knn``'s
+    ``num_planes``): the fold builds its output array incrementally, so
+    cost is quadratic in SHARD size — at larger corpora pick
+    ``shards ≈ n_docs / 1000`` and the per-shard cost stays constant
+    while shards pack in parallel.  The 10× probe runs
+    ``docs_pack_nextfit:shards=512`` for exactly this reason.
 
     Output: one row per document — its shard, packed sequence index
     within the shard, token offset inside that sequence, and (possibly
@@ -167,7 +175,7 @@ def docs_pack_nextfit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     ).withColumn(
-        "shard", md5_long(F.col("doc_id").cast("string")) % _PACK_SHARDS
+        "shard", md5_long(F.col("doc_id").cast("string")) % shards
     )
     packed = d.groupBy("shard").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))).alias(
