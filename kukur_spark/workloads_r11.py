@@ -23,6 +23,10 @@
   of the embedding table with exact reconstruction-error bounds (the
   calibration step a vector-serving deployment runs before casting a
   float index to int8).
+- ``docs_pii_scrub`` — C4/Dolma-style regex redaction of e-mails and
+  phone numbers with a per-nation report; the scrubbed text is
+  md5-hashed so the oracle proves byte-identical replacements across
+  engines (map-side scan, one 25-key rollup exchange).
 
 Exactness notes: span/packing/shard outputs are pure integer/md5
 pipelines.  The quantization query keeps doubles but fixes the IEEE
@@ -410,3 +414,144 @@ FROM e GROUP BY dim ORDER BY dim
 
 R11_QUERIES["emb_int8_quant_stats"] = emb_int8_quant_stats
 R11_ORACLES["emb_int8_quant_stats"] = EMB_INT8_QUANT_SQL
+
+
+# --- PII scrubbing (C4 / Dolma-style redaction stage) -----------------
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\d{2}-\d{3}-\d{3}-\d{4}"
+
+
+def _pii_contact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic PII-bearing corpus built from customer × nation.
+
+    The synthetic ``documents`` table is digit-free word soup and the
+    driver's ``customer`` table carries no phone/comment columns, so
+    each customer row becomes a "contact card" embedding a TPC-H-shaped
+    phone number and an e-mail, both derived deterministically from the
+    keys — both engines build the identical text, so the scrub output
+    is exactly comparable.
+    """
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    key = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((F.col("c_nationkey") + 10).cast("string"), 2, "0"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 13) % 10000).cast("string"), 4, "0"),
+    )
+    return (
+        cust.join(
+            F.broadcast(nat),
+            cust["c_nationkey"] == nat["n_nationkey"],
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            F.concat_ws(
+                " ",
+                F.col("c_name"),
+                F.concat(
+                    F.lower(
+                        F.regexp_replace(
+                            F.col("c_name"), r"[^A-Za-z0-9]", "."
+                        )
+                    ),
+                    F.lit("@"),
+                    F.lower(
+                        F.regexp_replace(F.col("n_name"), r"[^A-Za-z0-9]", "")
+                    ),
+                    F.lit(".example.com"),
+                ),
+                phone,
+                F.col("c_mktsegment"),
+            ).alias("text"),
+        )
+    )
+
+
+def docs_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation PII redaction report (emails + phone numbers).
+
+    The missing classic pipeline stage: C4/Dolma-style regex redaction
+    of e-mail addresses and phone numbers before training.  Everything
+    is a map-side projection — two ``regexp_replace`` passes and two
+    ``regexp_extract_all`` counts per document, no Python, no data
+    movement until the final per-nation rollup (one keyed exchange on a
+    25-value key).  At 100 TB the scrub cost is pure per-executor CPU.
+
+    Exactness: the scrubbed text itself is md5-hashed per document and
+    the number of *distinct* scrubbed documents per nation is part of
+    the output — so the oracle comparison proves both engines performed
+    byte-identical replacements, not merely equal counts.  (DuckDB's
+    ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+    replace-all semantics.)
+    """
+    docs = _pii_contact_docs(spark, sf)
+    scrub = docs.select(
+        "n_name",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+        ).alias("emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+        ).alias("phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_PHONE, "<PHONE>"),
+                _PII_EMAIL,
+                "<EMAIL>",
+            )
+        ).alias("scrub_md5"),
+    )
+    return (
+        scrub.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emails").cast("long").alias("emails_found"),
+            F.sum("phones").cast("long").alias("phones_found"),
+            F.countDistinct("scrub_md5").alias("distinct_scrubbed"),
+        )
+        .orderBy("n_name")
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH docs AS (
+  SELECT n_name,
+    concat_ws(' ', c_name,
+      lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+        || '@' || lower(regexp_replace(n_name, '[^A-Za-z0-9]', '', 'g'))
+        || '.example.com',
+      concat_ws('-',
+        lpad(CAST(c_nationkey + 10 AS VARCHAR), 2, '0'),
+        lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+        lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0'),
+        lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')),
+      c_mktsegment) AS text
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+scrub AS (
+  SELECT n_name,
+    len(regexp_extract_all(text,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+    len(regexp_extract_all(text,
+      '\d{2}-\d{3}-\d{3}-\d{4}')) AS phones,
+    md5(regexp_replace(
+          regexp_replace(text, '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'))
+      AS scrub_md5
+  FROM docs
+)
+SELECT n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(emails) AS BIGINT) AS emails_found,
+  CAST(SUM(phones) AS BIGINT) AS phones_found,
+  CAST(COUNT(DISTINCT scrub_md5) AS BIGINT) AS distinct_scrubbed
+FROM scrub GROUP BY n_name ORDER BY n_name
+"""
+
+R11_QUERIES["docs_pii_scrub"] = docs_pii_scrub
+R11_ORACLES["docs_pii_scrub"] = PII_SCRUB_SQL

@@ -128,3 +128,39 @@ def test_int8_quant_error_within_half_step(spark):
     for r in rows:
         # e9 floors: max_err ≤ amax/254 within 1e-9 slack
         assert r["max_err_e9"] <= r["amax_e9"] / 254 + 1, r["dim"]
+
+
+def test_pii_scrub_redacts_every_email_and_phone(spark):
+    """The scrubbed text must contain no e-mail or phone pattern, and
+    the redaction markers appear exactly as often as PII was counted."""
+    import re
+
+    from kukur_spark.workloads_r11 import (
+        _PII_EMAIL,
+        _PII_PHONE,
+        _pii_contact_docs,
+    )
+
+    docs = _pii_contact_docs(spark, SF)
+    scrubbed = docs.select(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_PHONE, "<PHONE>"),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ).alias("clean"),
+        "text",
+    ).collect()
+    assert scrubbed
+    email_re = re.compile(_PII_EMAIL)
+    phone_re = re.compile(_PII_PHONE)
+    for r in scrubbed:
+        assert email_re.search(r["text"]), "fixture must contain PII"
+        assert phone_re.search(r["text"])
+        assert not email_re.search(r["clean"]), r["clean"]
+        assert not phone_re.search(r["clean"]), r["clean"]
+        assert r["clean"].count("<EMAIL>") == len(
+            email_re.findall(r["text"])
+        )
+        assert r["clean"].count("<PHONE>") == len(
+            phone_re.findall(r["text"])
+        )
