@@ -928,3 +928,36 @@ def streaming_neardup_vs_index(
             F.col("b.jaccard_ppm"),
         )
     )
+
+
+def streaming_pii_scrub(df: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`workloads_r11.docs_pii_scrub`'s scrub
+    stage: redact e-mail addresses and phone numbers from a streaming
+    ``text`` column on ingest, annotating each row with how much PII was
+    removed.
+
+    Stateless — a pure per-row projection, so it composes with any
+    trigger and needs no watermark or state store.  At scale the scrub
+    is per-executor regex CPU on the ingest path, which is exactly where
+    a training-data pipeline wants redaction to happen (before the raw
+    text is ever persisted downstream).
+    """
+    from kukur_spark.workloads_r11 import _PII_EMAIL, _PII_PHONE
+
+    counted = df.select(
+        "*",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+        ).alias("emails_found"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+        ).alias("phones_found"),
+    )
+    return counted.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_PHONE, "<PHONE>"),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ),
+    )

@@ -552,3 +552,35 @@ def test_streaming_holt_trend_across_batches(spark, tmp_path):
     r = final["s1"]
     assert (r["level_e6"], r["trend_e6"], r["n"]) == (level, trend, 3)
     assert r["fcst1_e6"] == level + trend
+
+
+def test_streaming_pii_scrub_redacts_on_ingest(spark, tmp_path):
+    from kukur_spark.streaming import streaming_pii_scrub
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "reach me at alice@example.com or 12-345-678-9012 thanks"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org one phone 99-111-222-3333"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    df = spark.readStream.format("parquet").schema(schema).load(src)
+    out = streaming_pii_scrub(df)
+    assert out.isStreaming
+    name = run_to_memory(out)
+    got = {
+        r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got[1]["emails_found"] == 1 and got[1]["phones_found"] == 1
+    assert got[1]["text"] == "reach me at <EMAIL> or <PHONE> thanks"
+    assert got[2]["emails_found"] == 0 and got[2]["phones_found"] == 0
+    assert got[2]["text"] == "no pii here at all"
+    assert got[3]["emails_found"] == 2 and got[3]["phones_found"] == 1
+    assert "@" not in got[3]["text"]
+    spark.catalog.dropTempView(name)
