@@ -270,12 +270,26 @@ def merge_intervals(
     bounded by the partition count, not the data.  ``count_column`` must
     exist on ``df`` (seed it with ``lit(1)``) and is summed through the
     merge.
+
+    The range-partitioned input is ``localCheckpoint``-ed (same policy
+    as :func:`kukur_spark.operators.cluster.connected_components`):
+    the plan consumes it four times (both summaries, the flag pass and
+    the final aggregation) and Catalyst emits no ReusedExchange across
+    those subtrees, so without the checkpoint the caller's upstream —
+    often a full scan plus a keyed window — executes 4×.  Measured at
+    100× sf0.1 the gain is modest (30 → 25 s on ``ts_merge_intervals``:
+    AQE's runtime shuffle-stage reuse already deduplicated most of the
+    repeated exchanges), but the checkpoint makes single-execution
+    structural instead of AQE-dependent — on a cluster with AQE
+    disabled or a cache-evicting scheduler the 4× re-read is real.
     """
     from pyspark.sql import Window
 
     s, e = F.col(start_column), F.col(end_column)
-    with_pid = df.repartitionByRange(s, e).withColumn(
-        "__pid", F.spark_partition_id()
+    with_pid = (
+        df.repartitionByRange(s, e)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
     pref_w = Window.orderBy("__pid").rowsBetween(

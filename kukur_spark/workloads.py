@@ -1238,19 +1238,62 @@ pairs AS (
 )"""
 
 
+def dedup_doc_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """``doc_id → canonical_id`` for every document, exact-dup collapsed.
+
+    Byte-identical texts are collapsed to one representative (the
+    family's minimum ``doc_id``) BEFORE banding; components run over
+    representatives only and labels re-expand through the family map.
+    Provably result-identical to banding the full corpus: identical
+    texts always share every band bucket and verify at Jaccard 1, so
+    each family is connected in the naive edge set, and the component
+    label (minimum reachable id) of a family's representative equals
+    the minimum doc_id of the expanded group.
+
+    Why it matters: exact-dup families make banded CANDIDATE PAIRS grow
+    quadratically in family size — a family of k identical docs alone
+    yields k·(k−1)/2 verified edges. Real corpora hit this with
+    boilerplate repeated thousands of times; the 100× replication probe
+    hit it at family size 100 and OOM-ed the pointer-doubling loop on
+    the pre-collapse form (`docs_leakage_safe_split`, 8 GiB heap). The
+    collapse removes the quadratic term entirely: candidates are
+    generated over distinct TEXTS, edges over distinct texts, and the
+    only family-sized work left is one map-side hash + two keyed joins.
+    """
+    docs = load_table(spark, sf, "documents")
+    return _collapsed_groups_from(docs)
+
+
+def _collapsed_groups_from(docs: DataFrame) -> DataFrame:
+    """df-level core of :func:`dedup_doc_groups` (testable on synthetic
+    replica corpora)."""
+    from kukur_spark.operators.cluster import dedup_groups
+
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("__th"))
+    families = hashed.groupBy("__th").agg(F.min("doc_id").alias("rep_id"))
+    mapping = hashed.join(families, "__th").select("doc_id", "rep_id")
+    rep_docs = docs.join(
+        families.select(F.col("rep_id").alias("doc_id")), "doc_id", "semi"
+    )
+    groups_r = dedup_groups(rep_docs, _lsh_edges_from(rep_docs))
+    return mapping.join(
+        groups_r.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+    ).select("doc_id", "canonical_id")
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive closure of near-dup pairs → canonical doc per group.
 
     Edges come from :func:`lsh_jaccard_edges` (banded candidates, exact
-    token-Jaccard verify — the sub-quadratic production path); components
+    token-Jaccard verify — the sub-quadratic production path) over the
+    exact-dup-collapsed corpus (:func:`dedup_doc_groups`); components
     by min-label propagation with pointer doubling; the oracle is a
-    recursive CTE over the identical md5-derived edge set.
+    recursive CTE over the full-corpus md5-derived edge set — identical
+    results, proven by the collapse argument in
+    :func:`dedup_doc_groups` and pinned by
+    ``tests/test_cluster.py::test_collapsed_groups_match_naive``.
     """
-    from kukur_spark.operators.cluster import dedup_groups
-
-    docs = load_table(spark, sf, "documents")
-    pairs = lsh_jaccard_edges(spark, sf)
-    return dedup_groups(docs, pairs).orderBy("doc_id")
+    return dedup_doc_groups(spark, sf).orderBy("doc_id")
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -1277,11 +1320,7 @@ def dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     A document survives iff it is the canonical (minimum-id) member of its
     near-dup connected component — the actual deliverable of the dedup
     stage, stacked on the same components as ``dedup_clusters``."""
-    from kukur_spark.operators.cluster import dedup_groups
-
-    docs = load_table(spark, sf, "documents")
-    pairs = lsh_jaccard_edges(spark, sf)
-    groups = dedup_groups(docs, pairs)
+    groups = dedup_doc_groups(spark, sf)
     return (
         groups.filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")

@@ -161,12 +161,9 @@ def docs_softdedup_weights(spark: SparkSession, sf: str) -> DataFrame:
     cluster_size)``).  Output: every clustered doc (cluster_size > 1)
     plus a summary-friendly weight; singletons are implicitly 1e6.
     """
-    from kukur_spark.operators.cluster import dedup_groups
-    from kukur_spark.workloads import lsh_jaccard_edges
+    from kukur_spark.workloads import dedup_doc_groups
 
-    docs = load_table(spark, sf, "documents")
-    pairs = lsh_jaccard_edges(spark, sf)
-    groups = dedup_groups(docs, pairs)
+    groups = dedup_doc_groups(spark, sf)
     sizes = groups.groupBy("canonical_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -226,13 +223,13 @@ def docs_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     components together, so near-dups can never straddle splits — by
     construction, and asserted on data in
     ``tests/test_r10_operators.py``.  Clusters are the banded-LSH +
-    exact-Jaccard + pointer-doubling components of ``dedup_clusters``.
+    exact-Jaccard + pointer-doubling components of ``dedup_clusters``
+    (exact-dup collapsed — the pre-collapse form OOM-ed the 100× probe;
+    see :func:`kukur_spark.workloads.dedup_doc_groups`).
     """
-    from kukur_spark.operators.cluster import dedup_groups
-    from kukur_spark.workloads import lsh_jaccard_edges
+    from kukur_spark.workloads import dedup_doc_groups
 
-    docs = load_table(spark, sf, "documents")
-    groups = dedup_groups(docs, lsh_jaccard_edges(spark, sf))
+    groups = dedup_doc_groups(spark, sf)
     nibble = F.substring(
         F.md5(F.col("canonical_id").cast("string")), 1, 1
     )

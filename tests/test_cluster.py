@@ -49,3 +49,34 @@ def test_path_graph_converges_log(spark):
     # log2(63) ≈ 6 doubling joins + fixpoint confirmations
     assert stats["rounds"] <= 3, stats
     assert stats["jumps"] <= 10, stats
+
+
+def test_collapsed_groups_match_naive(spark):
+    """Exact-dup collapse before banding must be result-identical to
+    banding the full corpus — on a corpus WITH exact-dup families (every
+    sf0.001 document replicated 3x with shifted ids, the regime that
+    OOM-ed the pre-collapse form at the 100x probe)."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.cluster import dedup_groups
+    from kukur_spark.workloads import _collapsed_groups_from, _lsh_edges_from
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    replicated = docs
+    for i in (1, 2):
+        replicated = replicated.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (max_id + 1)))
+        )
+    naive = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_groups(
+            replicated, _lsh_edges_from(replicated)
+        ).collect()
+    }
+    collapsed = {
+        r["doc_id"]: r["canonical_id"]
+        for r in _collapsed_groups_from(replicated).collect()
+    }
+    assert collapsed == naive
+    assert len(collapsed) == 3 * docs.count()
