@@ -341,3 +341,77 @@ def merge_intervals(
         )
         .drop("__gid")
     )
+
+
+def keyed_lag(
+    df: DataFrame,
+    key_columns: List[str],
+    order_columns: List[str],
+    value_column: str,
+    lag_column: str = "__lag",
+) -> DataFrame:
+    """Exact per-key ``lag(value)`` without one-task-per-key sorts.
+
+    ``Window.partitionBy(key).orderBy(order)`` funnels each key's whole
+    sequence through one task — at low key cardinality (5 event types,
+    a handful of hot series) that caps parallelism at #keys no matter
+    how many executors exist.  This computes the identical lag with the
+    same two-level decomposition as :func:`merge_intervals`:
+
+    1. range-repartition on ``(key, order)`` — each key occupies a
+       contiguous run of partitions, partition order equals global
+       order within the key;
+    2. per-``(partition, key)`` lag via a local window — every row gets
+       the right value except each partition's first row of each key;
+    3. an O(#partitions × keys-touching-a-boundary) summary — the last
+       value of every ``(partition, key)`` — shifted one partition
+       forward per key, broadcast back, patches exactly those first
+       rows (a key's first global row keeps NULL).
+
+    Result is row-identical to the naive keyed window (pinned by
+    ``tests/test_scale.py::test_keyed_lag_matches_window``).
+    """
+    from pyspark.sql import Window
+
+    key_cols = [F.col(c) for c in key_columns]
+    order_cols = [F.col(c) for c in order_columns]
+    with_pid = (
+        df.repartitionByRange(*key_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    local_w = Window.partitionBy("__pid", *key_columns).orderBy(
+        *order_columns
+    )
+    local = with_pid.withColumn(
+        lag_column, F.lag(value_column).over(local_w)
+    )
+
+    # last value of each (pid, key): max_by over the local partition
+    last_per = with_pid.groupBy("__pid", *key_columns).agg(
+        F.max_by(
+            F.col(value_column), F.struct(*order_cols)
+        ).alias("__lastv")
+    )
+    bound_w = Window.partitionBy(*key_columns).orderBy("__pid")
+    boundaries = last_per.select(
+        "__pid",
+        *key_columns,
+        F.lag("__lastv").over(bound_w).alias("__prevlast"),
+    )
+
+    first_w = Window.partitionBy("__pid", *key_columns).orderBy(
+        *order_columns
+    )
+    patched = (
+        local.withColumn("__rn", F.row_number().over(first_w))
+        .join(F.broadcast(boundaries), ["__pid", *key_columns], "left")
+        .withColumn(
+            lag_column,
+            F.when(
+                (F.col("__rn") == 1) & F.col(lag_column).isNull(),
+                F.col("__prevlast"),
+            ).otherwise(F.col(lag_column)),
+        )
+    )
+    return patched.drop("__pid", "__rn", "__prevlast")

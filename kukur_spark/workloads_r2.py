@@ -411,20 +411,24 @@ def ts_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
     O(#partitions) boundary summaries → broadcast correction).  No task
     ever holds more than one range partition of intervals; the earlier
     two-pass form pushed every pass-1 survivor through a single global
-    window task.  The oracle is the one-pass global sweep in DuckDB.
+    window task.  Gap detection uses
+    :func:`kukur_spark.operators.scale.keyed_lag` instead of a plain
+    per-type window: with 5 event types the naive window caps the
+    10M-row sort at 5 tasks; keyed_lag keeps it #partitions-wide
+    (row-identical, test-pinned).  The oracle is the one-pass global
+    sweep in DuckDB.
     """
-    from kukur_spark.operators.scale import merge_intervals
+    from kukur_spark.operators.scale import keyed_lag, merge_intervals
 
     events = load_table(spark, sf, "events")
     base = events.select(
         "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    lagged = keyed_lag(
+        base, ["event_type"], ["ts_us", "event_id"], "ts_us", "start_us"
+    )
     iv = (
-        base.select(
-            F.lag("ts_us").over(w).alias("start_us"),
-            F.col("ts_us").alias("end_us"),
-        )
+        lagged.select("start_us", F.col("ts_us").alias("end_us"))
         .filter(F.col("start_us").isNotNull())
         .filter(F.col("end_us") - F.col("start_us") > GAP_US)
         .withColumn("n_merged", F.lit(1).cast("long"))

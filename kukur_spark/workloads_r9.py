@@ -950,11 +950,13 @@ def docs_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     operator (map-side gates, semi joins against eval-sized indexes,
     banded candidate joins, log-round components); stage composition
     adds joins of per-source aggregates only.  Running dedup AFTER the
-    gates is the cheap order — edges are computed over the reduced set.
+    gates is the cheap order — edges are computed over the reduced set,
+    and byte-identical survivors are collapsed before banding
+    (:func:`kukur_spark.workloads._collapsed_groups_from` — kills the
+    family-quadratic candidate term the 100× probe exposed).
     """
-    from kukur_spark.operators.cluster import dedup_groups
     from kukur_spark.operators.dedup import md5_long, shingles
-    from kukur_spark.workloads import _lsh_edges_from
+    from kukur_spark.workloads import _collapsed_groups_from
 
     docs = load_table(spark, sf, "documents")
     pool = docs.filter(F.col("doc_id") % 25 != 0)
@@ -991,7 +993,7 @@ def docs_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         s1_grams.join(bench, "h", "left_semi").select("doc_id").distinct()
     )
     s2 = s1.join(contaminated, "doc_id", "left_anti")
-    groups = dedup_groups(s2, _lsh_edges_from(s2))
+    groups = _collapsed_groups_from(s2)
     kept = (
         groups.filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
@@ -1745,8 +1747,25 @@ def emb_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from kukur_spark.operators.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf, "embeddings")
+    # collapse bit-identical vectors to a min-id representative before
+    # hashing — identical vectors share every bucket and verify at
+    # cos 1 ≥ 0.99, so families are connected in the naive graph and
+    # the re-expanded labels are identical (same proof as
+    # workloads.dedup_doc_groups; kills the family-quadratic candidate
+    # term the 100× probe exposed on the text twin)
+    families = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep_id")
+    )
+    mapping = (
+        emb.select("vec_id", "embedding")
+        .join(families, "embedding")
+        .select("vec_id", "rep_id")
+    )
+    rep_emb = emb.join(
+        families.select(F.col("rep_id").alias("vec_id")), "vec_id", "semi"
+    )
     base = persist_once(
-        emb.repartition(
+        rep_emb.repartition(
             spark.sparkContext.defaultParallelism, F.col("vec_id")
         ).select(
             F.col("vec_id").alias("id"),
@@ -1802,9 +1821,14 @@ def emb_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.99)
         .select("id_a", "id_b")
     )
+    groups_r = dedup_groups(rep_emb, pairs, id_column="vec_id")
     return (
-        dedup_groups(emb, pairs, id_column="vec_id")
-        .withColumnRenamed("canonical_id", "canonical_vec")
+        mapping.join(
+            groups_r.withColumnRenamed("vec_id", "rep_id"), "rep_id"
+        )
+        .select(
+            "vec_id", F.col("canonical_id").alias("canonical_vec")
+        )
         .orderBy("vec_id")
     )
 

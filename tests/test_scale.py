@@ -380,3 +380,31 @@ def test_ivf_index_append_matches_rebuild(spark, tmp_path):
     assert any(g[1] >= 400 for g in got) or all(
         w[1] < 400 for w in want
     )
+
+
+def test_keyed_lag_matches_window(spark):
+    """keyed_lag must be row-identical to the naive per-key window —
+    including across range-partition boundaries (forced small
+    partitions) and at each key's global first row (NULL)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import keyed_lag
+
+    rng = random.Random(7)
+    rows = [
+        (k, i, rng.randrange(10_000))
+        for k in ("a", "b", "c")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+    naive = df.withColumn(
+        "__lag", F.lag("v").over(Window.partitionBy("k").orderBy("seq"))
+    )
+    fast = keyed_lag(df, ["k"], ["seq"], "v")
+    n = {(r["k"], r["seq"]): r["__lag"] for r in naive.collect()}
+    f = {(r["k"], r["seq"]): r["__lag"] for r in fast.collect()}
+    assert f == n
+    assert sum(1 for val in f.values() if val is None) == 3
