@@ -1948,8 +1948,10 @@ from kukur_spark.workloads_r10 import R10_ORACLES, R10_QUERIES  # noqa: E402
 
 QUERIES.update(R10_QUERIES)
 from kukur_spark.workloads_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
+from kukur_spark.workloads_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 
 QUERIES.update(R11_QUERIES)
+QUERIES.update(R12_QUERIES)
 # registry tail: production fast paths whose hash (xxhash64) is not
 # SQL-expressible — each has an oracle-paired md5 twin above running the
 # identical plan; keeping them last keeps the driver's 50-entry
@@ -2025,6 +2027,7 @@ ORACLES: Dict[str, str] = {
     **R9_ORACLES,
     **R10_ORACLES,
     **R11_ORACLES,
+    **R12_ORACLES,
 }
 
 

@@ -1,0 +1,123 @@
+"""Round-4 batch #3: model-based quality filtering.
+
+- ``docs_quality_classifier`` — fasttext-style linear quality
+  classifier over hashed bag-of-n-gram features (the CCNet / GPT-3
+  "quality classifier" pipeline stage: a linear model over hashed
+  word unigrams+bigrams scores every document, and the corpus is
+  gated on the score).  The hashing trick (Weinberger et al. 2009)
+  maps every gram to one of 64 buckets via md5; the per-bucket weight
+  vector is itself md5-derived so both engines rebuild the identical
+  model with zero shipped artifacts — a real deployment swaps the
+  weight expression for a broadcast literal array learned offline,
+  the plan is unchanged.
+
+  Plan shape: ZERO data shuffles — tokenization, feature hashing,
+  weight lookup and the score fold are all per-row JVM expressions
+  (``transform`` + ``aggregate`` over the gram array); the only
+  exchange is the deterministic output sort.  At 100 TB this is the
+  ideal operator: embarrassingly parallel, no skew surface at all.
+
+Exactness: buckets and weights are md5-derived integers; the score is
+an exact integer micro-unit ratio (``sum(w) * 1e6 div n_grams``), so
+the DuckDB oracle (same md5 expressions, ``unnest`` + SUM instead of
+the array fold) matches bit-for-bit.  Per the project's DuckDB
+``list_reduce`` ban, the oracle aggregates with SQL SUM, never list
+folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R12_QUERIES: dict = {}
+R12_ORACLES: dict = {}
+
+_QC_BUCKETS = 64
+
+
+def docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-n-gram linear quality score + keep/drop gate per document.
+
+    Features are word unigrams and bigrams (occurrences, not distinct —
+    fasttext counts repeats); each gram hashes to one of 64 buckets
+    (``md5_long(gram) % 64``); bucket weights come from
+    ``md5_long('qw|' || bucket) % 2001 - 1000`` ∈ [-1000, 1000].  The
+    document score is the exact integer mean weight in micro-units.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w_expr = (
+        "cast(conv(substring(md5(concat('qw|', string("
+        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {b}"
+        "))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
+    ).format(b=_QC_BUCKETS)
+    grams = (
+        "(case when size(split(text, ' ')) >= 2 then "
+        "concat(split(text, ' '), "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))) "
+        "else split(text, ' ') end)"
+    )
+    return (
+        docs.withColumn("__grams", F.expr(grams))
+        .select(
+            "doc_id",
+            F.size("__grams").cast("long").alias("n_feats"),
+            F.expr(
+                "aggregate(__grams, 0L, (acc, g) -> acc + cast(("
+                + w_expr
+                + ") as bigint))"
+            ).alias("__wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("(__wsum * 1000000) div n_feats").alias("score_e6"),
+            F.expr(
+                "case when (__wsum * 1000000) div n_feats >= 0 "
+                "then 'keep' else 'drop' end"
+            ).alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+gl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i + 1]))
+    ELSE t END AS g
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, unnest(g) AS gram FROM gl
+),
+weighted AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('qw|' ||
+       (('0x' || substr(md5(gram), 1, 15))::BIGINT % {_QC_BUCKETS})::VARCHAR
+     ), 1, 15))::BIGINT % 2001 - 1000 AS w
+  FROM grams
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS n_feats
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+  (wsum * 1000000) // n_feats AS score_e6,
+  CASE WHEN (wsum * 1000000) // n_feats >= 0
+    THEN 'keep' ELSE 'drop' END AS label
+FROM scores ORDER BY doc_id
+"""
+
+R12_QUERIES["docs_quality_classifier"] = docs_quality_classifier
+R12_ORACLES["docs_quality_classifier"] = QUALITY_CLASSIFIER_SQL

@@ -1,0 +1,27 @@
+"""Round-4 batch #3: quality-classifier tests."""
+
+from pyspark.sql import functions as F
+
+
+def test_quality_classifier_plan_is_map_side(spark):
+    """The hashed-n-gram classifier must stay embarrassingly parallel:
+    exactly one Exchange (the deterministic output sort), no Python."""
+    from kukur_spark.workloads_r12 import docs_quality_classifier
+
+    df = docs_quality_classifier(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # sort's range exchange (+AQE read)
+    assert "Python" not in plan
+
+
+def test_quality_classifier_scores_are_exact_integers(spark):
+    """Score semantics: integer mean weight in micro-units; label gates
+    on sign; single-token docs fall back to unigrams only."""
+    from kukur_spark.workloads_r12 import docs_quality_classifier
+
+    rows = docs_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "classifier produced no rows"
+    for r in rows[:50]:
+        assert -1_000_000_000 <= r["score_e6"] <= 1_000_000_000
+        assert r["label"] == ("keep" if r["score_e6"] >= 0 else "drop")
+        assert r["n_feats"] >= 1
