@@ -961,3 +961,21 @@ def streaming_pii_scrub(df: DataFrame) -> DataFrame:
             "<EMAIL>",
         ),
     )
+
+
+def streaming_quality_gate(df: DataFrame) -> DataFrame:
+    """Streaming twin of
+    :func:`kukur_spark.workloads_r12.docs_quality_classifier`: score and
+    gate documents with the hashed-n-gram linear quality model as they
+    arrive.
+
+    Stateless — the scoring core is the same per-row projection the
+    batch query uses (``workloads_r12.quality_score``), so batch and
+    stream can never drift.  On the ingest path this is where a
+    training pipeline drops low-quality text before paying to persist
+    or shuffle it; the gate keeps only ``label = 'keep'`` rows and
+    carries the score for downstream mixing weights.
+    """
+    from kukur_spark.workloads_r12 import quality_score
+
+    return quality_score(df).filter(F.col("label") == "keep")

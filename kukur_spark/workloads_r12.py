@@ -38,16 +38,11 @@ R12_ORACLES: dict = {}
 _QC_BUCKETS = 64
 
 
-def docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
-    """Hashed-n-gram linear quality score + keep/drop gate per document.
-
-    Features are word unigrams and bigrams (occurrences, not distinct —
-    fasttext counts repeats); each gram hashes to one of 64 buckets
-    (``md5_long(gram) % 64``); bucket weights come from
-    ``md5_long('qw|' || bucket) % 2001 - 1000`` ∈ [-1000, 1000].  The
-    document score is the exact integer mean weight in micro-units.
-    """
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+def quality_score(df: DataFrame) -> DataFrame:
+    """Per-row scoring core shared by the batch query and the streaming
+    twin (:func:`kukur_spark.streaming.streaming_quality_gate`): adds
+    ``n_feats, score_e6, label`` to any frame with a ``text`` column.
+    Pure projections — works unchanged on a streaming DataFrame."""
     w_expr = (
         "cast(conv(substring(md5(concat('qw|', string("
         "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {b}"
@@ -62,27 +57,40 @@ def docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         "else split(text, ' ') end)"
     )
     return (
-        docs.withColumn("__grams", F.expr(grams))
-        .select(
-            "doc_id",
-            F.size("__grams").cast("long").alias("n_feats"),
+        df.withColumn("__grams", F.expr(grams))
+        .withColumn("n_feats", F.size("__grams").cast("long"))
+        .withColumn(
+            "__wsum",
             F.expr(
                 "aggregate(__grams, 0L, (acc, g) -> acc + cast(("
                 + w_expr
                 + ") as bigint))"
-            ).alias("__wsum"),
+            ),
         )
-        .select(
-            "doc_id",
-            "n_feats",
-            F.expr("(__wsum * 1000000) div n_feats").alias("score_e6"),
-            F.expr(
-                "case when (__wsum * 1000000) div n_feats >= 0 "
-                "then 'keep' else 'drop' end"
-            ).alias("label"),
+        .withColumn(
+            "score_e6", F.expr("(__wsum * 1000000) div n_feats")
         )
-        .orderBy("doc_id")
+        .withColumn(
+            "label",
+            F.expr("case when score_e6 >= 0 then 'keep' else 'drop' end"),
+        )
+        .drop("__grams", "__wsum")
     )
+
+
+def docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-n-gram linear quality score + keep/drop gate per document.
+
+    Features are word unigrams and bigrams (occurrences, not distinct —
+    fasttext counts repeats); each gram hashes to one of 64 buckets
+    (``md5_long(gram) % 64``); bucket weights come from
+    ``md5_long('qw|' || bucket) % 2001 - 1000`` ∈ [-1000, 1000].  The
+    document score is the exact integer mean weight in micro-units.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id", "n_feats", "score_e6", "label"
+    ).orderBy("doc_id")
 
 
 QUALITY_CLASSIFIER_SQL = f"""

@@ -584,3 +584,43 @@ def test_streaming_pii_scrub_redacts_on_ingest(spark, tmp_path):
     assert got[3]["emails_found"] == 2 and got[3]["phones_found"] == 1
     assert "@" not in got[3]["text"]
     spark.catalog.dropTempView(name)
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming gate must emit exactly the batch classifier's
+    'keep' rows with identical scores."""
+    from kukur_spark.streaming import streaming_quality_gate
+    from kukur_spark.workloads_r12 import docs_quality_classifier
+
+    batch = {
+        r["doc_id"]: r
+        for r in docs_quality_classifier(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "docs")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    df = spark.readStream.format("parquet").schema(schema).load(src)
+    out = streaming_quality_gate(df)
+    assert out.isStreaming
+    name = run_to_memory(out)
+    got = {
+        r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    kept = {k for k, v in batch.items() if v["label"] == "keep"}
+    assert set(got) == kept
+    for k, row in got.items():
+        assert row["score_e6"] == batch[k]["score_e6"]
+        assert row["label"] == "keep"
+    spark.catalog.dropTempView(name)
