@@ -418,15 +418,47 @@ def minhash_incremental_md5(
     row per flagged new doc with its best-matching history doc:
     ``new_id, hist_id, jaccard_ppm`` (max ppm, ties to the smallest
     hist_id).
+
+    Byte-identical texts are collapsed to a min-id representative
+    WITHIN each side before banding (the family-quadratic candidate
+    fix — the pre-collapse form exhausted execution memory at the
+    1000× replication probe).  Exact: jaccard(n, h) depends only on
+    texts, so every member of a history family scores identically and
+    the argmax's min-id tie-break picks the representative anyway;
+    new-side members inherit their representative's best match by
+    re-expansion.  Sides collapse separately so a text present in both
+    new and history is never cross-merged.
     """
     from pyspark.sql import Window
 
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+
+    tagged = df.select(
+        F.col(id_column).alias("__mid"),
+        F.col(text_column).alias("__mtext"),
+        new_predicate.alias("_new"),
+    )
+    fams = tagged.groupBy("_new", F.md5("__mtext").alias("__th")).agg(
+        F.min("__mid").alias("__rep")
+    )
+    mapping = (
+        tagged.withColumn("__th", F.md5("__mtext"))
+        .join(fams, ["_new", "__th"])
+        .select("__mid", "__rep", "_new")
+    )
+    rep_df = df.join(
+        fams.select(F.col("__rep").alias(id_column)).distinct(),
+        id_column,
+        "semi",
+    )
+
     base = persist_once(
-        _md5_base(df, text_column, id_column, shingle_size, num_hashes).join(
-            df.select(
+        _md5_base(
+            rep_df, text_column, id_column, shingle_size, num_hashes
+        ).join(
+            rep_df.select(
                 F.col(id_column).alias("id"), new_predicate.alias("_new")
             ),
             "id",
@@ -470,10 +502,20 @@ def minhash_incremental_md5(
     w = Window.partitionBy("new_id").orderBy(
         F.col("jaccard_ppm").desc(), F.col("hist_id").asc()
     )
-    return (
+    best_rep = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("new_id", "hist_id", "jaccard_ppm")
+    )
+    # re-expand: every member of a flagged new-side family inherits its
+    # representative's best history match
+    return (
+        mapping.filter(F.col("_new"))
+        .select(F.col("__mid"), F.col("__rep").alias("new_id"))
+        .join(best_rep, "new_id")
+        .select(
+            F.col("__mid").alias("new_id"), "hist_id", "jaccard_ppm"
+        )
         .orderBy("new_id")
     )
 

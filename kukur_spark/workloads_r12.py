@@ -38,26 +38,56 @@ R12_ORACLES: dict = {}
 _QC_BUCKETS = 64
 
 
-def quality_score(df: DataFrame) -> DataFrame:
+import hashlib as _hashlib
+
+# the 64-bucket weight vector, materialized once: identical to the
+# md5 expression the oracle evaluates per gram (md5 is md5 in Python,
+# Spark and DuckDB), so indexing this literal array is an exact
+# optimization — one md5 per gram instead of two.  A deployment swaps
+# these for learned weights; the plan is unchanged.
+_QC_WEIGHTS = [
+    int(_hashlib.md5(f"qw|{b}".encode()).hexdigest()[:15], 16) % 2001
+    - 1000
+    for b in range(_QC_BUCKETS)
+]
+
+
+def quality_score(df: DataFrame, hash_fn: str = "md5") -> DataFrame:
     """Per-row scoring core shared by the batch query and the streaming
     twin (:func:`kukur_spark.streaming.streaming_quality_gate`): adds
     ``n_feats, score_e6, label`` to any frame with a ``text`` column.
-    Pure projections — works unchanged on a streaming DataFrame."""
-    w_expr = (
-        "cast(conv(substring(md5(concat('qw|', string("
-        "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {b}"
-        "))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
-    ).format(b=_QC_BUCKETS)
+    Pure projections — works unchanged on a streaming DataFrame.
+
+    The token array is materialized once per row before the bigram
+    transform (``element_at(split(text), i)`` inside the lambda would
+    re-split per element — O(tokens²), measured 416 s → 91 s for 5 M
+    docs at the 1000× probe, sum-forced).  ``hash_fn='xxhash64'`` is
+    the production fast path (same plan, JVM-native hash, no DuckDB
+    twin — the minhash fast/md5-twin convention).
+    """
+    if hash_fn == "md5":
+        bucket = (
+            "cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"
+            f" % {_QC_BUCKETS}"
+        )
+    elif hash_fn == "xxhash64":
+        bucket = f"pmod(xxhash64(g), {_QC_BUCKETS})"
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w_expr = "element_at(array({ws}), cast({bkt} as int) + 1)".format(
+        ws=", ".join(f"{w}L" for w in _QC_WEIGHTS), bkt=bucket
+    )
     grams = (
-        "(case when size(split(text, ' ')) >= 2 then "
-        "concat(split(text, ' '), "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1)))) "
-        "else split(text, ' ') end)"
+        "(case when size(__toks) >= 2 then "
+        "concat(__toks, "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', "
+        "element_at(__toks, i + 1)))) "
+        "else __toks end)"
     )
     return (
-        df.withColumn("__grams", F.expr(grams))
+        df.withColumn("__toks", F.split(F.col("text"), " "))
+        .withColumn("__grams", F.expr(grams))
         .withColumn("n_feats", F.size("__grams").cast("long"))
         .withColumn(
             "__wsum",
@@ -74,7 +104,7 @@ def quality_score(df: DataFrame) -> DataFrame:
             "label",
             F.expr("case when score_e6 >= 0 then 'keep' else 'drop' end"),
         )
-        .drop("__grams", "__wsum")
+        .drop("__toks", "__grams", "__wsum")
     )
 
 
@@ -129,3 +159,20 @@ FROM scores ORDER BY doc_id
 
 R12_QUERIES["docs_quality_classifier"] = docs_quality_classifier
 R12_ORACLES["docs_quality_classifier"] = QUALITY_CLASSIFIER_SQL
+
+
+def docs_quality_classifier_fast(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """xxhash64 fast path of :func:`docs_quality_classifier` — the
+    production scorer (JVM-native hash, ~3× the md5 throughput).  Not
+    SQL-expressible outside Spark, so the driver records a rows-only
+    check; the md5 twin proves the identical plan exactly (the
+    minhash_lsh fast/md5-twin convention)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return quality_score(docs, hash_fn="xxhash64").select(
+        "doc_id", "n_feats", "score_e6", "label"
+    ).orderBy("doc_id")
+
+
+R12_QUERIES["docs_quality_classifier_fast"] = docs_quality_classifier_fast

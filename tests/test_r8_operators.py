@@ -410,3 +410,41 @@ def test_md5_signatures_match_hashlib_ground_truth(spark):
     assert list(rows[2].sig) == [
         min(ml(s + f"#{j}") for s in sh2) for j in range(4)
     ]
+
+
+def test_incremental_collapse_replica_invariant(spark):
+    """The two-sided exact-dup collapse must make incremental dedup
+    replica-invariant: on a corpus where every doc is replicated 3x
+    (ids shifted by a multiple of the new/history split modulus, so
+    each replica keeps its side), the result is exactly the base
+    result fanned out over the new-side replicas, with hist_id still
+    the original (minimum) history doc."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.dedup import minhash_incremental_md5
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = (F.col("doc_id") % 5) == 0
+    base = {
+        r["new_id"]: (r["hist_id"], r["jaccard_ppm"])
+        for r in minhash_incremental_md5(docs, pred).collect()
+    }
+    assert base, "base incremental result is empty"
+
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    stride = ((max_id // 5) + 1) * 5  # keeps doc_id % 5 stable per copy
+    rep = docs
+    for i in (1, 2):
+        rep = rep.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+        )
+    got = {
+        r["new_id"]: (r["hist_id"], r["jaccard_ppm"])
+        for r in minhash_incremental_md5(rep, pred).collect()
+    }
+    expected = {
+        n + i * stride: match
+        for n, match in base.items()
+        for i in (0, 1, 2)
+    }
+    assert got == expected
