@@ -22,6 +22,13 @@ new.  This module splits the phases the way a 100 TB deployment would:
 Output contract matches ``minhash_incremental_md5`` (new_id, hist_id,
 jaccard_ppm — best history match per flagged new doc); a test pins
 build+query ≡ the recompute-everything operator on the same split.
+
+Exact-dup families: the recompute operator collapses byte-identical
+texts per side before banding (the 1000×-probe OOM fix).  The
+persisted index does NOT collapse — its contract is "index exactly the
+corpus you give it" — so run exact dedup (``dedup_exact``) before
+``build_minhash_index``; an index built over a replica-heavy corpus
+inherits the family-quadratic candidate volume at query time.
 """
 
 from __future__ import annotations

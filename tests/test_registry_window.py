@@ -24,4 +24,8 @@ def test_rotation_loses_nothing():
         assert name in ORACLES
     # only the documented xxhash64 fast paths lack oracles
     missing = sorted(set(QUERIES) - set(ORACLES))
-    assert missing == ["minhash_lsh_pairs", "simhash_pairs"]
+    assert missing == [
+        "docs_quality_classifier_fast",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+    ]
