@@ -114,9 +114,11 @@ def tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         "o_year",
         "nation_volume_e6",
         "total_volume_e6",
-        F.expr("nation_volume_e6 * 1000000L div total_volume_e6").alias(
-            "share_ppm"
-        ),
+        # decimal bridge: the e6×1e6 product overflows BIGINT at ~100× sf0.1
+        F.expr(
+            "CAST(CAST(nation_volume_e6 AS DECIMAL(38,0)) * 1000000"
+            " div total_volume_e6 AS BIGINT)"
+        ).alias("share_ppm"),
     ).orderBy("o_year")
 
 
@@ -144,7 +146,8 @@ WITH yearly AS (
   GROUP BY o_year
 )
 SELECT o_year, nation_volume_e6, total_volume_e6,
-  nation_volume_e6 * 1000000 // total_volume_e6 AS share_ppm
+  CAST(CAST(nation_volume_e6 AS HUGEINT) * 1000000 // total_volume_e6 AS BIGINT)
+    AS share_ppm
 FROM yearly
 ORDER BY o_year
 """
