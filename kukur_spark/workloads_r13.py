@@ -1,0 +1,315 @@
+"""Round-4 batch: sequence-similarity showpieces over the events series.
+
+Two operators whose textbook forms are nested sequential recursions,
+expressed as pure JVM expression trees (no UDFs, no driver loops):
+
+- ``ts_dtw_banded`` — Sakoe-Chiba banded Dynamic Time Warping distance
+  between every pair of series, on a fixed-length PAA grid.  The DP
+  table is a *nested* ``F.aggregate`` fold (outer over rows, inner over
+  cells), so one pair costs O(P²) inside whole-stage codegen and pairs
+  parallelize freely.  DTW is the classic elastic similarity measure
+  Spark has no operator for (reference has nothing comparable either —
+  beyond-reference surface like the rest of the workload registry).
+- ``ts_haar_energy`` — unnormalized Haar wavelet energy per decomposition
+  level.  After one keyed PAA aggregate the whole log₂(P)-level pyramid
+  is computed *inside the row* with chained ``transform`` /
+  ``aggregate`` — zero extra exchanges.
+
+Scale shape: both reduce each series to a P-point PAA sketch first
+(one keyed aggregate over the raw points — the only data-sized shuffle),
+so pair cost is O(P²) regardless of input rows.  The pair join is
+bounded by an explicit series-catalog limit (the documented convention
+for catalog-sized sides, audited by tests/test_plan_audit.py).
+
+Exactness: timestamps ride epoch-µs longs, values the decimal→integer
+bridge (e6 for DTW costs, e3 for Haar so squared details stay far from
+BIGINT range).  Segment assignment, averaging (``div``), |diff|, min,
+add, and squaring are all integer ops with identical semantics in Spark
+and DuckDB; the oracles replay the same recursions with recursive CTEs
+(never ``list_reduce`` — broken in DuckDB 1.0.0, see workloads_r7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R13_QUERIES: dict = {}
+R13_ORACLES: dict = {}
+
+# PAA grid length (DTW) — small fixed sketch; production would size this
+# per use case, the plan shape is P-independent.
+_DTW_P = 24
+_DTW_BAND = 4
+_DTW_INF = 10**15
+# Haar grid length (power of two) and pyramid depth
+_HAAR_P = 32
+_HAAR_LEVELS = 5
+# catalog bound for the pair join (documented limit-bound, audit-visible)
+_MAX_SERIES = 4096
+
+
+def _paa_sequences(
+    spark: SparkSession, sf: str, segments: int, scale: int
+) -> DataFrame:
+    """(event_type, vals) — per-series dense PAA sketch of ``segments``
+    integer segment means at ``scale`` decimal digits.
+
+    One keyed aggregate over events (the only data-sized shuffle), then a
+    singleton min/max broadcast for the grid; empty segments read 0 via a
+    per-row map lookup (no grid cross join in the Spark plan).
+    """
+    events = load_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value").cast("decimal(30,10)") * scale)
+        .cast("long")
+        .alias("v_q"),
+    )
+    bounds = base.agg(
+        F.min("ts_us").alias("gmin"), F.max("ts_us").alias("gmax")
+    )
+    seg = F.expr(f"(ts_us - gmin) * {segments} div (gmax - gmin + 1)")
+    segavg = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", seg.alias("seg"))
+        .agg(
+            F.sum("v_q").alias("sum_q"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type", "seg", F.expr("sum_q div cnt").alias("avg_q")
+        )
+    )
+    return segavg.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("seg", "avg_q"))
+        ).alias("m")
+    ).select(
+        "event_type",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(segments - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("vals"),
+    )
+
+
+def _paa_oracle_cte(segments: int, scale: int) -> str:
+    """Shared oracle CTE producing (event_type, vals) like
+    :func:`_paa_sequences` (dense via a grid join — same values, the
+    audit-free SQL shape)."""
+    return f"""
+base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * {scale}) AS BIGINT) AS v_q
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+bounds AS (SELECT MIN(ts_us) AS gmin, MAX(ts_us) AS gmax FROM base),
+segavg AS (
+  SELECT event_type,
+    (ts_us - gmin) * {segments} // (gmax - gmin + 1) AS seg,
+    SUM(v_q) // COUNT(*) AS avg_q
+  FROM base, bounds GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.event_type, g.seg
+  FROM (SELECT DISTINCT event_type FROM base) s,
+       (SELECT UNNEST(range(0, {segments})) AS seg) g
+),
+seqs AS (
+  SELECT grid.event_type,
+    list(COALESCE(segavg.avg_q, 0) ORDER BY grid.seg) AS vals
+  FROM grid LEFT JOIN segavg
+    ON grid.event_type = segavg.event_type AND grid.seg = segavg.seg
+  GROUP BY grid.event_type
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Banded DTW between every series pair
+# ---------------------------------------------------------------------------
+def ts_dtw_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Sakoe-Chiba banded DTW distance for every series pair.
+
+    DP recurrence d[i][j] = |a_i - b_j| + min(d[i-1][j], d[i][j-1],
+    d[i-1][j-1]), cells outside the band pinned to INF, as a nested
+    integer fold: the outer ``aggregate`` walks rows carrying the
+    previous DP row (P+1 longs, the j=0 column included), the inner
+    ``aggregate`` builds each row left-to-right (the d[i][j-1]
+    dependency).  All integer; INF + max-cost stays far below 2⁶³.
+    """
+    seqs = _paa_sequences(spark, sf, _DTW_P, 1_000_000).limit(_MAX_SERIES)
+    a = seqs.select(
+        F.col("event_type").alias("series_a"), F.col("vals").alias("va")
+    )
+    b = seqs.select(
+        F.col("event_type").alias("series_b"), F.col("vals").alias("vb")
+    )
+    # non-equi pair join: broadcast one catalog-bounded side so the plan
+    # is BroadcastNestedLoopJoin, never a CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("series_a") < F.col("series_b"))
+
+    inf = F.lit(_DTW_INF).cast("long")
+    p = _DTW_P
+
+    def dp_row(prev, i):
+        # build row i: cur[1] = d[i][0] = INF, then append cells 1..P
+        def cell(cur, j):
+            in_band = F.abs(i - j) <= F.lit(_DTW_BAND)
+            cost = F.abs(
+                F.element_at(F.col("va"), i.cast("int"))
+                - F.element_at(F.col("vb"), j.cast("int"))
+            )
+            best = F.least(
+                F.element_at(prev, (j + 1).cast("int")),  # d[i-1][j]
+                F.element_at(prev, j.cast("int")),        # d[i-1][j-1]
+                F.element_at(cur, j.cast("int")),         # d[i][j-1]
+            )
+            val = F.when(in_band, F.least(cost + best, inf)).otherwise(inf)
+            return F.concat(cur, F.array(val))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(p)), F.array(inf), cell
+        )
+
+    # prev row for i=1: d[0][0] = 0, d[0][j] = INF
+    init = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.array_repeat(inf, p),
+    )
+    final_row = F.aggregate(F.sequence(F.lit(1), F.lit(p)), init, dp_row)
+    return (
+        pairs.select(
+            "series_a",
+            "series_b",
+            F.element_at(final_row, p + 1).alias("dtw_e6"),
+        )
+        .orderBy("series_a", "series_b")
+    )
+
+
+TS_DTW_SQL = f"""
+WITH RECURSIVE {_paa_oracle_cte(_DTW_P, 1_000_000)},
+pairs AS (
+  SELECT a.event_type AS series_a, b.event_type AS series_b,
+         a.vals AS va, b.vals AS vb
+  FROM seqs a JOIN seqs b ON a.event_type < b.event_type
+),
+-- one DP cell per step, row-major; prev = row i-1 (j=0..P), cur = row i
+-- prefix (starts [INF] = the j=0 column); at j=P the row rolls over.
+walk AS (
+  SELECT series_a, series_b, va, vb, 0 AS t,
+    [0] || [{_DTW_INF} for x in range(0, {_DTW_P})] AS prev,
+    [CAST({_DTW_INF} AS BIGINT)] AS cur
+  FROM pairs
+  UNION ALL
+  SELECT series_a, series_b, va, vb, t + 1,
+    CASE WHEN (t % {_DTW_P}) + 1 = {_DTW_P} THEN cur || [cell] ELSE prev END,
+    CASE WHEN (t % {_DTW_P}) + 1 = {_DTW_P}
+         THEN [CAST({_DTW_INF} AS BIGINT)] ELSE cur || [cell] END
+  FROM (
+    SELECT *,
+      (t // {_DTW_P}) + 1 AS i, (t % {_DTW_P}) + 1 AS j,
+      CASE WHEN abs((t // {_DTW_P}) + 1 - ((t % {_DTW_P}) + 1)) > {_DTW_BAND}
+           THEN {_DTW_INF}
+           ELSE least(
+             abs(va[(t // {_DTW_P}) + 1] - vb[(t % {_DTW_P}) + 1]) + least(
+               prev[(t % {_DTW_P}) + 1 + 1],
+               prev[(t % {_DTW_P}) + 1],
+               cur[(t % {_DTW_P}) + 1]),
+             {_DTW_INF})
+      END AS cell
+    FROM walk WHERE t < {_DTW_P} * {_DTW_P}
+  )
+)
+SELECT series_a, series_b, prev[{_DTW_P} + 1] AS dtw_e6
+FROM walk WHERE t = {_DTW_P} * {_DTW_P}
+ORDER BY series_a, series_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy pyramid
+# ---------------------------------------------------------------------------
+def ts_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series unnormalized Haar detail energy at each of 5 levels.
+
+    Level l halves the level-(l-1) approximation: approx = s[2k-1]+s[2k],
+    detail = s[2k-1]-s[2k], energy_l = Σ detail².  e3 quantization keeps
+    the top-level squares ≤ ~10¹⁵.  Everything after the PAA aggregate is
+    row-local array math — the plan has exactly the PAA shuffle.
+    """
+    seqs = _paa_sequences(spark, sf, _HAAR_P, 1_000)
+    df = seqs.withColumn("a0", F.col("vals"))
+    out_cols = [F.col("event_type")]
+    for level in range(1, _HAAR_LEVELS + 1):
+        half = _HAAR_P >> level
+        prev = F.col(f"a{level - 1}")
+        idx = F.sequence(F.lit(1), F.lit(half))
+        approx = F.transform(
+            idx,
+            lambda k: F.element_at(prev, (2 * k - 1).cast("int"))
+            + F.element_at(prev, (2 * k).cast("int")),
+        )
+        def _sq(k):
+            d = F.element_at(prev, (2 * k - 1).cast("int")) - F.element_at(
+                prev, (2 * k).cast("int")
+            )
+            return d * d
+
+        detail_sq = F.transform(idx, _sq)
+        df = df.withColumn(f"a{level}", approx)
+        df = df.withColumn(
+            f"energy_l{level}",
+            F.aggregate(
+                detail_sq, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ),
+        )
+        out_cols.append(F.col(f"energy_l{level}"))
+    out_cols.append(
+        F.element_at(F.col(f"a{_HAAR_LEVELS}"), 1).alias("approx_sum_e3")
+    )
+    return df.select(*out_cols).orderBy("event_type")
+
+
+def _haar_level_sql(level: int) -> str:
+    half = _HAAR_P >> level
+    prev = f"a{level - 1}"
+    return f"""
+l{level} AS (
+  SELECT *,
+    [{prev}[2 * k - 1] + {prev}[2 * k] for k in range(1, {half} + 1)]
+      AS a{level},
+    list_aggregate(
+      [({prev}[2 * k - 1] - {prev}[2 * k]) * ({prev}[2 * k - 1] - {prev}[2 * k])
+       for k in range(1, {half} + 1)], 'sum') AS energy_l{level}
+  FROM l{level - 1}
+)"""
+
+
+TS_HAAR_SQL = (
+    f"WITH {_paa_oracle_cte(_HAAR_P, 1_000)},\nl0 AS (SELECT event_type,"
+    " vals AS a0 FROM seqs),"
+    + ",".join(_haar_level_sql(level) for level in range(1, _HAAR_LEVELS + 1))
+    + f"""
+SELECT event_type,
+  {', '.join(f'CAST(energy_l{level} AS BIGINT) AS energy_l{level}'
+             for level in range(1, _HAAR_LEVELS + 1))},
+  a{_HAAR_LEVELS}[1] AS approx_sum_e3
+FROM l{_HAAR_LEVELS}
+ORDER BY event_type
+"""
+)
+
+
+R13_QUERIES["ts_dtw_banded"] = ts_dtw_banded
+R13_ORACLES["ts_dtw_banded"] = TS_DTW_SQL
+R13_QUERIES["ts_haar_energy"] = ts_haar_energy
+R13_ORACLES["ts_haar_energy"] = TS_HAAR_SQL

@@ -1,0 +1,91 @@
+"""Round-4 batch: banded DTW + Haar energy pyramid.
+
+The DuckDB oracles replay the same recursions, so these tests pin the
+operators against *independent* pure-Python references built from the
+collected PAA sketches — a third implementation that shares no code
+with either engine's recursion.
+"""
+
+import pytest
+
+from kukur_spark.workloads_r13 import (
+    _DTW_BAND,
+    _DTW_INF,
+    _DTW_P,
+    _HAAR_LEVELS,
+    _HAAR_P,
+    _paa_sequences,
+    ts_dtw_banded,
+    ts_haar_energy,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_dtw(a, b, band, inf):
+    n, m = len(a), len(b)
+    prev = [0] + [inf] * m
+    for i in range(1, n + 1):
+        cur = [inf]
+        for j in range(1, m + 1):
+            if abs(i - j) > band:
+                cur.append(inf)
+                continue
+            cost = abs(a[i - 1] - b[j - 1])
+            cur.append(min(inf, cost + min(prev[j], prev[j - 1], cur[j - 1])))
+        prev = cur
+    return prev[m]
+
+
+@pytest.fixture(scope="module")
+def paa24(spark):
+    rows = _paa_sequences(spark, SF, _DTW_P, 1_000_000).collect()
+    return {r.event_type: list(r.vals) for r in rows}
+
+
+def test_dtw_matches_python_reference(spark, paa24):
+    got = {
+        (r.series_a, r.series_b): r.dtw_e6
+        for r in ts_dtw_banded(spark, SF).collect()
+    }
+    names = sorted(paa24)
+    assert len(got) == len(names) * (len(names) - 1) // 2
+    for i, sa in enumerate(names):
+        for sb in names[i + 1 :]:
+            expected = _python_dtw(paa24[sa], paa24[sb], _DTW_BAND, _DTW_INF)
+            assert got[(sa, sb)] == expected, (sa, sb)
+
+
+def test_dtw_self_distance_zero(spark, paa24):
+    name, vals = next(iter(paa24.items()))
+    assert _python_dtw(vals, vals, _DTW_BAND, _DTW_INF) == 0
+
+
+def test_haar_matches_python_reference(spark):
+    rows = _paa_sequences(spark, SF, _HAAR_P, 1_000).collect()
+    seqs = {r.event_type: list(r.vals) for r in rows}
+    got = {r.event_type: r for r in ts_haar_energy(spark, SF).collect()}
+    assert set(got) == set(seqs)
+    for name, vals in seqs.items():
+        approx = vals
+        for level in range(1, _HAAR_LEVELS + 1):
+            detail = [
+                approx[2 * k] - approx[2 * k + 1]
+                for k in range(len(approx) // 2)
+            ]
+            approx = [
+                approx[2 * k] + approx[2 * k + 1]
+                for k in range(len(approx) // 2)
+            ]
+            assert got[name][f"energy_l{level}"] == sum(
+                d * d for d in detail
+            ), (name, level)
+        assert got[name]["approx_sum_e3"] == approx[0] == sum(vals)
+
+
+def test_dtw_plan_has_no_killers(spark):
+    from kukur_spark import planaudit
+
+    df = ts_dtw_banded(spark, SF)
+    assert planaudit.unbounded_global_windows(df) == 0
+    assert planaudit.unbounded_cross_joins(df) == 0
