@@ -2321,6 +2321,8 @@ _PROMOTE_TO_WINDOW = [
     "emb_outlier_knn",  # r4: multi-table LSH candidate join
     "dedup_incremental",  # new×history banding join
     "nation_trade_pagerank",  # exact-integer iterative PageRank
+    "ts_dtw_banded",  # r4: nested-fold banded DTW over PAA sketches
+    "ts_haar_energy",  # r4: row-local Haar pyramid after one shuffle
 ]
 _DEMOTE_FROM_WINDOW = [
     "orders_by_quarter",
@@ -2329,6 +2331,8 @@ _DEMOTE_FROM_WINDOW = [
     "orders_exists_semi",
     "orders_missing_anti",
     "events_json_extract",
+    "events_pivot_wide",
+    "customer_cube",
 ]
 
 
