@@ -1,7 +1,8 @@
-"""Round-4 batch: sequence-similarity showpieces over the events series.
+"""Round-4 batch: sequence-similarity showpieces + content-defined chunking.
 
-Two operators whose textbook forms are nested sequential recursions,
-expressed as pure JVM expression trees (no UDFs, no driver loops):
+Two sequence operators whose textbook forms are nested sequential
+recursions, expressed as pure JVM expression trees (no UDFs, no driver
+loops), plus the rsync/LBFS-family chunker:
 
 - ``ts_dtw_banded`` — Sakoe-Chiba banded Dynamic Time Warping distance
   between every pair of series, on a fixed-length PAA grid.  The DP
@@ -14,6 +15,9 @@ expressed as pure JVM expression trees (no UDFs, no driver loops):
   level.  After one keyed PAA aggregate the whole log₂(P)-level pyramid
   is computed *inside the row* with chained ``transform`` /
   ``aggregate`` — zero extra exchanges.
+- ``docs_cdc_chunks`` — content-defined chunking (Rabin breakpoints) and
+  chunk-level dedup accounting, the shift-resistant sub-document dedup
+  primitive.
 
 Scale shape: both reduce each series to a P-point PAA sketch first
 (one keyed aggregate over the raw points — the only data-sized shuffle),
@@ -309,7 +313,138 @@ ORDER BY event_type
 )
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style breakpoints) + chunk-level dedup
+# ---------------------------------------------------------------------------
+_CDC_WINDOW = 16
+
+
+def docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source chunk-level dedup report over content-defined chunks.
+
+    Breakpoints are *content-defined* (rsync/LBFS/FastCDC family): a cut
+    before position p whenever the 16-char window hash at p satisfies the
+    boundary criterion (first md5 nibble '0', expected chunk ≈16 chars on
+    this corpus).  Insertions/deletions only move boundaries locally, so
+    shared runs between near-duplicate documents still produce identical
+    chunks — the property fixed-stride chunking (``docs_chunks``,
+    ``docs_boilerplate_chunks``) lacks.  FastCDC's min/max chunk bounds
+    would make the cut sequence a sequential recursion; this is the
+    stateless Rabin form, which is embarrassingly parallel per document.
+
+    Plan: breakpoint detection and chunking are row-local array
+    expressions (one Generate, no Python); the dup accounting is one
+    hash-keyed aggregate plus one skinny join (hash, len, source).
+    """
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n = F.length("text")
+    w = _CDC_WINDOW
+    positions = F.when(
+        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    breaks = F.filter(
+        positions,
+        lambda p: F.substring(
+            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
+        )
+        == "0",
+    )
+    starts = F.concat(F.array(F.lit(1)), breaks)
+    bounds = F.concat(starts, F.array(n + 1))
+    chunked = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        starts.alias("starts"),
+        bounds.alias("bounds"),
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda i: F.struct(
+                    F.md5(
+                        F.col("text").substr(
+                            F.element_at(F.col("starts"), i.cast("int")),
+                            F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                            - F.element_at(F.col("starts"), i.cast("int")),
+                        )
+                    ).alias("h"),
+                    (
+                        F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                        - F.element_at(F.col("starts"), i.cast("int"))
+                    ).cast("long").alias("chunk_len"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "source", "c.h", "c.chunk_len")
+    counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        chunked.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_occurrences"
+            ),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_occurrences",
+            "total_bytes",
+            "dup_bytes",
+            F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_CDC_SQL = f"""
+WITH docs0 AS (
+  SELECT doc_id, source, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+marks AS (
+  SELECT doc_id, source, text, n,
+    [1] || [p for p in range(2, greatest(n - {_CDC_WINDOW - 1}, 1) + 1)
+            if substring(md5(substring(text, p, {_CDC_WINDOW})), 1, 1) = '0']
+      AS starts
+  FROM docs0
+),
+withbounds AS (
+  SELECT *, starts || [n + 1] AS bounds FROM marks
+),
+chunked AS (
+  SELECT doc_id, source,
+    md5(substring(text, starts[i], bounds[i + 1] - starts[i])) AS h,
+    CAST(bounds[i + 1] - starts[i] AS BIGINT) AS chunk_len
+  FROM withbounds, UNNEST(range(1, len(starts) + 1)) AS t(i)
+),
+counts AS (SELECT h, COUNT(*) AS occ FROM chunked GROUP BY h)
+SELECT source,
+  COUNT(*) AS n_chunks,
+  SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_occurrences,
+  SUM(chunk_len) AS total_bytes,
+  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS dup_bytes,
+  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
+    // SUM(chunk_len) AS dup_ppm
+FROM chunked JOIN counts USING (h)
+GROUP BY source
+ORDER BY source
+"""
+
+
 R13_QUERIES["ts_dtw_banded"] = ts_dtw_banded
 R13_ORACLES["ts_dtw_banded"] = TS_DTW_SQL
 R13_QUERIES["ts_haar_energy"] = ts_haar_energy
 R13_ORACLES["ts_haar_energy"] = TS_HAAR_SQL
+R13_QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
+R13_ORACLES["docs_cdc_chunks"] = DOCS_CDC_SQL

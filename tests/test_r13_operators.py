@@ -89,3 +89,82 @@ def test_dtw_plan_has_no_killers(spark):
     df = ts_dtw_banded(spark, SF)
     assert planaudit.unbounded_global_windows(df) == 0
     assert planaudit.unbounded_cross_joins(df) == 0
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """Prefix insertion only disturbs the first chunk region: the vast
+    majority of chunk hashes survive — the property fixed-stride
+    chunking lacks (every boundary there shifts)."""
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(f"w{i}".encode()).hexdigest()[:5] + " "
+        for i in range(80)
+    )
+    shifted = "XYZ" + base
+
+    def py_chunks(text, w=16):
+        starts = [1] + [
+            p
+            for p in range(2, max(len(text) - (w - 1), 1) + 1)
+            if hashlib.md5(text[p - 1 : p - 1 + w].encode()).hexdigest()[0]
+            == "0"
+        ]
+        bounds = starts + [len(text) + 1]
+        return [
+            text[bounds[i] - 1 : bounds[i + 1] - 1]
+            for i in range(len(starts))
+        ]
+
+    a, b = py_chunks(base), py_chunks(shifted)
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2  # only the head region differs
+
+    # and the Spark expressions produce the same cuts as the Python model
+    from pyspark.sql import functions as F
+
+    from kukur_spark.workloads_r13 import _CDC_WINDOW
+
+    df = spark.createDataFrame(
+        [(1, "s", base), (2, "s", shifted)],
+        "doc_id long, source string, text string",
+    )
+    n = F.length("text")
+    w = _CDC_WINDOW
+    positions = F.when(
+        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    breaks = F.filter(
+        positions,
+        lambda p: F.substring(
+            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
+        )
+        == "0",
+    )
+    got = {
+        r.doc_id: list(r.starts)
+        for r in df.select(
+            "doc_id", F.concat(F.array(F.lit(1)), breaks).alias("starts")
+        ).collect()
+    }
+    def py_starts(text):
+        return [1] + [
+            p
+            for p in range(2, max(len(text) - (w - 1), 1) + 1)
+            if hashlib.md5(text[p - 1 : p - 1 + w].encode()).hexdigest()[0]
+            == "0"
+        ]
+
+    assert got[1] == py_starts(base)
+    assert got[2] == py_starts(shifted)
+
+
+def test_cdc_report_consistency(spark):
+    from kukur_spark.workloads_r13 import docs_cdc_chunks
+
+    rows = docs_cdc_chunks(spark, SF).collect()
+    assert rows, "documents table yields chunk stats"
+    for r in rows:
+        assert 0 <= r.dup_bytes <= r.total_bytes
+        assert 0 <= r.n_dup_occurrences <= r.n_chunks
+        assert r.dup_ppm == r.dup_bytes * 1_000_000 // r.total_bytes
