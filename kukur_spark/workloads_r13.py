@@ -442,9 +442,157 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# FastCDC-style min-bounded chunking: the greedy sequential variant
+# ---------------------------------------------------------------------------
+_CDC_MIN_LEN = 24
+
+
+def docs_fastcdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-dedup report with FastCDC's minimum chunk bound.
+
+    Plain Rabin cutting (``docs_cdc_chunks``) produces a geometric chunk
+    size distribution with a heavy head of tiny chunks; FastCDC's fix is
+    to skip any candidate cut closer than ``min_len`` to the previously
+    *accepted* cut — which makes the cut sequence a greedy sequential
+    recursion.  Expressed as an ``F.aggregate`` fold over the candidate
+    positions (carry = accepted starts so far, ``element_at(acc, -1)``
+    the last accepted cut) — row-local, no extra exchange vs the
+    stateless form; the oracle replays the same greedy walk with a
+    recursive CTE.
+    """
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n = F.length("text")
+    w = _CDC_WINDOW
+    positions = F.when(
+        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    candidates = F.filter(
+        positions,
+        lambda p: F.substring(
+            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
+        )
+        == "0",
+    )
+    starts = F.aggregate(
+        candidates,
+        F.array(F.lit(1)),
+        lambda acc, p: F.when(
+            p - F.element_at(acc, -1) >= F.lit(_CDC_MIN_LEN),
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
+    )
+    bounds = F.concat(starts, F.array(n + 1))
+    chunked = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        starts.alias("starts"),
+        bounds.alias("bounds"),
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda i: F.struct(
+                    F.md5(
+                        F.col("text").substr(
+                            F.element_at(F.col("starts"), i.cast("int")),
+                            F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                            - F.element_at(F.col("starts"), i.cast("int")),
+                        )
+                    ).alias("h"),
+                    (
+                        F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                        - F.element_at(F.col("starts"), i.cast("int"))
+                    ).cast("long").alias("chunk_len"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "source", "c.h", "c.chunk_len")
+    counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        chunked.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_occurrences"
+            ),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_bytes"),
+            F.min("chunk_len").alias("min_chunk_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_occurrences",
+            "total_bytes",
+            "dup_bytes",
+            "min_chunk_len",
+            F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_FASTCDC_SQL = f"""
+WITH RECURSIVE docs0 AS (
+  SELECT doc_id, source, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+cands AS (
+  SELECT doc_id, source, text, n,
+    [p for p in range(2, greatest(n - {_CDC_WINDOW - 1}, 1) + 1)
+     if substring(md5(substring(text, p, {_CDC_WINDOW})), 1, 1) = '0']
+      AS cand
+  FROM docs0
+),
+-- greedy min-bound walk: accept cand[i] only if ≥ MIN past the last
+-- accepted cut
+walk AS (
+  SELECT doc_id, source, text, n, cand, 0 AS i, [1] AS starts FROM cands
+  UNION ALL
+  SELECT doc_id, source, text, n, cand, i + 1,
+    CASE WHEN cand[i + 1] - starts[len(starts)] >= {_CDC_MIN_LEN}
+         THEN starts || [cand[i + 1]] ELSE starts END
+  FROM walk WHERE i < len(cand)
+),
+marked AS (
+  SELECT doc_id, source, text, n, starts, starts || [n + 1] AS bounds
+  FROM walk WHERE i = len(cand)
+),
+chunked AS (
+  SELECT doc_id, source,
+    md5(substring(text, starts[i], bounds[i + 1] - starts[i])) AS h,
+    CAST(bounds[i + 1] - starts[i] AS BIGINT) AS chunk_len
+  FROM marked, UNNEST(range(1, len(starts) + 1)) AS t(i)
+),
+counts AS (SELECT h, COUNT(*) AS occ FROM chunked GROUP BY h)
+SELECT source,
+  COUNT(*) AS n_chunks,
+  SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_occurrences,
+  SUM(chunk_len) AS total_bytes,
+  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS dup_bytes,
+  MIN(chunk_len) AS min_chunk_len,
+  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
+    // SUM(chunk_len) AS dup_ppm
+FROM chunked JOIN counts USING (h)
+GROUP BY source
+ORDER BY source
+"""
+
+
 R13_QUERIES["ts_dtw_banded"] = ts_dtw_banded
 R13_ORACLES["ts_dtw_banded"] = TS_DTW_SQL
 R13_QUERIES["ts_haar_energy"] = ts_haar_energy
 R13_ORACLES["ts_haar_energy"] = TS_HAAR_SQL
 R13_QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
 R13_ORACLES["docs_cdc_chunks"] = DOCS_CDC_SQL
+R13_QUERIES["docs_fastcdc_chunks"] = docs_fastcdc_chunks
+R13_ORACLES["docs_fastcdc_chunks"] = DOCS_FASTCDC_SQL

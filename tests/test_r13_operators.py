@@ -168,3 +168,55 @@ def test_cdc_report_consistency(spark):
         assert 0 <= r.dup_bytes <= r.total_bytes
         assert 0 <= r.n_dup_occurrences <= r.n_chunks
         assert r.dup_ppm == r.dup_bytes * 1_000_000 // r.total_bytes
+
+
+def test_fastcdc_min_bound_and_python_parity(spark):
+    """Greedy min-bound walk: accepted cuts are ≥ MIN apart, and the
+    Spark fold reproduces a pure-Python greedy reference on real docs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import _CDC_MIN_LEN, _CDC_WINDOW
+
+    w, m = _CDC_WINDOW, _CDC_MIN_LEN
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .limit(100)
+    )
+    n = F.length("text")
+    positions = F.when(
+        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    candidates = F.filter(
+        positions,
+        lambda p: F.substring(
+            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
+        )
+        == "0",
+    )
+    starts = F.aggregate(
+        candidates,
+        F.array(F.lit(1)),
+        lambda acc, p: F.when(
+            p - F.element_at(acc, -1) >= F.lit(m),
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
+    )
+    rows = docs.select("text", starts.alias("starts")).collect()
+    assert rows
+    for r in rows:
+        got = list(r.starts)
+        # greedy python reference
+        exp = [1]
+        for p in range(2, max(len(r.text) - (w - 1), 1) + 1):
+            if (
+                hashlib.md5(r.text[p - 1 : p - 1 + w].encode()).hexdigest()[0]
+                == "0"
+                and p - exp[-1] >= m
+            ):
+                exp.append(p)
+        assert got == exp
+        assert all(b - a >= m for a, b in zip(got, got[1:]))
