@@ -588,6 +588,123 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval eval
+# ---------------------------------------------------------------------------
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 5
+_MRL_NQ = 10
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k overlap of truncated-dimension cosine retrieval vs full-dim.
+
+    The Matryoshka question: how much of the exact top-k survives if we
+    keep only the first d components of each embedding (d = 8/16/32 of
+    64)?  Per (dim, query): hits = |topk_d ∩ topk_full|.  The engine
+    evaluating its own representation-truncation tradeoff — the cheap
+    first-pass retrieval at 100 TB runs on a prefix slice (¼ the bytes,
+    ¼ the FLOPs), with this eval quantifying what re-ranking must
+    recover.  Reuses the broadcast-query brute-force machinery; all
+    ranking is IEEE-identical cross-engine, hits are exact integers.
+    """
+    from kukur_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MRL_NQ)
+    full_set = brute_force_topk(queries, emb, k=_MRL_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_full")
+    )
+
+    per_dim = []
+    for d in _MRL_DIMS:
+        emb_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        queries_d = emb_d.filter(F.col("vec_id") < _MRL_NQ)
+        per_dim.append(
+            brute_force_topk(queries_d, emb_d, k=_MRL_K).select(
+                F.lit(d).cast("long").alias("dim"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+    truncated = per_dim[0]
+    for frame in per_dim[1:]:
+        truncated = truncated.unionByName(frame)
+    return (
+        truncated.join(
+            F.broadcast(full_set), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("in_full"), F.lit(0))).alias("hits"),
+        )
+        .select(
+            "dim",
+            "query_id",
+            "hits",
+            F.expr(f"hits * 1000000L div {_MRL_K}").alias("recall_ppm"),
+        )
+        .orderBy("dim", "query_id")
+    )
+
+
+def _mrl_cos(a: str, b: str) -> str:
+    """DuckDB cosine matching operators.similarity's fold order (same
+    expression as workloads._duck_cos, local to avoid a circular
+    import)."""
+
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({x}) + 1), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+def _mrl_topk_sql(d) -> str:
+    """Ranked top-k subquery over the first ``d`` components ('full' =
+    all 64)."""
+    sl = "" if d == "full" else f"[1:{d}]"
+    qv, cv = f"q.embedding{sl}", f"c.embedding{sl}"
+    return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_mrl_cos(qv, cv)} DESC, c.vec_id ASC) AS rank
+    FROM embeddings c, embeddings q
+    WHERE q.vec_id < {_MRL_NQ} AND q.vec_id <> c.vec_id
+  ) WHERE rank <= {_MRL_K}
+"""
+
+
+EMB_MRL_SQL = (
+    "WITH full_set AS ("
+    + _mrl_topk_sql("full")
+    + "),\ntruncated AS ("
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS BIGINT) AS dim, query_id, neighbor_id FROM ("
+        + _mrl_topk_sql(d)
+        + ")"
+        for d in _MRL_DIMS
+    )
+    + f""")
+SELECT t.dim, t.query_id,
+  CAST(SUM(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS hits,
+  CAST(SUM(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+    // {_MRL_K} AS BIGINT) AS recall_ppm
+FROM truncated t
+LEFT JOIN full_set f
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY t.dim, t.query_id
+ORDER BY t.dim, t.query_id
+"""
+)
+
+
 R13_QUERIES["ts_dtw_banded"] = ts_dtw_banded
 R13_ORACLES["ts_dtw_banded"] = TS_DTW_SQL
 R13_QUERIES["ts_haar_energy"] = ts_haar_energy
@@ -596,3 +713,5 @@ R13_QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
 R13_ORACLES["docs_cdc_chunks"] = DOCS_CDC_SQL
 R13_QUERIES["docs_fastcdc_chunks"] = docs_fastcdc_chunks
 R13_ORACLES["docs_fastcdc_chunks"] = DOCS_FASTCDC_SQL
+R13_QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
+R13_ORACLES["emb_matryoshka_recall"] = EMB_MRL_SQL

@@ -220,3 +220,21 @@ def test_fastcdc_min_bound_and_python_parity(spark):
                 exp.append(p)
         assert got == exp
         assert all(b - a >= m for a, b in zip(got, got[1:]))
+
+
+def test_matryoshka_recall_monotone_and_pinned(spark):
+    """Deterministic on the fixed corpus: more prefix dimensions recover
+    more of the full-dim top-k (synthetic embeddings have no MRL
+    training, so absolute recall is low — the eval's point)."""
+    import collections
+
+    from kukur_spark.workloads_r13 import _MRL_K, emb_matryoshka_recall
+
+    rows = emb_matryoshka_recall(spark, SF).collect()
+    totals = collections.defaultdict(int)
+    for r in rows:
+        assert 0 <= r.hits <= _MRL_K
+        assert r.recall_ppm == r.hits * 1_000_000 // _MRL_K
+        totals[r.dim] += r.hits
+    assert totals[8] <= totals[16] <= totals[32]
+    assert dict(totals) == {8: 5, 16: 7, 32: 12}
