@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kukur_spark.io import load_table
+from kukur_spark.io import load_table, persist_once
 
 R13_QUERIES: dict = {}
 R13_ORACLES: dict = {}
@@ -713,5 +713,160 @@ R13_QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
 R13_ORACLES["docs_cdc_chunks"] = DOCS_CDC_SQL
 R13_QUERIES["docs_fastcdc_chunks"] = docs_fastcdc_chunks
 R13_ORACLES["docs_fastcdc_chunks"] = DOCS_FASTCDC_SQL
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merge steps
+# ---------------------------------------------------------------------------
+_BPE_STEPS = 3
+
+
+def text_bpe_merge_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """First N byte-pair-encoding merges learned from the corpus.
+
+    The tokenizer-training kernel: count adjacent symbol pairs weighted
+    by word frequency, merge the most frequent pair everywhere, repeat.
+    Pair counting is a vocabulary-sized keyed aggregate (the corpus
+    collapses to (word, freq) first — the standard trick, corpus bytes
+    are touched once); applying a merge is a row-local greedy
+    left-to-right fold over each word's symbol array (``F.aggregate``,
+    same semantics as the textbook merge: a freshly merged symbol never
+    re-matches its own left half).  The driver collects exactly one row
+    per step (the argmax pair — same bounded-collect convention as the
+    PQ codebooks); ties break on (count desc, pair asc) in both engines.
+
+    Output: one row per learned merge (step, sym_a, sym_b, pair_count).
+    """
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        )
+    )
+    words = persist_once(words)
+
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    # sequence(1, 0) steps BACKWARD for 1-symbol words —
+                    # guard with an explicitly empty pair array
+                    F.when(
+                        F.size("syms") > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(
+                                    F.col("syms"), i.cast("int")
+                                ).alias("sym_a"),
+                                F.element_at(
+                                    F.col("syms"), (i + 1).cast("int")
+                                ).alias("sym_b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.expr("array()").cast(
+                            "array<struct<sym_a:string,sym_b:string>>"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.sym_a", "p.sym_b")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b")
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append(
+            (step, best.sym_a, best.sym_b, int(best.pair_count))
+        )
+        a, b, ab = best.sym_a, best.sym_b, best.sym_a + best.sym_b
+        merged = F.aggregate(
+            F.col("syms"),
+            F.expr("array()").cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = persist_once(words.withColumn("syms", merged))
+
+    return spark.createDataFrame(
+        merges, "step long, sym_a string, sym_b string, pair_count long"
+    ).orderBy("step")
+
+
+def _bpe_stage_sql(step: int) -> str:
+    """pairs/best/fold CTEs for one merge step over w{step-1} → w{step}."""
+    prev = f"w{step - 1}"
+    return f"""
+p{step} AS (
+  SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b,
+    CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM {prev}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+b{step} AS (
+  SELECT sym_a, sym_b, pair_count FROM p{step}
+  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+),
+walk{step} AS (
+  SELECT word, freq, syms, sym_a, sym_b, 1 AS i,
+    [syms[1]] AS acc
+  FROM {prev}, b{step}
+  UNION ALL
+  SELECT word, freq, syms, sym_a, sym_b, i + 1,
+    CASE WHEN acc[len(acc)] = sym_a AND syms[i + 1] = sym_b
+         THEN acc[1:len(acc) - 1] || [sym_a || sym_b]
+         ELSE acc || [syms[i + 1]] END
+  FROM walk{step} WHERE i < len(syms)
+),
+w{step} AS (
+  SELECT word, freq, acc AS syms FROM walk{step} WHERE i = len(syms)
+)"""
+
+
+TEXT_BPE_SQL = (
+    """
+WITH RECURSIVE w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+    [substring(word, i, 1) for i in range(1, length(word) + 1)] AS syms
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(word) > 0
+  GROUP BY word
+),"""
+    + ",".join(_bpe_stage_sql(s) for s in range(1, _BPE_STEPS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, sym_a, sym_b, pair_count"
+        f" FROM b{s}"
+        for s in range(1, _BPE_STEPS + 1)
+    )
+    + "\nORDER BY step"
+)
+
+
 R13_QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
 R13_ORACLES["emb_matryoshka_recall"] = EMB_MRL_SQL
+R13_QUERIES["text_bpe_merge_steps"] = text_bpe_merge_steps
+R13_ORACLES["text_bpe_merge_steps"] = TEXT_BPE_SQL

@@ -238,3 +238,49 @@ def test_matryoshka_recall_monotone_and_pinned(spark):
         totals[r.dim] += r.hits
     assert totals[8] <= totals[16] <= totals[32]
     assert dict(totals) == {8: 5, 16: 7, 32: 12}
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Three textbook BPE merges recomputed in pure Python from the
+    (word, freq) table must match the distributed implementation."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import _BPE_STEPS, text_bpe_merge_steps
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    freq = collections.Counter()
+    for r in docs.select("text").collect():
+        for word in r.text.split(" "):
+            if word:
+                freq[word] += 1
+    words = {w: [c for c in w] for w in freq}
+
+    expected = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += freq[w]
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, a, b, cnt))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.pair_count)
+        for r in text_bpe_merge_steps(spark, SF).collect()
+    ]
+    assert got == expected
