@@ -868,5 +868,108 @@ WITH RECURSIVE w0 AS (
 
 R13_QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
 R13_ORACLES["emb_matryoshka_recall"] = EMB_MRL_SQL
+# ---------------------------------------------------------------------------
+# SymSpell symmetric-delete fuzzy join
+# ---------------------------------------------------------------------------
+def customer_symspell_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance-1 customer-name pairs via symmetric-delete blocking.
+
+    The SymSpell trick: two strings within edit distance 1 always share a
+    key in {w} ∪ del1(w) (delete each single character), so the fuzzy
+    join becomes an equi-join on generated delete keys — never an
+    all-pairs Levenshtein.  Candidates sharing a key are deduped and
+    verified with the real (JVM) edit distance.  This is the standard
+    record-linkage shape at scale: keys fan out ×(len+1), the join
+    shuffles only (key, id, name), and verification touches candidates
+    only.
+
+    Output: pairs grouped by the first differing character position
+    (−1 = length-changing edit), with the pair count per position.
+    """
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    keys = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("c_name")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("c_name")),
+                        lambda i: F.concat(
+                            F.col("c_name").substr(F.lit(1), i - 1),
+                            F.col("c_name").substr(
+                                i + 1, F.length("c_name")
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("key"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
+    diffs = F.filter(
+        F.sequence(F.lit(1), F.length("name_a")),
+        lambda i: F.col("name_a").substr(i, F.lit(1))
+        != F.col("name_b").substr(i, F.lit(1)),
+    )
+    return (
+        cand.select(
+            F.when(
+                F.length("name_a") == F.length("name_b"),
+                F.element_at(diffs, 1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("diff_pos")
+        )
+        .groupBy("diff_pos")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("diff_pos")
+    )
+
+
+CUSTOMER_SYMSPELL_SQL = """
+WITH keyed AS (
+  SELECT c_custkey, c_name, UNNEST(list_distinct(
+    [c_name] ||
+    [substring(c_name, 1, i - 1) || substring(c_name, i + 1, length(c_name))
+     for i in range(1, length(c_name) + 1)])) AS key
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    a.c_name AS name_a, b.c_name AS name_b
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.c_custkey < b.c_custkey
+),
+verified AS (
+  SELECT *,
+    CASE WHEN length(name_a) = length(name_b)
+         THEN list_filter(range(1, length(name_a) + 1),
+                i -> substring(name_a, i, 1) <> substring(name_b, i, 1))[1]
+         ELSE -1 END AS diff_pos
+  FROM cand WHERE levenshtein(name_a, name_b) = 1
+)
+SELECT CAST(diff_pos AS BIGINT) AS diff_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM verified GROUP BY diff_pos ORDER BY diff_pos
+"""
+
+
 R13_QUERIES["text_bpe_merge_steps"] = text_bpe_merge_steps
 R13_ORACLES["text_bpe_merge_steps"] = TEXT_BPE_SQL
+R13_QUERIES["customer_symspell_pairs"] = customer_symspell_pairs
+R13_ORACLES["customer_symspell_pairs"] = CUSTOMER_SYMSPELL_SQL

@@ -284,3 +284,59 @@ def test_bpe_merges_match_python_reference(spark):
         for r in text_bpe_merge_steps(spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_symspell_finds_all_distance1_pairs(spark):
+    """Symmetric-delete blocking is COMPLETE for edit distance 1: the
+    operator's per-position counts must equal a brute-force all-pairs
+    Levenshtein over the same names (python reference)."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import customer_symspell_pairs
+
+    names = [
+        (r.c_custkey, r.c_name)
+        for r in load_table(spark, SF, "customer")
+        .select("c_custkey", "c_name")
+        .collect()
+    ]
+
+    def lev1(a, b):
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # b is a plus one inserted char
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    expected = collections.Counter()
+    for i, (ka, na) in enumerate(names):
+        for kb, nb in names[i + 1 :]:
+            if lev1(na, nb):
+                if len(na) == len(nb):
+                    pos = next(
+                        j + 1
+                        for j in range(len(na))
+                        if na[j] != nb[j]
+                    )
+                else:
+                    pos = -1
+                expected[pos] += 1
+
+    got = {
+        r.diff_pos: r.n_pairs
+        for r in customer_symspell_pairs(spark, SF).collect()
+    }
+    assert got == dict(expected)
+    assert sum(got.values()) > 0
