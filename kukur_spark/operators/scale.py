@@ -415,3 +415,52 @@ def keyed_lag(
         )
     )
     return patched.drop("__pid", "__rn", "__prevlast")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_columns: List[str],
+    sum_columns: List[str],
+) -> DataFrame:
+    """Global inclusive running sums without a single-task window.
+
+    Same two-level shape as :func:`distributed_row_number`:
+    range-repartition on the order key so partition order equals global
+    order, run per-partition running sums (keyed window), and add each
+    partition's exclusive offset computed over the O(#partitions)
+    summary rows (``__pid``-ordered window — the audit-exempt
+    convention).  Appends ``<col>_cum`` for every ``sum_columns`` entry.
+
+    Sums ride whatever numeric type the input columns carry — cast to
+    DECIMAL(38,0) upstream when totals can overflow BIGINT.
+    """
+    from pyspark.sql import Window
+
+    ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    totals = with_pid.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_columns]
+    )
+    offset_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(offset_w), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_columns
+        ],
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_columns])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_pid.join(F.broadcast(offsets), "__pid")
+    for c in sum_columns:
+        out = out.withColumn(
+            f"{c}_cum", F.sum(c).over(local_w) + F.col(f"__off_{c}")
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_columns])

@@ -971,5 +971,102 @@ FROM verified GROUP BY diff_pos ORDER BY diff_pos
 
 R13_QUERIES["text_bpe_merge_steps"] = text_bpe_merge_steps
 R13_ORACLES["text_bpe_merge_steps"] = TEXT_BPE_SQL
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+def docs_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample KS statistic between two sources' length
+    distributions.
+
+    The corpus-drift detector: D = sup_x |F_a(x) − F_b(x)| over the
+    empirical CDFs, evaluated at every distinct value.  Everything is
+    integer-exact: per-value counts (one keyed aggregate), global
+    running counts via :func:`operators.scale.distributed_prefix_sum`
+    (no single-task window), and the sup compares
+    |cum_a·n_b − cum_b·n_a| in DECIMAL(38,0) — cross-multiplied so no
+    division happens before the final ppm.  Output: one row with the
+    sample sizes, D in ppm, and the smallest value attaining it.
+    """
+    from kukur_spark.operators.scale import distributed_prefix_sum
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+    )
+    per_value = docs.groupBy(F.col("n_chars").alias("value")).agg(
+        F.sum(F.when(F.col("source") == _KS_SRC_A, 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+        F.sum(F.when(F.col("source") == _KS_SRC_B, 1).otherwise(0)).alias(
+            "cnt_b"
+        ),
+    )
+    cum = distributed_prefix_sum(per_value, ["value"], ["cnt_a", "cnt_b"])
+    totals = cum.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    d = F.abs(
+        F.col("cnt_a_cum").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cnt_b_cum").cast("decimal(38,0)") * F.col("n_a")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "value",
+            "n_a",
+            "n_b",
+            d.alias("d_num"),
+        )
+        .orderBy(F.col("d_num").desc(), F.col("value"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(d_num * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                " AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.col("value").alias("ks_at_value"),
+        )
+    )
+
+
+DOCS_KS_SQL = f"""
+WITH both_sides AS (
+  SELECT n_chars AS value,
+    CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END AS ia,
+    CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END AS ib
+  FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+),
+per_value AS (
+  SELECT value, SUM(ia) AS cnt_a, SUM(ib) AS cnt_b
+  FROM both_sides GROUP BY value
+),
+cum AS (
+  SELECT value,
+    SUM(cnt_a) OVER (ORDER BY value) AS cum_a,
+    SUM(cnt_b) OVER (ORDER BY value) AS cum_b
+  FROM per_value
+),
+totals AS (SELECT SUM(ia) AS n_a, SUM(ib) AS n_b FROM both_sides),
+scored AS (
+  SELECT value, n_a, n_b,
+    abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) AS d_num
+  FROM cum, totals
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(d_num * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm,
+  value AS ks_at_value
+FROM scored
+ORDER BY d_num DESC, value
+LIMIT 1
+"""
+
+
 R13_QUERIES["customer_symspell_pairs"] = customer_symspell_pairs
 R13_ORACLES["customer_symspell_pairs"] = CUSTOMER_SYMSPELL_SQL
+R13_QUERIES["docs_ks_drift"] = docs_ks_drift
+R13_ORACLES["docs_ks_drift"] = DOCS_KS_SQL

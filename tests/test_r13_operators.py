@@ -340,3 +340,56 @@ def test_symspell_finds_all_distance1_pairs(spark):
     }
     assert got == dict(expected)
     assert sum(got.values()) > 0
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    """Exact KS vs a pure-Python empirical-CDF sup over the same docs."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import _KS_SRC_A, _KS_SRC_B, docs_ks_drift
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+    )
+    a, b = [], []
+    for r in docs.select("source", "n_chars").collect():
+        (a if r.source == _KS_SRC_A else b).append(r.n_chars)
+    values = sorted(set(a) | set(b))
+    best, best_v = Fraction(0), None
+    for v in values:
+        fa = Fraction(sum(1 for x in a if x <= v), len(a))
+        fb = Fraction(sum(1 for x in b if x <= v), len(b))
+        d = abs(fa - fb)
+        if d > best:
+            best, best_v = d, v
+
+    row = docs_ks_drift(spark, SF).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.ks_ppm == (best.numerator * 1_000_000) // best.denominator
+    assert row.ks_at_value == best_v
+
+
+def test_prefix_sum_matches_window(spark):
+    """distributed_prefix_sum ≡ the single-task global window on a frame
+    small enough to run both."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import distributed_prefix_sum
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), (F.col("id") % 7).alias("x")
+    )
+    got = {
+        r.k: r.x_cum
+        for r in distributed_prefix_sum(df, ["k"], ["x"]).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        r.k: r.cum
+        for r in df.withColumn("cum", F.sum("x").over(w)).collect()
+    }
+    assert got == exp
