@@ -2323,6 +2323,10 @@ _PROMOTE_TO_WINDOW = [
     "nation_trade_pagerank",  # exact-integer iterative PageRank
     "ts_dtw_banded",  # r4: nested-fold banded DTW over PAA sketches
     "ts_haar_energy",  # r4: row-local Haar pyramid after one shuffle
+    "docs_cdc_chunks",  # r4: content-defined chunking dedup
+    "text_bpe_merge_steps",  # r4: BPE trainer kernel
+    "customer_symspell_pairs",  # r4: delete-key fuzzy join
+    "docs_ks_drift",  # r4: exact KS on distributed prefix sums
 ]
 _DEMOTE_FROM_WINDOW = [
     "orders_by_quarter",
@@ -2333,6 +2337,10 @@ _DEMOTE_FROM_WINDOW = [
     "events_json_extract",
     "events_pivot_wide",
     "customer_cube",
+    "events_rolling_7d",
+    "emb_topk_l2",
+    "corpus_stats",
+    "emb_centroid_per_label",
 ]
 
 
