@@ -979,3 +979,94 @@ def streaming_quality_gate(df: DataFrame) -> DataFrame:
     from kukur_spark.workloads_r12 import quality_score
 
     return quality_score(df).filter(F.col("label") == "keep")
+
+
+# ---------------------------------------------------------------------------
+# Streaming KS drift monitor (twin of workloads_r13.docs_ks_drift)
+# ---------------------------------------------------------------------------
+_KS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("ks_ppm", T.LongType()),
+    ]
+)
+
+
+def streaming_ks_drift(
+    df: DataFrame,
+    reference_counts: List[int],
+    group_column: str,
+    value_column: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Streaming two-sample KS drift against a static reference histogram.
+
+    The streaming counterpart of the batch ``docs_ks_drift``: arriving
+    values are bucketed JVM-side into the reference's fixed histogram
+    grid, per-group bucket counts are the only state (O(#buckets),
+    stream-length independent), and each micro-batch emits the current
+    bucketed KS statistic in ppm.  The comparison is the same
+    cross-multiplied integer form as the batch operator
+    (|cum_s·n_ref − cum_ref·n_s|, exact in python ints), so a batch
+    replay over the same buckets reproduces every emitted value —
+    pinned in tests.  Bucketing (vs the batch operator's every-distinct-
+    value evaluation) is the standard bounded-state tradeoff; the grid
+    resolution is the caller's knob.
+
+    ``reference_counts`` is the reference histogram (index = value //
+    bucket_width, clamped to the last bucket) — dimension-sized and
+    captured into the state function's closure like the multimodal
+    codec seam.
+    """
+    ref = [int(x) for x in reference_counts]
+    n_ref = sum(ref)
+    if n_ref <= 0:
+        raise ValueError("reference histogram is empty")
+    num_buckets = len(ref)
+
+    def _update(key, frames: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            counts = list(state.get[0])
+        else:
+            counts = [0] * num_buckets
+        for frame in frames:
+            for b in frame["bucket"]:
+                counts[int(b)] += 1
+        n_s = sum(counts)
+        cum_s = 0
+        cum_r = 0
+        best = 0
+        for i in range(num_buckets):
+            cum_s += counts[i]
+            cum_r += ref[i]
+            best = max(best, abs(cum_s * n_ref - cum_r * n_s))
+        state.update((counts,))
+        ks_ppm = best * 1_000_000 // (n_s * n_ref) if n_s else 0
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "n_seen": [n_s],
+                "ks_ppm": [ks_ppm],
+            }
+        )
+
+    prepared = df.select(
+        F.col(group_column).cast("string").alias("group"),
+        F.least(
+            F.floor(F.col(value_column) / bucket_width),
+            F.lit(num_buckets - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    state_schema = T.StructType(
+        [T.StructField("counts", T.ArrayType(T.LongType()))]
+    )
+    return prepared.groupBy("group").applyInPandasWithState(
+        _update,
+        outputStructType=_KS_OUTPUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

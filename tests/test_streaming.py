@@ -624,3 +624,55 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         assert row["score_e6"] == batch[k]["score_e6"]
         assert row["label"] == "keep"
     spark.catalog.dropTempView(name)
+
+
+def test_streaming_ks_drift_matches_batch_replay(spark, tmp_path):
+    """Each emitted KS value equals an exact python replay over the same
+    buckets, and bucket-count state survives the batch boundary."""
+    from kukur_spark.streaming import streaming_ks_drift
+
+    width, nb = 10, 8
+    ref_values = [5, 15, 15, 25, 25, 25, 35, 75]  # reference sample
+    ref = [0] * nb
+    for v in ref_values:
+        ref[min(v // width, nb - 1)] += 1
+
+    def py_ks(seen):
+        counts = [0] * nb
+        for v in seen:
+            counts[min(v // width, nb - 1)] += 1
+        n_s, n_r = len(seen), len(ref_values)
+        cs = cr = best = 0
+        for i in range(nb):
+            cs += counts[i]
+            cr += ref[i]
+            best = max(best, abs(cs * n_r - cr * n_s))
+        return best * 1_000_000 // (n_s * n_r)
+
+    path = str(tmp_path / "ks")
+    schema = "grp string, value long"
+    batch1 = [("g", v) for v in [5, 15, 25, 25]]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_ks_drift(stream, ref, "grp", "value", width)
+    name = f"ks_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert rows[-1].n_seen == 4
+    assert rows[-1].ks_ppm == py_ks([5, 15, 25, 25])
+
+    batch2 = [("g", v) for v in [65, 75, 75]]  # drift right
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    query.processAllAvailable()
+    query.stop()
+    rows = spark.sql(f"SELECT * FROM {name} ORDER BY n_seen").collect()
+    assert rows[-1].n_seen == 7  # state carried across batches
+    assert rows[-1].ks_ppm == py_ks([5, 15, 25, 25, 65, 75, 75])
