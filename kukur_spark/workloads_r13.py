@@ -784,13 +784,16 @@ def text_bpe_merge_steps(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("p.sym_a", "p.sym_b")
             .agg(F.sum("freq").alias("pair_count"))
         )
-        best = (
+        top = (
             pairs.orderBy(
                 F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b")
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # empty corpus / nothing left to merge
+            break
+        best = top[0]
         merges.append(
             (step, best.sym_a, best.sym_b, int(best.pair_count))
         )
