@@ -35,7 +35,7 @@ and DuckDB; the oracles replay the same recursions with recursive CTEs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table, persist_once
@@ -1071,5 +1071,200 @@ LIMIT 1
 
 R13_QUERIES["customer_symspell_pairs"] = customer_symspell_pairs
 R13_ORACLES["customer_symspell_pairs"] = CUSTOMER_SYMSPELL_SQL
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch set operations
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = 1 << 60  # md5_long yields 60-bit non-negative hashes
+
+
+def events_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-dataset user-overlap estimates from mergeable KMV sketches.
+
+    The 100 TB question "how much do these datasets overlap?" without an
+    exact distinct-intersection join: keep the k smallest hash values
+    per side (a KMV sketch — one keyed top-k, mergeable by taking the k
+    smallest of the union of two sketches), estimate each cardinality as
+    (k-1)*H/theta_k, and the intersection as (m/k_u)*est_union where m
+    counts union-sketch members present in both sides' sketches.
+    Everything is md5-deterministic integer math, so the estimates
+    themselves are oracle-checkable — and the output carries the exact
+    counts next to the estimates (the engine measuring its own sketch
+    error, same convention as emb_ann_recall / minhash_estimate_error).
+    At scale only the first distinct + keyed top-k touch data; sketches
+    are k rows per side and every later join broadcasts them.
+    """
+    from kukur_spark.operators.dedup import md5_long
+
+    events = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hashed = (
+        events.select(F.col("event_type").alias("etype"), "user_id")
+        .distinct()
+        .select(
+            "etype",
+            "user_id",
+            md5_long(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    w_side = Window.partitionBy("etype").orderBy("h")
+    kmv = (
+        hashed.withColumn("rnk", F.row_number().over(w_side))
+        .filter(F.col("rnk") <= _KMV_K)
+        .select("etype", "h")
+    )
+    side_stats = hashed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    kmv_theta = kmv.groupBy("etype").agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("k_n")
+    )
+
+    types = hashed.select("etype").distinct().limit(4096)
+    pairs = types.select(F.col("etype").alias("ta")).join(
+        F.broadcast(types.select(F.col("etype").alias("tb"))),
+        F.col("ta") < F.col("tb"),
+    )
+    # union-merge the two sketches: pair x member rows, dedup h, keep the
+    # k smallest; n_sides tells membership in both sketches
+    members = pairs.join(
+        F.broadcast(kmv),
+        (kmv.etype == F.col("ta")) | (kmv.etype == F.col("tb")),
+    )
+    per_h = members.groupBy("ta", "tb", "h").agg(
+        F.countDistinct("etype").alias("n_sides")
+    )
+    w_pair = Window.partitionBy("ta", "tb").orderBy("h")
+    union_kmv = (
+        per_h.withColumn("rnk", F.row_number().over(w_pair))
+        .filter(F.col("rnk") <= _KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("h").alias("theta_u"),
+            F.count(F.lit(1)).alias("k_u"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias("m"),
+        )
+    )
+    ha = hashed.select(F.col("etype").alias("ta"), "user_id")
+    hb = hashed.select(F.col("etype").alias("tb"), "user_id")
+    exact_inter = (
+        ha.join(hb, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+
+    def _rn(frame, **renames):
+        for old, new_name in renames.items():
+            frame = frame.withColumnRenamed(old, new_name)
+        return frame
+
+    out = (
+        union_kmv.join(
+            F.broadcast(_rn(kmv_theta, etype="ta", theta="theta_a", k_n="k_a")),
+            "ta",
+        )
+        .join(
+            F.broadcast(_rn(kmv_theta, etype="tb", theta="theta_b", k_n="k_b")),
+            "tb",
+        )
+        .join(F.broadcast(_rn(side_stats, etype="ta", exact_n="exact_a")), "ta")
+        .join(F.broadcast(_rn(side_stats, etype="tb", exact_n="exact_b")), "tb")
+        .join(F.broadcast(exact_inter), ["ta", "tb"], "left")
+    )
+
+    def _est(k_col: str, theta_col: str) -> str:
+        return (
+            f"CAST((CAST({k_col} AS DECIMAL(38,0)) - 1) * {_KMV_SPACE}"
+            f" div {theta_col} AS BIGINT)"
+        )
+
+    return (
+        out.withColumn("est_union", F.expr(_est("k_u", "theta_u")))
+        .select(
+            "ta",
+            "tb",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+            F.expr(_est("k_a", "theta_a")).alias("est_a"),
+            F.expr(_est("k_b", "theta_b")).alias("est_b"),
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * est_union div k_u AS BIGINT)"
+            ).alias("est_inter"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+EVENTS_KMV_SQL = f"""
+WITH h2 AS (
+  SELECT etype, user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT DISTINCT event_type AS etype, user_id FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  )
+),
+kmv AS (
+  SELECT etype, h FROM (
+    SELECT etype, h,
+      ROW_NUMBER() OVER (PARTITION BY etype ORDER BY h) AS rnk
+    FROM h2
+  ) WHERE rnk <= {_KMV_K}
+),
+side_stats AS (
+  SELECT etype, CAST(COUNT(*) AS BIGINT) AS exact_n FROM h2 GROUP BY 1
+),
+kmv_theta AS (
+  SELECT etype, MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS k_n
+  FROM kmv GROUP BY 1
+),
+pairs AS (
+  SELECT a.etype AS ta, b.etype AS tb
+  FROM (SELECT DISTINCT etype FROM h2) a
+  JOIN (SELECT DISTINCT etype FROM h2) b ON a.etype < b.etype
+),
+per_h AS (
+  SELECT ta, tb, h, COUNT(DISTINCT kmv.etype) AS n_sides
+  FROM pairs JOIN kmv ON kmv.etype = ta OR kmv.etype = tb
+  GROUP BY 1, 2, 3
+),
+union_kmv AS (
+  SELECT ta, tb, MAX(h) AS theta_u, CAST(COUNT(*) AS BIGINT) AS k_u,
+    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rnk
+    FROM per_h
+  ) WHERE rnk <= {_KMV_K}
+  GROUP BY 1, 2
+),
+exact_i AS (
+  SELECT a.etype AS ta, b.etype AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM h2 a JOIN h2 b ON a.user_id = b.user_id AND a.etype < b.etype
+  GROUP BY 1, 2
+)
+SELECT u.ta, u.tb, sa.exact_n AS exact_a, sb.exact_n AS exact_b,
+  CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+  CAST((CAST(ka.k_n AS HUGEINT) - 1) * {_KMV_SPACE} // ka.theta AS BIGINT)
+    AS est_a,
+  CAST((CAST(kb.k_n AS HUGEINT) - 1) * {_KMV_SPACE} // kb.theta AS BIGINT)
+    AS est_b,
+  CAST(CAST(u.m AS HUGEINT)
+    * ((CAST(u.k_u AS HUGEINT) - 1) * {_KMV_SPACE} // u.theta_u)
+    // u.k_u AS BIGINT) AS est_inter
+FROM union_kmv u
+JOIN kmv_theta ka ON ka.etype = u.ta
+JOIN kmv_theta kb ON kb.etype = u.tb
+JOIN side_stats sa ON sa.etype = u.ta
+JOIN side_stats sb ON sb.etype = u.tb
+LEFT JOIN exact_i e ON e.ta = u.ta AND e.tb = u.tb
+ORDER BY u.ta, u.tb
+"""
+
+
 R13_QUERIES["docs_ks_drift"] = docs_ks_drift
 R13_ORACLES["docs_ks_drift"] = DOCS_KS_SQL
+R13_QUERIES["events_kmv_overlap"] = events_kmv_overlap
+R13_ORACLES["events_kmv_overlap"] = EVENTS_KMV_SQL

@@ -393,3 +393,21 @@ def test_prefix_sum_matches_window(spark):
         for r in df.withColumn("cum", F.sum("x").over(w)).collect()
     }
     assert got == exp
+
+
+def test_kmv_estimates_bracket_exact_counts(spark):
+    """Deterministic md5 KMV sketches: estimates land within sane
+    relative error of the exact counts they ship alongside."""
+    from kukur_spark.workloads_r13 import events_kmv_overlap
+
+    rows = events_kmv_overlap(spark, SF).collect()
+    assert len(rows) == 10  # 5 event types -> 10 pairs
+    for r in rows:
+        assert r.exact_a > 0 and r.exact_b > 0
+        for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b)):
+            assert abs(est - exact) <= exact * 0.5, (est, exact)
+        # intersection estimate: non-negative, bounded by the smaller
+        # side's estimate plus sketch slack
+        assert 0 <= r.est_inter <= max(r.est_a, r.est_b)
+        if r.exact_inter > 20:  # enough signal for the m/k ratio
+            assert abs(r.est_inter - r.exact_inter) <= r.exact_inter
