@@ -139,37 +139,30 @@ seqs AS (
 # ---------------------------------------------------------------------------
 # Banded DTW between every series pair
 # ---------------------------------------------------------------------------
-def ts_dtw_banded(spark: SparkSession, sf: str) -> DataFrame:
-    """Sakoe-Chiba banded DTW distance for every series pair.
+def dtw_fold(
+    va, vb, p: int, band: int = _DTW_BAND, inf_value: int = _DTW_INF
+):
+    """Banded-DTW distance of two length-``p`` long arrays as ONE column
+    expression (the nested fold) — reusable and property-testable.
 
     DP recurrence d[i][j] = |a_i - b_j| + min(d[i-1][j], d[i][j-1],
-    d[i-1][j-1]), cells outside the band pinned to INF, as a nested
-    integer fold: the outer ``aggregate`` walks rows carrying the
-    previous DP row (P+1 longs, the j=0 column included), the inner
-    ``aggregate`` builds each row left-to-right (the d[i][j-1]
-    dependency).  All integer; INF + max-cost stays far below 2⁶³.
+    d[i-1][j-1]), cells outside the band pinned to INF: the outer
+    ``aggregate`` walks rows carrying the previous DP row (p+1 longs,
+    the j=0 column included), the inner ``aggregate`` builds each row
+    left-to-right (the d[i][j-1] dependency).  All integer; INF +
+    max-cost stays far below 2⁶³.
     """
-    seqs = _paa_sequences(spark, sf, _DTW_P, 1_000_000).limit(_MAX_SERIES)
-    a = seqs.select(
-        F.col("event_type").alias("series_a"), F.col("vals").alias("va")
-    )
-    b = seqs.select(
-        F.col("event_type").alias("series_b"), F.col("vals").alias("vb")
-    )
-    # non-equi pair join: broadcast one catalog-bounded side so the plan
-    # is BroadcastNestedLoopJoin, never a CartesianProduct
-    pairs = a.join(F.broadcast(b), F.col("series_a") < F.col("series_b"))
-
-    inf = F.lit(_DTW_INF).cast("long")
-    p = _DTW_P
+    va = F.col(va) if isinstance(va, str) else va
+    vb = F.col(vb) if isinstance(vb, str) else vb
+    inf = F.lit(inf_value).cast("long")
 
     def dp_row(prev, i):
-        # build row i: cur[1] = d[i][0] = INF, then append cells 1..P
+        # build row i: cur[1] = d[i][0] = INF, then append cells 1..p
         def cell(cur, j):
-            in_band = F.abs(i - j) <= F.lit(_DTW_BAND)
+            in_band = F.abs(i - j) <= F.lit(band)
             cost = F.abs(
-                F.element_at(F.col("va"), i.cast("int"))
-                - F.element_at(F.col("vb"), j.cast("int"))
+                F.element_at(va, i.cast("int"))
+                - F.element_at(vb, j.cast("int"))
             )
             best = F.least(
                 F.element_at(prev, (j + 1).cast("int")),  # d[i-1][j]
@@ -189,11 +182,29 @@ def ts_dtw_banded(spark: SparkSession, sf: str) -> DataFrame:
         F.array_repeat(inf, p),
     )
     final_row = F.aggregate(F.sequence(F.lit(1), F.lit(p)), init, dp_row)
+    return F.element_at(final_row, p + 1)
+
+
+def ts_dtw_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Sakoe-Chiba banded DTW distance for every series pair.
+
+    See :func:`dtw_fold` for the DP-as-nested-fold mechanics.
+    """
+    seqs = _paa_sequences(spark, sf, _DTW_P, 1_000_000).limit(_MAX_SERIES)
+    a = seqs.select(
+        F.col("event_type").alias("series_a"), F.col("vals").alias("va")
+    )
+    b = seqs.select(
+        F.col("event_type").alias("series_b"), F.col("vals").alias("vb")
+    )
+    # non-equi pair join: broadcast one catalog-bounded side so the plan
+    # is BroadcastNestedLoopJoin, never a CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("series_a") < F.col("series_b"))
     return (
         pairs.select(
             "series_a",
             "series_b",
-            F.element_at(final_row, p + 1).alias("dtw_e6"),
+            dtw_fold("va", "vb", _DTW_P).alias("dtw_e6"),
         )
         .orderBy("series_a", "series_b")
     )

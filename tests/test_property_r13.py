@@ -1,0 +1,107 @@
+"""Randomized differentials for the r13 expression machinery.
+
+Seeded-batch style: many random cases materialize as ONE DataFrame per
+property (a hypothesis-per-example round trip through Spark would spend
+seconds per case), each row compared against an independent pure-Python
+model.  The folds under test are the trickiest JVM expression trees in
+the repo — nested aggregate DP, greedy acceptance, prefix offsets — so
+they get adversarial inputs here beyond the fixed-corpus parity tests.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from kukur_spark.workloads_r13 import dtw_fold
+
+SEED = 20260815
+N_CASES = 60
+
+
+def _py_dtw(a, b, band, inf):
+    n, m = len(a), len(b)
+    prev = [0] + [inf] * m
+    for i in range(1, n + 1):
+        cur = [inf]
+        for j in range(1, m + 1):
+            if abs(i - j) > band:
+                cur.append(inf)
+                continue
+            cost = abs(a[i - 1] - b[j - 1])
+            cur.append(min(inf, cost + min(prev[j], prev[j - 1], cur[j - 1])))
+        prev = cur
+    return prev[m]
+
+
+def test_dtw_fold_random_differential(spark):
+    rng = random.Random(SEED)
+    p, band, inf = 12, 3, 10**15
+    cases = []
+    for idx in range(N_CASES):
+        scale = 10 ** rng.randint(0, 9)
+        va = [rng.randint(-scale, scale) for _ in range(p)]
+        vb = [rng.randint(-scale, scale) for _ in range(p)]
+        cases.append((idx, va, vb))
+    df = spark.createDataFrame(
+        cases, "idx long, va array<long>, vb array<long>"
+    )
+    got = {
+        r.idx: r.d
+        for r in df.select(
+            "idx", dtw_fold("va", "vb", p, band, inf).alias("d")
+        ).collect()
+    }
+    for idx, va, vb in cases:
+        assert got[idx] == _py_dtw(va, vb, band, inf), idx
+
+
+def test_greedy_minbound_fold_random_differential(spark):
+    from kukur_spark.workloads_r13 import _CDC_MIN_LEN
+
+    rng = random.Random(SEED + 1)
+    m = _CDC_MIN_LEN
+    cases = []
+    for idx in range(N_CASES):
+        n_cand = rng.randint(0, 40)
+        cand = sorted(rng.sample(range(2, 2000), n_cand))
+        cases.append((idx, cand))
+    df = spark.createDataFrame(cases, "idx long, cand array<int>")
+    starts = F.aggregate(
+        F.col("cand"),
+        F.array(F.lit(1)),
+        lambda acc, pp: F.when(
+            pp - F.element_at(acc, -1) >= F.lit(m),
+            F.concat(acc, F.array(pp)),
+        ).otherwise(acc),
+    )
+    got = {
+        r.idx: list(r.s)
+        for r in df.select("idx", starts.alias("s")).collect()
+    }
+    for idx, cand in cases:
+        exp = [1]
+        for p in cand:
+            if p - exp[-1] >= m:
+                exp.append(p)
+        assert got[idx] == exp, idx
+
+
+def test_prefix_sum_random_differential(spark):
+    from kukur_spark.operators.scale import distributed_prefix_sum
+
+    rng = random.Random(SEED + 2)
+    rows = [
+        (rng.randint(-10**6, 10**6), rng.randint(-50, 50))
+        for _ in range(5000)
+    ]
+    # unique keys so the expected cumulative is order-unambiguous
+    rows = list({k: (k, x) for k, x in rows}.values())
+    df = spark.createDataFrame(rows, "k long, x long").repartition(16)
+    got = {
+        r.k: r.x_cum
+        for r in distributed_prefix_sum(df, ["k"], ["x"]).collect()
+    }
+    run = 0
+    for k, x in sorted(rows):
+        run += x
+        assert got[k] == run, k
