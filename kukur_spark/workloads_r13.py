@@ -716,6 +716,164 @@ ORDER BY t.dim, t.query_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Packing-efficiency eval: best-fit-decreasing vs next-fit
+# ---------------------------------------------------------------------------
+_PACK_EVAL_C = 256
+_PACK_EVAL_SHARDS = 16
+
+
+def docs_pack_bestfit_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing efficiency: best-fit-decreasing vs next-fit.
+
+    ``docs_pack_nextfit`` is the streaming-friendly scale path (O(1)
+    carry, arrival order); best-fit-decreasing is the quality
+    benchmark (sort by length desc, place each doc into the fullest
+    bin it fits).  This eval packs every shard BOTH ways and reports
+    bins used and fill ratio per shard — the measured price of
+    streaming-order packing, same self-eval convention as
+    emb_ann_recall.  BFD's bin-fill state is an array carried through
+    an ``F.aggregate`` fold; the best bin is ``array_max(filter(...))``
+    and the positional update a two-arg (value, index) ``transform`` —
+    still one keyed exchange, no Python, no window.
+    """
+    from kukur_spark.operators.dedup import md5_long
+
+    c, shards = _PACK_EVAL_C, _PACK_EVAL_SHARDS
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        F.least(F.size(F.split("text", " ")), F.lit(c))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "shard", md5_long(F.col("doc_id").cast("string")) % shards
+    )
+    packed = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_tokens"))
+        ).alias("asc"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_tokens")).alias("neg"),
+                    "doc_id",
+                    "n_tokens",
+                )
+            )
+        ).alias("dsc"),
+    )
+    nf_bins = F.expr(
+        f"""
+aggregate(
+  asc,
+  named_struct('bins', CAST(0 AS BIGINT), 'fill', CAST({c} AS BIGINT)),
+  (acc, x) -> CASE WHEN acc.fill + x.n_tokens <= {c} THEN
+      named_struct('bins', acc.bins, 'fill', acc.fill + x.n_tokens)
+    ELSE named_struct('bins', acc.bins + 1, 'fill', x.n_tokens) END,
+  acc -> acc.bins)
+"""
+    )
+    bfd_fills = F.expr(
+        f"""
+aggregate(
+  dsc,
+  CAST(array() AS array<bigint>),
+  (fills, x) -> CASE WHEN exists(fills, f -> f + x.n_tokens <= {c}) THEN
+      transform(fills, (f, i) -> CASE WHEN i = array_position(fills,
+          array_max(filter(fills, g -> g + x.n_tokens <= {c}))) - 1
+        THEN f + x.n_tokens ELSE f END)
+    ELSE array_append(fills, x.n_tokens) END)
+"""
+    )
+    return (
+        packed.select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            nf_bins.alias("bins_nextfit"),
+            F.size(bfd_fills).cast("long").alias("bins_bestfit"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "bins_nextfit",
+            "bins_bestfit",
+            F.expr(
+                f"total_tokens * 1000000L div (bins_nextfit * {c})"
+            ).alias("fill_nextfit_ppm"),
+            F.expr(
+                f"total_tokens * 1000000L div (bins_bestfit * {c})"
+            ).alias("fill_bestfit_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+PACK_BESTFIT_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+    CAST(least(len(string_split(text, ' ')), {_PACK_EVAL_C}) AS BIGINT)
+      AS n_tokens,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % {_PACK_EVAL_SHARDS} AS shard
+  FROM documents
+),
+lists AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SUM(n_tokens) AS total_tokens,
+    list(n_tokens ORDER BY doc_id) AS asc_n,
+    list(n_tokens ORDER BY n_tokens DESC, doc_id) AS dsc_n
+  FROM d GROUP BY shard
+),
+nf AS (
+  SELECT shard, asc_n, 0 AS i, CAST(0 AS BIGINT) AS bins,
+    CAST({_PACK_EVAL_C} AS BIGINT) AS fill
+  FROM lists
+  UNION ALL
+  SELECT shard, asc_n, i + 1,
+    CASE WHEN fill + asc_n[i + 1] <= {_PACK_EVAL_C}
+         THEN bins ELSE bins + 1 END,
+    CASE WHEN fill + asc_n[i + 1] <= {_PACK_EVAL_C}
+         THEN fill + asc_n[i + 1] ELSE asc_n[i + 1] END
+  FROM nf WHERE i < len(asc_n)
+),
+bfd AS (
+  SELECT shard, dsc_n, 0 AS i, CAST([] AS BIGINT[]) AS fills FROM lists
+  UNION ALL
+  SELECT shard, dsc_n, i + 1,
+    CASE WHEN best IS NULL THEN list_append(fills, n)
+         ELSE fills[1:pos - 1] || [best + n] || fills[pos + 1:len(fills)]
+    END
+  FROM (
+    SELECT shard, dsc_n, i, fills, dsc_n[i + 1] AS n,
+      list_aggregate(
+        list_filter(fills, f -> f + dsc_n[i + 1] <= {_PACK_EVAL_C}),
+        'max') AS best,
+      list_position(fills,
+        list_aggregate(
+          list_filter(fills, f -> f + dsc_n[i + 1] <= {_PACK_EVAL_C}),
+          'max')) AS pos
+    FROM bfd WHERE i < len(dsc_n)
+  )
+)
+SELECT l.shard, l.n_docs, l.total_tokens,
+  nf.bins AS bins_nextfit,
+  CAST(len(bfd.fills) AS BIGINT) AS bins_bestfit,
+  l.total_tokens * 1000000 // (nf.bins * {_PACK_EVAL_C})
+    AS fill_nextfit_ppm,
+  l.total_tokens * 1000000 // (CAST(len(bfd.fills) AS BIGINT)
+    * {_PACK_EVAL_C}) AS fill_bestfit_ppm
+FROM lists l
+JOIN nf ON nf.shard = l.shard AND nf.i = len(nf.asc_n)
+JOIN bfd ON bfd.shard = l.shard AND bfd.i = len(bfd.dsc_n)
+ORDER BY l.shard
+"""
+
+
 R13_QUERIES["ts_dtw_banded"] = ts_dtw_banded
 R13_ORACLES["ts_dtw_banded"] = TS_DTW_SQL
 R13_QUERIES["ts_haar_energy"] = ts_haar_energy
@@ -1279,3 +1437,5 @@ R13_QUERIES["docs_ks_drift"] = docs_ks_drift
 R13_ORACLES["docs_ks_drift"] = DOCS_KS_SQL
 R13_QUERIES["events_kmv_overlap"] = events_kmv_overlap
 R13_ORACLES["events_kmv_overlap"] = EVENTS_KMV_SQL
+R13_QUERIES["docs_pack_bestfit_eval"] = docs_pack_bestfit_eval
+R13_ORACLES["docs_pack_bestfit_eval"] = PACK_BESTFIT_SQL

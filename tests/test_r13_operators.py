@@ -411,3 +411,58 @@ def test_kmv_estimates_bracket_exact_counts(spark):
         assert 0 <= r.est_inter <= max(r.est_a, r.est_b)
         if r.exact_inter > 20:  # enough signal for the m/k ratio
             assert abs(r.est_inter - r.exact_inter) <= r.exact_inter
+
+
+def test_bestfit_eval_matches_python_packers(spark):
+    """Both folds reproduce textbook next-fit and best-fit-decreasing
+    bin counts computed in pure Python from the same (doc, tokens)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import (
+        _PACK_EVAL_C,
+        _PACK_EVAL_SHARDS,
+        docs_pack_bestfit_eval,
+    )
+
+    c = _PACK_EVAL_C
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = docs.select(
+        "doc_id",
+        F.least(F.size(F.split("text", " ")), F.lit(c)).alias("n"),
+    ).collect()
+    shards = {}
+    for r in rows:
+        h = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16
+        ) % _PACK_EVAL_SHARDS
+        shards.setdefault(h, []).append((r.doc_id, r.n))
+
+    got = {r.shard: r for r in docs_pack_bestfit_eval(spark, SF).collect()}
+    assert set(got) == set(shards)
+    for shard, items in shards.items():
+        # next-fit in doc_id order
+        fill, bins = c, 0
+        for _, n in sorted(items):
+            if fill + n <= c:
+                fill += n
+            else:
+                bins, fill = bins + 1, n
+        # best-fit-decreasing
+        fills = []
+        for _, n in sorted(items, key=lambda t: (-t[1], t[0])):
+            cand = [f for f in fills if f + n <= c]
+            if cand:
+                fills[fills.index(max(cand))] += n
+            else:
+                fills.append(n)
+        r = got[shard]
+        assert r.bins_nextfit == bins, shard
+        assert r.bins_bestfit == len(fills), shard
+        total = sum(n for _, n in items)
+        assert r.total_tokens == total
+        assert r.fill_bestfit_ppm == total * 1_000_000 // (len(fills) * c)
+        # BFD should never need (many) more bins than a lower bound
+        assert r.bins_bestfit >= -(-total // c)  # >= ceil(total/C)
