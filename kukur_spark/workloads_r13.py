@@ -717,6 +717,113 @@ ORDER BY t.dim, t.query_id
 
 
 # ---------------------------------------------------------------------------
+# Theil-Sen robust trend vs OLS (sketch-first)
+# ---------------------------------------------------------------------------
+_TS_P = 24
+# positive-offset constant: integer division of a NEGATIVE numerator
+# truncates toward zero in Spark's `div` but floors in DuckDB's `//`; a
+# +C*dx offset keeps every numerator positive (slopes here are bounded
+# by the e6 value range), where the two semantics agree, then C*1e6 is
+# subtracted back — exact.
+_TS_OFFSET = 10**9
+
+
+def ts_theilsen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series Theil-Sen (median-of-pairwise-slopes) trend vs OLS.
+
+    The robust-statistics twin of ``ts_linreg_trend``: a single outlier
+    segment drags OLS but not the slope median.  Sketch-first — slopes
+    are computed over the P-point PAA means, so the pair set is P(P-1)/2
+    per series regardless of input rows, built by a nested ``transform``
+    and reduced row-locally (sort + lower median).  Both slopes ship in
+    e6 value-units per segment; integer-exact via the positive-offset
+    division trick (see ``_TS_OFFSET``).
+    """
+    p, c = _TS_P, _TS_OFFSET
+    seqs = _paa_sequences(spark, sf, p, 1_000_000)
+    slope_expr = F.expr(
+        f"""
+flatten(transform(sequence(1, {p - 1}), i ->
+  transform(sequence(i + 1, {p}), j ->
+    (element_at(vals, j) - element_at(vals, i) + {c}L * (j - i))
+      * 1000000L div (j - i) - {c}L * 1000000L)))
+"""
+    )
+    n_pairs = p * (p - 1) // 2
+    sums = F.expr(
+        f"""
+named_struct(
+  'sx', aggregate(sequence(1, {p}), 0L, (a, x) -> a + x),
+  'sxx', aggregate(sequence(1, {p}), 0L, (a, x) -> a + x * x),
+  'sy', aggregate(vals, 0L, (a, v) -> a + v),
+  'sxy', aggregate(zip_with(sequence(1, {p}), vals,
+                   (x, v) -> CAST(x AS BIGINT) * v), 0L, (a, t) -> a + t))
+"""
+    )
+    return (
+        seqs.select(
+            "event_type",
+            F.array_sort(slope_expr).alias("slopes"),
+            sums.alias("s"),
+        )
+        .select(
+            "event_type",
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.element_at("slopes", (n_pairs + 1) // 2).alias(
+                "theilsen_slope_e6"
+            ),
+            F.expr(
+                f"""
+(({p}L * s.sxy - s.sx * s.sy
+   + {c}L * ({p}L * s.sxx - s.sx * s.sx))
+ div ({p}L * s.sxx - s.sx * s.sx)) - {c}L
+"""
+            ).alias("ols_slope_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_THEILSEN_SQL = f"""
+WITH {_paa_oracle_cte(_TS_P, 1_000_000)},
+pairs AS (
+  SELECT event_type, vals,
+    (vals[j] - vals[i] + CAST({_TS_OFFSET} AS BIGINT) * (j - i)) * 1000000
+      // (j - i) - CAST({_TS_OFFSET} AS BIGINT) * 1000000 AS slope
+  FROM seqs,
+    UNNEST(range(1, {_TS_P} + 1)) AS t1(i),
+    UNNEST(range(1, {_TS_P} + 1)) AS t2(j)
+  WHERE j > i
+),
+med AS (
+  SELECT event_type, slope,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+),
+ols AS (
+  SELECT event_type,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(v) AS BIGINT) AS sy, CAST(SUM(x * v) AS BIGINT) AS sxy
+  FROM (
+    SELECT event_type, i AS x, vals[i] AS v
+    FROM seqs, UNNEST(range(1, {_TS_P} + 1)) AS t(i)
+  ) GROUP BY event_type
+)
+SELECT m.event_type,
+  CAST(m.n AS BIGINT) AS n_pairs,
+  m.slope AS theilsen_slope_e6,
+  ({_TS_P} * o.sxy - o.sx * o.sy
+    + CAST({_TS_OFFSET} AS BIGINT) * ({_TS_P} * o.sxx - o.sx * o.sx))
+    // ({_TS_P} * o.sxx - o.sx * o.sx)
+    - CAST({_TS_OFFSET} AS BIGINT) AS ols_slope_e6
+FROM med m JOIN ols o ON m.event_type = o.event_type
+WHERE m.rn = (m.n + 1) // 2
+ORDER BY m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -1439,3 +1546,5 @@ R13_QUERIES["events_kmv_overlap"] = events_kmv_overlap
 R13_ORACLES["events_kmv_overlap"] = EVENTS_KMV_SQL
 R13_QUERIES["docs_pack_bestfit_eval"] = docs_pack_bestfit_eval
 R13_ORACLES["docs_pack_bestfit_eval"] = PACK_BESTFIT_SQL
+R13_QUERIES["ts_theilsen_trend"] = ts_theilsen_trend
+R13_ORACLES["ts_theilsen_trend"] = TS_THEILSEN_SQL

@@ -466,3 +466,42 @@ def test_bestfit_eval_matches_python_packers(spark):
         assert r.fill_bestfit_ppm == total * 1_000_000 // (len(fills) * c)
         # BFD should never need (many) more bins than a lower bound
         assert r.bins_bestfit >= -(-total // c)  # >= ceil(total/C)
+
+
+def test_theilsen_matches_python_and_resists_outlier(spark):
+    """Slope median equals a python reference on the real sketches, and
+    on a synthetic outlier case Theil-Sen stays on trend while OLS
+    doesn't (the operator's reason to exist)."""
+    from kukur_spark.workloads_r13 import (
+        _TS_OFFSET,
+        _TS_P,
+        _paa_sequences,
+        ts_theilsen_trend,
+    )
+
+    def py_slopes(vals):
+        c = _TS_OFFSET
+        out = []
+        for i in range(1, len(vals)):
+            for j in range(i + 1, len(vals) + 1):
+                dv, dx = vals[j - 1] - vals[i - 1], j - i
+                out.append((dv + c * dx) * 1_000_000 // dx - c * 1_000_000)
+        return sorted(out)
+
+    sketches = {
+        r.event_type: list(r.vals)
+        for r in _paa_sequences(spark, SF, _TS_P, 1_000_000).collect()
+    }
+    got = {r.event_type: r for r in ts_theilsen_trend(spark, SF).collect()}
+    for name, vals in sketches.items():
+        slopes = py_slopes(vals)
+        assert got[name].n_pairs == len(slopes)
+        assert got[name].theilsen_slope_e6 == slopes[(len(slopes) + 1) // 2 - 1]
+
+    # robustness: clean trend slope 5 with one huge outlier
+    vals = [5 * i * 1_000_000 for i in range(1, _TS_P + 1)]
+    vals[10] = 10**9
+    slopes = py_slopes(vals)
+    median = slopes[(len(slopes) + 1) // 2 - 1]
+    # slope 5e6 e6-units/segment, scaled by the 1e6 slope quantizer
+    assert median == 5 * 1_000_000 * 1_000_000  # outlier ignored
