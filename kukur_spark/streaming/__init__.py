@@ -1070,3 +1070,92 @@ def streaming_ks_drift(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming next-fit sequence packing (twin of workloads_r11.docs_pack_nextfit)
+# ---------------------------------------------------------------------------
+_PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq_idx", T.LongType()),
+        T.StructField("tok_offset", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+)
+
+_PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("fill", T.LongType()),
+    ]
+)
+
+
+def streaming_pack_nextfit(
+    df: DataFrame, capacity: int, shards: int
+) -> DataFrame:
+    """Streaming next-fit packing: assign arriving documents to training
+    sequences as they land.
+
+    The literal form of ``docs_pack_nextfit``'s scale story — next-fit
+    is the one packer whose state is O(1) per shard (current sequence
+    index + fill), so it runs as ``applyInPandasWithState`` with no
+    growth over stream length.  Fed the same documents in the same
+    per-shard order, emitted assignments equal the batch operator's
+    (pinned in tests); sequence indices keep increasing across
+    micro-batches because the carry survives the boundary.
+
+    ``df`` needs (doc_id, n_tokens) columns; sharding uses the same
+    md5 bucketing as the batch twin.
+    """
+    from kukur_spark.operators.dedup import md5_long
+
+    prepared = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.least(F.col("n_tokens"), F.lit(capacity))
+        .cast("long")
+        .alias("n_tokens"),
+        (md5_long(F.col("doc_id").cast("string")) % shards).alias("shard"),
+    )
+
+    def _update(key, frames: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            seq, fill = state.get
+        else:
+            seq, fill = -1, capacity  # first doc opens sequence 0
+        docs, shards_, seqs, offs, toks = [], [], [], [], []
+        for frame in frames:
+            for doc_id, n in zip(frame["doc_id"], frame["n_tokens"]):
+                n = int(n)
+                if fill + n <= capacity:
+                    off = fill
+                    fill += n
+                else:
+                    seq += 1
+                    off = 0
+                    fill = n
+                docs.append(int(doc_id))
+                shards_.append(int(key[0]))
+                seqs.append(seq)
+                offs.append(off)
+                toks.append(n)
+        state.update((seq, fill))
+        yield pd.DataFrame(
+            {
+                "doc_id": docs,
+                "shard": shards_,
+                "seq_idx": seqs,
+                "tok_offset": offs,
+                "n_tokens": toks,
+            }
+        )
+
+    return prepared.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=_PACK_OUTPUT_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

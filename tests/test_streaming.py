@@ -676,3 +676,67 @@ def test_streaming_ks_drift_matches_batch_replay(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name} ORDER BY n_seen").collect()
     assert rows[-1].n_seen == 7  # state carried across batches
     assert rows[-1].ks_ppm == py_ks([5, 15, 25, 25, 65, 75, 75])
+
+
+def test_streaming_pack_nextfit_matches_batch(spark, tmp_path):
+    """Fed the same docs in per-shard doc_id order, the streaming packer
+    reproduces docs_pack_nextfit's assignments, with sequence state
+    carried across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.streaming import streaming_pack_nextfit
+    from kukur_spark.workloads_r11 import (
+        _PACK_C,
+        _PACK_SHARDS,
+        docs_pack_nextfit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        r.doc_id: (r.shard, r.seq_idx, r.tok_offset, r.n_tokens)
+        for r in docs_pack_nextfit(spark, sf).collect()
+    }
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    # two batches split mid-stream; doc_id order == per-shard arrival
+    # order, matching the batch twin's array_sort
+    half = len(docs) // 2
+    path = str(tmp_path / "pack")
+    schema = "doc_id long, n_tokens long"
+    spark.createDataFrame(
+        [(r.doc_id, r.n_tokens) for r in docs[:half]], schema
+    ).coalesce(1).write.parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = streaming_pack_nextfit(stream, _PACK_C, _PACK_SHARDS)
+    name = f"pack_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    spark.createDataFrame(
+        [(r.doc_id, r.n_tokens) for r in docs[half:]], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    query.processAllAvailable()
+    query.stop()
+
+    got = {
+        r.doc_id: (r.shard, r.seq_idx, r.tok_offset, r.n_tokens)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == expected
