@@ -1,0 +1,79 @@
+"""Persisted content-defined chunk-hash index for incremental
+sub-document dedup.
+
+The chunk-level sibling of ``dedup_index`` (same split of phases a
+100 TB deployment uses):
+
+- **build** once over history: chunk every document
+  (``operators.chunking.cdc_chunk_rows``) and persist the DISTINCT
+  chunk hashes as a table bucketed on ``h`` — the index is
+  vocabulary-of-chunks sized, typically far smaller than the corpus.
+- **query** per incoming batch: chunk only the new documents, meet the
+  index's distribution with one exchange on the (small) new side, and
+  report per new document how many of its bytes already exist in
+  history — the "how much of this crawl is boilerplate we already
+  have" number that decides whether a document is worth keeping.
+
+Zero Exchange above the index scan (plan-pinned in
+``tests/test_chunk_index.py``); a contract test pins query ≡ the
+recompute-from-scratch semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.operators.chunking import DEFAULT_WINDOW, cdc_chunk_rows
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    table_name: str,
+    window: int = DEFAULT_WINDOW,
+    buckets: int = 8,
+) -> None:
+    """Persist history's distinct chunk hashes bucketed on ``h``."""
+    chunks = cdc_chunk_rows(docs, window=window).select("h").distinct()
+    (
+        chunks.write.mode("overwrite")
+        .bucketBy(buckets, "h")
+        .sortBy("h")
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_chunk_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_name: str,
+    window: int = DEFAULT_WINDOW,
+) -> DataFrame:
+    """Per-new-document dup accounting against the persisted index.
+
+    Returns ``doc_id, n_chunks, total_bytes, dup_bytes, dup_ppm`` where
+    a chunk instance counts as dup iff its hash exists in history.
+    """
+    hist = spark.table(table_name).withColumn("in_hist", F.lit(1))
+    chunks = cdc_chunk_rows(new_docs, id_columns=("doc_id",), window=window)
+    # one exchange on the (small) new side only — hashing on h meets the
+    # pre-bucketed index's join distribution
+    joined = chunks.repartition(F.col("h")).join(hist, "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("in_hist") == 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "total_bytes",
+            "dup_bytes",
+            F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,98 @@
+"""Content-defined chunking expressions shared by the batch queries and
+the persisted chunk index.
+
+Rabin-style breakpoints: cut before position p whenever the
+``window``-char md5 at p satisfies the boundary criterion (first hex
+nibble '0' — P=1/16, expected chunk ≈ window on this corpus).  With
+``min_len`` set, candidate cuts closer than ``min_len`` to the last
+*accepted* cut are skipped (FastCDC's minimum bound — a greedy
+sequential recursion, folded row-locally).  All expressions are pure
+JVM column trees; chunking N documents is one Generate, no exchange.
+
+Beyond-reference capability (the reference engine has no document
+processing); the workload twins in ``workloads_r13`` carry the DuckDB
+oracles and shift-resistance tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW = 16
+
+
+def _cut_starts(window: int, min_len: Optional[int]):
+    """Column: array of accepted chunk-start positions for ``text``."""
+    n = F.length("text")
+    positions = F.when(
+        n >= window + 1, F.sequence(F.lit(2), n - (window - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    candidates = F.filter(
+        positions,
+        lambda p: F.substring(
+            F.md5(F.col("text").substr(p, F.lit(window))), 1, 1
+        )
+        == "0",
+    )
+    if min_len is None:
+        return F.concat(F.array(F.lit(1)), candidates)
+    return F.aggregate(
+        candidates,
+        F.array(F.lit(1)),
+        lambda acc, p: F.when(
+            p - F.element_at(acc, -1) >= F.lit(min_len),
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
+    )
+
+
+def cdc_chunk_rows(
+    docs: DataFrame,
+    id_columns: Sequence[str] = ("doc_id", "source"),
+    window: int = DEFAULT_WINDOW,
+    min_len: Optional[int] = None,
+) -> DataFrame:
+    """One row per content-defined chunk: ``(*id_columns, h, chunk_len)``.
+
+    ``h`` is the md5 of the chunk text (the dedup key), ``chunk_len``
+    its character length.  Null/empty texts yield no rows.
+    """
+    ids = list(id_columns)
+    starts = _cut_starts(window, min_len)
+    n = F.length("text")
+    chunked = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        *ids,
+        "text",
+        starts.alias("starts"),
+    ).select(
+        *ids,
+        "text",
+        "starts",
+        F.concat(F.col("starts"), F.array(n + 1)).alias("bounds"),
+    ).select(
+        *ids,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda i: F.struct(
+                    F.md5(
+                        F.col("text").substr(
+                            F.element_at(F.col("starts"), i.cast("int")),
+                            F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                            - F.element_at(F.col("starts"), i.cast("int")),
+                        )
+                    ).alias("h"),
+                    (
+                        F.element_at(F.col("bounds"), (i + 1).cast("int"))
+                        - F.element_at(F.col("starts"), i.cast("int"))
+                    ).cast("long").alias("chunk_len"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunked.select(*ids, "c.h", "c.chunk_len")

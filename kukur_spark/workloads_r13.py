@@ -347,51 +347,11 @@ def docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     expressions (one Generate, no Python); the dup accounting is one
     hash-keyed aggregate plus one skinny join (hash, len, source).
     """
-    docs = load_table(spark, sf, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    from kukur_spark.operators.chunking import cdc_chunk_rows
+
+    chunked = cdc_chunk_rows(
+        load_table(spark, sf, "documents"), window=_CDC_WINDOW
     )
-    n = F.length("text")
-    w = _CDC_WINDOW
-    positions = F.when(
-        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    breaks = F.filter(
-        positions,
-        lambda p: F.substring(
-            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
-        )
-        == "0",
-    )
-    starts = F.concat(F.array(F.lit(1)), breaks)
-    bounds = F.concat(starts, F.array(n + 1))
-    chunked = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        starts.alias("starts"),
-        bounds.alias("bounds"),
-    ).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("starts")),
-                lambda i: F.struct(
-                    F.md5(
-                        F.col("text").substr(
-                            F.element_at(F.col("starts"), i.cast("int")),
-                            F.element_at(F.col("bounds"), (i + 1).cast("int"))
-                            - F.element_at(F.col("starts"), i.cast("int")),
-                        )
-                    ).alias("h"),
-                    (
-                        F.element_at(F.col("bounds"), (i + 1).cast("int"))
-                        - F.element_at(F.col("starts"), i.cast("int"))
-                    ).cast("long").alias("chunk_len"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", "source", "c.h", "c.chunk_len")
     counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     return (
         chunked.join(counts, "h")
@@ -472,58 +432,13 @@ def docs_fastcdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     stateless form; the oracle replays the same greedy walk with a
     recursive CTE.
     """
-    docs = load_table(spark, sf, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+    from kukur_spark.operators.chunking import cdc_chunk_rows
+
+    chunked = cdc_chunk_rows(
+        load_table(spark, sf, "documents"),
+        window=_CDC_WINDOW,
+        min_len=_CDC_MIN_LEN,
     )
-    n = F.length("text")
-    w = _CDC_WINDOW
-    positions = F.when(
-        n >= w + 1, F.sequence(F.lit(2), n - (w - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    candidates = F.filter(
-        positions,
-        lambda p: F.substring(
-            F.md5(F.col("text").substr(p, F.lit(w))), 1, 1
-        )
-        == "0",
-    )
-    starts = F.aggregate(
-        candidates,
-        F.array(F.lit(1)),
-        lambda acc, p: F.when(
-            p - F.element_at(acc, -1) >= F.lit(_CDC_MIN_LEN),
-            F.concat(acc, F.array(p)),
-        ).otherwise(acc),
-    )
-    bounds = F.concat(starts, F.array(n + 1))
-    chunked = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        starts.alias("starts"),
-        bounds.alias("bounds"),
-    ).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("starts")),
-                lambda i: F.struct(
-                    F.md5(
-                        F.col("text").substr(
-                            F.element_at(F.col("starts"), i.cast("int")),
-                            F.element_at(F.col("bounds"), (i + 1).cast("int"))
-                            - F.element_at(F.col("starts"), i.cast("int")),
-                        )
-                    ).alias("h"),
-                    (
-                        F.element_at(F.col("bounds"), (i + 1).cast("int"))
-                        - F.element_at(F.col("starts"), i.cast("int"))
-                    ).cast("long").alias("chunk_len"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", "source", "c.h", "c.chunk_len")
     counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     return (
         chunked.join(counts, "h")
