@@ -1159,3 +1159,46 @@ def streaming_pack_nextfit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_chunk_dedup_vs_index(
+    spark,
+    stream_docs: DataFrame,
+    table_name: str,
+    window: int = 16,
+) -> DataFrame:
+    """Streaming twin of ``chunk_index.incremental_chunk_dedup``: as
+    documents arrive, report how many of their bytes already exist in
+    the persisted chunk-hash index.
+
+    Chunking is pure column expressions per micro-batch (same code path
+    as batch, ``operators.chunking.cdc_chunk_rows``); membership is a
+    **stream-static join** against the pre-bucketed history table, and
+    the per-document accounting is a streaming aggregate — run the sink
+    in **update** mode.  The ingest-time "is this crawl page mostly
+    boilerplate we already have" gate.
+    """
+    from kukur_spark.operators.chunking import cdc_chunk_rows
+
+    hist = spark.table(table_name).withColumn("in_hist", F.lit(1))
+    chunks = cdc_chunk_rows(
+        stream_docs, id_columns=("doc_id",), window=window
+    )
+    joined = chunks.join(hist, "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("in_hist") == 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "total_bytes",
+            "dup_bytes",
+            F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
+        )
+    )

@@ -92,3 +92,40 @@ def test_indexed_chunk_join_no_exchange_on_history(spark):
             assert "Exchange" not in above, above
     assert hits >= 1, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_streaming_chunk_dedup_matches_batch(spark, tmp_path):
+    """The streaming twin reports the same per-document dup accounting
+    as the batch query against the same persisted index."""
+    import uuid as _uuid
+
+    from kukur_spark.streaming import streaming_chunk_dedup_vs_index
+
+    table = _ensure(spark)
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    expected = {
+        r.doc_id: (r.n_chunks, r.total_bytes, r.dup_bytes, r.dup_ppm)
+        for r in incremental_chunk_dedup(spark, batch, table).collect()
+    }
+
+    path = str(tmp_path / "docs")
+    batch.select("doc_id", "text").coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        path
+    )
+    out = streaming_chunk_dedup_vs_index(spark, stream, table)
+    name = f"cd_{_uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    got = {
+        r.doc_id: (r.n_chunks, r.total_bytes, r.dup_bytes, r.dup_ppm)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == expected
