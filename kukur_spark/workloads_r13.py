@@ -739,6 +739,144 @@ ORDER BY m.event_type
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Pettitt change-point test (sketch-first)
+# ---------------------------------------------------------------------------
+def ts_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall S statistic and Kendall tau per series.
+
+    The non-parametric companion to ``ts_theilsen_trend``: S counts
+    concordant minus discordant pairs (sign of v_j − v_i over all i<j),
+    tau normalizes by the pair count.  Sketch-first like the rest of
+    the robust-stats family — P(P−1)/2 sign comparisons per series,
+    row-local, independent of input rows.  tau ships in ppm through the
+    positive-offset division (negative-dividend semantics differ across
+    engines, see ``_TS_OFFSET``).
+    """
+    p = _TS_P
+    n_pairs = p * (p - 1) // 2
+    seqs = _paa_sequences(spark, sf, p, 1_000_000)
+    s_stat = F.expr(
+        f"""
+aggregate(flatten(transform(sequence(1, {p - 1}), i ->
+  transform(sequence(i + 1, {p}), j ->
+    CASE WHEN element_at(vals, j) > element_at(vals, i) THEN 1L
+         WHEN element_at(vals, j) < element_at(vals, i) THEN -1L
+         ELSE 0L END))), 0L, (a, x) -> a + x)
+"""
+    )
+    return (
+        seqs.select("event_type", s_stat.alias("s_stat"))
+        .select(
+            "event_type",
+            "s_stat",
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.expr(
+                f"(s_stat + {n_pairs}L) * 1000000L div {n_pairs}L"
+                " - 1000000L"
+            ).alias("tau_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_MANN_KENDALL_SQL = f"""
+WITH {_paa_oracle_cte(_TS_P, 1_000_000)},
+signs AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN vals[j] > vals[i] THEN 1
+                  WHEN vals[j] < vals[i] THEN -1 ELSE 0 END) AS BIGINT)
+      AS s_stat
+  FROM seqs,
+    UNNEST(range(1, {_TS_P} + 1)) AS t1(i),
+    UNNEST(range(1, {_TS_P} + 1)) AS t2(j)
+  WHERE j > i
+  GROUP BY event_type
+)
+SELECT event_type, s_stat,
+  CAST({_TS_P * (_TS_P - 1) // 2} AS BIGINT) AS n_pairs,
+  (s_stat + {_TS_P * (_TS_P - 1) // 2}) * 1000000
+    // {_TS_P * (_TS_P - 1) // 2} - 1000000 AS tau_ppm
+FROM signs
+ORDER BY event_type
+"""
+
+
+def ts_pettitt_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt change-point test per series: the split t maximizing
+    |U_t|, U_t = Σ_{i≤t, j>t} sign(v_j − v_i).
+
+    Rank-based single change-point detection — the distribution-free
+    counterpart of ``ts_cusum_changepoint``.  All P−1 candidate splits
+    are evaluated row-locally over the PAA sketch (O(P³) integer ops on
+    P=24 values); the reported split is the smallest t attaining the
+    max |U_t|.
+    """
+    p = _TS_P
+    seqs = _paa_sequences(spark, sf, p, 1_000_000)
+    u_arr = F.expr(
+        f"""
+transform(sequence(1, {p - 1}), t ->
+  aggregate(flatten(transform(sequence(1, {p}), i ->
+    transform(sequence(1, {p}), j ->
+      CASE WHEN i <= t AND j > t THEN
+        CASE WHEN element_at(vals, j) > element_at(vals, i) THEN 1L
+             WHEN element_at(vals, j) < element_at(vals, i) THEN -1L
+             ELSE 0L END
+      ELSE 0L END))), 0L, (a, x) -> a + x))
+"""
+    )
+    best = F.expr(
+        f"""
+aggregate(sequence(1, {p - 1}),
+  named_struct('t', 0L, 'u', -1L),
+  (acc, t) -> CASE WHEN abs(element_at(us, t)) > acc.u
+    THEN named_struct('t', CAST(t AS BIGINT),
+                      'u', abs(element_at(us, t)))
+    ELSE acc END)
+"""
+    )
+    return (
+        seqs.select("event_type", u_arr.alias("us"))
+        .select(
+            "event_type",
+            best.alias("b"),
+        )
+        .select(
+            "event_type",
+            F.col("b.t").alias("change_at"),
+            F.col("b.u").alias("u_abs_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_PETTITT_SQL = f"""
+WITH {_paa_oracle_cte(_TS_P, 1_000_000)},
+u AS (
+  SELECT event_type, t.t,
+    CAST(SUM(CASE WHEN i <= t.t AND j > t.t THEN
+      CASE WHEN vals[j] > vals[i] THEN 1
+           WHEN vals[j] < vals[i] THEN -1 ELSE 0 END
+      ELSE 0 END) AS BIGINT) AS u_t
+  FROM seqs,
+    UNNEST(range(1, {_TS_P})) AS t(t),
+    UNNEST(range(1, {_TS_P} + 1)) AS t1(i),
+    UNNEST(range(1, {_TS_P} + 1)) AS t2(j)
+  GROUP BY event_type, t.t
+),
+ranked AS (
+  SELECT event_type, t AS change_at, abs(u_t) AS u_abs_max,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(u_t) DESC, t ASC) AS rn
+  FROM u
+)
+SELECT event_type, CAST(change_at AS BIGINT) AS change_at, u_abs_max
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -1463,3 +1601,7 @@ R13_QUERIES["docs_pack_bestfit_eval"] = docs_pack_bestfit_eval
 R13_ORACLES["docs_pack_bestfit_eval"] = PACK_BESTFIT_SQL
 R13_QUERIES["ts_theilsen_trend"] = ts_theilsen_trend
 R13_ORACLES["ts_theilsen_trend"] = TS_THEILSEN_SQL
+R13_QUERIES["ts_mann_kendall"] = ts_mann_kendall
+R13_ORACLES["ts_mann_kendall"] = TS_MANN_KENDALL_SQL
+R13_QUERIES["ts_pettitt_change"] = ts_pettitt_change
+R13_ORACLES["ts_pettitt_change"] = TS_PETTITT_SQL

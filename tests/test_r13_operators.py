@@ -505,3 +505,57 @@ def test_theilsen_matches_python_and_resists_outlier(spark):
     median = slopes[(len(slopes) + 1) // 2 - 1]
     # slope 5e6 e6-units/segment, scaled by the 1e6 slope quantizer
     assert median == 5 * 1_000_000 * 1_000_000  # outlier ignored
+
+
+def test_mann_kendall_and_pettitt_match_python(spark):
+    """Both rank statistics recomputed in pure python from the sketches,
+    plus a synthetic step-change case pinning Pettitt's split."""
+    from kukur_spark.workloads_r13 import (
+        _TS_P,
+        _paa_sequences,
+        ts_mann_kendall,
+        ts_pettitt_change,
+    )
+
+    sketches = {
+        r.event_type: list(r.vals)
+        for r in _paa_sequences(spark, SF, _TS_P, 1_000_000).collect()
+    }
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    mk = {r.event_type: r for r in ts_mann_kendall(spark, SF).collect()}
+    pt = {r.event_type: r for r in ts_pettitt_change(spark, SF).collect()}
+    for name, v in sketches.items():
+        p = len(v)
+        s = sum(
+            sgn(v[j] - v[i]) for i in range(p) for j in range(i + 1, p)
+        )
+        n_pairs = p * (p - 1) // 2
+        assert mk[name].s_stat == s
+        assert mk[name].tau_ppm == (s + n_pairs) * 1_000_000 // n_pairs - 1_000_000
+        us = [
+            sum(
+                sgn(v[j] - v[i])
+                for i in range(t)
+                for j in range(t, p)
+            )
+            for t in range(1, p)
+        ]
+        best_t = max(range(len(us)), key=lambda k: (abs(us[k]), -k))
+        # smallest t on ties
+        best_u = abs(us[best_t])
+        first_t = next(
+            t for t in range(len(us)) if abs(us[t]) == best_u
+        )
+        assert pt[name].u_abs_max == best_u, name
+        assert pt[name].change_at == first_t + 1, name
+
+    # synthetic: clean step change at t=10 of 24 → Pettitt finds it
+    v = [0] * 10 + [1_000_000] * (_TS_P - 10)
+    us = [
+        sum(sgn(v[j] - v[i]) for i in range(t) for j in range(t, _TS_P))
+        for t in range(1, _TS_P)
+    ]
+    assert max(range(len(us)), key=lambda k: abs(us[k])) + 1 == 10
