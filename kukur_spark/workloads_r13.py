@@ -877,6 +877,187 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Trimmed mean (keyed order statistics, no per-series collect)
+# ---------------------------------------------------------------------------
+def ts_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10 %-trimmed mean per series next to the plain mean.
+
+    The robust location estimate, computed scale-correctly: values are
+    ranked INSIDE each series by one keyed window (never collected into
+    a per-series array — per-series history can be unbounded), then a
+    single conditional aggregate sums the middle n−2k values.  Ties at
+    the trim boundary resolve by the deterministic (value, event_id)
+    order in both engines.  e6-exact.
+    """
+    events = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_e6", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    counts = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_e6").alias("sum_e6")
+    )
+    mid = (
+        ranked.join(F.broadcast(counts.select("event_type", "n")), "event_type")
+        .filter(
+            (F.col("rn") > F.expr("n div 10"))
+            & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("v_e6").alias("mid_sum_e6"),
+            F.count(F.lit(1)).alias("n_mid"),
+        )
+    )
+    return (
+        counts.join(mid, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.expr("sum_e6 div n").alias("mean_e6"),
+            "n_mid",
+            F.expr("mid_sum_e6 div n_mid").alias("trimmed_mean_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_TRIMMED_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY v_e6, event_id) AS rn
+  FROM base
+),
+counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(v_e6) AS sum_e6
+  FROM base GROUP BY event_type
+),
+mid AS (
+  SELECT r.event_type, SUM(r.v_e6) AS mid_sum_e6,
+    CAST(COUNT(*) AS BIGINT) AS n_mid
+  FROM ranked r JOIN counts c ON r.event_type = c.event_type
+  WHERE r.rn > c.n // 10 AND r.rn <= c.n - c.n // 10
+  GROUP BY r.event_type
+)
+SELECT c.event_type, c.n,
+  c.sum_e6 // c.n AS mean_e6,
+  m.n_mid,
+  m.mid_sum_e6 // m.n_mid AS trimmed_mean_e6
+FROM counts c JOIN mid m ON c.event_type = m.event_type
+ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification on the distributed prefix sum
+# ---------------------------------------------------------------------------
+def orders_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC classification of parts by cumulative revenue share.
+
+    The 80/20 report: parts ranked by revenue, classified A while the
+    running share is under 70 %, B under 90 %, C after.  The global
+    running sum uses :func:`operators.scale.distributed_prefix_sum` —
+    ordered by (revenue desc, part) via the (-rev, key) trick — so no
+    single-task window even at catalog sizes in the millions.  Output:
+    per-class part counts and revenue ppm.
+    """
+    from kukur_spark.operators.scale import distributed_prefix_sum
+
+    lineitem = load_table(spark, sf, "lineitem")
+    rev = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,10)")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("rev_e6")
+        )
+        .withColumn("neg_rev", -F.col("rev_e6"))
+    )
+    cum = distributed_prefix_sum(rev, ["neg_rev", "l_partkey"], ["rev_e6"])
+    total = rev.agg(F.sum("rev_e6").alias("total_e6"))
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "rev_e6",
+        F.expr(
+            """
+CASE WHEN rev_e6_cum * 100 <= CAST(total_e6 AS DECIMAL(38,0)) * 70 THEN 'A'
+     WHEN rev_e6_cum * 100 <= CAST(total_e6 AS DECIMAL(38,0)) * 90 THEN 'B'
+     ELSE 'C' END
+"""
+        ).alias("abc"),
+        "total_e6",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_e6").alias("class_rev_e6"),
+            F.max("total_e6").alias("_tot"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            "class_rev_e6",
+            F.expr(
+                "CAST(CAST(class_rev_e6 AS DECIMAL(38,0)) * 1000000"
+                " div _tot AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+        .orderBy("abc")
+    )
+
+
+ORDERS_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+      AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS rev_e6
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, rev_e6,
+    SUM(rev_e6) OVER (ORDER BY rev_e6 DESC, l_partkey) AS rev_e6_cum,
+    SUM(rev_e6) OVER () AS total_e6
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, rev_e6, total_e6,
+    CASE WHEN CAST(rev_e6_cum AS HUGEINT) * 100
+              <= CAST(total_e6 AS HUGEINT) * 70 THEN 'A'
+         WHEN CAST(rev_e6_cum AS HUGEINT) * 100
+              <= CAST(total_e6 AS HUGEINT) * 90 THEN 'B'
+         ELSE 'C' END AS abc
+  FROM cum
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(rev_e6) AS BIGINT) AS class_rev_e6,
+  CAST(CAST(SUM(rev_e6) AS HUGEINT) * 1000000
+    // MAX(total_e6) AS BIGINT) AS rev_share_ppm
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -1605,3 +1786,7 @@ R13_QUERIES["ts_mann_kendall"] = ts_mann_kendall
 R13_ORACLES["ts_mann_kendall"] = TS_MANN_KENDALL_SQL
 R13_QUERIES["ts_pettitt_change"] = ts_pettitt_change
 R13_ORACLES["ts_pettitt_change"] = TS_PETTITT_SQL
+R13_QUERIES["ts_trimmed_mean"] = ts_trimmed_mean
+R13_ORACLES["ts_trimmed_mean"] = TS_TRIMMED_SQL
+R13_QUERIES["orders_pareto_abc"] = orders_pareto_abc
+R13_ORACLES["orders_pareto_abc"] = ORDERS_ABC_SQL

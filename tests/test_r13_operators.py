@@ -559,3 +559,48 @@ def test_mann_kendall_and_pettitt_match_python(spark):
         for t in range(1, _TS_P)
     ]
     assert max(range(len(us)), key=lambda k: abs(us[k])) + 1 == 10
+
+
+def test_trimmed_mean_and_abc_match_python(spark):
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import orders_pareto_abc, ts_trimmed_mean
+
+    # trimmed mean vs python on collected values
+    rows = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    import decimal
+
+    per = {}
+    for r in rows:
+        v = int(
+            decimal.Decimal(str(float(r.value))).scaleb(10).to_integral_value(
+                rounding=decimal.ROUND_FLOOR
+            )
+        ) // 10**4
+        per.setdefault(r.event_type, []).append((v, r.event_id))
+
+    got = {r.event_type: r for r in ts_trimmed_mean(spark, SF).collect()}
+    for name, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        mid = [v for v, _ in vals[k : n - k]]
+        assert got[name].n == n
+        assert got[name].n_mid == n - 2 * k
+        assert got[name].trimmed_mean_e6 == sum(mid) // len(mid), name
+
+    # ABC report invariants: shares partition revenue, A is densest
+    abc = {r.abc: r for r in orders_pareto_abc(spark, SF).collect()}
+    assert set(abc) <= {"A", "B", "C"} and "A" in abc
+    total_ppm = sum(r.rev_share_ppm for r in abc.values())
+    assert abs(total_ppm - 1_000_000) <= 3  # integer-floor slack
+    if "C" in abc:
+        density_a = abc["A"].class_rev_e6 / abc["A"].n_parts
+        density_c = abc["C"].class_rev_e6 / abc["C"].n_parts
+        assert density_a > density_c
