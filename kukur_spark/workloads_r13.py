@@ -53,6 +53,9 @@ _HAAR_P = 32
 _HAAR_LEVELS = 5
 # catalog bound for the pair join (documented limit-bound, audit-visible)
 _MAX_SERIES = 4096
+# the two sources compared by the drift family (KS, Q-Q)
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
 
 
 def _paa_sequences(
@@ -1058,6 +1061,163 @@ FROM classed GROUP BY abc ORDER BY abc
 
 
 # ---------------------------------------------------------------------------
+# Q-Q decile comparison between two sources
+# ---------------------------------------------------------------------------
+def docs_qq_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile-by-decile quantile comparison between two sources' length
+    distributions — the per-quantile detail behind ``docs_ks_drift``'s
+    single sup statistic.
+
+    Exact order statistics per side via one keyed window (rank within
+    source, (value, doc_id) total order); decile d picks the
+    ceil(d·n/10)-th smallest — all integer arithmetic.  The decile probe
+    is a constant ×10 map-side explode on skinny ranked rows.
+    """
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+        & F.col("n_chars").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .join(
+            F.broadcast(
+                docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            ),
+            "source",
+        )
+    )
+    picked = (
+        ranked.select(
+            "source",
+            "n_chars",
+            "rn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+        )
+        .filter(F.expr("rn = (d * n + 9) div 10"))
+    )
+    return (
+        picked.groupBy("d")
+        .agg(
+            F.max(
+                F.when(F.col("source") == _KS_SRC_A, F.col("n_chars"))
+            ).alias("q_a"),
+            F.max(
+                F.when(F.col("source") == _KS_SRC_B, F.col("n_chars"))
+            ).alias("q_b"),
+        )
+        .select(
+            F.col("d").cast("long").alias("decile"),
+            "q_a",
+            "q_b",
+            (F.col("q_a") - F.col("q_b")).alias("gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+DOCS_QQ_SQL = f"""
+WITH docs0 AS (
+  SELECT source, doc_id, n_chars FROM documents
+  WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}') AND n_chars IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM docs0
+),
+picked AS (
+  SELECT source, n_chars, d.d
+  FROM ranked, UNNEST(range(1, 11)) AS d(d)
+  WHERE rn = (d.d * n + 9) // 10
+)
+SELECT CAST(d AS BIGINT) AS decile,
+  MAX(CASE WHEN source = '{_KS_SRC_A}' THEN n_chars END) AS q_a,
+  MAX(CASE WHEN source = '{_KS_SRC_B}' THEN n_chars END) AS q_b,
+  MAX(CASE WHEN source = '{_KS_SRC_A}' THEN n_chars END)
+    - MAX(CASE WHEN source = '{_KS_SRC_B}' THEN n_chars END) AS gap
+FROM picked GROUP BY d ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Church-Gale dispersion)
+# ---------------------------------------------------------------------------
+def text_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 burstiest terms: variance-to-mean ratio of per-document
+    term counts over documents that contain the term at least once.
+
+    Burstiness separates topical terms (arrive in bursts where they
+    appear) from function words (spread evenly) — a classic corpus
+    statistic for stopword/keyword discrimination.  Exact integers:
+    Var/mean over counts c_i rides the cross-multiplied form
+    ppm = 10⁶·(k·Σc² − (Σc)²) div (k·Σc) with k = docs containing the
+    term; map-side explode + one keyed aggregate + bounded_rank.
+    """
+    from kukur_spark.operators.scale import bounded_rank
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    scored = stats.select(
+        "term",
+        "k",
+        "sc",
+        F.expr(
+            "(k * scc - sc * sc) * 1000000L div (k * sc)"
+        ).alias("burstiness_ppm"),
+    ).filter(F.col("k") >= 5)
+    return bounded_rank(
+        scored,
+        [F.col("burstiness_ppm").desc(), F.col("term")],
+        20,
+    ).select("term", "k", "sc", "burstiness_ppm", "rank")
+
+
+TEXT_BURSTINESS_SQL = """
+WITH counts AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(term) > 0
+  GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM counts GROUP BY term
+),
+scored AS (
+  SELECT term, k, sc,
+    (k * scc - sc * sc) * 1000000 // (k * sc) AS burstiness_ppm
+  FROM stats WHERE k >= 5
+)
+SELECT term, k, sc, burstiness_ppm,
+  CAST(ROW_NUMBER() OVER (ORDER BY burstiness_ppm DESC, term) AS BIGINT)
+    AS rank
+FROM scored
+ORDER BY burstiness_ppm DESC, term
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -1790,3 +1950,7 @@ R13_QUERIES["ts_trimmed_mean"] = ts_trimmed_mean
 R13_ORACLES["ts_trimmed_mean"] = TS_TRIMMED_SQL
 R13_QUERIES["orders_pareto_abc"] = orders_pareto_abc
 R13_ORACLES["orders_pareto_abc"] = ORDERS_ABC_SQL
+R13_QUERIES["docs_qq_deciles"] = docs_qq_deciles
+R13_ORACLES["docs_qq_deciles"] = DOCS_QQ_SQL
+R13_QUERIES["text_burstiness"] = text_burstiness
+R13_ORACLES["text_burstiness"] = TEXT_BURSTINESS_SQL

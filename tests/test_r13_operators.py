@@ -604,3 +604,33 @@ def test_trimmed_mean_and_abc_match_python(spark):
         density_a = abc["A"].class_rev_e6 / abc["A"].n_parts
         density_c = abc["C"].class_rev_e6 / abc["C"].n_parts
         assert density_a > density_c
+
+
+def test_qq_deciles_match_python_order_stats(spark):
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r13 import (
+        _KS_SRC_A,
+        _KS_SRC_B,
+        docs_qq_deciles,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("source").isin(_KS_SRC_A, _KS_SRC_B)
+    )
+    per = {}
+    for r in docs.select("source", "doc_id", "n_chars").collect():
+        per.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    got = {r.decile: r for r in docs_qq_deciles(spark, SF).collect()}
+    assert sorted(got) == list(range(1, 11))
+    for side, col in ((_KS_SRC_A, "q_a"), (_KS_SRC_B, "q_b")):
+        vals = sorted(per[side])
+        n = len(vals)
+        for d in range(1, 11):
+            expect = vals[(d * n + 9) // 10 - 1][0]
+            assert got[d][col] == expect, (side, d)
+    # deciles are nondecreasing within each side
+    for col in ("q_a", "q_b"):
+        seq = [got[d][col] for d in range(1, 11)]
+        assert seq == sorted(seq)
