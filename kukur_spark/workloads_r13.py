@@ -1003,8 +1003,10 @@ def orders_pareto_abc(spark: SparkSession, sf: str) -> DataFrame:
         "rev_e6",
         F.expr(
             """
-CASE WHEN rev_e6_cum * 100 <= CAST(total_e6 AS DECIMAL(38,0)) * 70 THEN 'A'
-     WHEN rev_e6_cum * 100 <= CAST(total_e6 AS DECIMAL(38,0)) * 90 THEN 'B'
+CASE WHEN CAST(rev_e6_cum AS DECIMAL(38,0)) * 100
+          <= CAST(total_e6 AS DECIMAL(38,0)) * 70 THEN 'A'
+     WHEN CAST(rev_e6_cum AS DECIMAL(38,0)) * 100
+          <= CAST(total_e6 AS DECIMAL(38,0)) * 90 THEN 'B'
      ELSE 'C' END
 """
         ).alias("abc"),
