@@ -1220,6 +1220,107 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Keyed window-function suite
+# ---------------------------------------------------------------------------
+def events_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ranking-window surface in one keyed pass: rank,
+    dense_rank, percent_rank, cume_dist, ntile(4), lag/lead deltas —
+    per event_type over value order, top 5 rows per series by rank.
+
+    percent_rank and cume_dist ship as cross-multiplied integer ppm
+    ((rank−1)·10⁶ div (n−1), cume·10⁶ div n) so the row set is
+    hash-exact cross-engine.  One keyed window (partitioned by series),
+    no global ordering anywhere.
+    """
+    events = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value").cast("decimal(30,10)") * 1_000_000)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v_e6").desc(), F.col("event_id")
+    )
+    n_w = Window.partitionBy("event_type")
+    ranked = (
+        base.withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .withColumn("prev_v_e6", F.lag("v_e6", 1).over(w))
+        .withColumn("next_v_e6", F.lead("v_e6", 1).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        # cume_dist numerator: rows with value >= current under the
+        # DESC order = count of rn' <= last peer = standard definition
+        .withColumn(
+            "n_le",
+            F.max("rn").over(
+                Window.partitionBy("event_type", "v_e6")
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            "rn",
+            "event_id",
+            "v_e6",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("dense_rnk").cast("long").alias("dense_rnk"),
+            "quartile",
+            F.expr("(rnk - 1) * 1000000L div (n - 1)").alias(
+                "percent_rank_ppm"
+            ),
+            F.expr("n_le * 1000000L div n").alias("cume_dist_ppm"),
+            (F.col("v_e6") - F.col("prev_v_e6")).alias("gap_prev_e6"),
+            (F.col("v_e6") - F.col("next_v_e6")).alias("gap_next_e6"),
+        )
+        .orderBy("event_type", "rn")
+    )
+
+
+EVENTS_RANK_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+    CAST(FLOOR(CAST(value AS DECIMAL(30,10)) * 1000000) AS BIGINT) AS v_e6
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+),
+stage1 AS (
+  SELECT *,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS dense_rnk,
+    ROW_NUMBER() OVER w AS rn,
+    NTILE(4) OVER w AS quartile,
+    LAG(v_e6, 1) OVER w AS prev_v_e6,
+    LEAD(v_e6, 1) OVER w AS next_v_e6,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY v_e6 DESC, event_id)
+),
+ranked AS (
+  SELECT *,
+    MAX(rn) OVER (PARTITION BY event_type, v_e6) AS n_le
+  FROM stage1
+)
+SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, v_e6,
+  CAST(rnk AS BIGINT) AS rnk,
+  CAST(dense_rnk AS BIGINT) AS dense_rnk,
+  CAST(quartile AS BIGINT) AS quartile,
+  (rnk - 1) * 1000000 // (n - 1) AS percent_rank_ppm,
+  n_le * 1000000 // n AS cume_dist_ppm,
+  v_e6 - prev_v_e6 AS gap_prev_e6,
+  v_e6 - next_v_e6 AS gap_next_e6
+FROM ranked WHERE rn <= 5
+ORDER BY event_type, rn
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -1956,3 +2057,5 @@ R13_QUERIES["docs_qq_deciles"] = docs_qq_deciles
 R13_ORACLES["docs_qq_deciles"] = DOCS_QQ_SQL
 R13_QUERIES["text_burstiness"] = text_burstiness
 R13_ORACLES["text_burstiness"] = TEXT_BURSTINESS_SQL
+R13_QUERIES["events_rank_suite"] = events_rank_suite
+R13_ORACLES["events_rank_suite"] = EVENTS_RANK_SQL
