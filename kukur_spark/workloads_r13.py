@@ -1321,6 +1321,95 @@ ORDER BY event_type, rn
 
 
 # ---------------------------------------------------------------------------
+# Largest-remainder quota allocation
+# ---------------------------------------------------------------------------
+_QUOTA_BUDGET = 10_000
+
+
+def docs_quota_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Allocate a fixed sampling budget across sources proportionally
+    with the largest-remainder (Hamilton) method — exact.
+
+    The mixture-construction primitive: floor quotas q_s = B·n_s div N
+    always under-allocate by r < #sources; the r leftover slots go to
+    the largest remainders (ties to the larger source, then name).
+    Everything is one source-keyed aggregate plus arithmetic on the
+    #sources-row summary — integer-exact, no floats anywhere, and the
+    allocation provably sums to exactly B (asserted in tests).
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    b = _QUOTA_BUDGET
+    quoted = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"CAST(CAST(n_docs AS DECIMAL(38,0)) * {b} div total AS BIGINT)"
+        ).alias("floor_quota"),
+        F.expr(
+            f"CAST(CAST(n_docs AS DECIMAL(38,0)) * {b} % total AS BIGINT)"
+        ).alias("remainder"),
+        "total",
+    )
+    leftovers = quoted.groupBy().agg(
+        (F.lit(b) - F.sum("floor_quota")).alias("r")
+    )
+    w = Window.orderBy(
+        F.col("remainder").desc(), F.col("n_docs").desc(), F.col("source")
+    )
+    # the window ranks the #sources-row summary (catalog-sized) — the
+    # allocation table itself, not corpus rows; the explicit limit is
+    # the documented catalog bound the plan audit checks for
+    return (
+        quoted.crossJoin(F.broadcast(leftovers))
+        .limit(_MAX_SERIES)
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            "floor_quota",
+            "remainder",
+            (
+                F.col("floor_quota")
+                + F.when(F.col("pos") <= F.col("r"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_QUOTA_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+total AS (SELECT SUM(n_docs) AS total FROM counts),
+quoted AS (
+  SELECT source, n_docs,
+    CAST(CAST(n_docs AS HUGEINT) * {_QUOTA_BUDGET} // total AS BIGINT)
+      AS floor_quota,
+    CAST(CAST(n_docs AS HUGEINT) * {_QUOTA_BUDGET} % total AS BIGINT)
+      AS remainder
+  FROM counts, total
+),
+leftovers AS (
+  SELECT {_QUOTA_BUDGET} - SUM(floor_quota) AS r FROM quoted
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY remainder DESC, n_docs DESC, source) AS pos
+  FROM quoted
+)
+SELECT source, n_docs, floor_quota, remainder,
+  floor_quota + CASE WHEN pos <= (SELECT r FROM leftovers)
+                     THEN 1 ELSE 0 END AS quota
+FROM ranked
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -2059,3 +2148,5 @@ R13_QUERIES["text_burstiness"] = text_burstiness
 R13_ORACLES["text_burstiness"] = TEXT_BURSTINESS_SQL
 R13_QUERIES["events_rank_suite"] = events_rank_suite
 R13_ORACLES["events_rank_suite"] = EVENTS_RANK_SQL
+R13_QUERIES["docs_quota_allocation"] = docs_quota_allocation
+R13_ORACLES["docs_quota_allocation"] = DOCS_QUOTA_SQL

@@ -634,3 +634,26 @@ def test_qq_deciles_match_python_order_stats(spark):
     for col in ("q_a", "q_b"):
         seq = [got[d][col] for d in range(1, 11)]
         assert seq == sorted(seq)
+
+
+def test_quota_allocation_exact_budget_and_hamilton(spark):
+    from kukur_spark.workloads_r13 import (
+        _QUOTA_BUDGET,
+        docs_quota_allocation,
+    )
+
+    rows = docs_quota_allocation(spark, SF).collect()
+    assert sum(r.quota for r in rows) == _QUOTA_BUDGET
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        floor_q = r.n_docs * _QUOTA_BUDGET // total
+        assert r.floor_quota == floor_q
+        assert r.quota in (floor_q, floor_q + 1)
+    # hamilton: every +1 remainder >= every non-bumped remainder
+    bumped = [r.remainder for r in rows if r.quota == r.floor_quota + 1]
+    kept = [r.remainder for r in rows if r.quota == r.floor_quota]
+    if bumped and kept:
+        assert min(bumped) >= max(kept) or (
+            # tie on remainders may split by the documented tiebreak
+            min(bumped) == max(kept)
+        )
