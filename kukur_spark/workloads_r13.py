@@ -1410,6 +1410,104 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Dedup survivorship-policy comparison
+# ---------------------------------------------------------------------------
+def docs_dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """How much does the canonical-pick policy matter?  Per near-dup
+    cluster, compare three survivorship rules — keep-first (min doc_id),
+    keep-longest (max n_chars, ties to min id), keep-last (max doc_id) —
+    and report cluster counts, agreement rates, and bytes kept per
+    policy.
+
+    Clusters are the same banded-LSH + exact-Jaccard pointer-doubling
+    components as ``dedup_clusters``; the policy layer is one keyed
+    aggregate over (cluster, member metadata) — argmaxes via struct-max,
+    never a window.  The composition answers a real curation question:
+    if policies agree on ~all clusters, the cheap rule is safe.
+    """
+    from kukur_spark.workloads import dedup_doc_groups
+
+    groups = dedup_doc_groups(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    member = groups.join(docs, "doc_id")
+    per_cluster = (
+        member.groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("lng"),
+            F.sum("n_chars").alias("cluster_bytes"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("n"))
+            ).getField("n_chars").alias("longest_bytes"),
+            F.min(
+                F.struct(F.col("doc_id"), F.col("n_chars"))
+            ).getField("n_chars").alias("first_bytes"),
+        )
+        .filter(F.col("size") > 1)
+        .withColumn("longest_id", -F.col("lng.neg_id"))
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("n_docs_clustered"),
+        F.sum(
+            F.when(F.col("first_id") == F.col("longest_id"), 1).otherwise(0)
+        ).alias("n_first_eq_longest"),
+        F.sum(
+            F.when(F.col("last_id") == F.col("longest_id"), 1).otherwise(0)
+        ).alias("n_last_eq_longest"),
+        F.sum("first_bytes").alias("bytes_kept_first"),
+        F.sum("longest_bytes").alias("bytes_kept_longest"),
+        F.sum(F.col("cluster_bytes") - F.col("longest_bytes")).alias(
+            "bytes_dropped_longest"
+        ),
+    )
+
+
+def _survivorship_sql() -> str:
+    from kukur_spark.workloads import DEDUP_CLUSTERS_SQL
+
+    return DEDUP_CLUSTERS_SQL.replace(
+        "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id\n"
+        "ORDER BY d.doc_id",
+        """,
+groups AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+per_cluster AS (
+  SELECT canonical_id,
+    CAST(COUNT(*) AS BIGINT) AS size,
+    MIN(doc_id) AS first_id,
+    MAX(doc_id) AS last_id,
+    MAX(ROW(n_chars, -doc_id)) AS lng,
+    CAST(SUM(n_chars) AS BIGINT) AS cluster_bytes,
+    MIN(ROW(doc_id, n_chars)) AS fst
+  FROM groups GROUP BY canonical_id
+  HAVING COUNT(*) > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(size) AS BIGINT) AS n_docs_clustered,
+  CAST(SUM(CASE WHEN first_id = -(lng)[2] THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_first_eq_longest,
+  CAST(SUM(CASE WHEN last_id = -(lng)[2] THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_last_eq_longest,
+  CAST(SUM((fst)[2]) AS BIGINT) AS bytes_kept_first,
+  CAST(SUM((lng)[1]) AS BIGINT) AS bytes_kept_longest,
+  CAST(SUM(cluster_bytes - (lng)[1]) AS BIGINT)
+    AS bytes_dropped_longest
+FROM per_cluster""",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -2150,3 +2248,5 @@ R13_QUERIES["events_rank_suite"] = events_rank_suite
 R13_ORACLES["events_rank_suite"] = EVENTS_RANK_SQL
 R13_QUERIES["docs_quota_allocation"] = docs_quota_allocation
 R13_ORACLES["docs_quota_allocation"] = DOCS_QUOTA_SQL
+R13_QUERIES["docs_dedup_survivorship"] = docs_dedup_survivorship
+R13_ORACLES["docs_dedup_survivorship"] = _survivorship_sql()
