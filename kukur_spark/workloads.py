@@ -2327,6 +2327,7 @@ _PROMOTE_TO_WINDOW = [
     "text_bpe_merge_steps",  # r4: BPE trainer kernel
     "customer_symspell_pairs",  # r4: delete-key fuzzy join
     "docs_ks_drift",  # r4: exact KS on distributed prefix sums
+    "docs_dedup_survivorship",  # r4: policy eval, recursive-closure oracle
 ]
 _DEMOTE_FROM_WINDOW = [
     "orders_by_quarter",
@@ -2341,6 +2342,7 @@ _DEMOTE_FROM_WINDOW = [
     "emb_topk_l2",
     "corpus_stats",
     "emb_centroid_per_label",
+    "emb_neardup_pairs",
 ]
 
 
