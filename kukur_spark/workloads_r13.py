@@ -1508,6 +1508,139 @@ FROM per_cluster""",
 
 
 # ---------------------------------------------------------------------------
+# Multi-lag autocorrelation function
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+def ts_acf_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """ACF for lags 1..7 per series — the correlogram behind AR-order
+    picking, extending ``ts_autocorr``'s lag-1 machinery.
+
+    One keyed window computes all seven lag columns in a single pass;
+    the stacked (series, lag) pairs then share the exact-moment
+    aggregate (decimal-bridged sums, IEEE-identical final division) and
+    ship as ppm.  Undefined denominators drop, like the lag-1 twin.
+    """
+    events = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value").alias("x"),
+    )
+    lagged = base
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lagged = lagged.withColumn(f"y{k}", F.lag("x", k).over(w))
+    stacked = lagged.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "x", "p.lag", "p.y").filter(
+        F.col("y").isNotNull()
+    )
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum(F.col("x").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sx_e6"),
+        F.floor(F.sum(F.col("y").cast("decimal(30,10)")) * 1_000_000)
+        .cast("long").alias("sy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)"))
+            * 1_000_000
+        ).cast("long").alias("sxy_e6"),
+        F.floor(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)"))
+            * 1_000_000
+        ).cast("long").alias("sxx_e6"),
+        F.floor(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)"))
+            * 1_000_000
+        ).cast("long").alias("syy_e6"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_e6").cast("double") / 1e6
+    sy = F.col("sy_e6").cast("double") / 1e6
+    sxy = F.col("sxy_e6").cast("double") / 1e6
+    sxx = F.col("sxx_e6").cast("double") / 1e6
+    syy = F.col("syy_e6").cast("double") / 1e6
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(den2)
+    return (
+        agg.filter(den2 > 0)
+        .select(
+            "event_type",
+            "lag",
+            "n",
+            F.floor(r * 1_000_000).cast("long").alias("acf_ppm"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _acf_lag_sql(k: int) -> str:
+    return f"""
+  SELECT event_type, CAST({k} AS BIGINT) AS lag, x,
+    LAG(x, {k}) OVER (PARTITION BY event_type
+                      ORDER BY ts_us, event_id) AS y
+  FROM base"""
+
+
+TS_ACF_SQL = (
+    """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+stacked AS ("""
+    + "\nUNION ALL\n".join(
+        _acf_lag_sql(k) for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    + """
+),
+agg AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(FLOOR(SUM(CAST(x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sx_e6,
+    CAST(FLOOR(SUM(CAST(y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sy_e6,
+    CAST(FLOOR(SUM(CAST(x * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxy_e6,
+    CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS sxx_e6,
+    CAST(FLOOR(SUM(CAST(y * y AS DECIMAL(30,10))) * 1000000) AS BIGINT) AS syy_e6
+  FROM stacked WHERE y IS NOT NULL
+  GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+  CAST(FLOOR(
+    (CAST(n AS DOUBLE) * (CAST(sxy_e6 AS DOUBLE) / 1e6)
+      - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6))
+    / sqrt((CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+            - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+         * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+            - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)))
+    * 1000000) AS BIGINT) AS acf_ppm
+FROM agg
+WHERE (CAST(n AS DOUBLE) * (CAST(sxx_e6 AS DOUBLE) / 1e6)
+       - (CAST(sx_e6 AS DOUBLE) / 1e6) * (CAST(sx_e6 AS DOUBLE) / 1e6))
+    * (CAST(n AS DOUBLE) * (CAST(syy_e6 AS DOUBLE) / 1e6)
+       - (CAST(sy_e6 AS DOUBLE) / 1e6) * (CAST(sy_e6 AS DOUBLE) / 1e6)) > 0
+ORDER BY event_type, lag
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -2250,3 +2383,5 @@ R13_QUERIES["docs_quota_allocation"] = docs_quota_allocation
 R13_ORACLES["docs_quota_allocation"] = DOCS_QUOTA_SQL
 R13_QUERIES["docs_dedup_survivorship"] = docs_dedup_survivorship
 R13_ORACLES["docs_dedup_survivorship"] = _survivorship_sql()
+R13_QUERIES["ts_acf_multi"] = ts_acf_multi
+R13_ORACLES["ts_acf_multi"] = TS_ACF_SQL
