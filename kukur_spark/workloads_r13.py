@@ -1641,6 +1641,110 @@ ORDER BY event_type, lag
 
 
 # ---------------------------------------------------------------------------
+# Cohort LTV curves
+# ---------------------------------------------------------------------------
+def orders_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative revenue per customer by acquisition cohort — the LTV
+    curve behind retention economics.
+
+    Cohort = month of a customer's first order (1995 cohorts, offsets
+    0..6 for a compact fixed-shape report); month offsets are pure
+    integer month arithmetic (year·12+month), the running LTV is a
+    cohort-keyed window over ≤7 summary rows, and per-customer LTV is
+    an exact integral division of e6 revenue by the cohort size.
+    """
+    orders = load_table(spark, sf, "orders")
+    month = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(month).alias("cohort_m")
+    )
+    cohort_size = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    joined = (
+        orders.select(
+            "o_custkey",
+            month.alias("m"),
+            F.floor(F.col("o_totalprice").cast("decimal(30,10)") * 1_000_000)
+            .cast("long")
+            .alias("rev_e6"),
+        )
+        .join(F.broadcast(firsts), "o_custkey")
+        .withColumn("m_offset", F.col("m") - F.col("cohort_m"))
+        .filter(
+            (F.col("cohort_m") >= 1995 * 12 + 1)
+            & (F.col("cohort_m") <= 1995 * 12 + 12)
+            & (F.col("m_offset") <= 6)
+        )
+    )
+    per_offset = joined.groupBy("cohort_m", "m_offset").agg(
+        F.sum("rev_e6").alias("rev_e6"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("m_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_offset.withColumn("cum_rev_e6", F.sum("rev_e6").over(w))
+        .join(F.broadcast(cohort_size), "cohort_m")
+        .select(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            F.col("m_offset").cast("long").alias("m_offset"),
+            "active_customers",
+            "rev_e6",
+            "cum_rev_e6",
+            "cohort_customers",
+            F.expr("cum_rev_e6 div cohort_customers").alias(
+                "ltv_per_customer_e6"
+            ),
+        )
+        .orderBy("cohort_m", "m_offset")
+    )
+
+
+ORDERS_LTV_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+    EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)
+      AS m,
+    CAST(FLOOR(CAST(o_totalprice AS DECIMAL(30,10)) * 1000000) AS BIGINT)
+      AS rev_e6
+  FROM orders
+),
+firsts AS (SELECT o_custkey, MIN(m) AS cohort_m FROM om GROUP BY 1),
+cohort_size AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+  FROM firsts GROUP BY 1
+),
+joined AS (
+  SELECT om.o_custkey, om.m, om.rev_e6, f.cohort_m,
+    om.m - f.cohort_m AS m_offset
+  FROM om JOIN firsts f ON om.o_custkey = f.o_custkey
+  WHERE f.cohort_m BETWEEN 1995 * 12 + 1 AND 1995 * 12 + 12
+    AND om.m - f.cohort_m <= 6
+),
+per_offset AS (
+  SELECT cohort_m, m_offset, SUM(rev_e6) AS rev_e6,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+  FROM joined GROUP BY 1, 2
+)
+SELECT CAST(p.cohort_m AS BIGINT) AS cohort_m,
+  CAST(p.m_offset AS BIGINT) AS m_offset,
+  p.active_customers,
+  CAST(p.rev_e6 AS BIGINT) AS rev_e6,
+  CAST(SUM(p.rev_e6) OVER (PARTITION BY p.cohort_m ORDER BY p.m_offset)
+    AS BIGINT) AS cum_rev_e6,
+  c.cohort_customers,
+  CAST(SUM(p.rev_e6) OVER (PARTITION BY p.cohort_m ORDER BY p.m_offset)
+    AS BIGINT) // c.cohort_customers AS ltv_per_customer_e6
+FROM per_offset p JOIN cohort_size c ON p.cohort_m = c.cohort_m
+ORDER BY cohort_m, m_offset
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency eval: best-fit-decreasing vs next-fit
 # ---------------------------------------------------------------------------
 _PACK_EVAL_C = 256
@@ -2385,3 +2489,5 @@ R13_QUERIES["docs_dedup_survivorship"] = docs_dedup_survivorship
 R13_ORACLES["docs_dedup_survivorship"] = _survivorship_sql()
 R13_QUERIES["ts_acf_multi"] = ts_acf_multi
 R13_ORACLES["ts_acf_multi"] = TS_ACF_SQL
+R13_QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
+R13_ORACLES["orders_cohort_ltv"] = ORDERS_LTV_SQL
