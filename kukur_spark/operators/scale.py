@@ -186,7 +186,12 @@ def distributed_row_number(
     from pyspark.sql import Window
 
     ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    # one pinned materialization — the local-rank subtree and the count
+    # summary both consume with_pid; see keyed_lag for why this must not
+    # re-execute (RangePartitioner re-samples per instantiation)
+    with_pid = ordered.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = (
         with_pid.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -375,9 +380,17 @@ def keyed_lag(
 
     key_cols = [F.col(c) for c in key_columns]
     order_cols = [F.col(c) for c in order_columns]
+    # localCheckpoint pins ONE materialization of the range partitioning:
+    # the local-lag subtree and the boundary summary below both consume
+    # with_pid, and RangePartitioner samples boundaries non-deterministically
+    # per instantiation — without the checkpoint, divergent re-execution
+    # (AQE off, structural pruning) could assign different __pid values to
+    # the two subtrees and patch boundary rows with the wrong partition's
+    # last value.  Same policy as merge_intervals above.
     with_pid = (
         df.repartitionByRange(*key_cols, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
     local_w = Window.partitionBy("__pid", *key_columns).orderBy(
@@ -437,7 +450,11 @@ def distributed_prefix_sum(
     from pyspark.sql import Window
 
     ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    # pinned once — totals and the local running-sum subtree both consume
+    # with_pid (see keyed_lag)
+    with_pid = ordered.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     totals = with_pid.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_columns]
     )

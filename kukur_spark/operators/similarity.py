@@ -391,6 +391,13 @@ def multi_table_signatures(
     array covers all tables.
     """
     v = _as_double(v)
+    # dim contract: vectors longer than ``dim`` are projected on their
+    # first ``dim`` components (NOT null-padded — zip_with pads the
+    # shorter side with nulls, which would null every projection and
+    # collapse all long vectors into bucket 0 of every table); vectors
+    # shorter than ``dim`` use their common prefix with the plane, as
+    # before.
+    n = F.least(F.size(v), F.lit(dim))
     tables = []
     for t in range(num_tables):
         bits = None
@@ -403,7 +410,9 @@ def multi_table_signatures(
             )
             proj = F.aggregate(
                 F.zip_with(
-                    v, F.slice(plane, 1, F.size(v)), lambda x, c: x * c
+                    F.slice(v, 1, n),
+                    F.slice(plane, 1, n),
+                    lambda x, c: x * c,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

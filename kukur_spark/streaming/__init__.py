@@ -1053,9 +1053,12 @@ def streaming_ks_drift(
 
     prepared = df.select(
         F.col(group_column).cast("string").alias("group"),
-        F.least(
-            F.floor(F.col(value_column) / bucket_width),
-            F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.floor(F.col(value_column) / bucket_width),
+                F.lit(num_buckets - 1),
+            ),
         )
         .cast("int")
         .alias("bucket"),

@@ -1256,7 +1256,13 @@ def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         scored, 4, ["monetary_cents", "o_custkey"], "m_score"
     )
     return (
-        scored.groupBy("r_score", "f_score", "m_score")
+        # long casts: DuckDB NTILE returns BIGINT, Spark's int32 would
+        # fail the driver's typed value-hash
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
         .agg(F.count(F.lit(1)).alias("customers"))
         .orderBy("r_score", "f_score", "m_score")
     )

@@ -320,7 +320,7 @@ TS_HAAR_SQL = (
 SELECT event_type,
   {', '.join(f'CAST(energy_l{level} AS BIGINT) AS energy_l{level}'
              for level in range(1, _HAAR_LEVELS + 1))},
-  a{_HAAR_LEVELS}[1] AS approx_sum_e3
+  CAST(a{_HAAR_LEVELS}[1] AS BIGINT) AS approx_sum_e3
 FROM l{_HAAR_LEVELS}
 ORDER BY event_type
 """
@@ -405,11 +405,13 @@ chunked AS (
 counts AS (SELECT h, COUNT(*) AS occ FROM chunked GROUP BY h)
 SELECT source,
   COUNT(*) AS n_chunks,
-  SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_occurrences,
-  SUM(chunk_len) AS total_bytes,
-  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS dup_bytes,
-  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
-    // SUM(chunk_len) AS dup_ppm
+  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_occurrences,
+  CAST(SUM(chunk_len) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+    AS dup_bytes,
+  CAST(SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
+    // SUM(chunk_len) AS BIGINT) AS dup_ppm
 FROM chunked JOIN counts USING (h)
 GROUP BY source
 ORDER BY source
@@ -505,12 +507,14 @@ chunked AS (
 counts AS (SELECT h, COUNT(*) AS occ FROM chunked GROUP BY h)
 SELECT source,
   COUNT(*) AS n_chunks,
-  SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_occurrences,
-  SUM(chunk_len) AS total_bytes,
-  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS dup_bytes,
+  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_occurrences,
+  CAST(SUM(chunk_len) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+    AS dup_bytes,
   MIN(chunk_len) AS min_chunk_len,
-  SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
-    // SUM(chunk_len) AS dup_ppm
+  CAST(SUM(CASE WHEN occ > 1 THEN chunk_len ELSE 0 END) * 1000000
+    // SUM(chunk_len) AS BIGINT) AS dup_ppm
 FROM chunked JOIN counts USING (h)
 GROUP BY source
 ORDER BY source
@@ -730,7 +734,7 @@ ols AS (
 )
 SELECT m.event_type,
   CAST(m.n AS BIGINT) AS n_pairs,
-  m.slope AS theilsen_slope_e6,
+  CAST(m.slope AS BIGINT) AS theilsen_slope_e6,
   ({_TS_P} * o.sxy - o.sx * o.sy
     + CAST({_TS_OFFSET} AS BIGINT) * ({_TS_P} * o.sxx - o.sx * o.sx))
     // ({_TS_P} * o.sxx - o.sx * o.sx)
@@ -956,9 +960,9 @@ mid AS (
   GROUP BY r.event_type
 )
 SELECT c.event_type, c.n,
-  c.sum_e6 // c.n AS mean_e6,
+  CAST(c.sum_e6 // c.n AS BIGINT) AS mean_e6,
   m.n_mid,
-  m.mid_sum_e6 // m.n_mid AS trimmed_mean_e6
+  CAST(m.mid_sum_e6 // m.n_mid AS BIGINT) AS trimmed_mean_e6
 FROM counts c JOIN mid m ON c.event_type = m.event_type
 ORDER BY c.event_type
 """
@@ -1888,13 +1892,13 @@ bfd AS (
     FROM bfd WHERE i < len(dsc_n)
   )
 )
-SELECT l.shard, l.n_docs, l.total_tokens,
+SELECT l.shard, l.n_docs, CAST(l.total_tokens AS BIGINT) AS total_tokens,
   nf.bins AS bins_nextfit,
   CAST(len(bfd.fills) AS BIGINT) AS bins_bestfit,
-  l.total_tokens * 1000000 // (nf.bins * {_PACK_EVAL_C})
-    AS fill_nextfit_ppm,
-  l.total_tokens * 1000000 // (CAST(len(bfd.fills) AS BIGINT)
-    * {_PACK_EVAL_C}) AS fill_bestfit_ppm
+  CAST(l.total_tokens * 1000000 // (nf.bins * {_PACK_EVAL_C})
+    AS BIGINT) AS fill_nextfit_ppm,
+  CAST(l.total_tokens * 1000000 // (CAST(len(bfd.fills) AS BIGINT)
+    * {_PACK_EVAL_C}) AS BIGINT) AS fill_bestfit_ppm
 FROM lists l
 JOIN nf ON nf.shard = l.shard AND nf.i = len(nf.asc_n)
 JOIN bfd ON bfd.shard = l.shard AND bfd.i = len(bfd.dsc_n)

@@ -840,8 +840,8 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
     AS n_duplicated,
   CAST(SUM(CASE WHEN doc_id <> fp_keeper THEN 1 ELSE 0 END) AS BIGINT)
     AS n_dropped,
-  (SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
-    AS dup_ppm
+  CAST((SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+    AS BIGINT) AS dup_ppm
 FROM joined GROUP BY source ORDER BY source
 """
 

@@ -1,7 +1,19 @@
 """Differential check: run every workload query on Spark AND its DuckDB
-oracle, compare row count / schema / values. Mimics the driver's gate.
+oracle, compare row count / schema / values — AND result dtypes.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+The driver's gate hashes *typed* values, so a DuckDB HUGEINT (int128, the
+silent promotion of SUM over integer columns) mismatches a Spark BIGINT
+even when every value is equal.  Round 4 shipped two red driver rows
+because this script's compare was stringified and blind to that class.
+This version compares canonical Arrow types per column (int64 vs
+decimal(38,0) is a FAIL) and normalizes -0.0/NaN before float compare, so
+local green implies driver green.
+
+Usage:
+    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py --types [sf_dir]   # DuckDB-only sweep:
+        bind every oracle and fail if any result column is HUGEINT /
+        UHUGEINT / anything an int128 promotion produces.
 """
 
 from __future__ import annotations
@@ -12,6 +24,7 @@ import time
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,6 +40,40 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical type label: width-preserving for ints/decimals (so
+    int64 vs decimal(38,0) — the HUGEINT class — differs), tolerant of
+    representation-only variance (large_string vs string, timestamp tz)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_problems(spark_tbl: pa.Table, duck_tbl: pa.Table) -> list[str]:
+    problems = []
+    duck_types = {f.name: f.type for f in duck_tbl.schema}
+    for f in spark_tbl.schema:
+        if f.name not in duck_types:
+            continue  # column-set diff reported elsewhere
+        a, b = canon_type(f.type), canon_type(duck_types[f.name])
+        if a != b:
+            problems.append(f"dtype col {f.name}: spark {a} vs oracle {b}")
+    return problems
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -49,8 +96,8 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     for col in a.columns:
         av, bv = a[col], b[col]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            av = av.astype("float64")
-            bv = bv.astype("float64")
+            av = av.astype("float64") + 0.0  # +0.0 folds -0.0 into 0.0
+            bv = bv.astype("float64") + 0.0
             mism = ~((av == bv) | (av.isna() & bv.isna()))
             if mism.any():
                 idx = mism.idxmax()
@@ -69,16 +116,58 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+_INT128_TYPES = {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+
+
+def types_sweep(sf_dir: str, names: list[str]) -> int:
+    """Bind every oracle in DuckDB and fail on int128-family result
+    columns — catches the SUM(BIGINT)→HUGEINT promotion without running
+    Spark (binding plans the query; it does not execute it)."""
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name in names:
+        if name not in ORACLES:
+            continue
+        try:
+            rel = con.sql(ORACLES[name])
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in _INT128_TYPES
+            ]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb bind error: {exc}")
+            failures += 1
+            continue
+        if bad:
+            failures += 1
+            print(f"FAIL  {name}: int128 result columns: {', '.join(bad)}")
+    checked = sum(1 for n in names if n in ORACLES)
+    print(f"\n{checked - failures}/{checked} oracles int128-clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(QUERIES)
+    argv = [a for a in sys.argv[1:] if a != "--types"]
+    types_only = "--types" in sys.argv[1:]
+    sf_dir = (
+        argv[0]
+        if argv and os.path.isdir(argv[0])
+        else "/root/testdata/sf0.01"
+    )
+    names = (argv[1:] if argv and os.path.isdir(argv[0]) else argv) or list(
+        QUERIES
+    )
+    if types_only:
+        return types_sweep(sf_dir, names)
     spark = get_spark("oracle_check")
     con = duck_connection(sf_dir)
     failures = 0
     for name in names:
         t0 = time.time()
         try:
-            spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+            spark_tbl = QUERIES[name](spark, sf_dir).toArrow()
+            spark_pdf = spark_tbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
@@ -93,12 +182,15 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{spark_s:.1f}s]")
             continue
         try:
-            duck_pdf = con.sql(ORACLES[name]).df()
+            duck_tbl = con.sql(ORACLES[name]).arrow()
+            duck_pdf = duck_tbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
-        problems = compare(spark_pdf, duck_pdf)
+        problems = type_problems(spark_tbl, duck_tbl) + compare(
+            spark_pdf, duck_pdf
+        )
         if problems:
             failures += 1
             print(f"FAIL  {name}: [{spark_s:.1f}s]")

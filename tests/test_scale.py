@@ -127,10 +127,14 @@ def test_distributed_ntile_plan_is_range_partitioned(spark):
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
-    )
-    # the data-bearing rank runs after a range repartition, never through
-    # a single-partition global window over the full table
-    assert "rangepartitioning" in plan.lower(), plan
+    ).lower()
+    # the data-bearing rank runs per __pid over the localCheckpoint-ed
+    # range repartition (the checkpoint truncates the plan to a Scan
+    # ExistingRDD — the range exchange ran eagerly inside it), never
+    # through a single-partition global window over the full table
+    assert "existingrdd" in plan, plan
+    assert "row_number() windowspecdefinition(__pid" in plan, plan
+    assert "windowspecdefinition(metric" not in plan, plan
 
 
 def test_ivf_index_build_query_matches_inmemory_and_prunes(spark, tmp_path):
