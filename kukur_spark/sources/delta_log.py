@@ -50,20 +50,18 @@ def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
 def _reject_unsupported(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = protocol.get("readerFeatures") or []
-    supported = {"timestampNtz", "v2Checkpoint"} - {"v2Checkpoint"}
+    # columnMapping is read-supported (physical→logical rename below, the
+    # reference reads these transparently via delta-rs:
+    # kukur/source/delta/delta_lake.py:188-274); deletion vectors stay
+    # loudly rejected (per-add check + absent from this set).
+    supported = {"timestampNtz", "columnMapping"}
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):
         raise NotImplementedError(
             f"Delta reader features not supported here: "
             f"minReaderVersion={reader_version}, features={unsupported}"
         )
-    if reader_version == 2:
-        # column mapping tables rename physical columns — misreading
-        # them silently would be worse than refusing
-        raise NotImplementedError(
-            "Delta column-mapping tables (minReaderVersion=2) are not "
-            "supported without delta-spark"
-        )
+    # reader_version == 2 == column mapping: supported (see below)
 
 
 def read_snapshot(
@@ -183,6 +181,40 @@ def read_snapshot(
     )
 
 
+def _column_mapping(schema_json: Optional[str]):
+    """``[(physical_name, logical_name, logical_type)]`` for a
+    column-mapped schema, or ``None`` when the table isn't mapped.
+
+    Column-mapping tables (writer v5+/reader v2, or the ``columnMapping``
+    reader feature) store data under per-field physical names
+    (``delta.columnMapping.physicalName`` in the schemaString field
+    metadata — typically ``col-<uuid>``) while queries use logical
+    names.  Only top-level physical names appear as parquet column
+    names; nested struct fields are renamed by a position-based struct
+    cast to the logical datatype (Spark struct casts match by position
+    and relabel), so arbitrary nesting round-trips without Python.
+    """
+    import pyspark.sql.types as T
+
+    if not schema_json:
+        return None
+    parsed = json.loads(schema_json)
+    fields = parsed.get("fields") or []
+    if not any(
+        "delta.columnMapping.physicalName" in (f.get("metadata") or {})
+        for f in fields
+    ):
+        return None
+    logical = T.StructType.fromJson(parsed)
+    out = []
+    for raw, fld in zip(fields, logical.fields):
+        physical = (raw.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", fld.name
+        )
+        out.append((physical, fld.name, fld.dataType))
+    return out
+
+
 def read_delta(spark, table_path: str, version: Optional[int] = None):
     """Read a snapshot of a Delta table as a DataFrame.
 
@@ -201,6 +233,7 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
     from pyspark.sql import types as T
 
     snapshot = read_snapshot(table_path, version)
+    mapping = _column_mapping(snapshot.schema_json)
     if not snapshot.files:
         schema = (
             T.StructType.fromJson(json.loads(snapshot.schema_json))
@@ -218,18 +251,31 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
         for path in snapshot.files
     )
     if not snapshot.partition_columns or hive_style:
-        return spark.read.option("basePath", table_path).parquet(
+        df = spark.read.option("basePath", table_path).parquet(
             *snapshot.files
         )
-    # non-hive layout: group files by partition tuple, inject literals
-    groups: Dict[tuple, List[str]] = {}
-    for path in snapshot.files:
-        key = tuple(sorted(snapshot.partition_values[path].items()))
-        groups.setdefault(key, []).append(path)
-    out = None
-    for key, files in sorted(groups.items()):
-        df = spark.read.parquet(*files)
-        for column, value in key:
-            df = df.withColumn(column, F.lit(value))
-        out = df if out is None else out.unionByName(df)
-    return out
+    else:
+        # non-hive layout: group files by partition tuple, inject literals
+        groups: Dict[tuple, List[str]] = {}
+        for path in snapshot.files:
+            key = tuple(sorted(snapshot.partition_values[path].items()))
+            groups.setdefault(key, []).append(path)
+        df = None
+        for key, files in sorted(groups.items()):
+            part = spark.read.parquet(*files)
+            for column, value in key:
+                part = part.withColumn(column, F.lit(value))
+            df = part if df is None else df.unionByName(part)
+    if mapping:
+        # column-mapped table: relabel physical → logical.  The cast
+        # relabels nested struct fields by position, so the whole
+        # expression stays a JVM-side projection (partition columns —
+        # physical-named directories or injected string literals — get
+        # their declared logical type from the same cast).
+        df = df.select(
+            *[
+                F.col(physical).cast(dtype).alias(logical)
+                for physical, logical, dtype in mapping
+            ]
+        )
+    return df

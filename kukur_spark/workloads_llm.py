@@ -914,7 +914,12 @@ def docs_prefix_containment(spark: SparkSession, sf: str) -> DataFrame:
             )
             & F.col("b_text").startswith(F.col("a_text"))
         )
-        .select("prefix_id", "full_id", F.col("a_n").alias("prefix_chars"))
+        .select(
+            "prefix_id",
+            "full_id",
+            # long: F.length is int32, the oracle casts AS BIGINT
+            F.col("a_n").cast("long").alias("prefix_chars"),
+        )
         .orderBy("prefix_id", "full_id")
     )
 

@@ -1271,7 +1271,7 @@ def events_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
         ranked.filter(F.col("rn") <= 5)
         .select(
             "event_type",
-            "rn",
+            F.col("rn").cast("long").alias("rn"),
             "event_id",
             "v_e6",
             F.col("rnk").cast("long").alias("rnk"),

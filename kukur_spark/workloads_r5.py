@@ -37,7 +37,9 @@ def ts_linreg_trend(spark: SparkSession, sf: str) -> DataFrame:
     base = events.select(
         "event_type",
         F.expr(
-            "date_trunc('week', ts)"
+            # date cast: DuckDB date_trunc('week', ts) is DATE, Spark's
+            # is TIMESTAMP — the driver hashes typed values
+            "cast(date_trunc('week', ts) as date)"
         ).alias("week"),
         (
             (F.unix_micros("ts") - F.unix_micros(F.expr("date_trunc('week', ts)")))
@@ -118,7 +120,9 @@ def ts_ma_crossover(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events")
     daily = (
         events.groupBy(
-            "event_type", F.date_trunc("day", "ts").alias("day")
+            "event_type",
+            # date, not timestamp — matches DuckDB date_trunc's DATE
+            F.date_trunc("day", "ts").cast("date").alias("day"),
         )
         .agg(
             F.sum(
@@ -642,7 +646,9 @@ def events_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
     """
     events = load_table(spark, sf, "events")
     pairs = events.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
+        "user_id",
+        # date, not timestamp — matches DuckDB date_trunc's DATE result
+        F.date_trunc("day", "ts").cast("date").alias("day"),
     ).distinct()
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     support = pairs.select(

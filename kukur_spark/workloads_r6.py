@@ -185,7 +185,7 @@ ranked AS (
       ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) AS rank
   FROM bm25
 )
-SELECT query_id, doc_id, bm25_e6, rank
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25_e6, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 

@@ -78,6 +78,13 @@ def type_problems(spark_tbl: pa.Table, duck_tbl: pa.Table) -> list[str]:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # Arrow keeps Spark timestamps tz-aware (UTC) while DuckDB's are
+    # naive; the session tz is UTC so the instants are identical — fold
+    # to naive before value compare (the dtype check above still flags
+    # date-vs-timestamp and width mismatches).
+    for col in df.columns:
+        if isinstance(df[col].dtype, pd.DatetimeTZDtype):
+            df[col] = df[col].dt.tz_convert("UTC").dt.tz_localize(None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
