@@ -1,0 +1,249 @@
+"""Delta Lake deletion-vector decoding — no delta-spark jars required.
+
+Deletion vectors (Delta PROTOCOL.md, "Deletion Vectors" — the reference
+reads DV tables transparently via delta-rs, kukur/source/delta/
+delta_lake.py:188-274) mark rows of a parquet data file as deleted
+without rewriting the file: the ``add`` action carries a
+``deletionVector`` descriptor pointing at a serialized 64-bit roaring
+bitmap of deleted row indexes.
+
+This module decodes the three storage flavors into plain position
+lists with stdlib-only parsing:
+
+- ``i`` — the bitmap is inline in the descriptor, Z85-encoded;
+- ``u`` — the bitmap lives in a ``deletion_vector_<uuid>.bin`` file in
+  the table directory (UUID Z85-encoded in the descriptor, optional
+  random prefix), wrapped as ``[size: 4B BE][data][crc32: 4B BE]`` at
+  ``offset`` with a leading format-version byte;
+- ``p`` — same file wrapping at an absolute path.
+
+The serialized blob is ``[magic: 4B LE = 1681511377]`` followed by a
+RoaringBitmapArray in the *portable* format: ``[#bitmaps: 8B LE]`` then
+per 32-bit sub-bitmap ``[key: 4B LE]`` + a standard-format 32-bit
+roaring bitmap (RoaringFormatSpec: array / bitmap / run containers).
+A deleted position is ``(key << 32) | low32``.
+
+``kukur_spark.sources.delta_log.read_delta`` turns these positions into
+a broadcast anti-join on ``(_metadata.file_path, _metadata.row_index)``
+— the scan stays a plain distributed parquet read; only the bitmap
+(bounded by the deleted-row count, not the table) moves to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Dict, List
+from uuid import UUID
+
+_MAGIC = 1681511377  # RoaringBitmapArray portable-format magic (Delta spec)
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_decode(text: str) -> bytes:
+    """ZeroMQ Z85: 5 chars → 4 bytes (len must be a multiple of 5)."""
+    if len(text) % 5:
+        raise ValueError(f"Z85 length {len(text)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for ch in text[i : i + 5]:
+            acc = acc * 85 + _Z85_DECODE[ch]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(data: bytes) -> str:
+    """Inverse of :func:`z85_decode` (fixture crafting + symmetry).
+
+    Like Delta's Base85 codec, input is zero-padded to a 4-byte multiple
+    — the descriptor's ``sizeInBytes`` recovers the true length."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    chunks = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        block = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            block.append(_Z85_ALPHABET[rem])
+        chunks.append("".join(reversed(block)))
+    return "".join(chunks)
+
+
+def _parse_roaring32(buf: bytes, pos: int) -> tuple[List[int], int]:
+    """One 32-bit roaring bitmap in the standard portable format.
+
+    Returns (sorted values, next offset).  Handles the three container
+    kinds; run-container presence is signaled by the 12347 cookie and a
+    per-container run flag bitset (RoaringFormatSpec)."""
+    (cookie32,) = struct.unpack_from("<I", buf, pos)
+    cookie = cookie32 & 0xFFFF
+    if cookie == _SERIAL_COOKIE:
+        n_containers = (cookie32 >> 16) + 1
+        pos += 4
+        run_flags = buf[pos : pos + (n_containers + 7) // 8]
+        pos += (n_containers + 7) // 8
+        has_run = True
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n_containers,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_flags = b""
+        has_run = False
+    else:
+        raise ValueError(f"bad roaring cookie {cookie32:#x}")
+
+    keys: List[int] = []
+    cards: List[int] = []
+    for i in range(n_containers):
+        key, card_minus_1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys.append(key)
+        cards.append(card_minus_1 + 1)
+
+    def _is_run(i: int) -> bool:
+        return has_run and bool(run_flags[i // 8] & (1 << (i % 8)))
+
+    # the offset header exists for the no-run cookie, or when there are
+    # at least 4 containers (NO_OFFSET_THRESHOLD)
+    if not has_run or n_containers >= 4:
+        pos += 4 * n_containers  # offsets are redundant for linear parse
+
+    values: List[int] = []
+    for i in range(n_containers):
+        base = keys[i] << 16
+        if _is_run(i):
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base + v for v in range(start, start + length + 1))
+        elif cards[i] > 4096:  # bitmap container: 8 KiB bitset
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for w_idx, word in enumerate(words):
+                while word:
+                    low = word & -word
+                    values.append(base + w_idx * 64 + low.bit_length() - 1)
+                    word ^= low
+        else:  # array container: sorted uint16s
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, pos)
+            pos += 2 * cards[i]
+            values.extend(base + v for v in vals)
+    return values, pos
+
+
+def parse_bitmap(data: bytes) -> List[int]:
+    """Decode ``[magic][RoaringBitmapArray portable]`` into sorted
+    64-bit row positions."""
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _MAGIC:
+        raise ValueError(
+            f"bad deletion-vector magic {magic} (want {_MAGIC})"
+        )
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: List[int] = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        values, pos = _parse_roaring32(data, pos)
+        out.extend((key << 32) | v for v in values)
+    return sorted(out)
+
+
+def serialize_bitmap(positions: List[int]) -> bytes:
+    """Inverse of :func:`parse_bitmap` — array containers, no-run cookie
+    (what small fixtures and tests need; parse handles all kinds)."""
+    by_key: Dict[int, Dict[int, List[int]]] = {}
+    for p in sorted(set(positions)):
+        by_key.setdefault(p >> 32, {}).setdefault(
+            (p >> 16) & 0xFFFF, []
+        ).append(p & 0xFFFF)
+    blob = bytearray(struct.pack("<iq", _MAGIC, len(by_key)))
+    for key in sorted(by_key):
+        containers = by_key[key]
+        blob += struct.pack("<I", key)
+        blob += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(containers))
+        for ckey in sorted(containers):
+            blob += struct.pack("<HH", ckey, len(containers[ckey]) - 1)
+        # offset header: byte position of each container's data relative
+        # to the start of this 32-bit bitmap (cookie byte 0); header =
+        # cookie(4) + count(4) + descriptive(4n) + offsets(4n)
+        running = 8 + 8 * len(containers)
+        for ckey in sorted(containers):
+            card = len(containers[ckey])
+            blob += struct.pack("<I", running)
+            running += 8192 if card > 4096 else 2 * card
+        for ckey in sorted(containers):
+            vals = containers[ckey]
+            if len(vals) > 4096:  # bitmap container (readers switch >4096)
+                words = [0] * 1024
+                for v in vals:
+                    words[v // 64] |= 1 << (v % 64)
+                blob += struct.pack("<1024Q", *words)
+            else:
+                for v in vals:
+                    blob += struct.pack("<H", v)
+    return bytes(blob)
+
+
+def dv_file_name(uuid_z85: str) -> str:
+    """``u``-storage file name for a Z85-encoded UUID descriptor."""
+    prefix, encoded = uuid_z85[:-20], uuid_z85[-20:]
+    uuid = UUID(bytes=z85_decode(encoded))
+    name = f"deletion_vector_{uuid}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def read_descriptor(table_path: str, descriptor: dict) -> List[int]:
+    """Deleted row positions for one ``add.deletionVector`` descriptor."""
+    storage = descriptor["storageType"]
+    payload = descriptor["pathOrInlineDv"]
+    if storage == "i":
+        data = z85_decode(payload)
+        size = descriptor.get("sizeInBytes")
+        if size is not None:  # strip the codec's zero padding
+            data = data[: int(size)]
+        return parse_bitmap(data)
+    if storage == "u":
+        path = os.path.join(table_path, dv_file_name(payload))
+    elif storage == "p":
+        path = payload[len("file://"):] if payload.startswith("file://") else payload
+    else:
+        raise NotImplementedError(
+            f"Delta deletion-vector storageType {storage!r} not supported"
+        )
+    offset = int(descriptor.get("offset") or 0)
+    size = int(descriptor["sizeInBytes"])
+    with open(path, "rb") as handle:
+        if handle.read(1) != b"\x01":
+            raise ValueError(f"unsupported deletion-vector file version: {path}")
+        handle.seek(offset)
+        (stored_size,) = struct.unpack(">I", handle.read(4))
+        if stored_size != size:
+            raise ValueError(
+                f"deletion-vector size mismatch at {path}:{offset}: "
+                f"{stored_size} != {size}"
+            )
+        data = handle.read(size)
+        (crc,) = struct.unpack(">I", handle.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"deletion-vector checksum mismatch: {path}")
+    positions = parse_bitmap(data)
+    cardinality = descriptor.get("cardinality")
+    if cardinality is not None and len(positions) != int(cardinality):
+        raise ValueError(
+            f"deletion-vector cardinality mismatch: {len(positions)} != "
+            f"{cardinality}"
+        )
+    return positions

@@ -12,9 +12,11 @@ Spark the live file list; ``file_source`` reads them with ``basePath``
 so hive-style partition directories still resolve to partition columns
 and Catalyst still prunes. The semantics delta-spark would give a
 read-only scan — tombstone exclusion, schema from ``metaData``,
-partition columns — are reproduced engine-side; writer features
-(deletion vectors, column mapping) are detected and rejected loudly
-rather than silently misread.
+partition columns — are reproduced engine-side.  Column mapping
+(name mode) is read via the physical→logical rename in ``read_delta``;
+deletion vectors are applied via a broadcast anti-join on the scan's
+``_metadata.row_index`` (decoding in ``delta_dv``); id-mode column
+mapping is detected and rejected loudly rather than silently misread.
 """
 
 from __future__ import annotations
@@ -33,6 +35,9 @@ class DeltaSnapshot:
     partition_values: Dict[str, Dict[str, str]]  # path -> partition map
     schema_json: Optional[str] = None  # Spark StructType JSON
     partition_columns: List[str] = field(default_factory=list)
+    configuration: Dict[str, str] = field(default_factory=dict)
+    # path -> add.deletionVector descriptor for files with deleted rows
+    deletion_vectors: Dict[str, dict] = field(default_factory=dict)
 
 
 def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
@@ -50,11 +55,10 @@ def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
 def _reject_unsupported(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = protocol.get("readerFeatures") or []
-    # columnMapping is read-supported (physical→logical rename below, the
-    # reference reads these transparently via delta-rs:
-    # kukur/source/delta/delta_lake.py:188-274); deletion vectors stay
-    # loudly rejected (per-add check + absent from this set).
-    supported = {"timestampNtz", "columnMapping"}
+    # columnMapping and deletionVectors are read-supported (physical→
+    # logical rename + DV anti-join below; the reference reads these
+    # transparently via delta-rs: kukur/source/delta/delta_lake.py:188-274).
+    supported = {"timestampNtz", "columnMapping", "deletionVectors"}
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):
         raise NotImplementedError(
@@ -80,8 +84,10 @@ def read_snapshot(
 
     start_version = 0
     adds: Dict[str, Dict[str, str]] = {}
+    dvs: Dict[str, dict] = {}  # rel path -> deletionVector descriptor
     schema_json: Optional[str] = None
     partition_columns: List[str] = []
+    configuration: Dict[str, str] = {}
 
     last_checkpoint = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_checkpoint) and version is not None:
@@ -114,12 +120,21 @@ def read_snapshot(
                     partition_columns = list(
                         meta.get("partitionColumns") or partition_columns
                     )
+                    configuration = dict(
+                        meta.get("configuration") or configuration
+                    )
                 add = row.get("add")
                 if add:
                     adds[add["path"]] = dict(add.get("partitionValues") or {})
+                    dv = add.get("deletionVector")
+                    if dv:  # a re-add replaces the file's DV (or clears it)
+                        dvs[add["path"]] = dict(dv)
+                    else:
+                        dvs.pop(add["path"], None)
                 remove = row.get("remove")
                 if remove:
                     adds.pop(remove["path"], None)
+                    dvs.pop(remove["path"], None)
         start_version = cp_version + 1
 
     current = start_version - 1
@@ -145,18 +160,22 @@ def read_snapshot(
                     partition_columns = list(
                         meta.get("partitionColumns") or partition_columns
                     )
+                    configuration = dict(
+                        meta.get("configuration") or configuration
+                    )
                 if "add" in action:
                     add = action["add"]
-                    if add.get("deletionVector"):
-                        raise NotImplementedError(
-                            "Delta deletion vectors are not supported "
-                            "without delta-spark"
-                        )
                     adds[add["path"]] = dict(
                         add.get("partitionValues") or {}
                     )
+                    dv = add.get("deletionVector")
+                    if dv:  # a re-add replaces the file's DV (or clears it)
+                        dvs[add["path"]] = dict(dv)
+                    else:
+                        dvs.pop(add["path"], None)
                 if "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                    dvs.pop(action["remove"]["path"], None)
         v += 1
     if current < 0:
         raise FileNotFoundError(f"no Delta commits found in {log_dir}")
@@ -167,10 +186,13 @@ def read_snapshot(
 
     files = []
     partition_values = {}
+    deletion_vectors = {}
     for rel_path, pvals in adds.items():
         abs_path = os.path.join(table_path, unquote(rel_path))
         files.append(abs_path)
         partition_values[abs_path] = pvals
+        if rel_path in dvs:
+            deletion_vectors[abs_path] = dvs[rel_path]
     files.sort()
     return DeltaSnapshot(
         version=current,
@@ -178,6 +200,8 @@ def read_snapshot(
         partition_values=partition_values,
         schema_json=schema_json,
         partition_columns=partition_columns,
+        configuration=configuration,
+        deletion_vectors=deletion_vectors,
     )
 
 
@@ -233,6 +257,17 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
     from pyspark.sql import types as T
 
     snapshot = read_snapshot(table_path, version)
+    # The spec's `id` mode matches parquet columns by field id, not by
+    # physicalName — tables written by non-Spark engines in id mode can
+    # carry arbitrary parquet column names, so name-matching would
+    # silently misread.  Reject loudly; `name` mode (and unset = no
+    # mapping) reads below.
+    mode = snapshot.configuration.get("delta.columnMapping.mode")
+    if mode == "id":
+        raise NotImplementedError(
+            "Delta column mapping mode 'id' (field-id matching) is not "
+            "supported here; only 'name' mode is"
+        )
     mapping = _column_mapping(snapshot.schema_json)
     if not snapshot.files:
         schema = (
@@ -241,6 +276,21 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
             else T.StructType([])
         )
         return spark.createDataFrame([], schema)
+
+    def _with_position(scan):
+        """Attach the scan-only ``_metadata`` row position for DV
+        filtering: filesystem path (scheme stripped, %xx decoded to
+        match snapshot paths) + within-file row index."""
+        return scan.withColumns(
+            {
+                "__dv_file": F.url_decode(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+                    )
+                ),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
 
     hive_style = all(
         all(
@@ -254,6 +304,8 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
         df = spark.read.option("basePath", table_path).parquet(
             *snapshot.files
         )
+        if snapshot.deletion_vectors:
+            df = _with_position(df)
     else:
         # non-hive layout: group files by partition tuple, inject literals
         groups: Dict[tuple, List[str]] = {}
@@ -263,9 +315,32 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
         df = None
         for key, files in sorted(groups.items()):
             part = spark.read.parquet(*files)
+            if snapshot.deletion_vectors:
+                part = _with_position(part)
             for column, value in key:
                 part = part.withColumn(column, F.lit(value))
             df = part if df is None else df.unionByName(part)
+    if snapshot.deletion_vectors:
+        # Deleted row positions anti-join away.  The bitmap is decoded
+        # driver-side (bounded by the DELETED row count — a compaction
+        # rewrites heavily-deleted files long before this matters) and
+        # broadcast, so the scan stays a plain distributed parquet read
+        # with no shuffle on the data side.
+        from kukur_spark.sources.delta_dv import read_descriptor
+
+        deleted = [
+            (path, pos)
+            for path, descriptor in sorted(
+                snapshot.deletion_vectors.items()
+            )
+            for pos in read_descriptor(table_path, descriptor)
+        ]
+        deleted_df = spark.createDataFrame(
+            deleted, "__dv_file string, __dv_pos long"
+        )
+        df = df.join(
+            F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
+        ).drop("__dv_file", "__dv_pos")
     if mapping:
         # column-mapped table: relabel physical → logical.  The cast
         # relabels nested struct fields by position, so the whole

@@ -21,7 +21,7 @@ Determinism rules used throughout so Spark and DuckDB agree bit-for-bit:
 from __future__ import annotations
 
 from datetime import datetime, timezone
-from typing import Callable, Dict
+from typing import Callable, Dict, List
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2326,56 +2326,51 @@ QUERIES["lsh_jaccard_edges"] = lsh_jaccard_edges
 
 # ---------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate records only the
-# FIRST 50 registry entries, so each round the strongest *new* machinery is
-# rotated into that window and long-proven simple queries rotate out (they
-# stay registered and keep their oracles — the full local gate still covers
-# them).  Every promoted name must be oracle-paired; tests/test_entry.py
-# pins the window.  Must run AFTER the last QUERIES[...] registration.
+# FIRST 50 registry entries.  Through round 5 the window rotated a handful
+# of flagships per round, which left 160/226 oracled queries never
+# driver-checked (VERDICT r5's structural complaint).  From round 6 the
+# window is rebuilt wholesale each round: ~5 long-proven canaries (regression
+# tripwires spanning the core families) + ~45 queries that have never earned
+# a driver-green row, swept in registry order until every oracled query has
+# been driver-checked.  Ever-checked names accumulate in the committed
+# CORRECTNESS_r*.json files.  Every window name must be oracle-paired;
+# tests/test_registry_window.py pins the invariants.  Must run AFTER the
+# last QUERIES[...] registration.
 # ---------------------------------------------------------------------------
-_PROMOTE_TO_WINDOW = [
-    "docs_curation_funnel",  # r9 composed flagship (recursive-closure oracle)
-    "emb_ivfpq_topk",  # r9 IVF-PQ ANN path
-    "ts_merge_intervals",  # r4: fully distributed interval merge
-    "emb_outlier_knn",  # r4: multi-table LSH candidate join
-    "dedup_incremental",  # new×history banding join
-    "nation_trade_pagerank",  # exact-integer iterative PageRank
-    "ts_dtw_banded",  # r4: nested-fold banded DTW over PAA sketches
-    "ts_haar_energy",  # r4: row-local Haar pyramid after one shuffle
-    "docs_cdc_chunks",  # r4: content-defined chunking dedup
-    "text_bpe_merge_steps",  # r4: BPE trainer kernel
-    "customer_symspell_pairs",  # r4: delete-key fuzzy join
-    "docs_ks_drift",  # r4: exact KS on distributed prefix sums
-    "docs_dedup_survivorship",  # r4: policy eval, recursive-closure oracle
-    "lsh_jaccard_edges",  # r5: banded production path replaces the
-    # all-pairs exact baseline in the graded window (VERDICT r4 #4); the
-    # exact twin stays registered as the recall baseline.
+_WINDOW_CANARIES = [
+    "tpch_q1",  # flagship scan→agg (also the entry() smoke query)
+    "ts_range_filter",  # pushed tag + half-open time-range filter
+    "ts_asof_join",  # as-of join machinery
+    "dedup_exact",  # exact dedup family
+    "minhash_lsh_md5",  # LSH banding pipeline (deterministic md5 twin)
 ]
-_DEMOTE_FROM_WINDOW = [
-    "orders_by_quarter",
-    "distinct_users",
-    "events_rollup",
-    "orders_exists_semi",
-    "orders_missing_anti",
-    "events_json_extract",
-    "events_pivot_wide",
-    "customer_cube",
-    "events_rolling_7d",
-    "emb_topk_l2",
-    "corpus_stats",
-    "emb_centroid_per_label",
-    "emb_neardup_pairs",
-    "ngram_jaccard",
+_WINDOW_SWEEP_R6 = [
+    "tpch_q2", "tpch_q20", "tpch_q4", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q21", "tpch_q22",
+    "ts_twa", "ts_paa_sax", "ts_lttb", "ts_seasonal_profile",
+    "ts_counter_delta", "ts_zscore_outliers", "ts_rate_of_change",
+    "ts_minmax_normalize", "ts_gap_detect", "ts_percentiles",
+    "ts_value_histogram", "ts_corr_pairs", "ts_ewma", "ts_autocorr",
+    "multimodal_frame_sample", "multimodal_resize",
+    "ts_rolling_quantile", "ts_cusum_changepoint",
+    "ts_trapezoid_integral", "ts_mad_outliers",
+    "events_funnel", "emb_kmeans_step", "docs_split_assign",
+    "docs_decontaminate", "docs_pipeline_yield",
+    "events_retention_cohorts", "emb_dim_stats",
+    "ts_seasonal_residual_outliers", "orders_market_basket",
+    "ts_downtime_intervals", "emb_pq_topk",
+    "ts_seasonal_naive_backtest", "events_transition_matrix",
 ]
 
 
-def _rotate_window(queries: Dict[str, Callable], window: int = 50) -> Dict:
-    names = list(queries)
-    head, tail = names[:window], names[window:]
-    for demoted, promoted in zip(_DEMOTE_FROM_WINDOW, _PROMOTE_TO_WINDOW):
-        head[head.index(demoted)] = promoted
-        tail.remove(promoted)
-        tail.append(demoted)
-    return {name: queries[name] for name in head + tail}
+def _set_window(queries: Dict[str, Callable], window: List[str]) -> Dict:
+    missing = [n for n in window if n not in queries]
+    if missing:
+        raise KeyError(f"window names not registered: {missing}")
+    head = set(window)
+    rest = [n for n in queries if n not in head]
+    return {name: queries[name] for name in list(window) + rest}
 
 
-QUERIES = _rotate_window(QUERIES)
+QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R6)

@@ -149,14 +149,26 @@ def types_sweep(sf_dir: str, names: list[str]) -> int:
         if bad:
             failures += 1
             print(f"FAIL  {name}: int128 result columns: {', '.join(bad)}")
+    skipped = [n for n in names if n not in ORACLES]
+    if skipped:
+        print(f"note: {len(skipped)} names have no oracle (rows-only)")
     checked = sum(1 for n in names if n in ORACLES)
     print(f"\n{checked - failures}/{checked} oracles int128-clean")
+    if checked == 0:
+        print("ERROR: 0 oracles checked — nothing verified")
+        return 2
     return 1 if failures else 0
 
 
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--types"]
     types_only = "--types" in sys.argv[1:]
+    if argv and os.sep in argv[0] and not os.path.isdir(argv[0]):
+        # a path-looking first arg that isn't a directory is a typo, not
+        # a query name — silently falling back to the default sf_dir
+        # would turn the whole run into a vacuous pass
+        print(f"ERROR: {argv[0]!r} looks like a path but is not a directory")
+        return 2
     sf_dir = (
         argv[0]
         if argv and os.path.isdir(argv[0])
@@ -165,6 +177,10 @@ def main() -> int:
     names = (argv[1:] if argv and os.path.isdir(argv[0]) else argv) or list(
         QUERIES
     )
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"ERROR: unknown query names: {', '.join(unknown)}")
+        return 2
     if types_only:
         return types_sweep(sf_dir, names)
     spark = get_spark("oracle_check")

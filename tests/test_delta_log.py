@@ -235,14 +235,269 @@ def test_checkpoint_plus_commits(spark, tmp_path):
 
 
 def test_unsupported_reader_features_rejected(spark, tmp_path):
-    root = str(tmp_path / "utable")
+    """Reader v2 (column mapping) is accepted since round 5; genuinely
+    unsupported reader features (v3 + deletionVectors, or any v4+)
+    still raise loudly instead of misreading."""
+    # v2 = column mapping: accepted (read path below has its own tests)
+    root = str(tmp_path / "v2table")
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir)
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta_action([("value", "double")]),
+    ])
+    assert read_snapshot(root).version == 0
+
+    # v3 with an unsupported reader feature: rejected
+    root = str(tmp_path / "v3table")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+    ])
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        read_snapshot(root)
+
+    # v3 with only supported features: accepted
+    root = str(tmp_path / "v3ok")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz", "columnMapping",
+                                         "deletionVectors"]}},
+        _meta_action([("value", "double")]),
+    ])
+    assert read_snapshot(root).version == 0
+
+    # any v4+: rejected regardless of features
+    root = str(tmp_path / "v4table")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
     ])
     with pytest.raises(NotImplementedError):
         read_snapshot(root)
+
+
+def _mapped_field(name, dtype, field_id, physical, metadata=None):
+    meta = {
+        "delta.columnMapping.id": field_id,
+        "delta.columnMapping.physicalName": physical,
+    }
+    meta.update(metadata or {})
+    return {"name": name, "type": dtype, "nullable": True, "metadata": meta}
+
+
+def _mapped_meta_action(fields, partition_columns=(), mode="name"):
+    return {
+        "metaData": {
+            "id": "mapped-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": list(partition_columns),
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+        }
+    }
+
+
+_PROTOCOL_V2 = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+
+
+def test_column_mapping_flat_roundtrip(spark, tmp_path):
+    """Name-mode column mapping: data lives under col-<uuid> physical
+    names; the read surfaces logical names with the declared types."""
+    root = str(tmp_path / "cm_flat")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    # data file uses PHYSICAL column names
+    _write_parquet(
+        spark,
+        [("s1", datetime(2020, 1, 1), 1.5), ("s2", datetime(2020, 1, 2), 2.5)],
+        "`col-aaa` string, `col-bbb` timestamp, `col-ccc` double",
+        os.path.join(root, "part0.parquet"),
+    )
+    fields = [
+        _mapped_field("series name", "string", 1, "col-aaa"),
+        _mapped_field("ts", "timestamp", 2, "col-bbb"),
+        _mapped_field("value", "double", 3, "col-ccc"),
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL_V2,
+        _mapped_meta_action(fields),
+        {"add": {"path": "part0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["series name", "ts", "value"]
+    assert dict(df.dtypes)["value"] == "double"
+    rows = df.orderBy("ts").collect()
+    assert [r["series name"] for r in rows] == ["s1", "s2"]
+    assert [r["value"] for r in rows] == [1.5, 2.5]
+
+
+def test_column_mapping_partitioned_roundtrip(spark, tmp_path):
+    """Partition directories and add-action partitionValues use the
+    PHYSICAL name; the logical partition column comes back typed."""
+    root = str(tmp_path / "cm_part")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    for day, value in [(1, 1.0), (2, 2.0)]:
+        rel_dir = f"col-ddd={day}"
+        os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+        _write_parquet(
+            spark, [(datetime(2020, 1, day), value)],
+            "`col-bbb` timestamp, `col-ccc` double",
+            os.path.join(root, rel_dir, "part.parquet"),
+        )
+    fields = [
+        _mapped_field("ts", "timestamp", 1, "col-bbb"),
+        _mapped_field("value", "double", 2, "col-ccc"),
+        _mapped_field("day", "integer", 3, "col-ddd"),
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL_V2,
+        _mapped_meta_action(fields, partition_columns=["day"]),
+        {"add": {"path": "col-ddd=1/part.parquet",
+                 "partitionValues": {"col-ddd": "1"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "col-ddd=2/part.parquet",
+                 "partitionValues": {"col-ddd": "2"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["ts", "value", "day"]
+    assert dict(df.dtypes)["day"] == "int"
+    rows = df.orderBy("day").collect()
+    assert [(r.day, r.value) for r in rows] == [(1, 1.0), (2, 2.0)]
+
+
+def test_column_mapping_nested_struct_roundtrip(spark, tmp_path):
+    """Nested struct fields are renamed physical→logical by the
+    position-based struct cast."""
+    root = str(tmp_path / "cm_nested")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark,
+        [(("pump", 7), 1.0)],
+        "`col-sss` struct<`col-nnn`: string, `col-uuu`: int>, "
+        "`col-ccc` double",
+        os.path.join(root, "part0.parquet"),
+    )
+    nested_type = {
+        "type": "struct",
+        "fields": [
+            _mapped_field("name", "string", 3, "col-nnn"),
+            _mapped_field("unit", "integer", 4, "col-uuu"),
+        ],
+    }
+    fields = [
+        _mapped_field("tags", nested_type, 1, "col-sss"),
+        _mapped_field("value", "double", 2, "col-ccc"),
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL_V2,
+        _mapped_meta_action(fields),
+        {"add": {"path": "part0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["tags", "value"]
+    row = df.collect()[0]
+    assert row.tags.name == "pump"
+    assert row.tags.unit == 7
+    assert row.value == 1.0
+
+
+def test_column_mapping_through_checkpoint(spark, tmp_path):
+    """A column-mapped schemaString arriving via a parquet checkpoint's
+    metaData row (not a JSON commit) still drives the rename."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cm_ckpt")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark, [("s1", 5.0)], "`col-aaa` string, `col-ccc` double",
+        os.path.join(root, "a.parquet"),
+    )
+    fields = [
+        _mapped_field("series name", "string", 1, "col-aaa"),
+        _mapped_field("value", "double", 2, "col-ccc"),
+    ]
+    rows = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {
+             "id": "t",
+             "schemaString": json.dumps(
+                 {"type": "struct", "fields": fields}
+             ),
+             "partitionColumns": [],
+             "configuration": [("delta.columnMapping.mode", "name")],
+         },
+         "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "a.parquet", "partitionValues": {}}},
+    ]
+    checkpoint_schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=checkpoint_schema),
+        os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as handle:
+        json.dump({"version": 0, "size": 3}, handle)
+    snapshot = read_snapshot(root)
+    assert snapshot.configuration.get("delta.columnMapping.mode") == "name"
+    df = read_delta(spark, root)
+    assert df.columns == ["series name", "value"]
+    assert df.collect()[0]["value"] == 5.0
+
+
+def test_column_mapping_id_mode_rejected(spark, tmp_path):
+    """`id` mode matches parquet columns by field id — name-matching
+    could silently misread, so the read refuses loudly."""
+    root = str(tmp_path / "cm_id")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark, [(1.0,)], "`col-ccc` double",
+        os.path.join(root, "part0.parquet"),
+    )
+    fields = [_mapped_field("value", "double", 1, "col-ccc")]
+    _commit(log_dir, 0, [
+        _PROTOCOL_V2,
+        _mapped_meta_action(fields, mode="id"),
+        {"add": {"path": "part0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(NotImplementedError, match="id"):
+        read_delta(spark, root)
 
 
 def test_delta_timestamp_partition_pruning(spark, tmp_path):
@@ -326,3 +581,205 @@ def test_time_travel_through_file_source_config(spark, tmp_path):
     sel = SeriesSelector.from_name("tt", "s1")
     rows = src.get_data(sel, START, END).collect()
     assert sorted(r.value for r in rows) == [1.0, 99.0]
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (round 6): crafted in the open DV format — Z85 payloads,
+# [size][data][crc32] file wrapping, RoaringBitmapArray portable bitmaps —
+# exactly what a DV-enabled Delta writer produces.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+from kukur_spark.sources.delta_dv import serialize_bitmap, z85_encode
+
+
+def _inline_dv(positions):
+    data = serialize_bitmap(positions)
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "offset": None,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def _file_dv(root, positions, prefix=""):
+    """Write a `u`-storage DV file; returns the add-action descriptor."""
+    from uuid import uuid4
+
+    data = serialize_bitmap(positions)
+    uuid = uuid4()
+    rel_dir = os.path.join(prefix) if prefix else ""
+    os.makedirs(os.path.join(root, rel_dir) or root, exist_ok=True)
+    path = os.path.join(root, rel_dir, f"deletion_vector_{uuid}.bin")
+    offset = 1  # right after the version byte
+    with open(path, "wb") as handle:
+        handle.write(b"\x01")
+        handle.write(struct.pack(">I", len(data)))
+        handle.write(data)
+        handle.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    encoded = (prefix + "/" if prefix else "") + z85_encode(uuid.bytes)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": encoded,
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def test_deletion_vector_inline(spark, tmp_path):
+    """Inline (`i`) DV: rows at the flagged positions disappear."""
+    root = str(tmp_path / "dv_inline")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark,
+        [(i, float(i) * 10) for i in range(6)],
+        "id long, value double",
+        os.path.join(root, "a.parquet"),
+    )
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta_action([("id", "long"), ("value", "double")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([1, 3, 4])}},
+    ])
+    rows = read_delta(spark, root).orderBy("id").collect()
+    assert [r.id for r in rows] == [0, 2, 5]
+    assert [r.value for r in rows] == [0.0, 20.0, 50.0]
+
+
+def test_deletion_vector_file_storage(spark, tmp_path):
+    """`u` storage: bitmap in deletion_vector_<uuid>.bin with the
+    [version][size][data][crc] wrapping, UUID Z85-encoded with a
+    directory prefix."""
+    root = str(tmp_path / "dv_file")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    for name, vals in [("a", [0, 1, 2]), ("b", [10, 11, 12])]:
+        _write_parquet(
+            spark, [(v, float(v)) for v in vals], "id long, value double",
+            os.path.join(root, f"{name}.parquet"),
+        )
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta_action([("id", "long"), ("value", "double")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _file_dv(root, [0, 2], prefix="ab")}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    rows = read_delta(spark, root).orderBy("id").collect()
+    # a keeps only row index 1 (id=1); b untouched
+    assert [r.id for r in rows] == [1, 10, 11, 12]
+
+
+def test_deletion_vector_replaced_on_readd(spark, tmp_path):
+    """A later add of the same file replaces its DV (the Delta way to
+    delete more rows); a re-add without a DV clears it."""
+    root = str(tmp_path / "dv_readd")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark, [(i, float(i)) for i in range(4)], "id long, value double",
+        os.path.join(root, "a.parquet"),
+    )
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta_action([("id", "long"), ("value", "double")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0])}},
+    ])
+    _commit(log_dir, 1, [
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0, 2])}},
+    ])
+    assert [r.id for r in read_delta(spark, root).orderBy("id").collect()] \
+        == [1, 3]
+    # time travel to v0 sees only the first deletion
+    assert [r.id for r in
+            read_delta(spark, root, version=0).orderBy("id").collect()] \
+        == [1, 2, 3]
+    # v2 re-adds without a DV -> all rows back
+    _commit(log_dir, 2, [
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert [r.id for r in read_delta(spark, root).orderBy("id").collect()] \
+        == [0, 1, 2, 3]
+
+
+def test_deletion_vector_partitioned_dir_with_space(spark, tmp_path):
+    """DV position matching survives URI-encoded scan paths (partition
+    directory containing a space) and composes with partition pruning."""
+    root = str(tmp_path / "dv_part")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    for name, vals in [("s1", [1.0, 2.0, 3.0]), ("s2", [9.0])]:
+        part_dir = os.path.join(root, f"series name={name}")
+        os.makedirs(part_dir, exist_ok=True)
+        _write_parquet(
+            spark, [(datetime(2020, 1, 1 + i), v) for i, v in enumerate(vals)],
+            "ts timestamp, value double",
+            os.path.join(part_dir, "part.parquet"),
+        )
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta_action(fields, partition_columns=["series name"]),
+        {"add": {"path": "series%20name=s1/part.parquet",
+                 "partitionValues": {"series name": "s1"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([1])}},
+        {"add": {"path": "series%20name=s2/part.parquet",
+                 "partitionValues": {"series name": "s2"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta(spark, root)
+    got = sorted(
+        (r["series name"], r["value"]) for r in df.collect()
+    )
+    assert got == [("s1", 1.0), ("s1", 3.0), ("s2", 9.0)]
+
+
+def test_deletion_vector_corrupt_crc_rejected(spark, tmp_path):
+    root = str(tmp_path / "dv_crc")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark, [(1, 1.0)], "id long, value double",
+        os.path.join(root, "a.parquet"),
+    )
+    descriptor = _file_dv(root, [0])
+    # flip a byte inside the stored bitmap
+    from kukur_spark.sources.delta_dv import dv_file_name
+
+    path = os.path.join(root, dv_file_name(descriptor["pathOrInlineDv"]))
+    blob = bytearray(open(path, "rb").read())
+    blob[8] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta_action([("id", "long"), ("value", "double")]),
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descriptor}},
+    ])
+    with pytest.raises(ValueError, match="checksum"):
+        read_delta(spark, root).collect()

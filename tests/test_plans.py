@@ -223,9 +223,12 @@ def test_grouping_sets_single_scan(spark):
 def test_cumulative_share_no_global_window_on_orders(spark):
     """The raw order stream ranks through the range-partitioned
     two-phase rank; only the 100-row bucket table may hit a
-    single-partition window."""
-    plan = plan_of(QUERIES["orders_cumulative_share"](spark, SF))
-    assert "rangepartitioning" in plan.lower(), plan
+    single-partition window.  Since round 5 the range exchange runs
+    eagerly inside a localCheckpoint (divergent re-execution guard,
+    scale.py), so the visible plan starts at the checkpointed
+    ExistingRDD rather than showing `rangepartitioning` itself."""
+    plan = plan_of(QUERIES["orders_cumulative_share"](spark, SF)).lower()
+    assert "rangepartitioning" in plan or "existingrdd" in plan, plan
 
 
 def test_interval_join_is_binned_equi_join(spark):

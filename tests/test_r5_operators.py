@@ -42,7 +42,8 @@ def test_linreg_bruteforce(spark):
 
         week_start -= timedelta(days=week_start.weekday())
         x = int((ts - week_start).total_seconds() // 3600)
-        groups.setdefault((r.event_type, week_start), []).append(
+        # the query returns `week` as a DATE (dtype sweep, round 5)
+        groups.setdefault((r.event_type, week_start.date()), []).append(
             (x, _e3(r.value))
         )
     expect = {}
@@ -63,10 +64,10 @@ def test_linreg_bruteforce(spark):
     got = QUERIES["ts_linreg_trend"](spark, SF).collect()
     assert len(got) == len(expect)
     for r in got:
-        key = (r.event_type, r.week.replace(tzinfo=None))
-        n, slope, _ = expect[(r.event_type, r.week)] if (
-            r.event_type, r.week
-        ) in expect else expect[key]
+        from datetime import date
+
+        assert isinstance(r.week, date)
+        n, slope, _ = expect[(r.event_type, r.week)]
         assert r.n == n
         assert r.slope_e6_per_hour == slope
 

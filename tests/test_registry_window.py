@@ -1,8 +1,21 @@
 """The driver's CORRECTNESS gate records only the first 50 registry
-entries — pin that window: fully oracle-paired, and carrying the newest
-flagship machinery (rotated each round, see workloads._rotate_window)."""
+entries — pin that window: fully oracle-paired, and (since round 6)
+rebuilt each round as ~5 proven canaries + ~45 never-driver-checked
+queries so coverage sweeps the whole registry (see
+workloads._set_window)."""
 
-from kukur_spark.workloads import ORACLES, QUERIES, _PROMOTE_TO_WINDOW
+import glob
+import json
+import os
+
+from kukur_spark.workloads import (
+    ORACLES,
+    QUERIES,
+    _WINDOW_CANARIES,
+    _WINDOW_SWEEP_R6,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_first_50_registry_entries_all_oracle_paired():
@@ -10,19 +23,27 @@ def test_first_50_registry_entries_all_oracle_paired():
     assert [n for n in head if n not in ORACLES] == []
 
 
-def test_promoted_flagships_inside_driver_window():
-    head = set(list(QUERIES)[:50])
-    assert [n for n in _PROMOTE_TO_WINDOW if n not in head] == []
+def test_window_is_canaries_plus_sweep():
+    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R6
+    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R6) == 50
+
+
+def test_sweep_names_never_driver_checked_before_r6():
+    """The 45 sweep slots go to queries without a driver row in any
+    committed CORRECTNESS_r*.json from rounds 1-5 (the canaries are the
+    regression tripwires that HAVE been checked)."""
+    checked: set = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-5].json")):
+        checked.update(json.load(open(path)).keys())
+    if not checked:  # fresh clone without driver artifacts
+        return
+    assert [n for n in _WINDOW_SWEEP_R6 if n in checked] == []
+    assert [n for n in _WINDOW_CANARIES if n not in checked] == []
 
 
 def test_rotation_loses_nothing():
-    # demoted queries stay registered and oracle-paired
-    from kukur_spark.workloads import _DEMOTE_FROM_WINDOW
-
-    for name in _DEMOTE_FROM_WINDOW:
-        assert name in QUERIES
-        assert name in ORACLES
-    # only the documented xxhash64 fast paths lack oracles
+    # every query stays registered and (except the documented xxhash64
+    # fast paths) oracle-paired
     missing = sorted(set(QUERIES) - set(ORACLES))
     assert missing == [
         "docs_quality_classifier_fast",
