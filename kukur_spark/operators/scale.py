@@ -168,6 +168,74 @@ def bounded_rank(
     )
 
 
+def _range_bucket(
+    df: DataFrame, bucket_column: str, buckets: int = 0
+) -> DataFrame:
+    """Attach ``__pid``: a DETERMINISTIC range-bucket id aligned with
+    the sort order of ``bucket_column``.
+
+    The two-level global-order decompositions below need partition ids
+    that (a) are monotone with the order key and (b) come out IDENTICAL
+    every time their subtree executes.  ``repartitionByRange`` +
+    ``spark_partition_id`` gives (a) but not (b) — RangePartitioner
+    re-samples boundaries per instantiation, which round 5 papered over
+    with ``localCheckpoint(eager=True)`` (pinned executor memory, an
+    eager job, and lineage truncation that kills fault tolerance).
+
+    Instead: collect approximate quantile boundaries ONCE driver-side,
+    embed them as literals, and compute the bucket as a pure projection
+    of the row (count of boundaries ≤ key).  Any re-execution then
+    assigns identical ids by construction — no materialization pinned,
+    lineage stays replayable on executor loss, and the consumers'
+    identical hash exchanges on ``__pid`` stay eligible for AQE reuse.
+    The boundary job reads a single column (column-pruned scan), far
+    cheaper than checkpointing the full rows.  Equal key values always
+    land in one bucket, so a heavily-duplicated leading key skews a
+    bucket — same behavior the RangePartitioner had.
+
+    ``bucket_column`` must be numeric, timestamp, or date.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if not buckets:
+        buckets = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or 32
+        )
+    col = F.col(bucket_column)
+    dt = df.schema[bucket_column].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        rex = F.unix_micros(col)
+    elif isinstance(dt, T.DateType):
+        rex = F.unix_date(col)
+    else:  # numerics (double compare only buckets ties together — safe)
+        rex = col.cast("double")
+    quantiles = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        F.percentile_approx(rex, quantiles, 10_000).alias("b")
+    ).first()
+    boundaries = sorted(set(row["b"] or [])) if row else []
+    if not boundaries:
+        return df.withColumn("__pid", F.lit(0))
+    pid = F.aggregate(
+        F.array(*[F.lit(b) for b in boundaries]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(rex >= b, 1).otherwise(0),
+    )
+    from kukur_spark.io import persist_once
+
+    # lazy spillable cache: the multi-consumer decompositions below read
+    # this frame 2-4×; unlike the former localCheckpoint this keeps
+    # lineage (an evicted/lost block recomputes, and recomputes the SAME
+    # __pid because the bucket is a pure projection) and costs no eager
+    # job — the first consumer fills it
+    return persist_once(
+        df.withColumn(
+            "__pid", F.when(col.isNull(), F.lit(-1)).otherwise(pid)
+        )
+    )
+
+
 def distributed_row_number(
     df: DataFrame,
     order_columns: List[str],
@@ -178,20 +246,17 @@ def distributed_row_number(
 
     A bare ``row_number() OVER (ORDER BY …)`` collapses the whole table
     into one window task; this computes the identical deterministic rank
-    in two phases: range-repartition on the order key, rank locally per
-    partition, then add broadcast partition-count offsets.  Pass
-    ``total_column`` to also attach the global row count (free — it
-    rides the same broadcast).
+    in two phases: bucket on the leading order column's quantiles
+    (:func:`_range_bucket` — deterministic, so both consumers of the
+    bucketed frame agree without any pinned materialization), rank
+    locally per bucket, then add broadcast per-bucket count offsets.
+    Pass ``total_column`` to also attach the global row count (free — it
+    rides the same broadcast).  The leading order column should be
+    high-cardinality: equal values share a bucket.
     """
     from pyspark.sql import Window
 
-    ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
-    # one pinned materialization — the local-rank subtree and the count
-    # summary both consume with_pid; see keyed_lag for why this must not
-    # re-execute (RangePartitioner re-samples per instantiation)
-    with_pid = ordered.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    with_pid = _range_bucket(df, order_columns[0])
     counts = (
         with_pid.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -276,26 +341,19 @@ def merge_intervals(
     exist on ``df`` (seed it with ``lit(1)``) and is summed through the
     merge.
 
-    The range-partitioned input is ``localCheckpoint``-ed (same policy
-    as :func:`kukur_spark.operators.cluster.connected_components`):
-    the plan consumes it four times (both summaries, the flag pass and
-    the final aggregation) and Catalyst emits no ReusedExchange across
-    those subtrees, so without the checkpoint the caller's upstream —
-    often a full scan plus a keyed window — executes 4×.  Measured at
-    100× sf0.1 the gain is modest (30 → 25 s on ``ts_merge_intervals``:
-    AQE's runtime shuffle-stage reuse already deduplicated most of the
-    repeated exchanges), but the checkpoint makes single-execution
-    structural instead of AQE-dependent — on a cluster with AQE
-    disabled or a cache-evicting scheduler the 4× re-read is real.
+    Bucket ids come from :func:`_range_bucket` — a deterministic pure
+    projection, so the four consumers of the bucketed frame (both
+    summaries, the flag pass, the final aggregation) agree on ``__pid``
+    under any re-execution, without the round-5 ``localCheckpoint``
+    (which pinned the full rows in executor memory and truncated
+    lineage).  The repeated hash exchanges on ``__pid`` are identical
+    subtrees, so AQE's shuffle-stage reuse deduplicates the re-reads
+    (measured at 100× sf0.1: within noise of the checkpointed form).
     """
     from pyspark.sql import Window
 
     s, e = F.col(start_column), F.col(end_column)
-    with_pid = (
-        df.repartitionByRange(s, e)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    with_pid = _range_bucket(df, start_column)
 
     pref_w = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -363,35 +421,29 @@ def keyed_lag(
     how many executors exist.  This computes the identical lag with the
     same two-level decomposition as :func:`merge_intervals`:
 
-    1. range-repartition on ``(key, order)`` — each key occupies a
-       contiguous run of partitions, partition order equals global
-       order within the key;
-    2. per-``(partition, key)`` lag via a local window — every row gets
-       the right value except each partition's first row of each key;
-    3. an O(#partitions × keys-touching-a-boundary) summary — the last
-       value of every ``(partition, key)`` — shifted one partition
-       forward per key, broadcast back, patches exactly those first
-       rows (a key's first global row keeps NULL).
+    1. bucket on the leading ORDER column's quantiles
+       (:func:`_range_bucket`) — within every key, bucket order equals
+       global order, because the bucket id is monotone in the order key
+       itself (keys need not be contiguous across buckets: all the
+       boundary algebra below is per-key);
+    2. per-``(bucket, key)`` lag via a local window — every row gets
+       the right value except each bucket's first row of each key;
+    3. an O(#buckets × keys-touching-a-boundary) summary — the last
+       value of every ``(bucket, key)`` — shifted one bucket forward
+       per key, broadcast back, patches exactly those first rows (a
+       key's first global row keeps NULL).
 
-    Result is row-identical to the naive keyed window (pinned by
+    The deterministic bucket id means both consumers of the bucketed
+    frame (the local-lag subtree and the boundary summary) agree on
+    ``__pid`` under any re-execution — the round-5 ``localCheckpoint``
+    pin is no longer needed.  Result is row-identical to the naive
+    keyed window (pinned by
     ``tests/test_scale.py::test_keyed_lag_matches_window``).
     """
     from pyspark.sql import Window
 
-    key_cols = [F.col(c) for c in key_columns]
     order_cols = [F.col(c) for c in order_columns]
-    # localCheckpoint pins ONE materialization of the range partitioning:
-    # the local-lag subtree and the boundary summary below both consume
-    # with_pid, and RangePartitioner samples boundaries non-deterministically
-    # per instantiation — without the checkpoint, divergent re-execution
-    # (AQE off, structural pruning) could assign different __pid values to
-    # the two subtrees and patch boundary rows with the wrong partition's
-    # last value.  Same policy as merge_intervals above.
-    with_pid = (
-        df.repartitionByRange(*key_cols, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    with_pid = _range_bucket(df, order_columns[0])
 
     local_w = Window.partitionBy("__pid", *key_columns).orderBy(
         *order_columns
@@ -437,24 +489,20 @@ def distributed_prefix_sum(
 ) -> DataFrame:
     """Global inclusive running sums without a single-task window.
 
-    Same two-level shape as :func:`distributed_row_number`:
-    range-repartition on the order key so partition order equals global
-    order, run per-partition running sums (keyed window), and add each
-    partition's exclusive offset computed over the O(#partitions)
-    summary rows (``__pid``-ordered window — the audit-exempt
-    convention).  Appends ``<col>_cum`` for every ``sum_columns`` entry.
+    Same two-level shape as :func:`distributed_row_number`: bucket on
+    the leading order column's quantiles (:func:`_range_bucket`, a
+    deterministic projection — no pinned materialization), run
+    per-bucket running sums (keyed window), and add each bucket's
+    exclusive offset computed over the O(#buckets) summary rows
+    (``__pid``-ordered window — the audit-exempt convention).  Appends
+    ``<col>_cum`` for every ``sum_columns`` entry.
 
     Sums ride whatever numeric type the input columns carry — cast to
     DECIMAL(38,0) upstream when totals can overflow BIGINT.
     """
     from pyspark.sql import Window
 
-    ordered = df.repartitionByRange(*[F.col(c) for c in order_columns])
-    # pinned once — totals and the local running-sum subtree both consume
-    # with_pid (see keyed_lag)
-    with_pid = ordered.withColumn(
-        "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    with_pid = _range_bucket(df, order_columns[0])
     totals = with_pid.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_columns]
     )

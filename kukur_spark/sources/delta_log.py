@@ -68,6 +68,52 @@ def _reject_unsupported(protocol: dict) -> None:
     # reader_version == 2 == column mapping: supported (see below)
 
 
+def version_at_timestamp(table_path: str, ts_millis: int) -> int:
+    """Resolve TIMESTAMP AS OF to a version: the latest commit whose
+    timestamp is ≤ ``ts_millis``.
+
+    Each commit's timestamp is its ``commitInfo.timestamp`` when
+    present, else the commit file's mtime; like delta-spark, timestamps
+    are monotonized (``max(prev + 1ms, ts)``) so clock skew between
+    writers can't make time travel non-monotonic."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
+    versions = sorted(
+        int(name[:20])
+        for name in os.listdir(log_dir)
+        if len(name) == 25 and name.endswith(".json") and name[:20].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits found in {log_dir}")
+    best = None
+    prev = -(1 << 62)
+    for v in versions:
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        commit_ts = None
+        with open(commit) as handle:
+            for line in handle:
+                line = line.strip()
+                if not line:
+                    continue
+                info = json.loads(line).get("commitInfo")
+                if info and info.get("timestamp") is not None:
+                    commit_ts = int(info["timestamp"])
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(commit) * 1000)
+        commit_ts = max(commit_ts, prev + 1)
+        prev = commit_ts
+        if commit_ts <= ts_millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_millis} predates the first available commit "
+            f"(version {versions[0]})"
+        )
+    return best
+
+
 def read_snapshot(
     table_path: str, version: Optional[int] = None
 ) -> DeltaSnapshot:
@@ -239,12 +285,19 @@ def _column_mapping(schema_json: Optional[str]):
     return out
 
 
-def read_delta(spark, table_path: str, version: Optional[int] = None):
+def read_delta(
+    spark,
+    table_path: str,
+    version: Optional[int] = None,
+    timestamp=None,
+):
     """Read a snapshot of a Delta table as a DataFrame.
 
-    ``version`` gives time travel (VERSION AS OF) — a Spark-side
-    extension over the reference reader (kukur delta_lake.py reads only
-    the latest snapshot).
+    ``version`` gives time travel (VERSION AS OF); ``timestamp`` (a
+    ``datetime`` or epoch-millis int) gives TIMESTAMP AS OF via
+    :func:`version_at_timestamp` — Spark-side extensions over the
+    reference reader (kukur delta_lake.py reads only the latest
+    snapshot).  Passing both is rejected, matching delta-spark.
 
     Live files are handed to the parquet reader with ``basePath`` so
     hive-style partition directories (Delta's physical layout for
@@ -256,6 +309,16 @@ def read_delta(spark, table_path: str, version: Optional[int] = None):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or timestamp, not both"
+            )
+        if hasattr(timestamp, "timestamp"):  # datetime
+            ts_millis = int(timestamp.timestamp() * 1000)
+        else:
+            ts_millis = int(timestamp)
+        version = version_at_timestamp(table_path, ts_millis)
     snapshot = read_snapshot(table_path, version)
     # The spec's `id` mode matches parquet columns by field id, not by
     # physicalName — tables written by non-Spark engines in id mode can

@@ -151,6 +151,8 @@ class FileSourceOptions:
     partitions: List[Dict[str, Any]] = dc_field(default_factory=list)
     # Delta VERSION AS OF (Spark extension; None = latest snapshot)
     delta_version: Optional[int] = None
+    # Delta TIMESTAMP AS OF (datetime or epoch millis; Spark extension)
+    delta_timestamp: Optional[Any] = None
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "FileSourceOptions":
@@ -214,6 +216,7 @@ class FileSourceOptions:
             delta_version=(
                 int(config["version"]) if "version" in config else None
             ),
+            delta_timestamp=config.get("timestamp"),
         )
 
 
@@ -267,6 +270,10 @@ class FileSource:
                     reader = reader.option(
                         "versionAsOf", self.options.delta_version
                     )
+                if self.options.delta_timestamp is not None:
+                    reader = reader.option(
+                        "timestampAsOf", str(self.options.delta_timestamp)
+                    )
                 return reader.load(path)
             except Exception:
                 # delta-spark jar not on the classpath: replay the open
@@ -277,7 +284,10 @@ class FileSource:
                 from kukur_spark.sources.delta_log import read_delta
 
                 return read_delta(
-                    self.spark, path, self.options.delta_version
+                    self.spark,
+                    path,
+                    self.options.delta_version,
+                    timestamp=self.options.delta_timestamp,
                 )
         raise ValueError(f"unknown file format: {fmt}")
 

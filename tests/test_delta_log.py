@@ -783,3 +783,81 @@ def test_deletion_vector_corrupt_crc_rejected(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="checksum"):
         read_delta(spark, root).collect()
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the latest commit at-or-before the
+    requested instant, using commitInfo timestamps (monotonized)."""
+    from kukur_spark.sources.delta_log import version_at_timestamp
+
+    root = str(tmp_path / "tsaof")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    schema = "id long, value double"
+    for name, ident in [("a", 1), ("b", 2), ("c", 3)]:
+        _write_parquet(
+            spark, [(ident, float(ident))], schema,
+            os.path.join(root, f"{name}.parquet"),
+        )
+    fields = [("id", "long"), ("value", "double")]
+    t0, t1, t2 = 1_000_000, 2_000_000, 3_000_000
+    _commit(log_dir, 0, [
+        _PROTOCOL,
+        _meta_action(fields),
+        {"commitInfo": {"timestamp": t0, "operation": "WRITE"}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(log_dir, 1, [
+        {"commitInfo": {"timestamp": t1, "operation": "WRITE"}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(log_dir, 2, [
+        # clock skew: earlier than commit 1 -> monotonized to t1+1ms
+        {"commitInfo": {"timestamp": t1 - 500_000, "operation": "WRITE"}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert version_at_timestamp(root, t0) == 0
+    assert version_at_timestamp(root, t1) == 1
+    assert version_at_timestamp(root, t1 + 1) == 2  # monotonized commit 2
+    assert version_at_timestamp(root, t2) == 2
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(root, t0 - 1)
+
+    assert sorted(
+        r.id for r in read_delta(spark, root, timestamp=t1).collect()
+    ) == [1, 2]
+    from datetime import timezone as _tz
+
+    dt = datetime.fromtimestamp(t0 / 1000, tz=_tz.utc)
+    assert sorted(
+        r.id for r in read_delta(spark, root, timestamp=dt).collect()
+    ) == [1]
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, root, version=1, timestamp=t1)
+
+
+def test_timestamp_as_of_through_file_source_config(spark, tmp_path):
+    from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+
+    root = str(tmp_path / "tsaof_cfg")
+    _make_unpartitioned(spark, root)
+    # stamp commit times via mtime fallback: set file mtimes far apart
+    for v, mtime in [(0, 1_000), (1, 2_000)]:
+        os.utime(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"),
+            (mtime, mtime),
+        )
+    src = FileSource(
+        spark,
+        "tt",
+        FileSourceOptions(
+            path=root, file_format="delta", delta_timestamp=1_500 * 1000
+        ),
+    )
+    sel = SeriesSelector.from_name("tt", "s1")
+    rows = src.get_data(sel, START, END).collect()
+    # v0 snapshot: files a+b -> values 1.0 and 99.0
+    assert sorted(r.value for r in rows) == [1.0, 99.0]

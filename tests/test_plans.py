@@ -221,14 +221,15 @@ def test_grouping_sets_single_scan(spark):
 
 
 def test_cumulative_share_no_global_window_on_orders(spark):
-    """The raw order stream ranks through the range-partitioned
-    two-phase rank; only the 100-row bucket table may hit a
-    single-partition window.  Since round 5 the range exchange runs
-    eagerly inside a localCheckpoint (divergent re-execution guard,
-    scale.py), so the visible plan starts at the checkpointed
-    ExistingRDD rather than showing `rangepartitioning` itself."""
+    """The raw order stream ranks through the two-phase rank; only the
+    100-row bucket table may hit a single-partition window.  Round 6:
+    the rank buckets by the deterministic quantile-literal ``__pid``
+    (hash exchange), replacing the round-5 localCheckpoint-pinned range
+    repartition — so the plan shows the per-bucket hash partitioning
+    and no lineage-truncating checkpoint scan."""
     plan = plan_of(QUERIES["orders_cumulative_share"](spark, SF)).lower()
-    assert "rangepartitioning" in plan or "existingrdd" in plan, plan
+    assert "hashpartitioning(__pid" in plan, plan
+    assert "existingrdd" not in plan, plan
 
 
 def test_interval_join_is_binned_equi_join(spark):

@@ -88,9 +88,9 @@ def test_multi_table_signatures_dim_contract(spark):
 
 
 def test_keyed_lag_single_range_partitioning(spark):
-    """keyed_lag is correct when its two consumers of the
-    range-partitioned frame cannot rely on exchange reuse (AQE off) —
-    the localCheckpoint pins one materialization."""
+    """keyed_lag is correct when its two consumers of the bucketed
+    frame cannot rely on exchange reuse (AQE off) — the deterministic
+    quantile-literal ``__pid`` makes every re-execution agree."""
     from kukur_spark.operators.scale import keyed_lag
     from pyspark.sql import Window
 

@@ -114,7 +114,7 @@ def test_distributed_ntile_matches_window_ntile(spark):
     ]
 
 
-def test_distributed_ntile_plan_is_range_partitioned(spark):
+def test_distributed_ntile_plan_is_bucket_partitioned(spark):
     from pyspark.sql import functions as F
 
     from kukur_spark.operators.scale import distributed_ntile
@@ -128,13 +128,16 @@ def test_distributed_ntile_plan_is_range_partitioned(spark):
         .executedPlan()
         .toString()
     ).lower()
-    # the data-bearing rank runs per __pid over the localCheckpoint-ed
-    # range repartition (the checkpoint truncates the plan to a Scan
-    # ExistingRDD — the range exchange ran eagerly inside it), never
-    # through a single-partition global window over the full table
-    assert "existingrdd" in plan, plan
+    # the data-bearing rank runs per deterministic __pid bucket (hash
+    # exchange on __pid, computed as a pure projection from quantile
+    # boundary literals — round 6 replaced the localCheckpoint-pinned
+    # range repartition), never through a single-partition global
+    # window over the full table
     assert "row_number() windowspecdefinition(__pid" in plan, plan
+    assert "hashpartitioning(__pid" in plan, plan
     assert "windowspecdefinition(metric" not in plan, plan
+    # fault tolerance restored: no lineage-truncating checkpoint scan
+    assert "existingrdd" not in plan, plan
 
 
 def test_ivf_index_build_query_matches_inmemory_and_prunes(spark, tmp_path):
@@ -412,3 +415,45 @@ def test_keyed_lag_matches_window(spark):
     f = {(r["k"], r["seq"]): r["__lag"] for r in fast.collect()}
     assert f == n
     assert sum(1 for val in f.values() if val is None) == 3
+
+
+def test_range_bucket_is_deterministic_and_monotone(spark):
+    """__pid is a pure projection: re-instantiating the frame assigns
+    identical buckets, and bucket order follows key order (equal keys
+    share a bucket)."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import _range_bucket
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 131 % 997).alias("k"), "id"
+    )
+    a = {r["id"]: r["__pid"] for r in _range_bucket(df, "k", 16).collect()}
+    b = {r["id"]: r["__pid"] for r in _range_bucket(df, "k", 16).collect()}
+    assert a == b
+    rows = _range_bucket(df, "k", 16).select("k", "__pid").collect()
+    assert len({r["__pid"] for r in rows}) > 8  # actually distributed
+    by_key = sorted((r["k"], r["__pid"]) for r in rows)
+    pids = [p for _, p in by_key]
+    assert pids == sorted(pids)  # monotone with key order
+    by_k: dict = {}
+    for k, p in by_key:
+        by_k.setdefault(k, set()).add(p)
+    assert all(len(s) == 1 for s in by_k.values())  # ties share a bucket
+
+
+def test_range_bucket_timestamp_and_empty(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import _range_bucket
+
+    ts = spark.createDataFrame(
+        [(datetime(2020, 1, 1 + i % 27, i % 24),) for i in range(500)],
+        "ts timestamp",
+    )
+    rows = _range_bucket(ts, "ts", 16).collect()
+    assert len({r["__pid"] for r in rows}) > 8
+    empty = spark.createDataFrame([], "v double")
+    assert _range_bucket(empty, "v").collect() == []
