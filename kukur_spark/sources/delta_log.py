@@ -55,10 +55,16 @@ def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
 def _reject_unsupported(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = protocol.get("readerFeatures") or []
-    # columnMapping and deletionVectors are read-supported (physical→
-    # logical rename + DV anti-join below; the reference reads these
-    # transparently via delta-rs: kukur/source/delta/delta_lake.py:188-274).
-    supported = {"timestampNtz", "columnMapping", "deletionVectors"}
+    # columnMapping, deletionVectors and v2Checkpoint are read-supported
+    # (physical→logical rename + DV anti-join + manifest/sidecar replay
+    # below; the reference reads these transparently via delta-rs:
+    # kukur/source/delta/delta_lake.py:188-274).
+    supported = {
+        "timestampNtz",
+        "columnMapping",
+        "deletionVectors",
+        "v2Checkpoint",
+    }
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):
         raise NotImplementedError(
@@ -66,6 +72,74 @@ def _reject_unsupported(protocol: dict) -> None:
             f"minReaderVersion={reader_version}, features={unsupported}"
         )
     # reader_version == 2 == column mapping: supported (see below)
+
+
+def _parquet_actions(path: str):
+    """Yield each non-null action of a checkpoint/sidecar parquet row
+    as a ``{kind: payload}`` dict (the row layout is one struct column
+    per action kind, at most one non-null per row)."""
+    import pyarrow.parquet as pq
+
+    for row in pq.read_table(path).to_pylist():
+        action = {
+            kind: payload
+            for kind, payload in row.items()
+            if payload is not None
+        }
+        if action:
+            yield action
+
+
+def _checkpoint_actions(log_dir: str, version: int, parts: Optional[int]):
+    """Yield the actions of checkpoint ``version`` — classic single or
+    multi-part parquet, or a v2 manifest (``<v>.checkpoint.<uuid>.json``
+    / ``.parquet``) whose ``sidecar`` actions point at add/remove
+    parquet files under ``_delta_log/_sidecars/``."""
+    classic = _checkpoint_paths(log_dir, version, parts)
+    if all(os.path.exists(p) for p in classic):
+        for part in classic:
+            yield from _parquet_actions(part)
+        return
+    # v2: exactly four dot-segments (<v>.checkpoint.<unique>.<ext>) —
+    # multi-part classic names have five
+    prefix = f"{version:020d}.checkpoint."
+    manifests = sorted(
+        name
+        for name in os.listdir(log_dir)
+        if name.startswith(prefix)
+        and name.count(".") == 3
+        and name.rsplit(".", 1)[1] in ("json", "parquet")
+    )
+    if not manifests:
+        raise FileNotFoundError(
+            f"checkpoint {version} not found in {log_dir}"
+        )
+    manifest = os.path.join(log_dir, manifests[-1])
+    if manifest.endswith(".json"):
+        actions = []
+        with open(manifest) as handle:
+            for line in handle:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+    else:
+        actions = list(_parquet_actions(manifest))
+    for action in actions:
+        sidecar = action.get("sidecar")
+        if sidecar:
+            path = sidecar["path"]
+            if not os.path.isabs(path):
+                path = os.path.join(log_dir, "_sidecars", path)
+            yield from _parquet_actions(path)
+        elif "checkpointMetadata" in action:
+            if int(action["checkpointMetadata"]["version"]) != version:
+                raise ValueError(
+                    f"v2 checkpoint {manifest} declares version "
+                    f"{action['checkpointMetadata']['version']}, "
+                    f"expected {version}"
+                )
+        else:
+            yield action
 
 
 def version_at_timestamp(table_path: str, ts_millis: int) -> int:
@@ -150,37 +224,35 @@ def read_snapshot(
                     )
                 last_checkpoint = ""
     if last_checkpoint and os.path.exists(last_checkpoint):
-        import pyarrow.parquet as pq
-
         with open(last_checkpoint) as handle:
             info = json.load(handle)
         cp_version = int(info["version"])
-        for part in _checkpoint_paths(log_dir, cp_version, info.get("parts")):
-            table = pq.read_table(part)
-            for row in table.to_pylist():
-                if row.get("protocol"):
-                    _reject_unsupported(row["protocol"])
-                meta = row.get("metaData")
-                if meta:
-                    schema_json = meta.get("schemaString") or schema_json
-                    partition_columns = list(
-                        meta.get("partitionColumns") or partition_columns
-                    )
-                    configuration = dict(
-                        meta.get("configuration") or configuration
-                    )
-                add = row.get("add")
-                if add:
-                    adds[add["path"]] = dict(add.get("partitionValues") or {})
-                    dv = add.get("deletionVector")
-                    if dv:  # a re-add replaces the file's DV (or clears it)
-                        dvs[add["path"]] = dict(dv)
-                    else:
-                        dvs.pop(add["path"], None)
-                remove = row.get("remove")
-                if remove:
-                    adds.pop(remove["path"], None)
-                    dvs.pop(remove["path"], None)
+        for action in _checkpoint_actions(
+            log_dir, cp_version, info.get("parts")
+        ):
+            if action.get("protocol"):
+                _reject_unsupported(action["protocol"])
+            meta = action.get("metaData")
+            if meta:
+                schema_json = meta.get("schemaString") or schema_json
+                partition_columns = list(
+                    meta.get("partitionColumns") or partition_columns
+                )
+                configuration = dict(
+                    meta.get("configuration") or configuration
+                )
+            add = action.get("add")
+            if add:
+                adds[add["path"]] = dict(add.get("partitionValues") or {})
+                dv = add.get("deletionVector")
+                if dv:  # a re-add replaces the file's DV (or clears it)
+                    dvs[add["path"]] = dict(dv)
+                else:
+                    dvs.pop(add["path"], None)
+            remove = action.get("remove")
+            if remove:
+                adds.pop(remove["path"], None)
+                dvs.pop(remove["path"], None)
         start_version = cp_version + 1
 
     current = start_version - 1

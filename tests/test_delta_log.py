@@ -254,9 +254,9 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     os.makedirs(log_dir)
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["typeWidening"]}},
     ])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_snapshot(root)
 
     # v3 with only supported features: accepted
@@ -266,7 +266,8 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["timestampNtz", "columnMapping",
-                                         "deletionVectors"]}},
+                                         "deletionVectors",
+                                         "v2Checkpoint"]}},
         _meta_action([("value", "double")]),
     ])
     assert read_snapshot(root).version == 0
@@ -861,3 +862,142 @@ def test_timestamp_as_of_through_file_source_config(spark, tmp_path):
     rows = src.get_data(sel, START, END).collect()
     # v0 snapshot: files a+b -> values 1.0 and 99.0
     assert sorted(r.value for r in rows) == [1.0, 99.0]
+
+
+# ---------------------------------------------------------------------------
+# v2 checkpoints (round 6): manifest (json or parquet) + sidecar files —
+# the `v2Checkpoint` reader-feature layout.
+# ---------------------------------------------------------------------------
+
+
+def _sidecar_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("remove", pa.struct([("path", pa.string())])),
+    ])
+
+
+def _write_sidecar(log_dir, name, actions):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    rows = [
+        {"add": a.get("add"), "remove": a.get("remove")} for a in actions
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_sidecar_schema()),
+        os.path.join(sidecar_dir, name),
+    )
+
+
+def _make_v2_checkpoint_table(spark, root, manifest_format):
+    """Checkpoint v1 = {a, b} via two sidecars; commit 2 removes a and
+    adds c."""
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    for name in ("a", "b", "c"):
+        _write_parquet(
+            spark, [(ord(name), float(ord(name)))], "id long, value double",
+            os.path.join(root, f"{name}.parquet"),
+        )
+    fields = [("id", "long"), ("value", "double")]
+    _write_sidecar(log_dir, "sc1.parquet", [
+        {"add": {"path": "a.parquet", "partitionValues": {}}},
+    ])
+    _write_sidecar(log_dir, "sc2.parquet", [
+        {"add": {"path": "b.parquet", "partitionValues": {}}},
+    ])
+    actions = [
+        {"checkpointMetadata": {"version": 1}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {"id": "t", "schemaString": _schema_string(fields),
+                      "partitionColumns": [], "configuration": {}}},
+        {"sidecar": {"path": "sc1.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0}},
+        {"sidecar": {"path": "sc2.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0}},
+    ]
+    unique = "80a083e8-7026-4e79-81be-64bd76c43a11"
+    if manifest_format == "json":
+        with open(
+            os.path.join(log_dir, f"{1:020d}.checkpoint.{unique}.json"), "w"
+        ) as handle:
+            for action in actions:
+                handle.write(json.dumps(action) + "\n")
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema([
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        rows = [
+            {k: a.get(k) for k in schema.names} for a in actions
+        ]
+        for row in rows:
+            meta = row.get("metaData")
+            if meta and isinstance(meta.get("configuration"), dict):
+                meta["configuration"] = list(meta["configuration"].items())
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            os.path.join(log_dir, f"{1:020d}.checkpoint.{unique}.parquet"),
+        )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as handle:
+        json.dump({"version": 1, "size": len(actions)}, handle)
+    _commit(log_dir, 2, [
+        {"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+
+
+@pytest.mark.parametrize("manifest_format", ["json", "parquet"])
+def test_v2_checkpoint_with_sidecars(spark, tmp_path, manifest_format):
+    root = str(tmp_path / f"v2ckpt_{manifest_format}")
+    _make_v2_checkpoint_table(spark, root, manifest_format)
+    snapshot = read_snapshot(root)
+    assert snapshot.version == 2
+    names = sorted(os.path.basename(f) for f in snapshot.files)
+    assert names == ["b.parquet", "c.parquet"]
+    values = sorted(r.value for r in read_delta(spark, root).collect())
+    assert values == [float(ord("b")), float(ord("c"))]
+
+
+def test_v2_checkpoint_version_mismatch_rejected(spark, tmp_path):
+    root = str(tmp_path / "v2bad")
+    _make_v2_checkpoint_table(spark, root, "json")
+    log_dir = os.path.join(root, "_delta_log")
+    manifest = [
+        f for f in os.listdir(log_dir) if f.endswith(".json") and
+        ".checkpoint." in f
+    ][0]
+    lines = open(os.path.join(log_dir, manifest)).read().splitlines()
+    lines[0] = json.dumps({"checkpointMetadata": {"version": 7}})
+    open(os.path.join(log_dir, manifest), "w").write("\n".join(lines))
+    with pytest.raises(ValueError, match="declares version"):
+        read_snapshot(root)
