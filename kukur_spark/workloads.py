@@ -2338,11 +2338,12 @@ QUERIES["lsh_jaccard_edges"] = lsh_jaccard_edges
 # last QUERIES[...] registration.
 # ---------------------------------------------------------------------------
 _WINDOW_CANARIES = [
+    # the five regression tripwires VERDICT r5 #3 named
     "tpch_q1",  # flagship scan→agg (also the entry() smoke query)
     "ts_range_filter",  # pushed tag + half-open time-range filter
-    "ts_asof_join",  # as-of join machinery
     "dedup_exact",  # exact dedup family
     "minhash_lsh_md5",  # LSH banding pipeline (deterministic md5 twin)
+    "multimodal_features",  # binary-column mapInPandas path
 ]
 _WINDOW_SWEEP_R6 = [
     "tpch_q2", "tpch_q20", "tpch_q4", "tpch_q8", "tpch_q9",

@@ -457,3 +457,33 @@ def test_range_bucket_timestamp_and_empty(spark):
     assert len({r["__pid"] for r in rows}) > 8
     empty = spark.createDataFrame([], "v double")
     assert _range_bucket(empty, "v").collect() == []
+
+
+def test_range_bucket_survives_cache_eviction(spark):
+    """VERDICT r5 #5 done-criterion: recomputing a lost/evicted bucketed
+    partition lands rows in the SAME buckets.  Simulated by filling the
+    lazy cache, dropping every cached block, and forcing a full
+    recompute from lineage — rank output must be identical."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import distributed_row_number
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") * 37 % 1009).alias("metric"), "id"
+    )
+    ranked = distributed_row_number(df, ["metric", "id"], "rn")
+    first = sorted((r["id"], r["rn"]) for r in ranked.collect())
+    spark.catalog.clearCache()  # evict every persisted block
+    second = sorted((r["id"], r["rn"]) for r in ranked.collect())
+    assert first == second
+    # and against the naive single-task window
+    from pyspark.sql import Window
+
+    want = sorted(
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("metric", "id")).cast("long"),
+        ).collect()
+    )
+    assert first == want
