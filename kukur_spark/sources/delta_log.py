@@ -146,10 +146,13 @@ def version_at_timestamp(table_path: str, ts_millis: int) -> int:
     """Resolve TIMESTAMP AS OF to a version: the latest commit whose
     timestamp is ≤ ``ts_millis``.
 
-    Each commit's timestamp is its ``commitInfo.timestamp`` when
-    present, else the commit file's mtime; like delta-spark, timestamps
-    are monotonized (``max(prev + 1ms, ts)``) so clock skew between
-    writers can't make time travel non-monotonic."""
+    Each commit's timestamp is its ``commitInfo.inCommitTimestamp``
+    (the inCommitTimestamp writer feature stores the authoritative
+    clock in the commit itself) when present, else
+    ``commitInfo.timestamp``, else the commit file's mtime; like
+    delta-spark, timestamps are monotonized (``max(prev + 1ms, ts)``)
+    so clock skew between writers can't make time travel
+    non-monotonic."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
@@ -171,6 +174,9 @@ def version_at_timestamp(table_path: str, ts_millis: int) -> int:
                 if not line:
                     continue
                 info = json.loads(line).get("commitInfo")
+                if info and info.get("inCommitTimestamp") is not None:
+                    commit_ts = int(info["inCommitTimestamp"])
+                    break
                 if info and info.get("timestamp") is not None:
                     commit_ts = int(info["timestamp"])
                     break
@@ -461,17 +467,26 @@ def read_delta(
         # rewrites heavily-deleted files long before this matters) and
         # broadcast, so the scan stays a plain distributed parquet read
         # with no shuffle on the data side.
+        import pyarrow as pa
+
         from kukur_spark.sources.delta_dv import read_descriptor
 
-        deleted = [
-            (path, pos)
-            for path, descriptor in sorted(
-                snapshot.deletion_vectors.items()
-            )
-            for pos in read_descriptor(table_path, descriptor)
-        ]
+        files: List[str] = []
+        positions: List[int] = []
+        for path, descriptor in sorted(snapshot.deletion_vectors.items()):
+            for pos in read_descriptor(table_path, descriptor):
+                files.append(path)
+                positions.append(pos)
+        # Arrow interchange: orders of magnitude faster than pickling a
+        # python row list through the py4j bridge for large DVs
         deleted_df = spark.createDataFrame(
-            deleted, "__dv_file string, __dv_pos long"
+            pa.table(
+                {
+                    "__dv_file": pa.array(files, pa.string()),
+                    "__dv_pos": pa.array(positions, pa.int64()),
+                }
+            ).to_pandas(),
+            schema="__dv_file string, __dv_pos long",
         )
         df = df.join(
             F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"

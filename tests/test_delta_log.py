@@ -810,7 +810,9 @@ def test_timestamp_as_of(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True}},
     ])
     _commit(log_dir, 1, [
-        {"commitInfo": {"timestamp": t1, "operation": "WRITE"}},
+        # inCommitTimestamp wins over the (stale) timestamp field
+        {"commitInfo": {"timestamp": t0, "inCommitTimestamp": t1,
+                        "operation": "WRITE"}},
         {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ])
