@@ -216,7 +216,13 @@ def _range_bucket(
     ).first()
     boundaries = sorted(set(row["b"] or [])) if row else []
     if not boundaries:
-        return df.withColumn("__pid", F.lit(0))
+        # empty (or all-NULL-key) input: one bucket.  NOT ``lit(0)`` — a
+        # foldable constant lets Catalyst erase the __pid partition spec
+        # (global window) and fold the __pid equi-joins into cross joins,
+        # which trips the plan audit even though the input is empty.
+        # pmod(xxhash64, 1) is always 0 but opaque to constant folding.
+        single = F.pmod(F.xxhash64(rex), F.lit(1)).cast("int")
+        return df.withColumn("__pid", single)
     pid = F.aggregate(
         F.array(*[F.lit(b) for b in boundaries]),
         F.lit(0),

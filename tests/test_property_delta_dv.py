@@ -1,0 +1,46 @@
+"""Property tests for the deletion-vector decoding stack: any position
+set must survive serialize→parse, across container kinds (array ≤4096,
+bitmap >4096, multi-key 64-bit), and Z85 must round-trip arbitrary
+4-byte-aligned payloads."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.sources.delta_dv import (
+    parse_bitmap,
+    serialize_bitmap,
+    z85_decode,
+    z85_encode,
+)
+
+# spread positions across container/key space: low values, container
+# boundaries, dense runs, and >32-bit keys
+_position = st.one_of(
+    st.integers(min_value=0, max_value=1 << 20),
+    st.integers(min_value=(1 << 16) - 64, max_value=(1 << 16) + 64),
+    st.integers(min_value=(1 << 32) - 64, max_value=(1 << 32) + (1 << 18)),
+    st.integers(min_value=0, max_value=(1 << 40)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_position, max_size=300))
+def test_bitmap_roundtrip(positions):
+    assert parse_bitmap(serialize_bitmap(positions)) == sorted(set(positions))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=9000), st.integers(0, 3))
+def test_bitmap_roundtrip_dense(n, stride_minus_1):
+    # force bitmap containers (cardinality > 4096 in one 64k range)
+    positions = list(range(0, n * (stride_minus_1 + 1), stride_minus_1 + 1))
+    assert parse_bitmap(serialize_bitmap(positions)) == positions
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_z85_roundtrip(payload):
+    decoded = z85_decode(z85_encode(payload))
+    # encode zero-pads to a 4-byte multiple; the prefix must match
+    assert decoded[: len(payload)] == payload
+    assert all(b == 0 for b in decoded[len(payload):])
