@@ -2324,6 +2324,94 @@ ORACLES["emb_ivfpq_topk"] = ivfpq_oracle_sql()
 # twin (which stays registered as the recall baseline).
 QUERIES["lsh_jaccard_edges"] = lsh_jaccard_edges
 
+def docs_emb_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-based eval-set decontamination: flag training vectors
+    whose cosine similarity to ANY held-out eval vector reaches 0.30
+    (the corpus cross-sim p99 is ~0.29, max ~0.49 — the threshold
+    separates near-duplicates of eval items from background similarity).
+
+    Complements the lexical paths (``docs_decontaminate`` vocabulary,
+    ``docs_decontaminate_13gram`` hashed n-grams): paraphrased eval
+    leakage survives both but not an embedding match.  Scale shape: the
+    eval set is LIMIT-bounded and broadcast, so the corpus never
+    shuffles and the audit sees a bounded join side; at a real eval
+    suite's size the same plan holds (thousands of rows still
+    broadcast).  Sims quantize to e6 BEFORE thresholding so the flag is
+    integer-exact against the oracle.
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    ev = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            _as_double(F.col("embedding")).alias("ev"),
+        )
+        .withColumn("evn", norm(F.col("ev")))
+    )
+    docs = (
+        emb.filter(F.col("vec_id") >= 32)
+        .select("vec_id", _as_double(F.col("embedding")).alias("dv"))
+        .withColumn("dn", norm(F.col("dv")))
+    )
+    scored = docs.join(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        (
+            dot(F.col("dv"), F.col("ev")) / (F.col("dn") * F.col("evn"))
+        ).alias("sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.floor(F.col("sim") * F.lit(1000000.0))).alias("max_sim_e6"),
+        F.max_by(
+            F.col("eval_id"),
+            F.struct(
+                F.col("sim").alias("s"), (-F.col("eval_id")).alias("t")
+            ),
+        ).alias("nearest_eval_id"),
+    )
+    return best.select(
+        "vec_id",
+        "nearest_eval_id",
+        F.col("max_sim_e6").cast("long").alias("max_sim_e6"),
+        F.when(F.col("max_sim_e6") >= 300000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+EMB_DECONTAMINATE_SQL = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ev
+  FROM embeddings ORDER BY vec_id ASC LIMIT 32
+),
+scored AS (
+  SELECT d.vec_id, e.eval_id,
+    {_duck_cos('d.embedding', 'e.ev')} AS sim
+  FROM embeddings d, ev e
+  WHERE d.vec_id >= 32
+),
+ranked AS (
+  SELECT vec_id, eval_id, sim,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, eval_id AS nearest_eval_id,
+  CAST(floor(sim * 1000000) AS BIGINT) AS max_sim_e6,
+  CAST(CASE WHEN floor(sim * 1000000) >= 300000 THEN 1 ELSE 0 END
+       AS INTEGER) AS contaminated
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+"""
+
+QUERIES["docs_emb_decontaminate"] = docs_emb_decontaminate
+ORACLES["docs_emb_decontaminate"] = EMB_DECONTAMINATE_SQL
+
+
 # ---------------------------------------------------------------------------
 # driver-window rotation: the driver's CORRECTNESS gate records only the
 # FIRST 50 registry entries.  Through round 5 the window rotated a handful
