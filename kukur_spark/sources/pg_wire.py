@@ -1,0 +1,374 @@
+"""Minimal pure-stdlib PostgreSQL v3 wire-protocol DB-API client.
+
+Fallback driver for the ``postgresql`` dialect of the SQL template
+source (reference ``kukur/source/postgresql.py:1-40`` delegates to
+psycopg2): when psycopg2 is not installed, ``SqlSource`` routes the
+``postgresql`` dialect here so a live server is still reachable with
+nothing beyond the standard library.  Implements exactly the DB-API
+subset ``SqlSource._execute`` uses — ``connect() → cursor() →
+execute(sql, params) → fetchall()/description → close()``.
+
+Protocol per the public PostgreSQL frontend/backend protocol docs
+(simple-query flow, text result format): StartupMessage with protocol
+196608, ``R`` authentication (trust and cleartext password), ``Q``
+simple query, ``T`` RowDescription, ``D`` DataRow, ``C``/``Z``
+completion, ``E`` error, ``X`` terminate.  Parameters use psycopg2's
+``%s`` placeholder convention and are interpolated client-side with
+SQL-standard quoting — the same strategy psycopg2 itself uses (its
+``mogrify`` renders the query before sending).  Use ``%%`` for a
+literal percent, exactly as with psycopg2.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import socket
+import struct
+from decimal import Decimal
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+from urllib.parse import unquote, urlparse
+
+PROTOCOL_VERSION = 196608  # 3.0
+
+
+class Error(Exception):
+    """DB-API base error."""
+
+
+class OperationalError(Error):
+    """Connection/protocol-level failure."""
+
+
+class ProgrammingError(Error):
+    """Server rejected the query (SQLSTATE attached as ``sqlstate``)."""
+
+    def __init__(self, message: str, sqlstate: Optional[str] = None):
+        super().__init__(message)
+        self.sqlstate = sqlstate
+
+
+def parse_dsn(connection_string: str) -> Dict[str, str]:
+    """Parse a libpq keyword/value string or a postgresql:// URL."""
+    options: Dict[str, str] = {}
+    text = connection_string.strip()
+    if text.startswith(("postgresql://", "postgres://")):
+        url = urlparse(text)
+        if url.hostname:
+            options["host"] = unquote(url.hostname)
+        if url.port:
+            options["port"] = str(url.port)
+        if url.username:
+            options["user"] = unquote(url.username)
+        if url.password:
+            options["password"] = unquote(url.password)
+        path = url.path.lstrip("/")
+        if path:
+            options["dbname"] = unquote(path)
+        for pair in url.query.split("&") if url.query else []:
+            if "=" in pair:
+                key, value = pair.split("=", 1)
+                options[unquote(key)] = unquote(value)
+        return options
+    for pair in text.split():
+        if "=" not in pair:
+            raise OperationalError(f"cannot parse DSN fragment: {pair!r}")
+        key, value = pair.split("=", 1)
+        value = value.strip()
+        if value.startswith("'") and value.endswith("'") and len(value) >= 2:
+            value = value[1:-1].replace("\\'", "'")
+        options[key.strip()] = value
+    return options
+
+
+# -- literal rendering (client-side %s interpolation) -----------------------
+
+
+def _quote(value: Any) -> str:
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float, Decimal)):
+        return str(value)
+    if isinstance(value, dt.datetime):
+        return f"'{value.isoformat(sep=' ')}'"
+    if isinstance(value, dt.date):
+        return f"'{value.isoformat()}'"
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return f"'\\x{bytes(value).hex()}'::bytea"
+    text = str(value)
+    if "\x00" in text:
+        raise ProgrammingError("NUL byte in string parameter")
+    escaped = text.replace("'", "''")
+    # standard_conforming_strings is on by default since PostgreSQL 9.1,
+    # but E'' quoting keeps backslashes literal under either setting
+    if "\\" in escaped:
+        return "E'" + escaped.replace("\\", "\\\\") + "'"
+    return "'" + escaped + "'"
+
+
+def render_query(query: str, params: Sequence[Any]) -> str:
+    """Substitute ``%s`` placeholders with quoted literals (pyformat)."""
+    if not params:
+        return query
+    return query % tuple(_quote(p) for p in params)
+
+
+# -- text-format decoding by type OID ----------------------------------------
+
+
+def _parse_timestamp(text: str) -> dt.datetime:
+    # PostgreSQL text output: "2024-01-01 12:34:56.789+00" (offset may be
+    # hour-only, or have minutes/seconds); fromisoformat in 3.11+ handles
+    # the space separator and short offsets directly
+    if text.startswith(("infinity", "-infinity")):
+        raise ProgrammingError(f"cannot represent {text!r} as datetime")
+    return dt.datetime.fromisoformat(text)
+
+
+def _parse_bool(text: str) -> bool:
+    return text == "t"
+
+
+def _parse_bytea(text: str) -> bytes:
+    if text.startswith("\\x"):
+        return bytes.fromhex(text[2:])
+    raise ProgrammingError("only hex bytea output is supported")
+
+
+_DECODERS = {
+    16: _parse_bool,  # bool
+    17: _parse_bytea,  # bytea
+    20: int,  # int8
+    21: int,  # int2
+    23: int,  # int4
+    26: int,  # oid
+    700: float,  # float4
+    701: float,  # float8
+    1700: Decimal,  # numeric
+    1082: dt.date.fromisoformat,  # date
+    1083: dt.time.fromisoformat,  # time
+    1114: _parse_timestamp,  # timestamp
+    1184: _parse_timestamp,  # timestamptz
+}
+
+
+def _decode(type_oid: int, raw: bytes) -> Any:
+    text = raw.decode("utf-8")
+    decoder = _DECODERS.get(type_oid)
+    return decoder(text) if decoder is not None else text
+
+
+# -- the wire ---------------------------------------------------------------
+
+
+class _Protocol:
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buffer = b""
+
+    def send_startup(self, options: Dict[str, str]) -> None:
+        body = struct.pack("!i", PROTOCOL_VERSION)
+        for key in ("user", "database"):
+            value = options.get(key)
+            if value:
+                body += key.encode() + b"\x00" + value.encode() + b"\x00"
+        body += b"\x00"
+        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+
+    def send(self, type_byte: bytes, payload: bytes = b"") -> None:
+        self._sock.sendall(type_byte + struct.pack("!i", len(payload) + 4) + payload)
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buffer) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise OperationalError("server closed the connection")
+            self._buffer += chunk
+        out, self._buffer = self._buffer[:n], self._buffer[n:]
+        return out
+
+    def read_message(self) -> Tuple[bytes, bytes]:
+        header = self._read_exact(5)
+        msg_type = header[:1]
+        (length,) = struct.unpack("!i", header[1:5])
+        return msg_type, self._read_exact(length - 4)
+
+
+def _error_fields(payload: bytes) -> Dict[str, str]:
+    fields: Dict[str, str] = {}
+    pos = 0
+    while pos < len(payload) and payload[pos : pos + 1] != b"\x00":
+        code = chr(payload[pos])
+        end = payload.index(b"\x00", pos + 1)
+        fields[code] = payload[pos + 1 : end].decode("utf-8", "replace")
+        pos = end + 1
+    return fields
+
+
+class Cursor:
+    """Text-format simple-query cursor."""
+
+    def __init__(self, connection: "Connection"):
+        self._connection = connection
+        self.description: Optional[List[tuple]] = None
+        self._rows: List[tuple] = []
+        self.rowcount = -1
+        self.arraysize = 1
+
+    def execute(self, query: str, params: Sequence[Any] = ()) -> None:
+        self.description = None
+        self._rows = []
+        self.rowcount = -1
+        self._connection._run(self, render_query(query, tuple(params)))
+
+    def fetchall(self) -> List[tuple]:
+        rows, self._rows = self._rows, []
+        return rows
+
+    def fetchone(self) -> Optional[tuple]:
+        return self._rows.pop(0) if self._rows else None
+
+    def fetchmany(self, size: Optional[int] = None) -> List[tuple]:
+        n = size if size is not None else self.arraysize
+        out, self._rows = self._rows[:n], self._rows[n:]
+        return out
+
+    def close(self) -> None:
+        self._rows = []
+
+
+class Connection:
+    """One backend session over a unix or TCP socket."""
+
+    def __init__(self, connection_string: str):
+        options = parse_dsn(connection_string)
+        host = options.get("host", "/var/run/postgresql")
+        port = int(options.get("port", "5432"))
+        timeout = float(options.get("connect_timeout", "30"))
+        if host.startswith("/"):
+            sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sock.settimeout(timeout)
+            sock.connect(f"{host}/.s.PGSQL.{port}")
+        else:
+            sock = socket.create_connection((host, port), timeout=timeout)
+        self._proto = _Protocol(sock)
+        self._sock = sock
+        self._closed = False
+        self._proto.send_startup(
+            {
+                "user": options.get("user", "postgres"),
+                "database": options.get("dbname", options.get("user", "postgres")),
+            }
+        )
+        self._authenticate(options)
+
+    def _authenticate(self, options: Dict[str, str]) -> None:
+        while True:
+            msg_type, payload = self._proto.read_message()
+            if msg_type == b"R":
+                (code,) = struct.unpack("!i", payload[:4])
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 3:  # cleartext password
+                    password = options.get("password")
+                    if password is None:
+                        raise OperationalError("server requires a password")
+                    self._proto.send(b"p", password.encode() + b"\x00")
+                    continue
+                raise OperationalError(
+                    f"unsupported authentication method (code {code}); "
+                    "this stdlib fallback supports trust and cleartext — "
+                    "install psycopg2 for md5/scram"
+                )
+            if msg_type == b"E":
+                fields = _error_fields(payload)
+                raise OperationalError(fields.get("M", "startup failed"))
+            if msg_type == b"Z":  # ReadyForQuery
+                return
+            # ParameterStatus ('S'), BackendKeyData ('K'), notices: skip
+
+    def _run(self, cursor: Cursor, sql: str) -> None:
+        if self._closed:
+            raise OperationalError("connection is closed")
+        self._proto.send(b"Q", sql.encode("utf-8") + b"\x00")
+        error: Optional[ProgrammingError] = None
+        column_oids: List[int] = []
+        while True:
+            msg_type, payload = self._proto.read_message()
+            if msg_type == b"T":  # RowDescription
+                (count,) = struct.unpack("!h", payload[:2])
+                pos = 2
+                description = []
+                column_oids = []
+                for _ in range(count):
+                    end = payload.index(b"\x00", pos)
+                    name = payload[pos:end].decode("utf-8")
+                    pos = end + 1
+                    _table, _attr, oid, _len, _mod, _fmt = struct.unpack(
+                        "!ihihih", payload[pos : pos + 18]
+                    )
+                    pos += 18
+                    column_oids.append(oid)
+                    description.append((name, oid, None, None, None, None, None))
+                cursor.description = description
+            elif msg_type == b"D":  # DataRow
+                (count,) = struct.unpack("!h", payload[:2])
+                pos = 2
+                row = []
+                for i in range(count):
+                    (length,) = struct.unpack("!i", payload[pos : pos + 4])
+                    pos += 4
+                    if length == -1:
+                        row.append(None)
+                    else:
+                        row.append(_decode(column_oids[i], payload[pos : pos + length]))
+                        pos += length
+                cursor._rows.append(tuple(row))
+            elif msg_type == b"C":  # CommandComplete
+                tag = payload.rstrip(b"\x00").decode()
+                parts = tag.split()
+                if parts and parts[-1].isdigit():
+                    cursor.rowcount = int(parts[-1])
+            elif msg_type == b"E":
+                fields = _error_fields(payload)
+                error = ProgrammingError(
+                    fields.get("M", "query failed"), fields.get("C")
+                )
+            elif msg_type == b"Z":  # ReadyForQuery — end of the cycle
+                if error is not None:
+                    raise error
+                return
+            # 'N' notices, 'I' empty query, 'S' parameter status: skip
+
+    def cursor(self) -> Cursor:
+        return Cursor(self)
+
+    def commit(self) -> None:
+        # simple-query statements outside BEGIN autocommit server-side
+        return None
+
+    def rollback(self) -> None:
+        if not self._closed:
+            cursor = Cursor(self)
+            self._run(cursor, "ROLLBACK")
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            try:
+                self._proto.send(b"X")
+            except OSError:
+                pass
+            self._sock.close()
+
+    def __enter__(self) -> "Connection":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
+
+
+def connect(connection_string: str) -> Connection:
+    """DB-API entry point: open a session described by a libpq DSN/URL."""
+    return Connection(connection_string)

@@ -82,6 +82,12 @@ def _connect(config: Dict[str, Any]):
     try:
         module = importlib.import_module(module_name)
     except ImportError as exc:
+        if dialect == "postgresql":
+            # stdlib wire-protocol fallback (tests/test_live_postgres.py
+            # drives it against a real server) — trust/cleartext auth only
+            from kukur_spark.sources import pg_wire
+
+            return pg_wire.connect(connection_string)
         raise NotImplementedError(
             f"SQL dialect {dialect!r} needs the {module_name!r} driver, "
             "which is not installed"

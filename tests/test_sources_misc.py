@@ -168,17 +168,32 @@ def test_sql_dialect_gating(spark):
         spark,
         {
             "source": {
-                "pg": {
-                    "type": "postgresql",
+                "crate": {
+                    "type": "cratedb",
                     "connection_string": "host=nowhere",
                     "data_query": "SELECT ts, value FROM d WHERE n=%s AND ts>=%s AND ts<%s",
                 }
             }
         },
     )
-    wrapper = factory.get_source("pg")  # registration + construction works
-    with pytest.raises(NotImplementedError, match="psycopg2"):
-        wrapper.get_data(SeriesSelector.from_name("pg", "s1"), START, END)
+    wrapper = factory.get_source("crate")  # registration + construction works
+    with pytest.raises(NotImplementedError, match="crate.client"):
+        wrapper.get_data(SeriesSelector.from_name("crate", "s1"), START, END)
+
+
+def test_sql_postgres_falls_back_to_stdlib_wire_driver():
+    """Without psycopg2 the postgresql dialect routes to pg_wire — it
+    really dials the configured host instead of gating with
+    NotImplementedError (live path covered in test_live_postgres.py)."""
+    from kukur_spark.sources.sql_source import _connect
+
+    with pytest.raises(OSError):
+        _connect(
+            {
+                "type": "postgresql",
+                "connection_string": "host=/nonexistent-socket-dir port=5432",
+            }
+        )
 
 
 def test_spark_sql_source(spark, tmp_path):
