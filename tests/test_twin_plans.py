@@ -1,0 +1,88 @@
+"""Plan parity for the rows-only fast paths and their exact md5 twins.
+
+Three registry entries have no DuckDB oracle (xxhash64 is Spark-only):
+``minhash_lsh_pairs``, ``simhash_pairs``, ``docs_quality_classifier_fast``.
+The documented convention is that each is *proven* by an md5 twin with
+identical physical plan shape whose values the oracle gate checks —
+this module turns that convention from a docstring into a test by
+comparing the physical plan's node-type sequence between each twin
+pair.  If a fast path's plan ever diverges structurally from its exact
+twin (an extra shuffle, a lost broadcast, a Python boundary), the twin
+no longer proves anything about it and this fails.
+"""
+
+import re
+
+from kukur_spark.workloads import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+TWINS = [
+    ("minhash_lsh_pairs", "minhash_lsh_md5"),
+    ("simhash_pairs", "simhash_md5"),
+    ("docs_quality_classifier_fast", "docs_quality_classifier"),
+]
+
+_NODE = re.compile(r"^[\s:+\-*]*(?:\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
+
+# the nodes that decide whether a plan scales: shuffles, joins, aggregates,
+# scans, generators, windows, and every Python boundary.  Project/Filter are
+# deliberately elided — swapping xxhash64 for md5 legitimately inserts
+# row-local casts and null filters without changing the data movement.
+SCALE_NODES = frozenset(
+    {
+        "Exchange",
+        "BroadcastExchange",
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "Sort",
+        "Window",
+        "Generate",
+        "Expand",
+        "FileScan",
+        "InMemoryTableScan",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    }
+)
+
+
+def node_sequence(df) -> list:
+    """Scale-relevant node types of the physical plan, in tree order."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nodes = []
+    for line in plan.splitlines():
+        if not line.strip():
+            break  # the tree ends at the first blank line (subqueries follow)
+        match = _NODE.match(line)
+        if match and match.group(1) in SCALE_NODES:
+            nodes.append(match.group(1))
+    return nodes
+
+
+def test_fast_paths_share_their_twins_plan_shape(spark):
+    for fast_name, exact_name in TWINS:
+        fast = node_sequence(QUERIES[fast_name](spark, SF))
+        exact = node_sequence(QUERIES[exact_name](spark, SF))
+        assert fast == exact, (
+            f"{fast_name} plan diverged from its md5 twin {exact_name}:\n"
+            f"fast : {fast}\nexact: {exact}"
+        )
+        # a degenerate pass (both empty) would prove nothing
+        assert len(fast) >= 3, f"{fast_name}: suspiciously small plan {fast}"
+
+
+def test_twin_pairs_cover_every_rows_only_entry():
+    """Every oracle-less registry entry must appear as a fast path above."""
+    from kukur_spark.workloads import ORACLES
+
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert rows_only == sorted(fast for fast, _ in TWINS)
