@@ -15,8 +15,10 @@ read-only scan — tombstone exclusion, schema from ``metaData``,
 partition columns — are reproduced engine-side.  Column mapping
 (name mode) is read via the physical→logical rename in ``read_delta``;
 deletion vectors are applied via a broadcast anti-join on the scan's
-``_metadata.row_index`` (decoding in ``delta_dv``); id-mode column
-mapping is detected and rejected loudly rather than silently misread.
+``_metadata.row_index`` (decoding in ``delta_dv``); type widening is
+read by declaring the log's (widened) schema to the scan so Spark's
+parquet reader upcasts pre-widen files; id-mode column mapping is
+detected and rejected loudly rather than silently misread.
 """
 
 from __future__ import annotations
@@ -64,6 +66,11 @@ def _reject_unsupported(protocol: dict) -> None:
         "columnMapping",
         "deletionVectors",
         "v2Checkpoint",
+        # read by declaring the log's (widened) schema to the scan —
+        # Spark 4's parquet reader upcasts files written before the
+        # widening (int→long, float→double, decimal scale growth)
+        "typeWidening",
+        "typeWidening-preview",
     }
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):
@@ -410,6 +417,28 @@ def read_delta(
             "supported here; only 'name' mode is"
         )
     mapping = _column_mapping(snapshot.schema_json)
+    log_schema = None
+    if snapshot.schema_json:
+        parsed_schema = json.loads(snapshot.schema_json)
+        widened = any(
+            "delta.typeChanges" in (f.get("metadata") or {})
+            for f in parsed_schema.get("fields") or []
+        )
+        if mapping:
+            if widened:
+                # widened files need the declared schema at the scan, but
+                # a mapped scan reads physical names — supporting both at
+                # once needs a physical-named widened schema; reject
+                # rather than let footer inference pick one file's type
+                raise NotImplementedError(
+                    "Delta type widening on a column-mapped table is "
+                    "not supported here"
+                )
+        else:
+            # the log schema is authoritative: files written before a
+            # type widening upcast at the scan, files written before a
+            # column was added yield nulls for it (schema evolution)
+            log_schema = T.StructType.fromJson(parsed_schema)
     if not snapshot.files:
         schema = (
             T.StructType.fromJson(json.loads(snapshot.schema_json))
@@ -442,20 +471,32 @@ def read_delta(
         for path in snapshot.files
     )
     if not snapshot.partition_columns or hive_style:
-        df = spark.read.option("basePath", table_path).parquet(
-            *snapshot.files
-        )
+        reader = spark.read.option("basePath", table_path)
+        if log_schema is not None:
+            reader = reader.schema(log_schema)
+        df = reader.parquet(*snapshot.files)
         if snapshot.deletion_vectors:
             df = _with_position(df)
     else:
         # non-hive layout: group files by partition tuple, inject literals
+        partition_set = set(snapshot.partition_columns)
+        file_schema = (
+            T.StructType(
+                [f for f in log_schema.fields if f.name not in partition_set]
+            )
+            if log_schema is not None
+            else None
+        )
         groups: Dict[tuple, List[str]] = {}
         for path in snapshot.files:
             key = tuple(sorted(snapshot.partition_values[path].items()))
             groups.setdefault(key, []).append(path)
         df = None
         for key, files in sorted(groups.items()):
-            part = spark.read.parquet(*files)
+            group_reader = spark.read
+            if file_schema is not None:
+                group_reader = group_reader.schema(file_schema)
+            part = group_reader.parquet(*files)
             if snapshot.deletion_vectors:
                 part = _with_position(part)
             for column, value in key:

@@ -254,9 +254,9 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     os.makedirs(log_dir)
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["typeWidening"]}},
+                      "readerFeatures": ["variantType"]}},
     ])
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_snapshot(root)
 
     # v3 with only supported features: accepted
@@ -267,7 +267,7 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                       "readerFeatures": ["timestampNtz", "columnMapping",
                                          "deletionVectors",
-                                         "v2Checkpoint"]}},
+                                         "v2Checkpoint", "typeWidening"]}},
         _meta_action([("value", "double")]),
     ])
     assert read_snapshot(root).version == 0
@@ -1003,3 +1003,99 @@ def test_v2_checkpoint_version_mismatch_rejected(spark, tmp_path):
     open(os.path.join(log_dir, manifest), "w").write("\n".join(lines))
     with pytest.raises(ValueError, match="declares version"):
         read_snapshot(root)
+
+
+def _add(path):
+    return {"add": {"path": path, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}
+
+
+def test_type_widening_upcasts_pre_widen_files(spark, tmp_path):
+    """typeWidening: a file written while `value` was int reads back
+    under the log's widened long schema (the declared schema reaches
+    the scan; Spark's parquet reader upcasts the narrower file)."""
+    root = str(tmp_path / "widen")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(spark, [("a", 10)], "id string, value int",
+                   os.path.join(root, "a.parquet"))
+    _write_parquet(spark, [("b", 20_000_000_000)], "id string, value long",
+                   os.path.join(root, "b.parquet"))
+    widened = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "value", "type": "long", "nullable": True, "metadata": {
+            "delta.typeChanges": [
+                {"fromType": "integer", "toType": "long"}]}},
+    ]})
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        _meta_action([("id", "string"), ("value", "integer")]),
+        _add("a.parquet"),
+    ])
+    meta = _meta_action([])
+    meta["metaData"]["schemaString"] = widened
+    _commit(log_dir, 1, [meta, _add("b.parquet")])
+    df = read_delta(spark, root)
+    assert dict(df.dtypes)["value"] == "bigint"
+    assert sorted((r.id, r.value) for r in df.collect()) == [
+        ("a", 10), ("b", 20_000_000_000)]
+    # time travel to the pre-widen version still reads the int schema
+    v0 = read_delta(spark, root, version=0)
+    assert dict(v0.dtypes)["value"] == "int"
+
+
+def test_log_schema_fills_added_columns_with_null(spark, tmp_path):
+    """A column added after a file was written reads as null for that
+    file's rows (log schema is authoritative, not footer inference)."""
+    root = str(tmp_path / "addcol")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(spark, [("a", 1.0)], "id string, value double",
+                   os.path.join(root, "a.parquet"))
+    _commit(log_dir, 0, [
+        _PROTOCOL,
+        _meta_action([("id", "string"), ("value", "double")]),
+        _add("a.parquet"),
+    ])
+    _commit(log_dir, 1, [
+        _meta_action([("id", "string"), ("value", "double"),
+                      ("unit", "string")]),
+    ])
+    rows = read_delta(spark, root).collect()
+    assert [(r.id, r.value, r.unit) for r in rows] == [("a", 1.0, None)]
+
+
+def test_type_widening_with_column_mapping_rejected(spark, tmp_path):
+    """Widened + column-mapped needs a physical-named widened scan
+    schema; reject loudly instead of letting footer inference pick a
+    random file's type."""
+    root = str(tmp_path / "widenmap")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(spark, [("a", 10)], "`col-1` string, `col-2` int",
+                   os.path.join(root, "a.parquet"))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "value", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-2",
+            "delta.typeChanges": [
+                {"fromType": "integer", "toType": "long"}]}},
+    ]})
+    meta = _meta_action([])
+    meta["metaData"]["schemaString"] = schema
+    meta["metaData"]["configuration"] = {
+        "delta.columnMapping.mode": "name"}
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping", "typeWidening"],
+                      "writerFeatures": ["columnMapping", "typeWidening"]}},
+        meta,
+        _add("a.parquet"),
+    ])
+    with pytest.raises(NotImplementedError, match="type widening"):
+        read_delta(spark, root)
