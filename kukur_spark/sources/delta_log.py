@@ -71,6 +71,12 @@ def _reject_unsupported(protocol: dict) -> None:
         # widening (int→long, float→double, decimal scale growth)
         "typeWidening",
         "typeWidening-preview",
+        # the Delta variant encoding IS Spark's parquet variant
+        # encoding (metadata/value binary pair + logical annotation);
+        # Spark 4 reads it natively.  Shredded variants
+        # (variantShredding) need reassembly and stay rejected.
+        "variantType",
+        "variantType-preview",
     }
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):

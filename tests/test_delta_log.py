@@ -254,9 +254,9 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     os.makedirs(log_dir)
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["variantType"]}},
+                      "readerFeatures": ["variantShredding"]}},
     ])
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="variantShredding"):
         read_snapshot(root)
 
     # v3 with only supported features: accepted
@@ -1099,3 +1099,32 @@ def test_type_widening_with_column_mapping_rejected(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="type widening"):
         read_delta(spark, root)
+
+
+def test_variant_column_round_trips(spark, tmp_path):
+    """variantType: Delta's variant encoding is Spark's parquet variant
+    encoding, so a variant column reads natively once the log schema
+    (which declares `variant`) reaches the scan."""
+    root = str(tmp_path / "vartable")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    spark.sql(
+        "SELECT 'a' AS id, parse_json('{\"x\": 1, \"y\": [2, 3]}') AS v"
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/stage")
+    part = [f for f in os.listdir(root + "/stage")
+            if f.endswith(".parquet") and not f.startswith("_")][0]
+    os.replace(os.path.join(root, "stage", part),
+               os.path.join(root, "a.parquet"))
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        _meta_action([("id", "string"), ("v", "variant")]),
+        _add("a.parquet"),
+    ])
+    df = read_delta(spark, root)
+    assert dict(df.dtypes)["v"] == "variant"
+    from pyspark.sql import functions as F
+    row = df.select("id", F.to_json("v").alias("j")).first()
+    assert row.id == "a"
+    assert json.loads(row.j) == {"x": 1, "y": [2, 3]}
