@@ -201,3 +201,61 @@ def test_live_server_error_surfaces(pg_source, pg_dsn):
     )
     with pytest.raises(pg_wire.ProgrammingError):
         broken.get_data(SeriesSelector.from_name("pg", "s1"), START, END)
+
+
+# -- property: parameter quoting round-trips through a real server ----------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    _texts = st.text(
+        st.characters(blacklist_characters="\x00", codec="utf-8"),
+        max_size=80,
+    )
+
+    @settings(
+        max_examples=50,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(value=_texts)
+    def test_text_params_round_trip_live(pg_dsn, value):
+        """Any NUL-free string survives quoting → server → text decode
+        (quotes, backslashes, unicode — the injection surface)."""
+        from kukur_spark.sources import pg_wire
+
+        with pg_wire.connect(pg_dsn) as connection:
+            cursor = connection.cursor()
+            cursor.execute("SELECT %s::text, length(%s::text)", (value, value))
+            got, length = cursor.fetchall()[0]
+        assert got == value
+        assert length == len(value)
+
+    @settings(
+        max_examples=50,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        number=st.integers(min_value=-(2**62), max_value=2**62),
+        real=st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    def test_numeric_params_round_trip_live(pg_dsn, number, real):
+        from kukur_spark.sources import pg_wire
+
+        with pg_wire.connect(pg_dsn) as connection:
+            cursor = connection.cursor()
+            cursor.execute(
+                "SELECT %s::bigint, %s::float8", (number, real)
+            )
+            got_int, got_float = cursor.fetchall()[0]
+        assert got_int == number
+        assert got_float == real
