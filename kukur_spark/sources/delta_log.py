@@ -376,6 +376,49 @@ def _column_mapping(schema_json: Optional[str]):
     return out
 
 
+def _physical_schema(schema_json: str):
+    """The parquet-side StructType of a column-mapped table: every
+    struct field (at any depth) renamed to its
+    ``delta.columnMapping.physicalName``, logical (current, possibly
+    widened) types kept.  Declaring this to the scan makes mapped reads
+    log-authoritative like unmapped ones: columns added after a file
+    was written null-fill instead of failing analysis, and pre-widen
+    files upcast to the widened type."""
+    from pyspark.sql import types as T
+
+    def rename_type(node):
+        if isinstance(node, dict):
+            kind = node.get("type")
+            if kind == "struct":
+                return {
+                    **node,
+                    "fields": [
+                        rename_field(f) for f in node.get("fields") or []
+                    ],
+                }
+            if kind == "array":
+                return {
+                    **node, "elementType": rename_type(node["elementType"])
+                }
+            if kind == "map":
+                return {
+                    **node,
+                    "keyType": rename_type(node["keyType"]),
+                    "valueType": rename_type(node["valueType"]),
+                }
+        return node
+
+    def rename_field(f):
+        meta = f.get("metadata") or {}
+        return {
+            **f,
+            "name": meta.get("delta.columnMapping.physicalName", f["name"]),
+            "type": rename_type(f["type"]),
+        }
+
+    return T.StructType.fromJson(rename_type(json.loads(schema_json)))
+
+
 def read_delta(
     spark,
     table_path: str,
@@ -425,26 +468,17 @@ def read_delta(
     mapping = _column_mapping(snapshot.schema_json)
     log_schema = None
     if snapshot.schema_json:
-        parsed_schema = json.loads(snapshot.schema_json)
-        widened = any(
-            "delta.typeChanges" in (f.get("metadata") or {})
-            for f in parsed_schema.get("fields") or []
-        )
+        # the log schema is authoritative: files written before a type
+        # widening upcast at the scan, files written before a column was
+        # added yield nulls for it (schema evolution).  Mapped tables
+        # declare the same schema under physical names — the relabel
+        # cast below turns it logical.
         if mapping:
-            if widened:
-                # widened files need the declared schema at the scan, but
-                # a mapped scan reads physical names — supporting both at
-                # once needs a physical-named widened schema; reject
-                # rather than let footer inference pick one file's type
-                raise NotImplementedError(
-                    "Delta type widening on a column-mapped table is "
-                    "not supported here"
-                )
+            log_schema = _physical_schema(snapshot.schema_json)
         else:
-            # the log schema is authoritative: files written before a
-            # type widening upcast at the scan, files written before a
-            # column was added yield nulls for it (schema evolution)
-            log_schema = T.StructType.fromJson(parsed_schema)
+            log_schema = T.StructType.fromJson(
+                json.loads(snapshot.schema_json)
+            )
     if not snapshot.files:
         schema = (
             T.StructType.fromJson(json.loads(snapshot.schema_json))
@@ -486,6 +520,10 @@ def read_delta(
     else:
         # non-hive layout: group files by partition tuple, inject literals
         partition_set = set(snapshot.partition_columns)
+        if mapping:
+            # log_schema carries physical names; partitionColumns logical
+            to_physical = {lg: ph for ph, lg, _ in mapping}
+            partition_set = {to_physical.get(c, c) for c in partition_set}
         file_schema = (
             T.StructType(
                 [f for f in log_schema.fields if f.name not in partition_set]

@@ -1067,10 +1067,10 @@ def test_log_schema_fills_added_columns_with_null(spark, tmp_path):
     assert [(r.id, r.value, r.unit) for r in rows] == [("a", 1.0, None)]
 
 
-def test_type_widening_with_column_mapping_rejected(spark, tmp_path):
-    """Widened + column-mapped needs a physical-named widened scan
-    schema; reject loudly instead of letting footer inference pick a
-    random file's type."""
+def test_type_widening_on_column_mapped_table(spark, tmp_path):
+    """Widened + column-mapped: the physical-named schema carries the
+    widened logical type, so the pre-widen int file upcasts and the
+    relabel cast surfaces logical names."""
     root = str(tmp_path / "widenmap")
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir)
@@ -1097,8 +1097,34 @@ def test_type_widening_with_column_mapping_rejected(spark, tmp_path):
         meta,
         _add("a.parquet"),
     ])
-    with pytest.raises(NotImplementedError, match="type widening"):
-        read_delta(spark, root)
+    df = read_delta(spark, root)
+    assert df.columns == ["id", "value"]
+    assert dict(df.dtypes)["value"] == "bigint"
+    assert [(r.id, r.value) for r in df.collect()] == [("a", 10)]
+
+
+def test_column_mapped_added_column_null_fills(spark, tmp_path):
+    """A column added to a mapped table after a file was written reads
+    as null for that file (physical schema at the scan — footer
+    inference would fail analysis on the missing physical name)."""
+    root = str(tmp_path / "mapevolve")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(spark, [("a", 1.0)], "`col-1` string, `col-2` double",
+                   os.path.join(root, "a.parquet"))
+    fields_v0 = [
+        _mapped_field("id", "string", 1, "col-1"),
+        _mapped_field("value", "double", 2, "col-2"),
+    ]
+    _commit(log_dir, 0, [
+        _PROTOCOL_V2,
+        _mapped_meta_action(fields_v0),
+        _add("a.parquet"),
+    ])
+    fields_v1 = fields_v0 + [_mapped_field("unit", "string", 3, "col-3")]
+    _commit(log_dir, 1, [_mapped_meta_action(fields_v1)])
+    rows = read_delta(spark, root).collect()
+    assert [(r.id, r.value, r.unit) for r in rows] == [("a", 1.0, None)]
 
 
 def test_variant_column_round_trips(spark, tmp_path):
