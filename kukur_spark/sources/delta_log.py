@@ -17,8 +17,9 @@ partition columns — are reproduced engine-side.  Column mapping
 deletion vectors are applied via a broadcast anti-join on the scan's
 ``_metadata.row_index`` (decoding in ``delta_dv``); type widening is
 read by declaring the log's (widened) schema to the scan so Spark's
-parquet reader upcasts pre-widen files; id-mode column mapping is
-detected and rejected loudly rather than silently misread.
+parquet reader upcasts pre-widen files; id-mode column mapping rides
+Spark's parquet field-id matching (``parquet.field.id`` metadata on
+the declared schema).
 """
 
 from __future__ import annotations
@@ -376,14 +377,21 @@ def _column_mapping(schema_json: Optional[str]):
     return out
 
 
-def _physical_schema(schema_json: str):
+def _physical_schema(schema_json: str, with_field_ids: bool = False):
     """The parquet-side StructType of a column-mapped table: every
     struct field (at any depth) renamed to its
     ``delta.columnMapping.physicalName``, logical (current, possibly
     widened) types kept.  Declaring this to the scan makes mapped reads
     log-authoritative like unmapped ones: columns added after a file
     was written null-fill instead of failing analysis, and pre-widen
-    files upcast to the widened type."""
+    files upcast to the widened type.
+
+    ``with_field_ids`` (id mode) additionally carries each field's
+    ``delta.columnMapping.id`` as ``parquet.field.id`` metadata so
+    Spark's reader matches parquet columns by id, ignoring their
+    (arbitrary, possibly foreign-engine) names.  Only set in id mode —
+    a name-mode file without ids would otherwise error under the
+    field-id conf."""
     from pyspark.sql import types as T
 
     def rename_type(node):
@@ -410,11 +418,16 @@ def _physical_schema(schema_json: str):
 
     def rename_field(f):
         meta = f.get("metadata") or {}
-        return {
+        out = {
             **f,
             "name": meta.get("delta.columnMapping.physicalName", f["name"]),
             "type": rename_type(f["type"]),
         }
+        if with_field_ids and "delta.columnMapping.id" in meta:
+            out["metadata"] = {
+                "parquet.field.id": int(meta["delta.columnMapping.id"])
+            }
+        return out
 
     return T.StructType.fromJson(rename_type(json.loads(schema_json)))
 
@@ -457,14 +470,15 @@ def read_delta(
     # The spec's `id` mode matches parquet columns by field id, not by
     # physicalName — tables written by non-Spark engines in id mode can
     # carry arbitrary parquet column names, so name-matching would
-    # silently misread.  Reject loudly; `name` mode (and unset = no
-    # mapping) reads below.
+    # silently misread.  Spark's parquet reader matches by id when the
+    # requested schema carries ``parquet.field.id`` metadata and the
+    # conf below is on; the conf only activates for id-carrying
+    # schemas, so enabling it session-wide has no effect on other
+    # reads.  Files without ids then fail loudly (ignoreMissing=false
+    # default) instead of misreading.
     mode = snapshot.configuration.get("delta.columnMapping.mode")
     if mode == "id":
-        raise NotImplementedError(
-            "Delta column mapping mode 'id' (field-id matching) is not "
-            "supported here; only 'name' mode is"
-        )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     mapping = _column_mapping(snapshot.schema_json)
     log_schema = None
     if snapshot.schema_json:
@@ -474,7 +488,9 @@ def read_delta(
         # declare the same schema under physical names — the relabel
         # cast below turns it logical.
         if mapping:
-            log_schema = _physical_schema(snapshot.schema_json)
+            log_schema = _physical_schema(
+                snapshot.schema_json, with_field_ids=(mode == "id")
+            )
         else:
             log_schema = T.StructType.fromJson(
                 json.loads(snapshot.schema_json)

@@ -480,25 +480,42 @@ def test_column_mapping_through_checkpoint(spark, tmp_path):
     assert df.collect()[0]["value"] == 5.0
 
 
-def test_column_mapping_id_mode_rejected(spark, tmp_path):
-    """`id` mode matches parquet columns by field id — name-matching
-    could silently misread, so the read refuses loudly."""
+def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
+    """`id` mode: parquet column names are arbitrary (here deliberately
+    NOT the physicalName — a foreign-engine layout); the read matches
+    by the parquet field ids and surfaces logical names."""
+    from pyspark.sql import types as T
+
     root = str(tmp_path / "cm_id")
     log_dir = os.path.join(root, "_delta_log")
     os.makedirs(log_dir)
-    _write_parquet(
-        spark, [(1.0,)], "`col-ccc` double",
-        os.path.join(root, "part0.parquet"),
-    )
-    fields = [_mapped_field("value", "double", 1, "col-ccc")]
+    file_schema = T.StructType([
+        T.StructField("weird_x", T.StringType(), True,
+                      {"parquet.field.id": 1}),
+        T.StructField("weird_y", T.DoubleType(), True,
+                      {"parquet.field.id": 2}),
+    ])
+    spark.createDataFrame(
+        [("s1", 1.5)], file_schema
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/stage")
+    part = [f for f in os.listdir(root + "/stage")
+            if f.endswith(".parquet") and not f.startswith("_")][0]
+    os.replace(os.path.join(root, "stage", part),
+               os.path.join(root, "part0.parquet"))
+    fields = [
+        _mapped_field("series name", "string", 1, "col-aaa"),
+        _mapped_field("value", "double", 2, "col-ccc"),
+    ]
     _commit(log_dir, 0, [
         _PROTOCOL_V2,
         _mapped_meta_action(fields, mode="id"),
         {"add": {"path": "part0.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="id"):
-        read_delta(spark, root)
+    df = read_delta(spark, root)
+    assert df.columns == ["series name", "value"]
+    rows = df.collect()
+    assert [(r["series name"], r["value"]) for r in rows] == [("s1", 1.5)]
 
 
 def test_delta_timestamp_partition_pruning(spark, tmp_path):
