@@ -1293,3 +1293,36 @@ def test_change_data_feed_partitioned(spark, tmp_path):
         ("a", 1, "insert")
     ]
     assert dict(read_delta_changes(spark, root).dtypes)["day"] == "int"
+
+
+def test_deletion_vector_composes_with_type_widening(spark, tmp_path):
+    """DV anti-join and the declared (widened) scan schema compose: the
+    pre-widen int file has a deleted row AND upcasts to long."""
+    root = str(tmp_path / "dvwiden")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(spark, [("a", 10), ("b", 11), ("c", 12)],
+                   "id string, value int",
+                   os.path.join(root, "a.parquet"))
+    widened = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "value", "type": "long", "nullable": True, "metadata": {
+            "delta.typeChanges": [
+                {"fromType": "integer", "toType": "long"}]}},
+    ]})
+    dv_descriptor = _inline_dv([1])  # delete row "b"
+    meta = _meta_action([])
+    meta["metaData"]["schemaString"] = widened
+    _commit(log_dir, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "typeWidening"],
+                      "writerFeatures": ["deletionVectors", "typeWidening"]}},
+        meta,
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_descriptor}},
+    ])
+    df = read_delta(spark, root)
+    assert dict(df.dtypes)["value"] == "bigint"
+    assert sorted((r.id, r.value) for r in df.collect()) == [
+        ("a", 10), ("c", 12)]
