@@ -1205,3 +1205,68 @@ def streaming_chunk_dedup_vs_index(
             F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
         )
     )
+
+
+def streaming_emb_decontaminate(
+    stream_vectors: DataFrame,
+    eval_vectors: DataFrame,
+    threshold_e6: int = 300_000,
+) -> DataFrame:
+    """Streaming twin of ``workloads.docs_emb_decontaminate``: score
+    each arriving embedding against the static (broadcast) eval set and
+    flag eval-set contamination continuously.
+
+    Ingest shape: training vectors stream in; the eval set is a small
+    static frame broadcast to every micro-batch, so the stream side
+    never shuffles for the join.  The per-vector best match is a
+    streaming ``max`` aggregate keyed by ``vec_id`` — run the sink in
+    **update** mode; a vector appearing once emits once.  Sims quantize
+    to e6 BEFORE thresholding, matching the batch query bit-for-bit.
+    """
+    from kukur_spark.operators.similarity import _as_double, dot, norm
+
+    ev = (
+        eval_vectors.select(
+            F.col("vec_id").alias("eval_id"),
+            _as_double(F.col("embedding")).alias("ev"),
+        )
+        .withColumn("evn", norm(F.col("ev")))
+    )
+    scored = (
+        stream_vectors.select(
+            "vec_id", _as_double(F.col("embedding")).alias("dv")
+        )
+        .withColumn("dn", norm(F.col("dv")))
+        .join(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            (
+                dot(F.col("dv"), F.col("ev")) / (F.col("dn") * F.col("evn"))
+            ).alias("sim"),
+        )
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.floor(F.col("sim") * F.lit(1000000.0))).alias(
+                "max_sim_e6"
+            ),
+            F.max(
+                F.struct(
+                    F.col("sim").alias("s"),
+                    (-F.col("eval_id")).alias("t"),
+                    F.col("eval_id").alias("e"),
+                )
+            ).alias("b"),
+        )
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.e").alias("nearest_eval_id"),
+        F.col("max_sim_e6").cast("long").alias("max_sim_e6"),
+        F.when(F.col("max_sim_e6") >= threshold_e6, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("contaminated"),
+    )

@@ -740,3 +740,48 @@ def test_streaming_pack_nextfit_matches_batch(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == expected
+
+
+def test_streaming_emb_decontaminate_matches_batch(spark, tmp_path):
+    """The streaming twin reproduces docs_emb_decontaminate exactly
+    across two micro-batches (broadcast static eval set, update-mode
+    max aggregate)."""
+    from kukur_spark.io import load_table
+    from kukur_spark.streaming import streaming_emb_decontaminate
+    from kukur_spark.workloads import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") < 32)
+    docs = emb.filter(F.col("vec_id") >= 32)
+
+    stream_path = tmp_path / "emb_stream"
+    stream_path.mkdir()
+    docs.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_path))
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_path))
+    flagged = streaming_emb_decontaminate(stream, ev)
+    name = f"decon_{uuid.uuid4().hex[:8]}"
+    query = (
+        flagged.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        docs.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stream_path))
+        query.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.table(name).collect())
+    finally:
+        query.stop()
+
+    want = sorted(
+        tuple(r) for r in QUERIES["docs_emb_decontaminate"](spark, sf).collect()
+    )
+    assert got == want
+    assert any(r[3] == 1 for r in got), "corpus should contain contamination"
