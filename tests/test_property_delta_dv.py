@@ -44,3 +44,99 @@ def test_z85_roundtrip(payload):
     # encode zero-pads to a 4-byte multiple; the prefix must match
     assert decoded[: len(payload)] == payload
     assert all(b == 0 for b in decoded[len(payload):])
+
+
+# -- _physical_schema: structure-preserving rename at any depth --------------
+
+_leaf_types = st.sampled_from(
+    ["string", "long", "integer", "double", "boolean", "date", "timestamp"]
+)
+
+
+def _field_names():
+    return st.text(
+        st.characters(codec="ascii", whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=8,
+    )
+
+
+def _delta_types(depth=2):
+    if depth == 0:
+        return _leaf_types
+    inner = _delta_types(depth - 1)
+    return st.one_of(
+        _leaf_types,
+        st.builds(
+            lambda e: {"type": "array", "elementType": e,
+                       "containsNull": True},
+            inner,
+        ),
+        st.builds(
+            lambda fs: {"type": "struct", "fields": fs},
+            st.lists(_delta_fields(depth - 1), min_size=1, max_size=3,
+                     unique_by=lambda f: f["name"]),
+        ),
+    )
+
+
+def _delta_fields(depth):
+    return st.builds(
+        lambda n, t, mapped, fid: {
+            "name": n,
+            "type": t,
+            "nullable": True,
+            "metadata": (
+                {
+                    "delta.columnMapping.id": fid,
+                    "delta.columnMapping.physicalName": f"col-{fid}",
+                }
+                if mapped
+                else {}
+            ),
+        },
+        _field_names(),
+        _delta_types(depth),
+        st.booleans(),
+        st.integers(min_value=1, max_value=99),
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    fields=st.lists(
+        _delta_fields(2), min_size=1, max_size=4,
+        unique_by=lambda f: f["name"],
+    ),
+    with_ids=st.booleans(),
+)
+def test_physical_schema_preserves_structure(fields, with_ids):
+    """Renaming never changes the tree shape or the leaf types; mapped
+    fields surface under their physicalName, unmapped keep their name;
+    field ids appear exactly when requested and present."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from kukur_spark.sources.delta_log import _physical_schema
+
+    schema_json = _json.dumps({"type": "struct", "fields": fields})
+    physical = _physical_schema(schema_json, with_field_ids=with_ids)
+    logical = T.StructType.fromJson(_json.loads(schema_json))
+
+    def strip_names(dt):
+        if isinstance(dt, T.StructType):
+            return [("struct", strip_names(f.dataType)) for f in dt.fields]
+        if isinstance(dt, T.ArrayType):
+            return ("array", strip_names(dt.elementType))
+        return dt.simpleString()
+
+    assert strip_names(physical) == strip_names(logical)
+    for raw, phys in zip(fields, physical.fields):
+        meta = raw["metadata"]
+        expected = meta.get("delta.columnMapping.physicalName", raw["name"])
+        assert phys.name == expected
+        if with_ids and "delta.columnMapping.id" in meta:
+            assert phys.metadata == {
+                "parquet.field.id": meta["delta.columnMapping.id"]
+            }
