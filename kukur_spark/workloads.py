@@ -2451,6 +2451,26 @@ _WINDOW_SWEEP_R6 = [
     "ts_downtime_intervals", "emb_pq_topk",
     "ts_seasonal_naive_backtest", "events_transition_matrix",
 ]
+# Round-7 sweep: the next 45 NEVER_CHECKED.md names in registry order
+# (oldest waiting first, per VERDICT r6 #1).
+_WINDOW_SWEEP_R7 = [
+    "docs_prefix_containment", "ts_stl_lite", "docs_pack_chunks",
+    "text_pmi_pairs", "orders_rfm_segments", "ts_peak_detect",
+    "events_grouping_sets", "orders_cumulative_share", "ts_interval_join",
+    "text_repetition", "docs_domain_mix", "ts_asof_nearest",
+    "emb_int8_quantize", "text_pretokenize", "events_cumulative_users",
+    "docs_hll_tokens", "events_merge_upsert", "docs_chunks",
+    "text_lev_neardup", "orders_scd2", "textrank_step",
+    "ts_quantile_sketch", "docs_sample_bernoulli",
+    "events_reservoir_per_user", "docs_training_manifest",
+    "emb_kmeans_iter2", "events_attribution", "events_incremental_rollup",
+    "text_cms_topk", "text_df_score", "graph_triangles",
+    "ts_matrix_profile", "emb_power_iter", "docs_novelty",
+    "docs_temperature_mix", "ts_matrix_profile_banded", "ts_linreg_trend",
+    "ts_ma_crossover", "events_skew_report", "docs_bloom_probe",
+    "text_gini_diversity", "ts_interarrival_stats", "orders_benford",
+    "text_inverted_index", "events_dau_wau",
+]
 
 
 def _set_window(queries: Dict[str, Callable], window: List[str]) -> Dict:
@@ -2462,4 +2482,4 @@ def _set_window(queries: Dict[str, Callable], window: List[str]) -> Dict:
     return {name: queries[name] for name in list(window) + rest}
 
 
-QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R6)
+QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R7)
