@@ -109,6 +109,16 @@ def load_table(
     return df
 
 
+# Engine-initiated persists, oldest first.  A long-lived session running
+# the distributed operators over many distinct inputs would otherwise
+# accumulate cached plans forever (each `_range_bucket` boundary probe
+# persists its input).  Evicting the oldest beyond the cap is always
+# safe: the quantile-literal design keeps lineage replayable, so a
+# consumer that still references an evicted plan just recomputes it.
+_PERSISTED_FIFO: "list[DataFrame]" = []
+_PERSISTED_CAP = int(os.environ.get("SPARK_GRAFT_PERSIST_CAP", "8"))
+
+
 def persist_once(df: DataFrame) -> DataFrame:
     """Persist ``df`` unless an equivalent plan is already cached.
 
@@ -118,11 +128,25 @@ def persist_once(df: DataFrame) -> DataFrame:
     ``df.storageLevel`` consults the shared CacheManager by plan equality,
     so this guard stays idempotent across rebuilt DataFrames within a
     session.
+
+    Plans persisted here are tracked in a bounded FIFO
+    (``SPARK_GRAFT_PERSIST_CAP``, default 8): once full, the oldest
+    engine-initiated persist is unpersisted (non-blocking).  Frames the
+    CALLER persisted hit the early return and are never tracked, so
+    caller-managed caches are never evicted by the engine.
     """
     level = df.storageLevel
     if level.useMemory or level.useDisk:
         return df
-    return df.persist()
+    df = df.persist()
+    _PERSISTED_FIFO.append(df)
+    while len(_PERSISTED_FIFO) > _PERSISTED_CAP:
+        stale = _PERSISTED_FIFO.pop(0)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

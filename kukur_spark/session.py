@@ -39,6 +39,14 @@ def get_spark(
         # naive parquet timestamps → session-tz TIMESTAMP (session is UTC),
         # not TIMESTAMP_NTZ: keeps timestamp functions applicable everywhere
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Delta id-mode column mapping matches parquet columns by field
+        # id; the flag only activates for requested schemas that carry
+        # ``parquet.field.id`` metadata (delta_log._physical_schema), so
+        # it is inert for every other read.  Set here as an engine
+        # default because parquet consults SQLConf at EXECUTION time —
+        # a per-scan set-and-restore would silently null out the lazy
+        # scan (probed on Spark 4.1).
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -156,6 +156,17 @@ def _checkpoint_actions(log_dir: str, version: int, parts: Optional[int]):
             yield action
 
 
+def _normalize_table_path(table_path: str) -> str:
+    """Absolute form of a local table path (URIs pass through).
+
+    Every path derived from the table root — snapshot data files, DV
+    anti-join keys, CDF change files — must compare equal to the
+    absolute paths Spark reports in ``_metadata.file_path``."""
+    if "://" in table_path:
+        return table_path
+    return os.path.abspath(table_path)
+
+
 def version_at_timestamp(table_path: str, ts_millis: int) -> int:
     """Resolve TIMESTAMP AS OF to a version: the latest commit whose
     timestamp is ≤ ``ts_millis``.
@@ -217,7 +228,15 @@ def read_snapshot(
     that commit.  Requesting a version older than the oldest available
     checkpoint (log truncated by retention) or newer than the log fails
     loudly rather than returning a wrong snapshot.
+
+    ``table_path`` is normalized to an absolute path (local paths only —
+    the replay walks the log with ``os.listdir``) so the snapshot's file
+    paths compare equal to the absolute ``_metadata.file_path`` values
+    the DV anti-join in :func:`read_delta` matches against; a relative
+    ``table_path`` would otherwise silently match nothing and deleted
+    rows would reappear.
     """
+    table_path = _normalize_table_path(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
@@ -456,6 +475,7 @@ def read_delta(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    table_path = _normalize_table_path(table_path)
     if timestamp is not None:
         if version is not None:
             raise ValueError(
@@ -463,6 +483,20 @@ def read_delta(
             )
         if hasattr(timestamp, "timestamp"):  # datetime
             ts_millis = int(timestamp.timestamp() * 1000)
+        elif isinstance(timestamp, str):
+            # config-provided delta_timestamp is typically an ISO-8601
+            # string (the delta-spark branch feeds it to timestampAsOf
+            # verbatim); accept the same here, naive = UTC like the
+            # session timezone, and keep epoch-millis digit strings.
+            try:
+                ts_millis = int(timestamp)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                parsed = datetime.fromisoformat(timestamp)
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=timezone.utc)
+                ts_millis = int(parsed.timestamp() * 1000)
         else:
             ts_millis = int(timestamp)
         version = version_at_timestamp(table_path, ts_millis)
@@ -475,7 +509,12 @@ def read_delta(
     # conf below is on; the conf only activates for id-carrying
     # schemas, so enabling it session-wide has no effect on other
     # reads.  Files without ids then fail loudly (ignoreMissing=false
-    # default) instead of misreading.
+    # default) instead of misreading.  Engine-owned sessions already
+    # set it at creation (kukur_spark.session); this covers externally
+    # created sessions.  It is deliberately NOT saved-and-restored:
+    # parquet consults SQLConf at EXECUTION time, so restoring before
+    # the caller's action silently nulls the id-matched columns
+    # (probed on Spark 4.1 — see session.py).
     mode = snapshot.configuration.get("delta.columnMapping.mode")
     if mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -506,12 +545,20 @@ def read_delta(
     def _with_position(scan):
         """Attach the scan-only ``_metadata`` row position for DV
         filtering: filesystem path (scheme stripped, %xx decoded to
-        match snapshot paths) + within-file row index."""
+        match snapshot paths) + within-file row index.  A literal
+        ``+`` is pre-escaped to ``%2B`` so ``url_decode`` (which maps
+        ``+`` to a space, query-string style) round-trips it — the
+        snapshot side uses :func:`urllib.parse.unquote`, which decodes
+        only ``%xx`` sequences."""
         return scan.withColumns(
             {
                 "__dv_file": F.url_decode(
                     F.regexp_replace(
-                        F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^[a-z]+:/+", "/"
+                        ),
+                        r"\+",
+                        "%2B",
                     )
                 ),
                 "__dv_pos": F.col("_metadata.row_index"),
@@ -634,6 +681,7 @@ def read_delta_changes(
     """
     from pyspark.sql import functions as F
 
+    table_path = _normalize_table_path(table_path)
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table: {log_dir} missing")
