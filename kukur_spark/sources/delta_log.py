@@ -669,7 +669,12 @@ def read_delta_changes(
     without cdc actions changes data only through ``dataChange``
     add/remove actions — adds are inserts, removes are deletes (read
     back from the tombstoned file; if VACUUM already reclaimed it the
-    read fails loudly rather than dropping changes).  Output columns =
+    read fails loudly rather than dropping changes).  Deletion vectors
+    are applied: a commit that re-adds a file with a new DV (the
+    physical shape of a DV-based DELETE/UPDATE) contributes exactly the
+    position diff — newly covered positions as deletes, uncovered ones
+    as inserts — and a tombstoned file that already carried a DV only
+    deletes its still-live rows.  Output columns =
     the table's logical columns + ``_change_type``,
     ``_commit_version``, ``_commit_timestamp`` — the shape
     delta-spark's ``readChangeFeed`` returns.
@@ -724,10 +729,18 @@ def read_delta_changes(
             if f.name in set(snapshot.partition_columns)
         }
 
-    def _frame(paths, partition_values, change_type=None):
+    def _frame(paths, partition_values, change_type=None, positions=None,
+               keep=False):
         """Read a group of data/cdc files, injecting partition literals
         (cdc/tombstone files are read directly, never via basePath, so
-        hive dirs don't resolve on their own)."""
+        hive dirs don't resolve on their own).
+
+        ``positions`` (always with a single-file ``paths``) restricts
+        the frame by within-file row index: ``keep=True`` keeps exactly
+        those rows (a DV delta), ``keep=False`` drops them (rows that
+        were already DV-deleted before this commit).  The position set
+        is bounded by a file's deleted-row count, so it rides a
+        broadcast join and the scan stays a plain distributed read."""
         for rel in paths:
             full = os.path.join(table_path, unquote(rel))
             if not os.path.exists(full):
@@ -737,6 +750,24 @@ def read_delta_changes(
         part = spark.read.parquet(
             *[os.path.join(table_path, unquote(p)) for p in paths]
         )
+        if positions is not None:
+            import pyarrow as pa
+
+            pos_df = spark.createDataFrame(
+                pa.table(
+                    {"__pos": pa.array(sorted(positions), pa.int64())}
+                ).to_pandas(),
+                schema="__pos long",
+            )
+            part = (
+                part.withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(pos_df),
+                    "__pos",
+                    "left_semi" if keep else "left_anti",
+                )
+                .drop("__pos")
+            )
         for column, value in sorted(partition_values.items()):
             literal = F.lit(value) if value is not None else F.lit(None)
             if column in partition_types:
@@ -748,13 +779,26 @@ def read_delta_changes(
             part = part.select(*relabel, "_change_type")
         return part
 
+    def _positions(descriptor):
+        from kukur_spark.sources.delta_dv import read_descriptor
+
+        if not descriptor:
+            return set()
+        return set(read_descriptor(table_path, descriptor))
+
     out = None
     prev_ts = -(1 << 62)
+    # path -> deletionVector descriptor (or None) for live files,
+    # replayed over every commit the log still holds so a no-cdc
+    # DV-rewrite commit can be diffed against the file's prior DV.
+    dv_state: Dict[str, Optional[dict]] = {}
     for v in versions:  # monotonize over the full log like time travel
         commit = os.path.join(log_dir, f"{v:020d}.json")
         cdc_groups: Dict[tuple, List[str]] = {}
-        add_groups: Dict[tuple, List[str]] = {}
-        remove_groups: Dict[tuple, List[str]] = {}
+        # dataChange adds/removes: path -> (partition values, descriptor)
+        adds: Dict[str, tuple] = {}
+        removes: Dict[str, tuple] = {}
+        state_updates: List[tuple] = []  # ALL adds/removes, incl. OPTIMIZE
         commit_ts = None
         with open(commit) as handle:
             for line in handle:
@@ -772,19 +816,42 @@ def read_delta_changes(
                     key = tuple(sorted((cdc.get("partitionValues") or {}).items()))
                     cdc_groups.setdefault(key, []).append(cdc["path"])
                 add = action.get("add")
-                if add and add.get("dataChange", True):
-                    key = tuple(sorted((add.get("partitionValues") or {}).items()))
-                    add_groups.setdefault(key, []).append(add["path"])
-                remove = action.get("remove")
-                if remove and remove.get("dataChange", True):
-                    key = tuple(
-                        sorted((remove.get("partitionValues") or {}).items())
+                if add:
+                    state_updates.append(
+                        ("add", add["path"], add.get("deletionVector"))
                     )
-                    remove_groups.setdefault(key, []).append(remove["path"])
+                    if add.get("dataChange", True):
+                        adds[add["path"]] = (
+                            dict(add.get("partitionValues") or {}),
+                            add.get("deletionVector"),
+                        )
+                remove = action.get("remove")
+                if remove:
+                    state_updates.append(("remove", remove["path"], None))
+                    if remove.get("dataChange", True):
+                        removes[remove["path"]] = (
+                            dict(remove.get("partitionValues") or {}),
+                            remove.get("deletionVector"),
+                        )
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(commit) * 1000)
         commit_ts = max(commit_ts, prev_ts + 1)
         prev_ts = commit_ts
+        # pre-commit DV for every touched path, BEFORE applying updates
+        # (a DV rewrite adds and removes the same path in one commit).
+        # Fallback to the remove action's own descriptor when the add
+        # predates the oldest retained commit (checkpointed log).
+        pre_dv: Dict[str, Optional[dict]] = {}
+        for path in set(adds) | set(removes):
+            if path in dv_state:
+                pre_dv[path] = dv_state[path]
+            else:
+                pre_dv[path] = (removes.get(path) or (None, None))[1]
+        for kind, path, descriptor in state_updates:
+            if kind == "add":
+                dv_state[path] = descriptor
+            else:
+                dv_state.pop(path, None)
         if v < starting_version or v > ending_version:
             continue
         pieces = []
@@ -795,9 +862,56 @@ def read_delta_changes(
             for key, paths in sorted(cdc_groups.items()):
                 pieces.append(_frame(paths, dict(key)))
         else:
-            for key, paths in sorted(add_groups.items()):
+            # no cdc actions: synthesize the row delta from dataChange
+            # adds/removes, applying deletion vectors.  A path both
+            # added and removed in the commit is a DV rewrite of the
+            # same file — the delta is the position diff, not a
+            # full-file insert+delete.
+            rewritten = set(adds) & set(removes)
+            plain_add_groups: Dict[tuple, List[str]] = {}
+            plain_remove_groups: Dict[tuple, List[str]] = {}
+            for path in sorted(rewritten):
+                pvals, post_desc = adds[path]
+                pre = _positions(pre_dv.get(path))
+                post = _positions(post_desc)
+                deleted = post - pre
+                restored = pre - post
+                if deleted:
+                    pieces.append(
+                        _frame([path], pvals, "delete",
+                               positions=deleted, keep=True)
+                    )
+                if restored:
+                    pieces.append(
+                        _frame([path], pvals, "insert",
+                               positions=restored, keep=True)
+                    )
+            for path, (pvals, descriptor) in sorted(adds.items()):
+                if path in rewritten:
+                    continue
+                if descriptor:  # born with a DV: insert the live rows
+                    pieces.append(
+                        _frame([path], pvals, "insert",
+                               positions=_positions(descriptor), keep=False)
+                    )
+                else:
+                    key = tuple(sorted(pvals.items()))
+                    plain_add_groups.setdefault(key, []).append(path)
+            for path, (pvals, _descriptor) in sorted(removes.items()):
+                if path in rewritten:
+                    continue
+                pre = _positions(pre_dv.get(path))
+                if pre:  # only the still-live rows are deleted now
+                    pieces.append(
+                        _frame([path], pvals, "delete",
+                               positions=pre, keep=False)
+                    )
+                else:
+                    key = tuple(sorted(pvals.items()))
+                    plain_remove_groups.setdefault(key, []).append(path)
+            for key, paths in sorted(plain_add_groups.items()):
                 pieces.append(_frame(paths, dict(key), "insert"))
-            for key, paths in sorted(remove_groups.items()):
+            for key, paths in sorted(plain_remove_groups.items()):
                 pieces.append(_frame(paths, dict(key), "delete"))
         for piece in pieces:
             piece = piece.withColumns(
