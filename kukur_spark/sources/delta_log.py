@@ -20,6 +20,24 @@ read by declaring the log's (widened) schema to the scan so Spark's
 parquet reader upcasts pre-widen files; id-mode column mapping rides
 Spark's parquet field-id matching (``parquet.field.id`` metadata on
 the declared schema).
+
+Reader-feature support matrix (gate: ``_reject_unsupported``):
+
+- **read transparently**: ``columnMapping`` (name + id modes),
+  ``deletionVectors``, ``v2Checkpoint``, ``timestampNtz``,
+  ``typeWidening[-preview]``, ``variantType[-preview]`` (Spark 4 reads
+  the unshredded variant encoding natively).
+- **writer-only features are ignored by design** — ``rowTracking``,
+  ``domainMetadata``, ``appendOnly``, ``invariants``, ``checkConstraints``,
+  ``generatedColumns``, ``identityColumns``, ``icebergCompatV*``,
+  ``inCommitTimestamp`` — none constrain a reader.  ICT is still
+  *honored* where it matters: ``version_at_timestamp`` and the CDF
+  ``_commit_timestamp`` prefer ``commitInfo.inCommitTimestamp`` over
+  the wall-clock field, with delta-spark's monotonization.
+- **rejected loudly** (``NotImplementedError``, never a misread):
+  ``variantShredding`` (needs subcolumn reassembly), any
+  ``minReaderVersion > 3``, and any reader feature not listed above —
+  future protocol additions fail closed.
 """
 
 from __future__ import annotations

@@ -1326,3 +1326,114 @@ def test_deletion_vector_composes_with_type_widening(spark, tmp_path):
     assert dict(df.dtypes)["value"] == "bigint"
     assert sorted((r.id, r.value) for r in df.collect()) == [
         ("a", 10), ("c", 12)]
+
+
+# ---------------------------------------------------------------------------
+# reader-feature edges: rowTracking (writer feature — must NOT reject),
+# inCommitTimestamp enabled mid-table, variantShredding (stays rejected)
+# ---------------------------------------------------------------------------
+def test_row_tracking_writer_feature_is_ignored(spark, tmp_path):
+    """rowTracking lives in writerFeatures and adds baseRowId /
+    defaultRowCommitVersion to add actions; a reader needs no support
+    (delta protocol: row tracking is write-side).  The scan must succeed
+    and the extra add fields must be ignored."""
+    root = str(tmp_path / "rowtrack")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = "`series name` string, ts timestamp, value double"
+    _write_parquet(
+        spark, [("s1", datetime(2020, 1, 1), 1.0)], schema,
+        os.path.join(root, "a.parquet"),
+    )
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    _commit(os.path.join(root, "_delta_log"), 0, [
+        {"protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }},
+        _meta_action(fields),
+        {"add": {
+            "path": "a.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "baseRowId": 0, "defaultRowCommitVersion": 0,
+        }},
+        {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 0}),
+            "removed": False,
+        }},
+    ])
+    df = read_delta(spark, root)
+    assert df.count() == 1
+
+
+def test_in_commit_timestamp_enabled_mid_table(spark, tmp_path):
+    """ICT enablement mid-log: versions before the enablement version
+    use commitInfo.timestamp, later ones the authoritative
+    inCommitTimestamp; monotonization bridges the switch even when the
+    ICT clock jumps backwards relative to the wall clock."""
+    from kukur_spark.sources.delta_log import version_at_timestamp
+
+    root = str(tmp_path / "ict")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = "`series name` string, ts timestamp, value double"
+    fields = [
+        ("series name", "string"), ("ts", "timestamp"), ("value", "double")
+    ]
+    for name, v in (("a", 1.0), ("b", 2.0), ("c", 3.0)):
+        _write_parquet(
+            spark, [("s1", datetime(2020, 1, 1), v)], schema,
+            os.path.join(root, f"{name}.parquet"),
+        )
+    log = os.path.join(root, "_delta_log")
+    _commit(log, 0, [
+        _PROTOCOL, _meta_action(fields),
+        {"commitInfo": {"timestamp": 1_000_000}},
+        {"add": {"path": "a.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    _commit(log, 1, [
+        {"commitInfo": {"timestamp": 1_000_500}},
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    # ICT switched on here; its clock reads EARLIER than commit 1's
+    # wall-clock timestamp — monotonization must still order it after
+    _commit(log, 2, [
+        {"commitInfo": {"timestamp": 1_000_900,
+                        "inCommitTimestamp": 1_000_200}},
+        {"metaData": _meta_action(fields)["metaData"] | {"configuration": {
+            "delta.enableInCommitTimestamps": "true",
+            "delta.inCommitTimestampEnablementVersion": "2",
+            "delta.inCommitTimestampEnablementTimestamp": "1000200",
+        }}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert version_at_timestamp(root, 1_000_000) == 0
+    assert version_at_timestamp(root, 1_000_500) == 1
+    # commit 2's ICT 1_000_200 < commit 1's 1_000_500 → monotonized to
+    # 1_000_501: a query at that instant sees version 2
+    assert version_at_timestamp(root, 1_000_501) == 2
+    assert read_delta(spark, root, version=1).count() == 2
+    assert read_delta(spark, root).count() == 3
+
+
+def test_variant_shredding_stays_rejected(spark, tmp_path):
+    """variantShredding needs subcolumn reassembly we do not implement;
+    the gate must fail loudly, never misread."""
+    root = str(tmp_path / "shred")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    fields = [("series name", "string"), ("v", "variant")]
+    _commit(os.path.join(root, "_delta_log"), 0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding"],
+            "writerFeatures": ["variantType", "variantShredding"],
+        }},
+        _meta_action(fields),
+    ])
+    with pytest.raises(NotImplementedError, match="variantShredding"):
+        read_delta(spark, root)

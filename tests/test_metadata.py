@@ -94,3 +94,184 @@ def test_register_custom_field():
     assert metadata["process type"] == "BATCH"
     names = [f.name for f in Metadata.fields()]
     assert names.index("process type") == names.index("unit") + 1
+
+
+# ---------------------------------------------------------------------------
+# Reference parity sweep: tests/test_metadata.py:91-497 edge cases.
+# Each test mirrors one reference assertion group by name.
+# ---------------------------------------------------------------------------
+def test_accuracy_coerce_empty():
+    # reference test_accuracy_coerce_empty: " " coerces to unset
+    metadata = make()
+    metadata["accuracy"] = " "
+    assert metadata["accuracy"] is None
+
+
+def test_accuracy_percentage_coerce_empty():
+    metadata = make()
+    metadata["accuracy percentage"] = " "
+    assert metadata["accuracy percentage"] is None
+
+
+def test_limit_coerce_empty():
+    metadata = make()
+    for name in (
+        "physical lower limit",
+        "physical upper limit",
+        "functional lower limit",
+        "functional upper limit",
+    ):
+        metadata[name] = " "
+        assert metadata[name] is None, name
+
+
+def test_interpolation_type_coerce_empty():
+    metadata = make()
+    metadata["interpolation type"] = " "
+    assert metadata["interpolation type"] is None
+
+
+def test_data_type_coerce_empty():
+    metadata = make()
+    metadata["data type"] = " "
+    assert metadata["data type"] is None
+
+
+def test_accuracy_percentage_outside_range():
+    # reference test_accuracy_percentage_outside_range: pct must be in
+    # [0, 100]; an out-of-range value is kept but never derives accuracy
+    metadata = make()
+    metadata["accuracy percentage"] = 200
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    assert metadata["accuracy"] is None
+    assert metadata["accuracy percentage"] == 200
+
+
+def test_accuracy_percentage_negative():
+    metadata = make()
+    metadata["accuracy percentage"] = -1
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    assert metadata["accuracy"] is None
+
+
+def test_accuracy_percentage_no_limits():
+    # reference test_accuracy_percentage_no_limits
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    assert metadata["accuracy"] is None
+    assert metadata["accuracy percentage"] == 2
+
+
+def test_accuracy_percentage_functional_only():
+    # reference test_accuracy_percentage_no_physical_limits
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    metadata["functional lower limit"] = 0
+    metadata["functional upper limit"] = 10
+    assert metadata["accuracy"] == pytest.approx(0.2)
+
+
+def test_accuracy_mixed_limit_fallback():
+    # each bound falls back physical -> functional independently
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    metadata["physical lower limit"] = 0
+    metadata["functional upper limit"] = 10
+    assert metadata["accuracy"] == pytest.approx(0.2)
+
+
+def test_percentage_accuracy_json_round_trip():
+    # reference test_percentage_accuracy_json
+    metadata = make()
+    metadata["accuracy percentage"] = 2
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    data = metadata.to_data()
+    assert data["accuracyPercentage"] == 2
+    back = Metadata.from_data(data)
+    assert back["accuracy"] == pytest.approx(0.2)
+    assert back["accuracy percentage"] == 2
+
+
+def test_percentage_accuracy_json_outside_range():
+    metadata = make()
+    metadata["accuracy percentage"] = 200
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    data = metadata.to_data()
+    assert data["accuracyPercentage"] == 200
+    back = Metadata.from_data(data)
+    assert back["accuracy"] is None
+    assert back["accuracy percentage"] == 200
+
+
+def test_percentage_accuracy_json_with_accuracy():
+    metadata = make()
+    metadata["accuracy"] = 1
+    metadata["accuracy percentage"] = 2
+    metadata["physical lower limit"] = 0
+    metadata["physical upper limit"] = 10
+    data = metadata.to_data()
+    assert data["accuracy"] == 1
+    assert data["accuracyPercentage"] == 2
+    back = Metadata.from_data(data)
+    assert back["accuracy"] == 1
+
+
+def test_percentage_accuracy_coerce_strings():
+    # reference test_percentage_accuracy_coerce: all-string inputs
+    metadata = make()
+    metadata["accuracy percentage"] = "2"
+    metadata["physical lower limit"] = "0"
+    metadata["physical upper limit"] = "10"
+    assert metadata["accuracy"] == pytest.approx(0.2)
+
+
+def test_dictionary_from_items_and_serde():
+    # reference test_dictionary_json / test_dictionary_coerce
+    metadata = make()
+    metadata["dictionary"] = [(0, "OFF"), (1, "ON")]
+    assert metadata["dictionary"] == Dictionary({0: "OFF", 1: "ON"})
+    data = metadata.to_data()
+    assert data["dictionary"] == [[0, "OFF"], [1, "ON"]]
+    back = Metadata.from_data(data)
+    assert back["dictionary"] == Dictionary({0: "OFF", 1: "ON"})
+
+
+def test_dictionary_name_round_trip():
+    metadata = make()
+    metadata["dictionary name"] = "onoff"
+    data = metadata.to_data()
+    assert data["dictionaryName"] == "onoff"
+    assert Metadata.from_data(data)["dictionary name"] == "onoff"
+
+
+def test_unknown_field_never_set_is_none():
+    # reference test_non_existent_unknown
+    metadata = make()
+    assert metadata["process type"] is None
+
+
+def test_unknown_field_round_trip():
+    # reference test_unknown_json / test_unknown_iter
+    metadata = make()
+    metadata["process type2"] = "BATCH"
+    assert dict(metadata.iter_names())["process type2"] == "BATCH"
+    data = metadata.to_data()
+    assert data["process type2"] == "BATCH"
+    assert Metadata.from_data(data)["process type2"] == "BATCH"
+
+
+def test_interpolation_type_json_value():
+    metadata = make()
+    metadata["interpolation type"] = InterpolationType.LINEAR
+    assert metadata.to_data()["interpolationType"] == "LINEAR"
+
+
+def test_data_type_json_value():
+    metadata = make()
+    metadata["data type"] = DataType.STRING
+    assert metadata.to_data()["dataType"] == "STRING"
+    assert Metadata.from_data(metadata.to_data())["data type"] is DataType.STRING
