@@ -1,0 +1,84 @@
+"""Pathological-skew probe for the LSH bucket cap.
+
+Builds a corpus with one giant near-dup family (every member shares all
+band buckets) plus background docs, then times `minhash_lsh_pairs` with
+the default cap vs a raised cap.  Uncapped, a family of n members is an
+n²/2-pair single join task (n = 100 000 → 5×10⁹ pairs — a job that
+never finishes on one task); capped, the family sub-splits into
+ceil(n/cap) bounded tasks.
+
+Usage: python scripts/skew_probe.py [family_size] [background_docs]
+Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import kukur_spark.operators.dedup as dd  # noqa: E402
+from kukur_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    family = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    background = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_spark("skew_probe")
+
+    # family: identical text → identical signature → one bucket per band
+    # background: unique texts
+    fam = spark.range(family).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same near duplicate body repeated across the whole family"
+        ).alias("text"),
+    )
+    bg = spark.range(background).select(
+        (F.col("id") + family).alias("doc_id"),
+        F.concat(
+            F.lit("unique background document "),
+            F.col("id").cast("string"),
+            F.lit(" with distinct words "),
+            (F.col("id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    docs = fam.unionByName(bg).repartition(32, "doc_id")
+    docs.persist().count()
+
+    caps = [
+        int(c) for c in os.environ.get("SKEW_PROBE_CAPS", "512,0").split(",")
+    ]
+    for cap in caps:
+        dd._LSH_BUCKET_CAP = cap
+        spark.catalog.clearCache()
+        docs.persist().count()
+        t0 = time.time()
+        # candidate pairs BEFORE the jaccard filter is the skew-bound
+        # quantity; the operator's verify join then touches each pair
+        n = dd.minhash_lsh_pairs(docs, jaccard_threshold=0.99).count()
+        wall = time.time() - t0
+        subsplits = -(-family // cap) if cap else 1  # ceil
+        print(
+            json.dumps(
+                {
+                    "metric": "lsh_skew_probe",
+                    "family": family,
+                    "background": background,
+                    "cap": cap,
+                    "pairs_kept": n,
+                    "subsplits": subsplits,
+                    "uncapped_pairs_would_be": family * (family - 1) // 2,
+                    "wall_sec": round(wall, 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

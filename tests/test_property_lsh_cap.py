@@ -1,0 +1,72 @@
+"""Property tests for the LSH bucket-skew cap (hypothesis-driven).
+
+Invariants, for any banded table and any cap:
+
+1. **Soundness**: capped candidate pairs are a subset of the uncapped
+   pairs — sub-splitting can only drop candidates, never invent them.
+2. **No orphans**: every id that lands in a bucket with ≥ 2 members in
+   its sub-bucket appears in at least one pair; stronger, every member
+   of an over-full bucket whose sub-bucket got ≥ 2 members survives.
+   (A sub-bucket can have 1 member by hash chance — those ids may drop
+   out of THIS band, which is the documented recall trade.)
+3. **Determinism**: same input, same cap → same pairs.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kukur_spark.operators.dedup import _band_candidates
+
+_bucket_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # id
+        st.integers(min_value=0, max_value=1),    # band
+        st.integers(min_value=0, max_value=2),    # bucket
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),  # one bucket per (id, band)
+)
+
+
+def _pairs(spark, rows, cap):
+    banded = spark.createDataFrame(rows, "id long, band int, bucket long")
+    return {
+        (r.id_a, r.id_b)
+        for r in _band_candidates(banded, max_bucket=cap).collect()
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_bucket_rows, cap=st.sampled_from([2, 5, 64]))
+def test_capped_pairs_subset_of_uncapped(spark, rows, cap):
+    capped = _pairs(spark, rows, cap)
+    uncapped = _pairs(spark, rows, 0)
+    assert capped <= uncapped
+    # determinism
+    assert capped == _pairs(spark, rows, cap)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_every_family_member_in_some_pair_when_subbuckets_full(spark, seed):
+    # one bucket of 40 ids with cap 10: ceil(40/10)=4 sub-buckets; any
+    # sub-bucket with >= 2 members yields pairs covering all its ids
+    rows = [((seed + i) % 1000 + i * 1000, 0, 7) for i in range(40)]
+    banded = spark.createDataFrame(rows, "id long, band int, bucket long")
+    pairs = _band_candidates(banded, max_bucket=10).collect()
+    seen = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    all_ids = {r[0] for r in rows}
+    orphans = all_ids - seen
+    # with 40 ids into 4 hash sub-buckets, a singleton sub-bucket is
+    # possible but rare; allow at most 4 (one per sub-bucket) and
+    # require the overwhelming majority to survive
+    assert len(orphans) <= 4, orphans
