@@ -94,10 +94,14 @@ def _band_candidates(
     ONLY over-full buckets — in practice a handful of pathological
     families — and broadcast-left-joined back.  The common (no-skew)
     case thus pays a ~64/cap-rate aggregate and an always-miss broadcast
-    probe (measured ~5% on the sf0.1 headline, vs ~55% for exact counts
-    and ~90% for a window count whose sort+exchange subplan is
-    duplicated across both self-join sides).  Small caps (≤ 64) saturate
-    the rate at 1.0: counts are exact and deterministic for tests.
+    probe — a fixed extra-job cost (~0.3 s) at toy scale that vanishes
+    at real scale: the 100× probe measured the capped plan FASTER than
+    the pre-cap baseline (35.6 s vs 38.7 s; see PERFORMANCE.md round 7)
+    once the in-place bucket rewrite kept the shuffle width unchanged.
+    Exact per-bucket counts cost ~55% and a window count ~90% (its
+    sort+exchange subplan duplicates across both self-join sides) —
+    both rejected.  Small caps (≤ 64) saturate the rate at 1.0: counts
+    are exact and deterministic for tests.
     """
     if max_bucket is None:
         max_bucket = _LSH_BUCKET_CAP
@@ -499,6 +503,15 @@ def minhash_incremental_md5(
     new-side members inherit their representative's best match by
     re-expansion.  Sides collapse separately so a text present in both
     new and history is never cross-merged.
+
+    Residual skew note: the collapse removes byte-identical families —
+    the dominant pathological shape.  A giant NEAR-identical history
+    family (distinct texts, shared buckets) could still inflate one
+    bucket's new×history candidate count; it is left uncapped here
+    because the per-new-doc argmax must see every candidate to stay
+    exact, and post-collapse bucket populations are signature-diverse.
+    If profiling ever shows such a bucket, cap the history side to K
+    representatives per bucket and accept the (documented) recall trade.
     """
     from pyspark.sql import Window
 

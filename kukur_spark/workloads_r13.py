@@ -2111,18 +2111,25 @@ def customer_symspell_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("key"),
     )
-    a = keys.alias("a")
-    b = keys.alias("b")
+    from kukur_spark.operators.dedup import _band_candidates
+
+    # the key self-join routes through the shared guarded candidate
+    # primitive: a giant identical-name family (the classic record-
+    # linkage skew) sub-splits instead of forming one n²/2-pair task
+    banded = keys.select(
+        F.col("c_custkey").alias("id"),
+        F.lit(0).alias("band"),
+        F.xxhash64("key").alias("bucket"),
+        F.col("c_name"),
+    )
     cand = (
-        a.join(b, "key")
-        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        _band_candidates(banded, carry=("c_name",))
         .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
+            "id_a",
+            "id_b",
+            F.col("c_name_a").alias("name_a"),
+            F.col("c_name_b").alias("name_b"),
         )
-        .distinct()
         .filter(F.levenshtein("name_a", "name_b") == 1)
     )
     diffs = F.filter(

@@ -185,32 +185,37 @@ def text_lev_neardup(spark: SparkSession, sf: str) -> DataFrame:
     Candidate generation blocks on md5 of the first 40 chars, so the
     quadratic verify runs only inside blocks (prefix-stable edits —
     the complement of `docs_prefix_containment`'s truncation dups).
-    The block join is skinny — (block, doc_id) only, 48 B/row on the
-    wire — and texts are joined back per side for the surviving
-    candidates, mirroring the MinHash-LSH shape.  Levenshtein itself is
-    JVM-side (`F.levenshtein`), no Python.
+    The block self-join routes through the shared LSH candidate
+    primitive (`dedup._band_candidates`), inheriting its over-full
+    bucket cap: a corpus with one giant prefix-identical family cannot
+    put n²/2 candidates into a single task.  The join is skinny —
+    (block, doc_id, len) only — and texts are joined back per side for
+    the surviving candidates, mirroring the MinHash-LSH shape.
+    Levenshtein itself is JVM-side (`F.levenshtein`), no Python.
     """
+    from kukur_spark.operators.dedup import _band_candidates
+
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     blocked = docs.select(
-        F.md5(F.substring(F.col("text"), 1, 40)).alias("block"),
-        "doc_id",
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("band"),
+        F.xxhash64(F.substring(F.col("text"), 1, 40)).alias("bucket"),
         F.length("text").alias("len"),
     )
-    left = blocked.alias("a")
-    right = blocked.alias("b")
-    # length pre-filter: lev(a,b) ≥ |len_a − len_b|, so any pair passing
-    # the ≤10 % threshold must satisfy |len_a − len_b|·10 ≤ min(len) —
-    # checking it on the skinny join prunes pairs BEFORE the O(len²)
-    # Levenshtein, with provably identical results
-    len_band = (
-        F.abs(F.col("a.len") - F.col("b.len")) * 10
-        <= F.least(F.col("a.len"), F.col("b.len"))
-    )
-    cand = left.join(right, "block").filter(
-        (F.col("a.doc_id") < F.col("b.doc_id")) & len_band
-    ).select(
-        F.col("a.doc_id").alias("doc_id_a"),
-        F.col("b.doc_id").alias("doc_id_b"),
+    # length post-filter on the skinny candidates: lev(a,b) ≥
+    # |len_a − len_b|, so any pair passing the ≤10 % threshold must
+    # satisfy |len_a − len_b|·10 ≤ min(len) — pruning pairs BEFORE the
+    # O(len²) Levenshtein, with provably identical results
+    cand = (
+        _band_candidates(blocked, carry=("len",))
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) * 10
+            <= F.least(F.col("len_a"), F.col("len_b"))
+        )
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+        )
     )
     ta = docs.select(
         F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")

@@ -1,0 +1,83 @@
+"""Quiet-machine bench discipline: run bench.py N times, report
+min/median per query and total, and flag queries >10% off the best run.
+
+Usage: python scripts/bench_stats.py [runs] [sf_dir]
+
+Prints one JSON line:
+  {"metric": "bench_stats", "runs": N, "sf_dir": ...,
+   "total": {"min": s, "median": s},
+   "queries": {name: {"min": s, "median": s}},
+   "flagged": [names where median > 1.1 * min]}
+
+Each run is a fresh subprocess (fresh JVM) so JIT warmth doesn't leak
+between runs — this matches how the driver invokes bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    totals = []
+    per_query: dict[str, list[float]] = {}
+    for i in range(runs):
+        out = subprocess.run(
+            [sys.executable, bench],
+            env=env,
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout.strip().splitlines()[-1]
+        data = json.loads(out)
+        totals.append(data["value"])
+        for name, sec in data["queries"].items():
+            per_query.setdefault(name, []).append(sec)
+        print(
+            json.dumps({"run": i, "total": data["value"]}),
+            file=sys.stderr,
+        )
+    queries = {
+        name: {
+            "min": round(min(v), 4),
+            "median": round(statistics.median(v), 4),
+        }
+        for name, v in per_query.items()
+    }
+    flagged = [
+        name
+        for name, s in queries.items()
+        if s["median"] > 1.1 * s["min"] + 0.02
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_stats",
+                "runs": runs,
+                "sf_dir": sf_dir,
+                "total": {
+                    "min": round(min(totals), 4),
+                    "median": round(statistics.median(totals), 4),
+                },
+                "queries": queries,
+                "flagged": flagged,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
