@@ -131,8 +131,10 @@ def persist_once(df: DataFrame) -> DataFrame:
 
     Plans persisted here are tracked in a bounded FIFO
     (``SPARK_GRAFT_PERSIST_CAP``, default 8): once full, the oldest
-    engine-initiated persist is unpersisted (non-blocking).  Frames the
-    CALLER persisted hit the early return and are never tracked, so
+    engine-initiated persist is unpersisted (non-blocking).  ``0`` (or
+    negative) disables EVICTION — the cache grows unbounded, matching
+    the 0-disables-the-guard convention of the sibling knobs.  Frames
+    the CALLER persisted hit the early return and are never tracked, so
     caller-managed caches are never evicted by the engine.
     """
     level = df.storageLevel
@@ -140,7 +142,7 @@ def persist_once(df: DataFrame) -> DataFrame:
         return df
     df = df.persist()
     _PERSISTED_FIFO.append(df)
-    while len(_PERSISTED_FIFO) > _PERSISTED_CAP:
+    while _PERSISTED_CAP > 0 and len(_PERSISTED_FIFO) > _PERSISTED_CAP:
         stale = _PERSISTED_FIFO.pop(0)
         try:
             stale.unpersist(blocking=False)

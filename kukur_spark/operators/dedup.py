@@ -12,6 +12,15 @@ whole-stage codegen and scales to 100 TB document tables:
   candidate pairs from 16-bit band buckets (hamming ≤ 3 within 4 bands is
   guaranteed candidate recall), verified with ``bit_count(xor)``;
 - **n-gram Jaccard**: exact set similarity on blocked pairs.
+
+Recall contract under the bucket-skew cap (``_band_candidates``): every
+completeness guarantee above — the SimHash pigeonhole, the md5 twins'
+bit-for-bit oracle equality — holds whenever no (band, bucket) exceeds
+``SPARK_GRAFT_LSH_BUCKET_CAP`` (4096), which is every oracle-gate SF and
+any corpus without a >4096-member near-dup family.  Above the cap, the
+guarantees soften to bounded recall by design: the exact candidate set
+IS the n²/2 blow-up the cap exists to prevent.  Set the env var to 0 to
+recover exactness at your own straggler risk.
 """
 
 from __future__ import annotations

@@ -505,16 +505,21 @@ def read_delta(
             # config-provided delta_timestamp is typically an ISO-8601
             # string (the delta-spark branch feeds it to timestampAsOf
             # verbatim); accept the same here, naive = UTC like the
-            # session timezone, and keep epoch-millis digit strings.
-            try:
-                ts_millis = int(timestamp)
-            except ValueError:
-                from datetime import datetime, timezone
+            # session timezone.  ISO parsing is tried FIRST: compact
+            # dates like "20240101" are valid ISO-8601 basic format AND
+            # valid ints, and the calendar reading is the intended one
+            # (as epoch millis it would be 1970).  Epoch-millis digit
+            # strings ("1700000000000") are not parseable as ISO and
+            # fall through to int().
+            from datetime import datetime, timezone
 
+            try:
                 parsed = datetime.fromisoformat(timestamp)
                 if parsed.tzinfo is None:
                     parsed = parsed.replace(tzinfo=timezone.utc)
                 ts_millis = int(parsed.timestamp() * 1000)
+            except ValueError:
+                ts_millis = int(timestamp)
         else:
             ts_millis = int(timestamp)
         version = version_at_timestamp(table_path, ts_millis)
@@ -806,10 +811,24 @@ def read_delta_changes(
 
     out = None
     prev_ts = -(1 << 62)
-    # path -> deletionVector descriptor (or None) for live files,
-    # replayed over every commit the log still holds so a no-cdc
+    # unquoted rel path -> deletionVector descriptor (or None) for live
+    # files, replayed over every commit the log still holds so a no-cdc
     # DV-rewrite commit can be diffed against the file's prior DV.
     dv_state: Dict[str, Optional[dict]] = {}
+    if versions[0] > 0:
+        # the oldest retained commit is not 0 (checkpointed log): seed
+        # the live set from the snapshot just before it, so a later
+        # re-add of a checkpoint-era file diffs against its real prior
+        # DV instead of being mistaken for a freshly-born file.
+        try:
+            seed = read_snapshot(table_path, versions[0] - 1)
+        except (FileNotFoundError, ValueError):
+            seed = None  # no replayable checkpoint: keep the
+            # remove-descriptor fallback behavior below
+        if seed is not None:
+            for abs_path in seed.files:
+                rel = os.path.relpath(abs_path, table_path)
+                dv_state[rel] = seed.deletion_vectors.get(abs_path)
     for v in versions:  # monotonize over the full log like time travel
         commit = os.path.join(log_dir, f"{v:020d}.json")
         cdc_groups: Dict[tuple, List[str]] = {}
@@ -860,16 +879,25 @@ def read_delta_changes(
         # Fallback to the remove action's own descriptor when the add
         # predates the oldest retained commit (checkpointed log).
         pre_dv: Dict[str, Optional[dict]] = {}
+        live_before: Dict[str, bool] = {}
         for path in set(adds) | set(removes):
-            if path in dv_state:
-                pre_dv[path] = dv_state[path]
+            key = unquote(path)  # dv_state keys are unquoted rel paths
+            live_before[path] = key in dv_state
+            if key in dv_state:
+                pre_dv[path] = dv_state[key]
             else:
                 pre_dv[path] = (removes.get(path) or (None, None))[1]
+        # action order within a commit is not significant (Delta log
+        # reconciliation: an add of a path wins over a remove of the
+        # same path in the same version) — apply removes first so a
+        # writer that serializes add-before-remove cannot evict a
+        # re-added live file from dv_state.
+        for kind, path, _descriptor in state_updates:
+            if kind == "remove":
+                dv_state.pop(unquote(path), None)
         for kind, path, descriptor in state_updates:
             if kind == "add":
-                dv_state[path] = descriptor
-            else:
-                dv_state.pop(path, None)
+                dv_state[unquote(path)] = descriptor
         if v < starting_version or v > ending_version:
             continue
         pieces = []
@@ -907,7 +935,27 @@ def read_delta_changes(
             for path, (pvals, descriptor) in sorted(adds.items()):
                 if path in rewritten:
                     continue
-                if descriptor:  # born with a DV: insert the live rows
+                if live_before.get(path):
+                    # lone re-add of an already-live file (a protocol-
+                    # legal DV update without a paired remove): the
+                    # change is the position diff against the prior DV,
+                    # never a full-file insert.  A re-add that DROPS the
+                    # DV restores its previously-deleted rows.
+                    pre = _positions(pre_dv.get(path))
+                    post = _positions(descriptor)
+                    deleted = post - pre
+                    restored = pre - post
+                    if deleted:
+                        pieces.append(
+                            _frame([path], pvals, "delete",
+                                   positions=deleted, keep=True)
+                        )
+                    if restored:
+                        pieces.append(
+                            _frame([path], pvals, "insert",
+                                   positions=restored, keep=True)
+                        )
+                elif descriptor:  # born with a DV: insert the live rows
                     pieces.append(
                         _frame([path], pvals, "insert",
                                positions=_positions(descriptor), keep=False)

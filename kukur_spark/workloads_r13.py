@@ -2115,7 +2115,11 @@ def customer_symspell_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     # the key self-join routes through the shared guarded candidate
     # primitive: a giant identical-name family (the classic record-
-    # linkage skew) sub-splits instead of forming one n²/2-pair task
+    # linkage skew) sub-splits instead of forming one n²/2-pair task.
+    # Contract note: above the cap the per-position counts become a
+    # bounded-recall lower bound of the oracle's exact all-pairs count
+    # (single band, no other-band rescue); below it, including every
+    # oracle-gate SF, they are exact
     banded = keys.select(
         F.col("c_custkey").alias("id"),
         F.lit(0).alias("band"),

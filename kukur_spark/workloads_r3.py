@@ -188,7 +188,12 @@ def text_lev_neardup(spark: SparkSession, sf: str) -> DataFrame:
     The block self-join routes through the shared LSH candidate
     primitive (`dedup._band_candidates`), inheriting its over-full
     bucket cap: a corpus with one giant prefix-identical family cannot
-    put n²/2 candidates into a single task.  The join is skinny —
+    put n²/2 candidates into a single task.  Contract note: with a
+    single band there is no other-band rescue, so above the cap this
+    returns a bounded-recall SUBSET of the oracle's exact pair list
+    (~n·cap of n²/2 — which is the point: the exact list itself is the
+    blow-up); below the cap — including every oracle-gate SF — results
+    are exactly the oracle's.  The join is skinny —
     (block, doc_id, len) only — and texts are joined back per side for
     the surviving candidates, mirroring the MinHash-LSH shape.
     Levenshtein itself is JVM-side (`F.levenshtein`), no Python.
