@@ -165,3 +165,86 @@ def test_persist_cap_zero_disables_eviction_not_caching(spark):
                 except Exception:
                     pass
         io._PERSISTED_FIFO[:] = old_fifo
+
+
+def test_cdf_seeds_live_set_from_checkpoint(spark, tmp_path):
+    """A DV re-add of a file whose original add lives only in a parquet
+    checkpoint (the JSON commit was vacuumed): the CDF must seed the
+    live set from the snapshot before the oldest retained commit and
+    diff against the checkpoint's DV — not emit full-file inserts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cdfseed")
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    _write_parquet(
+        spark,
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)],
+        "id string, value double",
+        os.path.join(root, "f0.parquet"),
+    )
+    from tests.test_delta_log import _schema_string
+
+    dv_type = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
+    checkpoint_schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("deletionVector", dv_type),
+        ])),
+        ("remove", pa.struct([("path", pa.string())])),
+    ])
+    fields = [("id", "string"), ("value", "double")]
+    dv0 = _inline_dv([0])  # "a" already deleted at checkpoint time
+    rows = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None,
+         "metaData": {"id": "t", "schemaString": _schema_string(fields),
+                      "partitionColumns": []},
+         "add": None, "remove": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f0.parquet", "partitionValues": {},
+                 "deletionVector": dv0},
+         "remove": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=checkpoint_schema),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as handle:
+        json.dump({"version": 1, "size": 3}, handle)
+    # only retained JSON: version 2 extends the DV to rows 0 and 1
+    _commit(log_dir, 2, [
+        {"commitInfo": {"timestamp": 3000}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0, 1])}},
+    ])
+    rows_out = sorted(
+        (r.id, r._change_type)
+        for r in read_delta_changes(spark, root, 2, 2).collect()
+    )
+    # only "b" (row 1) is newly deleted; "a" was deleted before the
+    # retained log and must NOT resurface as an insert or delete
+    assert rows_out == [("b", "delete")]
