@@ -25,8 +25,11 @@ Reader-feature support matrix (gate: ``_reject_unsupported``):
 
 - **read transparently**: ``columnMapping`` (name + id modes),
   ``deletionVectors``, ``v2Checkpoint``, ``timestampNtz``,
-  ``typeWidening[-preview]``, ``variantType[-preview]`` (Spark 4 reads
-  the unshredded variant encoding natively).
+  ``typeWidening[-preview]``, ``variantType[-preview]`` and
+  ``variantShredding[-preview]`` (Spark 4.1's parquet reader handles
+  both the plain variant encoding and shredded ``typed_value``
+  subcolumn reassembly natively when the declared schema says
+  ``variant``).
 - **writer-only features are ignored by design** — ``rowTracking``,
   ``domainMetadata``, ``appendOnly``, ``invariants``, ``checkConstraints``,
   ``generatedColumns``, ``identityColumns``, ``icebergCompatV*``,
@@ -34,9 +37,8 @@ Reader-feature support matrix (gate: ``_reject_unsupported``):
   *honored* where it matters: ``version_at_timestamp`` and the CDF
   ``_commit_timestamp`` prefer ``commitInfo.inCommitTimestamp`` over
   the wall-clock field, with delta-spark's monotonization.
-- **rejected loudly** (``NotImplementedError``, never a misread):
-  ``variantShredding`` (needs subcolumn reassembly), any
-  ``minReaderVersion > 3``, and any reader feature not listed above —
+- **rejected loudly** (``NotImplementedError``, never a misread): any
+  ``minReaderVersion > 3`` and any reader feature not listed above —
   future protocol additions fail closed.
 """
 
@@ -59,6 +61,8 @@ class DeltaSnapshot:
     configuration: Dict[str, str] = field(default_factory=dict)
     # path -> add.deletionVector descriptor for files with deleted rows
     deletion_vectors: Dict[str, dict] = field(default_factory=dict)
+    # protocol readerFeatures (v3 tables); [] for v1/v2 tables
+    reader_features: List[str] = field(default_factory=list)
 
 
 def _checkpoint_paths(log_dir: str, version: int, parts: Optional[int]):
@@ -92,10 +96,15 @@ def _reject_unsupported(protocol: dict) -> None:
         "typeWidening-preview",
         # the Delta variant encoding IS Spark's parquet variant
         # encoding (metadata/value binary pair + logical annotation);
-        # Spark 4 reads it natively.  Shredded variants
-        # (variantShredding) need reassembly and stay rejected.
+        # Spark 4 reads it natively — including SHREDDED files: the
+        # parquet scan reassembles typed_value subcolumns whenever the
+        # requested schema declares `variant` and
+        # spark.sql.variant.allowReadingShredded is on (default true on
+        # 4.1; read_delta re-asserts it when the feature is present).
         "variantType",
         "variantType-preview",
+        "variantShredding",
+        "variantShredding-preview",
     }
     unsupported = [f for f in features if f not in supported]
     if reader_version > 3 or (reader_version == 3 and unsupported):
@@ -265,6 +274,7 @@ def read_snapshot(
     schema_json: Optional[str] = None
     partition_columns: List[str] = []
     configuration: Dict[str, str] = {}
+    reader_features: List[str] = []
 
     last_checkpoint = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_checkpoint) and version is not None:
@@ -289,6 +299,9 @@ def read_snapshot(
         ):
             if action.get("protocol"):
                 _reject_unsupported(action["protocol"])
+                reader_features = list(
+                    action["protocol"].get("readerFeatures") or []
+                )
             meta = action.get("metaData")
             if meta:
                 schema_json = meta.get("schemaString") or schema_json
@@ -329,6 +342,9 @@ def read_snapshot(
                 action = json.loads(line)
                 if "protocol" in action:
                     _reject_unsupported(action["protocol"])
+                    reader_features = list(
+                        action["protocol"].get("readerFeatures") or []
+                    )
                 if "metaData" in action:
                     meta = action["metaData"]
                     schema_json = meta.get("schemaString") or schema_json
@@ -377,6 +393,7 @@ def read_snapshot(
         partition_columns=partition_columns,
         configuration=configuration,
         deletion_vectors=deletion_vectors,
+        reader_features=reader_features,
     )
 
 
@@ -541,6 +558,13 @@ def read_delta(
     mode = snapshot.configuration.get("delta.columnMapping.mode")
     if mode == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if any(f.startswith("variantShredding") for f in snapshot.reader_features):
+        # shredded variant files carry typed_value subcolumns; Spark 4.1's
+        # parquet reader reassembles them when the requested schema says
+        # `variant` and this conf is on (its default).  Re-assert it so a
+        # session that disabled it fails toward reassembly, not misread.
+        # Same no-restore policy as fieldId above (execution-time conf).
+        spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
     mapping = _column_mapping(snapshot.schema_json)
     log_schema = None
     if snapshot.schema_json:

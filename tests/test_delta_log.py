@@ -254,9 +254,9 @@ def test_unsupported_reader_features_rejected(spark, tmp_path):
     os.makedirs(log_dir)
     _commit(log_dir, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["variantShredding"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
     ])
-    with pytest.raises(NotImplementedError, match="variantShredding"):
+    with pytest.raises(NotImplementedError, match="someFutureFeature"):
         read_snapshot(root)
 
     # v3 with only supported features: accepted
@@ -1330,7 +1330,7 @@ def test_deletion_vector_composes_with_type_widening(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # reader-feature edges: rowTracking (writer feature — must NOT reject),
-# inCommitTimestamp enabled mid-table, variantShredding (stays rejected)
+# inCommitTimestamp enabled mid-table, variantShredding (native read)
 # ---------------------------------------------------------------------------
 def test_row_tracking_writer_feature_is_ignored(spark, tmp_path):
     """rowTracking lives in writerFeatures and adds baseRowId /
@@ -1421,19 +1421,89 @@ def test_in_commit_timestamp_enabled_mid_table(spark, tmp_path):
     assert read_delta(spark, root).count() == 3
 
 
-def test_variant_shredding_stays_rejected(spark, tmp_path):
-    """variantShredding needs subcolumn reassembly we do not implement;
-    the gate must fail loudly, never misread."""
+def test_variant_shredding_reads(spark, tmp_path):
+    """variantShredding: data files store typed_value subcolumns next to
+    the residual value/metadata pair.  Spark 4.1's parquet reader
+    reassembles them natively when the declared schema says `variant`
+    (spark.sql.variant.allowReadingShredded), so the log-schema-declared
+    scan reads shredded tables without custom reassembly.  The fixture
+    file is genuinely shredded (written with writeShredding on; the test
+    asserts typed_value columns are physically present)."""
     root = str(tmp_path / "shred")
     os.makedirs(os.path.join(root, "_delta_log"))
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.variant.writeShredding.enabled",
+            "spark.sql.variant.inferShreddingSchema",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+        spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+        df = spark.sql(
+            "select format_string('s%d', id) as `series name`, "
+            "parse_json(format_string("
+            "'{\"a\": %d, \"b\": \"x%d\"}', id, id)) as v "
+            "from range(3)"
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(root + "/data.tmp")
+    finally:
+        for key, val in prev.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+    part = [
+        f
+        for f in os.listdir(root + "/data.tmp")
+        if f.endswith(".parquet") and not f.startswith("_")
+    ][0]
+    os.replace(os.path.join(root + "/data.tmp", part),
+               os.path.join(root, "d.parquet"))
+    with open(os.path.join(root, "d.parquet"), "rb") as handle:
+        assert b"typed_value" in handle.read(), "fixture must be shredded"
     fields = [("series name", "string"), ("v", "variant")]
     _commit(os.path.join(root, "_delta_log"), 0, [
         {"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType", "variantShredding"],
-            "writerFeatures": ["variantType", "variantShredding"],
+            "readerFeatures": [
+                "variantType", "variantShredding", "deletionVectors"],
+            "writerFeatures": [
+                "variantType", "variantShredding", "deletionVectors"],
         }},
         _meta_action(fields),
+        {"add": {"path": "d.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
     ])
-    with pytest.raises(NotImplementedError, match="variantShredding"):
+    out = read_delta(spark, root)
+    assert dict(out.dtypes)["v"] == "variant"
+    rows = (
+        out.selectExpr(
+            "`series name`",
+            "variant_get(v, '$.a', 'int') as a",
+            "to_json(v) as j",
+        )
+        .orderBy("series name")
+        .collect()
+    )
+    assert [r["a"] for r in rows] == [0, 1, 2]
+    assert rows[1]["j"] == '{"a":1,"b":"x1"}'
+
+    # compose with deletionVectors: a DELETE on a shredded table attaches
+    # a DV to the shredded file; the row-index anti-join must drop the
+    # right rows while typed_value reassembly still works on the rest.
+    _commit(os.path.join(root, "_delta_log"), 1, [
+        {"remove": {"path": "d.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "d.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([1])}},
+    ])
+    rows = (
         read_delta(spark, root)
+        .selectExpr("variant_get(v, '$.a', 'int') as a")
+        .orderBy("a")
+        .collect()
+    )
+    assert [r["a"] for r in rows] == [0, 2]
