@@ -1,0 +1,329 @@
+"""Data-quality suite: the validation pass a 100 TB training pipeline
+runs before (and after) every ingest — declarative expectations,
+referential integrity, key uniqueness, and column profiling, in the
+style of public DQ frameworks (AWS Deequ, Great Expectations) but
+expressed as pure Catalyst plans.
+
+Beyond-reference surface (the reference engine has no DQ layer); the
+point is that quality gating belongs *inside* the engine where the scan
+is already paid for:
+
+- ``dq_expectations`` — N rule violations counted in ONE aggregate over
+  one scan (map-side partial agg; the only exchange moves one row), then
+  unpivoted with ``stack``.  Adding a rule adds a column to the agg, not
+  a pass over the data.
+- ``dq_referential_integrity`` — orphan counts per FK edge via left join
+  against the distinct parent keys + conditional count.  Dimension-sized
+  parents broadcast; fact-sized parents (orders) take one shuffle join —
+  the same plan a 1000-executor cluster wants, and AQE picks per-edge.
+- ``dq_uniqueness`` — duplicate-key accounting from one hash aggregate
+  per candidate key (the unavoidable exact shuffle; production can swap
+  ``approx_count_distinct`` for a shuffle-free estimate, kept exact here
+  for the oracle).
+- ``dq_profile`` — per-column null/distinct/min/max over pruned
+  single-column scans (each branch's parquet ReadSchema is one column).
+
+Exactness: every metric is a COUNT (bigint in Spark and DuckDB — the
+oracles use ``count(*) FILTER`` / ``CAST(sum .. AS BIGINT)`` so no
+HUGEINT promotion, see scripts/check_oracle.py) or a min/max cast to
+string with identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R14_QUERIES: dict = {}
+R14_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations — rule violations over lineitem, one aggregate pass
+# ---------------------------------------------------------------------------
+def _violation_rules():
+    """(rule name, violation predicate builder) — a violation predicate
+    is TRUE for rows breaking the rule (nulls break range/set rules)."""
+    return [
+        (
+            "l_discount_range_0_0.1",
+            lambda: F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1),
+        ),
+        (
+            "l_extendedprice_positive",
+            lambda: F.col("l_extendedprice").isNull()
+            | (F.col("l_extendedprice") <= 0),
+        ),
+        (
+            "l_linestatus_in_set",
+            lambda: F.col("l_linestatus").isNull()
+            | ~F.col("l_linestatus").isin("O", "F"),
+        ),
+        ("l_orderkey_not_null", lambda: F.col("l_orderkey").isNull()),
+        (
+            "l_quantity_range_1_50",
+            lambda: F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50),
+        ),
+        (
+            "l_returnflag_in_set",
+            lambda: F.col("l_returnflag").isNull()
+            | ~F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+        ("l_shipdate_not_null", lambda: F.col("l_shipdate").isNull()),
+    ]
+
+
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    rules = _violation_rules()
+    lineitem = load_table(spark, sf, "lineitem")
+    aggs = [
+        F.count(F.when(pred(), True)).alias(f"v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    wide = lineitem.agg(*aggs, F.count(F.lit(1)).alias("total"))
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) as (check_name, violations)"
+        ),
+        F.col("total"),
+    ).orderBy("check_name")
+
+
+_EXPECTATIONS_SQL = """
+WITH agg AS (
+    SELECT
+        count(*) FILTER (WHERE l_discount IS NULL OR l_discount < 0
+                         OR l_discount > 0.1)                  AS v_disc,
+        count(*) FILTER (WHERE l_extendedprice IS NULL
+                         OR l_extendedprice <= 0)              AS v_price,
+        count(*) FILTER (WHERE l_linestatus IS NULL
+                         OR l_linestatus NOT IN ('O', 'F'))    AS v_status,
+        count(*) FILTER (WHERE l_orderkey IS NULL)             AS v_okey,
+        count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50)                   AS v_qty,
+        count(*) FILTER (WHERE l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag,
+        count(*) FILTER (WHERE l_shipdate IS NULL)             AS v_ship,
+        count(*)                                               AS total
+    FROM lineitem
+)
+SELECT check_name, violations, total FROM (
+    SELECT 'l_discount_range_0_0.1'  AS check_name, v_disc  AS violations, total FROM agg
+    UNION ALL
+    SELECT 'l_extendedprice_positive', v_price, total FROM agg
+    UNION ALL
+    SELECT 'l_linestatus_in_set',     v_status, total FROM agg
+    UNION ALL
+    SELECT 'l_orderkey_not_null',     v_okey,  total FROM agg
+    UNION ALL
+    SELECT 'l_quantity_range_1_50',   v_qty,   total FROM agg
+    UNION ALL
+    SELECT 'l_returnflag_in_set',     v_flag,  total FROM agg
+    UNION ALL
+    SELECT 'l_shipdate_not_null',     v_ship,  total FROM agg
+)
+ORDER BY check_name
+"""
+
+R14_QUERIES["dq_expectations"] = dq_expectations
+R14_ORACLES["dq_expectations"] = _EXPECTATIONS_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_integrity — orphan counts per FK edge
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def dq_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        parent_keys = (
+            load_table(spark, sf, parent)
+            .select(F.col(pkey).alias("__pk"))
+            .distinct()
+        )
+        joined = (
+            load_table(spark, sf, child)
+            .select(F.col(ckey).alias("__ck"))
+            .join(parent_keys, F.col("__ck") == F.col("__pk"), "left")
+        )
+        parts.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                # a NULL child key matches no parent but is the null
+                # rule's business, not an orphan
+                F.count(
+                    F.when(
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(),
+                        True,
+                    )
+                ).alias("orphans"),
+            ).select(
+                F.lit(label).alias("fk_edge"), "child_rows", "orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk_edge")
+
+
+def _ri_edge_sql(label, child, ckey, parent, pkey):
+    return f"""
+    SELECT '{label}' AS fk_edge,
+           count(*) AS child_rows,
+           count(*) FILTER (
+               WHERE {ckey} IS NOT NULL AND NOT EXISTS (
+                   SELECT 1 FROM {parent} WHERE {pkey} = {ckey}
+               )
+           ) AS orphans
+    FROM {child}
+    """
+
+
+_RI_SQL = (
+    "SELECT fk_edge, child_rows, orphans FROM ("
+    + " UNION ALL ".join(_ri_edge_sql(*edge) for edge in _FK_EDGES)
+    + ") ORDER BY fk_edge"
+)
+
+R14_QUERIES["dq_referential_integrity"] = dq_referential_integrity
+R14_ORACLES["dq_referential_integrity"] = _RI_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_uniqueness — duplicate accounting per candidate key
+# ---------------------------------------------------------------------------
+_CANDIDATE_KEYS = [
+    # (key label, table, [key columns])
+    ("customer.c_custkey", "customer", ["c_custkey"]),
+    ("documents.doc_id", "documents", ["doc_id"]),
+    ("events.event_id", "events", ["event_id"]),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ["l_orderkey", "l_linenumber"]),
+    ("orders.o_orderkey", "orders", ["o_orderkey"]),
+]
+
+
+def dq_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
+    parts = []
+    for label, table, keys in _CANDIDATE_KEYS:
+        per_key = (
+            load_table(spark, sf, table)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        parts.append(
+            per_key.agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("dup_rows"),
+            ).select(
+                F.lit(label).alias("key_name"), "n_rows", "n_keys",
+                "dup_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_name")
+
+
+def _uniq_key_sql(label, table, keys):
+    key_list = ", ".join(keys)
+    return f"""
+    SELECT '{label}' AS key_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+               AS dup_rows
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {key_list})
+    """
+
+
+_UNIQ_SQL = (
+    "SELECT key_name, n_rows, n_keys, dup_rows FROM ("
+    + " UNION ALL ".join(_uniq_key_sql(*k) for k in _CANDIDATE_KEYS)
+    + ") ORDER BY key_name"
+)
+
+R14_QUERIES["dq_uniqueness"] = dq_uniqueness
+R14_ORACLES["dq_uniqueness"] = _UNIQ_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_profile — per-column null/distinct/min/max over documents
+# ---------------------------------------------------------------------------
+# `text` is deliberately excluded: min/max of multi-KB bodies bloat the
+# report; length/token profiling of text lives in text_token_stats.
+_PROFILE_COLUMNS = ["doc_id", "lang", "n_chars", "source"]
+
+
+def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    parts = []
+    for col in _PROFILE_COLUMNS:
+        # each branch selects one column -> the parquet ReadSchema of
+        # each scan is that column alone (pruned profile passes)
+        parts.append(
+            docs.select(col).agg(
+                F.count(F.when(F.col(col).isNull(), True)).alias("nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            ).select(
+                F.lit(col).alias("column_name"), "nulls", "n_distinct",
+                "min_str", "max_str",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+def _profile_col_sql(col):
+    return f"""
+    SELECT '{col}' AS column_name,
+           count(*) FILTER (WHERE {col} IS NULL) AS nulls,
+           count(DISTINCT {col}) AS n_distinct,
+           CAST(min({col}) AS VARCHAR) AS min_str,
+           CAST(max({col}) AS VARCHAR) AS max_str
+    FROM documents
+    """
+
+
+_PROFILE_SQL = (
+    "SELECT column_name, nulls, n_distinct, min_str, max_str FROM ("
+    + " UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLUMNS)
+    + ") ORDER BY column_name"
+)
+
+R14_QUERIES["dq_profile"] = dq_profile
+R14_ORACLES["dq_profile"] = _PROFILE_SQL

@@ -1,0 +1,157 @@
+"""Data-quality suite: expectations, referential integrity, uniqueness,
+column profile.
+
+Each operator is pinned against an independent pandas re-computation on
+the same parquet (a third implementation sharing no code with the Spark
+plan or the DuckDB oracle), plus a synthetic-corruption test proving the
+checks actually fire on bad data.
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from kukur_spark.workloads_r14 import (
+    dq_expectations,
+    dq_profile,
+    dq_referential_integrity,
+    dq_uniqueness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd():
+    return pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+
+
+def test_expectations_match_pandas(spark, lineitem_pd):
+    got = {
+        r.check_name: (r.violations, r.total)
+        for r in dq_expectations(spark, SF).collect()
+    }
+    li = lineitem_pd
+    total = len(li)
+    assert got["l_orderkey_not_null"] == (li.l_orderkey.isna().sum(), total)
+    bad_qty = (
+        li.l_quantity.isna() | (li.l_quantity < 1) | (li.l_quantity > 50)
+    ).sum()
+    assert got["l_quantity_range_1_50"] == (bad_qty, total)
+    bad_flag = (~li.l_returnflag.isin(["A", "N", "R"])).sum() + (
+        li.l_returnflag.isna().sum()
+    )
+    assert got["l_returnflag_in_set"] == (bad_flag, total)
+    assert len(got) == 7
+    assert all(t == total for _, t in got.values())
+
+
+def test_expectations_fire_on_corrupt_rows(spark, tmp_path):
+    """Inject violations into a copy of lineitem and point the query at
+    it: every rule must count exactly the planted rows."""
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas().head(100)
+    li.loc[0, "l_quantity"] = 99.0  # out of range
+    li.loc[1, "l_returnflag"] = "X"  # outside set
+    li.loc[2, "l_discount"] = 0.5  # out of range
+    li.loc[3, "l_orderkey"] = None  # null key
+    bad_dir = tmp_path / "sf_bad"
+    bad_dir.mkdir()
+    li.to_parquet(bad_dir / "lineitem.parquet")
+    got = {
+        r.check_name: r.violations
+        for r in dq_expectations(spark, str(bad_dir)).collect()
+    }
+    assert got["l_quantity_range_1_50"] == 1
+    assert got["l_returnflag_in_set"] == 1
+    assert got["l_discount_range_0_0.1"] == 1
+    assert got["l_orderkey_not_null"] == 1
+    assert got["l_extendedprice_positive"] == 0
+
+
+def test_referential_integrity_matches_pandas(spark, lineitem_pd):
+    got = {
+        r.fk_edge: (r.child_rows, r.orphans)
+        for r in dq_referential_integrity(spark, SF).collect()
+    }
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = lineitem_pd
+    orphans = (
+        li.l_orderkey.notna()
+        & ~li.l_orderkey.isin(orders.o_orderkey)
+    ).sum()
+    assert got["lineitem.l_orderkey->orders.o_orderkey"] == (
+        len(li), orphans,
+    )
+    assert len(got) == 5
+    # synthetic data is referentially sound: every edge must be clean
+    assert all(o == 0 for _, o in got.values())
+
+
+def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas().head(50)
+    li.loc[:2, "l_orderkey"] = 10**12  # 3 orphan rows
+    li.loc[3, "l_orderkey"] = None  # null key: NOT an orphan
+    bad_dir = tmp_path / "sf_bad"
+    bad_dir.mkdir()
+    li.to_parquet(bad_dir / "lineitem.parquet")
+    for t in ("orders", "part", "supplier", "customer", "nation"):
+        pd_t = pq.read_table(f"{SF}/{t}.parquet").to_pandas()
+        pd_t.to_parquet(bad_dir / f"{t}.parquet")
+    got = {
+        r.fk_edge: r.orphans
+        for r in dq_referential_integrity(spark, str(bad_dir)).collect()
+    }
+    assert got["lineitem.l_orderkey->orders.o_orderkey"] == 3
+
+
+def test_uniqueness_matches_pandas(spark, lineitem_pd):
+    got = {
+        r.key_name: (r.n_rows, r.n_keys, r.dup_rows)
+        for r in dq_uniqueness(spark, SF).collect()
+    }
+    li = lineitem_pd
+    composite = li[["l_orderkey", "l_linenumber"]]
+    n_keys = len(composite.drop_duplicates())
+    dup_rows = int(
+        composite.duplicated(keep=False).sum()
+    )
+    assert got["lineitem.(l_orderkey,l_linenumber)"] == (
+        len(li), n_keys, dup_rows,
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert got["documents.doc_id"] == (
+        docs.num_rows, docs.column("doc_id").to_pandas().nunique(), 0,
+    )
+
+
+def test_uniqueness_counts_planted_duplicates(spark, tmp_path):
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas().head(20)
+    dup = pd.concat([orders, orders.head(3)], ignore_index=True)
+    bad_dir = tmp_path / "sf_bad"
+    bad_dir.mkdir()
+    dup.to_parquet(bad_dir / "orders.parquet")
+    for t in ("customer", "documents", "events", "lineitem"):
+        pq.read_table(f"{SF}/{t}.parquet").to_pandas().head(10).to_parquet(
+            bad_dir / f"{t}.parquet"
+        )
+    got = {
+        r.key_name: (r.n_rows, r.n_keys, r.dup_rows)
+        for r in dq_uniqueness(spark, str(bad_dir)).collect()
+    }
+    # 3 keys duplicated -> 6 rows participate in duplication
+    assert got["orders.o_orderkey"] == (23, 20, 6)
+
+
+def test_profile_matches_pandas(spark):
+    got = {
+        r.column_name: r for r in dq_profile(spark, SF).collect()
+    }
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert got["lang"].nulls == docs.lang.isna().sum()
+    assert got["lang"].n_distinct == docs.lang.nunique()
+    assert got["lang"].min_str == docs.lang.min()
+    assert got["lang"].max_str == docs.lang.max()
+    assert got["n_chars"].min_str == str(docs.n_chars.min())
+    assert got["n_chars"].max_str == str(docs.n_chars.max())
+    assert got["doc_id"].n_distinct == docs.doc_id.nunique()
+    assert sorted(got) == ["doc_id", "lang", "n_chars", "source"]
