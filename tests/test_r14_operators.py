@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from kukur_spark.workloads_r14 import (
+    _PROFILE_COLUMNS,
     dq_expectations,
     dq_profile,
     dq_referential_integrity,
@@ -140,6 +141,37 @@ def test_uniqueness_counts_planted_duplicates(spark, tmp_path):
     }
     # 3 keys duplicated -> 6 rows participate in duplication
     assert got["orders.o_orderkey"] == (23, 20, 6)
+
+
+def _read_schemas(spark, df):
+    """ReadSchema struct bodies of every parquet scan in the formatted
+    physical plan (one entry per scan)."""
+    import re
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_expectations_plan_is_one_scan(spark):
+    """The whole rule set must cost ONE pass: a single pruned parquet
+    scan feeding a single partial->final aggregate (the only exchange
+    moves one row); adding rules must never add scans."""
+    schemas = _read_schemas(spark, dq_expectations(spark, SF))
+    assert len(schemas) == 1
+    # 7-column pruned read: the rules touch 7 of lineitem's 11 columns
+    assert len(schemas[0].split(",")) == 7
+
+
+def test_profile_plan_prunes_to_single_columns(spark):
+    """Each profile branch must scan exactly its own column."""
+    schemas = _read_schemas(spark, dq_profile(spark, SF))
+    assert sorted(s.split(":")[0] for s in schemas) == sorted(
+        _PROFILE_COLUMNS
+    )
+    assert all("," not in s for s in schemas)
 
 
 def test_profile_matches_pandas(spark):
