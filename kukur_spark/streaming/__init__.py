@@ -14,6 +14,17 @@ the Spark-native extension of the 4 verbs to continuous data:
 
 All operators compose on any streaming DataFrame (Kafka, file, socket);
 tests drive them with a file source + memory sink + processAllAvailable.
+
+API-generation note: the stateful operators use
+``applyInPandasWithState`` (stable since 3.4) rather than Spark 4's
+``transformWithStateInPandas``.  TWS was probed on this Spark 4.1.2
+image and its Python client hard-requires ``google.protobuf`` (the
+state-server wire protocol), which is not installed and cannot be
+added here — the driver worker exits with ImportError before init.
+The operator semantics are identical for the patterns used (ValueState
+per group, update-mode emission); a TWS port is a mechanical rename of
+the update functions into ``StatefulProcessor.handleInputRows`` once
+protobuf is available.
 """
 
 from __future__ import annotations

@@ -327,3 +327,128 @@ _PROFILE_SQL = (
 
 R14_QUERIES["dq_profile"] = dq_profile
 R14_ORACLES["dq_profile"] = _PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_version_diff — corpus snapshot diff (added/removed/changed/unchanged)
+# ---------------------------------------------------------------------------
+# Two corpus versions are derived deterministically from `documents` so
+# the diff has all four classes: v1 lacks doc_id % 97 == 0 (v2 "adds"
+# them), v2 lacks doc_id % 101 == 0 ("removed"), and v2 rewrites the
+# text of doc_id % 89 == 0 ("changed").  Real pipelines diff two actual
+# manifests; the operator shape is the same: ONE equi-join on the doc
+# key comparing content hashes — with both manifests bucketed by doc_id
+# the join is shuffle-free, and the hash (not the text) is what moves.
+def dq_version_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.md5(F.col("text")).alias("h1"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 101 != 0).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 89 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    diff = v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+    return (
+        diff.groupBy(
+            F.coalesce(F.col("src2"), F.col("src1")).alias("source")
+        )
+        .agg(
+            F.count(F.when(F.col("id1").isNull(), True)).alias("added"),
+            F.count(F.when(F.col("id2").isNull(), True)).alias("removed"),
+            F.count(
+                F.when(
+                    F.col("id1").isNotNull()
+                    & F.col("id2").isNotNull()
+                    & (F.col("h1") != F.col("h2")),
+                    True,
+                )
+            ).alias("changed"),
+            F.count(
+                F.when(F.col("h1") == F.col("h2"), True)
+            ).alias("unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+_VERSION_DIFF_SQL = """
+WITH v1 AS (
+    SELECT doc_id AS id1, source AS src1, md5(text) AS h1
+    FROM documents WHERE doc_id % 97 <> 0
+), v2 AS (
+    SELECT doc_id AS id2, source AS src2,
+           md5(CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]'
+                    ELSE text END) AS h2
+    FROM documents WHERE doc_id % 101 <> 0
+)
+SELECT coalesce(src2, src1) AS source,
+       count(*) FILTER (WHERE id1 IS NULL) AS added,
+       count(*) FILTER (WHERE id2 IS NULL) AS removed,
+       count(*) FILTER (WHERE id1 IS NOT NULL AND id2 IS NOT NULL
+                        AND h1 <> h2) AS changed,
+       count(*) FILTER (WHERE h1 = h2) AS unchanged
+FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+GROUP BY coalesce(src2, src1)
+ORDER BY source
+"""
+
+R14_QUERIES["dq_version_diff"] = dq_version_diff
+R14_ORACLES["dq_version_diff"] = _VERSION_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness — per-series staleness vs the newest point anywhere
+# ---------------------------------------------------------------------------
+_STALE_MIN = 60  # lag threshold, minutes
+
+
+def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Last event per type + its lag behind the corpus watermark.
+
+    One keyed aggregate (map-side max), then a broadcast of the
+    single-row global max — the corpus is never reshuffled.  Lag math is
+    integer µs (exact in both engines; values are non-negative so
+    truncating and flooring division agree)."""
+    per = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.unix_micros(F.max("ts")).alias("last_ts_us"))
+    )
+    gmax = per.agg(F.max("last_ts_us").alias("g_us"))
+    return (
+        per.join(F.broadcast(gmax))
+        .select(
+            "event_type",
+            "last_ts_us",
+            F.expr("(g_us - last_ts_us) div 60000000").alias("lag_min"),
+            (
+                F.expr("(g_us - last_ts_us) div 60000000") >= _STALE_MIN
+            ).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FRESHNESS_SQL = f"""
+WITH per AS (
+    SELECT event_type, epoch_us(MAX(ts)) AS last_ts_us
+    FROM events GROUP BY event_type
+), g AS (SELECT MAX(last_ts_us) AS g_us FROM per)
+SELECT event_type, last_ts_us,
+       (g_us - last_ts_us) // 60000000 AS lag_min,
+       ((g_us - last_ts_us) // 60000000) >= {_STALE_MIN} AS is_stale
+FROM per, g
+ORDER BY event_type
+"""
+
+R14_QUERIES["dq_freshness"] = dq_freshness
+R14_ORACLES["dq_freshness"] = _FRESHNESS_SQL

@@ -13,10 +13,13 @@ import pytest
 
 from kukur_spark.workloads_r14 import (
     _PROFILE_COLUMNS,
+    _STALE_MIN,
     dq_expectations,
+    dq_freshness,
     dq_profile,
     dq_referential_integrity,
     dq_uniqueness,
+    dq_version_diff,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -172,6 +175,47 @@ def test_profile_plan_prunes_to_single_columns(spark):
         _PROFILE_COLUMNS
     )
     assert all("," not in s for s in schemas)
+
+
+def test_version_diff_matches_pandas(spark):
+    """Diff classes recomputed independently over the full corpus: the
+    derived versions must classify every doc into exactly one bucket."""
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    got = dq_version_diff(spark, SF).toPandas()
+    totals = got[["added", "removed", "changed", "unchanged"]].sum()
+    in_v1 = docs.doc_id % 97 != 0
+    in_v2 = docs.doc_id % 101 != 0
+    assert totals["added"] == (~in_v1 & in_v2).sum()
+    assert totals["removed"] == (in_v1 & ~in_v2).sum()
+    rewritten = docs.doc_id % 89 == 0
+    assert totals["changed"] == (in_v1 & in_v2 & rewritten).sum()
+    assert totals["unchanged"] == (in_v1 & in_v2 & ~rewritten).sum()
+    # every doc present in either version lands in exactly one class
+    assert totals.sum() == (in_v1 | in_v2).sum()
+    # the fixture divisors guarantee a non-degenerate diff
+    assert (totals > 0).all()
+
+
+def test_freshness_matches_pandas(spark):
+    events = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "ts"]
+    ).to_pandas()
+    per = events.groupby("event_type").ts.max()
+    # events.ts is TIMESTAMP(NANOS); the engine reads µs precision.
+    # pd.Timestamp.value is always ns regardless of the frame's unit.
+    per_us = {
+        k: pd.Timestamp(v).value // 1_000 for k, v in per.items()
+    }
+    g = max(per_us.values())
+    got = {r.event_type: r for r in dq_freshness(spark, SF).collect()}
+    assert set(got) == set(per_us)
+    for etype, last_us in per_us.items():
+        row = got[etype]
+        assert row.last_ts_us == last_us
+        assert row.lag_min == (g - last_us) // 60_000_000
+        assert row.is_stale == (row.lag_min >= _STALE_MIN)
 
 
 def test_profile_matches_pandas(spark):
