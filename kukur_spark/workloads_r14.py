@@ -336,27 +336,27 @@ R14_ORACLES["dq_profile"] = _PROFILE_SQL
 # the diff has all four classes: v1 lacks doc_id % 97 == 0 (v2 "adds"
 # them), v2 lacks doc_id % 101 == 0 ("removed"), and v2 rewrites the
 # text of doc_id % 89 == 0 ("changed").  Real pipelines diff two actual
-# manifests; the operator shape is the same: ONE equi-join on the doc
-# key comparing content hashes — with both manifests bucketed by doc_id
-# the join is shuffle-free, and the hash (not the text) is what moves.
-def dq_version_diff(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    v1 = docs.filter(F.col("doc_id") % 97 != 0).select(
+# manifests via ``manifest_diff`` below; the operator shape is the
+# same: ONE equi-join on the doc key comparing content hashes — with
+# both manifests bucketed by doc_id the join is shuffle-free, and the
+# hash (not the text) is what moves.
+def manifest_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Diff two corpus manifests ``(doc_id, source, h)`` — h is the
+    content hash.  One full-outer equi-join on the doc key; when both
+    manifests are bucketed tables on ``doc_id`` the join reads bucket-
+    aligned scans with NO exchange (pinned by
+    ``tests/test_r14_operators.py::test_manifest_diff_bucketed_is_shuffle_free``)."""
+    left = v1.select(
         F.col("doc_id").alias("id1"),
         F.col("source").alias("src1"),
-        F.md5(F.col("text")).alias("h1"),
+        F.col("h").alias("h1"),
     )
-    v2 = docs.filter(F.col("doc_id") % 101 != 0).select(
+    right = v2.select(
         F.col("doc_id").alias("id2"),
         F.col("source").alias("src2"),
-        F.md5(
-            F.when(
-                F.col("doc_id") % 89 == 0,
-                F.concat(F.col("text"), F.lit(" [rev2]")),
-            ).otherwise(F.col("text"))
-        ).alias("h2"),
+        F.col("h").alias("h2"),
     )
-    diff = v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+    diff = left.join(right, F.col("id1") == F.col("id2"), "full_outer")
     return (
         diff.groupBy(
             F.coalesce(F.col("src2"), F.col("src1")).alias("source")
@@ -378,6 +378,24 @@ def dq_version_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dq_version_diff(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    v2 = docs.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 89 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    return manifest_diff(v1, v2)
 
 
 _VERSION_DIFF_SQL = """

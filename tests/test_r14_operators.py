@@ -198,6 +198,62 @@ def test_version_diff_matches_pandas(spark):
     assert (totals > 0).all()
 
 
+def test_manifest_diff_bucketed_is_shuffle_free(spark, tmp_path):
+    """The scale path for corpus diffs: both manifests persisted as
+    tables bucketed on doc_id join bucket-aligned — the only exchange
+    left in the plan is the one-row-per-source final aggregate, never a
+    data-sized repartition of either manifest."""
+    import uuid
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r14 import manifest_diff
+    from pyspark.sql import functions as F
+
+    db = f"dqdiff_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    docs = load_table(spark, SF, "documents")
+    manifest = docs.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    for name, df in (
+        ("v1", manifest.filter(F.col("doc_id") % 7 != 0)),
+        ("v2", manifest.filter(F.col("doc_id") % 5 != 0)),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{db}.{name}")
+        )
+    out = manifest_diff(spark.table(f"{db}.v1"), spark.table(f"{db}.v2"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    # the tree prints top-down: everything after the join line is its
+    # input subtree (sort + bucketed scan per side) — no exchange may
+    # feed the join; the exchanges above it move one row per source
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    join_inputs = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_inputs, join_inputs
+    # and the result still matches a plain (shuffled) diff of the same
+    # frames
+    expected = {
+        r.source: (r.added, r.removed, r.changed, r.unchanged)
+        for r in manifest_diff(
+            manifest.filter(F.col("doc_id") % 7 != 0),
+            manifest.filter(F.col("doc_id") % 5 != 0),
+        ).collect()
+    }
+    got = {
+        r.source: (r.added, r.removed, r.changed, r.unchanged)
+        for r in out.collect()
+    }
+    assert got == expected
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
 def test_freshness_matches_pandas(spark):
     events = pq.read_table(
         f"{SF}/events.parquet", columns=["event_type", "ts"]
