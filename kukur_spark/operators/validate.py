@@ -63,6 +63,10 @@ def non_negative(column: str) -> Rule:
     return Rule(f"non_negative({column})", "non_negative", (column,))
 
 
+def positive(column: str) -> Rule:
+    return Rule(f"positive({column})", "positive", (column,))
+
+
 def foreign_key(
     columns: Sequence[str], ref: DataFrame, ref_columns: Sequence[str]
 ) -> Rule:
@@ -76,28 +80,33 @@ def foreign_key(
     )
 
 
-def _violation_expr(rule: Rule) -> Column:
+def violation_predicate(rule: Rule) -> Column:
+    """Row-level boolean: TRUE when the row violates ``rule``.  Scalar
+    rules only — ``unique``/``foreign_key`` are aggregate-shaped.  This
+    is the single source of rule semantics shared by :func:`validate`
+    and the ``dq_*`` report views (``workloads_r14``): nulls violate
+    every value rule (a null can't be proven in-range/in-set)."""
     col = F.col(rule.columns[0]) if rule.columns else None
     if rule.kind == "not_null":
-        return F.sum(F.when(col.isNull(), 1).otherwise(0))
+        return col.isNull()
     if rule.kind == "in_range":
         lo, hi = rule.args
-        return F.sum(
-            F.when(col.isNull() | (col < lo) | (col > hi), 1).otherwise(0)
-        )
+        return col.isNull() | (col < lo) | (col > hi)
     if rule.kind == "matches":
         (pattern,) = rule.args
-        return F.sum(
-            F.when(~col.rlike(pattern) | col.isNull(), 1).otherwise(0)
-        )
+        return ~col.rlike(pattern) | col.isNull()
     if rule.kind == "in_set":
         (values,) = rule.args
-        return F.sum(
-            F.when(~col.isin(list(values)) | col.isNull(), 1).otherwise(0)
-        )
+        return ~col.isin(list(values)) | col.isNull()
     if rule.kind == "non_negative":
-        return F.sum(F.when(col.isNull() | (col < 0), 1).otherwise(0))
+        return col.isNull() | (col < 0)
+    if rule.kind == "positive":
+        return col.isNull() | (col <= 0)
     raise ValueError(f"unknown rule kind: {rule.kind}")
+
+
+def _violation_expr(rule: Rule) -> Column:
+    return F.sum(F.when(violation_predicate(rule), 1).otherwise(0))
 
 
 def validate(df: DataFrame, rules: List[Rule]) -> DataFrame:

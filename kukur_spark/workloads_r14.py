@@ -6,7 +6,21 @@ expressed as pure Catalyst plans.
 
 Beyond-reference surface (the reference engine has no DQ layer); the
 point is that quality gating belongs *inside* the engine where the scan
-is already paid for:
+is already paid for.
+
+Relationship to the rest of the DQ stack — one engine, three views:
+``operators/validate.py`` owns the rule vocabulary and per-row
+violation semantics (``violation_predicate``); the r5
+``lineitem_quality_report`` is its pass/fail report (rule, n_rows,
+n_violations, passed); this module's ``expectations_report`` is the
+grouped view of the SAME predicates (per-check totals, optional group
+columns — e.g. per ``_commit_version`` for the incremental CDF form).
+Multi-table audits (``dq_referential_integrity``, ``dq_uniqueness``)
+generalize the single-table ``foreign_key``/``unique`` rules to
+edge/key inventories.  Per-series freshness lives in the r5
+``ts_staleness`` query (not duplicated here).
+
+The suite:
 
 - ``dq_expectations`` — N rule violations counted in ONE aggregate over
   one scan (map-side partial agg; the only exchange moves one row), then
@@ -35,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kukur_spark.io import load_table
+from kukur_spark.operators import validate as V
 
 R14_QUERIES: dict = {}
 R14_ORACLES: dict = {}
@@ -44,38 +59,18 @@ R14_ORACLES: dict = {}
 # dq_expectations — rule violations over lineitem, one aggregate pass
 # ---------------------------------------------------------------------------
 def _violation_rules():
-    """(rule name, violation predicate builder) — a violation predicate
-    is TRUE for rows breaking the rule (nulls break range/set rules)."""
+    """(report name, ``operators/validate.py`` Rule) pairs — the rule
+    SEMANTICS live in one place (``validate.violation_predicate``; the
+    r5 ``lineitem_quality_report`` compiles the same vocabulary); this
+    module only chooses the rule set and the report shape."""
     return [
-        (
-            "l_discount_range_0_0.1",
-            lambda: F.col("l_discount").isNull()
-            | (F.col("l_discount") < 0)
-            | (F.col("l_discount") > 0.1),
-        ),
-        (
-            "l_extendedprice_positive",
-            lambda: F.col("l_extendedprice").isNull()
-            | (F.col("l_extendedprice") <= 0),
-        ),
-        (
-            "l_linestatus_in_set",
-            lambda: F.col("l_linestatus").isNull()
-            | ~F.col("l_linestatus").isin("O", "F"),
-        ),
-        ("l_orderkey_not_null", lambda: F.col("l_orderkey").isNull()),
-        (
-            "l_quantity_range_1_50",
-            lambda: F.col("l_quantity").isNull()
-            | (F.col("l_quantity") < 1)
-            | (F.col("l_quantity") > 50),
-        ),
-        (
-            "l_returnflag_in_set",
-            lambda: F.col("l_returnflag").isNull()
-            | ~F.col("l_returnflag").isin("A", "N", "R"),
-        ),
-        ("l_shipdate_not_null", lambda: F.col("l_shipdate").isNull()),
+        ("l_discount_range_0_0.1", V.in_range("l_discount", 0.0, 0.1)),
+        ("l_extendedprice_positive", V.positive("l_extendedprice")),
+        ("l_linestatus_in_set", V.in_set("l_linestatus", ["O", "F"])),
+        ("l_orderkey_not_null", V.not_null("l_orderkey")),
+        ("l_quantity_range_1_50", V.in_range("l_quantity", 1.0, 50.0)),
+        ("l_returnflag_in_set", V.in_set("l_returnflag", ["A", "N", "R"])),
+        ("l_shipdate_not_null", V.not_null("l_shipdate")),
     ]
 
 
@@ -87,8 +82,8 @@ def expectations_report(df: DataFrame, rules=None, group_cols=()) -> DataFrame:
     without extra passes — it only keys the one aggregate."""
     rules = rules if rules is not None else _violation_rules()
     aggs = [
-        F.count(F.when(pred(), True)).alias(f"v{i}")
-        for i, (_, pred) in enumerate(rules)
+        F.count(F.when(V.violation_predicate(rule), True)).alias(f"v{i}")
+        for i, (_, rule) in enumerate(rules)
     ]
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     wide = grouped.agg(*aggs, F.count(F.lit(1)).alias("total"))
@@ -461,52 +456,3 @@ ORDER BY source
 
 R14_QUERIES["dq_version_diff"] = dq_version_diff
 R14_ORACLES["dq_version_diff"] = _VERSION_DIFF_SQL
-
-
-# ---------------------------------------------------------------------------
-# dq_freshness — per-series staleness vs the newest point anywhere
-# ---------------------------------------------------------------------------
-_STALE_MIN = 60  # lag threshold, minutes
-
-
-def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
-    """Last event per type + its lag behind the corpus watermark.
-
-    One keyed aggregate (map-side max), then a broadcast of the
-    single-row global max — the corpus is never reshuffled.  Lag math is
-    integer µs (exact in both engines; values are non-negative so
-    truncating and flooring division agree)."""
-    per = (
-        load_table(spark, sf, "events")
-        .groupBy("event_type")
-        .agg(F.unix_micros(F.max("ts")).alias("last_ts_us"))
-    )
-    gmax = per.agg(F.max("last_ts_us").alias("g_us"))
-    return (
-        per.join(F.broadcast(gmax))
-        .select(
-            "event_type",
-            "last_ts_us",
-            F.expr("(g_us - last_ts_us) div 60000000").alias("lag_min"),
-            (
-                F.expr("(g_us - last_ts_us) div 60000000") >= _STALE_MIN
-            ).alias("is_stale"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_FRESHNESS_SQL = f"""
-WITH per AS (
-    SELECT event_type, epoch_us(MAX(ts)) AS last_ts_us
-    FROM events GROUP BY event_type
-), g AS (SELECT MAX(last_ts_us) AS g_us FROM per)
-SELECT event_type, last_ts_us,
-       (g_us - last_ts_us) // 60000000 AS lag_min,
-       ((g_us - last_ts_us) // 60000000) >= {_STALE_MIN} AS is_stale
-FROM per, g
-ORDER BY event_type
-"""
-
-R14_QUERIES["dq_freshness"] = dq_freshness
-R14_ORACLES["dq_freshness"] = _FRESHNESS_SQL

@@ -13,9 +13,7 @@ import pytest
 
 from kukur_spark.workloads_r14 import (
     _PROFILE_COLUMNS,
-    _STALE_MIN,
     dq_expectations,
-    dq_freshness,
     dq_profile,
     dq_referential_integrity,
     dq_uniqueness,
@@ -252,26 +250,6 @@ def test_manifest_diff_bucketed_is_shuffle_free(spark, tmp_path):
     }
     assert got == expected
     spark.sql(f"DROP DATABASE {db} CASCADE")
-
-
-def test_freshness_matches_pandas(spark):
-    events = pq.read_table(
-        f"{SF}/events.parquet", columns=["event_type", "ts"]
-    ).to_pandas()
-    per = events.groupby("event_type").ts.max()
-    # events.ts is TIMESTAMP(NANOS); the engine reads µs precision.
-    # pd.Timestamp.value is always ns regardless of the frame's unit.
-    per_us = {
-        k: pd.Timestamp(v).value // 1_000 for k, v in per.items()
-    }
-    g = max(per_us.values())
-    got = {r.event_type: r for r in dq_freshness(spark, SF).collect()}
-    assert set(got) == set(per_us)
-    for etype, last_us in per_us.items():
-        row = got[etype]
-        assert row.last_ts_us == last_us
-        assert row.lag_min == (g - last_us) // 60_000_000
-        assert row.is_stale == (row.lag_min >= _STALE_MIN)
 
 
 def test_profile_matches_pandas(spark):
