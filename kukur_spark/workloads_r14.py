@@ -36,6 +36,13 @@ The suite:
   for the oracle).
 - ``dq_profile`` — per-column null/distinct/min/max over pruned
   single-column scans (each branch's parquet ReadSchema is one column).
+- ``dq_version_diff`` / ``manifest_diff`` — added/removed/changed/
+  unchanged between two corpus manifests via one content-hash equi-join
+  on the doc key (bucketed manifests join with zero exchange below the
+  join — plan-pinned).
+- ``dq_expectations_changes`` — the incremental form: the expectations
+  report keyed by ``_commit_version`` over a Delta CDF range, so each
+  ingest batch is validated at change-volume cost.
 
 Exactness: every metric is a COUNT (bigint in Spark and DuckDB — the
 oracles use ``count(*) FILTER`` / ``CAST(sum .. AS BIGINT)`` so no
