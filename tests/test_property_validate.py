@@ -106,3 +106,56 @@ def test_expectations_report_counts_match_python_model(spark, rows):
         for name, _ in RULES:
             want = sum(_python_violates(name, q, f) for q, f in members)
             assert got[(g, name)] == (want, len(members)), (g, name)
+
+
+# ---------------------------------------------------------------------------
+# manifest_diff: random manifests vs a pure-Python diff model
+# ---------------------------------------------------------------------------
+manifest_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 15),  # doc_id — small domain forces overlaps
+        st.sampled_from(["web", "code"]),
+        st.sampled_from(["h1", "h2", "h3"]),  # content hash stand-in
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(v1=manifest_strategy, v2=manifest_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_manifest_diff_matches_python_model(spark, v1, v2):
+    from kukur_spark.workloads_r14 import manifest_diff
+
+    schema = "doc_id long, source string, h string"
+    out = manifest_diff(
+        spark.createDataFrame(v1, schema),
+        spark.createDataFrame(v2, schema),
+    ).collect()
+    m1 = {d: (s, h) for d, s, h in v1}
+    m2 = {d: (s, h) for d, s, h in v2}
+    want = {}
+    for d in set(m1) | set(m2):
+        # source attribution: v2 wins when present (coalesce(src2, src1))
+        src = (m2.get(d) or m1[d])[0]
+        a, r, c, u = want.setdefault(src, [0, 0, 0, 0])
+        if d not in m1:
+            want[src][0] += 1
+        elif d not in m2:
+            want[src][1] += 1
+        elif m1[d][1] != m2[d][1]:
+            want[src][2] += 1
+        else:
+            want[src][3] += 1
+    got = {
+        row.source: [row.added, row.removed, row.changed, row.unchanged]
+        for row in out
+    }
+    assert got == want
+    # ordered output contract
+    assert [row.source for row in out] == sorted(got)
