@@ -265,3 +265,30 @@ def test_profile_matches_pandas(spark):
     assert got["n_chars"].max_str == str(docs.n_chars.max())
     assert got["doc_id"].n_distinct == docs.doc_id.nunique()
     assert sorted(got) == ["doc_id", "lang", "n_chars", "source"]
+
+
+def test_report_views_agree_with_validate(spark, lineitem_pd):
+    """Cross-view consistency after the unification: the r14 grouped
+    report and operators/validate.py::validate() compile the same Rule
+    objects, so their violation counts over the same frame must be
+    identical rule-for-rule."""
+    from kukur_spark.io import load_table
+    from kukur_spark.operators import validate as V
+    from kukur_spark.workloads_r14 import (
+        _violation_rules,
+        expectations_report,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    named_rules = _violation_rules()
+    report = {
+        r.check_name: (r.violations, r.total)
+        for r in expectations_report(li, rules=named_rules).collect()
+    }
+    validated = {
+        r.rule: (r.n_violations, r.n_rows)
+        for r in V.validate(li, [rule for _, rule in named_rules]).collect()
+    }
+    assert len(report) == len(validated) == len(named_rules)
+    for name, rule in named_rules:
+        assert report[name] == validated[rule.name], (name, rule.name)
