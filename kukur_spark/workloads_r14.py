@@ -88,6 +88,9 @@ def expectations_report(df: DataFrame, rules=None, group_cols=()) -> DataFrame:
     the report (e.g. per ``_commit_version`` for incremental checks)
     without extra passes — it only keys the one aggregate."""
     rules = rules if rules is not None else _violation_rules()
+    if not rules:
+        # mirror validate(): fail loudly instead of emitting `stack(0, )`
+        raise ValueError("expectations_report needs at least one rule")
     aggs = [
         F.count(F.when(V.violation_predicate(rule), True)).alias(f"v{i}")
         for i, (_, rule) in enumerate(rules)
@@ -279,7 +282,7 @@ def dq_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
         )
         parts.append(
             per_key.agg(
-                F.sum("c").cast("long").alias("n_rows"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
                 F.count(F.lit(1)).alias("n_keys"),
                 F.coalesce(
                     F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
@@ -301,7 +304,7 @@ def _uniq_key_sql(label, table, keys):
     key_list = ", ".join(keys)
     return f"""
     SELECT '{label}' AS key_name,
-           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
            count(*) AS n_keys,
            CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
                AS dup_rows
@@ -406,16 +409,25 @@ def manifest_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
         .agg(
             F.count(F.when(F.col("id1").isNull(), True)).alias("added"),
             F.count(F.when(F.col("id2").isNull(), True)).alias("removed"),
+            # null-safe hash compare: a doc present in BOTH versions lands
+            # in exactly one of changed/unchanged even when a content hash
+            # is NULL (e.g. md5 of a NULL text) — plain <>/= would drop it
+            # from every class
             F.count(
                 F.when(
                     F.col("id1").isNotNull()
                     & F.col("id2").isNotNull()
-                    & (F.col("h1") != F.col("h2")),
+                    & ~F.col("h1").eqNullSafe(F.col("h2")),
                     True,
                 )
             ).alias("changed"),
             F.count(
-                F.when(F.col("h1") == F.col("h2"), True)
+                F.when(
+                    F.col("id1").isNotNull()
+                    & F.col("id2").isNotNull()
+                    & F.col("h1").eqNullSafe(F.col("h2")),
+                    True,
+                )
             ).alias("unchanged"),
         )
         .orderBy("source")
@@ -454,8 +466,9 @@ SELECT coalesce(src2, src1) AS source,
        count(*) FILTER (WHERE id1 IS NULL) AS added,
        count(*) FILTER (WHERE id2 IS NULL) AS removed,
        count(*) FILTER (WHERE id1 IS NOT NULL AND id2 IS NOT NULL
-                        AND h1 <> h2) AS changed,
-       count(*) FILTER (WHERE h1 = h2) AS unchanged
+                        AND h1 IS DISTINCT FROM h2) AS changed,
+       count(*) FILTER (WHERE id1 IS NOT NULL AND id2 IS NOT NULL
+                        AND h1 IS NOT DISTINCT FROM h2) AS unchanged
 FROM v1 FULL OUTER JOIN v2 ON id1 = id2
 GROUP BY coalesce(src2, src1)
 ORDER BY source

@@ -115,7 +115,10 @@ manifest_strategy = st.lists(
     st.tuples(
         st.integers(0, 15),  # doc_id — small domain forces overlaps
         st.sampled_from(["web", "code"]),
-        st.sampled_from(["h1", "h2", "h3"]),  # content hash stand-in
+        # content hash stand-in; None exercises the null-safe compare
+        # (md5 of a NULL text) — the Python model's `!=` treats
+        # None == None as unchanged, which is the documented invariant
+        st.sampled_from(["h1", "h2", "h3", None]),
     ),
     min_size=0,
     max_size=12,

@@ -40,9 +40,10 @@ def test_expectations_match_pandas(spark, lineitem_pd):
         li.l_quantity.isna() | (li.l_quantity < 1) | (li.l_quantity > 50)
     ).sum()
     assert got["l_quantity_range_1_50"] == (bad_qty, total)
-    bad_flag = (~li.l_returnflag.isin(["A", "N", "R"])).sum() + (
-        li.l_returnflag.isna().sum()
-    )
+    # isna is a subset of ~isin (NaN is never in the set) — OR, don't add
+    bad_flag = (
+        li.l_returnflag.isna() | ~li.l_returnflag.isin(["A", "N", "R"])
+    ).sum()
     assert got["l_returnflag_in_set"] == (bad_flag, total)
     assert len(got) == 7
     assert all(t == total for _, t in got.values())
@@ -292,3 +293,40 @@ def test_report_views_agree_with_validate(spark, lineitem_pd):
     assert len(report) == len(validated) == len(named_rules)
     for name, rule in named_rules:
         assert report[name] == validated[rule.name], (name, rule.name)
+
+
+def test_expectations_report_rejects_empty_rules(spark):
+    """An empty rule list must fail loudly (mirrors validate()), not
+    build the malformed `stack(0, )` expression."""
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r14 import expectations_report
+
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises(ValueError, match="at least one rule"):
+        expectations_report(li, rules=[])
+
+
+def test_manifest_diff_classifies_null_hashes(spark):
+    """ADVICE r7: a doc present in both versions whose content hash is
+    NULL on either side must land in exactly one class (null-safe
+    compare), never vanish from the report."""
+    from kukur_spark.workloads_r14 import manifest_diff
+
+    rows = [
+        # (doc_id, source, h) pairs across v1/v2
+        (1, "s", None), (2, "s", None), (3, "s", "aa"), (4, "s", "bb")
+    ]
+    v1 = spark.createDataFrame(rows, "doc_id int, source string, h string")
+    v2 = spark.createDataFrame(
+        [
+            (1, "s", None),   # NULL == NULL -> unchanged
+            (2, "s", "cc"),   # NULL vs value -> changed
+            (3, "s", None),   # value vs NULL -> changed
+            (4, "s", "bb"),   # value == value -> unchanged
+        ],
+        "doc_id int, source string, h string",
+    )
+    row = manifest_diff(v1, v2).collect()[0]
+    assert (row.added, row.removed, row.changed, row.unchanged) == (0, 0, 2, 2)
+    # invariant: every doc present in either version is in exactly one class
+    assert row.added + row.removed + row.changed + row.unchanged == 4
