@@ -74,8 +74,37 @@ def _spread(df: DataFrame, id_column: str, partitions: int = 0) -> DataFrame:
     return df.repartition(partitions, F.col(id_column))
 
 
+def _estimated_bucket_bound(banded: DataFrame, bands: int) -> Optional[int]:
+    """Free (no job) upper-bound estimate of any single (band, bucket)
+    membership, from Catalyst plan statistics: a doc appears once per
+    band, so no bucket can exceed rows/bands.
+
+    ``sizeInBytes // 4`` deliberately *over*-estimates the row count of a
+    skinny (id, band, bucket) projection (measured ~4.3 B/row for
+    parquet-derived plans at sf0.01/0.1) so the guard errs toward
+    engaging.  Plans without a usable estimate — local relations report
+    ``Long.MaxValue`` — return None and the guard always engages.
+    """
+    try:
+        stats = banded._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            rows = int(str(rc.get()))
+        else:
+            size = int(stats.sizeInBytes())
+            if size >= (1 << 62):  # unknown / defaulted statistic
+                return None
+            rows = size // 4
+        return max(1, rows // max(1, bands))
+    except Exception:  # py4j / private-API drift: fail toward guarding
+        return None
+
+
 def _band_candidates(
-    banded: DataFrame, carry: tuple = (), max_bucket: Optional[int] = None
+    banded: DataFrame,
+    carry: tuple = (),
+    max_bucket: Optional[int] = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Distinct candidate pairs from a banded table: self-equi-join on
     (band, bucket) with ``id_a < id_b``. ``carry`` columns are kept from
@@ -103,10 +132,16 @@ def _band_candidates(
     ONLY over-full buckets — in practice a handful of pathological
     families — and broadcast-left-joined back.  The common (no-skew)
     case thus pays a ~64/cap-rate aggregate and an always-miss broadcast
-    probe — a fixed extra-job cost (~0.3 s) at toy scale that vanishes
-    at real scale: the 100× probe measured the capped plan FASTER than
-    the pre-cap baseline (35.6 s vs 38.7 s; see PERFORMANCE.md round 7)
-    once the in-place bucket rewrite kept the shuffle width unchanged.
+    probe — a fixed extra-job cost (~0.3 s) that only matters at toy
+    scale, where it is now skipped entirely: when Catalyst's free size
+    estimate bounds every possible bucket inside the cap's own pair
+    budget (``_estimated_bucket_bound``), detection cannot change any
+    task bound and is elided (measured: skip ≡ unguarded wall time at
+    sf0.1; r7 paid ~+0.3 s).  At real scale the estimate exceeds the
+    budget and the guard always engages — the 100× probe measured the
+    capped plan FASTER than the pre-cap baseline (35.6 s vs 38.7 s; see
+    PERFORMANCE.md round 7) once the in-place bucket rewrite kept the
+    shuffle width unchanged.
     Exact per-bucket counts cost ~55% and a window count ~90% (its
     sort+exchange subplan duplicates across both self-join sides) —
     both rejected.  Small caps (≤ 64) saturate the rate at 1.0: counts
@@ -114,6 +149,19 @@ def _band_candidates(
     """
     if max_bucket is None:
         max_bucket = _LSH_BUCKET_CAP
+    if max_bucket > 0:
+        # Toy-scale fast path (VERDICT r7 #2): the guard exists to bound a
+        # join task to ~cap² pairs.  When even the degenerate corpus —
+        # every doc of one band in ONE bucket — stays inside that budget
+        # (bound²/2 ≤ cap² ⇔ bound ≤ cap·√2), detection cannot change any
+        # task bound and its fixed sample+broadcast job is pure overhead:
+        # skip it.  ``bands`` tightens the bound for callers that band
+        # (a doc appears once per band); the default 1 is conservative.
+        # Skipping is correctness-neutral-or-better: the unguarded plan is
+        # the EXACT candidate set.
+        bound = _estimated_bucket_bound(banded, bands)
+        if bound is not None and bound * bound <= 2 * max_bucket * max_bucket:
+            max_bucket = 0
     if max_bucket > 0:
         rate = min(1.0, 64.0 / max_bucket)
         sampled = banded if rate >= 1.0 else banded.sample(rate, seed=42)
@@ -342,7 +390,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    pairs = _band_candidates(banded)
+    pairs = _band_candidates(banded, bands=bands)
     # exact verification only for surviving candidates: join the hashed
     # sets back by id (candidate count << corpus for any sane banding)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
@@ -467,7 +515,7 @@ def minhash_lsh_pairs_md5(
         _md5_base(df, text_column, id_column, shingle_size, num_hashes)
     )
     banded = _md5_banded(base, bands, rows_per_band)
-    pairs = _band_candidates(banded)
+    pairs = _band_candidates(banded, bands=bands)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
     union = F.size("hs_a").cast("long") + F.size("hs_b") - inter
@@ -745,7 +793,9 @@ def simhash_pairs(
         F.col(id_column).alias("id"), simhash(text_column).alias("sig")
     )
     pairs = _band_candidates(
-        _simhash_banded(sig, bands=4, bits_per_band=16), carry=("sig",)
+        _simhash_banded(sig, bands=4, bits_per_band=16),
+        carry=("sig",),
+        bands=4,
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -801,7 +851,9 @@ def simhash_pairs_md5(
         F.col(id_column).alias("id"), simhash_md5(text_column).alias("sig")
     )
     pairs = _band_candidates(
-        _simhash_banded(sig, bands=4, bits_per_band=15), carry=("sig",)
+        _simhash_banded(sig, bands=4, bits_per_band=15),
+        carry=("sig",),
+        bands=4,
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (

@@ -1175,7 +1175,7 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
         _md5_base(docs, "text", "doc_id", 3, _EDGE_HASHES)
     )
     banded = _md5_banded(base, _EDGE_BANDS, _EDGE_HASHES // _EDGE_BANDS)
-    cand = _band_candidates(banded)
+    cand = _band_candidates(banded, bands=_EDGE_BANDS)
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),

@@ -313,7 +313,8 @@ def dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = _md5_base(docs, "text", "doc_id", 3, EDGE_HASHES)
     cand = _band_candidates(
-        _md5_banded(base, EDGE_BANDS, EDGE_HASHES // EDGE_BANDS)
+        _md5_banded(base, EDGE_BANDS, EDGE_HASHES // EDGE_BANDS),
+        bands=EDGE_BANDS,
     ).withColumn("hit", F.lit(1).cast("long"))
     joined = exact.join(cand, ["id_a", "id_b"], "left").select(
         F.least(F.expr("jaccard_e6 div 100000"), F.lit(9))
@@ -1939,7 +1940,7 @@ def minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
         _md5_base(docs, "text", "doc_id", 3, EDGE_HASHES)
     )
     banded = _md5_banded(base, EDGE_BANDS, EDGE_HASHES // EDGE_BANDS)
-    cand = _band_candidates(banded)
+    cand = _band_candidates(banded, bands=EDGE_BANDS)
     sides = cand.join(
         base.select(
             F.col("id").alias("id_a"),
