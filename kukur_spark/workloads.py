@@ -2485,4 +2485,27 @@ def _set_window(queries: Dict[str, Callable], window: List[str]) -> Dict:
     return {name: queries[name] for name in list(window) + rest}
 
 
-QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R7)
+# Round-8 sweep: the five r7 dq_* queries and docs_emb_decontaminate
+# first (newest unverified surface, per VERDICT r7 #1), then the next
+# 39 NEVER_CHECKED.md names in registry order.  33 oracled names remain
+# for the r9 sweep, which clears the backlog.
+_WINDOW_SWEEP_R8 = [
+    "dq_expectations", "dq_referential_integrity", "dq_uniqueness",
+    "dq_profile", "dq_version_diff", "docs_emb_decontaminate",
+    "ts_staleness", "lineitem_quality_report", "docs_bm25_topk",
+    "docs_hybrid_rrf", "docs_unigram_logprob", "docs_pack_sequences",
+    "docs_balanced_sample", "docs_mixture_weights", "retrieval_ndcg",
+    "join_cardinality_estimate", "docs_weighted_sample",
+    "docs_curriculum_buckets", "ts_exp_smooth", "events_state_machine",
+    "events_markov_transitions", "ts_sax_motifs", "sessions_entry_exit",
+    "docs_vocab_drift", "emb_class_margin", "lineitem_weighted_median",
+    "docs_rag_query", "docs_dup_rate_by_source", "events_error_burst",
+    "ts_threshold_streaks", "events_conversion_lag", "orders_repeat_rate",
+    "ts_profile_anomaly", "supplier_lead_time", "ts_leadlag_corr",
+    "docs_source_overlap", "docs_bigram_surprisal",
+    "docs_boilerplate_chunks", "docs_blocklist_filter", "dedup_lsh_recall",
+    "docs_decontaminate_13gram", "parts_basket_lift", "ts_holt_trend",
+    "docs_stratified_sample", "events_salted_agg",
+]
+
+QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R8)

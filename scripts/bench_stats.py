@@ -7,10 +7,17 @@ Prints one JSON line:
   {"metric": "bench_stats", "runs": N, "sf_dir": ...,
    "total": {"min": s, "median": s},
    "queries": {name: {"min": s, "median": s}},
-   "flagged": [names where median > 1.1 * min]}
+   "flagged": [names where median > 1.1 * min],
+   "steal_pct": [per-run host CPU-steal % sampled around each run]}
 
 Each run is a fresh subprocess (fresh JVM) so JIT warmth doesn't leak
 between runs — this matches how the driver invokes bench.py.
+
+``steal_pct`` (VERDICT r7 #6) samples /proc/stat before and after each
+run: the 8th cpu field is steal jiffies; the percentage is steal over
+total delta for the run window.  It makes bench comparisons across
+rounds mechanical — a slow run with 15% steal is a noisy-host artifact,
+not a plan regression.
 """
 
 from __future__ import annotations
@@ -20,6 +27,28 @@ import os
 import statistics
 import subprocess
 import sys
+
+
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate cpu line of /proc/stat;
+    None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()[1:]
+        vals = [int(x) for x in fields]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    d_total = after[1] - before[1]
+    if d_total <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / d_total, 2)
 
 
 def main() -> None:
@@ -33,8 +62,10 @@ def main() -> None:
     )
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     totals = []
+    steals: list[float | None] = []
     per_query: dict[str, list[float]] = {}
     for i in range(runs):
+        j0 = _cpu_jiffies()
         out = subprocess.run(
             [sys.executable, bench],
             env=env,
@@ -42,12 +73,15 @@ def main() -> None:
             capture_output=True,
             text=True,
         ).stdout.strip().splitlines()[-1]
+        steals.append(_steal_pct(j0, _cpu_jiffies()))
         data = json.loads(out)
         totals.append(data["value"])
         for name, sec in data["queries"].items():
             per_query.setdefault(name, []).append(sec)
         print(
-            json.dumps({"run": i, "total": data["value"]}),
+            json.dumps(
+                {"run": i, "total": data["value"], "steal_pct": steals[-1]}
+            ),
             file=sys.stderr,
         )
     queries = {
@@ -74,6 +108,7 @@ def main() -> None:
                 },
                 "queries": queries,
                 "flagged": flagged,
+                "steal_pct": steals,
             }
         )
     )

@@ -1,0 +1,168 @@
+"""Scale probe (VERDICT r7 #5): CDF incremental validation must cost
+change-volume, never table size.
+
+Builds two synthetic Delta tables that differ ONLY in base-snapshot
+size (1× = lineitem sf0.1 ≈ 600k rows; 100× ≈ 60M rows) and carry the
+IDENTICAL ten insert commits (~60k rows each).  Then times
+
+- ``read_delta_changes(root, 1, 10).count()`` — the raw CDF scan, and
+- ``dq_expectations_changes(root, 1, 10)`` — the incremental DQ report
+  keyed by ``_commit_version``
+
+on both tables.  If the claim holds, the 100× table answers in the same
+wall time as the 1× table: the range read touches only the ten change
+files, and the base snapshot never enters any plan.
+
+Usage: python scripts/probe_cdf_scale.py [--keep]
+Prints one JSON line; the run is recorded in PERFORMANCE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+from kukur_spark.session import get_spark
+from kukur_spark.sources.delta_log import read_delta_changes
+from kukur_spark.workloads_r14 import dq_expectations_changes
+
+SF = "/root/testdata/sf0.1"
+ROOT = "/tmp/cdf_scale_probe"
+N_COMMITS = 10
+
+
+def _commit_file(log_dir: str, version: int, actions: list) -> None:
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as handle:
+        for action in actions:
+            handle.write(json.dumps(action) + "\n")
+
+
+def _add(path: str) -> dict:
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def _stage_files(df, root: str, prefix: str) -> list:
+    """Write df as parquet and move its part files into the table root
+    as <prefix>_<i>.parquet; returns the relative names."""
+    stage = os.path.join(root, "_stage")
+    df.write.mode("overwrite").parquet(stage)
+    names = []
+    parts = sorted(
+        f for f in os.listdir(stage)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    for i, part in enumerate(parts):
+        name = f"{prefix}_{i:04d}.parquet"
+        os.replace(os.path.join(stage, part), os.path.join(root, name))
+        names.append(name)
+    shutil.rmtree(stage)
+    return names
+
+
+def _build_table(spark, root: str, base_df, change_src_dir: str | None):
+    """Delta table: commit 0 = base snapshot, commits 1..N = inserts.
+
+    When ``change_src_dir`` is given the change parquet files are
+    byte-copied from it so both probe tables carry IDENTICAL commits.
+    Returns the directory holding this table's change files."""
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "_delta_log")
+    os.makedirs(log_dir)
+    base_names = _stage_files(base_df, root, "base")
+    meta = {
+        "metaData": {
+            "id": "cdf-probe",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": base_df.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _commit_file(
+        log_dir,
+        0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta]
+        + [_add(n) for n in base_names],
+    )
+    for v in range(1, N_COMMITS + 1):
+        name = f"chg_{v:04d}.parquet"
+        if change_src_dir is None:
+            batch = base_df.sample(0.1, seed=v).limit(60_000)
+            staged = _stage_files(batch.coalesce(1), root, f"chgstage{v}")
+            os.replace(
+                os.path.join(root, staged[0]), os.path.join(root, name)
+            )
+        else:
+            shutil.copyfile(
+                os.path.join(change_src_dir, name), os.path.join(root, name)
+            )
+        _commit_file(log_dir, v, [_add(name)])
+    return root
+
+
+def _time(fn, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark()
+    li = load_table(spark, SF, "lineitem")
+
+    small_root = os.path.join(ROOT, "small")
+    big_root = os.path.join(ROOT, "big")
+    _build_table(spark, small_root, li.repartition(8), None)
+    big_base = (
+        li.withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(100))))
+        .drop("_m")
+        .repartition(64)
+    )
+    _build_table(spark, big_root, big_base, change_src_dir=small_root)
+
+    result = {"metric": "cdf_scale_probe", "n_commits": N_COMMITS}
+    for label, root in (("base_1x", small_root), ("base_100x", big_root)):
+        n = read_delta_changes(spark, root, 1, N_COMMITS).count()
+        result[f"{label}_change_rows"] = n
+        result[f"{label}_cdf_count_s"] = _time(
+            lambda r=root: read_delta_changes(spark, r, 1, N_COMMITS).count()
+        )
+        result[f"{label}_dq_changes_s"] = _time(
+            lambda r=root: dq_expectations_changes(
+                spark, r, 1, N_COMMITS
+            ).collect()
+        )
+    base_rows = {
+        "base_1x": li.count(),
+        "base_100x": li.count() * 100,
+    }
+    result["base_rows"] = base_rows
+    result["ratio_dq_100x_over_1x"] = round(
+        result["base_100x_dq_changes_s"] / result["base_1x_dq_changes_s"], 2
+    )
+    print(json.dumps(result))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(ROOT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,7 @@ from kukur_spark.workloads import (
     ORACLES,
     QUERIES,
     _WINDOW_CANARIES,
-    _WINDOW_SWEEP_R7,
+    _WINDOW_SWEEP_R8,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -24,20 +24,20 @@ def test_first_50_registry_entries_all_oracle_paired():
 
 
 def test_window_is_canaries_plus_sweep():
-    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R7
-    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R7) == 50
+    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R8
+    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R8) == 50
 
 
-def test_sweep_names_never_driver_checked_before_r7():
+def test_sweep_names_never_driver_checked_before_r8():
     """The 45 sweep slots go to queries without a driver row in any
-    committed CORRECTNESS_r*.json from rounds 1-6 (the canaries are the
+    committed CORRECTNESS_r*.json from rounds 1-7 (the canaries are the
     regression tripwires that HAVE been checked)."""
     checked: set = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-6].json")):
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-7].json")):
         checked.update(json.load(open(path)).keys())
     if not checked:  # fresh clone without driver artifacts
         return
-    assert [n for n in _WINDOW_SWEEP_R7 if n in checked] == []
+    assert [n for n in _WINDOW_SWEEP_R8 if n in checked] == []
     assert [n for n in _WINDOW_CANARIES if n not in checked] == []
 
 
