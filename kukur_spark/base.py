@@ -55,26 +55,38 @@ class Dictionary:
 def _parse_name(name: str) -> tuple[Dict[str, str], str]:
     """Parse ``k=v,k2=v2::field`` into (tags, field).
 
-    A bare name (no ``=``) becomes ``{"series name": name}``. The ``::field``
-    suffix is optional and defaults to ``value``.
+    Reference semantics (kukur/base.py:106-121): the whole name is
+    stripped of surrounding whitespace first; any comma-component
+    WITHOUT ``=`` becomes the ``series name`` tag (so the mixed form
+    ``c,tag-a=a::field`` parses as series name ``c`` plus tags); the
+    ``::field`` suffix is optional and defaults to ``value``.
     """
+    name = name.strip()
     field = DEFAULT_FIELD
     if "::" in name:
         name, field = name.rsplit("::", 1)
-    if "=" not in name:
-        return {SERIES_NAME_TAG: name}, field
     tags: Dict[str, str] = {}
     for part in name.split(","):
-        key, _, value = part.partition("=")
-        tags[key] = value
+        if "=" not in part:
+            tags[SERIES_NAME_TAG] = part
+        else:
+            key, _, value = part.partition("=")
+            tags[key] = value
     return tags, field
 
 
 def _format_name(tags: Dict[str, str], field: str) -> str:
-    if list(tags.keys()) == [SERIES_NAME_TAG]:
-        base = tags[SERIES_NAME_TAG]
-    else:
-        base = ",".join(f"{k}={v}" for k, v in tags.items())
+    """Canonical string form (kukur/base.py:126-142): the ``series
+    name`` value prints FIRST and bare (no ``series name=`` prefix),
+    remaining tags follow as ``k=v`` in insertion order; the default
+    field is omitted."""
+    parts: List[str] = []
+    for key, value in tags.items():
+        if key == SERIES_NAME_TAG:
+            parts.insert(0, value)
+            continue
+        parts.append(f"{key}={value}")
+    base = ",".join(parts)
     if field != DEFAULT_FIELD:
         return f"{base}::{field}"
     return base

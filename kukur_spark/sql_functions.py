@@ -48,33 +48,38 @@ _FUNCTIONS = {
         "RETURN CASE WHEN q >= 192 THEN CAST(1 AS TINYINT) "
         "ELSE CAST(0 AS TINYINT) END"
     ),
-    # mirrors base._format_name: a sole 'series name' tag renders as the
-    # bare value (matching the reference's SeriesSelector.name); when
-    # mixed with other tags it is emitted first, the rest sorted (SQL
-    # maps are unordered — the reference relies on dict order)
+    # mirrors base._format_name (reference kukur/base.py:126-142): the
+    # 'series name' value renders BARE and FIRST — alone or mixed with
+    # other tags — and the rest follow as k=v, sorted (SQL maps are
+    # unordered; the reference relies on dict insertion order)
     "ku_selector_name": (
         "(tags MAP<STRING, STRING>, field STRING) RETURNS STRING "
         "RETURN concat_ws('::', "
-        "  CASE WHEN map_keys(tags) = array('series name') "
-        "    THEN tags['series name'] "
-        "  ELSE array_join(transform("
+        "  array_join(concat("
         "    CASE WHEN array_contains(map_keys(tags), 'series name') "
-        "      THEN concat(array('series name'), "
-        "        array_sort(filter(map_keys(tags), k -> k != 'series name')))"
-        "      ELSE array_sort(map_keys(tags)) END, "
-        "    k -> concat(k, '=', tags[k])), ',') END, "
+        "      THEN array(tags['series name']) "
+        "      ELSE CAST(array() AS ARRAY<STRING>) END, "
+        "    transform("
+        "      array_sort(filter(map_keys(tags), k -> k != 'series name')), "
+        "      k -> concat(k, '=', tags[k]))), ','), "
         "  CASE WHEN field = 'value' THEN NULL ELSE field END)"
     ),
     "ku_selector_field": (
         "(name STRING) RETURNS STRING "
-        "RETURN CASE WHEN name LIKE '%::%' "
-        "THEN substring_index(name, '::', -1) ELSE 'value' END"
+        "RETURN CASE WHEN trim(name) LIKE '%::%' "
+        "THEN substring_index(trim(name), '::', -1) ELSE 'value' END"
     ),
+    # per-component parse (kukur/base.py:106-121): any comma component
+    # WITHOUT '=' is the series name, so the mixed 'c,tag-a=a' form and
+    # surrounding whitespace parse exactly like SeriesSelector.from_name
     "ku_selector_tags": (
         "(name STRING) RETURNS MAP<STRING, STRING> "
-        "RETURN CASE WHEN substring_index(name, '::', 1) LIKE '%=%' "
-        "THEN str_to_map(substring_index(name, '::', 1), ',', '=') "
-        "ELSE map('series name', substring_index(name, '::', 1)) END"
+        "RETURN map_from_entries(transform("
+        "  split(substring_index(trim(name), '::', 1), ','), "
+        "  p -> CASE WHEN p LIKE '%=%' THEN "
+        "    named_struct('key', substring_index(p, '=', 1), "
+        "      'value', substring(p, length(substring_index(p, '=', 1)) + 2)) "
+        "  ELSE named_struct('key', 'series name', 'value', p) END))"
     ),
     "ku_haversine_m": (
         "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "

@@ -78,7 +78,10 @@ def test_selector_name_series_name_first_when_mixed(spark):
         "map('location', 'Antwerp', 'series name', 's1'), 'value') AS n,"
         " ku_selector_name(map('series name', 's1'), 'temp') AS nf"
     ).first()
-    assert row.n == "series name=s1,location=Antwerp"
+    # reference kukur/base.py:126-142: the series name renders bare and
+    # first even when mixed with other tags (reference
+    # tests/test_selector.py::test_name_multiple_tags_series_name_first)
+    assert row.n == "s1,location=Antwerp"
     assert row.nf == "s1::temp"
 
 
@@ -132,3 +135,20 @@ def test_registered_names_stable(spark):
         "ku_selector_name",
         "ku_selector_tags",
     ]
+
+
+def test_selector_tags_mixed_and_whitespace(spark):
+    """Reference from_name parity for the JVM-side parse: a bare comma
+    component is the series name even among tagged ones, and the whole
+    name is trimmed (reference tests/test_selector.py)."""
+    row = spark.sql(
+        "SELECT ku_selector_tags(' c,tag-a=a,tag-b=b::field ') AS tags,"
+        " ku_selector_field(' c,tag-a=a::field ') AS field,"
+        " ku_selector_tags('k=v=w') AS eq_in_value"
+    ).first()
+    assert dict(row.tags) == {
+        "series name": "c", "tag-a": "a", "tag-b": "b"
+    }
+    assert row.field == "field"
+    # '=' inside the value survives (split on the FIRST '=' only)
+    assert dict(row.eq_in_value) == {"k": "v=w"}
