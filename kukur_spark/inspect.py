@@ -45,6 +45,8 @@ def inspect_path(
     path: str,
     recursive: bool = False,
     spark: Optional[SparkSession] = None,
+    detect_delta: bool = True,
+    default_resource_type: Optional[str] = None,
 ) -> List[InspectedPath]:
     """Classify directory entries by extension; detect Delta table dirs.
 
@@ -52,6 +54,14 @@ def inspect_path(
     Hadoop FileSystem of the Spark session — one code path for every blob
     store Hadoop speaks (reference blob variants: kukur/inspect/blob.py,
     s3.py, adls.py). Plain paths list via ``os`` and need no session.
+
+    Options mirror the reference's ``FileOptions``
+    (kukur/inspect/__init__.py): ``detect_delta`` toggles Delta-dir
+    classification (the reference defaults it OFF; this engine defaults
+    it ON because a raw-parquet read of a Delta dir would resurrect
+    tombstoned files — pass False for reference-exact listings), and
+    ``default_resource_type`` classifies extensionless files
+    (reference ``test_default_resource_type``) instead of skipping them.
     """
     if "://" in path:
         if spark is None:
@@ -63,15 +73,24 @@ def inspect_path(
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
         if os.path.isdir(full):
-            if os.path.isdir(os.path.join(full, "_delta_log")):
+            if detect_delta and os.path.isdir(
+                os.path.join(full, "_delta_log")
+            ):
                 results.append(InspectedPath(full, "delta"))
             else:
                 results.append(InspectedPath(full, "directory"))
                 if recursive:
-                    results.extend(inspect_path(full, recursive=True))
+                    results.extend(
+                        inspect_path(
+                            full,
+                            recursive=True,
+                            detect_delta=detect_delta,
+                            default_resource_type=default_resource_type,
+                        )
+                    )
         else:
             ext = os.path.splitext(entry)[1].lower()
-            resource_type = EXTENSION_TYPES.get(ext)
+            resource_type = EXTENSION_TYPES.get(ext, default_resource_type)
             if resource_type:
                 results.append(InspectedPath(full, resource_type))
     return results
@@ -112,13 +131,24 @@ def preview(
     inspected: InspectedPath,
     num_rows: int = PREVIEW_ROWS,
     columns: Optional[List[str]] = None,
+    csv_delimiter: str = ",",
+    csv_header_row: bool = True,
 ) -> DataFrame:
-    """First ``num_rows`` of a resource as a DataFrame (df.limit)."""
+    """First ``num_rows`` of a resource as a DataFrame (df.limit).
+
+    ``csv_delimiter`` / ``csv_header_row`` mirror the reference's
+    ``DataOptions`` (kukur/inspect/__init__.py; exercised by reference
+    ``test_read_filesystem_csv_delimiter_semicolon`` /
+    ``_csv_no_header_row``); ``columns`` mirrors
+    ``DataOptions.column_names``.
+    """
     rt = inspected.resource_type
     if rt == "parquet":
         df = spark.read.parquet(inspected.path)
     elif rt == "csv":
-        df = spark.read.csv(inspected.path, header=True)
+        df = spark.read.csv(
+            inspected.path, header=csv_header_row, sep=csv_delimiter
+        )
     elif rt == "orc":
         try:
             df = spark.read.orc(inspected.path)

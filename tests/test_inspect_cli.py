@@ -163,3 +163,63 @@ def test_schema_report_flags_drift(spark, tmp_path):
     assert by_col["id"][0].in_all_files and by_col["id"][0].n_files == 2
     assert not by_col["name"][0].in_all_files  # disappeared in export_1
     assert not by_col["score"][0].in_all_files  # appeared in export_1
+
+
+def test_inspect_detect_delta_toggle(tmp_path):
+    """Reference FileOptions.detect_delta parity: with detection off a
+    Delta dir lists as a plain directory (reference
+    tests/inspect/test_filesystem.py::test_inspect_filesystem_detect_delta_table)."""
+    from kukur_spark.inspect import inspect_path
+
+    delta = tmp_path / "tbl"
+    (delta / "_delta_log").mkdir(parents=True)
+    on = {i.path: i.resource_type for i in inspect_path(str(tmp_path))}
+    assert on[str(delta)] == "delta"
+    off = {
+        i.path: i.resource_type
+        for i in inspect_path(str(tmp_path), detect_delta=False)
+    }
+    assert off[str(delta)] == "directory"
+
+
+def test_inspect_default_resource_type(tmp_path):
+    """Extensionless files classify as the caller's default type
+    (reference test_default_resource_type); without one they are
+    skipped."""
+    from kukur_spark.inspect import inspect_path
+
+    (tmp_path / "no_extension").write_text("series name,ts,value\n")
+    assert inspect_path(str(tmp_path)) == []
+    items = inspect_path(str(tmp_path), default_resource_type="csv")
+    assert len(items) == 1 and items[0].resource_type == "csv"
+
+
+def test_preview_csv_data_options(spark, tmp_path):
+    """DataOptions parity: semicolon delimiter and headerless CSVs
+    (reference test_read_filesystem_csv_delimiter_semicolon /
+    _csv_no_header_row), plus column selection."""
+    from kukur_spark.inspect import InspectedPath, preview
+
+    semi = tmp_path / "semi.csv"
+    semi.write_text("series name;ts;value\na;2024-01-01T00:00:00Z;1.0\n")
+    df = preview(
+        spark, InspectedPath(str(semi), "csv"), csv_delimiter=";"
+    )
+    assert df.columns == ["series name", "ts", "value"]
+    assert df.count() == 1
+
+    headerless = tmp_path / "raw.csv"
+    headerless.write_text("2024-01-01T00:00:00Z,1.0\n2024-01-02T00:00:00Z,2.0\n")
+    df = preview(
+        spark, InspectedPath(str(headerless), "csv"), csv_header_row=False
+    )
+    assert len(df.columns) == 2
+    assert df.count() == 2
+
+    one_col = preview(
+        spark,
+        InspectedPath(str(semi), "csv"),
+        csv_delimiter=";",
+        columns=["series name"],
+    )
+    assert one_col.columns == ["series name"]
