@@ -1281,3 +1281,83 @@ def streaming_emb_decontaminate(
         .cast("int")
         .alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-quality twins (of workloads_r14.expectations_report /
+# operators/validate.py — same Rule vocabulary, so batch and stream can
+# never drift)
+# ---------------------------------------------------------------------------
+def streaming_expectations_gate(df: DataFrame, rules) -> DataFrame:
+    """Stateless ingest gate: evaluate every validation rule per row as
+    data arrives, attaching ``violated`` — the array of failed rule
+    names (empty ⇒ clean).
+
+    The streaming counterpart of the batch
+    ``workloads_r14.expectations_report`` at row granularity: rules
+    compile through the SAME ``operators/validate.violation_predicate``
+    vocabulary, and the whole gate is one map-side projection (no state,
+    no shuffle) — at ingest scale this is where a pipeline splits clean
+    rows from a quarantine sink *before* paying to persist or shuffle
+    bad data, evaluating the rule set exactly once.
+
+    ``rules`` is the batch report's ``[(name, Rule), ...]`` shape.
+    """
+    from kukur_spark.operators import validate as V
+
+    if not rules:
+        raise ValueError("streaming_expectations_gate needs at least one rule")
+    flags = F.array(
+        *[
+            F.when(V.violation_predicate(rule), F.lit(name))
+            for name, rule in rules
+        ]
+    )
+    return df.withColumn(
+        "violated", F.filter(flags, lambda x: x.isNotNull())
+    )
+
+
+def streaming_expectations_report(
+    df: DataFrame,
+    rules,
+    ts_column: str = TS_COLUMN,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-event-time-window rule-violation counts over a stream.
+
+    The windowed twin of ``workloads_r14.expectations_report``
+    (``group_cols`` = the event-time window instead of a commit
+    version): ONE watermarked windowed aggregate carries every rule as
+    a conditional count — adding a rule adds a column to the aggregate,
+    never a pass over the stream — then the same ``stack`` unpivot
+    shapes the report.  Returns
+    ``window_start, window_end, check_name, violations, total``.
+    """
+    from kukur_spark.operators import validate as V
+
+    if not rules:
+        raise ValueError(
+            "streaming_expectations_report needs at least one rule"
+        )
+    aggs = [
+        F.count(F.when(V.violation_predicate(rule), True)).alias(f"v{i}")
+        for i, (_, rule) in enumerate(rules)
+    ]
+    wide = (
+        df.withWatermark(ts_column, watermark)
+        .groupBy(F.window(ts_column, window).alias("w"))
+        .agg(*aggs, F.count(F.lit(1)).alias("total"))
+    )
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return wide.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) as (check_name, violations)"
+        ),
+        F.col("total"),
+    )

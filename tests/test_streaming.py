@@ -785,3 +785,97 @@ def test_streaming_emb_decontaminate_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert any(r[3] == 1 for r in got), "corpus should contain contamination"
+
+
+def test_streaming_expectations_gate_flags_planted_rows(spark, tmp_path):
+    """The stateless DQ ingest gate must flag exactly the planted
+    violations with the batch rule vocabulary, in one projection."""
+    from kukur_spark.operators import validate as V
+    from kukur_spark.streaming import streaming_expectations_gate
+
+    rules = [
+        ("value_positive", V.positive("value")),
+        ("series_in_set", V.in_set("series", ["s1", "s2"])),
+        ("ts_not_null", V.not_null("ts")),
+    ]
+    rows = [
+        ("s1", ts(0), 1.0),      # clean
+        ("s1", ts(1), -2.0),     # value_positive
+        ("sX", ts(2), 3.0),      # series_in_set
+        ("sX", ts(3), -1.0),     # both
+    ]
+    src = str(tmp_path / "gate_src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(SCHEMA).load(src)
+    out = streaming_expectations_gate(stream, rules)
+    assert out.isStreaming
+    name = run_to_memory(out)
+    got = {
+        (r.series, r.value): sorted(r.violated)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {
+        ("s1", 1.0): [],
+        ("s1", -2.0): ["value_positive"],
+        ("sX", 3.0): ["series_in_set"],
+        ("sX", -1.0): ["series_in_set", "value_positive"],
+    }
+    # batch parity: the same rules over the same frame agree row-for-row
+    batch = streaming_expectations_gate(
+        spark.read.parquet(src), rules
+    ).collect()
+    assert {
+        (r.series, r.value): sorted(r.violated) for r in batch
+    } == got
+    spark.catalog.dropTempView(name)
+
+
+def test_streaming_expectations_report_matches_batch(spark, tmp_path):
+    """Windowed violation counts: closed windows emitted by the stream
+    must equal the batch expectations_report grouped on the same
+    event-time buckets."""
+    from kukur_spark.operators import validate as V
+    from kukur_spark.streaming import streaming_expectations_report
+    from kukur_spark.workloads_r14 import expectations_report
+
+    rules = [
+        ("value_positive", V.positive("value")),
+        ("series_in_set", V.in_set("series", ["s1", "s2"])),
+    ]
+    # two 5-minute windows of data, then a late sentinel at minute 50 so
+    # the 10-minute watermark closes them (append mode emits only
+    # finalized windows)
+    rows = [
+        ("s1", ts(0), 1.0),
+        ("s1", ts(1), -1.0),
+        ("sX", ts(2), 2.0),
+        ("s2", ts(6), -3.0),
+        ("s2", ts(7), 4.0),
+        ("s1", ts(50), 1.0),  # watermark driver
+    ]
+    src = str(tmp_path / "report_src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.format("parquet").schema(SCHEMA).load(src)
+    out = streaming_expectations_report(stream, rules)
+    assert out.isStreaming
+    name = run_to_memory(out)
+    got = {
+        (r.window_start, r.check_name): (r.violations, r.total)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch twin over the same parquet, grouped on the same buckets
+    batch_df = spark.read.parquet(src).withColumn(
+        "window_start", F.window("ts", "5 minutes").start
+    )
+    batch = {
+        (r.window_start, r.check_name): (r.violations, r.total)
+        for r in expectations_report(
+            batch_df, rules=rules, group_cols=("window_start",)
+        ).collect()
+    }
+    assert got, "no windows closed — watermark sentinel broken"
+    for key, counts in got.items():
+        assert batch[key] == counts, key
+    # the two pre-watermark windows must have closed
+    assert {k[0].minute for k in got} == {0, 5}
+    spark.catalog.dropTempView(name)
