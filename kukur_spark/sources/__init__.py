@@ -245,10 +245,24 @@ class SourceFactory:
 
     _registry: Dict[str, Callable[[SparkSession, str, Dict[str, Any]], Any]] = {}
 
-    def __init__(self, spark: SparkSession, config: Dict[str, Any]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Dict[str, Any],
+        token_cache_factory: Any = None,
+    ):
         self.spark = spark
         self.config = config
         self._cache: Dict[str, SourceWrapper] = {}
+        if token_cache_factory is None:
+            # reference default (kukur/source/__init__.py:328-333): an
+            # in-memory, thread-safe cache shared across the factory
+            from kukur_spark.sources.token_cache import (
+                InMemoryTokenCacheFactory,
+            )
+
+            token_cache_factory = InMemoryTokenCacheFactory()
+        self._token_cache_factory = token_cache_factory
 
     @classmethod
     def register_source(
@@ -313,6 +327,15 @@ class SourceFactory:
     def _build(self, name: str, source_config: Dict[str, Any]) -> Any:
         source_type = source_config.get("type", "csv")
         if source_type in self._registry:
+            # per-source token cache, injected the way the reference's
+            # signature inspection does (kukur/source/__init__.py:434-435)
+            # — our builders share one (spark, name, config) signature,
+            # so the cache rides the config dict instead
+            source_config = dict(source_config)
+            source_config.setdefault(
+                "__token_cache__",
+                self._token_cache_factory.get_cache(name),
+            )
             return self._registry[source_type](self.spark, name, source_config)
         raise ValueError(f"unknown source type: {source_type}")
 

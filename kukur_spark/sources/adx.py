@@ -69,15 +69,37 @@ class AzureDataExplorerSource:
             config.get("throttle_backoff_count", DEFAULT_BACKOFF_COUNT)
         )
         self._sleep: Callable[[float], None] = config.get("_sleep", time.sleep)
-        self.token_provider: Optional[Callable[[], str]] = config.get(
+        # token_provider returns either a bare access-token string
+        # (fetched every call, legacy shape) or a token_cache.Token
+        # (cached by the injected per-source TokenCache until its
+        # expiry-with-skew — reference ADX threads a TokenCache the same
+        # way, kukur/source/azure_data_explorer/azure_data_explorer.py:83)
+        self.token_provider: Optional[Callable[..., Any]] = config.get(
             "token_provider"
         )
+        self._token_cache = config.get("__token_cache__")
+        if self._token_cache is None:
+            from kukur_spark.sources.token_cache import NullTokenCache
+
+            self._token_cache = NullTokenCache()
+
+    def _bearer(self) -> str:
+        from kukur_spark.sources.token_cache import Token
+
+        def fetch(refresh: Optional[str]) -> Token:
+            try:
+                got = self.token_provider(refresh)  # refresh-aware provider
+            except TypeError:
+                got = self.token_provider()
+            return got if isinstance(got, Token) else Token(got)
+
+        return self._token_cache.get_token(fetch)
 
     # -- transport ---------------------------------------------------------
     def _execute(self, kql: str) -> List[List[Any]]:
         headers = {"Content-Type": "application/json"}
         if self.token_provider is not None:
-            headers["Authorization"] = f"Bearer {self.token_provider()}"
+            headers["Authorization"] = f"Bearer {self._bearer()}"
         request = urllib.request.Request(
             f"{self.url}/v2/rest/query",
             data=json.dumps({"db": self.database, "csl": kql}).encode(),

@@ -1,0 +1,95 @@
+"""Access-token caching for authenticated sources.
+
+Parity target: reference ``kukur/source/token_cache.py`` (Token with a
+30-second early-expiry skew, ``TokenCache`` protocol, ``NullTokenCache``,
+thread-safe ``InMemoryTokenCache`` keyed per source, and a factory the
+``SourceFactory`` can be configured with) and its behavioral contract in
+``reference/tests/source/test_token_cache.py`` — re-implemented from
+those semantics:
+
+- a token with no expiry is always considered expired (every call
+  refetches — the safe default for opaque tokens);
+- a token expiring within 30 s counts as expired already, so a request
+  never departs with a token that dies in flight;
+- on refresh, the cached token's ``refresh_token`` is handed to the
+  fetch callback so OAuth refresh flows skip the full grant;
+- one lock + one dict per factory: caches for different sources share
+  storage but key by source name, and concurrent engine threads are
+  safe.
+
+Sources opt in by reading ``__token_cache__`` from their config dict
+(injected by ``SourceFactory``) — see ``sources/adx.py`` for the
+consumer pattern.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Callable, Dict, Optional
+
+
+@dataclass
+class Token:
+    """One cached access token (optionally refreshable)."""
+
+    access_token: str
+    expires: Optional[datetime] = None
+    refresh_token: Optional[str] = None
+
+    # refuse tokens that die within this window: a request issued now
+    # must still be authorized when it lands (reference skew: 30 s)
+    EXPIRY_SKEW = timedelta(seconds=30)
+
+    def is_expired(self) -> bool:
+        if self.expires is None:
+            return True
+        return self.expires < datetime.now(tz=timezone.utc) + self.EXPIRY_SKEW
+
+
+# the fetch callback: receives the previous refresh token (or None) and
+# returns a fresh Token
+TokenFn = Callable[[Optional[str]], Token]
+
+
+class NullTokenCache:
+    """No caching: every call fetches a fresh token."""
+
+    def get_token(self, token_fn: TokenFn) -> str:
+        return token_fn(None).access_token
+
+
+class InMemoryTokenCache:
+    """Thread-safe per-source view over a factory's shared token store."""
+
+    def __init__(
+        self,
+        name: str,
+        lock: threading.Lock,
+        store: Dict[str, Token],
+    ) -> None:
+        self._name = name
+        self._lock = lock
+        self._store = store
+
+    def get_token(self, token_fn: TokenFn) -> str:
+        with self._lock:
+            cached = self._store.get(self._name)
+            if cached is not None and not cached.is_expired():
+                return cached.access_token
+            refresh = cached.refresh_token if cached is not None else None
+            fresh = token_fn(refresh)
+            self._store[self._name] = fresh
+            return fresh.access_token
+
+
+class InMemoryTokenCacheFactory:
+    """Hands out per-source caches backed by one shared store."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._store: Dict[str, Token] = {}
+
+    def get_cache(self, name: str) -> InMemoryTokenCache:
+        return InMemoryTokenCache(name, self._lock, self._store)

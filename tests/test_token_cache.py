@@ -1,0 +1,218 @@
+"""Token-cache behavioral contract (reference
+tests/source/test_token_cache.py assertion-group sweep) plus the
+engine-side wiring: SourceFactory injects a per-source cache and the ADX
+source authenticates through it."""
+
+from datetime import datetime, timedelta, timezone
+
+from kukur_spark.sources.token_cache import (
+    InMemoryTokenCacheFactory,
+    NullTokenCache,
+    Token,
+)
+
+
+def _at(iso: str) -> datetime:
+    return datetime.fromisoformat(iso)
+
+
+def test_expires_none_is_always_expired():
+    assert Token("a").is_expired()
+
+
+def test_expiry_with_30s_skew():
+    future = datetime.now(tz=timezone.utc) + timedelta(hours=1)
+    assert not Token("a", future).is_expired()
+    past = datetime.now(tz=timezone.utc) - timedelta(hours=1)
+    assert Token("a", past).is_expired()
+    # the skew boundary: 31 s out is fine, 29 s out counts as expired
+    assert not Token(
+        "a", datetime.now(tz=timezone.utc) + timedelta(seconds=31)
+    ).is_expired()
+    assert Token(
+        "a", datetime.now(tz=timezone.utc) + timedelta(seconds=29)
+    ).is_expired()
+
+
+def test_cache_without_expiry_fetches_every_call():
+    calls = {"count": 0}
+
+    def fetch(_refresh):
+        calls["count"] += 1
+        return Token("a")
+
+    cache = InMemoryTokenCacheFactory().get_cache("test")
+    assert cache.get_token(fetch) == "a"
+    assert cache.get_token(fetch) == "a"
+    assert calls["count"] == 2
+
+
+def test_cache_holds_unexpired_token():
+    calls = {"count": 0}
+    future = datetime.now(tz=timezone.utc) + timedelta(hours=1)
+
+    def fetch(_refresh):
+        calls["count"] += 1
+        return Token("a", future)
+
+    cache = InMemoryTokenCacheFactory().get_cache("test")
+    assert cache.get_token(fetch) == "a"
+    assert cache.get_token(fetch) == "a"
+    assert calls["count"] == 1
+
+
+def test_cache_refresh_token_passed_on_expiry():
+    calls = {"count": 0, "refresh": None}
+
+    def fetch(refresh):
+        calls["count"] += 1
+        calls["refresh"] = refresh
+        # expires immediately (inside the skew) so the next call refreshes
+        return Token("a", datetime.now(tz=timezone.utc), "r")
+
+    cache = InMemoryTokenCacheFactory().get_cache("test")
+    assert cache.get_token(fetch) == "a"
+    assert calls["refresh"] is None
+    assert cache.get_token(fetch) == "a"
+    assert calls == {"count": 2, "refresh": "r"}
+
+
+def test_factory_keys_by_source_name():
+    future = datetime.now(tz=timezone.utc) + timedelta(hours=1)
+    factory = InMemoryTokenCacheFactory()
+    a = factory.get_cache("src-a")
+    b = factory.get_cache("src-b")
+    assert a.get_token(lambda _: Token("ta", future)) == "ta"
+    # a different source must NOT see src-a's token
+    assert b.get_token(lambda _: Token("tb", future)) == "tb"
+    # but the same source name does, even via a new cache handle
+    assert factory.get_cache("src-a").get_token(
+        lambda _: Token("nope", future)
+    ) == "ta"
+
+
+def test_null_cache_never_stores():
+    calls = {"count": 0}
+    future = datetime.now(tz=timezone.utc) + timedelta(hours=1)
+
+    def fetch(_refresh):
+        calls["count"] += 1
+        return Token("a", future)
+
+    cache = NullTokenCache()
+    assert cache.get_token(fetch) == "a"
+    assert cache.get_token(fetch) == "a"
+    assert calls["count"] == 2
+
+
+def test_adx_source_authenticates_through_injected_cache(spark, monkeypatch):
+    """End-to-end wiring: SourceFactory injects a per-source cache; the
+    ADX source fetches ONE token for consecutive queries while it stays
+    valid, and sends it as the bearer header."""
+    import json
+
+    from kukur_spark.sources import SourceFactory
+
+    fetches = {"count": 0}
+    future = datetime.now(tz=timezone.utc) + timedelta(hours=1)
+
+    def provider(_refresh=None):
+        fetches["count"] += 1
+        return Token(f"tok-{fetches['count']}", future)
+
+    config = {
+        "source": {
+            "adx": {
+                "type": "azure-data-explorer",
+                "url": "https://cluster.example",
+                "database": "db",
+                "table": "t",
+                "token_provider": provider,
+            }
+        }
+    }
+    factory = SourceFactory(spark, config)
+    source = factory.get_source("adx").source
+
+    seen_headers = []
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b""
+
+    def fake_urlopen(request):
+        seen_headers.append(dict(request.headers))
+
+        class R(_Resp):
+            pass
+
+        r = R()
+        import io
+
+        payload = [
+            {
+                "FrameType": "DataTable",
+                "TableKind": "PrimaryResult",
+                "Columns": [],
+                "Rows": [],
+            }
+        ]
+        return io.BytesIO(json.dumps(payload).encode())
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    source._execute("t | take 1")
+    source._execute("t | take 1")
+    assert fetches["count"] == 1  # second query reused the cached token
+    auths = {h.get("Authorization") for h in seen_headers}
+    assert auths == {"Bearer tok-1"}
+
+
+def test_adx_legacy_string_provider_still_works(spark, monkeypatch):
+    """A provider returning a bare string keeps the old
+    fetch-per-call behavior (no expiry -> never cached)."""
+    import io
+    import json
+    import urllib.request
+
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+
+    fetches = {"count": 0}
+
+    def provider():
+        fetches["count"] += 1
+        return f"tok-{fetches['count']}"
+
+    source = AzureDataExplorerSource(
+        spark,
+        "adx",
+        {
+            "url": "https://cluster.example",
+            "database": "db",
+            "table": "t",
+            "token_provider": provider,
+        },
+    )
+
+    def fake_urlopen(request):
+        payload = [
+            {
+                "FrameType": "DataTable",
+                "TableKind": "PrimaryResult",
+                "Columns": [],
+                "Rows": [],
+            }
+        ]
+        return io.BytesIO(json.dumps(payload).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    source._execute("t | take 1")
+    source._execute("t | take 1")
+    assert fetches["count"] == 2
