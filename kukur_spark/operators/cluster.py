@@ -20,8 +20,50 @@ the edge set can be arbitrarily large.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Edge-count bound for the driver-side union-find fast path (0 disables).
+# Below this, the whole edge set is smaller than a broadcast-join side —
+# solving it where it sits beats paying O(log diameter) shuffle rounds.
+_CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "131072")
+)
+
+
+def _driver_union_find(rows) -> dict:
+    """Min-label components of a small edge list, driver-side.
+
+    Path-halving union-find keyed by node id; after unioning, each
+    root's label becomes the minimum member id so the result matches
+    the distributed loop's ``min reachable id`` contract exactly.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    min_of_root: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = min_of_root.get(root)
+        if cur is None or node < cur:
+            min_of_root[root] = node
+    return {node: min_of_root[find(node)] for node in parent}
 
 
 def connected_components(
@@ -30,6 +72,7 @@ def connected_components(
     right: str = "id_b",
     max_iterations: int = 20,
     stats: dict | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Component label (minimum reachable id) for every node in ``pairs``.
 
@@ -43,7 +86,23 @@ def connected_components(
     instead of d edge-joins.  Pass a dict as ``stats`` to receive
     ``{"rounds": outer rounds, "jumps": total pointer-doubling joins}``
     (used by the convergence regression test).
+
+    **Adaptive small-graph path**: the edge set is materialized once
+    (checkpoint below) before the loop, so its exact count costs one
+    cached scan.  When it is at most ``driver_max_edges`` (default
+    ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES`` = 131072 — two longs per edge,
+    ~2 MB, the same order as a broadcast-join side; 0 disables), the
+    transitive closure runs as a driver-side union-find instead of
+    O(log diameter) shuffle rounds — the AQE move of re-planning a
+    small side at runtime, applied to iteration.  Labels are identical
+    by construction (min reachable id is unique); equivalence is pinned
+    by ``tests/test_cluster.py::test_driver_path_matches_distributed``.
+    Post-LSH dedup graphs at corpus scale blow past the bound and take
+    the distributed loop; ``stats`` records which path ran
+    (``driver_path``).
     """
+    if driver_max_edges is None:
+        driver_max_edges = _CC_DRIVER_MAX_EDGES
     edges = (
         pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .unionByName(
@@ -56,6 +115,23 @@ def connected_components(
     # join (blocked Jaccard, LSH verify) that must not re-execute every
     # iteration
     edges = edges.localCheckpoint(eager=True)
+    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
+        labels_map = _driver_union_find(
+            edges.select("src", "dst").collect()  # bounded by the gate
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["jumps"] = 0
+            stats["driver_path"] = True
+        spark = pairs.sparkSession
+        # schema follows the caller's id type so both paths are
+        # drop-in interchangeable
+        id_type = edges.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(
+            sorted(labels_map.items()), f"id {id_type}, component {id_type}"
+        )
+    if stats is not None:
+        stats["driver_path"] = False
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

@@ -43,7 +43,12 @@ def test_path_graph_converges_log(spark):
         [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
     )
     stats = {}
-    labels = connected_components(pairs, stats=stats).toPandas()
+    # driver_max_edges=0 pins the DISTRIBUTED loop — the default would
+    # route a 63-edge graph to the driver union-find
+    labels = connected_components(
+        pairs, stats=stats, driver_max_edges=0
+    ).toPandas()
+    assert stats["driver_path"] is False
     assert set(labels.component) == {1}
     assert len(labels) == 64
     # log2(63) ≈ 6 doubling joins + fixpoint confirmations
@@ -80,3 +85,45 @@ def test_collapsed_groups_match_naive(spark):
     }
     assert collapsed == naive
     assert len(collapsed) == 3 * docs.count()
+
+
+def test_driver_path_matches_distributed(spark):
+    """The adaptive small-graph union-find must return exactly the
+    distributed loop's labels (schema included) on an adversarial mix:
+    a long chain, a clique, islands, and singleton pairs."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]                 # chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]
+    edges += [(200, 201), (300, 301)]                        # islands
+    edges += [(rng.randrange(400, 440), rng.randrange(400, 440))
+              for _ in range(30)]                            # random blob
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast_stats, slow_stats = {}, {}
+    fast = connected_components(pairs, stats=fast_stats)
+    slow = connected_components(
+        pairs, stats=slow_stats, driver_max_edges=0
+    )
+    assert fast_stats["driver_path"] is True
+    assert slow_stats["driver_path"] is False
+    assert fast.schema == slow.schema
+    got_fast = {(r.id, r.component) for r in fast.collect()}
+    got_slow = {(r.id, r.component) for r in slow.collect()}
+    assert got_fast == got_slow
+
+
+def test_driver_path_respects_disable_env(spark, monkeypatch):
+    """SPARK_GRAFT_CC_DRIVER_MAX_EDGES=0 (module default override) must
+    force the distributed loop even for tiny graphs."""
+    from kukur_spark.operators import cluster as C
+
+    monkeypatch.setattr(C, "_CC_DRIVER_MAX_EDGES", 0)
+    stats = {}
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {
+        r.id: r.component
+        for r in C.connected_components(pairs, stats=stats).collect()
+    }
+    assert stats["driver_path"] is False
+    assert out == {1: 1, 2: 1}
