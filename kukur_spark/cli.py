@@ -93,6 +93,8 @@ def cmd_inspect(args) -> int:
             get_spark("kukur_spark_inspect"),
             InspectedPath(args.preview, resource_type),
             num_rows=args.limit,
+            csv_delimiter=args.csv_delimiter,
+            csv_header_row=not args.no_header,
         )
         for line in df.toPandas().to_string(index=False).splitlines():
             print(line)
@@ -100,7 +102,13 @@ def cmd_inspect(args) -> int:
     # URI paths (s3a://, abfss://, file://) list through Hadoop FS and
     # need a session; plain paths stay session-free
     spark = get_spark("kukur_spark_inspect") if "://" in args.path else None
-    for item in inspect_path(args.path, recursive=args.recursive, spark=spark):
+    for item in inspect_path(
+        args.path,
+        recursive=args.recursive,
+        spark=spark,
+        detect_delta=not args.no_detect_delta,
+        default_resource_type=args.default_type,
+    ):
         print(f"{item.resource_type:10} {item.path}")
     return 0
 
@@ -168,6 +176,20 @@ def main(argv=None) -> int:
     p_inspect.add_argument("--preview")
     p_inspect.add_argument("--recursive", action="store_true")
     p_inspect.add_argument("--limit", type=int, default=10)
+    # reference DataOptions / FileOptions pass-through
+    p_inspect.add_argument("--csv-delimiter", default=",")
+    p_inspect.add_argument(
+        "--no-header", action="store_true",
+        help="treat CSVs as headerless (DataOptions.csv_header_row=False)",
+    )
+    p_inspect.add_argument(
+        "--no-detect-delta", action="store_true",
+        help="list Delta dirs as plain directories (reference default)",
+    )
+    p_inspect.add_argument(
+        "--default-type", default=None,
+        help="resource type for extensionless files (e.g. csv)",
+    )
     p_inspect.set_defaults(fn=cmd_inspect)
 
     p_key = sub.add_parser("api-key", help="manage Flight API keys")

@@ -223,3 +223,23 @@ def test_preview_csv_data_options(spark, tmp_path):
         columns=["series name"],
     )
     assert one_col.columns == ["series name"]
+
+
+def test_cli_inspect_option_passthrough(tmp_path, capsys):
+    """CLI flags reach inspect_path: --no-detect-delta and
+    --default-type change the listing classification."""
+    from kukur_spark.cli import main
+
+    delta = tmp_path / "tbl"
+    (delta / "_delta_log").mkdir(parents=True)
+    (tmp_path / "raw").write_text("a,b\n")
+    main(["inspect", "--path", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "delta" in out and "raw" not in out
+    main([
+        "inspect", "--path", str(tmp_path),
+        "--no-detect-delta", "--default-type", "csv",
+    ])
+    out = capsys.readouterr().out
+    assert "directory" in out and "delta" not in out
+    assert "raw" in out
