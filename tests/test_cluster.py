@@ -127,3 +127,65 @@ def test_driver_path_respects_disable_env(spark, monkeypatch):
     }
     assert stats["driver_path"] is False
     assert out == {1: 1, 2: 1}
+
+
+def test_driver_union_find_property(spark):
+    """Hypothesis sweep: on random small graphs the driver union-find,
+    the distributed loop, and a brute-force BFS model all agree."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge_strategy = st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(edges=edge_strategy)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(edges):
+        # self-loops allowed: a node paired with itself is a component
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            r.id: r.component
+            for r in connected_components(pairs).collect()
+        }
+        # brute-force model: BFS components, min id as label
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        seen = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp = set()
+            queue = [start]
+            while queue:
+                n = queue.pop()
+                if n in comp:
+                    continue
+                comp.add(n)
+                queue.extend(adj[n] - comp)
+            seen |= comp
+            label = min(comp)
+            for n in comp:
+                want[n] = label
+        assert fast == want
+        # the distributed loop agrees on a sample of cases (it is slow,
+        # so only re-check graphs with an interesting shape)
+        if len(edges) >= 3 and len(want) >= 4:
+            slow = {
+                r.id: r.component
+                for r in connected_components(
+                    pairs, driver_max_edges=0
+                ).collect()
+            }
+            assert slow == want
+
+    check()
