@@ -476,3 +476,93 @@ ORDER BY source
 
 R14_QUERIES["dq_version_diff"] = dq_version_diff
 R14_ORACLES["dq_version_diff"] = _VERSION_DIFF_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_profile_drift — column-stats drift between two corpus versions
+# ---------------------------------------------------------------------------
+def profile_drift(
+    v1: DataFrame, v2: DataFrame, columns
+) -> DataFrame:
+    """Null-rate and cardinality drift per column between two corpus
+    versions — the statistical companion to ``manifest_diff`` (which
+    diffs membership) and the version-level complement of
+    ``dq_profile``: at 100 TB you gate an ingest not only on rule
+    violations but on the *shape* of the data moving (a column whose
+    null ppm jumps or whose distinct count collapses is a broken
+    upstream even when every row passes its rules).
+
+    One pruned single-column scan per (version, column) — the same
+    ReadSchema-pinned pattern as ``dq_profile`` — so each branch reads
+    exactly one column; the per-column join moves 4 rows.  All metrics
+    are exact integers (ppm via bigint ``div``) so DuckDB reproduces
+    them bit-for-bit.
+    """
+    def per_column(df: DataFrame, col: str, tag: str) -> DataFrame:
+        return df.select(col).agg(
+            F.expr(
+                f"count_if({col} IS NULL) * 1000000L div count(*)"
+            ).alias(f"null_ppm_{tag}"),
+            F.countDistinct(col).alias(f"n_distinct_{tag}"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    parts = []
+    for col in columns:
+        joined = per_column(v1, col, "v1").join(
+            per_column(v2, col, "v2"), "column_name"
+        )
+        parts.append(joined)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "null_ppm_v1",
+        "null_ppm_v2",
+        (F.col("null_ppm_v2") - F.col("null_ppm_v1")).alias("null_drift_ppm"),
+        "n_distinct_v1",
+        "n_distinct_v2",
+        (F.col("n_distinct_v2") - F.col("n_distinct_v1")).alias(
+            "distinct_delta"
+        ),
+    ).orderBy("column_name")
+
+
+def dq_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Drift report between the same two deterministic corpus versions
+    ``dq_version_diff`` derives (v1 drops doc_id%97==0, v2 drops
+    doc_id%101==0 — so cardinalities genuinely differ)."""
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 97 != 0)
+    v2 = docs.filter(F.col("doc_id") % 101 != 0)
+    return profile_drift(v1, v2, _PROFILE_COLUMNS)
+
+
+def _drift_col_sql(col):
+    return f"""
+    SELECT '{col}' AS column_name,
+           (SELECT count(*) FILTER (WHERE {col} IS NULL) * 1000000
+                // count(*) FROM documents WHERE doc_id % 97 <> 0)
+               AS null_ppm_v1,
+           (SELECT count(*) FILTER (WHERE {col} IS NULL) * 1000000
+                // count(*) FROM documents WHERE doc_id % 101 <> 0)
+               AS null_ppm_v2,
+           (SELECT count(DISTINCT {col}) FROM documents
+                WHERE doc_id % 97 <> 0) AS n_distinct_v1,
+           (SELECT count(DISTINCT {col}) FROM documents
+                WHERE doc_id % 101 <> 0) AS n_distinct_v2
+    """
+
+
+_PROFILE_DRIFT_SQL = (
+    "SELECT column_name, CAST(null_ppm_v1 AS BIGINT) AS null_ppm_v1, "
+    "CAST(null_ppm_v2 AS BIGINT) AS null_ppm_v2, "
+    "CAST(null_ppm_v2 - null_ppm_v1 AS BIGINT) AS null_drift_ppm, "
+    "n_distinct_v1, n_distinct_v2, "
+    "CAST(n_distinct_v2 - n_distinct_v1 AS BIGINT) AS distinct_delta FROM ("
+    + " UNION ALL ".join(_drift_col_sql(c) for c in _PROFILE_COLUMNS)
+    + ") ORDER BY column_name"
+)
+
+R14_QUERIES["dq_profile_drift"] = dq_profile_drift
+R14_ORACLES["dq_profile_drift"] = _PROFILE_DRIFT_SQL

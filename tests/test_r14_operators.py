@@ -330,3 +330,40 @@ def test_manifest_diff_classifies_null_hashes(spark):
     assert (row.added, row.removed, row.changed, row.unchanged) == (0, 0, 2, 2)
     # invariant: every doc present in either version is in exactly one class
     assert row.added + row.removed + row.changed + row.unchanged == 4
+
+
+def test_profile_drift_matches_pandas(spark):
+    """Null-ppm and distinct drift recomputed independently in pandas
+    over the same derived versions."""
+    from kukur_spark.workloads_r14 import dq_profile_drift
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    v1 = docs[docs.doc_id % 97 != 0]
+    v2 = docs[docs.doc_id % 101 != 0]
+    got = {r.column_name: r for r in dq_profile_drift(spark, SF).collect()}
+    assert sorted(got) == ["doc_id", "lang", "n_chars", "source"]
+    for col in ("lang", "source", "doc_id", "n_chars"):
+        want_v1 = int(v1[col].isna().sum()) * 1_000_000 // len(v1)
+        want_v2 = int(v2[col].isna().sum()) * 1_000_000 // len(v2)
+        row = got[col]
+        assert (row.null_ppm_v1, row.null_ppm_v2) == (want_v1, want_v2), col
+        assert row.null_drift_ppm == want_v2 - want_v1
+        assert row.n_distinct_v1 == v1[col].nunique()
+        assert row.n_distinct_v2 == v2[col].nunique()
+        assert row.distinct_delta == v2[col].nunique() - v1[col].nunique()
+    # the divisors guarantee real drift on doc_id cardinality
+    assert got["doc_id"].distinct_delta != 0
+
+
+def test_profile_drift_plan_prunes_to_single_columns(spark):
+    """Each (version, column) branch must scan exactly that column plus
+    the version filter key."""
+    from kukur_spark.workloads_r14 import dq_profile_drift
+
+    schemas = _read_schemas(spark, dq_profile_drift(spark, SF))
+    # 4 columns x 2 versions = 8 pruned scans; each reads the profiled
+    # column (plus doc_id for the version predicate when distinct)
+    assert len(schemas) == 8
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert len(cols - {"doc_id"}) <= 1, s
