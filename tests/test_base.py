@@ -112,3 +112,27 @@ def test_config_merge_matches_reference_assertions():
     for base, fragment, want in cases:
         _merge(base, fragment)
         assert base == want
+
+
+def test_bench_steal_pct_math():
+    """bench_stats steal sampling: percentage over the run window, None
+    on missing/degenerate samples."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_stats",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "bench_stats.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._steal_pct((100, 10_000), (200, 20_000)) == 1.0
+    assert mod._steal_pct(None, (1, 2)) is None
+    assert mod._steal_pct((1, 2), None) is None
+    assert mod._steal_pct((1, 100), (1, 100)) is None  # zero window
+    j = mod._cpu_jiffies()
+    assert j is None or (j[1] >= j[0] >= 0)
