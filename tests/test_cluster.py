@@ -189,3 +189,16 @@ def test_driver_union_find_property(spark):
             assert slow == want
 
     check()
+
+
+def test_empty_pairs_both_paths(spark):
+    """No near-dup pairs: components is empty and every doc is
+    self-canonical, on both the driver and distributed paths."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+    assert connected_components(empty, driver_max_edges=0).collect() == []
+    docs = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    groups = {
+        r.doc_id: r.canonical_id for r in dedup_groups(docs, empty).collect()
+    }
+    assert groups == {0: 0, 1: 1, 2: 2}
