@@ -36,7 +36,8 @@ _CC_DRIVER_MAX_EDGES = int(
 def _driver_union_find(rows) -> dict:
     """Min-label components of a small edge list, driver-side.
 
-    Path-halving union-find keyed by node id; after unioning, each
+    Union-find with two-pass path compression keyed by node id; after
+    unioning, each
     root's label becomes the minimum member id so the result matches
     the distributed loop's ``min reachable id`` contract exactly.
     """
