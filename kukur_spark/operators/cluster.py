@@ -14,8 +14,11 @@ converges in 2 outer rounds (~8 node-table joins), not 63 edge-joins
 Each outer round is two shuffles (join + groupBy) on the edge list; the
 doubling joins touch only the node-sized label table.  The loop stops
 exactly at convergence by counting changed labels.  All operations are
-DataFrame joins/aggregations — no driver-side graph materialization, so
-the edge set can be arbitrarily large.
+DataFrame joins/aggregations, so the edge set can be arbitrarily large;
+the one exception is deliberate and bounded — edge sets small enough to
+be a broadcast side (≤ ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES``) solve as a
+driver-side union-find instead of paying shuffle rounds (see
+``connected_components``).
 """
 
 from __future__ import annotations
@@ -37,9 +40,9 @@ def _driver_union_find(rows) -> dict:
     """Min-label components of a small edge list, driver-side.
 
     Union-find with two-pass path compression keyed by node id; after
-    unioning, each
-    root's label becomes the minimum member id so the result matches
-    the distributed loop's ``min reachable id`` contract exactly.
+    unioning, each root's label becomes the minimum member id so the
+    result matches the distributed loop's ``min reachable id`` contract
+    exactly.
     """
     parent: dict = {}
 
