@@ -1,10 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "calibration_s": {"cpu_before": ..., "cpu_after": ..., "spark": ...}}
 
 Each query is executed twice; the second (warm) run is reported — the first
 run pays JVM/codegen warm-up that a long-lived engine session never sees.
+
+Calibration: cross-round BENCH totals proved dominated by host drift (round
+8 shipped a 3.8x apparent regression that a same-box control adjudicated to
+1.05x).  The harness therefore times a fixed deterministic single-thread
+reference workload (seeded FNV-1a loop over 10^7 integers) before AND after
+the query loop, plus one trivial Spark job, and emits the timings as
+`calibration_s` so any BENCH_r{N} total can be normalized mechanically
+against any other: normalized_total = total * (cal_ref / cal_observed).
 """
 
 from __future__ import annotations
@@ -42,6 +51,29 @@ BENCH_QUERIES = [
 ]
 
 
+def cpu_calibration() -> float:
+    """Seeded single-thread FNV-1a hash loop over 10^7 integers.
+
+    Pure-Python and deterministic, so the measured wall time varies only
+    with the host's effective CPU speed — the anchor that makes BENCH
+    totals comparable across rounds on a drifting box."""
+    start = time.time()
+    h = 0xCBF29CE484222325
+    for i in range(10_000_000):
+        h = ((h ^ (i & 0xFF)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    if h == 0:  # keep the loop un-eliminable
+        print("", end="")
+    return round(time.time() - start, 4)
+
+
+def spark_calibration(spark) -> float:
+    """One trivial JVM-side job (range->sum) timing task-scheduling and
+    codegen overhead independent of any table or query under test."""
+    start = time.time()
+    spark.range(0, 10_000_000, 1, 8).selectExpr("sum(id)").collect()
+    return round(time.time() - start, 4)
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     start = time.time()
     df = QUERIES[name](spark, sf_dir)
@@ -58,11 +90,19 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0  # unknown scale label; still run
+    cpu_before = cpu_calibration()
     spark = get_spark("kukur_spark_bench")
+    spark_cal = spark_calibration(spark)
     # pre-warm the parquet footer/schema cache so the first query's warm-up
     # run does not also pay per-table schema inference
     for table in TABLES:
         load_table(spark, sf_dir, table)
+    # one throwaway mixed-shape query (scan + agg + join) so the session's
+    # whole-stage-codegen / JIT warm-up is not absorbed by the first timed
+    # query (tpch_q1 measured 2.3s in driver runs vs a 0.58s interleaved
+    # floor before this warm-up existed)
+    for warm in ("tpch_q3", "ts_plot_buckets", "tpch_q1"):
+        run_query(spark, warm, sf_dir)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run_query(spark, name, sf_dir)  # warm-up: codegen + file listing
@@ -70,6 +110,7 @@ def main() -> None:
             min(run_query(spark, name, sf_dir) for _ in range(2)), 4
         )
     total = round(sum(timings.values()), 4)
+    cpu_after = cpu_calibration()
     print(
         json.dumps(
             {
@@ -78,6 +119,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_s": {
+                    "cpu_before": cpu_before,
+                    "cpu_after": cpu_after,
+                    "spark": spark_cal,
+                },
             }
         )
     )

@@ -68,7 +68,13 @@ def inspect_path(
             raise ValueError(
                 f"listing {path!r} needs a SparkSession (Hadoop FileSystem)"
             )
-        return _inspect_hadoop(spark, path, recursive)
+        return _inspect_hadoop(
+            spark,
+            path,
+            recursive,
+            detect_delta=detect_delta,
+            default_resource_type=default_resource_type,
+        )
     results: List[InspectedPath] = []
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
@@ -97,9 +103,18 @@ def inspect_path(
 
 
 def _inspect_hadoop(
-    spark: SparkSession, path: str, recursive: bool
+    spark: SparkSession,
+    path: str,
+    recursive: bool,
+    detect_delta: bool = True,
+    default_resource_type: Optional[str] = None,
 ) -> List[InspectedPath]:
-    """List one level (or recursively) through Hadoop FileSystem."""
+    """List one level (or recursively) through Hadoop FileSystem.
+
+    ``detect_delta`` / ``default_resource_type`` behave exactly as in
+    the plain-path branch of :func:`inspect_path` — URI listings honor
+    the same FileOptions the CLI exposes.
+    """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -112,15 +127,23 @@ def _inspect_hadoop(
         full = status.getPath().toString()
         if status.isDirectory():
             delta_log = jvm.org.apache.hadoop.fs.Path(full + "/_delta_log")
-            if fs.exists(delta_log):
+            if detect_delta and fs.exists(delta_log):
                 results.append(InspectedPath(full, "delta"))
             else:
                 results.append(InspectedPath(full, "directory"))
                 if recursive:
-                    results.extend(_inspect_hadoop(spark, full, True))
+                    results.extend(
+                        _inspect_hadoop(
+                            spark,
+                            full,
+                            True,
+                            detect_delta=detect_delta,
+                            default_resource_type=default_resource_type,
+                        )
+                    )
         else:
             ext = os.path.splitext(full)[1].lower()
-            resource_type = EXTENSION_TYPES.get(ext)
+            resource_type = EXTENSION_TYPES.get(ext, default_resource_type)
             if resource_type:
                 results.append(InspectedPath(full, resource_type))
     return results

@@ -25,6 +25,7 @@ recover exactness at your own straggler risk.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, Optional
 
@@ -37,6 +38,18 @@ from kukur_spark.io import persist_once
 # larger than this are sub-split so no single task materializes more
 # than ~cap² candidate pairs.  0 disables (exact all-pairs per bucket).
 _LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "4096"))
+
+# Hard absolute ceiling on the toy-scale guard skip: the skip trusts
+# Catalyst's sizeInBytes-derived row estimate, and an optimizer
+# undercount (heavily compressed source, optimistic filter selectivity)
+# would silently disable the skew guard at real scale — reintroducing
+# the n²/2 blow-up.  Never skip when the estimated banded row count
+# exceeds this, however favorable the per-bucket bound looks.
+_LSH_SKIP_ROW_CEILING = int(
+    os.environ.get("SPARK_GRAFT_LSH_SKIP_ROW_CEILING", "4000000")
+)
+
+_LOG = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +173,22 @@ def _band_candidates(
         # Skipping is correctness-neutral-or-better: the unguarded plan is
         # the EXACT candidate set.
         bound = _estimated_bucket_bound(banded, bands)
-        if bound is not None and bound * bound <= 2 * max_bucket * max_bucket:
+        if (
+            bound is not None
+            and bound * bound <= 2 * max_bucket * max_bucket
+            # belt-and-braces: the bound derives from an optimizer size
+            # estimate; cap the absolute estimated row count the skip
+            # will ever trust so an undercounting plan cannot silently
+            # disable the guard at real scale
+            and bound * max(1, bands) <= _LSH_SKIP_ROW_CEILING
+        ):
+            _LOG.info(
+                "LSH skew guard elided: estimated bucket bound %d within "
+                "cap %d pair budget (set SPARK_GRAFT_LSH_SKIP_ROW_CEILING"
+                "=0 to always guard)",
+                bound,
+                max_bucket,
+            )
             max_bucket = 0
     if max_bucket > 0:
         rate = min(1.0, 64.0 / max_bucket)

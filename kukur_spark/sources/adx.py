@@ -82,15 +82,42 @@ class AzureDataExplorerSource:
             from kukur_spark.sources.token_cache import NullTokenCache
 
             self._token_cache = NullTokenCache()
+        self._provider_takes_refresh: Optional[bool] = None
+
+    def _refresh_aware(self) -> bool:
+        """Whether token_provider accepts the refresh-token argument.
+
+        Decided ONCE from the callable's signature — catching TypeError
+        around the call would also swallow a TypeError raised *inside* a
+        refresh-aware provider, masking the real error and fetching
+        twice.  Callables without an introspectable signature (C
+        builtins) are probed by bind, never by calling.
+        """
+        if self._provider_takes_refresh is None:
+            import inspect as _inspect
+
+            try:
+                _inspect.signature(self.token_provider).bind(None)
+                self._provider_takes_refresh = True
+            except TypeError:
+                self._provider_takes_refresh = False
+            except ValueError:
+                # no signature available: assume the documented
+                # refresh-aware shape (modern providers); a legacy
+                # zero-arg C callable would be unprecedented here
+                self._provider_takes_refresh = True
+        return self._provider_takes_refresh
 
     def _bearer(self) -> str:
         from kukur_spark.sources.token_cache import Token
 
+        refresh_aware = self._refresh_aware()
+
         def fetch(refresh: Optional[str]) -> Token:
-            try:
-                got = self.token_provider(refresh)  # refresh-aware provider
-            except TypeError:
-                got = self.token_provider()
+            if refresh_aware:
+                got = self.token_provider(refresh)
+            else:
+                got = self.token_provider()  # legacy zero-arg provider
             return got if isinstance(got, Token) else Token(got)
 
         return self._token_cache.get_token(fetch)

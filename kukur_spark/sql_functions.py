@@ -71,15 +71,22 @@ _FUNCTIONS = {
     ),
     # per-component parse (kukur/base.py:106-121): any comma component
     # WITHOUT '=' is the series name, so the mixed 'c,tag-a=a' form and
-    # surrounding whitespace parse exactly like SeriesSelector.from_name
+    # surrounding whitespace parse exactly like SeriesSelector.from_name.
+    # Repeated keys ('a,b' = two bare series names, 'k=1,k=2') LAST-WIN
+    # like a Python dict assignment loop — the aggregate fold replaces
+    # earlier entries instead of letting map_from_entries throw
+    # DUPLICATED_MAP_KEY.
     "ku_selector_tags": (
         "(name STRING) RETURNS MAP<STRING, STRING> "
-        "RETURN map_from_entries(transform("
+        "RETURN aggregate(transform("
         "  split(substring_index(trim(name), '::', 1), ','), "
         "  p -> CASE WHEN p LIKE '%=%' THEN "
         "    named_struct('key', substring_index(p, '=', 1), "
         "      'value', substring(p, length(substring_index(p, '=', 1)) + 2)) "
-        "  ELSE named_struct('key', 'series name', 'value', p) END))"
+        "  ELSE named_struct('key', 'series name', 'value', p) END), "
+        "  CAST(map() AS MAP<STRING, STRING>), "
+        "  (acc, e) -> map_concat("
+        "    map_filter(acc, (k, v) -> k != e.key), map(e.key, e.value)))"
     ),
     "ku_haversine_m": (
         "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "

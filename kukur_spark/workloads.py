@@ -2508,4 +2508,32 @@ _WINDOW_SWEEP_R8 = [
     "docs_stratified_sample", "events_salted_agg",
 ]
 
-QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R8)
+# Round-9 sweep (terminal): the 34 remaining NEVER_CHECKED.md names in
+# registry order — this clears the oracled driver-verification backlog
+# (every oracled query then has a CORRECTNESS_r* green row).  The 11
+# spare slots go to cross-family re-verification of the oldest
+# driver-greens (r1-r5 rounds), cheapest regression insurance now that
+# no first-time names remain.
+_WINDOW_SWEEP_R9 = [
+    # --- the 34 never-driver-checked names (NEVER_CHECKED.md order) ---
+    "parts_skyline", "events_path_trigrams", "emb_semantic_clusters",
+    "minhash_estimate_error", "nation_revenue_gini", "parts_brand_hhi",
+    "docs_dsir_weights", "docs_softdedup_weights",
+    "docs_leakage_safe_split", "docs_dup_ngram_spans",
+    "docs_pack_nextfit", "docs_epoch_shards", "emb_int8_quant_stats",
+    "docs_pii_scrub", "docs_quality_classifier", "docs_fastcdc_chunks",
+    "emb_matryoshka_recall", "events_kmv_overlap",
+    "docs_pack_bestfit_eval", "ts_theilsen_trend", "ts_mann_kendall",
+    "ts_pettitt_change", "ts_trimmed_mean", "orders_pareto_abc",
+    "docs_qq_deciles", "text_burstiness", "events_rank_suite",
+    "docs_quota_allocation", "ts_acf_multi", "orders_cohort_ltv",
+    "emb_ann_recall", "docs_lang_confusion", "emb_knn_accuracy",
+    "dq_profile_drift",
+    # --- 11 re-verification slots: oldest greens across families ---
+    "simhash_md5", "dedup_clusters", "dedup_incremental",
+    "ts_series_discovery", "ts_latest_value", "ts_plot_buckets",
+    "emb_topk_bruteforce", "tpch_q3", "tpch_q5", "text_langid",
+    "text_quality_score",
+]
+
+QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R9)

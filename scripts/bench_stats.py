@@ -18,6 +18,11 @@ run: the 8th cpu field is steal jiffies; the percentage is steal over
 total delta for the run window.  It makes bench comparisons across
 rounds mechanical — a slow run with 15% steal is a noisy-host artifact,
 not a plan regression.
+
+``calibration_s`` (VERDICT r8 #2) relays bench.py's per-run CPU anchor:
+the box was measured drifting 2.5x at near-zero steal, so steal alone is
+not sufficient — normalize totals by the deterministic single-thread
+loop's timing instead (normalized = total * cal_ref / cal_observed).
 """
 
 from __future__ import annotations
@@ -63,6 +68,7 @@ def main() -> None:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     totals = []
     steals: list[float | None] = []
+    calibrations: list[dict | None] = []
     per_query: dict[str, list[float]] = {}
     for i in range(runs):
         j0 = _cpu_jiffies()
@@ -76,11 +82,17 @@ def main() -> None:
         steals.append(_steal_pct(j0, _cpu_jiffies()))
         data = json.loads(out)
         totals.append(data["value"])
+        calibrations.append(data.get("calibration_s"))
         for name, sec in data["queries"].items():
             per_query.setdefault(name, []).append(sec)
         print(
             json.dumps(
-                {"run": i, "total": data["value"], "steal_pct": steals[-1]}
+                {
+                    "run": i,
+                    "total": data["value"],
+                    "steal_pct": steals[-1],
+                    "calibration_s": calibrations[-1],
+                }
             ),
             file=sys.stderr,
         )
@@ -109,6 +121,7 @@ def main() -> None:
                 "queries": queries,
                 "flagged": flagged,
                 "steal_pct": steals,
+                "calibration_s": calibrations,
             }
         )
     )

@@ -1,8 +1,10 @@
 """The driver's CORRECTNESS gate records only the first 50 registry
 entries — pin that window: fully oracle-paired, and (since round 6)
-rebuilt each round as ~5 proven canaries + ~45 never-driver-checked
+rebuilt each round as ~5 proven canaries + never-driver-checked
 queries so coverage sweeps the whole registry (see
-workloads._set_window)."""
+workloads._set_window).  Round 9 is the terminal sweep: the 34
+remaining NEVER_CHECKED.md names clear the backlog, and the 11 spare
+slots re-verify the oldest driver-greens."""
 
 import glob
 import json
@@ -12,10 +14,14 @@ from kukur_spark.workloads import (
     ORACLES,
     QUERIES,
     _WINDOW_CANARIES,
-    _WINDOW_SWEEP_R8,
+    _WINDOW_SWEEP_R9,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# first 34 sweep slots = the backlog; last 11 = re-verification
+_FIRST_TIME = _WINDOW_SWEEP_R9[:34]
+_RECHECK = _WINDOW_SWEEP_R9[34:]
 
 
 def test_first_50_registry_entries_all_oracle_paired():
@@ -24,21 +30,34 @@ def test_first_50_registry_entries_all_oracle_paired():
 
 
 def test_window_is_canaries_plus_sweep():
-    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R8
-    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R8) == 50
+    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R9
+    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R9) == 50
 
 
-def test_sweep_names_never_driver_checked_before_r8():
-    """The 45 sweep slots go to queries without a driver row in any
-    committed CORRECTNESS_r*.json from rounds 1-7 (the canaries are the
-    regression tripwires that HAVE been checked)."""
+def test_sweep_first_time_names_never_driver_checked_before_r9():
+    """The 34 backlog slots go to queries without a driver row in any
+    committed CORRECTNESS_r*.json from rounds 1-8; the 11 re-check
+    slots (and the canaries) HAVE been checked before."""
     checked: set = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-7].json")):
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-8].json")):
         checked.update(json.load(open(path)).keys())
     if not checked:  # fresh clone without driver artifacts
         return
-    assert [n for n in _WINDOW_SWEEP_R8 if n in checked] == []
+    assert [n for n in _FIRST_TIME if n in checked] == []
+    assert [n for n in _RECHECK if n not in checked] == []
     assert [n for n in _WINDOW_CANARIES if n not in checked] == []
+
+
+def test_sweep_clears_backlog():
+    """After r9 every oracled registry query has been in some window:
+    (rounds 1-8 driver rows) + (this window) covers all of ORACLES."""
+    checked: set = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-8].json")):
+        checked.update(json.load(open(path)).keys())
+    if not checked:
+        return
+    covered = checked | set(_WINDOW_CANARIES) | set(_WINDOW_SWEEP_R9)
+    assert sorted(set(ORACLES) - covered) == []
 
 
 def test_rotation_loses_nothing():

@@ -152,3 +152,24 @@ def test_selector_tags_mixed_and_whitespace(spark):
     assert row.field == "field"
     # '=' inside the value survives (split on the FIRST '=' only)
     assert dict(row.eq_in_value) == {"k": "v=w"}
+
+
+def test_selector_tags_duplicate_keys_last_win(spark):
+    """Repeated keys LAST-WIN like base._parse_name's dict assignment
+    (and the reference's SeriesSelector.from_name) — 'a,b' is two bare
+    series-name components, 'k=1,k=2' repeats a tag key; neither may
+    throw DUPLICATED_MAP_KEY."""
+    row = spark.sql(
+        "SELECT ku_selector_tags('a,b') AS two_bare,"
+        " ku_selector_tags('k=1,k=2') AS repeated_tag,"
+        " ku_selector_tags('a,k=1,b,k=2::f') AS mixed"
+    ).first()
+    assert dict(row.two_bare) == dict(
+        SeriesSelector.from_name("src", "a,b").tags
+    ) == {"series name": "b"}
+    assert dict(row.repeated_tag) == dict(
+        SeriesSelector.from_name("src", "k=1,k=2").tags
+    ) == {"k": "2"}
+    assert dict(row.mixed) == dict(
+        SeriesSelector.from_name("src", "a,k=1,b,k=2::f").tags
+    ) == {"series name": "b", "k": "2"}
