@@ -2529,11 +2529,13 @@ _WINDOW_SWEEP_R9 = [
     "docs_quota_allocation", "ts_acf_multi", "orders_cohort_ltv",
     "emb_ann_recall", "docs_lang_confusion", "emb_knn_accuracy",
     "dq_profile_drift",
-    # --- 11 re-verification slots: oldest greens across families ---
+    # --- new this round (registered after the r8 ledger): the HLL
+    # twin of dq_profile_drift, driver-checked on registration ---
+    "dq_profile_drift_sketch",
+    # --- 10 re-verification slots: oldest greens across families ---
     "simhash_md5", "dedup_clusters", "dedup_incremental",
     "ts_series_discovery", "ts_latest_value", "ts_plot_buckets",
     "emb_topk_bruteforce", "tpch_q3", "tpch_q5", "text_langid",
-    "text_quality_score",
 ]
 
 QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R9)

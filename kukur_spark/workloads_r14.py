@@ -566,3 +566,192 @@ _PROFILE_DRIFT_SQL = (
 
 R14_QUERIES["dq_profile_drift"] = dq_profile_drift
 R14_ORACLES["dq_profile_drift"] = _PROFILE_DRIFT_SQL
+
+
+# ---------------------------------------------------------------------------
+# dq_profile_drift_sketch — the 100 TB twin of dq_profile_drift
+# ---------------------------------------------------------------------------
+def profile_drift_sketch(
+    v1: DataFrame, v2: DataFrame, columns
+) -> DataFrame:
+    """HLL-backed drift report: same shape as :func:`profile_drift`
+    but the cardinality column is the portable md5 HyperLogLog estimate
+    (``operators/sketch.py``) instead of an exact ``count(DISTINCT)``.
+
+    Why a twin: the exact form is oracle-perfect but each per-column
+    distinct is a full-width shuffle of every unique value — at 100 TB
+    that is the single most expensive shape in the report.  This form
+    replaces it with a (bucket → max rho) aggregate whose exchange
+    carries at most 257 rows per (version, column): the null-count and
+    the 256 HLL registers ride ONE scan and one keyed aggregation, and
+    registers merge with ``max`` so partial aggregation, retries and
+    cross-shard rollups are all safe.  Null ppm stays exact (a plain
+    conditional count — never the scale problem).
+
+    The estimate math (ALPHA_MM_POW2_53 harmonic mean + linear-counting
+    small-range correction) is shared bit-for-bit with the DuckDB
+    oracle, so this twin is oracle-checked like any exact query.
+    """
+    from kukur_spark.operators.sketch import (
+        ALPHA_MM_POW2_53,
+        HLL_M,
+        POW2_53,
+    )
+
+    def per_column(df: DataFrame, col: str, tag: str) -> DataFrame:
+        key = F.col("_k")
+        h = F.md5(key)
+        bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+        rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+        rho = F.when(rem == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.bin(rem))
+        )
+        # one pruned single-column scan: nulls land in the NULL bucket
+        # (md5(NULL) is NULL), values land in their HLL register
+        by_bucket = (
+            df.select(F.col(col).cast("string").alias("_k"))
+            .select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(
+                F.max("rho").alias("rho"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        summary = by_bucket.agg(
+            F.sum("n_rows").alias("_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket").isNull(), F.col("n_rows"))),
+                F.lit(0),
+            ).alias("_nulls"),
+            F.count(F.col("bucket")).alias("_m_nonzero"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("bucket").isNotNull(),
+                            F.expr(
+                                "shiftleft(CAST(1 AS BIGINT),"
+                                " CAST(53 - rho AS INT))"
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                + (F.lit(HLL_M) - F.count(F.col("bucket"))) * F.lit(POW2_53)
+            ).alias("_harmonic"),
+        )
+        raw_est = F.floor(
+            F.lit(ALPHA_MM_POW2_53) / F.col("_harmonic").cast("double")
+            * F.lit(1.0)
+        )
+        m_zero = F.lit(HLL_M) - F.col("_m_nonzero")
+        lc_est = F.floor(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
+        )
+        est = F.when(
+            (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
+        ).otherwise(raw_est)
+        return summary.select(
+            F.lit(col).alias("column_name"),
+            F.expr("_nulls * 1000000L div _total").alias(f"null_ppm_{tag}"),
+            est.cast("long").alias(f"est_distinct_{tag}"),
+        )
+
+    parts = []
+    for col in columns:
+        parts.append(
+            per_column(v1, col, "v1").join(
+                per_column(v2, col, "v2"), "column_name"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "null_ppm_v1",
+        "null_ppm_v2",
+        (F.col("null_ppm_v2") - F.col("null_ppm_v1")).alias("null_drift_ppm"),
+        "est_distinct_v1",
+        "est_distinct_v2",
+        (F.col("est_distinct_v2") - F.col("est_distinct_v1")).alias(
+            "distinct_delta_est"
+        ),
+    ).orderBy("column_name")
+
+
+def dq_profile_drift_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch twin of ``dq_profile_drift`` over the same two
+    deterministic corpus versions."""
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 97 != 0)
+    v2 = docs.filter(F.col("doc_id") % 101 != 0)
+    return profile_drift_sketch(v1, v2, _PROFILE_COLUMNS)
+
+
+def _drift_sketch_ver_sql(col: str, mod: int) -> str:
+    """One (version, column) HLL summary mirroring per_column above."""
+    from kukur_spark.operators.sketch import (
+        ALPHA_MM_POW2_53,
+        HLL_M,
+        POW2_53,
+    )
+
+    est = f"""CAST(CASE
+      WHEN ({HLL_M} - m_nonzero) > 0
+       AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic AS DOUBLE) * 1.0)
+           <= {5 * HLL_M // 2}
+      THEN FLOOR({float(HLL_M)!r}
+           * ln({float(HLL_M)!r} / CAST({HLL_M} - m_nonzero AS DOUBLE)))
+      ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic AS DOUBLE) * 1.0)
+    END AS BIGINT)"""
+    return f"""
+    SELECT n_nulls * 1000000 // total_rows AS null_ppm, {est} AS est_distinct
+    FROM (
+      SELECT SUM(n_rows) AS total_rows,
+        COALESCE(SUM(CASE WHEN bucket IS NULL THEN n_rows END), 0)
+          AS n_nulls,
+        COUNT(bucket) AS m_nonzero,
+        CAST(COALESCE(SUM(CASE WHEN bucket IS NOT NULL
+              THEN 1::BIGINT << (53 - rho) END), 0)
+          + ({HLL_M} - COUNT(bucket)) * {POW2_53} AS BIGINT) AS harmonic
+      FROM (
+        SELECT bucket, MAX(rho) AS rho, COUNT(*) AS n_rows FROM (
+          SELECT
+            CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
+            CASE
+              WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
+              ELSE 53 - length(bin(
+                CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
+            END AS rho
+          FROM (SELECT CAST({col} AS VARCHAR) AS _k FROM documents
+                WHERE doc_id % {mod} <> 0)
+        ) GROUP BY bucket
+      )
+    )"""
+
+
+def _drift_sketch_col_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+      v1.null_ppm AS null_ppm_v1, v2.null_ppm AS null_ppm_v2,
+      v1.est_distinct AS est_distinct_v1, v2.est_distinct AS est_distinct_v2
+    FROM ({_drift_sketch_ver_sql(col, 97)}) v1,
+         ({_drift_sketch_ver_sql(col, 101)}) v2
+    """
+
+
+_PROFILE_DRIFT_SKETCH_SQL = (
+    "SELECT column_name, CAST(null_ppm_v1 AS BIGINT) AS null_ppm_v1, "
+    "CAST(null_ppm_v2 AS BIGINT) AS null_ppm_v2, "
+    "CAST(null_ppm_v2 - null_ppm_v1 AS BIGINT) AS null_drift_ppm, "
+    "est_distinct_v1, est_distinct_v2, "
+    "CAST(est_distinct_v2 - est_distinct_v1 AS BIGINT) "
+    "AS distinct_delta_est FROM ("
+    + " UNION ALL ".join(_drift_sketch_col_sql(c) for c in _PROFILE_COLUMNS)
+    + ") ORDER BY column_name"
+)
+
+R14_QUERIES["dq_profile_drift_sketch"] = dq_profile_drift_sketch
+R14_ORACLES["dq_profile_drift_sketch"] = _PROFILE_DRIFT_SKETCH_SQL

@@ -367,3 +367,61 @@ def test_profile_drift_plan_prunes_to_single_columns(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",")}
         assert len(cols - {"doc_id"}) <= 1, s
+
+
+def test_profile_drift_sketch_accuracy_and_exact_nulls(spark):
+    """The HLL twin's null ppm is EXACT (same math as the exact form)
+    and its distinct estimates sit within the m=256 sketch's error
+    envelope (~6.5% std error; 20% asserted) of the true cardinality."""
+    from kukur_spark.workloads_r14 import dq_profile_drift_sketch
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    v1 = docs[docs.doc_id % 97 != 0]
+    v2 = docs[docs.doc_id % 101 != 0]
+    got = {
+        r.column_name: r
+        for r in dq_profile_drift_sketch(spark, SF).collect()
+    }
+    assert sorted(got) == sorted(_PROFILE_COLUMNS)
+    for col in _PROFILE_COLUMNS:
+        row = got[col]
+        assert row.null_ppm_v1 == (
+            int(v1[col].isna().sum()) * 1_000_000 // len(v1)
+        )
+        assert row.null_ppm_v2 == (
+            int(v2[col].isna().sum()) * 1_000_000 // len(v2)
+        )
+        for est, frame in ((row.est_distinct_v1, v1), (row.est_distinct_v2, v2)):
+            exact = frame[col].nunique()
+            assert abs(est - exact) <= max(2, 0.2 * exact), (col, est, exact)
+
+
+def test_profile_drift_sketch_plan_has_no_exact_distinct(spark):
+    """The twin's reason to exist: its physical plan must contain NO
+    exact-distinct aggregation (the full-width shuffle the sketch
+    replaces) — every aggregate is keyed on the 256-value HLL bucket —
+    while keeping the exact form's single-column scan pruning."""
+    from kukur_spark.workloads_r14 import dq_profile_drift_sketch
+
+    df = dq_profile_drift_sketch(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exact distinct shows up as count(distinct …) aggregate functions
+    # (and often an Expand node); neither may appear — only the column
+    # names carry the word "distinct" in this plan
+    assert "count(distinct" not in plan.lower()
+    assert "Expand" not in plan
+    # the exact twin, by contrast, DOES carry the full-width distinct
+    from kukur_spark.workloads_r14 import dq_profile_drift
+
+    exact_plan = (
+        dq_profile_drift(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "count(distinct" in exact_plan.lower()
+    schemas = _read_schemas(spark, df)
+    assert len(schemas) == 8
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert len(cols - {"doc_id"}) <= 1, s

@@ -19,9 +19,10 @@ from kukur_spark.workloads import (
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# first 34 sweep slots = the backlog; last 11 = re-verification
-_FIRST_TIME = _WINDOW_SWEEP_R9[:34]
-_RECHECK = _WINDOW_SWEEP_R9[34:]
+# first 34 sweep slots = the backlog, slot 35 = the r9-new HLL twin
+# (never checkable before it existed); last 10 = re-verification
+_FIRST_TIME = _WINDOW_SWEEP_R9[:35]
+_RECHECK = _WINDOW_SWEEP_R9[35:]
 
 
 def test_first_50_registry_entries_all_oracle_paired():
