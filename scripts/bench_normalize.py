@@ -1,0 +1,68 @@
+"""Normalize two BENCH_r{N}.json files against their CPU calibration.
+
+Usage: python scripts/bench_normalize.py BENCH_rA.json BENCH_rB.json
+
+The round-8 adjudication proved BENCH totals drift up to 2.5x with the
+host at near-zero steal, so raw cross-round ratios are meaningless.
+From round 9 every bench emits ``calibration_s`` (a deterministic
+single-thread FNV-1a loop timed before and after the query loop, plus
+one trivial Spark job).  This script computes, for each file,
+
+    cal = mean(cpu_before, cpu_after)
+    normalized_total = total * (cal_ref / cal)
+
+with ``cal_ref`` = the FIRST file's calibration, and prints one JSON
+line with raw and normalized totals and the normalized B/A ratio — the
+number that actually answers "did the code get slower".  Files without
+calibration fields (rounds 1-8) normalize to null; compare those via a
+same-box controlled re-run instead.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _cal(data: dict) -> float | None:
+    c = data.get("calibration_s")
+    if not c:
+        return None
+    vals = [c[k] for k in ("cpu_before", "cpu_after") if c.get(k)]
+    return sum(vals) / len(vals) if vals else None
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    cal_a, cal_b = _cal(a), _cal(b)
+    out = {
+        "metric": "bench_normalized",
+        "a": sys.argv[1],
+        "b": sys.argv[2],
+        "raw_total_a": a["value"],
+        "raw_total_b": b["value"],
+        "raw_ratio_b_over_a": round(b["value"] / a["value"], 4),
+        "cal_a": cal_a,
+        "cal_b": cal_b,
+    }
+    if cal_a and cal_b:
+        # express B's total in A's host-speed units
+        out["normalized_total_b"] = round(b["value"] * cal_a / cal_b, 4)
+        out["normalized_ratio_b_over_a"] = round(
+            (b["value"] * cal_a / cal_b) / a["value"], 4
+        )
+    else:
+        out["normalized_total_b"] = None
+        out["normalized_ratio_b_over_a"] = None
+        out["note"] = (
+            "one or both files lack calibration_s (pre-round-9); use a "
+            "same-box controlled re-run for those"
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
