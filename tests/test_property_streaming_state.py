@@ -1,0 +1,216 @@
+"""Property tests: stateful streaming twins are micro-batch-split
+invariant and match a direct Python model of their documented fold.
+
+The example tests in test_streaming.py pin one hand-picked batch
+boundary; what applyInPandasWithState operators actually have to get
+right is that the per-group state handoff makes the output INDEPENDENT
+of where the harness happens to cut micro-batches.  Hypothesis drives
+random per-series event sequences through random contiguous splits
+(contiguous in event time = in-order arrival, the streaming twins'
+documented contract) and asserts the collected output equals a
+ten-line Python model of the semantics.
+"""
+
+import os
+import uuid
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ARROW_SCHEMA = pa.schema(
+    [
+        ("series", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+        ("value", pa.float64()),
+    ]
+)
+
+# exactly representable as doubles AND at e6 integer scale, so the
+# decimal bridge and float subtraction are both bit-exact in the model
+VALUES = [-5.0, -1.25, 0.0, 1.0, 2.5, 3.75, 10.0, None]
+
+
+def ts(minute):
+    return datetime(2020, 1, 1, 0, minute, tzinfo=timezone.utc)
+
+
+def ts_us(minute):
+    return int(ts(minute).timestamp() * 1_000_000)
+
+
+def _write_batches(tmp_path, rows_sorted, cuts):
+    """Split the time-sorted row list at the given cut indices and write
+    each chunk as ONE parquet file with ascending mtimes (the file
+    stream's batch order)."""
+    src = str(tmp_path / f"src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(src)
+    bounds = [0] + sorted(set(cuts)) + [len(rows_sorted)]
+    b = 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = rows_sorted[lo:hi]
+        if not chunk:
+            continue
+        path = os.path.join(src, f"batch_{b}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"series": s, "ts": t, "value": v} for s, t, v in chunk],
+                schema=ARROW_SCHEMA,
+            ),
+            path,
+        )
+        os.utime(path, (1_600_000_000 + b, 1_600_000_000 + b))
+        b += 1
+    return src
+
+
+def _run_stream(spark, src, build, mode):
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = build(stream)
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def _series_rows(draw_minutes, draw_values):
+    """(series, ts, value) rows, per-series-unique minutes, globally
+    time-sorted (stable on arrival order for cross-series ties)."""
+    rows = []
+    for series, minutes in draw_minutes.items():
+        for i, m in enumerate(sorted(minutes)):
+            rows.append((series, ts(m), draw_values[(series, i)]))
+    rows.sort(key=lambda r: r[1])
+    return rows
+
+
+def test_counter_delta_split_invariant_matches_model(spark, tmp_path):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kukur_spark.streaming import streaming_counter_delta
+
+    @given(data=st.data())
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(data):
+        minutes = {
+            s: data.draw(
+                st.sets(st.integers(0, 30), min_size=1, max_size=8),
+                label=f"minutes_{s}",
+            )
+            for s in ("a", "b")
+        }
+        values = {
+            (s, i): data.draw(st.sampled_from(VALUES), label=f"v_{s}_{i}")
+            for s in minutes
+            for i in range(len(minutes[s]))
+        }
+        rows = _series_rows(minutes, values)
+        cuts = data.draw(
+            st.lists(st.integers(1, max(1, len(rows) - 1)), max_size=3),
+            label="cuts",
+        )
+        src = _write_batches(tmp_path, rows, cuts)
+        got = sorted(
+            (r.series, r.ts_us, r.delta)
+            for r in _run_stream(
+                spark, src, streaming_counter_delta, "append"
+            )
+        )
+        # model: per-series fold with reset detection (value drop ->
+        # delta = raw value); null values carry nothing
+        want = []
+        for s in minutes:
+            last = None
+            for series, t, v in rows:
+                if series != s or v is None:
+                    continue
+                if last is not None:
+                    want.append(
+                        (s, ts_us(t.minute), v - last if v >= last else v)
+                    )
+                last = v
+        assert got == sorted(want)
+
+    check()
+
+
+def test_exp_smooth_split_invariant_matches_model(spark, tmp_path):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kukur_spark.streaming import streaming_exp_smooth
+
+    @given(data=st.data())
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(data):
+        minutes = {
+            s: data.draw(
+                st.sets(st.integers(0, 30), min_size=1, max_size=8),
+                label=f"minutes_{s}",
+            )
+            for s in ("a", "b")
+        }
+        values = {
+            (s, i): data.draw(st.sampled_from(VALUES), label=f"v_{s}_{i}")
+            for s in minutes
+            for i in range(len(minutes[s]))
+        }
+        rows = _series_rows(minutes, values)
+        cuts = data.draw(
+            st.lists(st.integers(1, max(1, len(rows) - 1)), max_size=3),
+            label="cuts",
+        )
+        src = _write_batches(tmp_path, rows, cuts)
+        final = {}
+        for r in _run_stream(spark, src, streaming_exp_smooth, "update"):
+            final[r.series] = (r.n, r.smooth_e6)  # update mode: last wins
+        # model: alpha=1/2 fold over e6 ints with arithmetic-shift halving
+        for s in minutes:
+            smooth, n = None, 0
+            for series, t, v in rows:
+                if series != s or v is None:
+                    continue
+                v_e6 = int(v * 1_000_000)
+                smooth = v_e6 if smooth is None else (smooth + v_e6) >> 1
+                n += 1
+            if n:
+                assert final[s] == (n, smooth), s
+            else:
+                assert s not in final
+
+    check()
