@@ -243,3 +243,49 @@ def test_cli_inspect_option_passthrough(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "directory" in out and "delta" not in out
     assert "raw" in out
+
+
+def test_inspect_hadoop_honors_file_options(spark, tmp_path):
+    """--no-detect-delta / --default-type must work for URI (blob-store)
+    paths exactly as for plain paths: the options thread through the
+    Hadoop FileSystem listing."""
+    (tmp_path / "noext").write_text("x\n1\n")
+    sub = tmp_path / "table"
+    (sub / "_delta_log").mkdir(parents=True)
+    uri = f"file://{tmp_path}"
+    # defaults: delta detected, extensionless skipped
+    base = {
+        i.path.rsplit("/", 1)[-1]: i.resource_type
+        for i in inspect_path(uri, spark=spark)
+    }
+    assert base["table"] == "delta"
+    assert "noext" not in base
+    # detect_delta=False: the dir is a plain directory (reference
+    # FileOptions default), and default_resource_type classifies the
+    # extensionless file
+    opt = {
+        i.path.rsplit("/", 1)[-1]: i.resource_type
+        for i in inspect_path(
+            uri,
+            spark=spark,
+            detect_delta=False,
+            default_resource_type="csv",
+        )
+    }
+    assert opt["table"] == "directory"
+    assert opt["noext"] == "csv"
+    # recursive URI listing keeps honoring the options below the root
+    nested = tmp_path / "table" / "inner"
+    nested.mkdir()
+    (nested / "plain").write_text("y\n2\n")
+    rec = {
+        i.path.rsplit("/", 1)[-1]: i.resource_type
+        for i in inspect_path(
+            uri,
+            spark=spark,
+            recursive=True,
+            detect_delta=False,
+            default_resource_type="csv",
+        )
+    }
+    assert rec["plain"] == "csv"

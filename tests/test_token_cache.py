@@ -5,6 +5,8 @@ source authenticates through it."""
 
 from datetime import datetime, timedelta, timezone
 
+import pytest
+
 from kukur_spark.sources.token_cache import (
     InMemoryTokenCacheFactory,
     NullTokenCache,
@@ -216,3 +218,50 @@ def test_adx_legacy_string_provider_still_works(spark, monkeypatch):
     source._execute("t | take 1")
     source._execute("t | take 1")
     assert fetches["count"] == 2
+
+
+def test_refresh_aware_provider_internal_typeerror_not_masked():
+    """A TypeError raised INSIDE a refresh-aware provider must
+    propagate, not be silently retried as a zero-arg call (which would
+    mask the real error and fetch twice)."""
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+
+    calls = []
+
+    def provider(refresh):
+        calls.append(refresh)
+        raise TypeError("boom inside provider")
+
+    src = AzureDataExplorerSource(
+        None,
+        "adx",
+        {
+            "url": "https://example",
+            "database": "db",
+            "table": "t",
+            "token_provider": provider,
+        },
+    )
+    with pytest.raises(TypeError, match="boom inside provider"):
+        src._bearer()
+    assert calls == [None]  # called once, with the refresh argument
+
+
+def test_legacy_zero_arg_provider_detected_by_signature():
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+
+    def provider():
+        return "tok-legacy"
+
+    src = AzureDataExplorerSource(
+        None,
+        "adx",
+        {
+            "url": "https://example",
+            "database": "db",
+            "table": "t",
+            "token_provider": provider,
+        },
+    )
+    assert src._bearer() == "tok-legacy"
+    assert src._refresh_aware() is False
