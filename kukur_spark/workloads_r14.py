@@ -572,11 +572,19 @@ R14_ORACLES["dq_profile_drift"] = _PROFILE_DRIFT_SQL
 # dq_profile_drift_sketch — the 100 TB twin of dq_profile_drift
 # ---------------------------------------------------------------------------
 def profile_drift_sketch(
-    v1: DataFrame, v2: DataFrame, columns
+    v1: DataFrame, v2: DataFrame, columns, hash_fn: str = "md5"
 ) -> DataFrame:
     """HLL-backed drift report: same shape as :func:`profile_drift`
     but the cardinality column is the portable md5 HyperLogLog estimate
     (``operators/sketch.py``) instead of an exact ``count(DISTINCT)``.
+
+    ``hash_fn`` follows the registry's fast/md5 twin convention:
+    ``"md5"`` (default) is the cross-engine-exact oracle form;
+    ``"xxhash64"`` swaps in the JVM-native 64-bit hash — same register
+    count, same estimate math, ~5x cheaper per row (measured at 1000x:
+    the md5 string pipeline costs more CPU than the exact distinct on a
+    single box, the xxhash64 form does not) — the hash a production
+    deployment runs.
 
     Why a twin: the exact form is oracle-perfect but each per-column
     distinct is a full-width shuffle of every unique value — at 100 TB
@@ -600,9 +608,18 @@ def profile_drift_sketch(
 
     def per_column(df: DataFrame, col: str, tag: str) -> DataFrame:
         key = F.col("_k")
-        h = F.md5(key)
-        bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-        rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+        if hash_fn == "xxhash64":
+            # bucket from bits 0-7, rho from the disjoint 52 bits above
+            # bit 11 — same 53-based math as the md5 split.  xxhash64 of
+            # a NULL input returns the seed hash (not NULL, unlike md5),
+            # so nulls are routed to the NULL bucket explicitly
+            h = F.when(key.isNotNull(), F.xxhash64(key))
+            bucket = h.bitwiseAND(F.lit(255)).cast("int")
+            rem = F.shiftrightunsigned(h, 12)
+        else:
+            h = F.md5(key)
+            bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+            rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
         rho = F.when(rem == 0, F.lit(53)).otherwise(
             F.lit(53) - F.length(F.bin(rem))
         )

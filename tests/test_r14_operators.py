@@ -425,3 +425,54 @@ def test_profile_drift_sketch_plan_has_no_exact_distinct(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",")}
         assert len(cols - {"doc_id"}) <= 1, s
+
+
+def test_profile_drift_sketch_xxhash64_knob(spark):
+    """The production hash knob: same estimate math over xxhash64, null
+    routing must stay correct (xxhash64(NULL) is the seed hash, not
+    NULL — a phantom register would both miscount nulls and inflate the
+    estimate), and the plan still contains no exact-distinct."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.workloads_r14 import (
+        _PROFILE_COLUMNS,
+        profile_drift_sketch,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    v1 = docs.filter(F.col("doc_id") % 97 != 0)
+    v2 = docs.filter(F.col("doc_id") % 101 != 0)
+    df = profile_drift_sketch(v1, v2, _PROFILE_COLUMNS, hash_fn="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "count(distinct" not in plan.lower()
+    got = {r.column_name: r for r in df.collect()}
+    pdf = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    p1 = pdf[pdf.doc_id % 97 != 0]
+    p2 = pdf[pdf.doc_id % 101 != 0]
+    for col in _PROFILE_COLUMNS:
+        row = got[col]
+        # null ppm EXACT under either hash (nulls never enter a register)
+        assert row.null_ppm_v1 == (
+            int(p1[col].isna().sum()) * 1_000_000 // len(p1)
+        ), col
+        for est, frame in ((row.est_distinct_v1, p1), (row.est_distinct_v2, p2)):
+            exact = frame[col].nunique()
+            assert abs(est - exact) <= max(2, 0.2 * exact), (col, est, exact)
+
+
+def test_profile_drift_sketch_xxhash64_null_routing(spark):
+    """All-null and mixed-null columns: nulls land in the NULL bucket,
+    the estimate counts only real values."""
+    from kukur_spark.workloads_r14 import profile_drift_sketch
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",), ("b",)], "c string"
+    )
+    out = profile_drift_sketch(df, df, ["c"], hash_fn="xxhash64").first()
+    assert out.null_ppm_v1 == 2 * 1_000_000 // 4
+    assert out.est_distinct_v1 == 2
+    all_null = spark.createDataFrame([(None,), (None,)], "c string")
+    out = profile_drift_sketch(all_null, all_null, ["c"], hash_fn="xxhash64").first()
+    assert out.null_ppm_v1 == 1_000_000
+    assert out.est_distinct_v1 == 0
