@@ -185,3 +185,37 @@ def test_bucket_bound_estimate_directions(spark):
     )
     bound = _estimated_bucket_bound(skinny, 1)
     assert bound is not None and bound >= 1
+
+
+def test_skip_row_ceiling_forces_guard(spark):
+    """ADVICE r8: the skip trusts a Catalyst size estimate; the absolute
+    row ceiling must force the guard back on when the estimated corpus
+    exceeds it — an optimizer undercount can then cost at most the probe
+    job, never the n²/2 blow-up."""
+    from kukur_spark.io import load_table
+    from kukur_spark.operators import dedup as dd
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def plan_of(df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        return df._jdf.queryExecution().explainString(
+            mode.fromString("formatted")
+        )
+
+    import re
+
+    def ops(plan):
+        return [m for m in re.findall(r"^\s*\([0-9]+\)\s+(\w+)", plan, re.M)]
+
+    skipped = ops(plan_of(dd.minhash_lsh_pairs(docs)))
+    old = dd._LSH_SKIP_ROW_CEILING
+    try:
+        dd._LSH_SKIP_ROW_CEILING = 0  # ceiling 0: never trust the skip
+        guarded = ops(plan_of(dd.minhash_lsh_pairs(docs)))
+    finally:
+        dd._LSH_SKIP_ROW_CEILING = old
+    # the forced-guard plan carries the detection subtree (sample +
+    # aggregate + broadcast join) the skip elides
+    assert len(guarded) > len(skipped)
+    assert "Sample" in guarded and "Sample" not in skipped
