@@ -44,9 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query.
 
-    Only the two xxhash64 fast paths (minhash_lsh_pairs, simhash_pairs)
-    are omitted — not expressible in DuckDB; each has an md5 twin
-    (minhash_lsh_md5, simhash_md5) with the same plan *shape* (signatures
-    → banding → bucket join → exact verify) proven exactly.
+    Only the three xxhash64 fast paths (minhash_lsh_pairs, simhash_pairs,
+    docs_quality_classifier_fast) are omitted — not expressible in
+    DuckDB; each has an md5 twin (minhash_lsh_md5, simhash_md5,
+    docs_quality_classifier) with the same plan *shape* proven exactly
+    (plan parity pinned in tests/test_twin_plans.py).
     """
     return dict(ORACLES)

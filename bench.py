@@ -4,8 +4,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "calibration_s": {"cpu_before": ..., "cpu_after": ..., "spark": ...}}
 
-Each query is executed twice; the second (warm) run is reported — the first
-run pays JVM/codegen warm-up that a long-lived engine session never sees.
+After a mixed-shape session warm-up, each query runs once un-timed (its
+own codegen/file-listing warm-up) and the MINIMUM of two timed runs is
+reported — the long-lived-engine-session number, not a cold start.
 
 Calibration: cross-round BENCH totals proved dominated by host drift (round
 8 shipped a 3.8x apparent regression that a same-box control adjudicated to

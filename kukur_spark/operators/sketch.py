@@ -44,15 +44,53 @@ ALPHA_MM_POW2_53 = 4.2399330249068963e20
 HLL_M = 256  # registers (p = 8)
 
 
-def hll_rho(item: Column) -> tuple[Column, Column]:
-    """(register index, rho) for one item under the portable md5 split."""
-    h = F.md5(item)
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+def hll_split(item: Column, hash_fn: str = "md5") -> tuple[Column, Column]:
+    """(register index, rho) for one item.
+
+    ``hash_fn="md5"`` is the portable split documented above
+    (bit-identical in DuckDB, the oracle form).  ``hash_fn="xxhash64"``
+    is the production split — JVM-native hash, bucket from bits 0-7,
+    rho from the disjoint 52 bits above bit 11, same 53-based math —
+    for callers that don't need a DuckDB mirror.  xxhash64 of a NULL
+    input returns the seed hash (not NULL, unlike md5), so nulls are
+    routed to a NULL bucket explicitly under both splits.
+    """
+    if hash_fn == "xxhash64":
+        h = F.when(item.isNotNull(), F.xxhash64(item))
+        bucket = h.bitwiseAND(F.lit(255)).cast("int")
+        rem = F.shiftrightunsigned(h, 12)
+    else:
+        h = F.md5(item)
+        bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+        rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
     rho = F.when(rem == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(rem))
     )
     return bucket, rho
+
+
+def hll_rho(item: Column) -> tuple[Column, Column]:
+    """(register index, rho) for one item under the portable md5 split."""
+    return hll_split(item, "md5")
+
+
+def hll_estimate_expr(m_nonzero: Column, harmonic: Column) -> Column:
+    """The shared estimate: alpha-corrected harmonic mean with the
+    standard linear-counting small-range correction (est ≤ 5m/2 and
+    empty registers present).  Every HLL surface in the engine derives
+    its estimate from THIS expression so the correction logic cannot
+    drift between copies."""
+    raw_est = F.floor(
+        F.lit(ALPHA_MM_POW2_53) / harmonic.cast("double") * F.lit(1.0)
+    )
+    m_zero = F.lit(HLL_M) - m_nonzero
+    lc_est = F.floor(
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
+    )
+    return F.when(
+        (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
+    ).otherwise(raw_est)
 
 
 def hll_sketch(
@@ -88,20 +126,7 @@ def hll_sketch(
         ).alias("harmonic_num"),
         F.sum("n_in_bucket").alias("exact_distinct"),
     )
-    raw_est = F.floor(
-        F.lit(ALPHA_MM_POW2_53)
-        / (F.col("harmonic_num").cast("double"))
-        * F.lit(1.0)
-    )
-    # linear counting when est <= 5/2 m and there are empty registers
-    m_zero = F.lit(HLL_M) - F.col("m_nonzero")
-    lc_est = F.floor(
-        F.lit(float(HLL_M))
-        * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
-    )
-    est = F.when(
-        (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
-    ).otherwise(raw_est)
+    est = hll_estimate_expr(F.col("m_nonzero"), F.col("harmonic_num"))
     return summary.select(
         *group_cols,
         "m_nonzero",
@@ -143,16 +168,7 @@ def hll_estimate(regs: DataFrame, name: str) -> DataFrame:
             + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(POW2_53)
         ).alias("harmonic_num"),
     )
-    raw_est = F.floor(
-        F.lit(ALPHA_MM_POW2_53) / F.col("harmonic_num").cast("double") * F.lit(1.0)
-    )
-    m_zero = F.lit(HLL_M) - F.col("m_nonzero")
-    lc_est = F.floor(
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
-    )
-    est = F.when(
-        (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
-    ).otherwise(raw_est)
+    est = hll_estimate_expr(F.col("m_nonzero"), F.col("harmonic_num"))
     return summary.select(est.cast("long").alias(name))
 
 
@@ -170,19 +186,28 @@ def hll_registers_sql(src: str, key_expr: str) -> str:
   ) GROUP BY bucket"""
 
 
+def hll_estimate_case_sql(m_nonzero: str, harmonic: str) -> str:
+    """The DuckDB mirror of :func:`hll_estimate_expr`: one CASE
+    expression over SQL sub-expressions for the non-empty register
+    count and the harmonic denominator.  All SQL oracles derive their
+    estimate from THIS helper, term-for-term with the Spark side."""
+    raw = f"FLOOR({ALPHA_MM_POW2_53!r} / CAST({harmonic} AS DOUBLE) * 1.0)"
+    return f"""CASE
+    WHEN ({HLL_M} - {m_nonzero}) > 0
+     AND {raw} <= {5 * HLL_M // 2}
+    THEN FLOOR({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - {m_nonzero} AS DOUBLE)))
+    ELSE {raw}
+  END"""
+
+
 def hll_estimate_sql(regs_cte: str, name: str) -> str:
     """DuckDB estimate-over-registers SELECT mirroring :func:`hll_estimate`."""
+    harmonic = (
+        f"SUM(1::BIGINT << (53 - rho)) + ({HLL_M} - COUNT(*)) * {POW2_53}"
+    )
+    case = hll_estimate_case_sql("COUNT(*)", harmonic)
     return f"""
-  SELECT CAST(CASE
-    WHEN ({HLL_M} - COUNT(*)) > 0
-     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(
-       SUM(1::BIGINT << (53 - rho)) + ({HLL_M} - COUNT(*)) * {POW2_53}
-       AS DOUBLE) * 1.0) <= {5 * HLL_M // 2}
-    THEN FLOOR({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - COUNT(*) AS DOUBLE)))
-    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(
-      SUM(1::BIGINT << (53 - rho)) + ({HLL_M} - COUNT(*)) * {POW2_53}
-      AS DOUBLE) * 1.0)
-  END AS BIGINT) AS {name} FROM {regs_cte}"""
+  SELECT CAST({case} AS BIGINT) AS {name} FROM {regs_cte}"""
 
 
 def hll_sketch_sql(
@@ -216,12 +241,8 @@ summary AS (
   FROM registers GROUP BY {groups}
 )
 SELECT {groups}, m_nonzero, harmonic_num,
-  CAST(CASE
-    WHEN (256 - m_nonzero) > 0
-     AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic_num AS DOUBLE) * 1.0) <= 640
-    THEN FLOOR(256.0 * ln(256.0 / CAST(256 - m_nonzero AS DOUBLE)))
-    ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic_num AS DOUBLE) * 1.0)
-  END AS BIGINT) AS est_distinct,
+  CAST({hll_estimate_case_sql('m_nonzero', 'harmonic_num')} AS BIGINT)
+    AS est_distinct,
   exact_distinct
 FROM summary
 """

@@ -2510,10 +2510,11 @@ _WINDOW_SWEEP_R8 = [
 
 # Round-9 sweep (terminal): the 34 remaining NEVER_CHECKED.md names in
 # registry order — this clears the oracled driver-verification backlog
-# (every oracled query then has a CORRECTNESS_r* green row).  The 11
-# spare slots go to cross-family re-verification of the oldest
-# driver-greens (r1-r5 rounds), cheapest regression insurance now that
-# no first-time names remain.
+# (every oracled query then has a CORRECTNESS_r* green row).  Of the 11
+# spare slots, one goes to the round's new registration
+# (dq_profile_drift_sketch) and 10 to cross-family re-verification of
+# the oldest driver-greens (r1-r5 rounds), cheapest regression
+# insurance now that no first-time names remain.
 _WINDOW_SWEEP_R9 = [
     # --- the 34 never-driver-checked names (NEVER_CHECKED.md order) ---
     "parts_skyline", "events_path_trigrams", "emb_semantic_clusters",

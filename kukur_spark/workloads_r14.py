@@ -596,35 +596,24 @@ def profile_drift_sketch(
     cross-shard rollups are all safe.  Null ppm stays exact (a plain
     conditional count — never the scale problem).
 
-    The estimate math (ALPHA_MM_POW2_53 harmonic mean + linear-counting
-    small-range correction) is shared bit-for-bit with the DuckDB
-    oracle, so this twin is oracle-checked like any exact query.
+    The sketch machinery — the (bucket, rho) hash split and the
+    estimate expression — is the shared ``operators/sketch.py``
+    implementation (``hll_split`` / ``hll_estimate_expr``), so the math
+    cannot drift from the other HLL surfaces, and the DuckDB oracle
+    mirrors it bit-for-bit.
     """
     from kukur_spark.operators.sketch import (
-        ALPHA_MM_POW2_53,
         HLL_M,
         POW2_53,
+        hll_estimate_expr,
+        hll_split,
     )
 
     def per_column(df: DataFrame, col: str, tag: str) -> DataFrame:
-        key = F.col("_k")
-        if hash_fn == "xxhash64":
-            # bucket from bits 0-7, rho from the disjoint 52 bits above
-            # bit 11 — same 53-based math as the md5 split.  xxhash64 of
-            # a NULL input returns the seed hash (not NULL, unlike md5),
-            # so nulls are routed to the NULL bucket explicitly
-            h = F.when(key.isNotNull(), F.xxhash64(key))
-            bucket = h.bitwiseAND(F.lit(255)).cast("int")
-            rem = F.shiftrightunsigned(h, 12)
-        else:
-            h = F.md5(key)
-            bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-            rem = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
-        rho = F.when(rem == 0, F.lit(53)).otherwise(
-            F.lit(53) - F.length(F.bin(rem))
-        )
+        bucket, rho = hll_split(F.col("_k"), hash_fn)
         # one pruned single-column scan: nulls land in the NULL bucket
-        # (md5(NULL) is NULL), values land in their HLL register
+        # (null keys hash to a null bucket under either split), values
+        # land in their HLL register
         by_bucket = (
             df.select(F.col(col).cast("string").alias("_k"))
             .select(bucket.alias("bucket"), rho.alias("rho"))
@@ -657,18 +646,7 @@ def profile_drift_sketch(
                 + (F.lit(HLL_M) - F.count(F.col("bucket"))) * F.lit(POW2_53)
             ).alias("_harmonic"),
         )
-        raw_est = F.floor(
-            F.lit(ALPHA_MM_POW2_53) / F.col("_harmonic").cast("double")
-            * F.lit(1.0)
-        )
-        m_zero = F.lit(HLL_M) - F.col("_m_nonzero")
-        lc_est = F.floor(
-            F.lit(float(HLL_M))
-            * F.log(F.lit(float(HLL_M)) / m_zero.cast("double"))
-        )
-        est = F.when(
-            (m_zero > 0) & (raw_est <= F.lit(5 * HLL_M // 2)), lc_est
-        ).otherwise(raw_est)
+        est = hll_estimate_expr(F.col("_m_nonzero"), F.col("_harmonic"))
         return summary.select(
             F.lit(col).alias("column_name"),
             F.expr("_nulls * 1000000L div _total").alias(f"null_ppm_{tag}"),
@@ -708,21 +686,19 @@ def dq_profile_drift_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _drift_sketch_ver_sql(col: str, mod: int) -> str:
-    """One (version, column) HLL summary mirroring per_column above."""
+    """One (version, column) HLL summary mirroring per_column above;
+    the estimate CASE is the shared ``hll_estimate_case_sql``."""
     from kukur_spark.operators.sketch import (
-        ALPHA_MM_POW2_53,
         HLL_M,
         POW2_53,
+        hll_estimate_case_sql,
     )
 
-    est = f"""CAST(CASE
-      WHEN ({HLL_M} - m_nonzero) > 0
-       AND FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic AS DOUBLE) * 1.0)
-           <= {5 * HLL_M // 2}
-      THEN FLOOR({float(HLL_M)!r}
-           * ln({float(HLL_M)!r} / CAST({HLL_M} - m_nonzero AS DOUBLE)))
-      ELSE FLOOR({ALPHA_MM_POW2_53!r} / CAST(harmonic AS DOUBLE) * 1.0)
-    END AS BIGINT)"""
+    est = (
+        "CAST("
+        + hll_estimate_case_sql("m_nonzero", "harmonic")
+        + " AS BIGINT)"
+    )
     return f"""
     SELECT n_nulls * 1000000 // total_rows AS null_ppm, {est} AS est_distinct
     FROM (

@@ -114,36 +114,13 @@ def test_config_merge_matches_reference_assertions():
         assert base == want
 
 
-def test_bench_steal_pct_math():
-    """bench_stats steal sampling: percentage over the run window, None
-    on missing/degenerate samples."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_stats",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scripts",
-            "bench_stats.py",
-        ),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    assert mod._steal_pct((100, 10_000), (200, 20_000)) == 1.0
-    assert mod._steal_pct(None, (1, 2)) is None
-    assert mod._steal_pct((1, 2), None) is None
-    assert mod._steal_pct((1, 100), (1, 100)) is None  # zero window
-    j = mod._cpu_jiffies()
-    assert j is None or (j[1] >= j[0] >= 0)
-
-
 def _load_script(name):
+    """Import a repo-root script (bench.py, scripts/*.py) as a module."""
     import importlib.util
     import os
 
     spec = importlib.util.spec_from_file_location(
-        name.replace(".py", ""),
+        name.rsplit("/", 1)[-1].replace(".py", ""),
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             *name.split("/"),
@@ -152,6 +129,18 @@ def _load_script(name):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def test_bench_steal_pct_math():
+    """bench_stats steal sampling: percentage over the run window, None
+    on missing/degenerate samples."""
+    mod = _load_script("scripts/bench_stats.py")
+    assert mod._steal_pct((100, 10_000), (200, 20_000)) == 1.0
+    assert mod._steal_pct(None, (1, 2)) is None
+    assert mod._steal_pct((1, 2), None) is None
+    assert mod._steal_pct((1, 100), (1, 100)) is None  # zero window
+    j = mod._cpu_jiffies()
+    assert j is None or (j[1] >= j[0] >= 0)
 
 
 def test_bench_cpu_calibration_anchor():

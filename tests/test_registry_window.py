@@ -3,8 +3,9 @@ entries — pin that window: fully oracle-paired, and (since round 6)
 rebuilt each round as ~5 proven canaries + never-driver-checked
 queries so coverage sweeps the whole registry (see
 workloads._set_window).  Round 9 is the terminal sweep: the 34
-remaining NEVER_CHECKED.md names clear the backlog, and the 11 spare
-slots re-verify the oldest driver-greens."""
+remaining NEVER_CHECKED.md names clear the backlog, one spare slot
+verifies the round's new HLL twin on registration, and the other 10
+re-verify the oldest driver-greens."""
 
 import glob
 import json
@@ -36,9 +37,10 @@ def test_window_is_canaries_plus_sweep():
 
 
 def test_sweep_first_time_names_never_driver_checked_before_r9():
-    """The 34 backlog slots go to queries without a driver row in any
-    committed CORRECTNESS_r*.json from rounds 1-8; the 11 re-check
-    slots (and the canaries) HAVE been checked before."""
+    """The 34 backlog slots and the r9-new twin go to queries without a
+    driver row in any committed CORRECTNESS_r*.json from rounds 1-8;
+    the 10 re-check slots (and the canaries) HAVE been checked
+    before."""
     checked: set = set()
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-8].json")):
         checked.update(json.load(open(path)).keys())
