@@ -643,9 +643,15 @@ def _update_exp_smooth(
             v = int(v)
             smooth = v if smooth is None else (smooth + v) >> 1
     state.update((smooth, n))
-    yield pd.DataFrame(
-        {"series": [key[0]], "n": [n], "smooth_e6": [smooth]}
-    )
+    # a group whose every arrival so far was null has consumed nothing:
+    # emitting an (n=0, smooth=NULL) row would invent a series the batch
+    # fold never reports (found by the split-invariance property test)
+    if n:
+        yield pd.DataFrame(
+            {"series": [key[0]], "n": [n], "smooth_e6": [smooth]}
+        )
+    else:
+        yield pd.DataFrame({"series": [], "n": [], "smooth_e6": []})
 
 
 def streaming_exp_smooth(df: DataFrame, series_column: str = "series") -> DataFrame:
@@ -810,15 +816,27 @@ def _update_holt_trend(
                 trend = (new_level - level + trend) >> 1
                 level = new_level
     state.update((level, trend, n))
-    yield pd.DataFrame(
-        {
-            "series": [key[0]],
-            "n": [n],
-            "level_e6": [level],
-            "trend_e6": [trend],
-            "fcst1_e6": [None if level is None else level + trend],
-        }
-    )
+    # same all-null rule as _update_exp_smooth: no consumed point, no row
+    if n:
+        yield pd.DataFrame(
+            {
+                "series": [key[0]],
+                "n": [n],
+                "level_e6": [level],
+                "trend_e6": [trend],
+                "fcst1_e6": [level + trend],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {
+                "series": [],
+                "n": [],
+                "level_e6": [],
+                "trend_e6": [],
+                "fcst1_e6": [],
+            }
+        )
 
 
 def streaming_holt_trend(
