@@ -172,16 +172,27 @@ def hll_estimate(regs: DataFrame, name: str) -> DataFrame:
     return summary.select(est.cast("long").alias(name))
 
 
+def hll_bucket_sql(key: str) -> str:
+    """DuckDB mirror of the md5 register-index split in :func:`hll_split`."""
+    return f"CAST('0x' || substr(md5({key}), 1, 2) AS INTEGER)"
+
+
+def hll_rho_sql(key: str) -> str:
+    """DuckDB mirror of the md5 rho split in :func:`hll_split`."""
+    rem = f"CAST('0x' || substr(md5({key}), 3, 13) AS BIGINT)"
+    return f"""CASE
+        WHEN {rem} = 0 THEN 53
+        ELSE 53 - length(bin({rem}))
+      END"""
+
+
 def hll_registers_sql(src: str, key_expr: str) -> str:
     """DuckDB register-table CTE body mirroring :func:`hll_registers`."""
     return f"""
   SELECT bucket, MAX(rho) AS rho FROM (
     SELECT
-      CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
-      CASE
-        WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
-        ELSE 53 - length(bin(CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
-      END AS rho
+      {hll_bucket_sql('_k')} AS bucket,
+      {hll_rho_sql('_k')} AS rho
     FROM (SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS _k FROM {src})
   ) GROUP BY bucket"""
 
@@ -221,11 +232,8 @@ WITH items AS (
 ),
 hashed AS (
   SELECT {groups},
-    CAST('0x' || substr(md5(_item), 1, 2) AS INTEGER) AS bucket,
-    CASE
-      WHEN CAST('0x' || substr(md5(_item), 3, 13) AS BIGINT) = 0 THEN 53
-      ELSE 53 - length(bin(CAST('0x' || substr(md5(_item), 3, 13) AS BIGINT)))
-    END AS rho
+    {hll_bucket_sql('_item')} AS bucket,
+    {hll_rho_sql('_item')} AS rho
   FROM items
 ),
 registers AS (

@@ -691,7 +691,9 @@ def _drift_sketch_ver_sql(col: str, mod: int) -> str:
     from kukur_spark.operators.sketch import (
         HLL_M,
         POW2_53,
+        hll_bucket_sql,
         hll_estimate_case_sql,
+        hll_rho_sql,
     )
 
     est = (
@@ -712,12 +714,8 @@ def _drift_sketch_ver_sql(col: str, mod: int) -> str:
       FROM (
         SELECT bucket, MAX(rho) AS rho, COUNT(*) AS n_rows FROM (
           SELECT
-            CAST('0x' || substr(md5(_k), 1, 2) AS INTEGER) AS bucket,
-            CASE
-              WHEN CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT) = 0 THEN 53
-              ELSE 53 - length(bin(
-                CAST('0x' || substr(md5(_k), 3, 13) AS BIGINT)))
-            END AS rho
+            {hll_bucket_sql('_k')} AS bucket,
+            {hll_rho_sql('_k')} AS rho
           FROM (SELECT CAST({col} AS VARCHAR) AS _k FROM documents
                 WHERE doc_id % {mod} <> 0)
         ) GROUP BY bucket
