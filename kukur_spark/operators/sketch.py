@@ -136,19 +136,27 @@ def hll_sketch(
     )
 
 
-def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+def hll_registers(
+    df: DataFrame, key: Column, hash_fn: str = "md5"
+) -> DataFrame:
     """Global (bucket, rho) register table for one key expression.
 
-    NO distinct pass: md5 is deterministic per key, so duplicate keys
-    land on an identical (bucket, rho) and the per-bucket ``max`` —
-    map-side combinable, ≤ m rows per partition on the wire — absorbs
+    NO distinct pass: the hash is deterministic per key, so duplicate
+    keys land on an identical (bucket, rho) and the per-bucket ``max``
+    — map-side combinable, ≤ m rows per partition on the wire — absorbs
     them for free.  (An exact distinct here would shuffle every unique
     key, the precise cost the sketch exists to avoid.)  Register tables
     merge with a per-bucket ``max`` union — see :func:`hll_estimate`.
+
+    ``hash_fn="xxhash64"`` is the production hash (same twin convention
+    as the drift sketch: md5 is the DuckDB-portable oracle form, the
+    JVM-native hash is ~5× cheaper per row); register tables built
+    under DIFFERENT hashes must never be merged.
     """
-    bucket, rho = hll_rho(key.cast("string"))
+    bucket, rho = hll_split(key.cast("string"), hash_fn)
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .filter(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -187,13 +195,15 @@ def hll_rho_sql(key: str) -> str:
 
 
 def hll_registers_sql(src: str, key_expr: str) -> str:
-    """DuckDB register-table CTE body mirroring :func:`hll_registers`."""
+    """DuckDB register-table CTE body mirroring :func:`hll_registers`
+    (null keys create no register on either side)."""
     return f"""
   SELECT bucket, MAX(rho) AS rho FROM (
     SELECT
       {hll_bucket_sql('_k')} AS bucket,
       {hll_rho_sql('_k')} AS rho
-    FROM (SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS _k FROM {src})
+    FROM (SELECT DISTINCT CAST({key_expr} AS VARCHAR) AS _k FROM {src}
+          WHERE {key_expr} IS NOT NULL)
   ) GROUP BY bucket"""
 
 

@@ -155,3 +155,24 @@ def test_merge_additive_rejects_non_monoid(spark):
     base = spark.createDataFrame([("a", 1.0)], "k string, avg double")
     with _pytest.raises(ValueError, match="non-additive"):
         merge_additive(base, base, keys=["k"], combine={"avg": "avg"})
+
+
+def test_hll_registers_hash_knob_and_null_keys(spark):
+    """The production xxhash64 knob estimates within the m=256 envelope
+    of the md5 form, and null keys create NO register under either hash
+    (a phantom NULL register would skew m_nonzero and the harmonic)."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("k")
+    )
+    true_distinct = 4500
+    for hash_fn in ("md5", "xxhash64"):
+        regs = hll_registers(df, F.col("k"), hash_fn=hash_fn)
+        assert regs.filter(F.col("bucket").isNull()).count() == 0
+        est = hll_estimate(regs, "est").first().est
+        assert abs(est - true_distinct) <= 0.2 * true_distinct, (
+            hash_fn, est,
+        )
