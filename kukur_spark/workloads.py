@@ -2539,4 +2539,75 @@ _WINDOW_SWEEP_R9 = [
     "emb_topk_bruteforce", "tpch_q3", "tpch_q5", "text_langid",
 ]
 
-QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP_R9)
+# ---------------------------------------------------------------------------
+# Standing re-verification rotation (round 10+).  The one-shot per-round
+# sweeps above cleared the first-time backlog in round 9 (every oracled
+# query has a driver-green CORRECTNESS row).  From round 10 the window is
+# COMPUTED, not pinned: the 5 canaries plus the 45 oracled names whose
+# most recent driver-green round is OLDEST, read directly from the
+# committed CORRECTNESS_r*.json ledgers at the repo root.  The cursor is
+# therefore the ledger itself — when the driver lands CORRECTNESS_r10,
+# the r11 import recomputes and the window advances with zero edits.
+# Never-green names (e.g. a query registered this round) sort first, so
+# new registrations are always driver-checked on registration.  Ties
+# break by registry order, keeping the rotation deterministic for a
+# fixed set of ledger files.  tests/test_registry_window.py pins the
+# staleness-minimality invariant.
+# ---------------------------------------------------------------------------
+
+
+def _driver_green_rounds() -> Dict[str, int]:
+    """Latest driver-green round per query from CORRECTNESS_r*.json.
+
+    A row counts as green only when rows+schema matched with no error —
+    the same bar the verdicts apply.  Unreadable or absent ledgers are
+    skipped (a fresh clone rotates on registry order alone).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    last: Dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        match = _re.search(r"r(\d+)\.json$", path)
+        if not match:
+            continue
+        rnd = int(match.group(1))
+        try:
+            with open(path) as handle:
+                rows = _json.load(handle)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _rotation_window(
+    queries: Dict[str, Callable],
+    oracles: Dict[str, str],
+    canaries: List[str],
+    sweep_slots: int = 45,
+) -> List[str]:
+    """The 45 stale-most oracled names, by (last-green round, registry
+    order), never-green first."""
+    last = _driver_green_rounds()
+    index = {name: i for i, name in enumerate(queries)}
+    pool = [n for n in queries if n in oracles and n not in canaries]
+    pool.sort(key=lambda n: (last.get(n, -1), index[n]))
+    return pool[:sweep_slots]
+
+
+_WINDOW_SWEEP = _rotation_window(QUERIES, ORACLES, _WINDOW_CANARIES)
+
+QUERIES = _set_window(QUERIES, _WINDOW_CANARIES + _WINDOW_SWEEP)

@@ -1,29 +1,19 @@
 """The driver's CORRECTNESS gate records only the first 50 registry
-entries — pin that window: fully oracle-paired, and (since round 6)
-rebuilt each round as ~5 proven canaries + never-driver-checked
-queries so coverage sweeps the whole registry (see
-workloads._set_window).  Round 9 is the terminal sweep: the 34
-remaining NEVER_CHECKED.md names clear the backlog, one spare slot
-verifies the round's new HLL twin on registration, and the other 10
-re-verify the oldest driver-greens."""
-
-import glob
-import json
-import os
+entries — pin that window.  Rounds 6-9 swept pinned lists until every
+oracled query earned a driver-green row; from round 10 the window is a
+standing rotation COMPUTED from the committed CORRECTNESS_r*.json
+ledgers: 5 canaries + the 45 oracled names whose latest driver-green
+round is oldest (never-green names first, ties by registry order).
+The cursor is the ledger itself — each new CORRECTNESS file advances
+the rotation with zero code edits (see workloads._rotation_window)."""
 
 from kukur_spark.workloads import (
     ORACLES,
     QUERIES,
     _WINDOW_CANARIES,
-    _WINDOW_SWEEP_R9,
+    _WINDOW_SWEEP,
+    _driver_green_rounds,
 )
-
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-# first 34 sweep slots = the backlog, slot 35 = the r9-new HLL twin
-# (never checkable before it existed); last 10 = re-verification
-_FIRST_TIME = _WINDOW_SWEEP_R9[:35]
-_RECHECK = _WINDOW_SWEEP_R9[35:]
 
 
 def test_first_50_registry_entries_all_oracle_paired():
@@ -31,36 +21,49 @@ def test_first_50_registry_entries_all_oracle_paired():
     assert [n for n in head if n not in ORACLES] == []
 
 
-def test_window_is_canaries_plus_sweep():
-    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP_R9
-    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP_R9) == 50
+def test_window_is_canaries_plus_rotation():
+    assert list(QUERIES)[:50] == _WINDOW_CANARIES + _WINDOW_SWEEP
+    assert len(_WINDOW_CANARIES) + len(_WINDOW_SWEEP) == 50
 
 
-def test_sweep_first_time_names_never_driver_checked_before_r9():
-    """The 34 backlog slots and the r9-new twin go to queries without a
-    driver row in any committed CORRECTNESS_r*.json from rounds 1-8;
-    the 10 re-check slots (and the canaries) HAVE been checked
-    before."""
-    checked: set = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-8].json")):
-        checked.update(json.load(open(path)).keys())
-    if not checked:  # fresh clone without driver artifacts
+def test_rotation_is_staleness_minimal():
+    """No oracled query OUTSIDE the window is staler than any sweep
+    slot INSIDE it: the rotation always re-verifies the least-recently
+    driver-checked names (never-green names, e.g. new registrations,
+    sort first)."""
+    last = _driver_green_rounds()
+    if not last:  # fresh clone without driver artifacts
         return
-    assert [n for n in _FIRST_TIME if n in checked] == []
-    assert [n for n in _RECHECK if n not in checked] == []
-    assert [n for n in _WINDOW_CANARIES if n not in checked] == []
+    index = {name: i for i, name in enumerate(QUERIES)}
+
+    def key(name):
+        return (last.get(name, -1), index[name])
+
+    outside = [
+        n
+        for n in QUERIES
+        if n in ORACLES and n not in _WINDOW_CANARIES and n not in _WINDOW_SWEEP
+    ]
+    worst_inside = max(key(n) for n in _WINDOW_SWEEP)
+    assert all(key(n) > worst_inside for n in outside)
 
 
-def test_sweep_clears_backlog():
-    """After r9 every oracled registry query has been in some window:
-    (rounds 1-8 driver rows) + (this window) covers all of ORACLES."""
-    checked: set = set()
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0[1-8].json")):
-        checked.update(json.load(open(path)).keys())
-    if not checked:
+def test_rotation_is_deterministic():
+    """Recomputing the window from the same ledgers yields the same
+    ordered list — the driver and a fresh import see one window."""
+    from kukur_spark.workloads import _rotation_window
+
+    again = _rotation_window(QUERIES, ORACLES, _WINDOW_CANARIES)
+    assert again == _WINDOW_SWEEP
+
+
+def test_canaries_stay_proven():
+    """Canaries are long-proven regression tripwires — each must carry
+    a driver-green row already (they are never first-time slots)."""
+    last = _driver_green_rounds()
+    if not last:
         return
-    covered = checked | set(_WINDOW_CANARIES) | set(_WINDOW_SWEEP_R9)
-    assert sorted(set(ORACLES) - covered) == []
+    assert [n for n in _WINDOW_CANARIES if n not in last] == []
 
 
 def test_rotation_loses_nothing():
