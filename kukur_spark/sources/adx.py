@@ -84,14 +84,18 @@ class AzureDataExplorerSource:
             self._token_cache = NullTokenCache()
         self._provider_takes_refresh: Optional[bool] = None
 
-    def _refresh_aware(self) -> bool:
+    def _refresh_aware(self) -> Optional[bool]:
         """Whether token_provider accepts the refresh-token argument.
 
         Decided ONCE from the callable's signature — catching TypeError
         around the call would also swallow a TypeError raised *inside* a
         refresh-aware provider, masking the real error and fetching
         twice.  Callables without an introspectable signature (C
-        builtins) are probed by bind, never by calling.
+        builtins) return None here: the FIRST fetch resolves the arity
+        with one guarded probe (ADVICE r9) — call with the refresh
+        token, and only when the TypeError's traceback shows the call
+        itself failed to bind (the provider body was never entered)
+        retry zero-arg.  The resolved arity is cached either way.
         """
         if self._provider_takes_refresh is None:
             import inspect as _inspect
@@ -102,10 +106,9 @@ class AzureDataExplorerSource:
             except TypeError:
                 self._provider_takes_refresh = False
             except ValueError:
-                # no signature available: assume the documented
-                # refresh-aware shape (modern providers); a legacy
-                # zero-arg C callable would be unprecedented here
-                self._provider_takes_refresh = True
+                # no signature available (builtin / C callable):
+                # resolve by guarded probe on first use
+                return None
         return self._provider_takes_refresh
 
     def _bearer(self) -> str:
@@ -116,6 +119,20 @@ class AzureDataExplorerSource:
         def fetch(refresh: Optional[str]) -> Token:
             if refresh_aware:
                 got = self.token_provider(refresh)
+            elif refresh_aware is None:
+                # signature-less provider: one guarded probe.  A
+                # TypeError whose traceback never left this frame means
+                # the CALL failed to bind (zero-arg legacy provider);
+                # one raised deeper is a real provider error and
+                # propagates untouched.
+                try:
+                    got = self.token_provider(refresh)
+                    self._provider_takes_refresh = True
+                except TypeError as exc:
+                    if exc.__traceback__.tb_next is not None:
+                        raise
+                    self._provider_takes_refresh = False
+                    got = self.token_provider()
             else:
                 got = self.token_provider()  # legacy zero-arg provider
             return got if isinstance(got, Token) else Token(got)

@@ -75,7 +75,12 @@ _FUNCTIONS = {
     # Repeated keys ('a,b' = two bare series names, 'k=1,k=2') LAST-WIN
     # like a Python dict assignment loop — the aggregate fold replaces
     # earlier entries instead of letting map_from_entries throw
-    # DUPLICATED_MAP_KEY.
+    # DUPLICATED_MAP_KEY.  Ordering caveat: the fold moves a repeated
+    # key to the LAST map position, while the reference's dict keeps
+    # first-insertion order; VALUES match exactly, but a consumer that
+    # serializes the map key order verbatim may diverge for duplicate
+    # keys.  The fold is also O(k^2) in tag components — fine, k is the
+    # handful of tags in a series name, never data-sized.
     "ku_selector_tags": (
         "(name STRING) RETURNS MAP<STRING, STRING> "
         "RETURN aggregate(transform("

@@ -642,11 +642,13 @@ def _update_exp_smooth(
         for v in pdf["v_e6"]:
             v = int(v)
             smooth = v if smooth is None else (smooth + v) >> 1
-    state.update((smooth, n))
     # a group whose every arrival so far was null has consumed nothing:
     # emitting an (n=0, smooth=NULL) row would invent a series the batch
-    # fold never reports (found by the split-invariance property test)
+    # fold never reports (found by the split-invariance property test),
+    # and writing state for it would leak a permanent invisible entry
+    # per all-null key (ADVICE r9) — skip both until a real value lands
     if n:
+        state.update((smooth, n))
         yield pd.DataFrame(
             {"series": [key[0]], "n": [n], "smooth_e6": [smooth]}
         )
@@ -815,9 +817,10 @@ def _update_holt_trend(
                 new_level = (v + level + trend) >> 1
                 trend = (new_level - level + trend) >> 1
                 level = new_level
-    state.update((level, trend, n))
-    # same all-null rule as _update_exp_smooth: no consumed point, no row
+    # same all-null rule as _update_exp_smooth: no consumed point,
+    # no row, and no state entry left behind
     if n:
+        state.update((level, trend, n))
         yield pd.DataFrame(
             {
                 "series": [key[0]],

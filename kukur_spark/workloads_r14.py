@@ -501,7 +501,12 @@ def profile_drift(
     def per_column(df: DataFrame, col: str, tag: str) -> DataFrame:
         return df.select(col).agg(
             F.expr(
-                f"count_if({col} IS NULL) * 1000000L div count(*)"
+                # widen to DECIMAL(38,0) before the ppm scale-up: at the
+                # 100 TB target a column can exceed ~9.2e12 null rows,
+                # where BIGINT * 1000000 overflows; decimal div stays
+                # exact and still returns BIGINT (ADVICE r9)
+                f"CAST(count_if({col} IS NULL) AS DECIMAL(38,0))"
+                " * 1000000L div count(*)"
             ).alias(f"null_ppm_{tag}"),
             F.countDistinct(col).alias(f"n_distinct_{tag}"),
         ).select(F.lit(col).alias("column_name"), "*")
@@ -649,7 +654,12 @@ def profile_drift_sketch(
         est = hll_estimate_expr(F.col("_m_nonzero"), F.col("_harmonic"))
         return summary.select(
             F.lit(col).alias("column_name"),
-            F.expr("_nulls * 1000000L div _total").alias(f"null_ppm_{tag}"),
+            # same DECIMAL(38,0) widening as the exact twin: BIGINT
+            # * 1000000 overflows past ~9.2e12 nulls, inside the
+            # sketch's advertised 100 TB envelope (ADVICE r9)
+            F.expr(
+                "CAST(_nulls AS DECIMAL(38,0)) * 1000000L div _total"
+            ).alias(f"null_ppm_{tag}"),
             est.cast("long").alias(f"est_distinct_{tag}"),
         )
 

@@ -24,19 +24,28 @@ import json
 import sys
 
 
+def _unwrap(data: dict) -> dict:
+    """Accept both the bare bench line and the driver's BENCH_r{N}.json
+    envelope ({"n": ..., "rc": ..., "tail": ..., "parsed": {bench line}})."""
+    if "value" not in data and isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
+
+
 def _cal(data: dict) -> float | None:
     c = data.get("calibration_s")
     if not c:
         return None
-    vals = [c[k] for k in ("cpu_before", "cpu_after") if c.get(k)]
+    # a legitimate 0.0 reading must not be dropped — test for presence
+    vals = [c[k] for k in ("cpu_before", "cpu_after") if c.get(k) is not None]
     return sum(vals) / len(vals) if vals else None
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
-    a = json.load(open(sys.argv[1]))
-    b = json.load(open(sys.argv[2]))
+    a = _unwrap(json.load(open(sys.argv[1])))
+    b = _unwrap(json.load(open(sys.argv[2])))
     cal_a, cal_b = _cal(a), _cal(b)
     out = {
         "metric": "bench_normalized",
@@ -48,7 +57,7 @@ def main() -> None:
         "cal_a": cal_a,
         "cal_b": cal_b,
     }
-    if cal_a and cal_b:
+    if cal_a is not None and cal_b is not None and cal_a > 0 and cal_b > 0:
         # express B's total in A's host-speed units
         out["normalized_total_b"] = round(b["value"] * cal_a / cal_b, 4)
         out["normalized_ratio_b_over_a"] = round(

@@ -1,0 +1,72 @@
+"""bench_normalize must accept BOTH the bare bench JSON line and the
+driver's BENCH_r{N}.json envelope, and must not drop legitimate 0.0
+calibration readings (ADVICE r9)."""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SCRIPT = os.path.join(_REPO, "scripts", "bench_normalize.py")
+
+spec = importlib.util.spec_from_file_location("bench_normalize", _SCRIPT)
+bn = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bn)
+
+
+def _bare(value, cal):
+    return {
+        "metric": "headline_queries_total",
+        "value": value,
+        "unit": "sec",
+        "queries": {},
+        "sf": 0.1,
+        "calibration_s": cal,
+    }
+
+
+def test_unwrap_driver_envelope():
+    inner = _bare(10.0, {"cpu_before": 1.0, "cpu_after": 1.0})
+    env = {"n": 9, "rc": 0, "tail": "...", "parsed": inner}
+    assert bn._unwrap(env) == inner
+    assert bn._unwrap(inner) == inner
+
+
+def test_zero_calibration_reading_kept():
+    cal = bn._cal(_bare(1.0, {"cpu_before": 0.0, "cpu_after": 2.0}))
+    assert cal == 1.0  # mean(0.0, 2.0), not 2.0
+
+
+def test_cli_accepts_driver_files(tmp_path):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps(_bare(10.0, {"cpu_before": 2.0, "cpu_after": 2.0})))
+    b.write_text(
+        json.dumps(
+            {
+                "n": 10,
+                "rc": 0,
+                "parsed": _bare(5.0, {"cpu_before": 1.0, "cpu_after": 1.0}),
+            }
+        )
+    )
+    out = subprocess.run(
+        [sys.executable, _SCRIPT, str(a), str(b)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = json.loads(out.stdout.strip())
+    # B ran on a 2x-faster box; in A's units its 5.0 s becomes 10.0 s
+    assert line["normalized_total_b"] == 10.0
+    assert line["normalized_ratio_b_over_a"] == 1.0
+
+
+def test_real_driver_file_parses():
+    path = os.path.join(_REPO, "BENCH_r09.json")
+    if not os.path.exists(path):
+        return
+    data = bn._unwrap(json.load(open(path)))
+    assert "value" in data

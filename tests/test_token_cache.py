@@ -265,3 +265,76 @@ def test_legacy_zero_arg_provider_detected_by_signature():
     )
     assert src._bearer() == "tok-legacy"
     assert src._refresh_aware() is False
+
+
+def _nosig_source(provider):
+    from kukur_spark.sources.adx import AzureDataExplorerSource
+
+    return AzureDataExplorerSource(
+        None,
+        "adx",
+        {
+            "url": "https://example",
+            "database": "db",
+            "table": "t",
+            "token_provider": provider,
+        },
+    )
+
+
+class _NoSignature:
+    """Callable whose signature is NOT introspectable, like a legacy
+    C builtin — inspect.signature raises ValueError (ADVICE r9)."""
+
+    @property
+    def __signature__(self):
+        raise ValueError("no signature available")
+
+
+def test_signatureless_zero_arg_provider_probed_once():
+    """A signature-less legacy zero-arg provider must still work: the
+    first fetch probes with the refresh argument, sees the call itself
+    fail to bind, retries zero-arg, and caches the arity."""
+
+    class Provider(_NoSignature):
+        calls = 0
+
+        def __call__(self):
+            self.calls += 1
+            return "tok-nosig"
+
+    provider = Provider()
+    src = _nosig_source(provider)
+    assert src._refresh_aware() is None  # undecidable before the probe
+    assert src._bearer() == "tok-nosig"
+    assert src._refresh_aware() is False  # resolved and cached
+    assert src._bearer() == "tok-nosig"
+    assert provider.calls == 2  # probe never re-runs
+
+
+def test_signatureless_refresh_aware_provider_works():
+    class Provider(_NoSignature):
+        def __call__(self, refresh):
+            return f"tok-{refresh}"
+
+    src = _nosig_source(Provider())
+    assert src._bearer() == "tok-None"
+    assert src._refresh_aware() is True
+
+
+def test_signatureless_provider_internal_typeerror_not_masked():
+    """The probe only retries zero-arg when the call FAILED TO BIND; a
+    TypeError raised inside the provider body propagates."""
+
+    class Provider(_NoSignature):
+        calls = 0
+
+        def __call__(self, refresh):
+            self.calls += 1
+            raise TypeError("boom inside nosig provider")
+
+    provider = Provider()
+    src = _nosig_source(provider)
+    with pytest.raises(TypeError, match="boom inside nosig provider"):
+        src._bearer()
+    assert provider.calls == 1
