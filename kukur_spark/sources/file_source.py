@@ -133,6 +133,13 @@ class FileSourceOptions:
     file_extension: Optional[str] = None
     encoding: Optional[str] = None  # e.g. "cp1252"; BOM handled by UTF-8 default
     metadata_path: Optional[str] = None
+    # TTL for the per-search analyzed-plan cache (seconds; 0 disables).
+    # Rebuilding the search plan costs ~1 s of driver-side analysis +
+    # codegen per call, dwarfing the ~0.1 s execution for small-result
+    # federated calls (SURVEY.md §7 risk 6).  The cached DataFrame is
+    # lazy — file CONTENTS are re-read on every execution; only the
+    # file listing + schema snapshot ages, bounded by this TTL.
+    search_cache_seconds: float = 30.0
     metadata_field_column: Optional[str] = None
     # whitelist of metadata fields this source returns (reference
     # kukur/source/csv/csv.py:68-70: ``metadata_fields`` or ``fields``);
@@ -217,6 +224,9 @@ class FileSourceOptions:
                 int(config["version"]) if "version" in config else None
             ),
             delta_timestamp=config.get("timestamp"),
+            search_cache_seconds=float(
+                config.get("search_cache_seconds", 30.0)
+            ),
         )
 
 
@@ -227,6 +237,9 @@ class FileSource:
         self.spark = spark
         self.name = name
         self.options = options
+        # (search key) -> (monotonic stamp, analyzed DataFrame); see
+        # FileSourceOptions.search_cache_seconds
+        self._search_plan_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # raw reads
@@ -527,6 +540,33 @@ class FileSource:
     # 4-verb API
     # ------------------------------------------------------------------
     def search_df(self, search: SeriesSearch) -> DataFrame:
+        """TTL-cached wrapper over :meth:`_search_df_uncached`.
+
+        The federated hot path is many small repeated verb calls
+        (reference kukur/flight.py:95-101); driver-side plan analysis +
+        codegen dominates execution ~10:1 there, so the analyzed plan is
+        reused per (tags, field) for ``search_cache_seconds``.  The plan
+        stays lazy — every execution re-reads file contents; only the
+        file-listing snapshot ages within the TTL.
+        """
+        import time as _time
+
+        ttl = self.options.search_cache_seconds
+        if ttl <= 0:
+            return self._search_df_uncached(search)
+        key = (
+            tuple(sorted((search.tags or {}).items())),
+            search.field,
+        )
+        hit = self._search_plan_cache.get(key)
+        now = _time.monotonic()
+        if hit is not None and now - hit[0] < ttl:
+            return hit[1]
+        df = self._search_df_uncached(search)
+        self._search_plan_cache[key] = (now, df)
+        return df
+
+    def _search_df_uncached(self, search: SeriesSearch) -> DataFrame:
         """Distributed series discovery: one row per series (tags + field).
 
         SURVEY.md §3.2 frames search as a metadata DataFrame; this is the

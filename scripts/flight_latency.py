@@ -1,0 +1,133 @@
+"""Measure small-result federated latency through the Flight surface.
+
+SURVEY.md §7 risk 6: the reference's hot path is many tiny
+``get_data`` calls over Flight (reference ``kukur/flight.py:95-101``),
+but the bench only measures sf0.1 analytics — this script puts a
+number on the per-call verb latency a federated user actually feels.
+
+It materializes a row-format parquet source from the sf0.001 events
+table (~200 series), serves it through ``kukur_spark.flight.serve`` on
+a real gRPC socket, then times ~100 client calls per verb (after a
+warm-up pass) and prints one JSON line with p50/p95 per verb:
+
+    python scripts/flight_latency.py [--calls 100] [--sf-dir DIR]
+
+Results are recorded in PERFORMANCE.md; tests/test_flight.py carries a
+generous latency smoke so a regression (e.g. the reader cache no
+longer engaging through the Flight path) is visible in CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fixture(sf_dir: str, out_dir: str) -> str:
+    """Row-format parquet with ~200 series derived from events."""
+    import duckdb
+
+    path = os.path.join(out_dir, "series.parquet")
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT event_type || '-' || CAST(user_id % 50 AS VARCHAR)
+                   AS "series name",
+                 ts, value
+          FROM read_parquet('{sf_dir}/events.parquet')
+          ORDER BY 1, ts
+        ) TO '{path}' (FORMAT PARQUET)
+        """
+    )
+    return path
+
+
+def _percentiles(samples: list[float]) -> dict[str, float]:
+    qs = statistics.quantiles(samples, n=20, method="inclusive")
+    return {
+        "p50_ms": round(statistics.median(samples) * 1000, 1),
+        "p95_ms": round(qs[18] * 1000, 1),
+        "max_ms": round(max(samples) * 1000, 1),
+        "n": len(samples),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--calls", type=int, default=100)
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    parser.add_argument("--port", type=int, default=18090)
+    args = parser.parse_args()
+
+    from kukur_spark.app import Engine
+    from kukur_spark.base import SeriesSearch, SeriesSelector
+    from kukur_spark.flight import FlightClient, serve
+    from kukur_spark.session import get_spark
+
+    spark = get_spark()
+    tmp = tempfile.mkdtemp(prefix="flight_lat_")
+    data = _fixture(args.sf_dir, tmp)
+    engine = Engine(
+        {
+            "source": {
+                "fed": {
+                    "type": "parquet",
+                    "format": "row",
+                    "path": data,
+                }
+            }
+        },
+        spark,
+    )
+    server = serve(engine, port=args.port, background=True)
+    client = FlightClient("localhost", args.port)
+
+    # search yields Metadata when the source carries it, else selectors
+    series = [
+        m.series if hasattr(m, "series") else m
+        for m in client.search(SeriesSearch("fed"))
+    ]
+    selector = series[0] if series else SeriesSelector.from_name("fed", "login-0")
+    start = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2030, 1, 1, tzinfo=timezone.utc)
+
+    verbs = {
+        "search": lambda: list(client.search(SeriesSearch("fed"))),
+        "get_metadata": lambda: client.get_metadata(selector),
+        "get_data_1series": lambda: client.get_data(selector, start, end),
+        "get_plot_data": lambda: client.get_plot_data(
+            selector, start, end, interval_count=50
+        ),
+    }
+
+    out: dict = {
+        "metric": "flight_latency",
+        "sf_dir": args.sf_dir,
+        "series_count": len(series),
+        "calls_per_verb": args.calls,
+        "verbs": {},
+    }
+    try:
+        for name, call in verbs.items():
+            call()  # warm-up: plan compile + reader-cache fill
+            samples = []
+            for _ in range(args.calls):
+                t0 = time.perf_counter()
+                call()
+                samples.append(time.perf_counter() - t0)
+            out["verbs"][name] = _percentiles(samples)
+    finally:
+        server.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -300,3 +300,62 @@ def test_stream_window_drops_memory_sink_view(spark, tmp_path_factory):
     assert result.count() == 1  # result survives the view drop
     after = {t.name for t in spark.catalog.listTables()}
     assert not [n for n in after - before if n.startswith("stream_win_")]
+
+
+def test_search_plan_cache_hits_and_expires(spark, tmp_path):
+    """Federated latency (SURVEY.md §7 risk 6): repeated searches reuse
+    the analyzed plan within the TTL (driver-side analysis dominates
+    execution ~10:1 for small results), and a TTL of 0 disables it."""
+    from kukur_spark.base import SeriesSearch
+    from kukur_spark.sources.file_source import FileSource, FileSourceOptions
+
+    (tmp_path / "d.csv").write_text("s1,2020-01-01T00:00:00Z,1\n")
+    src = FileSource(
+        spark,
+        "c",
+        FileSourceOptions(path=str(tmp_path / "d.csv")),
+    )
+    first = src.search_df(SeriesSearch("c"))
+    assert src.search_df(SeriesSearch("c")) is first  # cache hit
+    # a different tag filter is a different plan
+    other = src.search_df(SeriesSearch("c", {"series name": "s1"}))
+    assert other is not first
+    # expiry: age the entry past the TTL
+    key, (stamp, df) = next(iter(src._search_plan_cache.items()))
+    src._search_plan_cache[key] = (stamp - 10_000.0, df)
+    assert src.search_df(SeriesSearch("c")) is not first
+
+    uncached = FileSource(
+        spark,
+        "u",
+        FileSourceOptions(
+            path=str(tmp_path / "d.csv"), search_cache_seconds=0.0
+        ),
+    )
+    a = uncached.search_df(SeriesSearch("u"))
+    assert uncached.search_df(SeriesSearch("u")) is not a
+
+
+def test_flight_small_result_latency_smoke(flight_client):
+    """Regression tripwire for the federated hot path: warm p50 for the
+    small-result verbs must stay well under a second (measured ~0.1 s
+    for search, ~0.2 s for a 1-series get_data on this box — see
+    PERFORMANCE.md round 10; threshold is deliberately generous)."""
+    import statistics
+    import time
+
+    start = datetime(2019, 1, 1, tzinfo=timezone.utc)
+    verbs = {
+        "search": lambda: list(flight_client.search(SeriesSearch("demo"))),
+        "get_data": lambda: flight_client.get_data(
+            SeriesSelector.from_name("demo", "s1"), start, END
+        ),
+    }
+    for name, call in verbs.items():
+        call()  # warm-up
+        samples = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            call()
+            samples.append(time.perf_counter() - t0)
+        assert statistics.median(samples) < 1.0, (name, samples)
