@@ -86,3 +86,70 @@ def test_twin_pairs_cover_every_rows_only_entry():
 
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == sorted(fast for fast, _ in TWINS)
+
+
+# ---------------------------------------------------------------------------
+# Value envelope for the quality-classifier fast path (VERDICT r9 #5):
+# plan-shape parity above proves data movement, this proves the VALUES.
+# xxhash64 legitimately assigns different buckets than md5, so per-doc
+# scores differ — but everything hash-independent must agree exactly,
+# and everything hash-dependent must stay inside the model's envelope.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from kukur_spark.workloads_r12 import _QC_WEIGHTS, quality_score  # noqa: E402
+
+_WORDS = st.text(
+    alphabet="abcdeXYZ0129 |'\",.é", min_size=0, max_size=12
+)
+
+
+@given(corpus=st.lists(_WORDS, min_size=1, max_size=8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quality_fast_twin_value_envelope(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, text) for i, text in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    cols = ["doc_id", "n_feats", "score_e6", "label"]
+    exact = {
+        r["doc_id"]: r
+        for r in quality_score(docs, hash_fn="md5").select(cols).collect()
+    }
+    fast = {
+        r["doc_id"]: r
+        for r in quality_score(docs, hash_fn="xxhash64").select(cols).collect()
+    }
+    assert exact.keys() == fast.keys() == set(range(len(corpus)))
+    w_min, w_max = min(_QC_WEIGHTS), max(_QC_WEIGHTS)
+    for doc_id, e in exact.items():
+        f = fast[doc_id]
+        # n_feats counts grams — hash-independent, must agree exactly
+        assert f["n_feats"] == e["n_feats"] and f["n_feats"] >= 1
+        for row in (e, f):
+            score = row["score_e6"]
+            # the score is an exact mean of bucket weights in micro
+            # units: it can never leave the weight range
+            assert w_min * 1_000_000 <= score <= w_max * 1_000_000
+            assert row["label"] == ("keep" if score >= 0 else "drop")
+
+
+def test_quality_fast_twin_deterministic(spark):
+    """The fast path is a pure function of the text — two runs over the
+    same frame agree bit-for-bit (xxhash64 is seeded, not salted)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    first = quality_score(docs, hash_fn="xxhash64").select(
+        "doc_id", "n_feats", "score_e6", "label"
+    ).collect()
+    second = quality_score(docs, hash_fn="xxhash64").select(
+        "doc_id", "n_feats", "score_e6", "label"
+    ).collect()
+    assert first == second
