@@ -1,0 +1,182 @@
+"""Probe the streaming twins at scale (VERDICT r9 #4).
+
+The batch operators carry 100x/1000x probes (PERFORMANCE.md rounds
+4-9); the streaming DQ/fold twins had correctness property tests but
+no recorded micro-batch throughput or state-size numbers.  This
+replays the 100x events table (sf0.1, 100k rows — 100x the sf0.001
+correctness fixtures) as a file stream in N micro-batches through
+
+- ``streaming_exp_smooth``      (applyInPandasWithState fold/key)
+- ``streaming_counter_delta``   (applyInPandasWithState fold/key)
+- ``streaming_expectations_report`` (watermarked windowed aggregate)
+- ``streaming_expectations_gate``   (stateless map-side projection)
+
+and reports wall time, rows/s, output rows, and the state-store size
+(``numRowsTotal`` summed over the query's state operators from
+StreamingQueryProgress — the engine's own accounting, not an
+estimate).  State per key family should track #distinct series (the
+folds keep 2-3 longs per key) and #open windows (the report), NOT the
+row count — that is the claim that makes these twins viable at 100 TB
+ingest, and the number this probe pins.
+
+    python scripts/streaming_probe.py [--batches 20] [--series-mod 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_batches(sf_dir: str, out_dir: str, n_batches: int, mod: int) -> int:
+    """Time-sorted (series, ts, value) batches with ascending mtimes —
+    the file stream's trigger order, matching in-order arrival."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE TABLE replay AS
+        SELECT event_type || '-' || CAST(user_id % {mod} AS VARCHAR)
+                 AS series,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               ntile({n_batches}) OVER (ORDER BY ts) AS batch
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    )
+    total = con.sql("SELECT COUNT(*) FROM replay").fetchone()[0]
+    for b in range(1, n_batches + 1):
+        path = os.path.join(out_dir, f"batch_{b:04d}.parquet")
+        con.execute(
+            f"""
+            COPY (SELECT series, ts, value FROM replay
+                  WHERE batch = {b} ORDER BY ts)
+            TO '{path}' (FORMAT PARQUET)
+            """
+        )
+        os.utime(path, (1_600_000_000 + b, 1_600_000_000 + b))
+    return total
+
+
+def _run(spark, src: str, build, mode: str) -> dict:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = build(stream)
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    query = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        wall = time.perf_counter() - t0
+        state_rows = 0
+        batches = 0
+        input_rows = 0
+        for progress in query.recentProgress:
+            batches += 1
+            input_rows += int(progress.get("numInputRows", 0) or 0)
+            ops = progress.get("stateOperators") or []
+            if ops:
+                # last progress wins: numRowsTotal is a point-in-time
+                # total, not a delta
+                state_rows = sum(
+                    int(op.get("numRowsTotal", 0) or 0) for op in ops
+                )
+    finally:
+        query.stop()
+    out_rows = spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
+    spark.catalog.dropTempView(name)
+    return {
+        "wall_s": round(wall, 2),
+        "rows_per_s": int(input_rows / wall) if wall > 0 else None,
+        "input_rows": input_rows,
+        "micro_batches": batches,
+        "output_rows": out_rows,
+        "state_rows": state_rows,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", type=int, default=20)
+    parser.add_argument("--series-mod", type=int, default=200)
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = parser.parse_args()
+
+    from kukur_spark.operators import validate as V
+    from kukur_spark.session import get_spark
+    from kukur_spark.streaming import (
+        streaming_counter_delta,
+        streaming_exp_smooth,
+        streaming_expectations_gate,
+        streaming_expectations_report,
+    )
+
+    spark = get_spark()
+    src = tempfile.mkdtemp(prefix="stream_probe_")
+    try:
+        total = _write_batches(
+            args.sf_dir, src, args.batches, args.series_mod
+        )
+        rules = [
+            ("value_not_null", V.not_null("value")),
+            ("value_non_negative", V.non_negative("value")),
+            ("series_not_null", V.not_null("series")),
+        ]
+        probes = {
+            "exp_smooth_fold": (streaming_exp_smooth, "update"),
+            "counter_delta_fold": (streaming_counter_delta, "append"),
+            "expectations_report": (
+                lambda df: streaming_expectations_report(
+                    df, rules, ts_column="ts", window="1 hour",
+                    watermark="2 hours",
+                ),
+                "append",
+            ),
+            "expectations_gate": (
+                lambda df: streaming_expectations_gate(df, rules),
+                "append",
+            ),
+        }
+        out = {
+            "metric": "streaming_probe",
+            "sf_dir": args.sf_dir,
+            "total_rows": total,
+            "batches": args.batches,
+            "series_mod": args.series_mod,
+            "probes": {},
+        }
+        for name, (build, mode) in probes.items():
+            out["probes"][name] = _run(spark, src, build, mode)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
