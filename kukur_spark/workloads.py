@@ -1961,11 +1961,13 @@ from kukur_spark.workloads_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 
 from kukur_spark.workloads_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
 from kukur_spark.workloads_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
+from kukur_spark.workloads_r15 import R15_ORACLES, R15_QUERIES  # noqa: E402
 
 QUERIES.update(R11_QUERIES)
 QUERIES.update(R12_QUERIES)
 QUERIES.update(R13_QUERIES)
 QUERIES.update(R14_QUERIES)
+QUERIES.update(R15_QUERIES)
 # registry tail: production fast paths whose hash (xxhash64) is not
 # SQL-expressible — each has an oracle-paired md5 twin above running the
 # identical plan; keeping them last keeps the driver's 50-entry
@@ -2047,6 +2049,7 @@ ORACLES: Dict[str, str] = {
     **R12_ORACLES,
     **R13_ORACLES,
     **R14_ORACLES,
+    **R15_ORACLES,
 }
 
 

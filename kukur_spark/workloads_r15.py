@@ -1,0 +1,263 @@
+"""Round-10 additions: corpus-quality rule filtering and SPC control
+charts.
+
+- ``docs_gopher_rules`` — the Gopher / RefinedWeb repetition-free
+  document quality gate (Rae et al. 2021 §A1.1; Penedo et al. 2023):
+  per-document word count, mean word length, stop-word fraction and
+  digit fraction, each tested against the published-style thresholds,
+  plus the conjunctive keep flag.  Every metric is exact integer
+  arithmetic (e2/ppm scales) so the DuckDB oracle matches
+  bit-for-bit.  Plan shape: pure map-side projections over one
+  pruned (doc_id, text) scan + the deterministic output sort — no
+  data shuffle at all, the ideal 100 TB filter stage.
+
+- ``ts_spc_rules`` — Western Electric control-chart rules over each
+  event series (the reference is an industrial time-series gateway;
+  SPC rule evaluation is the canonical quality check on such data):
+  rule 1 (point beyond 3 sigma), rule 2 (2 of 3 consecutive beyond
+  2 sigma, same side), rule 3 (4 of 5 consecutive beyond 1 sigma,
+  same side), rule 4 (8 consecutive on one side of the mean).  Mean
+  and sigma derive from decimal-bridged integer sums (the
+  ``ts_zscore_outliers`` recipe — bit-identical doubles in both
+  engines), zone membership is an integer flag, and the rule windows
+  are rolling integer sums — so the report is exact cross-engine.
+  Plan shape: one per-series aggregate broadcast back, then ONE
+  series-keyed sort-window carrying all four rolling sums; no
+  second exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kukur_spark.io import load_table
+
+R15_QUERIES: dict = {}
+R15_ORACLES: dict = {}
+
+_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "on", "that", "for"
+)
+
+
+def docs_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = (
+        docs.withColumn("__toks", F.split(F.col("text"), " "))
+        .withColumn("n_words", F.size("__toks").cast("long"))
+        # single-spaced text: word characters = chars minus separators
+        .withColumn(
+            "__sum_wlen",
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long"),
+        )
+        .withColumn(
+            "mean_wlen_e2", F.expr("__sum_wlen * 100L div n_words")
+        )
+        .withColumn(
+            "stop_ppm",
+            F.expr(
+                f"size(filter(__toks, t -> t IN ({stop_list})))"
+                " * 1000000L div n_words"
+            ),
+        )
+        .withColumn(
+            "digit_ppm",
+            F.expr(
+                "(length(text) - length(regexp_replace(text, '[0-9]', '')))"
+                " * 1000000L div greatest(length(text), 1L)"
+            ),
+        )
+    )
+    flags = (
+        base.withColumn(
+            "f_wordcount",
+            F.col("n_words").between(10, 100000).cast("int"),
+        )
+        .withColumn(
+            "f_wordlen",
+            F.col("mean_wlen_e2").between(300, 800).cast("int"),
+        )
+        .withColumn("f_stop", (F.col("stop_ppm") >= 20000).cast("int"))
+        .withColumn("f_digit", (F.col("digit_ppm") <= 200000).cast("int"))
+    )
+    return flags.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_e2",
+        "stop_ppm",
+        "digit_ppm",
+        "f_wordcount",
+        "f_wordlen",
+        "f_stop",
+        "f_digit",
+        (
+            F.col("f_wordcount")
+            * F.col("f_wordlen")
+            * F.col("f_stop")
+            * F.col("f_digit")
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+metrics AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) * 100
+      // CAST(len(t) AS BIGINT) AS mean_wlen_e2,
+    CAST(len(list_filter(t, x ->
+      list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], x)))
+      AS BIGINT) * 1000000 // CAST(len(t) AS BIGINT) AS stop_ppm,
+    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      AS BIGINT) * 1000000
+      // GREATEST(CAST(length(text) AS BIGINT), 1) AS digit_ppm
+  FROM base
+),
+flags AS (
+  SELECT doc_id, n_words, mean_wlen_e2, stop_ppm, digit_ppm,
+    CAST(n_words BETWEEN 10 AND 100000 AS INTEGER) AS f_wordcount,
+    CAST(mean_wlen_e2 BETWEEN 300 AND 800 AS INTEGER) AS f_wordlen,
+    CAST(stop_ppm >= 20000 AS INTEGER) AS f_stop,
+    CAST(digit_ppm <= 200000 AS INTEGER) AS f_digit
+  FROM metrics
+)
+SELECT doc_id, n_words, mean_wlen_e2, stop_ppm, digit_ppm,
+  f_wordcount, f_wordlen, f_stop, f_digit,
+  f_wordcount * f_wordlen * f_stop * f_digit AS keep
+FROM flags ORDER BY doc_id
+"""
+
+R15_QUERIES["docs_gopher_rules"] = docs_gopher_rules
+R15_ORACLES["docs_gopher_rules"] = GOPHER_RULES_SQL
+
+
+def ts_spc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    stats = events.groupBy("event_type").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.floor(
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,10)")
+            )
+            * 1_000_000
+        ).cast("long").alias("sumsq_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    enriched = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        (F.col("sum_e6").cast("double") / 1e6 / F.col("n")).alias("mean"),
+        "sumsq_e6",
+        "n",
+    )
+    sigma = F.sqrt(
+        F.col("sumsq_e6").cast("double") / 1e6 / F.col("n")
+        - F.col("mean") * F.col("mean")
+    )
+    dev = F.col("value") - F.col("mean")
+    zoned = enriched.select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        "value",
+        (dev > 3 * sigma).cast("int").alias("up3"),
+        (-dev > 3 * sigma).cast("int").alias("dn3"),
+        (dev > 2 * sigma).cast("int").alias("up2"),
+        (-dev > 2 * sigma).cast("int").alias("dn2"),
+        (dev > sigma).cast("int").alias("up1"),
+        (-dev > sigma).cast("int").alias("dn1"),
+        (dev > 0).cast("int").alias("side_up"),
+        (dev < 0).cast("int").alias("side_dn"),
+    )
+
+    def roll(col: str, span: int):
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(-(span - 1), 0)
+        )
+        return F.sum(F.col(col)).over(w)
+
+    ruled = zoned.select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        "value",
+        (F.col("up3") + F.col("dn3") > 0).cast("int").alias("r1"),
+        ((roll("up2", 3) >= 2) | (roll("dn2", 3) >= 2))
+        .cast("int")
+        .alias("r2"),
+        ((roll("up1", 5) >= 4) | (roll("dn1", 5) >= 4))
+        .cast("int")
+        .alias("r3"),
+        ((roll("side_up", 8) >= 8) | (roll("side_dn", 8) >= 8))
+        .cast("int")
+        .alias("r4"),
+    )
+    return ruled.filter(
+        F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0
+    ).orderBy("event_type", "ts_us", "event_id")
+
+
+SPC_RULES_SQL = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000)
+      AS BIGINT) AS sumsq_e6,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+enriched AS (
+  SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id, e.value,
+    CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n AS mean,
+    sqrt(CAST(s.sumsq_e6 AS DOUBLE) / 1e6 / s.n
+      - (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n)
+        * (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n)) AS sigma
+  FROM events e JOIN stats s USING (event_type)
+),
+zoned AS (
+  SELECT event_type, ts_us, event_id, value,
+    CAST(value - mean > 3 * sigma AS INTEGER) AS up3,
+    CAST(mean - value > 3 * sigma AS INTEGER) AS dn3,
+    CAST(value - mean > 2 * sigma AS INTEGER) AS up2,
+    CAST(mean - value > 2 * sigma AS INTEGER) AS dn2,
+    CAST(value - mean > sigma AS INTEGER) AS up1,
+    CAST(mean - value > sigma AS INTEGER) AS dn1,
+    CAST(value - mean > 0 AS INTEGER) AS side_up,
+    CAST(value - mean < 0 AS INTEGER) AS side_dn
+  FROM enriched
+),
+ruled AS (
+  SELECT event_type, ts_us, event_id, value,
+    CAST(up3 + dn3 > 0 AS INTEGER) AS r1,
+    CAST(SUM(up2) OVER w3 >= 2 OR SUM(dn2) OVER w3 >= 2 AS INTEGER) AS r2,
+    CAST(SUM(up1) OVER w5 >= 4 OR SUM(dn1) OVER w5 >= 4 AS INTEGER) AS r3,
+    CAST(SUM(side_up) OVER w8 >= 8 OR SUM(side_dn) OVER w8 >= 8
+      AS INTEGER) AS r4
+  FROM zoned
+  WINDOW
+    w3 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    w5 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w8 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, ts_us, event_id, value, r1, r2, r3, r4
+FROM ruled WHERE r1 + r2 + r3 + r4 > 0
+ORDER BY event_type, ts_us, event_id
+"""
+
+R15_QUERIES["ts_spc_rules"] = ts_spc_rules
+R15_ORACLES["ts_spc_rules"] = SPC_RULES_SQL

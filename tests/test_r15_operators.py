@@ -1,0 +1,196 @@
+"""Round-10 operators: Gopher quality rules + Western Electric SPC.
+
+Each is pinned against an independent Python re-computation on the same
+parquet (a third implementation sharing no code with the Spark plan or
+the DuckDB oracle), plus a synthetic series proving each SPC rule
+actually fires where the textbook says it should."""
+
+import math
+from datetime import datetime, timezone
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kukur_spark.workloads_r15 import docs_gopher_rules, ts_spc_rules
+
+SF = "/root/testdata/sf0.001"
+
+_STOPWORDS = {"the", "and", "of", "to", "a", "in", "is", "on", "that", "for"}
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    table = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return sorted(table.to_pylist(), key=lambda r: r["doc_id"])
+
+
+def _gopher_model(doc_id, text):
+    toks = text.split(" ")
+    n_words = len(toks)
+    sum_wlen = len(text.replace(" ", ""))
+    mean_wlen_e2 = sum_wlen * 100 // n_words
+    stop_ppm = sum(1 for t in toks if t in _STOPWORDS) * 1_000_000 // n_words
+    digits = sum(1 for c in text if c.isdigit() and c.isascii())
+    digit_ppm = digits * 1_000_000 // max(len(text), 1)
+    f_wordcount = int(10 <= n_words <= 100000)
+    f_wordlen = int(300 <= mean_wlen_e2 <= 800)
+    f_stop = int(stop_ppm >= 20000)
+    f_digit = int(digit_ppm <= 200000)
+    return (
+        doc_id,
+        n_words,
+        mean_wlen_e2,
+        stop_ppm,
+        digit_ppm,
+        f_wordcount,
+        f_wordlen,
+        f_stop,
+        f_digit,
+        f_wordcount * f_wordlen * f_stop * f_digit,
+    )
+
+
+def test_gopher_rules_match_python_model(spark, docs_rows):
+    got = [tuple(r) for r in docs_gopher_rules(spark, SF).collect()]
+    want = [_gopher_model(r["doc_id"], r["text"]) for r in docs_rows]
+    assert got == want
+    # the gate must actually discriminate on this corpus
+    keeps = {row[-1] for row in got}
+    assert keeps == {0, 1}
+
+
+def test_gopher_rules_plan_is_map_side_only(spark):
+    """A 100 TB filter stage must not shuffle data: the only Exchange is
+    the deterministic output sort, and the scan reads just (doc_id,
+    text)."""
+    plan = (
+        docs_gopher_rules(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1  # rangepartitioning for the sort
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def _spc_model(rows):
+    """Pure-Python Western Electric replay, bit-identical float recipe."""
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    out = []
+    q = Decimal("1e-10")
+    for series, items in by_series.items():
+        items.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        sum_e6 = int(
+            (
+                sum(Decimal(r["value"]).quantize(q, ROUND_HALF_UP) for r in items)
+                * 1_000_000
+            ).to_integral_value(rounding="ROUND_FLOOR")
+        )
+        sumsq_e6 = int(
+            (
+                sum(
+                    Decimal(r["value"] * r["value"]).quantize(q, ROUND_HALF_UP)
+                    for r in items
+                )
+                * 1_000_000
+            ).to_integral_value(rounding="ROUND_FLOOR")
+        )
+        n = len(items)
+        mean = float(sum_e6) / 1e6 / n
+        sigma = math.sqrt(float(sumsq_e6) / 1e6 / n - mean * mean)
+        flags = []
+        for r in items:
+            d = r["value"] - mean
+            flags.append(
+                {
+                    "up3": int(d > 3 * sigma),
+                    "dn3": int(-d > 3 * sigma),
+                    "up2": int(d > 2 * sigma),
+                    "dn2": int(-d > 2 * sigma),
+                    "up1": int(d > sigma),
+                    "dn1": int(-d > sigma),
+                    "su": int(d > 0),
+                    "sd": int(d < 0),
+                }
+            )
+
+        def roll(i, key, span):
+            return sum(f[key] for f in flags[max(0, i - span + 1): i + 1])
+
+        for i, r in enumerate(items):
+            r1 = int(flags[i]["up3"] + flags[i]["dn3"] > 0)
+            r2 = int(roll(i, "up2", 3) >= 2 or roll(i, "dn2", 3) >= 2)
+            r3 = int(roll(i, "up1", 5) >= 4 or roll(i, "dn1", 5) >= 4)
+            r4 = int(roll(i, "su", 8) >= 8 or roll(i, "sd", 8) >= 8)
+            if r1 + r2 + r3 + r4 > 0:
+                out.append(
+                    (series, r["ts_us"], r["event_id"], r["value"], r1, r2, r3, r4)
+                )
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return out
+
+
+def test_spc_rules_match_python_model(spark):
+    got = [tuple(r) for r in ts_spc_rules(spark, SF).collect()]
+    table = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "ts", "event_id", "value"]
+    )
+    rows = table.to_pylist()
+    for r in rows:
+        ts = r.pop("ts")
+        # events.parquet stores TIMESTAMP(NANOS); pyarrow may surface it
+        # as ns-int or datetime depending on version
+        if isinstance(ts, int):
+            r["ts_us"] = ts // 1000
+        else:
+            r["ts_us"] = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+    want = _spc_model(rows)
+    assert len(got) > 0
+    assert got == want
+
+
+def _write_events(tmp_path, rows):
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_spc_rules_fire_on_textbook_series(spark, tmp_path):
+    """One series crafted so each rule fires exactly where the Western
+    Electric definitions say: a lone 3-sigma spike (rule 1), and a run
+    of 8 points on one side of the mean (rule 4)."""
+
+    def ts(minute):
+        return datetime(2020, 1, 1, 0, minute)
+
+    # a long flat-ish baseline below one big spike: the spike drags the
+    # mean up, so every baseline point sits on one side (rule 4 from the
+    # 8th onward), and with 30 baseline points the spike's deviation
+    # clears 3 sigma (a single outlier in a SHORT series never can —
+    # it inflates sigma as fast as its own deviation)
+    rows = [
+        {"event_id": i, "ts": ts(i), "event_type": "m", "value": 10.0 + (i % 2)}
+        for i in range(30)
+    ] + [{"event_id": 30, "ts": ts(30), "event_type": "m", "value": 100.0}]
+    sf = _write_events(tmp_path, rows)
+    got = {r["event_id"]: r for r in ts_spc_rules(spark, sf).collect()}
+    assert 6 not in got  # only 7 consecutive same-side points so far
+    assert got[7]["r4"] == 1  # 8th consecutive below-mean point
+    assert got[30]["r1"] == 1  # the spike is beyond 3 sigma
+    assert got[30]["r2"] == got[30]["r3"] == 0  # needs ≥2 flagged points
