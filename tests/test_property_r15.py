@@ -1,0 +1,111 @@
+"""Randomized differentials for the round-10 operators.
+
+Seeded-batch style (see ``test_property_r13.py``): one adversarial
+random corpus / event table materializes as a single parquet file and
+ONE Spark run per property, each row compared against the pure-Python
+models from ``test_r15_operators`` — a third implementation sharing no
+code with the Spark plan or the DuckDB oracle.  The fixed-corpus parity
+tests pin the real testdata; these sweep the edges the testdata never
+hits (empty text, all-stopword docs, digit walls, exact-threshold
+ratios, short/spiky/one-sided series).
+"""
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kukur_spark.workloads_r15 import docs_gopher_rules, ts_spc_rules
+from tests.test_r15_operators import _gopher_model, _spc_model
+
+SEED = 20260816
+_STOP = ["the", "and", "of", "to", "a", "in", "is", "on", "that", "for"]
+_WORDS = ["alpha", "bb", "ccc", "dddd", "eeeeeeee", "x", "12", "987",
+          "longwordlongword", "mid3dle"]
+
+
+def _random_doc(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        return ""  # split(" ") -> [""] on both engines
+    if kind == 1:  # all stopwords
+        return " ".join(rng.choice(_STOP) for _ in range(rng.randint(1, 30)))
+    if kind == 2:  # digit wall
+        return " ".join(str(rng.randint(0, 10**6))
+                        for _ in range(rng.randint(1, 20)))
+    if kind == 3:  # exact-threshold shapes: 1 stopword in 50 = 20000 ppm
+        body = [rng.choice(_WORDS) for _ in range(49)]
+        return " ".join([rng.choice(_STOP)] + body)
+    if kind == 4:  # consecutive spaces -> empty tokens
+        n = rng.randint(2, 15)
+        return "  ".join(rng.choice(_WORDS + _STOP) for _ in range(n))
+    pool = _WORDS + _STOP
+    return " ".join(rng.choice(pool) for _ in range(rng.randint(1, 120)))
+
+
+def test_gopher_rules_random_differential(spark, tmp_path):
+    rng = random.Random(SEED)
+    docs = [{"doc_id": i, "text": _random_doc(rng)} for i in range(300)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(docs), str(sf / "documents.parquet"))
+    got = [tuple(r) for r in docs_gopher_rules(spark, str(sf)).collect()]
+    want = [_gopher_model(d["doc_id"], d["text"]) for d in docs]
+    assert got == want
+
+
+def test_spc_rules_random_differential(spark, tmp_path):
+    rng = random.Random(SEED + 1)
+    rows = []
+    event_id = 0
+    for s in range(40):
+        series = f"s{s:02d}"
+        n = rng.randint(9, 60)
+        level = rng.uniform(-50.0, 50.0)
+        shape = rng.randrange(4)
+        for i in range(n):
+            v = level + rng.uniform(-5.0, 5.0)
+            if shape == 1 and rng.random() < 0.1:
+                v += rng.choice([-1, 1]) * rng.uniform(20.0, 60.0)  # spikes
+            elif shape == 2:
+                v += i * 0.8  # drift: long one-sided runs vs the mean
+            elif shape == 3 and i >= n // 2:
+                v += 12.0  # level shift: zone-2/3 streaks
+            # 3 decimals keeps the Decimal(1e-10) quantize exact
+            rows.append(
+                {
+                    "event_type": series,
+                    "ts": (1_700_000_000_000_000 + i * 60_000_000) * 1000,
+                    "event_id": event_id,
+                    "value": round(v, 3),
+                }
+            )
+            event_id += 1
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("ns")),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(sf / "events.parquet")
+    )
+    got = [tuple(r) for r in ts_spc_rules(spark, str(sf)).collect()]
+    model_rows = [
+        {
+            "event_type": r["event_type"],
+            "ts_us": r["ts"] // 1000,
+            "event_id": r["event_id"],
+            "value": r["value"],
+        }
+        for r in rows
+    ]
+    want = _spc_model(model_rows)
+    # the sweep must exercise every rule, not just rule 1
+    fired = [sum(w[4 + k] for w in want) for k in range(4)]
+    assert all(f > 0 for f in fired), fired
+    assert got == want
