@@ -136,8 +136,25 @@ R15_QUERIES["docs_gopher_rules"] = docs_gopher_rules
 R15_ORACLES["docs_gopher_rules"] = GOPHER_RULES_SQL
 
 
-def ts_spc_rules(spark: SparkSession, sf: str) -> DataFrame:
+def ts_spc_rules(
+    spark: SparkSession, sf: str, series_buckets: int = 0
+) -> DataFrame:
     events = load_table(spark, sf, "events")
+    if series_buckets:
+        # Scale-probe knob (SCALE_PROBE_EXTRA "ts_spc_rules:series_
+        # buckets=N"): derive N sub-series per event_type so the probe's
+        # replicated table reflects a real historian's series cardinality
+        # (10^5+), not the replicator's fixed 5.  Each derived series
+        # gets its own control limits — the semantically right grouping.
+        # Default 0 leaves the oracle-checked behavior untouched.
+        events = events.withColumn(
+            "event_type",
+            F.concat(
+                F.col("event_type"),
+                F.lit("#"),
+                F.pmod(F.col("event_id"), F.lit(series_buckets)),
+            ),
+        )
     stats = events.groupBy("event_type").agg(
         F.floor(
             F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000

@@ -194,3 +194,25 @@ def test_spc_rules_fire_on_textbook_series(spark, tmp_path):
     assert got[7]["r4"] == 1  # 8th consecutive below-mean point
     assert got[30]["r1"] == 1  # the spike is beyond 3 sigma
     assert got[30]["r2"] == got[30]["r3"] == 0  # needs ≥2 flagged points
+
+
+def test_spc_rules_series_buckets_knob(spark, tmp_path):
+    """The scale-probe knob splits each event_type into event_id-derived
+    sub-series (own control limits each); default 0 is the oracle path."""
+    rows = [
+        {
+            "event_id": i,
+            "ts": datetime(2020, 1, 1, 0, i % 60),
+            "event_type": "m",
+            "value": float(i % 7),
+        }
+        for i in range(40)
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = ts_spc_rules(spark, sf, series_buckets=4)
+    types = {r["event_type"] for r in out.select("event_type").collect()}
+    assert types <= {f"m#{b}" for b in range(4)}
+    # per-series windows see only their own rows: every flagged row's
+    # event_id is congruent to its bucket
+    for r in out.collect():
+        assert r["event_id"] % 4 == int(r["event_type"].split("#")[1])
