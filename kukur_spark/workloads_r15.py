@@ -24,6 +24,13 @@ charts.
   Plan shape: one per-series aggregate broadcast back, then ONE
   series-keyed sort-window carrying all four rolling sums; no
   second exchange.
+
+- ``ts_oee_daily`` — OEE (availability × performance × quality), the
+  canonical industrial-historian KPI, rolled up per series-day:
+  gap-capped run time, rate vs the series' best day, 3-sigma spec
+  conformance.  Integer microsecond/ppm arithmetic throughout (the
+  mean/sigma doubles use the same decimal bridge as ``ts_spc_rules``)
+  so the rollup is exact cross-engine.
 """
 
 from __future__ import annotations
@@ -278,3 +285,181 @@ ORDER BY event_type, ts_us, event_id
 
 R15_QUERIES["ts_spc_rules"] = ts_spc_rules
 R15_ORACLES["ts_spc_rules"] = SPC_RULES_SQL
+
+
+def ts_oee_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """OEE (Overall Equipment Effectiveness) daily rollup per series.
+
+    The canonical industrial-historian KPI (the reference's domain —
+    Timeseer targets exactly these gateways): treating each event
+    series as a machine,
+
+    - **availability** = gap-capped run time / planned day.  Run time
+      is the sum of inter-event gaps capped at 15 min (a gap longer
+      than the cap counts as downtime beyond the cap) plus one cap of
+      lead-in per day, so a single-event day is never 0/0.
+    - **performance** = the day's event rate over run time vs the
+      SERIES' best day — by construction ≤ 1e6 ppm.
+    - **quality** = share of events inside the 3-sigma spec band.
+      Mean/sigma use the decimal-bridged integer sums (the SPC /
+      ts_zscore recipe), so the band membership is bit-identical in
+      Spark and DuckDB.
+
+    Everything else is integer arithmetic on microsecond timestamps
+    and ppm scales — exact cross-engine.  Plan shape at 100 TB: one
+    scan → (series, day)-keyed lag window (fine-grained keys, no fat
+    partitions) → tiny day-level aggregate → two broadcast-sized
+    series-level joins (best rate, spec band) → projection.  No
+    corpus-sized shuffle after the first window exchange.
+    """
+    cap_us = 15 * 60 * 1_000_000
+    day_us = 86_400_000_000
+    events = load_table(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    spec = events.groupBy("event_type").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.floor(
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,10)")
+            )
+            * 1_000_000
+        ).cast("long").alias("sumsq_e6"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    w = Window.partitionBy("event_type", "day_idx").orderBy(
+        "ts_us", "event_id"
+    )
+    gapped = (
+        events.withColumn("day_idx", F.expr(f"ts_us div {day_us}L"))
+        .join(F.broadcast(spec), "event_type")
+        .withColumn(
+            "mean", F.col("sum_e6").cast("double") / 1e6 / F.col("n_all")
+        )
+        .withColumn(
+            "sigma",
+            F.sqrt(
+                F.col("sumsq_e6").cast("double") / 1e6 / F.col("n_all")
+                - F.col("mean") * F.col("mean")
+            ),
+        )
+        .withColumn(
+            "good",
+            (
+                ~(
+                    (F.col("value") - F.col("mean") > 3 * F.col("sigma"))
+                    | (F.col("mean") - F.col("value") > 3 * F.col("sigma"))
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            # least() IGNORES nulls in both engines, so the raw
+            # least(ts - lag, cap) would turn each day's first row into a
+            # full cap and double-count the lead-in — coalesce to 0 first
+            "gap_us",
+            F.least(
+                F.coalesce(
+                    F.col("ts_us") - F.lag("ts_us").over(w), F.lit(0)
+                ),
+                F.lit(cap_us),
+            ),
+        )
+    )
+    days = gapped.groupBy("event_type", "day_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("good").alias("n_good"),
+        (F.coalesce(F.sum("gap_us"), F.lit(0)) + F.lit(cap_us)).alias(
+            "run_us"
+        ),
+    ).withColumn(
+        "rate_e6", F.expr("n * 1000000000000L div run_us")
+    )
+    # best-day rate via a keyed window over the tiny day-level aggregate
+    # (rows = series × days): a groupBy+join here would re-run the whole
+    # scan+window pipeline for the second branch — at 100 TB that is a
+    # second pass over the corpus for a value the agg output already has.
+    best_rate = F.max("rate_e6").over(Window.partitionBy("event_type"))
+    return (
+        days.withColumn("best_rate_e6", best_rate)
+        .select(
+            "event_type",
+            "day_idx",
+            "n",
+            F.expr(f"least(run_us * 1000000L div {day_us}L, 1000000L)")
+            .alias("avail_ppm"),
+            F.expr("rate_e6 * 1000000L div best_rate_e6").alias(
+                "perf_ppm"
+            ),
+            F.expr("n_good * 1000000L div n").alias("qual_ppm"),
+            F.expr(
+                "avail_ppm * perf_ppm div 1000000L * qual_ppm"
+                " div 1000000L"
+            ).alias("oee_ppm"),
+        )
+        .orderBy("event_type", "day_idx")
+    )
+
+
+OEE_DAILY_SQL = """
+WITH spec AS (
+  SELECT event_type,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000)
+      AS BIGINT) AS sumsq_e6,
+    COUNT(*) AS n_all
+  FROM events GROUP BY event_type
+),
+gapped AS (
+  SELECT e.event_type,
+    epoch_us(e.ts) // 86400000000 AS day_idx,
+    CAST(NOT (
+      e.value - CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all
+        > 3 * sqrt(CAST(s.sumsq_e6 AS DOUBLE) / 1e6 / s.n_all
+          - (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all)
+            * (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all))
+      OR CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all - e.value
+        > 3 * sqrt(CAST(s.sumsq_e6 AS DOUBLE) / 1e6 / s.n_all
+          - (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all)
+            * (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n_all))
+    ) AS BIGINT) AS good,
+    LEAST(
+      COALESCE(
+        epoch_us(e.ts) - lag(epoch_us(e.ts)) OVER (
+          PARTITION BY e.event_type, epoch_us(e.ts) // 86400000000
+          ORDER BY epoch_us(e.ts), e.event_id),
+        0),
+      900000000) AS gap_us
+  FROM events e JOIN spec s USING (event_type)
+),
+days AS (
+  SELECT event_type, day_idx, COUNT(*) AS n,
+    CAST(SUM(good) AS BIGINT) AS n_good,
+    CAST(COALESCE(SUM(gap_us), 0) + 900000000 AS BIGINT) AS run_us
+  FROM gapped GROUP BY event_type, day_idx
+),
+rated AS (
+  SELECT *, n * 1000000000000 // run_us AS rate_e6 FROM days
+),
+best AS (
+  SELECT event_type, MAX(rate_e6) AS best_rate_e6
+  FROM rated GROUP BY event_type
+)
+SELECT r.event_type, r.day_idx, r.n,
+  LEAST(r.run_us * 1000000 // 86400000000, 1000000) AS avail_ppm,
+  r.rate_e6 * 1000000 // b.best_rate_e6 AS perf_ppm,
+  r.n_good * 1000000 // r.n AS qual_ppm,
+  CAST(LEAST(r.run_us * 1000000 // 86400000000, 1000000)
+    * (r.rate_e6 * 1000000 // b.best_rate_e6) // 1000000
+    * (r.n_good * 1000000 // r.n) // 1000000 AS BIGINT) AS oee_ppm
+FROM rated r JOIN best b USING (event_type)
+ORDER BY event_type, day_idx
+"""
+
+R15_QUERIES["ts_oee_daily"] = ts_oee_daily
+R15_ORACLES["ts_oee_daily"] = OEE_DAILY_SQL

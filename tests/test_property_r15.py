@@ -109,3 +109,60 @@ def test_spc_rules_random_differential(spark, tmp_path):
     fired = [sum(w[4 + k] for w in want) for k in range(4)]
     assert all(f > 0 for f in fired), fired
     assert got == want
+
+
+def test_oee_daily_random_differential(spark, tmp_path):
+    from kukur_spark.workloads_r15 import ts_oee_daily
+    from tests.test_r15_operators import _oee_model
+
+    rng = random.Random(SEED + 2)
+    rows = []
+    event_id = 0
+    day_us = 86_400_000_000
+    for s in range(25):
+        series = f"m{s:02d}"
+        base = 1_700_000_000_000_000
+        t = base
+        for _ in range(rng.randint(1, 120)):
+            # mixture of dense bursts, capped gaps, exact-cap edges, and
+            # day-boundary jumps
+            step = rng.choice(
+                [rng.randint(1, 10**6), rng.randint(10**6, 900_000_000),
+                 900_000_000, rng.randint(900_000_001, 2 * day_us)]
+            )
+            t += step
+            rows.append(
+                {
+                    "event_type": series,
+                    "ts": t * 1000,
+                    "event_id": event_id,
+                    "value": round(rng.uniform(-50.0, 50.0), 3),
+                }
+            )
+            event_id += 1
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("ns")),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(sf / "events.parquet")
+    )
+    got = [tuple(r) for r in ts_oee_daily(spark, str(sf)).collect()]
+    model_rows = [
+        {
+            "event_type": r["event_type"],
+            "ts_us": r["ts"] // 1000,
+            "event_id": r["event_id"],
+            "value": r["value"],
+        }
+        for r in rows
+    ]
+    want = [(s, d, n, av, pf, ql, oee)
+            for (s, d, n, av, pf, ql, oee) in _oee_model(model_rows)]
+    assert got == want

@@ -216,3 +216,107 @@ def test_spc_rules_series_buckets_knob(spark, tmp_path):
     # event_id is congruent to its bucket
     for r in out.collect():
         assert r["event_id"] % 4 == int(r["event_type"].split("#")[1])
+
+
+def _oee_model(rows):
+    """Pure-Python OEE replay: gap-capped run time, best-day rate,
+    3-sigma spec conformance — integer division throughout."""
+    cap, day_us = 900_000_000, 86_400_000_000
+    q = Decimal("1e-10")
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    out = []
+    for series, items in by_series.items():
+        n_all = len(items)
+        sum_e6 = int(
+            (sum(Decimal(r["value"]).quantize(q, ROUND_HALF_UP) for r in items)
+             * 1_000_000).to_integral_value(rounding="ROUND_FLOOR"))
+        sumsq_e6 = int(
+            (sum(Decimal(r["value"] * r["value"]).quantize(q, ROUND_HALF_UP)
+                 for r in items)
+             * 1_000_000).to_integral_value(rounding="ROUND_FLOOR"))
+        mean = float(sum_e6) / 1e6 / n_all
+        sigma = math.sqrt(float(sumsq_e6) / 1e6 / n_all - mean * mean)
+        by_day = {}
+        for r in items:
+            by_day.setdefault(r["ts_us"] // day_us, []).append(r)
+        days = {}
+        for day, drs in by_day.items():
+            drs.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+            run = cap + sum(
+                min(b["ts_us"] - a["ts_us"], cap)
+                for a, b in zip(drs, drs[1:])
+            )
+            good = sum(
+                1 for r in drs
+                if not (r["value"] - mean > 3 * sigma
+                        or mean - r["value"] > 3 * sigma)
+            )
+            days[day] = (len(drs), good, run, len(drs) * 10**12 // run)
+        best = max(rate for (_, _, _, rate) in days.values())
+        for day, (n, good, run, rate) in sorted(days.items()):
+            avail = min(run * 1_000_000 // day_us, 1_000_000)
+            perf = rate * 1_000_000 // best
+            qual = good * 1_000_000 // n
+            oee = avail * perf // 1_000_000 * qual // 1_000_000
+            out.append((series, day, n, avail, perf, qual, oee))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out
+
+
+def test_oee_daily_match_python_model(spark):
+    from kukur_spark.workloads_r15 import ts_oee_daily
+
+    got = [tuple(r) for r in ts_oee_daily(spark, SF).collect()]
+    table = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "ts", "event_id", "value"]
+    )
+    rows = table.to_pylist()
+    for r in rows:
+        ts = r.pop("ts")
+        if isinstance(ts, int):
+            r["ts_us"] = ts // 1000
+        else:
+            r["ts_us"] = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+    want = _oee_model(rows)
+    assert len(got) > 1
+    assert got == want
+    # sanity on the KPI semantics: every component in [0, 1e6], and each
+    # series' best day carries perf exactly 1e6
+    perf_max = {}
+    for s, d, n, av, pf, ql, oee in got:
+        assert 0 <= av <= 1_000_000 and 0 <= pf <= 1_000_000
+        assert 0 <= ql <= 1_000_000 and 0 <= oee <= 1_000_000
+        perf_max[s] = max(perf_max.get(s, 0), pf)
+    assert set(perf_max.values()) == {1_000_000}
+
+
+def test_oee_daily_gap_drops_availability(spark, tmp_path):
+    """A day that is one dense burst scores low availability; a day with
+    the same events spread across the day scores high."""
+    def ts(hour, minute=0):
+        return datetime(2020, 1, 1, hour, minute)
+
+    rows = (
+        [
+            {"event_id": i, "ts": ts(0, i), "event_type": "burst",
+             "value": 10.0 + i % 3}
+            for i in range(30)
+        ]
+        + [
+            {"event_id": 100 + i, "ts": ts((i * 4) % 24, i % 60),
+             "event_type": "spread", "value": 10.0 + i % 3}
+            for i in range(30)
+        ]
+    )
+    sf = _write_events(tmp_path, rows)
+    from kukur_spark.workloads_r15 import ts_oee_daily
+
+    got = {r["event_type"]: r for r in ts_oee_daily(spark, sf).collect()}
+    # burst: 29 one-minute gaps + 15 min lead-in ≈ 44 min of a 1440-min day
+    assert got["burst"]["avail_ppm"] < 50_000
+    # spread: six 4 h gaps each capped at 15 min — still low absolute, but
+    # the capped-run ordering must hold and quality is full for both
+    assert got["spread"]["avail_ppm"] > got["burst"]["avail_ppm"]
+    assert got["burst"]["qual_ppm"] == got["spread"]["qual_ppm"] == 1_000_000
