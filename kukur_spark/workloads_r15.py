@@ -31,6 +31,12 @@ charts.
   conformance.  Integer microsecond/ppm arithmetic throughout (the
   mean/sigma doubles use the same decimal bridge as ``ts_spc_rules``)
   so the rollup is exact cross-engine.
+
+- ``ts_ewma_control`` — EWMA control chart with steady-state limits,
+  the third classic chart next to Shewhart and CUSUM: flags small
+  persistent shifts the 3-sigma rules miss.  Composes the exact
+  trailing-8 EWMA fold from ``ts_ewma`` with the decimal-bridged
+  control limits.
 """
 
 from __future__ import annotations
@@ -463,3 +469,121 @@ ORDER BY event_type, day_idx
 
 R15_QUERIES["ts_oee_daily"] = ts_oee_daily
 R15_ORACLES["ts_oee_daily"] = OEE_DAILY_SQL
+
+
+def ts_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart (steady-state limits) — the third classic
+    chart next to Shewhart (``ts_spc_rules``) and CUSUM
+    (``ts_cusum_changepoint``): it flags small persistent shifts the
+    3-sigma rules miss.
+
+    z_i is the trailing-8 EWMA fold from ``ts_ewma`` (alpha = 0.3;
+    the bounded window makes the recursion distribute — no
+    cross-partition sequential state — and the identical expression
+    tree runs in DuckDB's list_reduce, so z is bit-exact
+    cross-engine).  Limits are the textbook steady-state form
+    mu +/- L*sigma*sqrt(alpha/(2-alpha)) with L = 3, mean/sigma from
+    the decimal-bridged integer sums.  Plan: one scan -> per-series
+    stats broadcast back -> ONE series-keyed sort-window for the
+    fold -> filter; same shape as the SPC chart.
+    """
+    events = load_table(spark, sf, "events")
+    stats = events.groupBy("event_type").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000
+        ).cast("long").alias("sum_e6"),
+        F.floor(
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,10)")
+            )
+            * 1_000_000
+        ).cast("long").alias("sumsq_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    base = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        (F.col("sum_e6").cast("double") / 1e6 / F.col("n")).alias("mean"),
+        "sumsq_e6",
+        "n",
+    )
+    sigma = F.sqrt(
+        F.col("sumsq_e6").cast("double") / 1e6 / F.col("n")
+        - F.col("mean") * F.col("mean")
+    )
+    xs = F.collect_list("value").over(w)
+    z = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    halfwidth = F.lit(3.0) * sigma * F.sqrt(F.lit(0.3) / F.lit(1.7))
+    return (
+        base.withColumn("z", z)
+        .withColumn(
+            "side",
+            F.when(F.col("z") - F.col("mean") > halfwidth, F.lit(1))
+            .when(F.col("mean") - F.col("z") > halfwidth, F.lit(-1))
+            .otherwise(F.lit(0)),
+        )
+        .filter(F.col("side") != 0)
+        .select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            "value",
+            F.floor(F.col("z") * 1_000_000).cast("long").alias("ewma_e6"),
+            "side",
+        )
+        .orderBy("event_type", "ts_us", "event_id")
+    )
+
+
+EWMA_CONTROL_SQL = """
+WITH stats AS (
+  SELECT event_type,
+    CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+      AS sum_e6,
+    CAST(FLOOR(SUM(CAST(value * value AS DECIMAL(30,10))) * 1000000)
+      AS BIGINT) AS sumsq_e6,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+windowed AS (
+  SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id, e.value,
+    CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n AS mean,
+    sqrt(CAST(s.sumsq_e6 AS DOUBLE) / 1e6 / s.n
+      - (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n)
+        * (CAST(s.sum_e6 AS DOUBLE) / 1e6 / s.n)) AS sigma,
+    list(e.value) OVER (
+      PARTITION BY e.event_type ORDER BY epoch_us(e.ts), e.event_id
+      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+  FROM events e JOIN stats s USING (event_type)
+),
+scored AS (
+  SELECT event_type, ts_us, event_id, value, mean,
+    list_reduce(xs,
+      (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+      AS z,
+    CAST(3.0 AS DOUBLE) * sigma
+      * sqrt(CAST(0.3 AS DOUBLE) / CAST(1.7 AS DOUBLE)) AS halfwidth
+  FROM windowed
+)
+SELECT event_type, ts_us, event_id, value,
+  CAST(FLOOR(z * 1000000) AS BIGINT) AS ewma_e6,
+  CASE WHEN z - mean > halfwidth THEN 1
+       WHEN mean - z > halfwidth THEN -1 ELSE 0 END AS side
+FROM scored
+WHERE z - mean > halfwidth OR mean - z > halfwidth
+ORDER BY event_type, ts_us, event_id
+"""
+
+R15_QUERIES["ts_ewma_control"] = ts_ewma_control
+R15_ORACLES["ts_ewma_control"] = EWMA_CONTROL_SQL

@@ -320,3 +320,90 @@ def test_oee_daily_gap_drops_availability(spark, tmp_path):
     # the capped-run ordering must hold and quality is full for both
     assert got["spread"]["avail_ppm"] > got["burst"]["avail_ppm"]
     assert got["burst"]["qual_ppm"] == got["spread"]["qual_ppm"] == 1_000_000
+
+
+def _ewma_control_model(rows):
+    """Pure-Python EWMA chart replay — trailing-8 fold, steady-state
+    limits, same float operation order as both engines."""
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    q = Decimal("1e-10")
+    out = []
+    for series, items in by_series.items():
+        items.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        n = len(items)
+        sum_e6 = int(
+            (sum(Decimal(r["value"]).quantize(q, ROUND_HALF_UP) for r in items)
+             * 1_000_000).to_integral_value(rounding="ROUND_FLOOR"))
+        sumsq_e6 = int(
+            (sum(Decimal(r["value"] * r["value"]).quantize(q, ROUND_HALF_UP)
+                 for r in items)
+             * 1_000_000).to_integral_value(rounding="ROUND_FLOOR"))
+        mean = float(sum_e6) / 1e6 / n
+        sigma = math.sqrt(float(sumsq_e6) / 1e6 / n - mean * mean)
+        halfwidth = 3.0 * sigma * math.sqrt(0.3 / 1.7)
+        for i, r in enumerate(items):
+            xs = [x["value"] for x in items[max(0, i - 7): i + 1]]
+            z = xs[0]
+            for x in xs[1:]:
+                z = 0.3 * x + 0.7 * z
+            side = 1 if z - mean > halfwidth else (
+                -1 if mean - z > halfwidth else 0)
+            if side:
+                out.append(
+                    (series, r["ts_us"], r["event_id"], r["value"],
+                     math.floor(z * 1_000_000), side)
+                )
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return out
+
+
+def test_ewma_control_match_python_model(spark):
+    from kukur_spark.workloads_r15 import ts_ewma_control
+
+    got = [tuple(r) for r in ts_ewma_control(spark, SF).collect()]
+    table = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "ts", "event_id", "value"]
+    )
+    rows = table.to_pylist()
+    for r in rows:
+        ts = r.pop("ts")
+        if isinstance(ts, int):
+            r["ts_us"] = ts // 1000
+        else:
+            r["ts_us"] = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+    want = _ewma_control_model(rows)
+    assert len(got) > 0
+    assert got == want
+
+
+def test_ewma_control_catches_small_shift_shewhart_misses(spark, tmp_path):
+    """The chart's reason to exist: a persistent ~1.5-sigma level shift
+    never trips Shewhart rule 1, but the EWMA drifts across its tighter
+    steady-state limit."""
+    def ts(minute):
+        return datetime(2020, 1, 1, minute // 60, minute % 60)
+
+    # alternating baseline, then a short sustained ~1.5-sigma shift (kept
+    # short so it doesn't drag the global mean up to meet itself)
+    rows = [
+        {"event_id": i, "ts": ts(i), "event_type": "m",
+         "value": 10.0 + (i % 2)}
+        for i in range(60)
+    ] + [
+        {"event_id": 60 + i, "ts": ts(60 + i), "event_type": "m",
+         "value": 11.8 + (i % 2)}
+        for i in range(12)
+    ]
+    sf = _write_events(tmp_path, rows)
+    from kukur_spark.workloads_r15 import ts_ewma_control, ts_spc_rules
+
+    ewma_hits = {r["event_id"] for r in ts_ewma_control(spark, sf).collect()}
+    shewhart = {r["event_id"]: r for r in ts_spc_rules(spark, sf).collect()}
+    shifted = {60 + i for i in range(12)}
+    assert ewma_hits & shifted
+    # no shifted point individually exceeds 3 sigma
+    assert all(
+        shewhart[e]["r1"] == 0 for e in shifted if e in shewhart
+    )
