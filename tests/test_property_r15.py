@@ -166,3 +166,55 @@ def test_oee_daily_random_differential(spark, tmp_path):
     want = [(s, d, n, av, pf, ql, oee)
             for (s, d, n, av, pf, ql, oee) in _oee_model(model_rows)]
     assert got == want
+
+
+def test_ewma_control_random_differential(spark, tmp_path):
+    from kukur_spark.workloads_r15 import ts_ewma_control
+    from tests.test_r15_operators import _ewma_control_model
+
+    rng = random.Random(SEED + 3)
+    rows = []
+    event_id = 0
+    for s in range(30):
+        series = f"e{s:02d}"
+        n = rng.randint(9, 80)
+        level = rng.uniform(-40.0, 40.0)
+        shift_at = rng.randint(4, max(5, n - 4))
+        shift = rng.choice([0.0, rng.uniform(1.0, 6.0)])
+        for i in range(n):
+            v = level + rng.uniform(-3.0, 3.0) + (shift if i >= shift_at else 0.0)
+            rows.append(
+                {
+                    "event_type": series,
+                    "ts": (1_700_000_000_000_000 + i * 30_000_000) * 1000,
+                    "event_id": event_id,
+                    "value": round(v, 3),
+                }
+            )
+            event_id += 1
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("ns")),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(sf / "events.parquet")
+    )
+    got = [tuple(r) for r in ts_ewma_control(spark, str(sf)).collect()]
+    model_rows = [
+        {
+            "event_type": r["event_type"],
+            "ts_us": r["ts"] // 1000,
+            "event_id": r["event_id"],
+            "value": r["value"],
+        }
+        for r in rows
+    ]
+    want = _ewma_control_model(model_rows)
+    assert len(want) > 0  # the sweep must fire somewhere
+    assert got == want
