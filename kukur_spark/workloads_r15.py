@@ -37,6 +37,11 @@ charts.
   persistent shifts the 3-sigma rules miss.  Composes the exact
   trailing-8 EWMA fold from ``ts_ewma`` with the decimal-bridged
   control limits.
+
+- ``ts_process_capability`` — Cp / Cpk drift per series: spec limits
+  from the baseline half (integer-µs midpoint split), capability
+  measured on the evaluation half.  One conditional aggregate pass
+  after a tiny per-series range broadcast.
 """
 
 from __future__ import annotations
@@ -587,3 +592,145 @@ ORDER BY event_type, ts_us, event_id
 
 R15_QUERIES["ts_ewma_control"] = ts_ewma_control
 R15_ORACLES["ts_ewma_control"] = EWMA_CONTROL_SQL
+
+
+def ts_process_capability(spark: SparkSession, sf: str) -> DataFrame:
+    """Process capability drift (Cp / Cpk) per series — the standard
+    quality-engineering companion to the control charts: spec limits
+    are set from the series' BASELINE half (mean +/- 3 sigma of rows
+    before the integer time midpoint), capability is then measured on
+    the EVALUATION half.  Cp < 1 means the recent spread no longer
+    fits the historical band; Cpk < Cp means it also drifted
+    off-center.
+
+    The half split uses the integer microsecond midpoint
+    (min+max) div 2 — exact cross-engine — and all moments use the
+    decimal-bridged integer sums, so the e6-floored indices match
+    DuckDB bit-for-bit.  Plan: per-series min/max agg broadcast back,
+    then ONE conditional aggregate pass — no window, no second corpus
+    scan beyond the tiny range join.
+    """
+    events = load_table(spark, sf, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    spans = events.groupBy("event_type").agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us")
+    )
+    tagged = events.join(F.broadcast(spans), "event_type").withColumn(
+        "is_base", (F.col("ts_us") < F.col("mid_us")).cast("int")
+    )
+
+    def _moments(flag: int, suffix: str):
+        cond = F.col("is_base") == flag
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{suffix}"),
+            F.floor(
+                F.sum(
+                    F.when(cond, F.col("value").cast("decimal(30,10)"))
+                ) * 1_000_000
+            ).cast("long").alias(f"sum{suffix}_e6"),
+            F.floor(
+                F.sum(
+                    F.when(
+                        cond,
+                        (F.col("value") * F.col("value")).cast(
+                            "decimal(30,10)"
+                        ),
+                    )
+                ) * 1_000_000
+            ).cast("long").alias(f"sumsq{suffix}_e6"),
+        ]
+
+    agg = tagged.groupBy("event_type").agg(
+        *_moments(1, "1"), *_moments(0, "2")
+    )
+
+    def mean(s):
+        return F.col(f"sum{s}_e6").cast("double") / 1e6 / F.col(f"n{s}")
+
+    def var(s):
+        return (
+            F.col(f"sumsq{s}_e6").cast("double") / 1e6 / F.col(f"n{s}")
+            - mean(s) * mean(s)
+        )
+
+    sigma1, sigma2 = F.sqrt(var("1")), F.sqrt(var("2"))
+    usl = mean("1") + 3 * sigma1
+    lsl = mean("1") - 3 * sigma1
+    cp = (usl - lsl) / (6 * sigma2)
+    cpk = F.least(usl - mean("2"), mean("2") - lsl) / (3 * sigma2)
+    return (
+        agg.filter(
+            (F.col("n1") > 1) & (F.col("n2") > 1)
+        )
+        .filter((var("1") > 0) & (var("2") > 0))
+        .select(
+            "event_type",
+            F.col("n1").alias("n_base"),
+            F.col("n2").alias("n_eval"),
+            F.floor(cp * 1_000_000).cast("long").alias("cp_e6"),
+            F.floor(cpk * 1_000_000).cast("long").alias("cpk_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROCESS_CAPABILITY_SQL = """
+WITH spans AS (
+  SELECT event_type,
+    (CAST(min(epoch_us(ts)) AS BIGINT) + CAST(max(epoch_us(ts)) AS BIGINT))
+      // 2 AS mid_us
+  FROM events GROUP BY event_type
+),
+tagged AS (
+  SELECT e.event_type, e.value,
+    CASE WHEN epoch_us(e.ts) < s.mid_us THEN 1 ELSE 0 END AS is_base
+  FROM events e JOIN spans s USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN is_base = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(FLOOR(SUM(CASE WHEN is_base = 1
+      THEN CAST(value AS DECIMAL(30,10)) END) * 1000000) AS BIGINT)
+      AS sum1_e6,
+    CAST(FLOOR(SUM(CASE WHEN is_base = 1
+      THEN CAST(value * value AS DECIMAL(30,10)) END) * 1000000) AS BIGINT)
+      AS sumsq1_e6,
+    CAST(SUM(CASE WHEN is_base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(FLOOR(SUM(CASE WHEN is_base = 0
+      THEN CAST(value AS DECIMAL(30,10)) END) * 1000000) AS BIGINT)
+      AS sum2_e6,
+    CAST(FLOOR(SUM(CASE WHEN is_base = 0
+      THEN CAST(value * value AS DECIMAL(30,10)) END) * 1000000) AS BIGINT)
+      AS sumsq2_e6
+  FROM tagged GROUP BY event_type
+),
+derived AS (
+  SELECT event_type, n1, n2,
+    CAST(sum1_e6 AS DOUBLE) / 1e6 / n1 AS m1,
+    sqrt(CAST(sumsq1_e6 AS DOUBLE) / 1e6 / n1
+      - (CAST(sum1_e6 AS DOUBLE) / 1e6 / n1)
+        * (CAST(sum1_e6 AS DOUBLE) / 1e6 / n1)) AS s1,
+    CAST(sum2_e6 AS DOUBLE) / 1e6 / n2 AS m2,
+    sqrt(CAST(sumsq2_e6 AS DOUBLE) / 1e6 / n2
+      - (CAST(sum2_e6 AS DOUBLE) / 1e6 / n2)
+        * (CAST(sum2_e6 AS DOUBLE) / 1e6 / n2)) AS s2
+  FROM agg
+  WHERE n1 > 1 AND n2 > 1
+    AND CAST(sumsq1_e6 AS DOUBLE) / 1e6 / n1
+      - (CAST(sum1_e6 AS DOUBLE) / 1e6 / n1)
+        * (CAST(sum1_e6 AS DOUBLE) / 1e6 / n1) > 0
+    AND CAST(sumsq2_e6 AS DOUBLE) / 1e6 / n2
+      - (CAST(sum2_e6 AS DOUBLE) / 1e6 / n2)
+        * (CAST(sum2_e6 AS DOUBLE) / 1e6 / n2) > 0
+)
+SELECT event_type, n1 AS n_base, n2 AS n_eval,
+  CAST(FLOOR(((m1 + 3 * s1) - (m1 - 3 * s1)) / (6 * s2) * 1000000)
+    AS BIGINT) AS cp_e6,
+  CAST(FLOOR(LEAST((m1 + 3 * s1) - m2, m2 - (m1 - 3 * s1)) / (3 * s2)
+    * 1000000) AS BIGINT) AS cpk_e6
+FROM derived ORDER BY event_type
+"""
+
+R15_QUERIES["ts_process_capability"] = ts_process_capability
+R15_ORACLES["ts_process_capability"] = PROCESS_CAPABILITY_SQL

@@ -218,3 +218,57 @@ def test_ewma_control_random_differential(spark, tmp_path):
     want = _ewma_control_model(model_rows)
     assert len(want) > 0  # the sweep must fire somewhere
     assert got == want
+
+
+def test_process_capability_random_differential(spark, tmp_path):
+    from kukur_spark.workloads_r15 import ts_process_capability
+    from tests.test_r15_operators import _capability_model
+
+    rng = random.Random(SEED + 4)
+    rows = []
+    event_id = 0
+    for s in range(30):
+        series = f"c{s:02d}"
+        n = rng.randint(2, 90)
+        level = rng.uniform(-30.0, 30.0)
+        drift = rng.choice([0.0, rng.uniform(-8.0, 8.0)])
+        widen = rng.choice([1.0, rng.uniform(1.5, 4.0)])
+        for i in range(n):
+            scale = widen if i >= n // 2 else 1.0
+            v = level + (drift if i >= n // 2 else 0.0) \
+                + scale * rng.uniform(-4.0, 4.0)
+            rows.append(
+                {
+                    "event_type": series,
+                    "ts": (1_700_000_000_000_000
+                           + i * rng.randint(1, 3) * 60_000_000) * 1000,
+                    "event_id": event_id,
+                    "value": round(v, 3),
+                }
+            )
+            event_id += 1
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("ts", pa.timestamp("ns")),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), str(sf / "events.parquet")
+    )
+    got = [tuple(r) for r in ts_process_capability(spark, str(sf)).collect()]
+    model_rows = [
+        {
+            "event_type": r["event_type"],
+            "ts_us": r["ts"] // 1000,
+            "value": r["value"],
+        }
+        for r in rows
+    ]
+    want = _capability_model(model_rows)
+    assert len(want) > 5
+    assert got == want

@@ -407,3 +407,93 @@ def test_ewma_control_catches_small_shift_shewhart_misses(spark, tmp_path):
     assert all(
         shewhart[e]["r1"] == 0 for e in shifted if e in shewhart
     )
+
+
+def _capability_model(rows):
+    """Pure-Python Cp/Cpk replay: baseline-half spec limits, eval-half
+    capability, identical float recipe."""
+    q = Decimal("1e-10")
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    out = []
+    for series, items in sorted(by_series.items()):
+        mid = (min(r["ts_us"] for r in items)
+               + max(r["ts_us"] for r in items)) // 2
+        base = [r for r in items if r["ts_us"] < mid]
+        ev = [r for r in items if r["ts_us"] >= mid]
+        if len(base) < 2 or len(ev) < 2:
+            continue
+
+        def stats(part):
+            n = len(part)
+            s_e6 = int((sum(Decimal(r["value"]).quantize(q, ROUND_HALF_UP)
+                            for r in part) * 1_000_000)
+                       .to_integral_value(rounding="ROUND_FLOOR"))
+            ss_e6 = int((sum(Decimal(r["value"] * r["value"])
+                             .quantize(q, ROUND_HALF_UP) for r in part)
+                         * 1_000_000)
+                        .to_integral_value(rounding="ROUND_FLOOR"))
+            m = float(s_e6) / 1e6 / n
+            v = float(ss_e6) / 1e6 / n - m * m
+            return n, m, v
+
+        n1, m1, v1 = stats(base)
+        n2, m2, v2 = stats(ev)
+        if v1 <= 0 or v2 <= 0:
+            continue
+        s1, s2 = math.sqrt(v1), math.sqrt(v2)
+        usl, lsl = m1 + 3 * s1, m1 - 3 * s1
+        cp = (usl - lsl) / (6 * s2)
+        cpk = min(usl - m2, m2 - lsl) / (3 * s2)
+        out.append((series, n1, n2,
+                    math.floor(cp * 1_000_000), math.floor(cpk * 1_000_000)))
+    return out
+
+
+def test_process_capability_match_python_model(spark):
+    from kukur_spark.workloads_r15 import ts_process_capability
+
+    got = [tuple(r) for r in ts_process_capability(spark, SF).collect()]
+    table = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    rows = table.to_pylist()
+    for r in rows:
+        ts = r.pop("ts")
+        if isinstance(ts, int):
+            r["ts_us"] = ts // 1000
+        else:
+            r["ts_us"] = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+    want = _capability_model(rows)
+    assert len(got) > 0
+    assert got == want
+
+
+def test_process_capability_detects_spread_drift(spark, tmp_path):
+    """A series whose second half doubles its spread scores Cp well
+    under 1e6; a stable series scores near 1e6; an off-center drift
+    drops Cpk below Cp."""
+    def ts(minute):
+        return datetime(2020, 1, 1, minute // 60, minute % 60)
+
+    rows = []
+    eid = 0
+    for series, second_half in [
+        ("stable", lambda i: 10.0 + (i % 5)),
+        ("wider", lambda i: 10.0 + 2.5 * (i % 5)),
+        ("shifted", lambda i: 16.0 + (i % 5)),
+    ]:
+        for i in range(40):
+            v = 10.0 + (i % 5) if i < 20 else second_half(i)
+            rows.append({"event_id": eid, "ts": ts(i), "event_type": series,
+                         "value": v})
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    from kukur_spark.workloads_r15 import ts_process_capability
+
+    got = {r["event_type"]: r for r in
+           ts_process_capability(spark, sf).collect()}
+    assert got["wider"]["cp_e6"] < 600_000 < got["stable"]["cp_e6"]
+    assert got["shifted"]["cpk_e6"] < got["shifted"]["cp_e6"] - 200_000
+    assert abs(got["stable"]["cp_e6"] - got["stable"]["cpk_e6"]) < 200_000
