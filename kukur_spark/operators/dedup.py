@@ -113,11 +113,43 @@ def _estimated_bucket_bound(banded: DataFrame, bands: int) -> Optional[int]:
         return None
 
 
+def _stats_shadow_banded(
+    df: DataFrame, id_column: str, bands: int
+) -> DataFrame:
+    """Skinny structural twin of a banded plan, used ONLY for the
+    skew-guard row estimate.
+
+    The real banded lineage runs through ``persist_once``: once the cache
+    materializes, Catalyst's estimate comes from the fat InMemoryRelation
+    (hs + sig arrays, ~550 B/row) instead of the skinny parquet-derived
+    projection, inflating the bound ~16× (measured 5 308 cold vs 84 786
+    warm at sf0.1) — so the toy-scale skip engaged on the first run of a
+    session and then silently de-engaged on every later run, re-paying
+    the ~0.45 s detection jobs the skip exists to elide.  This twin has
+    the same (id, band, bucket) output width, the same explode
+    multiplicity and the same scan bottom, but a deliberately different
+    projection chain, so the CacheManager can never substitute the cache
+    into it: its estimate is the stable parquet-derived one at any point
+    in the session.  It is never executed.
+    """
+    structs = ", ".join(
+        f"struct({b} AS band, xxhash64(id, {b}) AS bucket)"
+        for b in range(bands)
+    )
+    return (
+        _spread(df, id_column)
+        .selectExpr(f"`{id_column}` AS id")
+        .selectExpr("id", f"explode(array({structs})) AS bb")
+        .select("id", "bb.band", "bb.bucket")
+    )
+
+
 def _band_candidates(
     banded: DataFrame,
     carry: tuple = (),
     max_bucket: Optional[int] = None,
     bands: int = 1,
+    stats_plan: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Distinct candidate pairs from a banded table: self-equi-join on
     (band, bucket) with ``id_a < id_b``. ``carry`` columns are kept from
@@ -172,7 +204,9 @@ def _band_candidates(
         # (a doc appears once per band); the default 1 is conservative.
         # Skipping is correctness-neutral-or-better: the unguarded plan is
         # the EXACT candidate set.
-        bound = _estimated_bucket_bound(banded, bands)
+        bound = _estimated_bucket_bound(
+            banded if stats_plan is None else stats_plan, bands
+        )
         if (
             bound is not None
             and bound * bound <= 2 * max_bucket * max_bucket
@@ -281,7 +315,55 @@ def _join_hash_sets(pairs: DataFrame, sets: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # shingling + MinHash
+#
+# Each helper exists twice: a Column-expression form (the original public
+# API, still used by secondary workloads) and a ``*_sql`` fragment builder
+# composed into ONE ``F.expr``/``selectExpr`` string by the hot paths.
+# Both resolve to the same Catalyst tree — the fragment form exists because
+# building a 32-permutation signature out of pyspark Column objects costs
+# ~2 600 py4j round trips (~0.7 s of pure driver latency per query
+# construction, measured round 10); one SQL string is a single round trip.
 # ---------------------------------------------------------------------------
+def _shingles_sql(text_sql: str, k: int = 3) -> str:
+    """SQL fragment equivalent of :func:`shingles`."""
+    toks = f"split({text_sql}, ' ')"
+    return (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> array_join(slice({toks}, i + 1, {k}), ' ')))"
+    )
+
+
+def _md5_long_sql(x_sql: str) -> str:
+    """SQL fragment equivalent of :func:`md5_long`."""
+    return f"cast(conv(substring(md5({x_sql}), 1, 15), 16, 10) as bigint)"
+
+
+def _token_hashes_sql(text_sql: str) -> str:
+    """SQL fragment equivalent of :func:`token_hashes`."""
+    return f"transform(split({text_sql}, ' '), t -> xxhash64(t))"
+
+
+def _combine_shingle_hashes_sql(th_col: str, k: int = 3) -> str:
+    """SQL fragment equivalent of :func:`combine_shingle_hashes`."""
+    gram = ", ".join(f"element_at({th_col}, i + {j})" for j in range(k))
+    return (
+        f"array_distinct(CASE WHEN size({th_col}) >= {k} THEN "
+        f"transform(sequence(1, size({th_col}) - {k - 1}), "
+        f"i -> xxhash64({gram})) "
+        f"ELSE array(xxhash64({th_col})) END)"
+    )
+
+
+def _minhash_signature_sql(hs_col: str, num_hashes: int = 32) -> str:
+    """SQL fragment equivalent of :func:`minhash_signature`."""
+    mins = ", ".join(
+        f"array_min(transform({hs_col}, h -> xxhash64(h, {j})))"
+        for j in range(num_hashes)
+    )
+    return f"array({mins})"
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-token shingles of a whitespace-tokenized text."""
     toks = F.split(text, " ")
@@ -376,16 +458,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # hashed shingle sets: all downstream set math runs on longs, no
     # shingle strings are ever materialized; token hashes land in a real
-    # column first so the k-gram combine indexes them O(1)
+    # column first so the k-gram combine indexes them O(1).  Built as SQL
+    # fragments (one py4j round trip) — the Column-object form of the same
+    # tree costs ~0.5 s of driver latency per construction (round 10).
     base = (
-        _spread(df, id_column, partitions).select(
-            F.col(id_column).alias("id"),
-            token_hashes(F.col(text_column)).alias("th"),
+        _spread(df, id_column, partitions)
+        .selectExpr(
+            f"`{id_column}` AS id",
+            f"{_token_hashes_sql(f'`{text_column}`')} AS th",
         )
-        .select(
-            "id", combine_shingle_hashes(F.col("th"), shingle_size).alias("hs")
+        .selectExpr(
+            "id",
+            f"{_combine_shingle_hashes_sql('th', shingle_size)} AS hs",
         )
-        .withColumn("sig", minhash_signature(F.col("hs"), num_hashes))
+        .selectExpr(
+            "*", f"{_minhash_signature_sql('hs', num_hashes)} AS sig"
+        )
     )
     # feeds three plan branches (banding + both verification joins);
     # without persist the CPU-heavy projection runs three times.
@@ -395,30 +483,20 @@ def minhash_lsh_pairs(
     base = persist_once(base)
     # banding carries only (id, band, bucket) — 24 bytes/row through the
     # explode and the self-join shuffle, never the shingle arrays
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            ),
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    band_structs = ", ".join(
+        f"struct({b} AS band, xxhash64(array_join(transform("
+        f"slice(sig, {b * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x AS string)), ','), {b}) AS bucket)"
+        for b in range(bands)
+    )
+    banded = base.selectExpr(
+        "id", f"explode(array({band_structs})) AS bb"
     ).select("id", "bb.band", "bb.bucket")
-    pairs = _band_candidates(banded, bands=bands)
+    pairs = _band_candidates(
+        banded,
+        bands=bands,
+        stats_plan=_stats_shadow_banded(df, id_column, bands),
+    )
     # exact verification only for surviving candidates: join the hashed
     # sets back by id (candidate count << corpus for any sane banding)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
@@ -452,29 +530,30 @@ def _md5_base(
     shingle_size: int,
     num_hashes: int,
 ) -> DataFrame:
-    """(id, hs, sig) projection with md5-derived shingle hashes/minima."""
-    sh = shingles(F.col(text_column), shingle_size)
+    """(id, hs, sig) projection with md5-derived shingle hashes/minima.
 
-    def perm(j: int):
-        # MUST be a one-parameter lambda: F.transform calls a TWO-param
-        # lambda with (element, index), which would rebind j to the index
-        # Column — its repr then leaks into the hashed string, producing
-        # wrong (and build-varying) signatures. Caught at sf0.1 by the
-        # incremental-dedup oracle losing a candidate intermittently.
-        return lambda s: md5_long(F.concat(s, F.lit(f"#{j}")))
-
+    Built as SQL fragments — the Column-object form of the 16-permutation
+    signature tree cost ~0.3 s of py4j driver latency per construction.
+    The per-permutation salt is baked into the string as ``'#{j}'``
+    (literal), the same value the old one-parameter Python lambda closed
+    over — no index-Column rebinding hazard exists in the SQL form.
+    """
+    sig_mins = ", ".join(
+        "array_min(transform(sh, s -> "
+        + _md5_long_sql(f"concat(s, '#{j}')")
+        + "))"
+        for j in range(num_hashes)
+    )
     return (
         _spread(df, id_column)
-        .select(F.col(id_column).alias("id"), sh.alias("sh"))
-        .select(
+        .selectExpr(
+            f"`{id_column}` AS id",
+            f"{_shingles_sql(f'`{text_column}`', shingle_size)} AS sh",
+        )
+        .selectExpr(
             "id",
-            F.array_distinct(F.transform(F.col("sh"), md5_long)).alias("hs"),
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("sh"), perm(j)))
-                    for j in range(num_hashes)
-                ]
-            ).alias("sig"),
+            f"array_distinct(transform(sh, s -> {_md5_long_sql('s')})) AS hs",
+            f"array({sig_mins}) AS sig",
         )
     )
 
@@ -486,33 +565,22 @@ def _md5_banded(
 
     ``carry`` columns ride along the explode (cheaper than joining them
     back onto the exploded table afterwards)."""
-    return base.select(
-        "id",
-        *carry,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.concat(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at(
-                                            "sig", b * rows_per_band + r + 1
-                                        ).cast("string")
-                                        for r in range(rows_per_band)
-                                    ],
-                                ),
-                                F.lit(f"|{b}"),
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    structs = ", ".join(
+        f"struct({b} AS band, "
+        + _md5_long_sql(
+            "concat(concat_ws(','"
+            + "".join(
+                f", cast(element_at(sig, {b * rows_per_band + r + 1})"
+                " AS string)"
+                for r in range(rows_per_band)
             )
-        ).alias("bb"),
+            + f"), '|{b}')"
+        )
+        + " AS bucket)"
+        for b in range(bands)
+    )
+    return base.selectExpr(
+        "id", *[f"`{c}`" for c in carry], f"explode(array({structs})) AS bb"
     ).select("id", *carry, "bb.band", "bb.bucket")
 
 
@@ -543,7 +611,11 @@ def minhash_lsh_pairs_md5(
         _md5_base(df, text_column, id_column, shingle_size, num_hashes)
     )
     banded = _md5_banded(base, bands, rows_per_band)
-    pairs = _band_candidates(banded, bands=bands)
+    pairs = _band_candidates(
+        banded,
+        bands=bands,
+        stats_plan=_stats_shadow_banded(df, id_column, bands),
+    )
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
     union = F.size("hs_a").cast("long") + F.size("hs_b") - inter
