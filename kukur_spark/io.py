@@ -41,6 +41,23 @@ _NANOS_TS_COLUMNS = {"events": ["ts"]}
 # applicationId so a new session never reuses a stale entry.
 _SCHEMA_CACHE: dict = {}
 
+# DataFrame-handle cache: even with the schema cached, assembling the
+# reader + the ns→timestamp normalization costs ~25-35 ms of py4j round
+# trips per call (measured round 10), and the bench queries call
+# load_table ~45 times per pass (~1.2 s of pure driver latency).
+# DataFrames are immutable lazy plan handles — returning the same object
+# is semantically identical to rebuilding it, and every action still
+# computes from the parquet files.  Keyed by applicationId like the
+# schema cache.  ``ts_range`` reads are NOT served from here (the range
+# predicate must land on the raw column before conversion); they reuse
+# the cached raw handle and rebuild the cheap filter+convert tail.
+_DF_CACHE: dict = {}
+
+# Sessions whose canonical-read confs have been pinned already — the
+# three spark.conf.set calls are ~1 ms of py4j each and the values never
+# change after the first call for a given session.
+_CONF_PINNED: set = set()
+
 
 def load_table(
     spark: SparkSession,
@@ -56,18 +73,29 @@ def load_table(
     and would NOT reach the parquet scan (no row-group pruning); the raw
     long comparison shows up in ``PushedFilters`` and prunes at 100 TB.
     """
-    # canonical timestamp semantics require a UTC session (SURVEY §1.3);
-    # the caller's session (e.g. the driver's) may be configured otherwise —
-    # both confs are runtime SQLConfs, safe to set before the read resolves
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # naive parquet timestamps → session-tz TIMESTAMP (not NTZ): keeps every
-    # timestamp function (unix_micros, window, …) applicable and matches the
-    # oracle's instant semantics under the UTC session
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    if name in _NANOS_TS_COLUMNS:
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _CONF_PINNED:
+        # canonical timestamp semantics require a UTC session (SURVEY
+        # §1.3); the caller's session (e.g. the driver's) may be
+        # configured otherwise — all three confs are runtime SQLConfs,
+        # safe to set before the read resolves, and constant for the
+        # lifetime of the session, so pin them once per applicationId
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps → session-tz TIMESTAMP (not NTZ):
+        # keeps every timestamp function (unix_micros, window, …)
+        # applicable and matches the oracle's instant semantics under
+        # the UTC session
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TIMESTAMP(NANOS) parquet columns read as long (normalized to
+        # timestamp[us] below); also an engine default in get_spark
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _CONF_PINNED.add(app_id)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cache_key = (spark.sparkContext.applicationId, path)
+    cache_key = (app_id, path)
+    if ts_range is None:
+        hit = _DF_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
     cached = _SCHEMA_CACHE.get(cache_key)
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
@@ -106,6 +134,8 @@ def load_table(
                 (F.col(column) >= F.lit(ts_range[0]))
                 & (F.col(column) < F.lit(ts_range[1]))
             )
+    if ts_range is None:
+        _DF_CACHE[cache_key] = df
     return df
 
 

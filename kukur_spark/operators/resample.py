@@ -22,7 +22,7 @@ from __future__ import annotations
 from datetime import datetime
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
@@ -43,45 +43,46 @@ def resample(
     """
     from kukur_spark.timeutil import epoch_us
 
+    if how not in ("stepped", "linear"):
+        raise ValueError(f"unknown interpolation: {how}")
     group_columns = group_columns or []
     spark = df.sparkSession
     start_us = epoch_us(start)
     end_us = epoch_us(end)
     step_us = interval_seconds * 1_000_000
 
+    # expression chains are built as SQL fragments (selectExpr): the
+    # Column-object form of this operator cost ~1 000 py4j round trips
+    # (~0.23 s of driver latency per construction, measured round 10);
+    # the fragments resolve to the same trees in a handful of calls
+    gcols = [f"`{c}`" for c in group_columns]
     groups = (
         df.select(group_columns).distinct()
         if group_columns
         else spark.range(1).select(F.lit(1).alias("__g"))
     )
-    grid = groups.select(
-        *[F.col(c) for c in group_columns],
-        F.explode(
-            F.sequence(
-                F.lit(start_us), F.lit(end_us - 1), F.lit(step_us)
-            )
-        ).alias("ts_us"),
-    ).select(
-        *group_columns,
+    grid = groups.selectExpr(
+        *gcols,
+        f"explode(sequence({start_us}L, {end_us - 1}L, {step_us}L)) AS ts_us",
+    ).selectExpr(
+        *gcols,
         "ts_us",
-        F.lit(1).alias("__is_grid"),
-        F.lit(None).cast("double").alias("__data_value"),
-        F.lit(None).cast("long").alias("__data_ts"),
+        "1 AS __is_grid",
+        "CAST(NULL AS DOUBLE) AS __data_value",
+        "CAST(NULL AS BIGINT) AS __data_ts",
     )
     # null-ts rows would sort first and poison every early bracket, and
     # null-value rows would split __prev_v/__prev_t across different rows
     # (the hazards asof.py guards against) — neither can interpolate
-    data = (
-        df.filter(
-            F.col(TS_COLUMN).isNotNull() & F.col(VALUE_COLUMN).isNotNull()
-        )
-        .select(
-            *group_columns,
-            F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("ts_us"),
-            F.lit(0).alias("__is_grid"),
-            F.col(VALUE_COLUMN).cast("double").alias("__data_value"),
-            F.unix_micros(F.col(TS_COLUMN).cast("timestamp")).alias("__data_ts"),
-        )
+    ts_us = f"unix_micros(CAST(`{TS_COLUMN}` AS TIMESTAMP))"
+    data = df.where(
+        f"`{TS_COLUMN}` IS NOT NULL AND `{VALUE_COLUMN}` IS NOT NULL"
+    ).selectExpr(
+        *gcols,
+        f"{ts_us} AS ts_us",
+        "0 AS __is_grid",
+        f"CAST(`{VALUE_COLUMN}` AS DOUBLE) AS __data_value",
+        f"{ts_us} AS __data_ts",
     )
     combined = grid.unionByName(data)
 
@@ -89,51 +90,39 @@ def resample(
     # an UnboundedFollowing frame would be recomputed per row — O(n²) per
     # partition (measured: 108 s vs 2 s at sf0.1). "next" comes from a
     # descending-ordered running last over the strictly-preceding frame.
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
     before = (
-        Window.partitionBy(*group_columns)
-        .orderBy(F.col("ts_us").asc(), F.col("__is_grid").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        f"OVER ({part}ORDER BY ts_us ASC, __is_grid ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     after_desc = (
-        Window.partitionBy(*group_columns)
-        .orderBy(F.col("ts_us").desc(), F.col("__is_grid").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+        f"OVER ({part}ORDER BY ts_us DESC, __is_grid DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    with_brackets = (
-        combined.withColumn(
-            "__prev_v", F.last("__data_value", ignorenulls=True).over(before)
-        )
-        .withColumn("__prev_t", F.last("__data_ts", ignorenulls=True).over(before))
-        .withColumn(
-            "__next_v", F.last("__data_value", ignorenulls=True).over(after_desc)
-        )
-        .withColumn(
-            "__next_t", F.last("__data_ts", ignorenulls=True).over(after_desc)
-        )
-    )
-    grid_rows = with_brackets.filter(F.col("__is_grid") == 1)
+    grid_rows = combined.selectExpr(
+        "*",
+        f"last(__data_value, true) {before} AS __prev_v",
+        f"last(__data_ts, true) {before} AS __prev_t",
+        f"last(__data_value, true) {after_desc} AS __next_v",
+        f"last(__data_ts, true) {after_desc} AS __next_t",
+    ).where("__is_grid = 1")
 
     if how == "stepped":
-        value = F.col("__prev_v")
-    elif how == "linear":
-        t = F.col("ts_us").cast("double")
-        t0, t1 = F.col("__prev_t").cast("double"), F.col("__next_t").cast("double")
-        v0, v1 = F.col("__prev_v"), F.col("__next_v")
-        on_point = F.col("__prev_t") == F.col("ts_us")
-        interpolated = v0 + (v1 - v0) * (t - t0) / (t1 - t0)
-        value = (
-            F.when(on_point, v0)
-            .when(
-                F.col("__prev_t").isNotNull() & F.col("__next_t").isNotNull(),
-                interpolated,
-            )
-            .otherwise(F.lit(None))
+        value = "__prev_v"
+    else:  # linear
+        interpolated = (
+            "__prev_v + (__next_v - __prev_v)"
+            " * (CAST(ts_us AS DOUBLE) - CAST(__prev_t AS DOUBLE))"
+            " / (CAST(__next_t AS DOUBLE) - CAST(__prev_t AS DOUBLE))"
         )
-    else:
-        raise ValueError(f"unknown interpolation: {how}")
+        value = (
+            "CASE WHEN __prev_t = ts_us THEN __prev_v "
+            "WHEN __prev_t IS NOT NULL AND __next_t IS NOT NULL "
+            f"THEN {interpolated} ELSE NULL END"
+        )
 
-    return grid_rows.select(
-        *group_columns,
-        F.timestamp_micros(F.col("ts_us")).alias(TS_COLUMN),
-        F.round(value, 6).alias(VALUE_COLUMN),
+    return grid_rows.selectExpr(
+        *gcols,
+        f"timestamp_micros(ts_us) AS `{TS_COLUMN}`",
+        f"round({value}, 6) AS `{VALUE_COLUMN}`",
     ).orderBy(*group_columns, TS_COLUMN)

@@ -80,23 +80,37 @@ def language_id(df: DataFrame, text_column: str = "text") -> DataFrame:
 
     Ties break in the fixed order en > de > fr > es > zh; documents with no
     marker hits are labeled 'und'.
+
+    Two projections: marker counts once, then the tie-break fold over the
+    count *columns*.  The single-projection Column-object form duplicated
+    every count expression up to 2⁵ times inside the fold tree (~750 py4j
+    round trips, ~0.11 s driver latency per construction — measured round
+    10) and relied on codegen subexpression elimination to de-duplicate
+    at runtime; here the counts are computed once by construction.
     """
-    padded = F.concat(F.lit(" "), F.col(text_column), F.lit(" "))
-    counts = {
-        lang: _occurrences(padded, marker) for lang, marker in LANG_MARKERS.items()
-    }
+    padded = f"concat(' ', `{text_column}`, ' ')"
     order = list(LANG_MARKERS)
-    best = F.lit("und")
-    best_count = F.lit(0).cast("long")
-    for lang in reversed(order):  # earlier languages win ties → apply last
-        cond = counts[lang] >= best_count
-        best = F.when(counts[lang] > 0, F.when(cond, F.lit(lang)).otherwise(best)).otherwise(best)
-        best_count = F.greatest(best_count, counts[lang])
-    out = [c for c in df.columns if c != text_column]
-    return df.select(
+    out = [f"`{c}`" for c in df.columns if c != text_column]
+    counted = df.selectExpr(
         *out,
-        *[counts[lang].alias(f"c_{lang}") for lang in order],
-        best.alias("pred_lang"),
+        *[
+            f"CAST((length({padded}) - length(replace({padded}, "
+            f"'{marker}', ''))) / {len(marker)} AS BIGINT) AS c_{lang}"
+            for lang, marker in LANG_MARKERS.items()
+        ],
+    )
+    best = "'und'"
+    best_count = "CAST(0 AS BIGINT)"
+    for lang in reversed(order):  # earlier languages win ties → apply last
+        best = (
+            f"CASE WHEN c_{lang} > 0 THEN (CASE WHEN c_{lang} >= "
+            f"{best_count} THEN '{lang}' ELSE {best} END) ELSE {best} END"
+        )
+        best_count = f"greatest({best_count}, c_{lang})"
+    return counted.selectExpr(
+        *out,
+        *[f"c_{lang}" for lang in order],
+        f"{best} AS pred_lang",
     )
 
 

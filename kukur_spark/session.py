@@ -47,6 +47,14 @@ def get_spark(
         # a per-scan set-and-restore would silently null out the lazy
         # scan (probed on Spark 4.1).
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # PySpark's DataFrame-debugging hook wraps EVERY DataFrame/Column
+        # API call with a conf.get + PySparkCurrentOrigin.set/clear (3
+        # extra py4j round trips) plus a Python stack inspection, purely
+        # to enrich error messages with user call sites.  Measured round
+        # 10: ~3.5 ms per wrapped call, ~40% of total query-construction
+        # latency.  An engine constructing plans on its hot path turns
+        # it off; errors still raise with full JVM-side context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -71,16 +71,24 @@ def dsum(col) -> Column:
     ``floor(sum(cast(x as decimal(30,10))) * 1e6)`` is exact integer
     arithmetic — the cast-to-double 1-ulp divergence between engines never
     appears. Column convention: name it ``*_e6``.
+
+    A ``str`` argument (column name or SQL fragment) builds the whole
+    tree as one parsed expression — one py4j round trip instead of ~40
+    (~15 ms saved per use, measured round 10); the Column path builds
+    the identical tree from Column objects.
     """
     if isinstance(col, str):
-        col = F.col(col)
+        return F.expr(
+            f"CAST(FLOOR(SUM(CAST(({col}) AS DECIMAL(30,10))) * 1000000)"
+            " AS BIGINT)"
+        )
     return F.floor(F.sum(col.cast("decimal(30,10)")) * 1_000_000).cast("long")
 
 
 def us(col) -> Column:
     """Epoch microseconds; casts TIMESTAMP_NTZ (parquet ms columns) first."""
     if isinstance(col, str):
-        col = F.col(col)
+        return F.expr(f"unix_micros(CAST(({col}) AS TIMESTAMP))")
     return F.unix_micros(col.cast("timestamp"))
 
 
@@ -91,8 +99,8 @@ def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     agg = l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty_e6"),
         dsum("l_extendedprice").alias("sum_base_price_e6"),
@@ -156,7 +164,7 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum("l_extendedprice * (1 - l_discount)").alias(
                 "revenue_e6"
             ),
             us(F.first("o_orderdate")).alias("orderdate_us"),
@@ -207,7 +215,7 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum("l_extendedprice * (1 - l_discount)").alias(
                 "revenue_e6"
             )
         )
@@ -242,7 +250,7 @@ def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return filtered.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_e6"),
+        dsum("l_extendedprice * l_discount").alias("revenue_e6"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -296,7 +304,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
             F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum("l_extendedprice * (1 - l_discount)").alias(
                 "volume_e6"
             )
         )
@@ -340,7 +348,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum("l_extendedprice * (1 - l_discount)").alias(
                 "revenue_e6"
             )
         )
@@ -375,8 +383,10 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     joined = lineitem.join(
         F.broadcast(part), lineitem.l_partkey == part.p_partkey
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    economy = F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(F.lit(0.0))
+    revenue = "l_extendedprice * (1 - l_discount)"
+    economy = (
+        f"CASE WHEN p_type = 'ECONOMY' THEN {revenue} ELSE CAST(0.0 AS DOUBLE) END"
+    )
     agg = joined.agg(
         dsum(economy).alias("economy_revenue_e6"),
         dsum(revenue).alias("total_revenue_e6"),
@@ -437,7 +447,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return joined.filter(cond).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        dsum("l_extendedprice * (1 - l_discount)").alias(
             "revenue_e6"
         ),
         F.count(F.lit(1)).alias("n_rows"),

@@ -810,22 +810,21 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     end_us = 1_706_745_600_000_000
     span = end_us - start_us
     events = load_table(spark, sf, "events")
-    base = events.select(
-        "event_type", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
-    ).filter((F.col("ts_us") >= start_us) & (F.col("ts_us") < end_us))
-    raw = ((F.col("ts_us") - start_us) * n_b).cast("double") / F.lit(
-        float(span)
-    )
-    base = base.withColumn(
-        "bucket", F.floor(F.least(raw, F.lit(float(n_b - 1)))).cast("long")
+    # expression chains built as SQL fragments: the Column-object form
+    # cost ~1 660 py4j round trips (~0.32 s driver latency per
+    # construction, measured round 10); same resolved trees either way
+    base = events.selectExpr(
+        "event_type", "unix_micros(ts) AS ts_us", "event_id", "value"
+    ).where(f"ts_us >= {start_us} AND ts_us < {end_us}")
+    base = base.selectExpr(
+        "*",
+        f"CAST(FLOOR(LEAST(CAST((ts_us - {start_us}) * {n_b} AS DOUBLE)"
+        f" / CAST({span} AS DOUBLE), CAST({n_b - 1} AS DOUBLE)))"
+        " AS BIGINT) AS bucket",
     )
     # one aggregate produces the centroids AND the edge-bucket first/last
     # points (struct-ordered argmin/argmax) — no extra scan or window
-    pt = F.struct(
-        F.col("ts_us").alias("t"),
-        F.col("event_id").alias("i"),
-        F.col("value").alias("v"),
-    )
+    pt = "struct(ts_us AS t, event_id AS i, value AS v)"
     # sum the OFFSET from the window start as decimal(38,0): a raw
     # sum(ts_us) of microsecond epochs (~1.7e15 each) overflows long at
     # ~5 000 rows/bucket — the 30× scale probe hit it.  The decimal sum
@@ -833,91 +832,77 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     # start + double(sum_dt)/n, bit-identical in both engines (exact
     # integer → nearest double, then one IEEE divide and add).
     cents = base.groupBy("event_type", "bucket").agg(
-        F.sum((F.col("ts_us") - start_us).cast("decimal(38,0)")).alias(
+        F.expr(f"SUM(CAST(ts_us - {start_us} AS DECIMAL(38,0)))").alias(
             "sum_dt"
         ),
-        F.floor(F.sum(F.col("value").cast("decimal(30,10)")) * 1_000_000)
-        .cast("long")
-        .alias("sum_val_e6"),
-        F.count(F.lit(1)).alias("n"),
-        F.min(pt).alias("first_pt"),
-        F.max(pt).alias("last_pt"),
+        F.expr(
+            "CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("sum_val_e6"),
+        F.expr("COUNT(1)").alias("n"),
+        F.expr(f"MIN({pt})").alias("first_pt"),
+        F.expr(f"MAX({pt})").alias("last_pt"),
     )
     cents = persist_once(cents)  # ≤ n_buckets×|series| rows; without it
     # every branch (anchors, first, last) re-runs the full scan+aggregate —
     # Spark's ReuseExchange does not fire because column pruning makes each
     # branch's scan structurally different
-    wb = Window.partitionBy("event_type").orderBy("bucket")
-    sum_dt_d = F.col("sum_dt").cast("double")
-    anchors = (
-        cents.withColumn(
-            "ax_us",
-            F.lit(start_us)
-            + F.lag(sum_dt_d).over(wb) / F.lag("n").over(wb),
-        )
-        .withColumn(
-            "ay",
-            F.lag("sum_val_e6").over(wb) / 1e6 / F.lag("n").over(wb),
-        )
-        .withColumn(
-            "cx_us",
-            F.lit(start_us)
-            + F.lead(sum_dt_d).over(wb) / F.lead("n").over(wb),
-        )
-        .withColumn(
-            "cy",
-            F.lead("sum_val_e6").over(wb) / 1e6 / F.lead("n").over(wb),
-        )
-        .select("event_type", "bucket", "ax_us", "ay", "cx_us", "cy")
+    wb = "OVER (PARTITION BY event_type ORDER BY bucket)"
+    e6 = "CAST(1000000 AS DOUBLE)"
+    anchors = cents.selectExpr(
+        "event_type",
+        "bucket",
+        f"{start_us} + lag(CAST(sum_dt AS DOUBLE)) {wb} / lag(n) {wb}"
+        " AS ax_us",
+        f"lag(sum_val_e6) {wb} / {e6} / lag(n) {wb} AS ay",
+        f"{start_us} + lead(CAST(sum_dt AS DOUBLE)) {wb} / lead(n) {wb}"
+        " AS cx_us",
+        f"lead(sum_val_e6) {wb} / {e6} / lead(n) {wb} AS cy",
     )
-    mid = base.filter(
-        (F.col("bucket") > 0) & (F.col("bucket") < n_b - 1)
-    ).join(F.broadcast(anchors), ["event_type", "bucket"])
-    ax_s = F.col("ax_us") / 1e6
-    cx_s = F.col("cx_us") / 1e6
-    px_s = F.col("ts_us").cast("double") / 1e6
-    area = F.abs(
-        (ax_s - cx_s) * (F.col("value") - F.col("ay"))
-        - (ax_s - px_s) * (F.col("cy") - F.col("ay"))
+    mid = base.where(f"bucket > 0 AND bucket < {n_b - 1}").join(
+        F.broadcast(anchors), ["event_type", "bucket"]
     )
-    mid = mid.withColumn("area", F.coalesce(area, F.lit(-1.0)))
+    area = (
+        f"abs((ax_us / {e6} - cx_us / {e6}) * (value - ay)"
+        f" - (ax_us / {e6} - CAST(ts_us AS DOUBLE) / {e6}) * (cy - ay))"
+    )
+    mid = mid.selectExpr(
+        "*", f"coalesce({area}, CAST(-1 AS DOUBLE)) AS area"
+    )
     # per-bucket argmax as a struct-max aggregate (partial+final, map-side
     # combine) instead of a row_number window: no full sort shuffle of the
     # mid rows — the shuffle carries one candidate per (series, bucket)
     # per partition. Negated ts/event_id fields give the desc-area,
     # asc-ts, asc-id tie order under lexicographic struct max.
-    cand = F.struct(
-        F.col("area").alias("a"),
-        (-F.col("ts_us")).alias("nt"),
-        (-F.col("event_id")).alias("ni"),
-        F.col("ts_us").alias("t"),
-        F.col("event_id").alias("i"),
-        F.col("value").alias("v"),
-    )
     peaks = (
         mid.groupBy("event_type", "bucket")
-        .agg(F.max(cand).alias("p"))
-        .select(
+        .agg(
+            F.expr(
+                "MAX(struct(area AS a, -ts_us AS nt, -event_id AS ni,"
+                " ts_us AS t, event_id AS i, value AS v))"
+            ).alias("p")
+        )
+        .selectExpr(
             "event_type",
             "bucket",
-            F.col("p.t").alias("ts_us"),
-            F.col("p.i").alias("event_id"),
-            F.col("p.v").alias("value"),
+            "p.t AS ts_us",
+            "p.i AS event_id",
+            "p.v AS value",
         )
     )
-    first = cents.filter(F.col("bucket") == 0).select(
+    first = cents.where("bucket = 0").selectExpr(
         "event_type",
         "bucket",
-        F.col("first_pt.t").alias("ts_us"),
-        F.col("first_pt.i").alias("event_id"),
-        F.col("first_pt.v").alias("value"),
+        "first_pt.t AS ts_us",
+        "first_pt.i AS event_id",
+        "first_pt.v AS value",
     )
-    last = cents.filter(F.col("bucket") == n_b - 1).select(
+    last = cents.where(f"bucket = {n_b - 1}").selectExpr(
         "event_type",
         "bucket",
-        F.col("last_pt.t").alias("ts_us"),
-        F.col("last_pt.i").alias("event_id"),
-        F.col("last_pt.v").alias("value"),
+        "last_pt.t AS ts_us",
+        "last_pt.i AS event_id",
+        "last_pt.v AS value",
     )
     return (
         first.unionByName(peaks)
