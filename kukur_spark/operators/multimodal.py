@@ -154,6 +154,8 @@ def decode_features(df: DataFrame, real_codec: bool = False) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import numpy as np
+
         for pdf in batches:
             out = {
                 "asset_id": [],
@@ -169,18 +171,25 @@ def decode_features(df: DataFrame, real_codec: bool = False) -> DataFrame:
                 data = _decode_payload(
                     bytes(payload), modality, real_codec, codecs
                 )
-                counts = [0] * 256
-                for b in data:
-                    counts[b] += 1
+                # byte histogram + sum via numpy (guide §4.2: vectorize
+                # inside the batch) — both are exact integer results, so
+                # they match the old per-byte Python loop bit-for-bit;
+                # the entropy fold below keeps the original ascending-
+                # byte-value Python summation order (numpy's pairwise
+                # sum would change the last ulp)
+                arr = np.frombuffer(data, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
                 n = max(len(data), 1)
                 entropy = -sum(
-                    (c / n) * math.log2(c / n) for c in counts if c
+                    (int(c) / n) * math.log2(int(c) / n)
+                    for c in counts
+                    if c
                 )
                 out["asset_id"].append(int(asset_id))
                 out["modality"].append(modality)
                 out["size_bytes"].append(len(data))
                 out["sha256"].append(hashlib.sha256(data).hexdigest())
-                out["byte_mean"].append(sum(data) / n)
+                out["byte_mean"].append(int(arr.sum()) / n)
                 out["byte_entropy_e6"].append(int(entropy * 1_000_000))
             yield pd.DataFrame(out)
 

@@ -1178,6 +1178,7 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
         _band_candidates,
         _md5_banded,
         _md5_base,
+        _stats_shadow_banded,
     )
     from kukur_spark.io import persist_once
 
@@ -1185,7 +1186,14 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
         _md5_base(docs, "text", "doc_id", 3, _EDGE_HASHES)
     )
     banded = _md5_banded(base, _EDGE_BANDS, _EDGE_HASHES // _EDGE_BANDS)
-    cand = _band_candidates(banded, bands=_EDGE_BANDS)
+    # stats shadow: the persisted base otherwise pollutes the skew-guard
+    # row estimate once materialized (see _stats_shadow_banded), re-
+    # engaging the detection jobs on every re-construction in a session
+    cand = _band_candidates(
+        banded,
+        bands=_EDGE_BANDS,
+        stats_plan=_stats_shadow_banded(docs, "doc_id", _EDGE_BANDS),
+    )
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
