@@ -144,6 +144,29 @@ def _stats_shadow_banded(
     )
 
 
+def _stats_shadow_simhash(
+    df: DataFrame, id_column: str, bands: int
+) -> DataFrame:
+    """Skinny structural twin of a simhash-banded plan for the skew-guard
+    estimate — same rationale as :func:`_stats_shadow_banded`, plus the
+    carried ``sig`` column so the row width matches the real banded
+    table.  Shared by the xxhash64 and md5 simhash twins: both get the
+    SAME estimate at any cache state, so their guard decisions (and
+    hence physical plan shapes, which ``tests/test_twin_plans.py`` pins
+    against each other) can never diverge.  Never executed."""
+    structs = ", ".join(
+        f"struct({b} AS band, xxhash64(id, {b}) AS bucket)"
+        for b in range(bands)
+    )
+    return (
+        _spread(df, id_column)
+        .selectExpr(f"`{id_column}` AS id")
+        .selectExpr("id", "xxhash64(id, -1) AS sig")
+        .selectExpr("id", "sig", f"explode(array({structs})) AS bb")
+        .select("id", "sig", "bb.band", "bb.bucket")
+    )
+
+
 def _band_candidates(
     banded: DataFrame,
     carry: tuple = (),
@@ -889,13 +912,22 @@ def simhash_pairs(
     hamming distance 3 shares at least one exact band (pigeonhole), so the
     bucket join has full recall. Returns ``id_a, id_b, hamming``.
     """
-    sig = _spread(df, id_column).select(
-        F.col(id_column).alias("id"), simhash(text_column).alias("sig")
+    # persist the signature table (round 10): the banded self-join reads
+    # it from both sides (plus the skew sample when the guard engages),
+    # and the per-token simhash fold is the expensive subtree — the same
+    # signature-cache pattern the minhash paths use.  The stats shadow
+    # keeps the skew-guard estimate cache-independent (the materialized
+    # InMemoryRelation otherwise inflates it — see _stats_shadow_banded).
+    sig = persist_once(
+        _spread(df, id_column).select(
+            F.col(id_column).alias("id"), simhash(text_column).alias("sig")
+        )
     )
     pairs = _band_candidates(
         _simhash_banded(sig, bands=4, bits_per_band=16),
         carry=("sig",),
         bands=4,
+        stats_plan=_stats_shadow_simhash(df, id_column, 4),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -947,13 +979,21 @@ def simhash_pairs_md5(
 
     Hamming ≤ 3 guarantees a shared band by pigeonhole, as in
     :func:`simhash_pairs`. Returns ``id_a, id_b, hamming``."""
-    sig = _spread(df, id_column).select(
-        F.col(id_column).alias("id"), simhash_md5(text_column).alias("sig")
+    # signature cache + stats shadow: same rationale as simhash_pairs
+    # above (the md5 fold is even heavier per token); the SHARED shadow
+    # shape guarantees both twins make the same guard decision, which
+    # the twin-plan parity test requires
+    sig = persist_once(
+        _spread(df, id_column).select(
+            F.col(id_column).alias("id"),
+            simhash_md5(text_column).alias("sig"),
+        )
     )
     pairs = _band_candidates(
         _simhash_banded(sig, bands=4, bits_per_band=15),
         carry=("sig",),
         bands=4,
+        stats_plan=_stats_shadow_simhash(df, id_column, 4),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (

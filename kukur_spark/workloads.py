@@ -1228,36 +1228,14 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_edges_sql_ctes() -> str:
-    """DuckDB CTE chain producing exactly :func:`lsh_jaccard_edges` as
-    ``pairs(id_a, id_b)`` — banding CTEs shared with the md5-LSH oracle
-    generator so the signature scheme cannot drift."""
-    from kukur_spark.operators.dedup import md5_sig_ctes_sql
-
-    return f"""{md5_sig_ctes_sql(
-        num_hashes=_EDGE_HASHES, bands=_EDGE_BANDS
-    )},
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-),
-dtok AS (
-  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
-  FROM documents
-),
-pairs AS (
-  SELECT id_a, id_b,
-    CAST((CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) * 1000000)
-      // CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT)
-      AS BIGINT) AS jaccard_e6
-  FROM cand
-  JOIN dtok ta ON ta.id = cand.id_a
-  JOIN dtok tb ON tb.id = cand.id_b
-  WHERE (CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) * 1000000)
-      // CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS BIGINT)
-      >= 200000
-)"""
+# the CTE chain + cluster template live in the leaf kukur_spark.dedup_sql
+# (workloads_r10/r13 consume DEDUP_CLUSTERS_SQL at module-import time;
+# importing it from HERE re-entered this module mid-body and snapshotted
+# half-built registries — see dedup_sql's docstring); re-exported for
+# compatibility
+from kukur_spark.dedup_sql import (  # noqa: E402
+    lsh_edges_sql_ctes as _lsh_edges_sql_ctes,
+)
 
 
 LSH_JACCARD_EDGES_SQL_TEMPLATE = """WITH {ctes}
@@ -1323,22 +1301,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_doc_groups(spark, sf).orderBy("doc_id")
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_lsh_edges_sql_ctes()},
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-),
-walk(src, reach) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-),
-comp AS (SELECT src AS id, MIN(reach) AS component FROM walk GROUP BY src)
-SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-ORDER BY d.doc_id
-"""
+from kukur_spark.dedup_sql import DEDUP_CLUSTERS_SQL  # noqa: E402
 
 
 def dedup_kept(spark: SparkSession, sf: str) -> DataFrame:

@@ -181,7 +181,7 @@ def docs_softdedup_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _softdedup_sql() -> str:
-    from kukur_spark.workloads import DEDUP_CLUSTERS_SQL
+    from kukur_spark.dedup_sql import DEDUP_CLUSTERS_SQL
 
     return DEDUP_CLUSTERS_SQL.replace(
         "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"
@@ -244,7 +244,7 @@ def docs_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _leakage_safe_split_sql() -> str:
-    from kukur_spark.workloads import DEDUP_CLUSTERS_SQL
+    from kukur_spark.dedup_sql import DEDUP_CLUSTERS_SQL
 
     return DEDUP_CLUSTERS_SQL.replace(
         "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"

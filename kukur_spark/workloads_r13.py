@@ -355,18 +355,30 @@ def docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     chunked = cdc_chunk_rows(
         load_table(spark, sf, "documents"), window=_CDC_WINDOW
     )
-    counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    # ONE chunking pass: pre-aggregate to (h, source) grain, then a
+    # vocabulary-sized window supplies the global occurrence count.  The
+    # former chunked⋈counts self-join evaluated the md5-window chunking
+    # subtree twice (no ReuseExchange across the agg/join shapes) —
+    # measured 6.2 s → 3.2 s at sf0.1, and at scale the first exchange
+    # now carries (h, source) partial aggregates instead of every chunk
+    # row.  Integer sums reassociate exactly: results are identical.
+    per_hs = chunked.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("chunk_len").alias("bytes"),
+    )
+    occ = per_hs.withColumn(
+        "occ", F.sum("cnt").over(Window.partitionBy("h"))
+    )
     return (
-        chunked.join(counts, "h")
-        .groupBy("source")
+        occ.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias(
+            F.sum("cnt").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, F.col("cnt")).otherwise(0)).alias(
                 "n_dup_occurrences"
             ),
-            F.sum("chunk_len").alias("total_bytes"),
+            F.sum("bytes").alias("total_bytes"),
             F.sum(
-                F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)
+                F.when(F.col("occ") > 1, F.col("bytes")).otherwise(0)
             ).alias("dup_bytes"),
         )
         .select(
@@ -444,20 +456,29 @@ def docs_fastcdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         window=_CDC_WINDOW,
         min_len=_CDC_MIN_LEN,
     )
-    counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    # same one-pass restructure as docs_cdc_chunks (see there): the
+    # greedy-fold chunking subtree is the expensive part and was
+    # evaluated twice through the chunked⋈counts self-join
+    per_hs = chunked.groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("chunk_len").alias("bytes"),
+        F.min("chunk_len").alias("min_len"),
+    )
+    occ = per_hs.withColumn(
+        "occ", F.sum("cnt").over(Window.partitionBy("h"))
+    )
     return (
-        chunked.join(counts, "h")
-        .groupBy("source")
+        occ.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias(
+            F.sum("cnt").alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, F.col("cnt")).otherwise(0)).alias(
                 "n_dup_occurrences"
             ),
-            F.sum("chunk_len").alias("total_bytes"),
+            F.sum("bytes").alias("total_bytes"),
             F.sum(
-                F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)
+                F.when(F.col("occ") > 1, F.col("bytes")).otherwise(0)
             ).alias("dup_bytes"),
-            F.min("chunk_len").alias("min_chunk_len"),
+            F.min("min_len").alias("min_chunk_len"),
         )
         .select(
             "source",
@@ -1474,7 +1495,7 @@ def docs_dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _survivorship_sql() -> str:
-    from kukur_spark.workloads import DEDUP_CLUSTERS_SQL
+    from kukur_spark.dedup_sql import DEDUP_CLUSTERS_SQL
 
     return DEDUP_CLUSTERS_SQL.replace(
         "SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id\n"
@@ -2120,11 +2141,19 @@ def customer_symspell_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # bounded-recall lower bound of the oracle's exact all-pairs count
     # (single band, no other-band rescue); below it, including every
     # oracle-gate SF, they are exact
-    banded = keys.select(
-        F.col("c_custkey").alias("id"),
-        F.lit(0).alias("band"),
-        F.xxhash64("key").alias("bucket"),
-        F.col("c_name"),
+    # persist the delete-key table (round 10): _band_candidates reads it
+    # three times (skew sample + both self-join sides), and the key
+    # explode is the expensive subtree — same signature-cache pattern
+    # the minhash paths already use.  The skew-guard estimate stays on
+    # the engage side at every scale here (bound 35.8k ≫ the 5.8k skip
+    # threshold cold; cache-inflated warm), so no stats shadow needed.
+    banded = persist_once(
+        keys.select(
+            F.col("c_custkey").alias("id"),
+            F.lit(0).alias("band"),
+            F.xxhash64("key").alias("bucket"),
+            F.col("c_name"),
+        )
     )
     cand = (
         _band_candidates(banded, carry=("c_name",))
@@ -2134,7 +2163,10 @@ def customer_symspell_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c_name_a").alias("name_a"),
             F.col("c_name_b").alias("name_b"),
         )
-        .filter(F.levenshtein("name_a", "name_b") == 1)
+        # threshold form (Spark 3.5+): banded early-exit DP, -1 when the
+        # distance exceeds 1 — `== 1` selects the identical row set as
+        # the unbounded form at a fraction of the per-pair cost
+        .filter(F.levenshtein("name_a", "name_b", 1) == 1)
     )
     diffs = F.filter(
         F.sequence(F.lit(1), F.length("name_a")),

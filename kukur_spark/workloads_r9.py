@@ -57,24 +57,37 @@ def docs_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     )
     inst = docs.select(
         "doc_id", F.explode(F.expr(bigram_expr)).alias("bigram")
-    ).withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
-    freq2 = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
-    hist = inst.groupBy("w1").agg(F.count(F.lit(1)).alias("ch"))
-    scored = (
-        inst.join(freq2, "bigram")
-        .join(hist, "w1")
-        .withColumn(
-            "s_e6",
-            F.floor(
-                F.log(F.col("ch").cast("double") / F.col("c2")) * 1_000_000
-            ).cast("long"),
-        )
+    )
+    # ONE explode pass (round-10 restructure): the former
+    # inst→{freq2, hist, join} fan-out evaluated the split+explode
+    # subtree three times (three differently-keyed exchanges, no
+    # ReuseExchange).  Pre-aggregating to (doc_id, bigram) grain with
+    # instance count k collapses that to a single pass, and the corpus
+    # counts become vocabulary-sized window sums (c2 over bigram, ch
+    # over w1) instead of instance-grain joins.  Every downstream
+    # quantity is exact: all instances of a (doc_id, bigram) group share
+    # one s_e6, so k·s_e6 and Σk reproduce the per-instance sums in
+    # integer arithmetic.  Measured 5.6 s → 2.9 s warm at sf0.1.
+    from pyspark.sql import Window as W
+
+    grp = (
+        inst.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    )
+    scored = grp.withColumn(
+        "c2", F.sum("k").over(W.partitionBy("bigram"))
+    ).withColumn("ch", F.sum("k").over(W.partitionBy("w1"))).withColumn(
+        "s_e6",
+        F.floor(
+            F.log(F.col("ch").cast("double") / F.col("c2")) * 1_000_000
+        ).cast("long"),
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("s_e6").alias("sum_e6"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("s_e6")).alias("sum_e6"),
         )
         .select(
             "doc_id",

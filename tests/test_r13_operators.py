@@ -170,6 +170,49 @@ def test_cdc_report_consistency(spark):
         assert r.dup_ppm == r.dup_bytes * 1_000_000 // r.total_bytes
 
 
+def test_cdc_report_matches_join_formulation(spark):
+    """The round-10 one-pass restructure (pre-aggregate to (h, source),
+    window for global occ) must reproduce the original chunked⋈counts
+    join formulation row for row — the optimization changed only the
+    plan, never the numbers."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.io import load_table
+    from kukur_spark.operators.chunking import cdc_chunk_rows
+    from kukur_spark.workloads_r13 import _CDC_WINDOW, docs_cdc_chunks
+
+    chunked = cdc_chunk_rows(
+        load_table(spark, SF, "documents"), window=_CDC_WINDOW
+    )
+    counts = chunked.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    reference = (
+        chunked.join(counts, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_occurrences"
+            ),
+            F.sum("chunk_len").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("occ") > 1, F.col("chunk_len")).otherwise(0)
+            ).alias("dup_bytes"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_occurrences",
+            "total_bytes",
+            "dup_bytes",
+            F.expr("dup_bytes * 1000000L div total_bytes").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+    got = [tuple(r) for r in docs_cdc_chunks(spark, SF).collect()]
+    want = [tuple(r) for r in reference.collect()]
+    assert got == want
+
+
 def test_fastcdc_min_bound_and_python_parity(spark):
     """Greedy min-bound walk: accepted cuts are ≥ MIN apart, and the
     Spark fold reproduces a pure-Python greedy reference on real docs."""

@@ -1,0 +1,56 @@
+"""The query/oracle registries must be complete regardless of which
+workloads module a process imports first.
+
+``workloads_r10`` and ``workloads_r13`` derive oracles from
+``DEDUP_CLUSTERS_SQL`` at module-import time.  While that template lived
+in ``kukur_spark.workloads``, importing either r-module FIRST re-entered
+``workloads`` mid-body and snapshotted half-built ``R*_ORACLES`` dicts —
+ORACLES silently lost up to 3 entries (and QUERIES 2) depending on
+import order.  The template now lives in the leaf
+``kukur_spark.dedup_sql``; this pins that no import order truncates the
+registries again.  Each probe runs in a fresh subprocess because the
+damage is per-process import state.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+import kukur_spark.{module}  # noqa: F401 — imported FIRST, the trigger
+from kukur_spark.workloads import ORACLES, QUERIES
+print(len(QUERIES), len(ORACLES))
+"""
+
+
+@pytest.mark.parametrize(
+    "module", ["workloads", "workloads_r10", "workloads_r13"]
+)
+def test_registry_complete_for_any_first_import(module):
+    out = subprocess.run(
+        [sys.executable, "-c", PROBE.format(repo=REPO, module=module)],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+    ).stdout.split()
+    n_queries, n_oracles = int(out[0]), int(out[1])
+    # the canonical counts come from the plain-workloads import
+    assert (n_queries, n_oracles) == (242, 239), (
+        f"registry truncated when kukur_spark.{module} is imported first: "
+        f"{n_queries} queries / {n_oracles} oracles"
+    )
+
+
+def test_cluster_sql_reexport_identical():
+    """The re-exported template is the same object the leaf defines —
+    consumers importing from either location can never diverge."""
+    from kukur_spark import dedup_sql, workloads
+
+    assert workloads.DEDUP_CLUSTERS_SQL is dedup_sql.DEDUP_CLUSTERS_SQL

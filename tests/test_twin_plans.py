@@ -69,6 +69,15 @@ def node_sequence(df) -> list:
 
 
 def test_fast_paths_share_their_twins_plan_shape(spark):
+    # Capture both twins from the same COLD cache state: the twins run
+    # their signature tables through persist_once, and a MATERIALIZED
+    # InMemoryRelation prints its stored cold recipe in addition to the
+    # re-derived lineage (and can lose/gain an Exchange under the
+    # dedup aggregate), so the node sequence depends on which caches
+    # earlier tests in the session happened to materialize.  Clearing
+    # the cache makes the comparison deterministic and order-independent
+    # while keeping the full-depth shape check.
+    spark.catalog.clearCache()
     for fast_name, exact_name in TWINS:
         fast = node_sequence(QUERIES[fast_name](spark, SF))
         exact = node_sequence(QUERIES[exact_name](spark, SF))
