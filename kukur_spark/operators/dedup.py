@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import logging
 import os
+import weakref
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -113,6 +114,36 @@ def _estimated_bucket_bound(banded: DataFrame, bands: int) -> Optional[int]:
         return None
 
 
+# Skew-guard estimate memo: the shadow-plan row bound is a pure function
+# of the (immutable) source frame, the shadow kind and the band count —
+# and the shadow exists precisely so the estimate is independent of any
+# session cache state, so re-deriving it on every query construction is
+# pure py4j/analysis overhead (~0.13 s per LSH-family construction,
+# measured round 10: shadow build + optimizedPlan().stats()).  Keyed by
+# (applicationId, kind, bands, id(source df)) with a weakref identity
+# check so a recycled id() can never serve a stale bound.  Only the
+# *estimate* is memoized — never any query result; the guard decision it
+# feeds is already cold=warm-stable by the shadow's design.
+_BOUND_MEMO: dict = {}
+
+
+def _memoized_bound(src: DataFrame, kind: str, bands: int, builder):
+    """Bucket bound from the memo, or compute via ``builder()`` and store."""
+    try:
+        app_id = src.sparkSession.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    key = (app_id, kind, bands, id(src))
+    hit = _BOUND_MEMO.get(key)
+    if hit is not None and hit[0]() is src:
+        return hit[1]
+    bound = _estimated_bucket_bound(builder(), bands)
+    if len(_BOUND_MEMO) > 512:  # stale-session hygiene, never hot
+        _BOUND_MEMO.clear()
+    _BOUND_MEMO[key] = (weakref.ref(src), bound)
+    return bound
+
+
 def _stats_shadow_banded(
     df: DataFrame, id_column: str, bands: int
 ) -> DataFrame:
@@ -167,12 +198,16 @@ def _stats_shadow_simhash(
     )
 
 
+_BOUND_UNSET = object()
+
+
 def _band_candidates(
     banded: DataFrame,
     carry: tuple = (),
     max_bucket: Optional[int] = None,
     bands: int = 1,
     stats_plan: Optional[DataFrame] = None,
+    stats_bound=_BOUND_UNSET,
 ) -> DataFrame:
     """Distinct candidate pairs from a banded table: self-equi-join on
     (band, bucket) with ``id_a < id_b``. ``carry`` columns are kept from
@@ -227,8 +262,12 @@ def _band_candidates(
         # (a doc appears once per band); the default 1 is conservative.
         # Skipping is correctness-neutral-or-better: the unguarded plan is
         # the EXACT candidate set.
-        bound = _estimated_bucket_bound(
-            banded if stats_plan is None else stats_plan, bands
+        bound = (
+            stats_bound
+            if stats_bound is not _BOUND_UNSET
+            else _estimated_bucket_bound(
+                banded if stats_plan is None else stats_plan, bands
+            )
         )
         if (
             bound is not None
@@ -518,14 +557,21 @@ def minhash_lsh_pairs(
     pairs = _band_candidates(
         banded,
         bands=bands,
-        stats_plan=_stats_shadow_banded(df, id_column, bands),
+        stats_bound=_memoized_bound(
+            df,
+            "banded",
+            bands,
+            lambda: _stats_shadow_banded(df, id_column, bands),
+        ),
     )
     # exact verification only for surviving candidates: join the hashed
     # sets back by id (candidate count << corpus for any sane banding)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
-    jaccard = (
-        F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-        / F.size(F.array_union("hs_a", "hs_b"))
+    # |A∪B| = |A|+|B|−|A∩B| for the distinct hash sets: sizing a
+    # materialized union array doubled the per-pair array work (round 10)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jaccard = inter.cast("double") / (
+        F.size("hs_a") + F.size("hs_b") - inter
     )
     return (
         verified.withColumn("jaccard", F.round(jaccard, 6))
@@ -637,7 +683,12 @@ def minhash_lsh_pairs_md5(
     pairs = _band_candidates(
         banded,
         bands=bands,
-        stats_plan=_stats_shadow_banded(df, id_column, bands),
+        stats_bound=_memoized_bound(
+            df,
+            "banded",
+            bands,
+            lambda: _stats_shadow_banded(df, id_column, bands),
+        ),
     )
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
@@ -927,7 +978,12 @@ def simhash_pairs(
         _simhash_banded(sig, bands=4, bits_per_band=16),
         carry=("sig",),
         bands=4,
-        stats_plan=_stats_shadow_simhash(df, id_column, 4),
+        stats_bound=_memoized_bound(
+            df,
+            "simhash",
+            4,
+            lambda: _stats_shadow_simhash(df, id_column, 4),
+        ),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -993,7 +1049,12 @@ def simhash_pairs_md5(
         _simhash_banded(sig, bands=4, bits_per_band=15),
         carry=("sig",),
         bands=4,
-        stats_plan=_stats_shadow_simhash(df, id_column, 4),
+        stats_bound=_memoized_bound(
+            df,
+            "simhash",
+            4,
+            lambda: _stats_shadow_simhash(df, id_column, 4),
+        ),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -1073,9 +1134,11 @@ def ngram_jaccard_pairs(
             F.col("b.toks").alias("toks_b"),
         )
     )
-    jaccard = (
-        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-        / F.size(F.array_union("toks_a", "toks_b"))
+    # arithmetic union over the distinct token arrays (|A|+|B|−inter):
+    # same value as sizing array_union, half the per-pair array work
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jaccard = inter.cast("double") / (
+        F.size("toks_a") + F.size("toks_b") - inter
     )
     return (
         pairs.withColumn("jaccard", F.round(jaccard, 6))

@@ -1100,6 +1100,7 @@ def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n"),
     ).repartition(32, "source")
     pairs = (
         base.alias("a")
@@ -1108,25 +1109,45 @@ def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
             on=[
                 F.col("a.source") == F.col("b.source"),
                 F.col("a.id") < F.col("b.id"),
+                # implied size-ratio gate, evaluated BEFORE the per-pair
+                # intersect: jaccard_e6 >= 200000 forces
+                # inter·1e6 >= 200000·union with inter <= min(|A|,|B|)
+                # and union >= max(|A|,|B|), so a pair failing
+                # min·1e6 >= 200000·max can never reach the threshold —
+                # result set unchanged, but mismatched-length pairs skip
+                # the expensive array_intersect entirely (round 10)
+                F.expr(
+                    "least(a.n, b.n) * 1000000L >= 200000 * "
+                    "greatest(a.n, b.n)"
+                ),
+                # the threshold itself ALSO lives in the join condition —
+                # written after the gate so the And chain short-circuits
+                # cheap-to-expensive (a post-join .filter() gets pushed
+                # into the join condition *ahead* of the explicit
+                # conditions, defeating the gate; measured round 10).
+                # Exact integer rearrangement so the intersect is
+                # evaluated ONCE per pair: with |A∪B| = |A|+|B|−inter,
+                #   inter·1e6 div (sz−inter) >= 200000
+                #   ⟺ inter·1e6 >= 200000·(sz−inter)   (floor-div, >0)
+                #   ⟺ inter·1200000 >= 200000·sz  ⟺  6·inter >= sz.
+                F.expr(
+                    "cast(size(array_intersect(a.toks, b.toks)) AS BIGINT)"
+                    " * 6 >= a.n + b.n"
+                ),
             ],
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.toks", "b.toks")).cast("long")
-                * 1_000_000
-            ).alias("inter_e6"),
-            F.size(F.array_union("a.toks", "b.toks")).cast("long").alias("uni"),
+            # recomputed only for the few surviving pairs
+            F.expr(
+                "cast(size(array_intersect(a.toks, b.toks)) AS BIGINT)"
+                " * 1000000 div (cast(a.n + b.n AS BIGINT) - "
+                "size(array_intersect(a.toks, b.toks)))"
+            ).alias("jaccard_e6"),
         )
     )
-    return (
-        pairs.select(
-            "id_a", "id_b", F.expr("inter_e6 div uni").alias("jaccard_e6")
-        )
-        .filter(F.col("jaccard_e6") >= 200_000)
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.orderBy("id_a", "id_b")
 
 
 NGRAM_JACCARD_SQL = """
@@ -1178,6 +1199,7 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
         _band_candidates,
         _md5_banded,
         _md5_base,
+        _memoized_bound,
         _stats_shadow_banded,
     )
     from kukur_spark.io import persist_once
@@ -1188,11 +1210,17 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
     banded = _md5_banded(base, _EDGE_BANDS, _EDGE_HASHES // _EDGE_BANDS)
     # stats shadow: the persisted base otherwise pollutes the skew-guard
     # row estimate once materialized (see _stats_shadow_banded), re-
-    # engaging the detection jobs on every re-construction in a session
+    # engaging the detection jobs on every re-construction in a session;
+    # the bound is memoized per (session, docs handle) — see _memoized_bound
     cand = _band_candidates(
         banded,
         bands=_EDGE_BANDS,
-        stats_plan=_stats_shadow_banded(docs, "doc_id", _EDGE_BANDS),
+        stats_bound=_memoized_bound(
+            docs,
+            "banded",
+            _EDGE_BANDS,
+            lambda: _stats_shadow_banded(docs, "doc_id", _EDGE_BANDS),
+        ),
     )
     toks = docs.select(
         F.col("doc_id").alias("id"),
@@ -1213,16 +1241,18 @@ def _lsh_edges_from(docs: DataFrame) -> DataFrame:
         verified.select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
-                * 1_000_000
-            ).alias("inter_e6"),
-            F.size(F.array_union("toks_a", "toks_b"))
+            # arithmetic union (|A|+|B|−inter) over the distinct token
+            # arrays — same rewrite as ngram_jaccard_exact, ~2× less
+            # per-pair array work than materializing the union array
+            F.size(F.array_intersect("toks_a", "toks_b"))
             .cast("long")
-            .alias("uni"),
+            .alias("inter"),
+            (F.size("toks_a") + F.size("toks_b")).cast("long").alias("sz"),
         )
         .select(
-            "id_a", "id_b", F.expr("inter_e6 div uni").alias("jaccard_e6")
+            "id_a",
+            "id_b",
+            F.expr("inter * 1000000 div (sz - inter)").alias("jaccard_e6"),
         )
         .filter(F.col("jaccard_e6") >= 200_000)
     )

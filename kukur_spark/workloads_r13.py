@@ -1557,44 +1557,110 @@ def ts_acf_multi(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.col("value").alias("x"),
     )
-    lagged = base
-    for k in range(1, _ACF_MAX_LAG + 1):
-        lagged = lagged.withColumn(f"y{k}", F.lag("x", k).over(w))
-    stacked = lagged.select(
+    # One-pass moment restructure (round 10): the explode-then-aggregate
+    # form paid 5 decimal sums per STACKED row (7× multiplicity → 35
+    # decimal adds per event).  Of the five lag-k moments only the cross
+    # term Σ x·y genuinely needs per-lag products; the other four are
+    # exactly the per-series totals minus tiny boundary corrections:
+    #   sx(k)  = S − Σ x  over the first k rows (where lag-k IS NULL)
+    #   sy(k)  = S − Σ x  over the last  k rows (where lead-k IS NULL)
+    #   sxx(k) = Q − Σ x² over the first k rows, syy(k) likewise last.
+    # Decimal sums reassociate exactly, so every e6 integer — and hence
+    # every downstream IEEE double — is bit-identical to the stacked
+    # form (oracle-verified at all three SFs).  lead/lag share one
+    # Window operator (same partition+order), so this stays one sort.
+    lagged = base.select(
         "event_type",
         "x",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).cast("long").alias("lag"),
-                        F.col(f"y{k}").alias("y"),
-                    )
-                    for k in range(1, _ACF_MAX_LAG + 1)
-                ]
-            )
-        ).alias("p"),
-    ).select("event_type", "x", "p.lag", "p.y").filter(
-        F.col("y").isNotNull()
+        *[
+            F.lag("x", k).over(w).alias(f"y{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+        *[
+            F.lead("x", k).over(w).alias(f"z{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
     )
-    agg = stacked.groupBy("event_type", "lag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.floor(F.sum(F.col("x").cast("decimal(30,10)")) * 1_000_000)
-        .cast("long").alias("sx_e6"),
-        F.floor(F.sum(F.col("y").cast("decimal(30,10)")) * 1_000_000)
-        .cast("long").alias("sy_e6"),
-        F.floor(
-            F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)"))
-            * 1_000_000
-        ).cast("long").alias("sxy_e6"),
-        F.floor(
-            F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)"))
-            * 1_000_000
-        ).cast("long").alias("sxx_e6"),
-        F.floor(
-            F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)"))
-            * 1_000_000
-        ).cast("long").alias("syy_e6"),
+    xd = F.col("x").cast("decimal(30,10)")
+    xd2 = (F.col("x") * F.col("x")).cast("decimal(30,10)")
+    per_series = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(xd).alias("s_all"),
+        F.sum(xd2).alias("q_all"),
+        *[
+            agg_col
+            for k in range(1, _ACF_MAX_LAG + 1)
+            for agg_col in (
+                F.sum(F.when(F.col(f"y{k}").isNull(), xd)).alias(f"pre{k}"),
+                F.sum(F.when(F.col(f"y{k}").isNull(), xd2)).alias(
+                    f"pre2_{k}"
+                ),
+                F.sum(F.when(F.col(f"z{k}").isNull(), xd)).alias(f"suf{k}"),
+                F.sum(F.when(F.col(f"z{k}").isNull(), xd2)).alias(
+                    f"suf2_{k}"
+                ),
+                F.sum(
+                    F.when(
+                        F.col(f"y{k}").isNotNull(),
+                        (F.col("x") * F.col(f"y{k}")).cast("decimal(30,10)"),
+                    )
+                ).alias(f"sxy{k}"),
+            )
+        ],
+    )
+    agg = (
+        per_series.select(
+            "event_type",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("lag"),
+                            (F.col("nn") - F.lit(k)).alias("n"),
+                            F.floor(
+                                (F.col("s_all") - F.col(f"pre{k}"))
+                                * 1_000_000
+                            )
+                            .cast("long")
+                            .alias("sx_e6"),
+                            F.floor(
+                                (F.col("s_all") - F.col(f"suf{k}"))
+                                * 1_000_000
+                            )
+                            .cast("long")
+                            .alias("sy_e6"),
+                            F.floor(F.col(f"sxy{k}") * 1_000_000)
+                            .cast("long")
+                            .alias("sxy_e6"),
+                            F.floor(
+                                (F.col("q_all") - F.col(f"pre2_{k}"))
+                                * 1_000_000
+                            )
+                            .cast("long")
+                            .alias("sxx_e6"),
+                            F.floor(
+                                (F.col("q_all") - F.col(f"suf2_{k}"))
+                                * 1_000_000
+                            )
+                            .cast("long")
+                            .alias("syy_e6"),
+                        )
+                        for k in range(1, _ACF_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            "p.lag",
+            "p.n",
+            "p.sx_e6",
+            "p.sy_e6",
+            "p.sxy_e6",
+            "p.sxx_e6",
+            "p.syy_e6",
+        )
+        .filter(F.col("n") > 0)
     )
     n = F.col("n").cast("double")
     sx = F.col("sx_e6").cast("double") / 1e6

@@ -452,6 +452,12 @@ def lineitem_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("l_returnflag").orderBy("price_e2").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # NOTE (round 10): replacing the totals branch with full-partition
+    # window sums (same keyed partitioning, one pass) was tried and
+    # REVERTED — the unbounded-frame window buffers every mass row in 3
+    # single-key tasks and measured SLOWER on the counted action
+    # (1.69 → 2.04 s at sf0.1) than re-running the cheap second
+    # aggregate + broadcast join.
     cum = mass.withColumn("cum_qty", F.sum("level_qty").over(w))
     totals = mass.groupBy("l_returnflag").agg(
         F.sum("level_qty").alias("total_qty"),

@@ -724,6 +724,11 @@ def parts_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     """
     from kukur_spark.operators.scale import bounded_rank
 
+    # NOTE (round 10): persisting this distinct projection was tried and
+    # REVERTED — the pair fan-out dominates the query, the four-branch
+    # rebuild is cheap next to it (noop unchanged 1.85→1.86 s at sf0.1),
+    # and the extra cache entry pressures the persist FIFO (cap 8)
+    # against the far more valuable LSH signature caches.
     items = (
         load_table(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
