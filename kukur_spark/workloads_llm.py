@@ -1153,6 +1153,11 @@ def text_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     kept = toks.join(F.broadcast(vocab), "tok")
     n_docs = docs.count()
+    # NOTE (round 10): an alias-form self-join (identical subplans on
+    # both sides, aiming for ReuseExchange) was tried and REVERTED — the
+    # planner broadcasts one kept side, so there is no exchange to
+    # reuse, both lineages re-expand either way, and timings were a
+    # wash (count 0.92 vs 1.05 s at sf0.1).
     pairs = (
         kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
         .join(

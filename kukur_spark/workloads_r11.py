@@ -79,13 +79,22 @@ def docs_dup_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p0") + 1).cast("long").alias("pos"),
         F.md5("gram").alias("gram_h"),
     )
-    dup = (
-        grams.groupBy("gram_h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram_h")
+    # one-pass dup detection (round 10): the aggregate-then-join-back
+    # form evaluated the explode+md5 gram subtree TWICE (once per
+    # branch; no ReuseExchange across the agg/join shapes).  A gram is
+    # cross-document iff min(doc_id) != max(doc_id) within its hash
+    # group — exactly countDistinct(doc_id) > 1 — and the min/max window
+    # shares the single corpus-sized exchange on gram_h the join form
+    # paid anyway.  Skew note: a boilerplate mega-gram buffers its group
+    # in one (spillable) window partition, the same task-locality the
+    # SMJ join form gave it in the sort.
+    wg = Window.partitionBy("gram_h")
+    hits = (
+        grams.withColumn("_dmin", F.min("doc_id").over(wg))
+        .withColumn("_dmax", F.max("doc_id").over(wg))
+        .filter(F.col("_dmin") != F.col("_dmax"))
+        .select("doc_id", "pos")
     )
-    hits = grams.join(dup, "gram_h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (

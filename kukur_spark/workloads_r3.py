@@ -348,16 +348,34 @@ def textrank_step(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 3)
     )
+    # One-pass symmetrization + degree (round 10): the unionByName form
+    # read the expensive pair-fanout aggregate TWICE (one per direction),
+    # and the wdeg aggregate + join re-read `directed` twice more.  An
+    # explode emits both directions from a single evaluation, and the
+    # weighted degree is a full-partition window sum sharing the one
+    # exchange on src — long sums reassociate exactly, so every e9 rank
+    # is bit-identical (oracle-verified).  Window groups are bounded by
+    # a token's co-occurrence degree (≤ filtered vocabulary size).
     directed = edges.select(
-        F.col("tok_a").alias("src"), F.col("tok_b").alias("dst"), "w"
-    ).unionByName(
-        edges.select(
-            F.col("tok_b").alias("src"), F.col("tok_a").alias("dst"), "w"
-        )
-    )
-    wdeg = directed.groupBy("src").agg(F.sum("w").alias("wdeg"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("tok_a").alias("src"),
+                    F.col("tok_b").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("tok_b").alias("src"),
+                    F.col("tok_a").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     contrib = (
-        directed.join(wdeg, "src")
+        directed.withColumn(
+            "wdeg", F.sum("w").over(Window.partitionBy("src"))
+        )
         .select(
             "dst",
             F.expr("CAST(w * 1000000000 AS BIGINT) DIV wdeg").alias("c_e9"),

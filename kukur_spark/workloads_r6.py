@@ -78,17 +78,23 @@ def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     tf = matched.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_tbl = matched.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-
+    # df as a window count over tf (round 10): tf rows are distinct
+    # (doc, term) pairs, so countDistinct(doc_id) per term over matched
+    # IS the per-term row count of tf — the separate df aggregate branch
+    # re-ran the whole corpus tokenization a second time (no reuse
+    # across the differently-keyed shapes).  The window's term groups
+    # are bounded by per-term document frequency over the tiny matched
+    # vocabulary.
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id long, term string",
     )
 
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
+        tf.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
+        )
         .join(F.broadcast(qterms), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))

@@ -1170,11 +1170,20 @@ def orders_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
             "o_custkey", F.datediff("od", "prev").cast("long").alias("gap_d")
         )
     )
+    # Median picks via window counts (round 10): the count-aggregate +
+    # broadcast-join-back pattern re-expanded each upstream subtree per
+    # branch (no ReuseExchange across the differently-pruned shapes) —
+    # this query planned 32 parquet scans / 60 exchanges.  A
+    # full-partition count window shares the exchange its row_number
+    # already pays, and the per-segment repeat count rides the picked
+    # median row.  Counts are identical integers; tie order within equal
+    # gap values picks the same gap VALUE either way.  Now 6 scans.
     wg = Window.partitionBy("o_custkey").orderBy(F.col("gap_d").asc())
-    ng = gaps.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_gaps"))
     cust_med = (
         gaps.withColumn("rn", F.row_number().over(wg))
-        .join(F.broadcast(ng), "o_custkey")
+        .withColumn(
+            "n_gaps", F.count(F.lit(1)).over(Window.partitionBy("o_custkey"))
+        )
         .filter(F.col("rn") == F.expr("div(n_gaps + 1, 2)"))
         .select("o_custkey", F.col("gap_d").alias("cust_med_gap"))
     )
@@ -1187,25 +1196,25 @@ def orders_repeat_rate(spark: SparkSession, sf: str) -> DataFrame:
     wseg = Window.partitionBy("c_mktsegment").orderBy(
         F.col("cust_med_gap").asc(), F.col("o_custkey").asc()
     )
-    repeaters = per_cust.filter(F.col("n_orders") >= 2).withColumn(
-        "rn", F.row_number().over(wseg)
-    )
-    nrep = repeaters.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_repeat")
-    )
     seg_med = (
-        repeaters.join(F.broadcast(nrep), "c_mktsegment")
+        per_cust.filter(F.col("n_orders") >= 2)
+        .withColumn("rn", F.row_number().over(wseg))
+        .withColumn(
+            "n_repeat",
+            F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")),
+        )
         .filter(F.col("rn") == F.expr("div(n_repeat + 1, 2)"))
         .select(
-            "c_mktsegment", F.col("cust_med_gap").alias("median_gap_days")
+            "c_mktsegment",
+            "n_repeat",
+            F.col("cust_med_gap").alias("median_gap_days"),
         )
     )
     totals = per_cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
     return (
-        totals.join(nrep, "c_mktsegment", "left")
-        .join(seg_med, "c_mktsegment", "left")
+        totals.join(seg_med, "c_mktsegment", "left")
         .select(
             "c_mktsegment",
             "n_customers",
@@ -1510,22 +1519,35 @@ def ts_leadlag_corr(spark: SparkSession, sf: str) -> DataFrame:
             "event_type", "h_us", F.expr("sum_e6 div cnt").alias("avg_e6")
         )
     )
-    a = hourly.filter(F.col("event_type") == _LL_A).select(
-        F.col("h_us").alias("ah_us"), F.col("avg_e6").alias("a_e6")
-    )
-    b = hourly.filter(F.col("event_type") == _LL_B).select(
-        F.col("h_us").alias("bh_us"), F.col("avg_e6").alias("b_e6")
-    )
-    lags = spark.createDataFrame(
-        [(lag,) for lag in _LL_LAGS], "lag_h long"
-    )
+    # Single-lineage lag alignment (round 10): the a/b filter branches
+    # each re-ran the whole scan+hourly-aggregate (no reuse across the
+    # differently-filtered shapes) before a 7-way lag join.  Instead,
+    # every hourly row fans out to its 7 lag-keyed copies in one
+    # projection — a-rows keyed at their own hour, b-rows shifted by
+    # lag·1h — and a (hour, lag) aggregate pairs them: a group holding
+    # both an a and a b value IS exactly one row of the old join.
+    lags_csv = ", ".join(f"{v}L" for v in _LL_LAGS)
+    shift = 3_600_000_000
+    stream = hourly.select(
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN event_type = '{_LL_A}' THEN
+                  transform(array({lags_csv}), l -> struct(
+                    h_us AS h, l AS lag_h,
+                    avg_e6 AS a_e6, CAST(NULL AS BIGINT) AS b_e6))
+                ELSE
+                  transform(array({lags_csv}), l -> struct(
+                    h_us + l * {shift} AS h, l AS lag_h,
+                    CAST(NULL AS BIGINT) AS a_e6, avg_e6 AS b_e6))
+                END"""
+            )
+        ).alias("e")
+    ).select("e.h", "e.lag_h", "e.a_e6", "e.b_e6")
     pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(
-            b,
-            F.col("ah_us")
-            == F.col("bh_us") + F.col("lag_h") * F.lit(3_600_000_000),
-        )
+        stream.groupBy("h", "lag_h")
+        .agg(F.max("a_e6").alias("a_e6"), F.max("b_e6").alias("b_e6"))
+        .filter(F.col("a_e6").isNotNull() & F.col("b_e6").isNotNull())
         .select(
             "lag_h",
             (F.col("a_e6").cast("double") / 1e6).alias("x"),

@@ -1187,6 +1187,8 @@ def nation_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ``connected_components`` checkpoint discipline — iteration count is
     fixed (5), not data-dependent.
     """
+    from pyspark.sql import Window
+
     from kukur_spark.io import persist_once
     from kukur_spark.operators.scale import bounded_rank
     from kukur_spark.workloads import dsum
@@ -1219,9 +1221,14 @@ def nation_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(dsum(disc_price).alias("w_e6"))
     )
-    out_totals = flows.groupBy("src").agg(F.sum("w_e6").alias("wout_e6"))
+    # out-degree totals as a window sum over the (≤ nations²-row) flow
+    # aggregate: the separate groupBy branch re-ran the whole 3-join
+    # scan+aggregate subtree a second time before the persist could help
+    # (round 10); long sums reassociate exactly — identical shares
     edges = persist_once(
-        flows.join(out_totals, "src")
+        flows.withColumn(
+            "wout_e6", F.sum("w_e6").over(Window.partitionBy("src"))
+        )
         .select(
             "src",
             "dst",
