@@ -40,12 +40,11 @@ ALLOWED = {
     # cumulative share over the 101 integer percentile buckets produced
     # by distributed_row_number — bucket axis, not order rows
     "orders_cumulative_share": {"unbounded_global_windows": 1},
-    # rank over the per-lag aggregate (constant lag range); the cross
-    # join pairs the two bounded hourly series arrays
-    "ts_leadlag_corr": {
-        "unbounded_global_windows": 1,
-        "unbounded_cross_joins": 1,
-    },
+    # rank over the per-lag aggregate (constant lag range); the round-10
+    # single-lineage rewrite removed the lag cross join entirely (the
+    # lag fan-out is now an explode), so only the 7-row rank window
+    # remains allowed
+    "ts_leadlag_corr": {"unbounded_global_windows": 1},
     # broadcast side is the 8-seed centroid filter (vec_id < 8)
     "emb_kmeans_step": {"unbounded_cross_joins": 1},
     "emb_kmeans_iter2": {"unbounded_cross_joins": 2},
