@@ -46,44 +46,64 @@ def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape, built for the 100 TB corpus case:
 
-    - the corpus is tokenized ONCE (explode) and immediately filtered to
-      the query-term set (a tiny ``isin`` literal — Catalyst folds it to
-      a scan-side predicate on the exploded view), so the tf aggregate
-      only ever shuffles (doc, matched-term) rows, not the corpus;
-    - document length and N come from one map-side count aggregate whose
-      shuffle carries one long per doc;
+    - the corpus is tokenized ONCE (explode) and immediately collapsed
+      to one (doc_id) row carrying the document length AND one tf
+      counter per query term (the query-term set is a tiny literal, so
+      the counters are conditional map-side sums — no corpus rows ever
+      shuffle, only #docs skinny aggregate rows);
+    - that per-doc table is persisted (round 10): doclen/stats and the
+      tf unpivot are differently-pruned branches of the same subtree,
+      so without the persist each branch re-tokenized the corpus (no
+      ReuseExchange across differently-keyed/pruned aggregate shapes).
+      The cache holds 10 longs per doc — orders of magnitude smaller
+      than the corpus text it replaces, spillable, and recomputed from
+      parquet every run (an intra-query intermediate, not a result);
+    - tf rows come from un-pivoting the counters (``stack``) — the
+      (doc, matched-term) grain the old tf aggregate produced, with dl
+      already on the row (the former doclen join is gone);
     - df/avgdl/N are tiny aggregates broadcast back;
     - per-(doc, term) contributions are e6-floored BEFORE the per-doc
       sum, making the score an order-free integer and the ranking
       deterministic across engines and partitionings.
     """
+    from kukur_spark.io import persist_once
+
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     all_terms = sorted({t for _, terms in _BM25_QUERIES for t in terms})
 
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    # doclen derives from the SAME exploded stream (map-side-combinable
-    # count, one long per doc on the wire) — the corpus text really is
-    # read and tokenized once
-    doclen = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
+    percol = persist_once(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, 1).otherwise(0)
+                ).cast("long").alias(f"__tf_{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
     )
-    stats = doclen.agg(
+    stats = percol.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
 
-    matched = toks.filter(F.col("term").isin(all_terms))
-    tf = matched.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    stack_args = ", ".join(
+        f"'{t}', __tf_{i}" for i, t in enumerate(all_terms)
     )
+    # identical rows to the old matched.groupBy(doc_id, term).count():
+    # the counters count exactly the matched occurrences per doc
+    tf = percol.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(all_terms)}, {stack_args}) AS (term, tf)",
+    ).filter(F.col("tf") > 0)
     # df as a window count over tf (round 10): tf rows are distinct
     # (doc, term) pairs, so countDistinct(doc_id) per term over matched
-    # IS the per-term row count of tf — the separate df aggregate branch
-    # re-ran the whole corpus tokenization a second time (no reuse
-    # across the differently-keyed shapes).  The window's term groups
-    # are bounded by per-term document frequency over the tiny matched
+    # IS the per-term row count of tf.  The window's term groups are
+    # bounded by per-term document frequency over the tiny matched
     # vocabulary.
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
@@ -96,7 +116,6 @@ def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long"),
         )
         .join(F.broadcast(qterms), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(

@@ -66,10 +66,14 @@ def test_bm25_matches_bruteforce(spark):
         assert got == [doc for _s, doc in ranked[: len(got)]]
 
 
-def test_bm25_plan_prunes_before_aggregate(spark):
+def test_bm25_plan_single_pass_counters(spark):
     plan = plan_of(QUERIES["docs_bm25_topk"](spark, SF))
-    # the isin(query terms) filter must exist (corpus pruned before tf agg)
-    assert " IN (" in plan or "isin" in plan.lower(), plan
+    # round-10 one-pass shape: the corpus collapses to ONE per-doc
+    # aggregate carrying dl plus a conditional counter per query term
+    # (no isin-filtered second tokenization, no doclen join branch) …
+    assert "CASE WHEN (term" in plan, plan
+    # … which is then un-pivoted back to (doc, term, tf) grain
+    assert "stack(" in plan, plan
     assert "EvalPython" not in plan, "Python crept into the BM25 path"
 
 
