@@ -2251,20 +2251,46 @@ def emb_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         _as_double(F.col("embedding")).alias("v"),
     ).withColumn("n", norm(F.col("v")))
     streamed = base.repartition(32)
-    scored = (
+    # cosine is symmetric (IEEE multiply commutes, positional fold order),
+    # so score each unordered pair once (a.id < b.id — half the O(d)
+    # folds of the a.id != b.id form) and mirror every scored row into
+    # both query directions.  The explode references the single cos_sim
+    # column: the fold is expensive and referenced twice, so
+    # CollapseProject keeps it evaluated once per unordered pair.
+    half = (
         streamed.alias("a")
-        .join(F.broadcast(base.alias("b")), F.col("a.id") != F.col("b.id"))
+        .join(F.broadcast(base.alias("b")), F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a.id").alias("id"),
-            F.col("a.lbl").alias("true_label"),
-            F.col("b.lbl").alias("nn_label"),
-            F.col("b.id").alias("nn_id"),
+            F.col("a.id").alias("id_a"),
+            F.col("a.lbl").alias("lbl_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.lbl").alias("lbl_b"),
             (
                 dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.n") * F.col("b.n"))
             ).alias("cos_sim"),
         )
     )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"),
+                    F.col("lbl_a").alias("true_label"),
+                    F.col("lbl_b").alias("nn_label"),
+                    F.col("id_b").alias("nn_id"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"),
+                    F.col("lbl_b").alias("true_label"),
+                    F.col("lbl_a").alias("nn_label"),
+                    F.col("id_a").alias("nn_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.id", "p.true_label", "p.nn_label", "p.nn_id", "p.cos_sim")
     nearest = (
         scored.groupBy("id", "true_label")
         .agg(

@@ -447,16 +447,25 @@ def emb_outlier_knn(
     # dedupe the skinny (query_id, vec_id) ids FIRST, then join the
     # vectors back and compute each cosine exactly once: distinct over
     # cosine-bearing rows would fold every duplicate copy (5× slower
-    # measured at sf0.1)
+    # measured at sf0.1).  The bucket self-join emits every candidate in
+    # BOTH orders and the cosine is symmetric (IEEE multiply commutes, the
+    # fold order is positional), so keep only query_id < vec_id — half the
+    # distinct shuffle and half the O(d) folds — and mirror each scored
+    # row into the (vec_id, query_id) direction afterwards.  The mirror is
+    # an explode of two structs referencing the one dist_e6 column: the
+    # fold is expensive and referenced twice, so CollapseProject keeps it
+    # in the lower projection and it is evaluated once per unordered pair
+    # (verified in the committed plan: a single `aggregate(zip_with…)`
+    # projection below the Generate).
     ids = (
         sigs.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("query_id") < F.col("vec_id"))
         .select("query_id", "vec_id")
         .distinct()
     )
     vectors = raw.withColumn("nv", norm(F.col("v")))
     cos = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))
-    pairs = (
+    half = (
         ids.join(F.broadcast(vectors), "vec_id")
         .join(
             F.broadcast(
@@ -476,6 +485,18 @@ def emb_outlier_knn(
             ),
         )
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct("query_id", "vec_id", "dist_e6"),
+                F.struct(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("query_id").alias("vec_id"),
+                    F.col("dist_e6"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.query_id", "p.vec_id", "p.dist_e6")
     return _outlier_scoring_tail(pairs)
 
 
