@@ -168,8 +168,64 @@ def bounded_rank(
     )
 
 
+def _bucket_rex(df: DataFrame, bucket_column: str):
+    """The probe/bucket expression for ``bucket_column``: a numeric
+    rendering that is monotone in the column's sort order (micros for
+    timestamps, days for dates, double for numerics)."""
+    from pyspark.sql import types as T
+
+    col = F.col(bucket_column)
+    dt = df.schema[bucket_column].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col)
+    if isinstance(dt, T.DateType):
+        return F.unix_date(col)
+    return col.cast("double")
+
+
+def range_boundaries(
+    df: DataFrame, bucket_columns: List[str], buckets: int = 0
+) -> Dict[str, list]:
+    """Probe the :func:`_range_bucket` quantile boundaries for SEVERAL
+    columns in ONE Spark job.
+
+    A query that runs multiple two-level decompositions over the same
+    input (e.g. one ``distributed_ntile`` per metric) otherwise pays one
+    eager boundary job per pass — and each pass's probe re-executes the
+    previous pass's pipeline to aggregate a column the pass never
+    changed.  The boundaries depend only on the probed column's value
+    multiset, so probing them all up front on the shared input is
+    value-identical; pass the per-column lists through the ``boundaries``
+    parameter of :func:`distributed_ntile` / :func:`distributed_row_number`.
+    """
+    from kukur_spark.io import persist_once
+
+    spark = df.sparkSession
+    if not buckets:
+        buckets = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32") or 32
+        )
+    df = persist_once(df)
+    quantiles = [i / buckets for i in range(1, buckets)]
+    row = df.select(
+        *[
+            F.percentile_approx(
+                _bucket_rex(df, c), quantiles, 10_000
+            ).alias(c)
+            for c in bucket_columns
+        ]
+    ).first()
+    return {
+        c: (sorted(set(row[c] or [])) if row else [])
+        for c in bucket_columns
+    }
+
+
 def _range_bucket(
-    df: DataFrame, bucket_column: str, buckets: int = 0
+    df: DataFrame,
+    bucket_column: str,
+    buckets: int = 0,
+    boundaries: "list | None" = None,
 ) -> DataFrame:
     """Attach ``__pid``: a DETERMINISTIC range-bucket id aligned with
     the sort order of ``bucket_column``.
@@ -193,9 +249,11 @@ def _range_bucket(
     bucket — same behavior the RangePartitioner had.
 
     ``bucket_column`` must be numeric, timestamp, or date.
-    """
-    from pyspark.sql import types as T
 
+    ``boundaries`` (from :func:`range_boundaries`) skips the per-call
+    probe job: callers that bucket several columns of one input supply
+    literals probed in a single job instead of one eager job per pass.
+    """
     from kukur_spark.io import persist_once
 
     spark = df.sparkSession
@@ -211,20 +269,17 @@ def _range_bucket(
     # (spillable, lineage-keeping) cache here makes the boundary job
     # the one and only upstream execution; every consumer then reads
     # the cache and recomputes just the pure `__pid` projection.
+    # (Kept when boundaries are supplied too: every decomposition reads
+    # the bucketed frame from at least two consumers.)
     df = persist_once(df)
     col = F.col(bucket_column)
-    dt = df.schema[bucket_column].dataType
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        rex = F.unix_micros(col)
-    elif isinstance(dt, T.DateType):
-        rex = F.unix_date(col)
-    else:  # numerics (double compare only buckets ties together — safe)
-        rex = col.cast("double")
-    quantiles = [i / buckets for i in range(1, buckets)]
-    row = df.select(
-        F.percentile_approx(rex, quantiles, 10_000).alias("b")
-    ).first()
-    boundaries = sorted(set(row["b"] or [])) if row else []
+    rex = _bucket_rex(df, bucket_column)
+    if boundaries is None:
+        quantiles = [i / buckets for i in range(1, buckets)]
+        row = df.select(
+            F.percentile_approx(rex, quantiles, 10_000).alias("b")
+        ).first()
+        boundaries = sorted(set(row["b"] or [])) if row else []
     if not boundaries:
         # empty (or all-NULL-key) input: one bucket.  NOT ``lit(0)`` — a
         # foldable constant lets Catalyst erase the __pid partition spec
@@ -252,6 +307,7 @@ def distributed_row_number(
     order_columns: List[str],
     output_column: str,
     total_column: str = "",
+    boundaries: "list | None" = None,
 ) -> DataFrame:
     """Global row_number without a single-task window.
 
@@ -267,7 +323,7 @@ def distributed_row_number(
     """
     from pyspark.sql import Window
 
-    with_pid = _range_bucket(df, order_columns[0])
+    with_pid = _range_bucket(df, order_columns[0], boundaries=boundaries)
     counts = (
         with_pid.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -302,12 +358,14 @@ def distributed_ntile(
     n: int,
     order_columns: List[str],
     output_column: str,
+    boundaries: "list | None" = None,
 ) -> DataFrame:
     """Global ntile without a single-task window (two-phase global rank
     + the SQL NTILE bucket rule: the first ``total % n`` buckets get one
     extra row)."""
     ranked = distributed_row_number(
-        df, order_columns, "__rank", total_column="__gtotal"
+        df, order_columns, "__rank", total_column="__gtotal",
+        boundaries=boundaries,
     )
     out = ranked.withColumn(
         output_column,

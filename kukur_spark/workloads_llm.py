@@ -1239,7 +1239,10 @@ def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     classic CRM view.
     """
     from kukur_spark.io import persist_once
-    from kukur_spark.operators.scale import distributed_ntile
+    from kukur_spark.operators.scale import (
+        distributed_ntile,
+        range_boundaries,
+    )
 
     orders = load_table(spark, sf, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1252,18 +1255,33 @@ def orders_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("monetary_cents"),
     )
     # each ntile pass executes its input twice (partition counts + rank);
-    # persist between passes so the lineage doesn't re-run multiplicatively
+    # persist between passes so the lineage doesn't re-run multiplicatively.
+    # All three bucket boundaries are probed in ONE job on per_cust: the
+    # ntile passes never change the metric columns, so per-pass probes on
+    # the stacked intermediates would aggregate identical multisets while
+    # eagerly re-executing the previous pass's window+join pipeline.
+    # (An unstacked variant — three independent ntiles joined on custkey —
+    # was measured WORSE: warm 4.0 s vs 2.0 s, cold no better; the extra
+    # custkey joins cost more than the stacking saves.)
     per_cust = persist_once(per_cust)
+    bounds = range_boundaries(
+        per_cust, ["last_order_us", "frequency", "monetary_cents"]
+    )
     scored = persist_once(
         distributed_ntile(
-            per_cust, 4, ["last_order_us", "o_custkey"], "r_score"
+            per_cust, 4, ["last_order_us", "o_custkey"], "r_score",
+            boundaries=bounds["last_order_us"],
         )
     )
     scored = persist_once(
-        distributed_ntile(scored, 4, ["frequency", "o_custkey"], "f_score")
+        distributed_ntile(
+            scored, 4, ["frequency", "o_custkey"], "f_score",
+            boundaries=bounds["frequency"],
+        )
     )
     scored = distributed_ntile(
-        scored, 4, ["monetary_cents", "o_custkey"], "m_score"
+        scored, 4, ["monetary_cents", "o_custkey"], "m_score",
+        boundaries=bounds["monetary_cents"],
     )
     return (
         # long casts: DuckDB NTILE returns BIGINT, Spark's int32 would

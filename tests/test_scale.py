@@ -114,6 +114,41 @@ def test_distributed_ntile_matches_window_ntile(spark):
     ]
 
 
+def test_distributed_ntile_supplied_boundaries_match_probe(spark):
+    """range_boundaries probes several columns in one job; threading a
+    column's boundaries through distributed_ntile must reproduce the
+    per-call-probe result exactly (same literals, no probe job)."""
+    from pyspark.sql import functions as F
+
+    from kukur_spark.operators.scale import (
+        distributed_ntile,
+        range_boundaries,
+    )
+
+    df = spark.range(0, 211).select(
+        "id",
+        (F.col("id") * 37 % 211).alias("metric"),
+        (F.col("id") * 53 % 97).alias("other"),
+    )
+    bounds = range_boundaries(df, ["metric", "other"])
+    for col in ("metric", "other"):
+        probed = (
+            distributed_ntile(df, 4, [col, "id"], "q")
+            .select("id", "q")
+            .orderBy("id")
+            .collect()
+        )
+        supplied = (
+            distributed_ntile(
+                df, 4, [col, "id"], "q", boundaries=bounds[col]
+            )
+            .select("id", "q")
+            .orderBy("id")
+            .collect()
+        )
+        assert probed == supplied
+
+
 def test_distributed_ntile_plan_is_bucket_partitioned(spark):
     from pyspark.sql import functions as F
 
