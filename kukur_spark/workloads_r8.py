@@ -1422,27 +1422,32 @@ def supplier_lead_time(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "l_suppkey", F.datediff("sd", "od").cast("long").alias("lead_d")
     )
+    # One pass: the aggregate table, the median-rank window, and the
+    # final join are ALL supplier-keyed, so the former agg-join-back
+    # shape executed the lineitem⋈orders subtree three times (pruned
+    # branches, no ReuseExchange).  Count/sum ride the same suppkey
+    # exchange as the rank window (unbounded frame), and the median row
+    # carries every output column — zero join-backs, one fact shuffle.
     w = Window.partitionBy("l_suppkey").orderBy(F.col("lead_d").asc())
-    n_tbl = lead.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("lead_d").alias("sum_lead"),
-        F.sum(F.when(F.col("lead_d") > 90, 1).otherwise(0))
-        .cast("long")
-        .alias("n_late"),
-    )
-    med = (
-        lead.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(n_tbl.select("l_suppkey", "n_lines")), "l_suppkey")
-        .filter(F.col("rn") == F.expr("div(n_lines + 1, 2)"))
-        .select("l_suppkey", F.col("lead_d").alias("median_lead_d"))
-    )
+    wa = Window.partitionBy("l_suppkey")
     return (
-        n_tbl.join(med, "l_suppkey")
+        lead.select(
+            "l_suppkey",
+            "lead_d",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wa).alias("n_lines"),
+            F.sum("lead_d").over(wa).alias("sum_lead"),
+            F.sum(F.when(F.col("lead_d") > 90, 1).otherwise(0))
+            .over(wa)
+            .cast("long")
+            .alias("n_late"),
+        )
+        .filter(F.col("rn") == F.expr("div(n_lines + 1, 2)"))
         .select(
             "l_suppkey",
             "n_lines",
             F.expr("div(sum_lead, n_lines)").alias("mean_lead_d"),
-            "median_lead_d",
+            F.col("lead_d").alias("median_lead_d"),
             F.expr("div(n_late * 1000000, n_lines)").alias("late_ppm"),
         )
         .orderBy("l_suppkey")

@@ -2188,14 +2188,20 @@ def parts_brand_hhi(spark: SparkSession, sf: str) -> DataFrame:
             .alias("rev_c"),
         )
     )
-    totals = brand_rev.groupBy("p_type").agg(
-        F.sum("rev_c").alias("total_c"),
-        F.count(F.lit(1)).cast("long").alias("n_brands"),
-    )
-    shares = brand_rev.join(F.broadcast(totals), "p_type").select(
+    # type totals as window sums over the (type, brand) aggregate — the
+    # former totals-agg-joined-back shape executed the lineitem⋈part
+    # revenue subtree twice (pruned branches, no ReuseExchange).  The
+    # window's partitions are brands-per-type, bounded by the part
+    # catalog (≤ dozens of rows) at any data scale.
+    shares = brand_rev.select(
         "p_type",
-        "n_brands",
-        F.expr("div(CAST(rev_c AS DECIMAL(38,0)) * 1000000, total_c)")
+        F.expr("count(*) OVER (PARTITION BY p_type)")
+        .cast("long")
+        .alias("n_brands"),
+        F.expr(
+            "div(CAST(rev_c AS DECIMAL(38,0)) * 1000000, "
+            "sum(rev_c) OVER (PARTITION BY p_type))"
+        )
         .cast("long")
         .alias("share_ppm"),
     )
