@@ -1101,7 +1101,7 @@ def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n"),
-    ).repartition(32, "source")
+    ).repartition(spark.sparkContext.defaultParallelism, "source")
     pairs = (
         base.alias("a")
         .join(
@@ -1772,7 +1772,7 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # repartition the < join runs as a single-task nested loop —
     # spreading the streamed side is what makes the O(n²) verify
     # baseline use every core (the LSH/IVF paths are the scale answer)
-    streamed = base.repartition(32)
+    streamed = base.repartition(spark.sparkContext.defaultParallelism)
     pairs = (
         streamed.alias("a")
         .join(F.broadcast(base.alias("b")), F.col("a.id") < F.col("b.id"))
@@ -2250,7 +2250,7 @@ def emb_knn_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("label").alias("lbl"),
         _as_double(F.col("embedding")).alias("v"),
     ).withColumn("n", norm(F.col("v")))
-    streamed = base.repartition(32)
+    streamed = base.repartition(spark.sparkContext.defaultParallelism)
     # cosine is symmetric (IEEE multiply commutes, positional fold order),
     # so score each unordered pair once (a.id < b.id — half the O(d)
     # folds of the a.id != b.id form) and mirror every scored row into

@@ -1,0 +1,52 @@
+"""cProfile the driver-side construction of named queries.
+
+Usage: python scripts/profile_build.py [sf_dir] query [query ...]
+
+Warms the session and persist_once caches first (one noop per query),
+then profiles ONLY the `QUERIES[name](spark, sf)` call, printing the
+top cumulative entries plus the py4j round-trip count (calls into
+py4j's send_command are the per-Column/DataFrame JVM hops).
+"""
+
+from __future__ import annotations
+
+import cProfile
+import os
+import pstats
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kukur_spark.io import TABLES, load_table  # noqa: E402
+from kukur_spark.session import get_spark  # noqa: E402
+from kukur_spark.workloads import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("profile_build")
+    for t in TABLES:
+        load_table(spark, sf, t)
+    for name in names:
+        QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
+    for name in names:
+        pr = cProfile.Profile()
+        t0 = time.time()
+        pr.enable()
+        QUERIES[name](spark, sf)
+        pr.disable()
+        wall = time.time() - t0
+        st = pstats.Stats(pr)
+        roundtrips = 0
+        for (fn_file, _line, fn_name), (cc, _nc, _tt, _ct, _callers) in st.stats.items():
+            if "java_gateway" in fn_file and fn_name == "send_command":
+                roundtrips += cc
+        print(f"\n===== {name}  wall={wall:.3f}s  py4j_send_command={roundtrips}")
+        st.sort_stats("cumulative").print_stats(18)
+
+
+if __name__ == "__main__":
+    main()
