@@ -60,34 +60,46 @@ def plot_buckets(
     start_us = _epoch_us(start)
     end_us = _epoch_us(end)
     span = max(end_us - start_us, 1)
-    # out-of-window rows would clamp into the edge buckets (or produce
-    # negative bucket ids) — restrict to the half-open window first
-    df = df.filter(
-        (F.unix_micros(F.col(TS_COLUMN).cast("timestamp")) >= F.lit(start_us))
-        & (F.unix_micros(F.col(TS_COLUMN).cast("timestamp")) < F.lit(end_us))
-    )
-    bucketed = df.withColumn(BUCKET_COLUMN, _bucket_expr(start, end, interval_count))
-    value, ts = F.col(VALUE_COLUMN), F.col(TS_COLUMN)
-    # struct-ordered argmin/argmax: deterministic under value ties
-    # (earliest ts among min-value rows, latest ts among max-value rows)
-    by_value = F.struct(value.alias("v"), ts.alias("t"))
-    by_ts = F.struct(ts.alias("t"), value.alias("v"))
-    agg = bucketed.groupBy(*group_columns, BUCKET_COLUMN).agg(
-        F.min(value).alias("min_value"),
-        F.max(value).alias("max_value"),
-        F.min(by_ts).getField("v").alias("first_value"),
-        F.max(by_ts).getField("v").alias("last_value"),
-        F.min(by_value).getField("t").alias("ts_min"),
-        F.max(by_value).getField("t").alias("ts_max"),
-        F.min(ts).alias("ts_first"),
-        F.max(ts).alias("ts_last"),
-        F.count(F.lit(1)).alias("n_points"),
-    )
-    bucket_start = F.timestamp_micros(
-        F.lit(start_us)
-        + (F.col(BUCKET_COLUMN) * F.lit(span) / F.lit(int(interval_count))).cast("long")
-    )
-    return agg.withColumn("bucket_start", bucket_start)
+    n = int(interval_count)
+    # One parameterized spark.sql call (the Column-object chain cost one
+    # py4j round trip + JVM analysis pass per op; the single statement
+    # resolves to the identical physical plan — plans/r11 +
+    # scripts/plan_diff.py).  Out-of-window rows would clamp into the
+    # edge buckets (or produce negative bucket ids) — the WHERE restricts
+    # to the half-open window first.  Struct-ordered argmin/argmax keep
+    # determinism under value ties (earliest ts among min-value rows,
+    # latest ts among max-value rows).
+    gsel = "".join(f"`{c}`, " for c in group_columns)
+    ts_win = f"unix_micros(CAST(`{TS_COLUMN}` AS TIMESTAMP))"
+    gby = gsel + f"`{BUCKET_COLUMN}`"
+    sql = f"""
+SELECT *,
+  timestamp_micros({start_us} + CAST(`{BUCKET_COLUMN}` * {span}
+                   / {n} AS BIGINT)) AS bucket_start
+FROM (
+  SELECT {gsel}`{BUCKET_COLUMN}`,
+    MIN(`{VALUE_COLUMN}`) AS min_value,
+    MAX(`{VALUE_COLUMN}`) AS max_value,
+    MIN(struct(`{TS_COLUMN}` AS t, `{VALUE_COLUMN}` AS v)).v
+      AS first_value,
+    MAX(struct(`{TS_COLUMN}` AS t, `{VALUE_COLUMN}` AS v)).v
+      AS last_value,
+    MIN(struct(`{VALUE_COLUMN}` AS v, `{TS_COLUMN}` AS t)).t AS ts_min,
+    MAX(struct(`{VALUE_COLUMN}` AS v, `{TS_COLUMN}` AS t)).t AS ts_max,
+    MIN(`{TS_COLUMN}`) AS ts_first,
+    MAX(`{TS_COLUMN}`) AS ts_last,
+    COUNT(1) AS n_points
+  FROM (
+    SELECT *,
+      LEAST(CAST(FLOOR(((unix_micros(`{TS_COLUMN}`) - {start_us}) * {n})
+                       / {span}) AS BIGINT), {n - 1}) AS `{BUCKET_COLUMN}`
+    FROM {{df}}
+    WHERE {ts_win} >= {start_us} AND {ts_win} < {end_us}
+  )
+  GROUP BY {gby}
+)
+"""
+    return df.sparkSession.sql(sql, df=df)
 
 
 def plot_downsample(

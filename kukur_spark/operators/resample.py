@@ -23,7 +23,6 @@ from datetime import datetime
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from kukur_spark.schema import TS_COLUMN, VALUE_COLUMN
 
@@ -51,46 +50,32 @@ def resample(
     end_us = epoch_us(end)
     step_us = interval_seconds * 1_000_000
 
-    # expression chains are built as SQL fragments (selectExpr): the
-    # Column-object form of this operator cost ~1 000 py4j round trips
-    # (~0.23 s of driver latency per construction, measured round 10);
-    # the fragments resolve to the same trees in a handful of calls
-    gcols = [f"`{c}`" for c in group_columns]
+    # The whole operator is ONE parameterized spark.sql call: the
+    # selectExpr-chain form of this plan cost ~10 DataFrame ops, each a
+    # py4j round trip plus a JVM analysis pass over the growing tree
+    # (~0.12 s of driver latency per construction, measured round 11);
+    # the single statement analyzes once and resolves to the identical
+    # physical plan (guarded by plans/r11 + scripts/plan_diff.py).
+    gsel = "".join(f"`{c}`, " for c in group_columns)
     groups = (
-        df.select(group_columns).distinct()
+        f"SELECT DISTINCT {gsel.rstrip(', ')} FROM {{df}}"
         if group_columns
-        else spark.range(1).select(F.lit(1).alias("__g"))
-    )
-    grid = groups.selectExpr(
-        *gcols,
-        f"explode(sequence({start_us}L, {end_us - 1}L, {step_us}L)) AS ts_us",
-    ).selectExpr(
-        *gcols,
-        "ts_us",
-        "1 AS __is_grid",
-        "CAST(NULL AS DOUBLE) AS __data_value",
-        "CAST(NULL AS BIGINT) AS __data_ts",
+        else "SELECT 1 AS __g FROM range(1)"
     )
     # null-ts rows would sort first and poison every early bracket, and
     # null-value rows would split __prev_v/__prev_t across different rows
     # (the hazards asof.py guards against) — neither can interpolate
     ts_us = f"unix_micros(CAST(`{TS_COLUMN}` AS TIMESTAMP))"
-    data = df.where(
-        f"`{TS_COLUMN}` IS NOT NULL AND `{VALUE_COLUMN}` IS NOT NULL"
-    ).selectExpr(
-        *gcols,
-        f"{ts_us} AS ts_us",
-        "0 AS __is_grid",
-        f"CAST(`{VALUE_COLUMN}` AS DOUBLE) AS __data_value",
-        f"{ts_us} AS __data_ts",
-    )
-    combined = grid.unionByName(data)
 
     # both bracket lookups use *growing* frames (incrementally evaluated);
     # an UnboundedFollowing frame would be recomputed per row — O(n²) per
     # partition (measured: 108 s vs 2 s at sf0.1). "next" comes from a
     # descending-ordered running last over the strictly-preceding frame.
-    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    part = (
+        "PARTITION BY " + ", ".join(f"`{c}`" for c in group_columns) + " "
+        if group_columns
+        else ""
+    )
     before = (
         f"OVER ({part}ORDER BY ts_us ASC, __is_grid ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
@@ -99,13 +84,6 @@ def resample(
         f"OVER ({part}ORDER BY ts_us DESC, __is_grid DESC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
     )
-    grid_rows = combined.selectExpr(
-        "*",
-        f"last(__data_value, true) {before} AS __prev_v",
-        f"last(__data_ts, true) {before} AS __prev_t",
-        f"last(__data_value, true) {after_desc} AS __next_v",
-        f"last(__data_ts, true) {after_desc} AS __next_t",
-    ).where("__is_grid = 1")
 
     if how == "stepped":
         value = "__prev_v"
@@ -121,8 +99,34 @@ def resample(
             f"THEN {interpolated} ELSE NULL END"
         )
 
-    return grid_rows.selectExpr(
-        *gcols,
-        f"timestamp_micros(ts_us) AS `{TS_COLUMN}`",
-        f"round({value}, 6) AS `{VALUE_COLUMN}`",
-    ).orderBy(*group_columns, TS_COLUMN)
+    order_by = "".join(f"`{c}`, " for c in group_columns) + f"`{TS_COLUMN}`"
+    sql = f"""
+SELECT {gsel}timestamp_micros(ts_us) AS `{TS_COLUMN}`,
+       round({value}, 6) AS `{VALUE_COLUMN}`
+FROM (
+  SELECT *,
+    last(__data_value, true) {before} AS __prev_v,
+    last(__data_ts, true) {before} AS __prev_t,
+    last(__data_value, true) {after_desc} AS __next_v,
+    last(__data_ts, true) {after_desc} AS __next_t
+  FROM (
+    SELECT {gsel}ts_us, 1 AS __is_grid,
+           CAST(NULL AS DOUBLE) AS __data_value,
+           CAST(NULL AS BIGINT) AS __data_ts
+    FROM (
+      SELECT {gsel}explode(sequence({start_us}L, {end_us - 1}L, {step_us}L))
+             AS ts_us
+      FROM ({groups})
+    )
+    UNION ALL
+    SELECT {gsel}{ts_us} AS ts_us, 0 AS __is_grid,
+           CAST(`{VALUE_COLUMN}` AS DOUBLE) AS __data_value,
+           {ts_us} AS __data_ts
+    FROM {{df}}
+    WHERE `{TS_COLUMN}` IS NOT NULL AND `{VALUE_COLUMN}` IS NOT NULL
+  )
+)
+WHERE __is_grid = 1
+ORDER BY {order_by}
+"""
+    return spark.sql(sql, df=df)

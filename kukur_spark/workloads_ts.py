@@ -584,48 +584,42 @@ def ts_twa(spark: SparkSession, sf: str) -> DataFrame:
     """
     day = 86_400_000_000
     events = load_table(spark, sf, "events")
-    base = events.select(
-        "event_type",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "value",
-    ).withColumn("day_us", F.col("ts_us") - F.col("ts_us") % F.lit(day))
-    w = Window.partitionBy("event_type", "day_us").orderBy("ts_us", "event_id")
-    nxt = F.lead("ts_us").over(w)
-    weighted = base.withColumn(
-        "w_us", F.coalesce(nxt, F.col("day_us") + F.lit(day)) - F.col("ts_us")
-    )
     # numerator stays at value·µs scale (≤ ~5e13 for a full day — far from
     # bigint overflow even for large values); the ×1e6 display scaling
-    # happens in the final IEEE-deterministic double division
-    agg = weighted.groupBy("event_type", "day_us").agg(
-        F.floor(
-            F.sum(
-                (F.col("value") * F.col("w_us").cast("double")).cast(
-                    "decimal(30,10)"
-                )
-            )
-        )
-        .cast("long")
-        .alias("num_vus"),
-        F.sum("w_us").alias("den_us"),
-        F.count(F.lit(1)).alias("n"),
+    # happens in the final IEEE-deterministic double division.
+    # One parameterized spark.sql call: the Column-object form cost ~200
+    # py4j round trips (~0.07 s driver latency per construction, measured
+    # round 11); the single statement resolves to the identical physical
+    # plan (plans/r11 + scripts/plan_diff.py).
+    return spark.sql(
+        f"""
+SELECT event_type, day_us,
+       CAST(FLOOR(CAST(num_vus AS DOUBLE) * 1000000
+                  / CAST(den_us AS DOUBLE)) AS BIGINT) AS twa_e6,
+       den_us, n
+FROM (
+  SELECT event_type, day_us,
+         CAST(FLOOR(SUM(CAST((value * CAST(w_us AS DOUBLE))
+                             AS DECIMAL(30,10)))) AS BIGINT) AS num_vus,
+         SUM(w_us) AS den_us,
+         COUNT(1) AS n
+  FROM (
+    SELECT *,
+           COALESCE(lead(ts_us) OVER (PARTITION BY event_type, day_us
+                                      ORDER BY ts_us, event_id),
+                    day_us + {day}) - ts_us AS w_us
+    FROM (
+      SELECT event_type, ts_us, event_id, value,
+             ts_us - ts_us % {day} AS day_us
+      FROM (SELECT event_type, unix_micros(ts) AS ts_us, event_id, value
+            FROM {{events}})
     )
-    return (
-        agg.select(
-            "event_type",
-            "day_us",
-            F.floor(
-                F.col("num_vus").cast("double")
-                * 1_000_000
-                / F.col("den_us").cast("double")
-            )
-            .cast("long")
-            .alias("twa_e6"),
-            "den_us",
-            "n",
-        )
-        .orderBy("event_type", "day_us")
+  )
+  GROUP BY event_type, day_us
+)
+ORDER BY event_type, day_us
+""",
+        events=events,
     )
 
 
