@@ -56,6 +56,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# SQL-fragment twins of the Column helpers above: same expressions, one
+# parse instead of ~40 py4j round trips per use (driver latency only —
+# the resolved trees are identical; lambda-variable display names differ,
+# normalized by scripts/plan_diff.py)
+def _as_double_sql(v: str) -> str:
+    return f"transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -75,36 +94,38 @@ def brute_force_topk(
     collide coincidentally.
     """
     # norms precomputed per vector BEFORE the join: computing them inside
-    # the N×Q projection would redo the O(d) aggregate per candidate pair
-    q = queries.select(
-        F.col(id_column).alias("query_id"),
-        _as_double(F.col(vector_column)).alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_column).alias("neighbor_id"),
-        _as_double(F.col(vector_column)).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
-    condition = (
-        F.col("query_id") != F.col("neighbor_id")
-        if exclude_same_id
-        else F.lit(True)
-    )
-    scored = c.join(F.broadcast(q), condition).withColumn(
-        "cos_sim", dot("qv", "cv") / (F.col("qn") * F.col("cn"))
-    )
-    window = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(window))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_sim", 6).alias("cos_sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    # the N×Q projection would redo the O(d) aggregate per candidate pair.
+    # One parameterized spark.sql call — the Column-object form cost ~360
+    # py4j round trips (~0.10 s driver latency per construction, measured
+    # round 11); identical physical plan (plans/r11 + scripts/plan_diff.py).
+    condition = "query_id != neighbor_id" if exclude_same_id else "true"
+    sql = f"""
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM (
+    SELECT /*+ BROADCAST(q) */ c.*, q.*,
+           {_dot_sql("qv", "cv")} / (qn * cn) AS cos_sim
+    FROM (
+      SELECT *, {_norm_sql("cv")} AS cn
+      FROM (SELECT `{id_column}` AS neighbor_id,
+                   {_as_double_sql(f"`{vector_column}`")} AS cv
+            FROM {{corpus}})
+    ) c
+    JOIN (
+      SELECT *, {_norm_sql("qv")} AS qn
+      FROM (SELECT `{id_column}` AS query_id,
+                   {_as_double_sql(f"`{vector_column}`")} AS qv
+            FROM {{queries}})
+    ) q ON {condition}
+  )
+)
+WHERE rank <= {int(k)}
+"""
+    return corpus.sparkSession.sql(sql, corpus=corpus, queries=queries)
 
 
 # ---------------------------------------------------------------------------

@@ -837,20 +837,39 @@ ORDER BY event_type, ts_us
 
 
 def ts_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join: each error event matched to the user's latest purchase."""
+    """As-of join: each error event matched to the user's latest purchase.
+
+    The specialized (backward, exact-match) expansion of
+    :func:`kukur_spark.operators.asof.asof_join` as one parameterized
+    spark.sql statement — the operator call built the identical tree
+    through ~25 DataFrame ops (~0.10 s driver latency per construction,
+    measured round 11; plan equality guarded by plans/r11 +
+    scripts/plan_diff.py)."""
     events = load_table(spark, sf, "events")
-    errors = events.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
+    return spark.sql(
+        """
+SELECT event_id, unix_micros(ts) AS ts_us, __m.value AS purchase_value
+FROM (
+  SELECT *,
+         last(__r, true) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, __side ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS __m
+  FROM (
+    SELECT event_id, user_id, ts, 1 AS __side,
+           CAST(NULL AS STRUCT<__ts: TIMESTAMP, value: DOUBLE>) AS __r
+    FROM {events} WHERE event_type = 'error' AND ts IS NOT NULL
+    UNION ALL
+    SELECT NULL AS event_id, user_id, ts, 0 AS __side,
+           struct(ts AS __ts, value AS value) AS __r
+    FROM {events} WHERE event_type = 'purchase' AND ts IS NOT NULL
+  )
+)
+WHERE __side = 1 AND __m IS NOT NULL
+ORDER BY event_id
+""",
+        events=events,
     )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value")
-    )
-    matched = asof_join(errors, purchases, on=["user_id"], value_columns=["value"])
-    return matched.select(
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("value").alias("purchase_value"),
-    ).orderBy("event_id")
 
 
 TS_ASOF_JOIN_SQL = """

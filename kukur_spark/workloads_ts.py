@@ -804,104 +804,110 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     end_us = 1_706_745_600_000_000
     span = end_us - start_us
     events = load_table(spark, sf, "events")
-    # expression chains built as SQL fragments: the Column-object form
-    # cost ~1 660 py4j round trips (~0.32 s driver latency per
-    # construction, measured round 10); same resolved trees either way
-    base = events.selectExpr(
-        "event_type", "unix_micros(ts) AS ts_us", "event_id", "value"
-    ).where(f"ts_us >= {start_us} AND ts_us < {end_us}")
-    base = base.selectExpr(
-        "*",
-        f"CAST(FLOOR(LEAST(CAST((ts_us - {start_us}) * {n_b} AS DOUBLE)"
-        f" / CAST({span} AS DOUBLE), CAST({n_b - 1} AS DOUBLE)))"
-        " AS BIGINT) AS bucket",
+    # construction is THREE parameterized spark.sql calls (base, cents,
+    # everything after the cache): the selectExpr/join chain form cost
+    # ~25 DataFrame ops — one py4j round trip + JVM analysis pass each,
+    # ~0.14 s driver latency per construction (measured round 11).  The
+    # statements resolve to the identical physical plan (plans/r11 +
+    # scripts/plan_diff.py); the split exists only because persist_once
+    # must cache the cents DataFrame handle between them.
+    base = spark.sql(
+        f"""
+SELECT *,
+  CAST(FLOOR(LEAST(CAST((ts_us - {start_us}) * {n_b} AS DOUBLE)
+       / CAST({span} AS DOUBLE), CAST({n_b - 1} AS DOUBLE))) AS BIGINT)
+    AS bucket
+FROM (
+  SELECT event_type, unix_micros(ts) AS ts_us, event_id, value
+  FROM {{events}}
+)
+WHERE ts_us >= {start_us} AND ts_us < {end_us}
+""",
+        events=events,
     )
     # one aggregate produces the centroids AND the edge-bucket first/last
-    # points (struct-ordered argmin/argmax) — no extra scan or window
-    pt = "struct(ts_us AS t, event_id AS i, value AS v)"
+    # points (struct-ordered argmin/argmax) — no extra scan or window.
     # sum the OFFSET from the window start as decimal(38,0): a raw
     # sum(ts_us) of microsecond epochs (~1.7e15 each) overflows long at
     # ~5 000 rows/bucket — the 30× scale probe hit it.  The decimal sum
     # is overflow-proof; the centroid reconstructs as
     # start + double(sum_dt)/n, bit-identical in both engines (exact
     # integer → nearest double, then one IEEE divide and add).
-    cents = base.groupBy("event_type", "bucket").agg(
-        F.expr(f"SUM(CAST(ts_us - {start_us} AS DECIMAL(38,0)))").alias(
-            "sum_dt"
-        ),
-        F.expr(
-            "CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000)"
-            " AS BIGINT)"
-        ).alias("sum_val_e6"),
-        F.expr("COUNT(1)").alias("n"),
-        F.expr(f"MIN({pt})").alias("first_pt"),
-        F.expr(f"MAX({pt})").alias("last_pt"),
-    )
-    cents = persist_once(cents)  # ≤ n_buckets×|series| rows; without it
-    # every branch (anchors, first, last) re-runs the full scan+aggregate —
-    # Spark's ReuseExchange does not fire because column pruning makes each
-    # branch's scan structurally different
+    pt = "struct(ts_us AS t, event_id AS i, value AS v)"
+    cents_sql = f"""
+SELECT event_type, bucket,
+  SUM(CAST(ts_us - {start_us} AS DECIMAL(38,0))) AS sum_dt,
+  CAST(FLOOR(SUM(CAST(value AS DECIMAL(30,10))) * 1000000) AS BIGINT)
+    AS sum_val_e6,
+  COUNT(1) AS n,
+  MIN({pt}) AS first_pt,
+  MAX({pt}) AS last_pt
+FROM {{base}}
+GROUP BY event_type, bucket
+"""
+    cents = persist_once(spark.sql(cents_sql, base=base))
+    # ^ ≤ n_buckets×|series| rows; without the cache every branch
+    # (anchors, first, last) re-runs the full scan+aggregate — Spark's
+    # ReuseExchange does not fire because column pruning makes each
+    # branch's scan structurally different.  The tail statement repeats
+    # the cents SUBQUERY TEXT instead of referencing the cached handle:
+    # a cached DataFrame passed as a {param} gets wrapped in a fresh View
+    # node that defeats the CacheManager's sameResult lookup (measured —
+    # the cache was silently bypassed), while a re-parsed identical
+    # subquery canonicalizes equal and substitutes InMemoryRelation at
+    # every occurrence, exactly like the former DataFrame-object reuse.
+    del cents  # the handle exists only to fill/track the cache
     wb = "OVER (PARTITION BY event_type ORDER BY bucket)"
     e6 = "CAST(1000000 AS DOUBLE)"
-    anchors = cents.selectExpr(
-        "event_type",
-        "bucket",
-        f"{start_us} + lag(CAST(sum_dt AS DOUBLE)) {wb} / lag(n) {wb}"
-        " AS ax_us",
-        f"lag(sum_val_e6) {wb} / {e6} / lag(n) {wb} AS ay",
-        f"{start_us} + lead(CAST(sum_dt AS DOUBLE)) {wb} / lead(n) {wb}"
-        " AS cx_us",
-        f"lead(sum_val_e6) {wb} / {e6} / lead(n) {wb} AS cy",
-    )
-    mid = base.where(f"bucket > 0 AND bucket < {n_b - 1}").join(
-        F.broadcast(anchors), ["event_type", "bucket"]
-    )
     area = (
         f"abs((ax_us / {e6} - cx_us / {e6}) * (value - ay)"
         f" - (ax_us / {e6} - CAST(ts_us AS DOUBLE) / {e6}) * (cy - ay))"
     )
-    mid = mid.selectExpr(
-        "*", f"coalesce({area}, CAST(-1 AS DOUBLE)) AS area"
+    # mid-bucket peaks: per-bucket argmax as a struct-max aggregate
+    # (partial+final, map-side combine) instead of a row_number window: no
+    # full sort shuffle of the mid rows — the shuffle carries one candidate
+    # per (series, bucket) per partition. Negated ts/event_id fields give
+    # the desc-area, asc-ts, asc-id tie order under lexicographic struct
+    # max.  The anchors join broadcasts (≤ n_buckets×|series| rows).
+    return spark.sql(
+        f"""
+WITH __cents AS ({cents_sql})
+SELECT * FROM (
+  SELECT event_type, bucket,
+         first_pt.t AS ts_us, first_pt.i AS event_id, first_pt.v AS value
+  FROM __cents WHERE bucket = 0
+  UNION ALL
+  SELECT event_type, bucket, p.t AS ts_us, p.i AS event_id, p.v AS value
+  FROM (
+    SELECT event_type, bucket,
+           MAX(struct(area AS a, -ts_us AS nt, -event_id AS ni,
+               ts_us AS t, event_id AS i, value AS v)) AS p
+    FROM (
+      SELECT /*+ BROADCAST(a) */ b.*, a.ax_us, a.ay, a.cx_us, a.cy,
+             coalesce({area}, CAST(-1 AS DOUBLE)) AS area
+      FROM (SELECT * FROM {{base}}
+            WHERE bucket > 0 AND bucket < {n_b - 1}) b
+      JOIN (
+        SELECT event_type, bucket,
+          {start_us} + lag(CAST(sum_dt AS DOUBLE)) {wb} / lag(n) {wb}
+            AS ax_us,
+          lag(sum_val_e6) {wb} / {e6} / lag(n) {wb} AS ay,
+          {start_us} + lead(CAST(sum_dt AS DOUBLE)) {wb} / lead(n) {wb}
+            AS cx_us,
+          lead(sum_val_e6) {wb} / {e6} / lead(n) {wb} AS cy
+        FROM __cents
+      ) a USING (event_type, bucket)
     )
-    # per-bucket argmax as a struct-max aggregate (partial+final, map-side
-    # combine) instead of a row_number window: no full sort shuffle of the
-    # mid rows — the shuffle carries one candidate per (series, bucket)
-    # per partition. Negated ts/event_id fields give the desc-area,
-    # asc-ts, asc-id tie order under lexicographic struct max.
-    peaks = (
-        mid.groupBy("event_type", "bucket")
-        .agg(
-            F.expr(
-                "MAX(struct(area AS a, -ts_us AS nt, -event_id AS ni,"
-                " ts_us AS t, event_id AS i, value AS v))"
-            ).alias("p")
-        )
-        .selectExpr(
-            "event_type",
-            "bucket",
-            "p.t AS ts_us",
-            "p.i AS event_id",
-            "p.v AS value",
-        )
-    )
-    first = cents.where("bucket = 0").selectExpr(
-        "event_type",
-        "bucket",
-        "first_pt.t AS ts_us",
-        "first_pt.i AS event_id",
-        "first_pt.v AS value",
-    )
-    last = cents.where(f"bucket = {n_b - 1}").selectExpr(
-        "event_type",
-        "bucket",
-        "last_pt.t AS ts_us",
-        "last_pt.i AS event_id",
-        "last_pt.v AS value",
-    )
-    return (
-        first.unionByName(peaks)
-        .unionByName(last)
-        .orderBy("event_type", "bucket", "ts_us", "event_id")
+    GROUP BY event_type, bucket
+  )
+  UNION ALL
+  SELECT event_type, bucket,
+         last_pt.t AS ts_us, last_pt.i AS event_id, last_pt.v AS value
+  FROM __cents WHERE bucket = {n_b - 1}
+)
+ORDER BY event_type, bucket, ts_us, event_id
+""",
+        base=base,
     )
 
 

@@ -27,8 +27,10 @@ def normalize(text: str) -> str:
     text = re.sub(r"_pyspark_[0-9a-f]+", "_pyspark_v", text)
     # persist_once cache names / InMemoryRelation serializer ids
     text = re.sub(r"StorageLevel\([^)]*\)", "StorageLevel(...)", text)
-    # lambda variable numbering: lambda x_12 -> lambda x_n
-    text = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", text)
+    # lambda variable names are display-only (positional in
+    # lambdafunction): Column-API names (x_12, y_3) and SQL-parsed names
+    # (x, acc) canonicalize to the same token
+    text = re.sub(r"lambda [a-zA-Z]\w*", "lambda v", text)
     # subquery ids
     text = re.sub(r"Subquery subquery\d+", "Subquery subquery#", text)
     text = re.sub(r"scalar-subquery#x \[id=#?\d*\]", "scalar-subquery#x", text)
