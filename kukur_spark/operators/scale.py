@@ -197,6 +197,13 @@ def range_boundaries(
     multiset, so probing them all up front on the shared input is
     value-identical; pass the per-column lists through the ``boundaries``
     parameter of :func:`distributed_ntile` / :func:`distributed_row_number`.
+
+    Note: a supplied ``boundaries`` list fully determines the consumer's
+    bucket count (``len(boundaries) + 1`` ranges) — the consumer's own
+    ``buckets``/shuffle-partition default applies only to its internal
+    probe fallback, so probing here with a different ``buckets`` than the
+    consumer would use yields unbalanced (but still correct) buckets.
+    Pass the same ``buckets`` to probe and consumer when balance matters.
     """
     from kukur_spark.io import persist_once
 

@@ -2178,7 +2178,16 @@ def parts_brand_hhi(spark: SparkSession, sf: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     brand_rev = (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+            # p_type IS NOT NULL: the former totals-agg inner join on
+            # p_type (and the DuckDB oracle's JOIN) silently dropped
+            # NULL-typed parts; the window rewrite below would keep them
+            # as an extra group.  TPC-H p_type is NOT NULL so this is
+            # free, but it pins oracle equivalence for any data.
+            F.broadcast(
+                part.select("p_partkey", "p_type", "p_brand").where(
+                    F.col("p_type").isNotNull()
+                )
+            ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_type", "p_brand")

@@ -31,7 +31,11 @@ from kukur_spark.workloads import QUERIES  # noqa: E402
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     min_refs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("scan-audit")
     for t in TABLES:
