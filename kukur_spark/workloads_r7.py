@@ -19,6 +19,8 @@ whole recursion is integer-exact cross-engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -364,8 +366,14 @@ R7_ORACLES["ts_sax_motifs"] = _sax_motifs_sql()
 _KNN_K = 5
 _OUTLIER_CAP = 1000  # exact-parity subset (see tests/test_r7_operators.py)
 # multi-table LSH: 8 tables of 3 planes each over the 500-vector test
-# corpus; production grows planes with log(corpus) to hold bucket sizes
-_OUTLIER_PLANES = 3
+# corpus; production grows planes with log2(N / target_bucket_size) to
+# hold bucket sizes — and with them candidate volume per vector —
+# constant.  The env knob makes that posture executable without a code
+# edit (the Spark query AND the DuckDB oracle both derive from it, so
+# results stay exactly checkable at any setting); the default 3 is the
+# value the static oracle fixtures and the driver's result hashes pin.
+# plans/r11/scale.json carries a 10x probe at planes=6.
+_OUTLIER_PLANES = int(os.environ.get("SPARK_GRAFT_OUTLIER_PLANES", "3"))
 _OUTLIER_TABLES = 8
 
 
