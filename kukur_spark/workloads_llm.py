@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kukur_spark.io import load_table
+from kukur_spark.io import load_table, persist_once
 
 
 # ---------------------------------------------------------------------------
@@ -513,10 +513,6 @@ _PQ_K = 5
 _PQ_QUERIES = 10
 
 
-def _pq_arr_sql(values) -> str:
-    return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
-
-
 def _pq_sq_fold_sql(sub_expr: str, ref_expr: str) -> str:
     """``aggregate(zip_with(...), 0.0, +)`` — 0.0+t1+…+tn == t1+…+tn
     (squares are non-negative), the oracle's left-associative chain."""
@@ -526,45 +522,62 @@ def _pq_sq_fold_sql(sub_expr: str, ref_expr: str) -> str:
     )
 
 
-def _pq_codebooks(emb: DataFrame):
-    """cb[s][c][d] literal codebooks from the first ``_PQ_CODES`` vectors
-    (the ``v`` column must already be double-cast); ``None`` on a
-    degenerate corpus with fewer vectors than codebook entries."""
-    seed_rows = (
-        emb.filter(F.col("vec_id") < _PQ_CODES).orderBy("vec_id").collect()
+def _pq_codebook_df(emb: DataFrame) -> DataFrame:
+    """One-row LAZY codebook table: ``cb0..cb{M-1}``, each an array of
+    ``_PQ_CODES`` sub-vector arrays (the lowest-id seed vectors sliced
+    per subspace, ordered by vec_id).
+
+    Replaces the former eager 16-row ``collect()`` into driver-side
+    literals: the derivation now stays in the lineage (recomputed per
+    action, never memoized), so query CONSTRUCTION runs no Spark job —
+    the collect cost ~0.2 s per construction and the literal arrays
+    another ~0.3 s of expression analysis (round 11, guide §5: the
+    driver should do no data work).  Values are bit-identical either
+    way: the same parquet floats, double-cast, in the same vec_id
+    order.  A degenerate corpus (< ``_PQ_CODES`` seed vectors) yields
+    ZERO rows, so every downstream cross join — and the query result —
+    is empty with the declared schema, matching the former eager
+    guard's empty DataFrame."""
+    return (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, v))),"
+                " p -> p.v)"
+            ).alias("__vs")
+        )
+        .filter(F.size("__vs") >= _PQ_CODES)
+        .selectExpr(
+            *[
+                f"transform(__vs, x -> slice(x, {s * _PQ_DSUB + 1},"
+                f" {_PQ_DSUB})) AS cb{s}"
+                for s in range(_PQ_M)
+            ]
+        )
     )
-    if len(seed_rows) < _PQ_CODES:
-        return None
-    return [
-        [
-            [float(row["v"][s * _PQ_DSUB + d]) for d in range(_PQ_DSUB)]
-            for row in seed_rows
-        ]
-        for s in range(_PQ_M)
-    ]
 
 
-def _pq_encode(emb: DataFrame, cb) -> DataFrame:
+def _pq_encode(emb: DataFrame, cbdf: DataFrame) -> DataFrame:
     """PQ codes per vector: ``neighbor_id, code0..code{M-1}`` — per
     subspace argmin over the 16 codebook entries (array_position of the
-    min → ties resolve to the lowest code).  Literal arrays land as one
-    parsed SQL expression per column: per-element ``F.lit`` would cost
-    ~2000 py4j round trips just to build the codebook tree."""
-    enc = emb.select(
+    min → ties resolve to the lowest code).  The codebook arrives as a
+    broadcast one-row cross join; the 16 distances are a ``transform``
+    over the codebook array — the same ``zip_with`` fold per entry, in
+    the same order, as the former 16 inlined literal folds."""
+    enc = emb.crossJoin(F.broadcast(cbdf)).select(
         "vec_id",
         *[
             F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"sub{s}")
             for s in range(_PQ_M)
         ],
+        *[f"cb{s}" for s in range(_PQ_M)],
     )
     code_cols = []
     for s in range(_PQ_M):
         dists = (
-            "array("
-            + ", ".join(
-                _pq_sq_fold_sql(f"sub{s}", _pq_arr_sql(cb[s][c]))
-                for c in range(_PQ_CODES)
-            )
+            f"transform(cb{s}, __r -> "
+            + _pq_sq_fold_sql(f"sub{s}", "__r")
             + ")"
         )
         code_cols.append(
@@ -574,16 +587,6 @@ def _pq_encode(emb: DataFrame, cb) -> DataFrame:
             ).alias(f"code{s}")
         )
     return enc.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
-
-
-def _pq_cb_sql(cb):
-    """Per-subspace codebook literal (array of 16 sub-vector arrays)."""
-    return [
-        "array("
-        + ", ".join(_pq_arr_sql(cb[s][c]) for c in range(_PQ_CODES))
-        + ")"
-        for s in range(_PQ_M)
-    ]
 
 
 def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -605,25 +608,22 @@ def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cb = _pq_codebooks(emb)
-    if cb is None:
-        # degenerate corpus (fewer vectors than codebook entries): an
-        # empty result with the output schema, not a driver crash
-        return spark.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, adc double, rank long",
-        )
-    codes = _pq_encode(emb, cb)
+    # lazy one-row codebook (see _pq_codebook_df); cached so the encode
+    # branch and the reconstruction branch compute the seed aggregate
+    # once per action, and a degenerate corpus (zero codebook rows)
+    # empties the whole result through the cross joins
+    cbdf = persist_once(_pq_codebook_df(emb))
+    codes = _pq_encode(emb, cbdf)
     queries = emb.filter(F.col("vec_id") < _PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     # reconstruct each neighbor once per subspace (one element_at into the
-    # literal codebook), then fold the query diff against that column
-    cb_sql = _pq_cb_sql(cb)
+    # broadcast codebook), then fold the query diff against that column
     sq_fold_sql = _pq_sq_fold_sql
     joined = (
         codes.join(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(cbdf))
         .select(
             "query_id",
             "neighbor_id",
@@ -632,9 +632,7 @@ def emb_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                 for s in range(_PQ_M)
             ],
             *[
-                F.expr(f"element_at({cb_sql[s]}, code{s} + 1)").alias(
-                    f"rec{s}"
-                )
+                F.expr(f"element_at(cb{s}, code{s} + 1)").alias(f"rec{s}")
                 for s in range(_PQ_M)
             ],
         )

@@ -520,12 +520,12 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         ivf_assign,
         probe_nearest_centroids,
     )
+    from kukur_spark.io import persist_once
     from kukur_spark.workloads_llm import (
         _PQ_DSUB,
         _PQ_K,
         _PQ_M,
-        _pq_cb_sql,
-        _pq_codebooks,
+        _pq_codebook_df,
         _pq_encode,
         _pq_sq_fold_sql,
     )
@@ -535,12 +535,11 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cb = _pq_codebooks(emb)
-    if cb is None:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, adc double, rank long"
-        )
-    codes = _pq_encode(emb, cb)
+    # lazy one-row codebook (no construction-time collect; a degenerate
+    # corpus empties the result through the cross joins — see
+    # _pq_codebook_df)
+    cbdf = persist_once(_pq_codebook_df(emb))
+    codes = _pq_encode(emb, cbdf)
     centroids, assignments = ivf_assign(emb_raw, num_centroids=16)
     probes = probe_nearest_centroids(
         emb_raw.filter(F.col("vec_id") < 10), centroids, nprobe=4
@@ -550,18 +549,21 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"))
     )
-    cb_sql = _pq_cb_sql(cb)
-    joined = cands.join(codes, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        *[
-            F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"qsub{s}")
-            for s in range(_PQ_M)
-        ],
-        *[
-            F.expr(f"element_at({cb_sql[s]}, code{s} + 1)").alias(f"rec{s}")
-            for s in range(_PQ_M)
-        ],
+    joined = (
+        cands.join(codes, "neighbor_id")
+        .crossJoin(F.broadcast(cbdf))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.slice("qv", s * _PQ_DSUB + 1, _PQ_DSUB).alias(f"qsub{s}")
+                for s in range(_PQ_M)
+            ],
+            *[
+                F.expr(f"element_at(cb{s}, code{s} + 1)").alias(f"rec{s}")
+                for s in range(_PQ_M)
+            ],
+        )
     )
     adc = F.expr(
         " + ".join(
