@@ -201,6 +201,23 @@ def _stats_shadow_simhash(
 _BOUND_UNSET = object()
 
 
+def _guard_elided(bound: Optional[int], max_bucket: int, bands: int) -> bool:
+    """THE skew-guard skip decision (shared by :func:`_band_candidates`
+    and the fused-SQL LSH constructions, so the two paths can never
+    diverge): detection is elided when the cap is disabled, or when even
+    the degenerate corpus — every doc of one band in ONE bucket — stays
+    inside the cap's pair budget (bound² ≤ 2·cap², see
+    :func:`_band_candidates`) subject to the absolute row ceiling
+    backstop."""
+    if max_bucket <= 0:
+        return True
+    return (
+        bound is not None
+        and bound * bound <= 2 * max_bucket * max_bucket
+        and bound * max(1, bands) <= _LSH_SKIP_ROW_CEILING
+    )
+
+
 def _band_candidates(
     banded: DataFrame,
     carry: tuple = (),
@@ -269,15 +286,11 @@ def _band_candidates(
                 banded if stats_plan is None else stats_plan, bands
             )
         )
-        if (
-            bound is not None
-            and bound * bound <= 2 * max_bucket * max_bucket
-            # belt-and-braces: the bound derives from an optimizer size
-            # estimate; cap the absolute estimated row count the skip
-            # will ever trust so an undercounting plan cannot silently
-            # disable the guard at real scale
-            and bound * max(1, bands) <= _LSH_SKIP_ROW_CEILING
-        ):
+        # belt-and-braces inside _guard_elided: the bound derives from an
+        # optimizer size estimate; an absolute row ceiling caps what the
+        # skip will ever trust so an undercounting plan cannot silently
+        # disable the guard at real scale
+        if _guard_elided(bound, max_bucket, bands):
             _LOG.info(
                 "LSH skew guard elided: estimated bucket bound %d within "
                 "cap %d pair budget (set SPARK_GRAFT_LSH_SKIP_ROW_CEILING"
@@ -418,12 +431,19 @@ def _combine_shingle_hashes_sql(th_col: str, k: int = 3) -> str:
 
 
 def _minhash_signature_sql(hs_col: str, num_hashes: int = 32) -> str:
-    """SQL fragment equivalent of :func:`minhash_signature`."""
-    mins = ", ".join(
-        f"array_min(transform({hs_col}, h -> xxhash64(h, {j})))"
-        for j in range(num_hashes)
+    """SQL fragment equivalent of :func:`minhash_signature`.
+
+    Permutation index ``j`` is a ``sequence`` lambda variable instead of
+    the former ``num_hashes`` unrolled literal copies: ``xxhash64(h, j)``
+    hashes the same INT value either way (sequence elements and SQL
+    integer literals are both IntegerType), so every signature value is
+    identical — pinned by ``tests/test_dedup_fragments.py`` — while the
+    expression text (and with it per-construction analysis cost, ~32×
+    this fragment per LSH query) shrinks by that factor."""
+    return (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"j -> array_min(transform({hs_col}, h -> xxhash64(h, j))))"
     )
-    return f"array({mins})"
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -518,57 +538,94 @@ def minhash_lsh_pairs(
             "— a remainder would silently drop signature rows"
         )
     rows_per_band = num_hashes // bands
+    spark = df.sparkSession
+    if partitions <= 0:
+        partitions = spark.sparkContext.defaultParallelism
     # hashed shingle sets: all downstream set math runs on longs, no
     # shingle strings are ever materialized; token hashes land in a real
-    # column first so the k-gram combine indexes them O(1).  Built as SQL
-    # fragments (one py4j round trip) — the Column-object form of the same
-    # tree costs ~0.5 s of driver latency per construction (round 10).
-    base = (
-        _spread(df, id_column, partitions)
-        .selectExpr(
-            f"`{id_column}` AS id",
-            f"{_token_hashes_sql(f'`{text_column}`')} AS th",
-        )
-        .selectExpr(
-            "id",
-            f"{_combine_shingle_hashes_sql('th', shingle_size)} AS hs",
-        )
-        .selectExpr(
-            "*", f"{_minhash_signature_sql('hs', num_hashes)} AS sig"
-        )
-    )
+    # column first so the k-gram combine indexes them O(1).  Built as ONE
+    # parameterized spark.sql statement — the Column/selectExpr chain of
+    # the same tree cost ~0.18 s of driver latency per construction
+    # (round 11; round 10's fragment form had already cut ~0.5 s).
+    base_sql = f"""
+SELECT id, hs, {_minhash_signature_sql('hs', num_hashes)} AS sig
+FROM (
+  SELECT id, {_combine_shingle_hashes_sql('th', shingle_size)} AS hs
+  FROM (
+    SELECT `{id_column}` AS id,
+           {_token_hashes_sql(f'`{text_column}`')} AS th
+    FROM (SELECT /*+ REPARTITION({partitions}, `{id_column}`) */ *
+          FROM {{src}})
+  )
+)
+"""
     # feeds three plan branches (banding + both verification joins);
     # without persist the CPU-heavy projection runs three times.
     # The cache lives until session end / unpersist — long-lived
     # sessions running many queries should spark.catalog.clearCache()
-    # between workloads (the oracle gate does).
-    base = persist_once(base)
+    # between workloads (the oracle gate does).  The fused tail below
+    # repeats the base SUBQUERY TEXT as a CTE instead of referencing the
+    # cached handle: a re-parsed identical subquery canonicalizes equal
+    # and substitutes the InMemoryRelation at every occurrence, while a
+    # cached DataFrame passed as a {param} gets wrapped in a fresh View
+    # node that defeats the CacheManager lookup (measured on ts_lttb).
+    base = persist_once(spark.sql(base_sql, src=df))
     # banding carries only (id, band, bucket) — 24 bytes/row through the
-    # explode and the self-join shuffle, never the shingle arrays
-    band_structs = ", ".join(
-        f"struct({b} AS band, xxhash64(array_join(transform("
-        f"slice(sig, {b * rows_per_band + 1}, {rows_per_band}), "
-        f"x -> cast(x AS string)), ','), {b}) AS bucket)"
-        for b in range(bands)
+    # explode and the self-join shuffle, never the shingle arrays.  The
+    # band loop is a sequence lambda (same bucket values as the former
+    # per-band literal structs, parity-test-pinned; ~bands× less text)
+    band_structs = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"xxhash64(array_join(transform("
+        f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"x -> cast(x AS string)), ','), b) AS bucket))"
     )
+    bound = _memoized_bound(
+        df,
+        "banded",
+        bands,
+        lambda: _stats_shadow_banded(df, id_column, bands),
+    )
+    if _guard_elided(bound, _LSH_BUCKET_CAP, bands):
+        # one statement, one analysis pass; plan identical to the
+        # unguarded Column path (plans/r11 + scripts/plan_diff.py).
+        # |A∪B| = |A|+|B|−|A∩B| for the distinct hash sets: sizing a
+        # materialized union array doubled the per-pair array work (r10).
+        return spark.sql(
+            f"""
+WITH __base AS ({base_sql}),
+__banded AS (
+  SELECT id, bb.band AS band, bb.bucket AS bucket
+  FROM (SELECT id, explode({band_structs}) AS bb FROM __base)
+),
+__pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __banded a JOIN __banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard
+FROM (
+  SELECT id_a, id_b,
+         round(CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE)
+               / (size(hs_a) + size(hs_b)
+                  - size(array_intersect(hs_a, hs_b))), 6) AS jaccard
+  FROM __pairs
+  JOIN (SELECT id AS id_a, hs AS hs_a FROM __base) USING (id_a)
+  JOIN (SELECT id AS id_b, hs AS hs_b FROM __base) USING (id_b)
+)
+WHERE jaccard >= {jaccard_threshold!r}D
+""",
+            src=df,
+        )
+    # skew-guard engaged (real scale): the Column path with the bucket
+    # rewrite — construction latency is irrelevant beside the guarded run
     banded = base.selectExpr(
-        "id", f"explode(array({band_structs})) AS bb"
+        "id", f"explode({band_structs}) AS bb"
     ).select("id", "bb.band", "bb.bucket")
-    pairs = _band_candidates(
-        banded,
-        bands=bands,
-        stats_bound=_memoized_bound(
-            df,
-            "banded",
-            bands,
-            lambda: _stats_shadow_banded(df, id_column, bands),
-        ),
-    )
+    pairs = _band_candidates(banded, bands=bands, stats_bound=bound)
     # exact verification only for surviving candidates: join the hashed
     # sets back by id (candidate count << corpus for any sane banding)
     verified = _join_hash_sets(pairs, base.select("id", "hs"))
-    # |A∪B| = |A|+|B|−|A∩B| for the distinct hash sets: sizing a
-    # materialized union array doubled the per-pair array work (round 10)
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jaccard = inter.cast("double") / (
         F.size("hs_a") + F.size("hs_b") - inter
@@ -603,15 +660,16 @@ def _md5_base(
 
     Built as SQL fragments — the Column-object form of the 16-permutation
     signature tree cost ~0.3 s of py4j driver latency per construction.
-    The per-permutation salt is baked into the string as ``'#{j}'``
-    (literal), the same value the old one-parameter Python lambda closed
-    over — no index-Column rebinding hazard exists in the SQL form.
+    The per-permutation salt ``'#' || j`` concatenates to the same string
+    the former per-permutation ``'#{j}'`` literal produced (round 11:
+    the permutation loop is a ``sequence`` lambda, shrinking the analyzed
+    text ~16×; identical md5 inputs, oracle- and parity-test-pinned).
     """
-    sig_mins = ", ".join(
+    sig_mins = (
+        f"transform(sequence(0, {num_hashes - 1}), j -> "
         "array_min(transform(sh, s -> "
-        + _md5_long_sql(f"concat(s, '#{j}')")
-        + "))"
-        for j in range(num_hashes)
+        + _md5_long_sql("concat(s, '#', cast(j AS string))")
+        + ")))"
     )
     return (
         _spread(df, id_column)
@@ -622,7 +680,7 @@ def _md5_base(
         .selectExpr(
             "id",
             f"array_distinct(transform(sh, s -> {_md5_long_sql('s')})) AS hs",
-            f"array({sig_mins}) AS sig",
+            f"{sig_mins} AS sig",
         )
     )
 
@@ -633,23 +691,24 @@ def _md5_banded(
     """(id, band, bucket) banding of an ``_md5_base`` signature table.
 
     ``carry`` columns ride along the explode (cheaper than joining them
-    back onto the exploded table afterwards)."""
-    structs = ", ".join(
-        f"struct({b} AS band, "
+    back onto the exploded table afterwards).  The band loop is a
+    ``sequence`` lambda (round 11): ``'|' || b`` concatenates to the same
+    string the former per-band ``'|{b}'`` literal did, so every bucket
+    hash is identical (oracle- and parity-test-pinned) with ~``bands``×
+    less expression text to analyze per construction."""
+    row_refs = "".join(
+        f", cast(element_at(sig, b * {rows_per_band} + {r + 1}) AS string)"
+        for r in range(rows_per_band)
+    )
+    structs = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
         + _md5_long_sql(
-            "concat(concat_ws(','"
-            + "".join(
-                f", cast(element_at(sig, {b * rows_per_band + r + 1})"
-                " AS string)"
-                for r in range(rows_per_band)
-            )
-            + f"), '|{b}')"
+            f"concat(concat_ws(','{row_refs}), '|', cast(b AS string))"
         )
-        + " AS bucket)"
-        for b in range(bands)
+        + " AS bucket))"
     )
     return base.selectExpr(
-        "id", *[f"`{c}`" for c in carry], f"explode(array({structs})) AS bb"
+        "id", *[f"`{c}`" for c in carry], f"explode({structs}) AS bb"
     ).select("id", *carry, "bb.band", "bb.bucket")
 
 
