@@ -69,10 +69,20 @@ def plot_buckets(
     # to the half-open window first.  Struct-ordered argmin/argmax keep
     # determinism under value ties (earliest ts among min-value rows,
     # latest ts among max-value rows).
+    return df.sparkSession.sql(
+        _bucket_stats_sql(start_us, end_us, span, n, group_columns), df=df
+    )
+
+
+def _bucket_stats_sql(
+    start_us: int, end_us: int, span: int, n: int, group_columns: list[str]
+) -> str:
+    """The bucket-stats statement text, shared by :func:`plot_buckets`
+    and :func:`plot_downsample` (which embeds it as a CTE)."""
     gsel = "".join(f"`{c}`, " for c in group_columns)
     ts_win = f"unix_micros(CAST(`{TS_COLUMN}` AS TIMESTAMP))"
     gby = gsel + f"`{BUCKET_COLUMN}`"
-    sql = f"""
+    return f"""
 SELECT *,
   timestamp_micros({start_us} + CAST(`{BUCKET_COLUMN}` * {span}
                    / {n} AS BIGINT)) AS bucket_start
@@ -99,7 +109,6 @@ FROM (
   GROUP BY {gby}
 )
 """
-    return df.sparkSession.sql(sql, df=df)
 
 
 def plot_downsample(
@@ -116,19 +125,39 @@ def plot_downsample(
     time-ordered — the shape the PI PlotData endpoint returns
     (kukur/source/piwebapi_da/piwebapi_da.py:343-369).
     """
+    from kukur_spark.timeutil import epoch_us
+
     group_columns = group_columns or []
-    stats = plot_buckets(df, start, end, interval_count, group_columns)
-    points = F.array_distinct(
-        F.array(
-            F.struct(F.col("ts_first").alias(TS_COLUMN), F.col("first_value").alias(VALUE_COLUMN)),
-            F.struct(F.col("ts_min").alias(TS_COLUMN), F.col("min_value").alias(VALUE_COLUMN)),
-            F.struct(F.col("ts_max").alias(TS_COLUMN), F.col("max_value").alias(VALUE_COLUMN)),
-            F.struct(F.col("ts_last").alias(TS_COLUMN), F.col("last_value").alias(VALUE_COLUMN)),
-        )
-    )
-    exploded = (
-        stats.select(*group_columns, F.explode(points).alias("p"))
-        .select(*group_columns, F.col(f"p.{TS_COLUMN}"), F.col(f"p.{VALUE_COLUMN}"))
-        .dropDuplicates(group_columns + [TS_COLUMN])
-    )
-    return exploded.orderBy(*group_columns, TS_COLUMN)
+    start_us = epoch_us(start)
+    end_us = epoch_us(end)
+    span = max(end_us - start_us, 1)
+    n = int(interval_count)
+    gsel = "".join(f"`{c}`, " for c in group_columns)
+    gby = gsel + f"`{TS_COLUMN}`"
+    # One parameterized statement embedding the bucket stats as a CTE —
+    # the Column-object tail (struct array → explode → dropDuplicates →
+    # orderBy) cost ~6 analysis passes per verb call (round 11).  The
+    # GROUP BY + first() dedup is exactly what dropDuplicates rewrites
+    # to (Aggregate over the key with First(ignoreNulls=false) for the
+    # rest), so the plan and the tie pick are unchanged.
+    sql = f"""
+WITH __stats AS ({_bucket_stats_sql(start_us, end_us, span, n,
+                                    group_columns)})
+SELECT {gsel}`{TS_COLUMN}`, first(`{VALUE_COLUMN}`) AS `{VALUE_COLUMN}`
+FROM (
+  SELECT {gsel}p.`{TS_COLUMN}` AS `{TS_COLUMN}`,
+         p.`{VALUE_COLUMN}` AS `{VALUE_COLUMN}`
+  FROM (
+    SELECT {gsel}explode(array_distinct(array(
+      struct(ts_first AS `{TS_COLUMN}`, first_value AS `{VALUE_COLUMN}`),
+      struct(ts_min AS `{TS_COLUMN}`, min_value AS `{VALUE_COLUMN}`),
+      struct(ts_max AS `{TS_COLUMN}`, max_value AS `{VALUE_COLUMN}`),
+      struct(ts_last AS `{TS_COLUMN}`, last_value AS `{VALUE_COLUMN}`)
+    ))) AS p
+    FROM __stats
+  )
+)
+GROUP BY {gby}
+ORDER BY {gby}
+"""
+    return df.sparkSession.sql(sql, df=df)

@@ -245,8 +245,17 @@ class FileSource:
     # raw reads
     # ------------------------------------------------------------------
     def _read_raw(self, path: Optional[str] = None) -> DataFrame:
+        """TTL-cached raw read (see :meth:`_plan_cached`): reader
+        construction + schema resolution cost ~90 ms per call through the
+        Flight verbs, ~60% of a small ``get_data``'s wall (round 11)."""
         opts = self.options
         path = path or opts.path
+        return self._plan_cached(
+            ("raw", path), lambda: self._read_raw_uncached(path)
+        )
+
+    def _read_raw_uncached(self, path: str) -> DataFrame:
+        opts = self.options
         fmt = opts.file_format
         if fmt == "csv":
             # Spark's CSV reader accepts a fixed charset list (iso-8859-1,
@@ -424,8 +433,13 @@ class FileSource:
 
         Row layout: ``tag…, ts, field…[, quality]``. Pivot and dir layouts
         are converted on read (melt / path-partition extraction), so every
-        downstream operator sees the same shape.
+        downstream operator sees the same shape.  TTL-cached (see
+        :meth:`_plan_cached`) — the melt/normalize chain re-analyzes
+        otherwise on every verb call.
         """
+        return self._plan_cached(("data_frame",), self._data_frame_uncached)
+
+    def _data_frame_uncached(self) -> DataFrame:
         opts = self.options
         if opts.format == "row":
             df = self._read_raw()
@@ -539,32 +553,40 @@ class FileSource:
     # ------------------------------------------------------------------
     # 4-verb API
     # ------------------------------------------------------------------
-    def search_df(self, search: SeriesSearch) -> DataFrame:
-        """TTL-cached wrapper over :meth:`_search_df_uncached`.
+    def _plan_cached(self, key, builder) -> DataFrame:
+        """TTL plan-handle cache shared by the verb hot paths.
 
         The federated hot path is many small repeated verb calls
         (reference kukur/flight.py:95-101); driver-side plan analysis +
-        codegen dominates execution ~10:1 there, so the analyzed plan is
-        reused per (tags, field) for ``search_cache_seconds``.  The plan
-        stays lazy — every execution re-reads file contents; only the
-        file-listing snapshot ages within the TTL.
-        """
+        codegen dominates execution ~10:1 there, so analyzed plans are
+        reused for ``search_cache_seconds`` (0 disables).  Plans stay
+        lazy — every execution re-reads file contents; only the
+        file-listing snapshot ages within the TTL.  Never caches
+        results."""
         import time as _time
 
         ttl = self.options.search_cache_seconds
         if ttl <= 0:
-            return self._search_df_uncached(search)
-        key = (
-            tuple(sorted((search.tags or {}).items())),
-            search.field,
-        )
+            return builder()
         hit = self._search_plan_cache.get(key)
         now = _time.monotonic()
         if hit is not None and now - hit[0] < ttl:
             return hit[1]
-        df = self._search_df_uncached(search)
+        df = builder()
         self._search_plan_cache[key] = (now, df)
         return df
+
+    def search_df(self, search: SeriesSearch) -> DataFrame:
+        """TTL-cached wrapper over :meth:`_search_df_uncached` (see
+        :meth:`_plan_cached`)."""
+        key = (
+            "search",
+            tuple(sorted((search.tags or {}).items())),
+            search.field,
+        )
+        return self._plan_cached(
+            key, lambda: self._search_df_uncached(search)
+        )
 
     def _search_df_uncached(self, search: SeriesSearch) -> DataFrame:
         """Distributed series discovery: one row per series (tags + field).
@@ -648,7 +670,42 @@ class FileSource:
     def get_data(
         self, selector: SeriesSelector, start: datetime, end: datetime
     ) -> DataFrame:
-        """(ts, value[, quality]) for one series in half-open [start, end)."""
+        """(ts, value[, quality]) for one series in half-open [start, end).
+
+        The range-independent prefix (read → tag filter → casts → sort →
+        conform) is TTL-cached per selector (see :meth:`_plan_cached`);
+        only the two range predicates are built per call — the verb hot
+        path repeats selectors far more often than plans change.  The
+        filter-after-sort order is plan-neutral (Catalyst pushes the
+        predicate below the Sort).  Sources with configured partition
+        pruning skip the cache: their pruning predicates derive from the
+        requested range itself.
+        """
+        opts = self.options
+        if opts.timestamp_partition_columns or opts.partitions:
+            base = self._series_frame(selector, start, end)
+        else:
+            key = (
+                "series",
+                tuple(sorted(selector.tags.items())),
+                selector.field,
+            )
+            base = self._plan_cached(
+                key, lambda: self._series_frame(selector, None, None)
+            )
+        return base.filter(
+            (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
+        )
+
+    def _series_frame(
+        self,
+        selector: SeriesSelector,
+        start: Optional[datetime],
+        end: Optional[datetime],
+    ) -> DataFrame:
+        """One series' conformed frame WITHOUT the range filter (applied
+        by :meth:`get_data` on top); ``start``/``end`` feed only the
+        configured partition pruning when present."""
         opts = self.options
         if opts.format == "dir":
             df = self._read_dir_file(selector)
@@ -694,7 +751,7 @@ class FileSource:
                 cols.append(
                     F.col(QUALITY_COLUMN).cast("byte").alias(QUALITY_COLUMN)
                 )
-        if opts.timestamp_partition_columns:
+        if opts.timestamp_partition_columns and start is not None:
             # enumerate the range into partition predicates while the
             # ts-derived partition columns are still in scope (M-parity of
             # the reference's Delta partition enumeration)
@@ -703,7 +760,7 @@ class FileSource:
             df = prune_time_partitions(
                 df, start, end, opts.timestamp_partition_columns
             )
-        if opts.partitions:
+        if opts.partitions and start is not None:
             # configured partition entries (reference Delta parity):
             # timestamp-origin entries become formatted IN filters on the
             # partition column; tag-origin entries are already covered by
@@ -714,9 +771,6 @@ class FileSource:
 
             df = prune_configured_partitions(df, start, end, opts.partitions)
         df = df.select(cols)
-        df = df.filter(
-            (F.col(TS_COLUMN) >= F.lit(start)) & (F.col(TS_COLUMN) < F.lit(end))
-        )
         if opts.sort_by_timestamp:
             df = df.orderBy(TS_COLUMN)
         return conform(df)

@@ -320,9 +320,10 @@ def test_search_plan_cache_hits_and_expires(spark, tmp_path):
     # a different tag filter is a different plan
     other = src.search_df(SeriesSearch("c", {"series name": "s1"}))
     assert other is not first
-    # expiry: age the entry past the TTL
-    key, (stamp, df) = next(iter(src._search_plan_cache.items()))
-    src._search_plan_cache[key] = (stamp - 10_000.0, df)
+    # expiry: age every entry past the TTL (the shared plan cache also
+    # holds the raw-read and data_frame prefixes the search plan builds on)
+    for key, (stamp, df) in list(src._search_plan_cache.items()):
+        src._search_plan_cache[key] = (stamp - 10_000.0, df)
     assert src.search_df(SeriesSearch("c")) is not first
 
     uncached = FileSource(
