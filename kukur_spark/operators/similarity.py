@@ -181,6 +181,37 @@ def hyperplane_signature(
     ).otherwise(out)
 
 
+def _hyperplane_signature_sql(v_sql: str, num_planes: int, dim: int) -> str:
+    """SQL-fragment twin of :func:`hyperplane_signature` over an
+    ALREADY double-cast array expression (pass a column name, not an
+    inline transform — the fragment references it ~3×`num_planes`
+    times).  Same literals (``repr`` round-trips every plane component
+    exactly), same fold shape, same raise-on-overlong guard."""
+    bits = []
+    for p in range(num_planes):
+        plane = (
+            "array("
+            + ", ".join(f"{c!r}D" for c in plane_components(p, dim))
+            + ")"
+        )
+        proj = (
+            f"aggregate(zip_with({v_sql}, slice({plane}, 1, size({v_sql})),"
+            " (x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {proj} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p})"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = f"({out} | {b})"
+    return (
+        f"CASE WHEN size({v_sql}) > {dim} THEN CAST(raise_error("
+        f"'hyperplane_signature: vector longer than dim={dim}') AS BIGINT)"
+        f" ELSE {out} END"
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -195,47 +226,51 @@ def lsh_topk(
     With ``num_planes`` = 8 the corpus splits into ≤256 buckets; the
     candidate join is an equi-join on the signature, so cost scales with
     bucket size, not corpus size. Recall is approximate by construction.
-    """
-    def sig(df, id_alias, v_alias, n_alias):
-        return df.select(
-            F.col(id_column).alias(id_alias),
-            _as_double(F.col(vector_column)).alias(v_alias),
-            hyperplane_signature(
-                F.col(vector_column), num_planes, dim
-            ).alias("bucket"),
-        ).withColumn(n_alias, norm(F.col(v_alias)))
 
-    q = sig(queries, "query_id", "qv", "qn")
-    # signature projection over the corpus is the CPU hot spot; a
-    # single-file corpus arrives as one scan task, so spread it first
-    # (no-op at real scale)
-    c = sig(
-        corpus.repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism,
-            F.col(id_column),
-        ),
-        "neighbor_id",
-        "cv",
-        "cn",
-    )
-    scored = (
-        c.join(F.broadcast(q), on=["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
-    )
-    window = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(window))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_sim", 6).alias("cos_sim"),
-            F.col("rank").cast("long").alias("rank"),
+    One parameterized spark.sql statement — the Column-object form of
+    the two signature projections built ~1 100 per-component ``F.lit``
+    round trips (~1.1 s driver latency per construction, round 11);
+    same resolved trees (plans/r11 + scripts/plan_diff.py).
+    """
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    vec = _as_double_sql(f"`{vector_column}`")
+    sql = f"""
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC)
+            AS rank
+  FROM (
+    SELECT /*+ BROADCAST(q) */ c.*, q.*,
+           {_dot_sql("qv", "cv")} / (qn * cn) AS cos_sim
+    FROM (
+      SELECT *, {_norm_sql("cv")} AS cn
+      FROM (
+        SELECT neighbor_id, cv,
+               {_hyperplane_signature_sql('cv', num_planes, dim)} AS bucket
+        FROM (
+          SELECT `{id_column}` AS neighbor_id, {vec} AS cv
+          FROM (SELECT /*+ REPARTITION({n_parts}, `{id_column}`) */ *
+                FROM {{corpus}})
         )
-    )
+      )
+    ) c
+    JOIN (
+      SELECT *, {_norm_sql("qv")} AS qn
+      FROM (
+        SELECT query_id, qv,
+               {_hyperplane_signature_sql('qv', num_planes, dim)} AS bucket
+        FROM (SELECT `{id_column}` AS query_id, {vec} AS qv
+              FROM {{queries}})
+      )
+    ) q USING (bucket)
+    WHERE query_id != neighbor_id
+  )
+)
+WHERE rank <= {int(k)}
+"""
+    return corpus.sparkSession.sql(sql, corpus=corpus, queries=queries)
 
 
 # ---------------------------------------------------------------------------
