@@ -92,7 +92,13 @@ def _row_bounded(node) -> bool:
         return True
     if name == "Aggregate" and node.groupingExpressions().isEmpty():
         return True
-    if name == "HashAggregateExec" and node.groupingExpressions().isEmpty():
+    # physical singleton aggregates: hash, object-hash (collect_list and
+    # friends force it — e.g. the lazy PQ codebook row), and sort-based
+    if name in (
+        "HashAggregateExec",
+        "ObjectHashAggregateExec",
+        "SortAggregateExec",
+    ) and node.groupingExpressions().isEmpty():
         return True
     if name in ("Generate", "GenerateExec", "Expand", "ExpandExec"):
         return False  # row-expanding: bounded input ≠ bounded output
