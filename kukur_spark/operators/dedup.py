@@ -1028,6 +1028,13 @@ def simhash_pairs(
     # signature-cache pattern the minhash paths use.  The stats shadow
     # keeps the skew-guard estimate cache-independent (the materialized
     # InMemoryRelation otherwise inflates it — see _stats_shadow_banded).
+    # NEGATIVE RESULT (round 11): fusing both twins into one
+    # parameterized statement à la minhash_lsh_pairs measured a WASH
+    # (builds 0.21/0.17 s fused vs 0.21/0.17 s chained, 2×2 A/B at
+    # sf0.1) and was reverted — here the giant simhash fold dominates,
+    # and the fused tail re-PARSES+RESOLVES it once per CTE inline
+    # (3×) while the op chain only re-traverses the already-resolved
+    # subtree; the round-trip savings (~12 ops) don't cover that.
     sig = persist_once(
         _spread(df, id_column).select(
             F.col(id_column).alias("id"), simhash(text_column).alias("sig")
